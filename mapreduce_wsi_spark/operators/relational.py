@@ -1,0 +1,121 @@
+"""Relational operator recipes beyond single DataFrame calls.
+
+The reference has no native joins/windows/set-ops — those categories are
+expressible only inside user map/reduce code (SURVEY.md §2C, the
+MapReduceWSI.java:62-105 escape hatch). Here they are first-class, as thin
+Catalyst-friendly compositions. Everything is declarative DataFrame API so
+predicate pushdown / join selection / AQE apply untouched.
+
+Scale notes are attached per recipe — each one is written for the
+1000-executor / 100 TB case first, and merely also works on local[32].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k. Catalyst plans TakeOrderedAndProject: each task keeps a
+    k-sized heap, driver merges — no global sort, no full shuffle. Safe at
+    any scale for small k."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(df: DataFrame, partition_by: list[str],
+                    order_by: list[Column], k: int,
+                    rank_col: str = "rn", keep_rank: bool = False) -> DataFrame:
+    """Top-k per group via row_number window. One shuffle on the partition
+    keys; with AQE skew handling for hot groups. ``order_by`` must be a
+    total order (include a unique tiebreaker) for deterministic output."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str,
+              right_values: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """As-of (backward) join: for each left row, the most recent right row
+    with ``right_ts <= left_ts`` per key. Spark has no native as-of join
+    (SURVEY.md §2C); the scalable composition is the union + last-value
+    window trick:
+
+      union both sides tagged → window per key ordered by (ts, tag) →
+      ``last(right_value, ignorenulls=True)`` carried forward → keep left rows.
+
+    One shuffle on ``on`` (same as any join), no per-key pandas, no range
+    explosion — this survives 100 TB where a naive theta-join
+    (``l.key = r.key AND r.ts <= l.ts`` + max) would blow up the join
+    output before aggregating it back down.
+
+    Ties (right_ts == left_ts) match, because the right row sorts before the
+    left row at equal ts (tag 0 < tag 1).
+    """
+    lcols = left.columns
+    pay_src = [right_ts, *right_values]
+    l_tagged = left.select(
+        *lcols, F.lit(1).alias("__tag"), F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in pay_src])
+    r_tagged = right.select(
+        *[F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols],
+        F.lit(0).alias("__tag"), F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in pay_src])
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+               for c in [right_ts, *right_values]]
+    out_cols = [c for c in lcols] + [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_values]
+    return (unioned.select(*lcols, F.col("__tag"), *carried)
+            .filter(F.col("__tag") == 1).select(*out_cols))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_point: str, right_start: str, right_end: str,
+                  bucket_width: float | int,
+                  extra_on: list[str] | None = None) -> DataFrame:
+    """Point-in-interval join, bucketized so it scales.
+
+    A plain theta join (``start <= p AND p < end``) is a broadcast
+    nested-loop at best. Instead: explode each right interval into the
+    equi-width buckets it covers, equi-join on bucket (plus optional keys),
+    then re-check the exact predicate. Shuffle volume is
+    O(rows × intervals_per_bucket) — tunable via ``bucket_width``.
+    """
+    on = list(extra_on or [])
+    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(right_start) / F.lit(bucket_width)),
+                             F.floor(F.col(right_end) / F.lit(bucket_width)))))
+    joined = lb.join(rb, on=on + ["__bucket"], how="inner")
+    return (joined
+            .filter((F.col(right_start) <= F.col(left_point)) &
+                    (F.col(left_point) < F.col(right_end)))
+            .drop("__bucket"))
+
+
+def grouping_sets(df: DataFrame, sets: list[list[str]], aggs: list[Column],
+                  view_name: str = "__gs_input") -> DataFrame:
+    """GROUPING SETS — Catalyst supports it in SQL only; expose it as a
+    DataFrame-in/DataFrame-out recipe. Physical plan is a single Expand +
+    hash aggregate (one shuffle), not one pass per set."""
+    spark = df.sparkSession
+    df.createOrReplaceTempView(view_name)
+    all_cols = sorted({c for s in sets for c in s})
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    agg_sql = ", ".join(a._jc.toString() if hasattr(a, "_jc") else str(a) for a in aggs)
+    return spark.sql(
+        f"SELECT {', '.join(all_cols)}, {agg_sql} FROM {view_name} "
+        f"GROUP BY GROUPING SETS ({sets_sql})")
+
+
+def unpivot(df: DataFrame, ids: list[str], values: list[str],
+            var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """Unpivot/melt (reverse of pivot) — built-in since Spark 3.4."""
+    return df.unpivot(ids, values, var_name, value_name)

@@ -1,0 +1,92 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a catalog query on Spark and its oracle on DuckDB over the same
+parquet fixtures, then compares row count + column names + an
+order-insensitive canonical value multiset (columns sorted by name —
+mirroring the driver contract in __spark_entry__.py).
+
+Used by tests/test_oracle_parity.py so oracle drift is caught locally
+before the driver's per-round CORRECTNESS check.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import math
+from dataclasses import dataclass
+
+import duckdb
+
+FIXTURE_TABLES = ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{name}.parquet')")
+    return con
+
+
+def canon_value(v):
+    """Canonicalize one cell for order-insensitive comparison."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, _decimal.Decimal):
+        return f"d:{v.normalize()}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, _dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    return f"s:{v}"
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, canonicalize cells, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection,
+            oracle: str, max_diff_shown: int = 5) -> ParityResult:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    cur = con.execute(oracle)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        return ParityResult(name, False,
+                            f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        return ParityResult(name, False,
+                            f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+    s_canon = canon_rows(s_cols, s_rows)
+    d_canon = canon_rows(d_cols, d_rows)
+    if s_canon != d_canon:
+        diffs = [(a, b) for a, b in zip(s_canon, d_canon) if a != b][:max_diff_shown]
+        return ParityResult(name, False, f"value mismatch, first diffs: {diffs}")
+    return ParityResult(name, True, f"{len(s_rows)} rows")

@@ -1,0 +1,176 @@
+"""Scalar function surface (SURVEY.md §2C): string / date / math /
+conditional / JSON / array functions, each with a DuckDB oracle.
+
+The reference's only scalar ops are split/trim/parseInt inside user map code
+(TestMapper.java:30,38); here the whole pyspark.sql.functions surface is
+first-class and JVM-side (whole-stage codegen — no Python in the hot path).
+
+Cross-engine determinism notes:
+- lengths/counts are cast to INT on both sides (DuckDB length() is BIGINT,
+  Spark's is INT);
+- floor/ceil cast to BIGINT (DuckDB returns DOUBLE, Spark LONG);
+- no transcendentals except sqrt (IEEE-754 requires sqrt correctly rounded,
+  so it is bit-identical; exp/ln/pow are libm-dependent and excluded from
+  oracle-checked outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)  AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 5) AS name_pre,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           replace(p_name, 'a', '@') AS name_sub,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS type_words,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_first
+    FROM part
+    """,
+    note="string functions: case, substring, length, concat, replace, "
+         "split-count, regex extract")
+def scalar_string_funcs(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("name_sub"),
+        F.size(F.split("p_type", " ")).cast("int").alias("type_words"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first"))
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)    AS yr,
+           CAST(month(o_orderdate) AS INT)   AS mo,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(day(o_orderdate) AS INT)     AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+               AS days_since,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+    note="date/time extraction, truncation, differences")
+def scalar_date_funcs(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("int").alias("days_since"),
+        F.last_day("o_orderdate").alias("month_end"))
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal - 5000.0) AS dist_from_5k,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal)  AS BIGINT) AS bal_ceil,
+           c_custkey % 7 AS key_mod,
+           sqrt(abs(c_acctbal)) AS bal_sqrt,
+           abs(c_acctbal) * abs(c_acctbal) AS bal_sq,
+           greatest(c_acctbal, 5000.0) AS bal_hi,
+           least(c_acctbal, 5000.0)    AS bal_lo,
+           CAST(sign(c_acctbal - 5000.0) AS INT) AS bal_sign
+    FROM customer
+    """,
+    note="math functions; sqrt is IEEE-exact so oracle-safe, libm "
+         "transcendentals deliberately excluded")
+def scalar_math_funcs(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal - 5000.0).alias("dist_from_5k"),
+        F.floor(bal).cast("bigint").alias("bal_floor"),
+        F.ceil(bal).cast("bigint").alias("bal_ceil"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        (F.abs(bal) * F.abs(bal)).alias("bal_sq"),
+        F.greatest(bal, F.lit(5000.0)).alias("bal_hi"),
+        F.least(bal, F.lit(5000.0)).alias("bal_lo"),
+        F.signum(bal - 5000.0).cast("int").alias("bal_sign"))
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT bucket, seg_or_other, count(*) AS n FROM (
+        SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+        FROM customer) t
+    GROUP BY bucket, seg_or_other
+    """,
+    note="CASE WHEN / NULLIF / COALESCE")
+def scalar_conditional(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    bucket = (F.when(F.col("c_acctbal") < 0, "neg")
+              .when(F.col("c_acctbal") < 5000, "mid")
+              .otherwise("high").alias("bucket"))
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                     F.lit("OTHER")).alias("seg_or_other")
+    return (c.select(bucket, seg).groupBy("bucket", "seg_or_other")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    """,
+    note="JSON field extraction from the events.props string column")
+def json_extract(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"))
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS e1,
+           ((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE))
+             + CAST(embedding[3] AS DOUBLE)) AS head3_sum,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vec_max,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vec_min
+    FROM embeddings
+    """,
+    note="array/list functions over the embedding column (1-based element "
+         "access on both engines; float->double widening is exact)")
+def array_funcs(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        el(1).alias("e1"),
+        ((el(1) + el(2)) + el(3)).alias("head3_sum"),
+        F.array_max("embedding").cast("double").alias("vec_max"),
+        F.array_min("embedding").cast("double").alias("vec_min"))

@@ -1,0 +1,556 @@
+"""Relational core queries (SURVEY.md §2C): aggs, joins (all flavors),
+windows, rollup/cube/grouping-sets, set ops, distinct, sort/top-k, pivot.
+
+The reference has none of these natively — they were only expressible inside
+user map/reduce code (MapReduceWSI.java:62-105); here each is a declarative
+DataFrame plan with a DuckDB oracle twin.
+
+Determinism rules used throughout (driver hash-compares vs DuckDB):
+- monetary/double aggregates run in exact DECIMAL(18,2) and cast to double
+  at the end (fixture doubles are 2-decimal; cast is lossless);
+- every LIMIT / row_number has a total order (unique tiebreaker);
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.relational import (
+    asof_join,
+    top_k,
+    top_k_per_group,
+)
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(18,2)")
+
+
+def _dsum(col_sql: str) -> str:
+    """Oracle-side decimal-exact sum of a 2-decimal double column."""
+    return f"CAST(sum(CAST({col_sql} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+_DISC_DEC = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+             "CAST(1.0 - l_discount AS DECIMAL(18,2))")
+
+
+def _disc_price(li) -> Column:
+    return _dec(li["l_extendedprice"]) * _dec(F.lit(1.0) - li["l_discount"])
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(sum({_DISC_DEC}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST({_DISC_DEC} AS DECIMAL(18,4))
+                    * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+           {_dsum('l_quantity')} / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    note="TPC-H Q1 shape: 2-key hash agg, 6 aggregates; partial+final agg "
+         "map-side (the reference's no-combiner gap, Runner.java:42-46)")
+def q1_pricing_summary(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = _disc_price(li)
+    charge = disc.cast("decimal(18,4)") * _dec(F.lit(1.0) + li["l_tax"])
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(li["l_quantity"])).cast("double").alias("sum_qty"),
+        F.sum(_dec(li["l_extendedprice"])).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec(li["l_quantity"])).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="exact distinct aggregation (expand + two-phase agg in Spark)")
+def agg_distinct_counts(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "approx_distinct_hll",
+    oracle=None,
+    note="HLL++ sketch — estimates are engine-specific, rows-only check; "
+         "exactness twin is agg_distinct_counts")
+def approx_distinct_hll(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+
+
+@register(
+    "approx_quantiles",
+    oracle=None,
+    note="percentile_approx sketch (GK/KLL-style) — engine-specific, rows-only")
+def approx_quantiles(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+        .alias("price_quartiles"))
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(sum({_DISC_DEC}) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    note="TPC-H Q3 shape: 3-way join + agg + deterministic top-10")
+def q3_shipping_priority(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    joined = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+              .join(li, li["l_orderkey"] == orders["o_orderkey"]))
+    agg = (joined.groupBy("l_orderkey", "o_orderdate")
+           .agg(F.sum(_disc_price(li)).cast("double").alias("revenue")))
+    return top_k(agg, [F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                       F.col("l_orderkey").asc()], 10) \
+        .select("l_orderkey", "revenue", "o_orderdate")
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(sum({_DISC_DEC}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    note="TPC-H Q5 shape: 6-way join; region/nation broadcast (tiny dims), "
+         "fact-fact joins shuffle on keys")
+def q5_local_supplier_volume(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) &
+        (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+              .join(li, li["l_orderkey"] == orders["o_orderkey"])
+              .join(F.broadcast(supp),
+                    (li["l_suppkey"] == supp["s_suppkey"]) &
+                    (cust["c_nationkey"] == supp["s_nationkey"]))
+              .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+              .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]))
+    return joined.groupBy("n_name").agg(
+        F.sum(_disc_price(li)).cast("double").alias("revenue"))
+
+
+@register(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+               AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    note="left outer join preserving customers with zero orders")
+def join_left_outer_counts(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.coalesce(F.sum(_dec(F.col("o_totalprice"))).cast("double"),
+                            F.lit(0.0)).alias("total_spend")))
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    note="left-semi join (EXISTS): no row multiplication, build side only probed")
+def join_semi(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    big = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    note="left-anti join (NOT EXISTS)")
+def join_anti(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    big = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.c_nationkey = s.s_nationkey
+    """,
+    note="full outer join of two pre-aggregated sides")
+def join_full_outer(spark, sf_dir):
+    c = (tbl(spark, sf_dir, "customer").groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_cust")))
+    s = (tbl(spark, sf_dir, "supplier").groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+            .select(F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
+                    "n_cust", "n_supp"))
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    note="explicit cartesian product of two tiny inputs")
+def join_cross(spark, sf_dir):
+    region = tbl(spark, sf_dir, "region")
+    statuses = tbl(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT p1.p_partkey, count(p2.p_partkey) AS n_bigger
+    FROM part p1 LEFT JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+    GROUP BY p1.p_partkey
+    """,
+    note="non-equi (theta) self-join: equi on brand carries the shuffle, "
+         "range predicate applied post-join — scalable because the theta "
+         "part rides an equi-join, never a broadcast nested loop")
+def join_theta_range(spark, sf_dir):
+    p1 = tbl(spark, sf_dir, "part").alias("p1")
+    p2 = tbl(spark, sf_dir, "part").alias("p2")
+    return (p1.join(p2, (F.col("p1.p_brand") == F.col("p2.p_brand")) &
+                    (F.col("p1.p_size") < F.col("p2.p_size")), "left")
+            .groupBy(F.col("p1.p_partkey").alias("p_partkey"))
+            .agg(F.count(F.col("p2.p_partkey")).alias("n_bigger")))
+
+
+@register(
+    "join_asof_last_error",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(e.ts) FROM events e
+            WHERE e.event_type = 'error' AND e.user_id = p.user_id
+              AND e.ts <= p.ts) AS last_error_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    note="as-of (backward) join via union + last-value window — one shuffle "
+         "on user_id, no range explosion (operators/relational.py:asof_join)")
+def join_asof_last_error(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = asof_join(purchases, errors, on=["user_id"],
+                    left_ts="ts", right_ts="ts", right_values=[])
+    return out.select("event_id", "user_id", "ts",
+                      F.col("ts_asof").alias("last_error_ts"))
+
+
+# --------------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------------
+
+@register(
+    "window_rank_lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w_uniq AS rn,
+           rank()       OVER w_status AS rnk,
+           dense_rank() OVER w_status AS drnk,
+           lag(o_totalprice) OVER w_uniq AS prev_price,
+           ntile(4) OVER w_uniq AS quartile
+    FROM orders
+    WINDOW w_uniq   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_status AS (PARTITION BY o_custkey ORDER BY o_orderstatus)
+    """,
+    note="ranking + offset window functions; single shuffle on o_custkey")
+def window_rank_lag(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    w_uniq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_status = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(w_uniq).alias("rn"),
+        F.rank().over(w_status).alias("rnk"),
+        F.dense_rank().over(w_status).alias("drnk"),
+        F.lag("o_totalprice").over(w_uniq).alias("prev_price"),
+        F.ntile(4).over(w_uniq).alias("quartile"))
+
+
+@register(
+    "window_running_agg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM orders
+    """,
+    note="running + sliding frame aggregates in exact decimal")
+def window_running_agg(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_3 = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w_run).cast("double")
+        .alias("running_spend"),
+        (F.sum(_dec(F.col("o_totalprice"))).over(w_3).cast("double")
+         / F.count(F.lit(1)).over(w_3)).alias("moving_avg"))
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+    note="top-3 per customer via row_number (operators/relational.py)")
+def topk_per_group_q(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3, keep_rank=True)
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    note="global top-k -> TakeOrderedAndProject (per-task heaps, no full sort)")
+def topk_global(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    return top_k(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                 [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20)
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    note="hierarchical subtotals; one Expand + single shuffle in Spark")
+def rollup_agg(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("sum_price"))
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    note="all grouping combinations")
+def cube_agg(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    note="explicit grouping sets via Spark SQL (Catalyst Expand)")
+def grouping_sets_agg(spark, sf_dir):
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("__gs_customer")
+    return spark.sql("""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM __gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """)
+
+
+# --------------------------------------------------------------------------
+# Set operations / distinct
+# --------------------------------------------------------------------------
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    note="UNION (distinct) of two key sets")
+def set_union(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    note="INTERSECT (distinct)")
+def set_intersect(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    note="EXCEPT (distinct)")
+def set_except(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    note="dropDuplicates == SELECT DISTINCT (hash agg on all columns)")
+def distinct_rows(spark, sf_dir):
+    return tbl(spark, sf_dir, "orders") \
+        .select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+
+@register(
+    "pivot_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="pivot with explicit value list (no extra value-discovery job)")
+def pivot_qty(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").pivot("l_linestatus", ["F", "O"])
+            .agg(F.sum(_dec(F.col("l_quantity"))).cast("double")))
+
+
+@register(
+    "unpivot_part",
+    oracle="""
+    SELECT p_partkey, 'retail' AS variable, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+    note="unpivot/melt (built-in since Spark 3.4)")
+def unpivot_part(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        F.col("p_size").cast("double").alias("size"))
+    return p.unpivot(["p_partkey"], ["retail", "size"], "variable", "value")

@@ -1,0 +1,76 @@
+"""File sources & sinks.
+
+Reference surface: TextInputFormat line scans with dir/file/glob inputs
+(Runner.java:36-37, MapReduceWSI.java:93-95) and TextOutputFormat
+``key \\t value`` sinks (Runner.java:39-40). The engine keeps those edge
+formats byte-compatible and adds typed columnar formats (parquet/csv/json)
+as the production path — schemas are explicit at ingest (fail-fast), with a
+``permissive`` untyped-text mode to emulate the reference's
+"schema is whatever parses" model (TestMapper.java:26-38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Line scan: one ``value: string`` column; glob-capable.
+
+    The MR offset key (LongWritable) is dropped — it is meaningless to the
+    reference's own workloads too (TestMapper.java:27-28).
+    """
+    return spark.read.text(path_glob)
+
+
+def read_csv(spark: SparkSession, path_glob: str, schema=None, sep: str = ",",
+             header: bool = False, permissive: bool = True) -> DataFrame:
+    """Delimited scan. ``schema=None`` + ``permissive`` = all-string columns
+    (reference fidelity: untyped text until user code parses,
+    TestMapper.java:30,38); with a schema, malformed rows fail fast unless
+    ``permissive``.
+    """
+    reader = spark.read.option("sep", sep).option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema).option(
+            "mode", "PERMISSIVE" if permissive else "FAILFAST")
+    return reader.csv(path_glob)
+
+
+def read_parquet(spark: SparkSession, path_glob: str) -> DataFrame:
+    return spark.read.parquet(path_glob)
+
+
+def read_json(spark: SparkSession, path_glob: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path_glob)
+
+
+def write_kv_text(df: DataFrame, path: str, sep: str = "\t",
+                  mode: str = "overwrite") -> None:
+    """TextOutputFormat-compatible sink: ``key<sep>value`` lines
+    (ref: Runner.java:39-40; export edge expects tab,
+    MapReduceWSIImpl.java:296-300). All columns are concat'd with ``sep``.
+    """
+    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = ("region", "nation", "customer",
+                                             "supplier", "part", "orders",
+                                             "lineitem", "events", "documents",
+                                             "embeddings")) -> dict[str, DataFrame]:
+    """Load the driver fixture tables (TESTDATA.md) as DataFrames."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,37 @@
+"""Replicates the driver's correctness gate locally: every catalog query
+with an oracle must match DuckDB at the oracle scale factor (sf0.01),
+and every oracle-less query must at least run and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_wsi_spark.plans.parity import compare, duckdb_connection
+from mapreduce_wsi_spark.plans.registry import load_catalog
+
+CATALOG = load_catalog()
+WITH_ORACLE = sorted(n for n, e in CATALOG.items() if e.oracle)
+ROWS_ONLY = sorted(n for n, e in CATALOG.items() if not e.oracle)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_oracle):
+    con = duckdb_connection(sf_oracle)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(name, spark, sf_oracle, duck):
+    entry = CATALOG[name]
+    df = entry.fn(spark, sf_oracle)
+    result = compare(name, df, duck, entry.oracle)
+    assert result.ok, f"{name}: {result.detail}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark, sf_oracle):
+    df = CATALOG[name].fn(spark, sf_oracle)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
