@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark harness — driver contract: prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes its full physical plan into a
+noop sink (no driver-side collect — measuring the engine, not the pickle
+path); a tiny warm-up action absorbs JVM/codegen spin-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
+
+# Headline set: one per major operator family (agg, multi-join, window,
+# reference-e2e, dedup-ish distinct agg). Keep in sync with plans/ catalog.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_running_agg",
+    "flagship_integer_mean",
+    "agg_distinct_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from mapreduce_wsi_spark.session import get_spark
+    spark = get_spark(app_name="mapreduce_wsi_spark_bench",
+                      master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mapreduce_wsi_spark.plans.registry import load_catalog
+    catalog = load_catalog()
+
+    # Warm-up: JVM + parquet footer reads, excluded from timings.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        entry = catalog.get(name)
+        if entry is None:
+            continue
+        df = entry.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,100 @@
 """Streaming-surface queries in their batch-testable form (SURVEY.md §2C).
 
-Filled in with tumbling/sliding/session windows over `events`; the true
-readStream/writeStream paths live in mapreduce_wsi_spark/streaming/ and are
-exercised by pytest (non-SQL-expressible -> not in the oracle set).
+Each is the exact logical plan the streaming module runs incrementally
+(streaming/windows.py) executed as a batch aggregation — the DuckDB-checkable
+twin the driver contract asks for. True readStream paths are exercised in
+tests/test_streaming.py (non-SQL-expressible -> not oracle entries).
+
+Window alignment: Spark tumbling/sliding windows align to the Unix epoch;
+the oracles reproduce that with date_trunc / epoch-bucket arithmetic (both
+are midnight-aligned, and the fixture windows divide a day evenly).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    note="tumbling 1h window agg (batch twin of streaming/windows.py:"
+         "tumbling_counts); single shuffle on (window, type)")
+def stream_tumbling_window(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "sum_value"))
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH buck AS (
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                   AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                   - INTERVAL 30 MINUTE, event_type
+        FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n
+    FROM buck GROUP BY 1, 2, 3
+    """,
+    note="sliding 1h/30m window: every event lands in exactly 2 windows; "
+         "oracle replays the expansion with epoch-bucket arithmetic")
+def stream_sliding_window(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "event_type", "n"))
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+    note="session windows (30m gap) per user; oracle is the classic "
+         "gaps-and-islands rewrite. Spark session semantics: event joins a "
+         "session iff ts < last_ts + gap (end-exclusive), end = last_ts + gap")
+def stream_session_window(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))

@@ -1,0 +1,93 @@
+"""Streaming windowed aggregation: tumbling / sliding / session windows,
+watermarks, and dedup-within-watermark.
+
+Batch twins of these plans live in plans/q_streaming.py (that's what the
+DuckDB oracle can check); here the same logical plans run incrementally.
+At scale the state store is the thing to protect: every operator takes a
+watermark so state is evicted, and keys are (window, type)- or user-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema of events.parquet with ts as raw nanos (see registry.events_tbl:
+# Spark's parquet reader only accepts TIMESTAMP(NANOS) as long).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events with a proper timestamp column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str | None = "2 hours") -> DataFrame:
+    """Tumbling-window count+sum per event type; watermark bounds state and
+    admits late data up to the delay."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str | None = "2 hours") -> DataFrame:
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "event_type", "n"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str | None = "2 hours") -> DataFrame:
+    """Session windows per user: a session extends while the next event
+    arrives strictly before last_ts + gap; end = last_ts + gap."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within the
+    watermark delay of each other are dropped; state for old keys evicted."""
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_memory(df: DataFrame, name: str,
+                         output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming plan to completion over a finite file source and
+    return the materialized result (test/verification harness)."""
+    q = (df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
