@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale text corpora (north-star
+extension; BASELINE.json). Not in the reference — its only dedup-capable
+surface is arbitrary user MR code (MapReduceWSI.java:62-79).
+
+All operators are pure DataFrame compositions (JVM-side, codegen'd):
+- exact:      md5 over normalized text, group, keep min id
+- n-gram Jaccard: shingle -> self-join on shingle -> pair intersection
+- MinHash+LSH: k hash funcs (xxhash64-salted), banding, bucket join
+- SimHash:    weighted bit votes -> 64-bit signature -> chunk-bucket join
+
+Scale posture: every pairwise step rides an equi-join on a content key
+(shingle / band hash / simhash chunk), so shuffle volume is bounded by
+bucket co-occurrence, never O(n²). Hot shingles (stopword runs) are the
+skew risk — ``max_doc_freq`` drops shingles shared by more than a fraction
+of docs, the standard guard at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for exact dedup: collapse whitespace, lowercase, trim."""
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text with
+    the surviving (min) id and the duplicate count."""
+    return (df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly the min-id row per normalized text (the usual pipeline
+    form of exact dedup)."""
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)))) \
+        .orderBy(F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(n))
+    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # docs shorter than n words must produce no shingles
+    shingle_arr = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END")
+    return (df.select(F.col(id_col).alias("id"), words.alias("__w"))
+            .select("id", F.explode(shingle_arr).alias("shingle"))
+            .distinct())
+
+
+def _doc_freq_filter(sh: DataFrame, max_doc_freq: float | None) -> DataFrame:
+    if max_doc_freq is None:
+        return sh
+    n_docs = sh.select("id").distinct().count()
+    cap = int(max_doc_freq * n_docs)
+    hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > cap).select("shingle"))
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+                  min_jaccard: float = 0.8,
+                  max_doc_freq: float | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above a threshold.
+
+    shuffle 1: shingle self-join (content key); shuffle 2: pair agg.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _doc_freq_filter(word_shingles(df, text_col, id_col, n), max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("inter").cast("double") /
+                        (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 3, k: int = 64,
+                       max_doc_freq: float | None = None) -> DataFrame:
+    """k-function MinHash signatures as an array<long> column.
+
+    Hash family: xxhash64(shingle, salt_i) — k independent-enough functions
+    without modular arithmetic games; all JVM-side. No row explosion: the
+    k mins are k aggregate expressions over the shingle set.
+    """
+    sh = _doc_freq_filter(word_shingles(df, text_col, id_col, n), max_doc_freq)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(k)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a candidate
+    pair. Equi-join on (band_idx, band_hash) — bucket-bounded shuffle."""
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band_idx', b, 'band_hash', "
+        f"xxhash64(b, slice(signature, b * {rows_per_band} + 1, {rows_per_band}))))")
+    buckets = (signatures.select("id", F.explode(band_arr).alias("b"))
+               .select("id", "b.band_idx", "b.band_hash"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (x.join(y, (F.col("x.band_idx") == F.col("y.band_idx")) &
+                   (F.col("x.band_hash") == F.col("y.band_hash")) &
+                   (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+            .distinct())
+
+
+def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                            n: int = 3, k: int = 64, bands: int = 16,
+                            min_jaccard: float | None = 0.5,
+                            max_doc_freq: float | None = None) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> (optional) exact
+    Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, n, k, max_doc_freq)
+    cands = lsh_candidate_pairs(sigs, bands, k // bands)
+    if min_jaccard is None:
+        return cands
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.col("inter").cast("double") /
+                        (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: token-frequency-weighted bit votes over
+    xxhash64(token); sign of each bit-sum becomes the signature bit."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("h", F.xxhash64("tok")))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                          F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"v{b}")
+             for b in range(64)]
+    agg = toks.groupBy("id").agg(*votes)
+    bit_terms = [F.when(F.col(f"v{b}") > 0,
+                        F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))
+                        ).otherwise(0) for b in range(64)]
+    # bit 63 maps to the sign bit of a long (two's complement)
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    return agg.select("id", simhash.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 16-bit chunks (pigeonhole: any
+    pair within hamming<=3 shares a chunk; wider radii trade recall), then
+    verify hamming distance exactly with bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunk = F.expr("transform(sequence(0, 3), "
+                   "c -> named_struct('c', c, 'v', "
+                   "shiftright(simhash, c * 16) & 65535))")
+    buckets = (sigs.select("id", "simhash", F.explode(chunk).alias("ch"))
+               .select("id", "simhash", "ch.c", "ch.v"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (x.join(y, (F.col("x.c") == F.col("y.c")) &
+                   (F.col("x.v") == F.col("y.v")) &
+                   (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"),
+                    F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

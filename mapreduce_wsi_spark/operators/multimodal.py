@@ -1,0 +1,101 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extraction / frame-sampling run as Arrow-batched
+pandas stages over ``mapInPandas``. The decode *libraries* (PIL/ffmpeg/...)
+are not in this container, so the decode kernel is STUBBED: with
+``real_decode=True`` it raises NotImplementedError; the default is a
+deterministic fake featurizer over the raw bytes. Everything around the
+kernel — schema, batching, partitioning, UDF signatures — is real and
+tested; swapping in a real decoder is a one-function change.
+
+Scale notes: payload bytes never pass through a shuffle (featurize before
+aggregating); batch size is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory holds
+O(batch × payload) not O(partition × payload).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+BLOB_SCHEMA = ("doc_id long, content binary, mime string, n_bytes int")
+FEATURES_SCHEMA = ("doc_id long, n_bytes int, ok boolean, "
+                   "feature array<double>")
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def to_blob_table(documents: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  mime: str = "text/plain") -> DataFrame:
+    """Stand-in blob table: fixture text UTF-8-encoded as the binary payload
+    (real pipelines read image/audio bytes from parquet/object storage the
+    same way — one binary column + metadata)."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.lit(mime).alias("mime"),
+        F.octet_length(F.col(text_col)).cast("int").alias("n_bytes"))
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for an image/audio feature extractor: an
+    8-bucket byte histogram, L1-normalized. STUB — replace with the real
+    decoder when the media libraries are available."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for byte in payload:
+        counts[byte % FEATURE_DIM] += 1
+    total = float(len(payload))
+    return [c / total for c in counts]
+
+
+def decode_features(blobs: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``real_decode=True`` is the hook for an actual decoder and raises
+    NotImplementedError in this container (decode libs not installed).
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real image/audio decode requires PIL/torchaudio/ffmpeg, which "
+            "are not installed in this container; use the deterministic "
+            "fake featurizer (real_decode=False) for plumbing tests")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_features(b) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "ok": [f is not None for f in feats],
+                "feature": feats,
+            })
+
+    return blobs.mapInPandas(featurize, FEATURES_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: split each payload into n evenly spaced
+    chunks ("frames"). For real video this is the seek-and-decode stage;
+    the chunking here exercises the same schema/batch shape. Pure SQL
+    expressions — the payload never hits Python."""
+    total = F.octet_length(F.col("content"))
+    frame = F.expr(
+        f"transform(sequence(0, {n_frames - 1}), "
+        f"i -> named_struct("
+        f"'frame_idx', CAST(i AS INT), "
+        f"'frame_bytes', substring(content, "
+        f"CAST(i * octet_length(content) / {n_frames} AS INT) + 1, "
+        f"CAST(octet_length(content) / {n_frames} AS INT))))")
+    return (blobs.filter(total > 0)
+            .select("doc_id", F.explode(frame).alias("f"))
+            .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),
+                    F.col("f.frame_bytes").alias("frame_bytes")))

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k is the exact baseline (fine when the query set is
+small: broadcast queries × corpus scan, no corpus shuffle). The scale path
+is random-hyperplane LSH: bucket the corpus once, then only compare within
+matching buckets — corpus-size-independent candidate sets per query.
+
+All arithmetic is double, computed JVM-side via zip_with/aggregate
+(sequential accumulation — bit-identical to the DuckDB oracle's
+list_dot_product, verified in tests).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-accumulation dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    Plan: broadcast the (small) query set, one scan of the corpus, window
+    top-k per query. The corpus is never shuffled by content — only the
+    (n_queries × k)-sized ranked output moves.
+    """
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
+                                                 F.col(id_col).asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos", "rn"))
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side constants)."""
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]],
+               bands: int = 4) -> Column:
+    """Sign-bit signature against each hyperplane, grouped into ``bands``
+    bucket keys (multi-probe: a pair collides if ANY band matches).
+    Returns array<struct<band:int, key:long>>.
+    """
+    n = len(planes)
+    per_band = n // bands
+    bits = [F.when(dot(vec, F.array(*[F.lit(w) for w in p])) >= 0, 1).otherwise(0)
+            for p in planes]
+    band_keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(per_band):
+            key = key * 2 + bits[b * per_band + j]
+        band_keys.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*band_keys)
+
+
+def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    n_planes: int = 16, bands: int = 4,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing, cosine only
+    within bucket-colliding candidates.
+
+    At 100 TB the corpus-side bucket explode is a one-time cost (bands×rows),
+    the join is equi on (band, key), and per-query work is bucket-local —
+    the brute-force cross-join never materializes.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(n_planes, dim, seed)
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+    c_b = c.select(id_col, "__cv",
+                   F.explode(lsh_bucket(F.col("__cv"), planes, bands)).alias("b"))
+    q_b = q.select(query_id_col, "__qv",
+                   F.explode(lsh_bucket(F.col("__qv"), planes, bands)).alias("b"))
+    cands = (c_b.join(F.broadcast(q_b),
+                      (c_b["b.band"] == q_b["b.band"]) &
+                      (c_b["b.key"] == q_b["b.key"]))
+             .filter(F.col(id_col) != F.col(query_id_col))
+             .select(query_id_col, id_col, "__qv", "__cv")
+             .distinct())
+    scored = cands.withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
+                                                 F.col(id_col).asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos", "rn"))
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, min_cos: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             n_planes: int = 16, bands: int = 4,
+                             seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join (the
+    embedding twin of MinHash dedup)."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(n_planes, dim, seed)
+    b = c.select(id_col, "__cv",
+                 F.explode(lsh_bucket(F.col("__cv"), planes, bands)).alias("b"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (x.join(y, (F.col("x.b.band") == F.col("y.b.band")) &
+                    (F.col("x.b.key") == F.col("y.b.key")) &
+                    (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+             .select(F.col(f"x.{id_col}").alias("id_a"),
+                     F.col(f"y.{id_col}").alias("id_b"),
+                     F.col("x.__cv").alias("__va"), F.col("y.__cv").alias("__vb"))
+             .distinct())
+    return (pairs.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("cos") >= min_cos)
+            .select("id_a", "id_b", "cos"))

@@ -1,3 +1,304 @@
 """LLM-data-pipeline queries (north-star extensions): dedup family,
-similarity search, text analysis, multimodal plumbing.
+similarity search, text analysis, multimodal plumbing — each over the
+documents/embeddings fixtures, oracle-checked where SQL-expressible.
+
+Rows-only entries (no DuckDB twin): MinHash/SimHash/hyperplane-LSH use
+xxhash64 and driver-seeded constants DuckDB can't reproduce; mapInPandas
+featurization is not SQL. Their correctness is covered by pytest
+(tests/test_llm_ops.py) against exact twins on planted near-duplicates.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash_near_pairs,
+)
+from mapreduce_wsi_spark.operators.multimodal import (
+    decode_features,
+    sample_frames,
+    to_blob_table,
+)
+from mapreduce_wsi_spark.operators.similarity import (
+    ann_cosine_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from mapreduce_wsi_spark.operators.text import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+# DuckDB twin of operators/dedup.py:word_shingles (distinct word n-grams).
+_SHINGLE_CTE = """
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) q
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    note="exact dedup: md5 over whitespace-normalized lowercase text, "
+         "hash-groupBy, min-id survivor (operators/dedup.py)")
+def dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1
+    """,
+    note="exact n-gram Jaccard near-dup pairs; shuffle rides the shingle "
+         "equi-join, never O(n^2)")
+def dedup_ngram_jaccard(spark, sf_dir):
+    return jaccard_pairs(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                         n=3, min_jaccard=0.1)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,
+    note="MinHash(64 xxhash64 funcs) + 16-band LSH candidates + exact "
+         "Jaccard verify of candidates only; xxhash64 not in DuckDB -> "
+         "rows-only, exactness covered by tests/test_llm_ops.py")
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_dedup_pairs(tbl(spark, sf_dir, "documents"),
+                                   "text", "doc_id", min_jaccard=0.1)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    note="64-bit SimHash, 16-bit-chunk bucketing, bit_count(xor) verify; "
+         "rows-only (xxhash64)")
+def dedup_simhash(spark, sf_dir):
+    return simhash_near_pairs(tbl(spark, sf_dir, "documents"),
+                              "text", "doc_id", max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id,
+               list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                   AS cos
+        FROM c CROSS JOIN q WHERE vec_id != query_id)
+    SELECT query_id, vec_id, cos, CAST(rn AS INT) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= 10
+    """,
+    note="brute-force cosine top-10 per query (broadcast queries, one corpus "
+         "scan); double accumulation bit-identical to list_dot_product")
+def sim_cosine_topk(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,
+    note="random-hyperplane LSH ANN top-k (16 planes, 4 bands, seed 42); "
+         "bucket-local candidates only — the 100 TB path. Recall vs exact "
+         "top-k asserted in tests/test_llm_ops.py")
+def sim_ann_lsh(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ann_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=None,
+    note="embedding-cosine near-dup pairs via LSH self-join; rows-only")
+def sim_embedding_neardup(spark, sf_dir):
+    return embedding_near_dup_pairs(tbl(spark, sf_dir, "embeddings"),
+                                    min_cos=0.9)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_re_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS INT) AS mean_tok_len
+    FROM documents
+    """,
+    note="whitespace + BPE-ish regex token counts")
+def text_token_stats(spark, sf_dir):
+    return token_stats(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+    SELECT doc_id, n_words,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+           (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+             + (1.0 - CAST(n_digit AS DOUBLE) / n_chars) * 0.1
+             + len_ok * 0.2 AS quality_score
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','and','of','to','a','in','is'))) AS INT)
+                   AS n_stop,
+               length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit,
+               CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 100000
+                    THEN 1.0 ELSE 0.0 END AS len_ok
+        FROM documents) t
+    """,
+    note="quality scoring: stopword/punct/digit ratios + length band, "
+         "fixed-order double arithmetic")
+def text_quality(spark, sf_dir):
+    return quality_scores(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_langid",
+    oracle="""
+    SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+           CASE WHEN score_zh > greatest(score_en, score_de, score_es, score_fr)
+                    THEN 'zh'
+                WHEN score_fr > greatest(score_en, score_de, score_es) THEN 'fr'
+                WHEN score_es > greatest(score_en, score_de) THEN 'es'
+                WHEN score_de > score_en THEN 'de'
+                ELSE 'en' END AS pred_lang
+    FROM (
+        SELECT doc_id,
+            CAST(len(list_filter(string_split(text,' '),
+                w -> w IN ('the','and','of','to','a','in','is'))) AS INT) AS score_en,
+            CAST(len(list_filter(string_split(text,' '),
+                w -> w IN ('der','die','das','und','ist','nicht'))) AS INT) AS score_de,
+            CAST(len(list_filter(string_split(text,' '),
+                w -> w IN ('el','la','de','los','y','que'))) AS INT) AS score_es,
+            CAST(len(list_filter(string_split(text,' '),
+                w -> w IN ('le','les','des','et','une','dans'))) AS INT) AS score_fr,
+            CAST(len(list_filter(string_split(text,' '),
+                w -> w IN ('de','shi','bu','le','wo'))) AS INT) AS score_zh
+        FROM documents) t
+    """,
+    note="n-gram/stopword-profile language ID heuristic, first-max-wins "
+         "tie-break (operators/text.py:LANG_STOPWORDS order)")
+def text_langid(spark, sf_dir):
+    return lang_id(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH sh5 AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS shingle
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) q
+    )
+    SELECT doc_id, min(md5(shingle)) AS fp_md5
+    FROM sh5 GROUP BY doc_id
+    """,
+    note="rolling 5-gram fingerprint: lexicographic-min md5 (portable twin "
+         "of the xxhash64 variant)")
+def text_fingerprint(spark, sf_dir):
+    return fingerprints(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                        n=5).select("doc_id", "fp_md5")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+@register(
+    "mm_blob_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    note="binary-column metadata: typed blob table over opaque payloads "
+         "(operators/multimodal.py:to_blob_table)")
+def mm_blob_meta(spark, sf_dir):
+    blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
+    return blobs.select("doc_id", "mime", "n_bytes",
+                        F.md5("content").alias("content_md5"))
+
+
+@register(
+    "mm_decode_features",
+    oracle=None,
+    note="Arrow-batched mapInPandas featurization over binary payloads; "
+         "decode kernel STUBBED (deterministic byte-histogram fake — real "
+         "decoder raises NotImplementedError; media libs absent)")
+def mm_decode_features(spark, sf_dir):
+    blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
+    feats = decode_features(blobs)
+    return feats.select("doc_id", "n_bytes", "ok",
+                        F.round(F.element_at("feature", 1), 9).alias("f1"))
+
+
+@register(
+    "mm_sample_frames",
+    oracle=None,
+    note="frame-sampling plumbing: payload chunked into n frames SQL-side")
+def mm_sample_frames(spark, sf_dir):
+    blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
+    frames = sample_frames(blobs, n_frames=4)
+    return frames.select("doc_id", "frame_idx",
+                         F.octet_length("frame_bytes").alias("frame_len"))
