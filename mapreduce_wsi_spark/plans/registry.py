@@ -59,6 +59,7 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_catalog() -> dict[str, CatalogEntry]:
     """Import all query-definition modules (side-effect: registration)."""
     import mapreduce_wsi_spark.plans.q_relational  # noqa: F401
+    import mapreduce_wsi_spark.plans.q_tpch_more  # noqa: F401
     import mapreduce_wsi_spark.plans.q_functions  # noqa: F401
     import mapreduce_wsi_spark.plans.q_streaming  # noqa: F401
     import mapreduce_wsi_spark.plans.q_llm  # noqa: F401
