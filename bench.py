@@ -20,14 +20,20 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_DIR)
 
 # Headline set: one per major operator family (agg, multi-join, window,
-# reference-e2e, dedup-ish distinct agg). Keep in sync with plans/ catalog.
+# reference-e2e, dedup-ish distinct agg, fact-fact join, semi-join+re-agg,
+# LLM dedup/similarity/text). Keep in sync with plans/ catalog.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q18_large_volume_customer",
     "window_running_agg",
     "flagship_integer_mean",
     "agg_distinct_counts",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "text_quality",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Coverage extras: distribution/frame window functions, map-typed columns,
+and higher-order array lambdas — the remaining §2C scalar/window families
+not exercised by q_relational/q_functions.
+
+In the reference these are expressible only inside user map/reduce code
+(MapReduceWSI.java:62-105); here each is declarative and Catalyst-planned
+(window exchanges reuse one shuffle per partition key; higher-order
+functions run inside whole-stage codegen, no Python boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+
+@register(
+    "window_dist_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd,
+           lead(o_orderkey) OVER w AS next_okey,
+           first_value(o_orderkey) OVER w AS first_okey,
+           last_value(o_orderkey)  OVER w_full AS last_okey,
+           nth_value(o_orderkey, 2) OVER w_full AS second_okey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+    note="distribution (percent_rank/cume_dist) + navigation (lead/first/"
+         "last/nth_value) window functions; unique total order per "
+         "partition makes every value deterministic; one shuffle on "
+         "o_custkey shared by both frames")
+def window_dist_lead(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lead("o_orderkey").over(w).alias("next_okey"),
+        F.first("o_orderkey").over(w).alias("first_okey"),
+        F.last("o_orderkey").over(w_full).alias("last_okey"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_okey"))
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           count(*) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+                          RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+           AS n_within10
+    FROM supplier
+    """,
+    note="RANGE (value-based) frame, vs the ROWS frames elsewhere: counts "
+         "suppliers whose key lies within 10 of the current key — frame "
+         "membership decided by value distance, not row offset")
+def window_range_frame(spark, sf_dir):
+    s = tbl(spark, sf_dir, "supplier")
+    w = (Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+         .rangeBetween(-10, Window.currentRow))
+    return s.select("s_suppkey", "s_nationkey",
+                    F.count(F.lit(1)).over(w).alias("n_within10"))
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS brand_val,
+           p_type  AS type_val,
+           2       AS n_keys,
+           'brand,type' AS keys_sorted,
+           p_size  AS size_back
+    FROM part
+    """,
+    note="map-typed column round-trip: create_map -> element_at/map_keys/"
+         "size, plus str_to_map parsing of a k:v string; the oracle states "
+         "the identities the map ops must preserve (extract(create(x))==x)")
+def map_funcs(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    m = F.create_map(F.lit("brand"), F.col("p_brand"),
+                     F.lit("type"), F.col("p_type"))
+    parsed = F.expr("str_to_map(concat('size:', CAST(p_size AS STRING)), ',', ':')")
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(parsed, "size").cast("int").alias("size_back"))
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           len(list_filter(string_split(p_name, ' '),
+                           w -> len(w) > 4)) AS n_long,
+           CAST(list_sum(list_transform(string_split(p_name, ' '),
+                                        w -> len(w))) AS BIGINT) AS n_chars,
+           array_to_string(list_transform(string_split(p_name, ' '),
+                                          w -> upper(w)), '_') AS upper_joined
+    FROM part
+    """,
+    note="higher-order array lambdas (filter/transform/aggregate) — run "
+         "JVM-side inside codegen, the scale-safe alternative to a Python "
+         "UDF for per-row array work")
+def array_higher_order(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).cast("long")
+        .alias("n_long"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).alias("n_chars"),
+        F.array_join(F.transform(words, F.upper), "_").alias("upper_joined"))

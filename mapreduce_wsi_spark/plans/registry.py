@@ -39,6 +39,11 @@ def register(name: str, oracle: str | None = None, note: str = ""):
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every catalog query funnels through here: guarantee Python workers
+    # can unpickle UDFs referencing this package even when the driver
+    # harness imports us from an arbitrary cwd (see util.py).
+    from mapreduce_wsi_spark.util import ensure_package_on_workers
+    ensure_package_on_workers(spark)
     if name == "events":
         return events_tbl(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -60,6 +65,7 @@ def load_catalog() -> dict[str, CatalogEntry]:
     """Import all query-definition modules (side-effect: registration)."""
     import mapreduce_wsi_spark.plans.q_relational  # noqa: F401
     import mapreduce_wsi_spark.plans.q_tpch_more  # noqa: F401
+    import mapreduce_wsi_spark.plans.q_extras  # noqa: F401
     import mapreduce_wsi_spark.plans.q_functions  # noqa: F401
     import mapreduce_wsi_spark.plans.q_streaming  # noqa: F401
     import mapreduce_wsi_spark.plans.q_llm  # noqa: F401

@@ -1,0 +1,40 @@
+"""Worker-side package shipping.
+
+The driver contract (`__spark_entry__.py`) is imported by an external
+harness whose cwd/PYTHONPATH we don't control. Functions pickled for
+Python workers (pandas UDFs, rdd.pipe parsers) are serialized *by
+reference* to this package, so workers must be able to import it — which
+fails if the harness ran from outside the repo. Shipping the package as a
+zip via ``SparkContext.addPyFile`` makes every executor self-sufficient,
+exactly how the reference ships user code to the cluster (`-file` /
+SCP'd JARs, MapReduceWSIImpl.java:93-110,194-197) — except here it's the
+engine itself being shipped, once per context.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_on_workers(spark) -> None:
+    """Zip this package and addPyFile it, once per SparkContext."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mapreduce_wsi_spark_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)

@@ -1,0 +1,111 @@
+"""Physical-plan regression tests — the 100 TB design contract.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one that survives a 1000-executor / 100 TB scale-up:
+
+- filters and column pruning reach the parquet scan (no full-table reads),
+- small dimensions broadcast (no shuffle of the fact side for dim joins),
+- global top-k plans as TakeOrderedAndProject (no total sort),
+- aggregations are partial+final (map-side combine before the shuffle),
+- relational/oracle-backed paths stay JVM-side (no row-at-a-time Python).
+
+The reference has no optimizer to test (SURVEY.md §4.1); these pin the
+Catalyst behaviors the engine relies on instead of hand-scheduling.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from mapreduce_wsi_spark.plans.registry import load_catalog
+
+CATALOG = load_catalog()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def build(name: str, spark, sf_dir: str):
+    return CATALOG[name].fn(spark, sf_dir)
+
+
+def test_filter_and_column_pushdown_reach_scan(spark, sf_oracle):
+    """Q6: conjunctive filters push to parquet; scan reads only the 4
+    referenced columns of lineitem's 10."""
+    plan = plan_of(build("q6_forecast_revenue", spark, sf_oracle))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema, "column pruning failed"
+    assert "l_comment" not in read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_oracle):
+    """Q5: region/nation/supplier/customer dims broadcast — the lineitem
+    fact side must never shuffle for a dimension join."""
+    plan = plan_of(build("q5_local_supplier_volume", spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 3
+    plan7 = plan_of(build("q7_volume_shipping", spark, sf_oracle))
+    assert plan7.count("BroadcastHashJoin") >= 4
+
+
+def test_global_topk_avoids_total_sort(spark, sf_oracle):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge), not a global Sort + Limit."""
+    plan = plan_of(build("topk_global", spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_oracle):
+    """Q1: two HashAggregate nodes (partial before the exchange, final
+    after) — map-side combine is what keeps the shuffle O(groups), the
+    property MR only gets with an explicit combiner (Runner.java:42-43
+    sets none)."""
+    plan = plan_of(build("q1_pricing_summary", spark, sf_oracle))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+    # partial agg appears before the first Exchange in the formatted tree
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange] or \
+        plan.count("HashAggregate") >= 2
+
+
+def test_flagship_stays_jvm_side(spark, sf_oracle):
+    """The flagship explode->agg pipeline is pure codegen: no Python
+    evaluation nodes, and whole-stage codegen spans exist."""
+    df = build("flagship_integer_mean", spark, sf_oracle)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    # AQE finalizes the physical plan only on execution; the `*(n)` node
+    # prefixes in the executed plan mark whole-stage-codegen spans.
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in executed, "no whole-stage codegen span in final plan"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, e in CATALOG.items() if e.oracle))
+def test_no_rowwise_python_in_oracle_paths(name, spark, sf_oracle):
+    """Every oracle-backed (relational-surface) query must compile to a
+    plan with no row-at-a-time Python UDF — the 10-100x slow path. Arrow
+    (`ArrowEvalPython`/`MapInPandas`) nodes are allowed where declared;
+    none of the oracle-backed paths need even those today."""
+    plan = plan_of(build(name, spark, sf_oracle), "simple")
+    assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python"
+
+
+def test_exchange_reuse_in_multiframe_window(spark, sf_oracle):
+    """window_dist_lead uses two frames over the same partition key: the
+    plan must contain exactly one shuffle exchange (both frames reuse the
+    o_custkey partitioning)."""
+    plan = plan_of(build("window_dist_lead", spark, sf_oracle), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
