@@ -119,3 +119,36 @@ def unpivot(df: DataFrame, ids: list[str], values: list[str],
             var_name: str = "variable", value_name: str = "value") -> DataFrame:
     """Unpivot/melt (reverse of pivot) — built-in since Spark 3.4."""
     return df.unpivot(ids, values, var_name, value_name)
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                left_on: str, right_on: str,
+                how: str = "inner", salt: int = 16,
+                seed: int = 42) -> DataFrame:
+    """Skew-mitigating equi-join: spread a hot key across ``salt`` tasks.
+
+    Each left row gets a uniform random salt in ``[0, salt)``; the right
+    side is replicated once per salt value, and the join key becomes
+    ``(key, salt)`` — so a key holding 30% of a 100 TB fact table lands on
+    ``salt`` reducers instead of one. Cost: the right side shuffles
+    ``salt``× its size. Use when the right side is too large to broadcast
+    (else ``broadcast()`` already avoids the skewed shuffle) and AQE's
+    skew-split (which halves oversized *partitions*, but cannot split one
+    giant *key*) is not enough.
+
+    Only left-preserving joins are well-defined under right-side
+    replication: inner / left / left_semi / left_anti.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r} "
+            "(an unmatched right row would surface once per salt replica)")
+    sc = "_salt"
+    l = left.withColumn(sc, (F.rand(seed) * salt).cast("int"))
+    r = right.withColumn(
+        sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")))
+    cond = (l[left_on] == r[right_on]) & (l[sc] == r[sc])
+    out = l.join(r, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return out.drop(sc)
+    return out.drop(l[sc]).drop(r[sc])

@@ -149,6 +149,20 @@ def sim_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "sim_ann_ivf",
+    oracle=None,
+    note="IVF ANN top-k: k-means coarse quantizer (16 cells, probe 4), "
+         "exact cosine within probed cells only; the data-adaptive "
+         "alternative to LSH. Recall vs exact top-k asserted in "
+         "tests/test_scale_ops.py")
+def sim_ann_ivf(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import ivf_cosine_topk
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                           n_centroids=8, n_probe=4)
+
+
+@register(
     "sim_embedding_neardup",
     oracle=None,
     note="embedding-cosine near-dup pairs via LSH self-join; rows-only")

@@ -74,3 +74,19 @@ def load_sf_tables(spark: SparkSession, sf_dir: str,
                                              "embeddings")) -> dict[str, DataFrame]:
     """Load the driver fixture tables (TESTDATA.md) as DataFrames."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def save_bucketed(df, table: str, buckets: int, key_cols: list[str],
+                  sort_cols: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Persist as a bucketed (+ sorted-within-bucket) managed table.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    with NO shuffle exchange on either side — the co-located-join strategy
+    for repeated 100 TB fact-fact joins, amortizing one shuffle at write
+    time across every subsequent join (verified by
+    tests/test_scale_ops.py::test_bucketed_join_is_shuffle_free).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, *key_cols)
+    w = w.sortBy(*(sort_cols or key_cols))
+    w.saveAsTable(table)

@@ -1,0 +1,118 @@
+"""Scale machinery: salted skew joins, bucketed co-located joins, IVF ANN.
+
+These operators exist purely for the 100 TB case — at test SF they are
+verified for (a) result-equivalence with their naive twins and (b) the
+physical-plan property that motivates them (shuffle-free bucketed join).
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.relational import salted_join
+from mapreduce_wsi_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+from mapreduce_wsi_spark.plans.registry import tbl
+from mapreduce_wsi_spark.sources.files import save_bucketed
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- salted join -----------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark, sf_oracle):
+    li = tbl(spark, sf_oracle, "lineitem").select("l_orderkey", "l_partkey")
+    o = tbl(spark, sf_oracle, "orders").select("o_orderkey", "o_custkey")
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_partkey", "o_custkey")
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey", salt=8).select(
+        "l_orderkey", "l_partkey", "o_custkey")
+    assert _canon(salted) == _canon(plain)
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "rk long, rv string")
+    out = salted_join(left, right, "k", "rk", how="left", salt=4)
+    rows = {(r["k"], r["rv"]) for r in out.collect()}
+    assert rows == {(1, "x"), (2, "y"), (99, None)}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        salted_join(df, df, "id", "id", how="right")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """One key holding every row must land in >1 shuffle partition."""
+    hot = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(7, "x")], "rk long, rv string")
+    out = salted_join(hot, dim, "k", "rk", salt=8)
+    assert out.count() == 10_000
+    # the salted left side hashes to >1 partition pre-join
+    salted_keys = hot.withColumn("_s", (F.rand(42) * 8).cast("int"))
+    n_parts = (salted_keys.repartition(8, "k", "_s")
+               .withColumn("p", F.spark_partition_id())
+               .select("p").distinct().count())
+    assert n_parts > 1
+
+
+# --- bucketed co-located join ---------------------------------------------
+
+def test_bucketed_join_is_shuffle_free(spark, sf_oracle):
+    """Two tables bucketed on the join key (same bucket count) must
+    sort-merge-join with zero Exchange nodes — the write-time shuffle is
+    amortized across every later join."""
+    o = tbl(spark, sf_oracle, "orders").select("o_orderkey", "o_custkey")
+    li = (tbl(spark, sf_oracle, "lineitem")
+          .select("l_orderkey", "l_quantity"))
+    save_bucketed(o, "bkt_orders", 8, ["o_orderkey"])
+    save_bucketed(li, "bkt_lineitem", 8, ["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = spark.table("bkt_orders")
+        bl = spark.table("bkt_lineitem")
+        j = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        # and it computes the same thing as the unbucketed join
+        assert j.count() == li.join(
+            o, li["l_orderkey"] == o["o_orderkey"]).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+# --- IVF ANN ---------------------------------------------------------------
+
+def test_ivf_recall_vs_exact(spark, sf_oracle):
+    emb = tbl(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = ivf_cosine_topk(emb, queries, k=10, n_centroids=8, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_probe_all_cells_is_exact(spark, sf_oracle):
+    """Probing every cell must reduce IVF to the exact result."""
+    emb = tbl(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries, k=5)
+    full = ivf_cosine_topk(emb, queries, k=5, n_centroids=4, n_probe=4)
+    assert ({(r["query_id"], r["vec_id"]) for r in exact.collect()} ==
+            {(r["query_id"], r["vec_id"]) for r in full.collect()})

@@ -85,3 +85,46 @@ def test_dedup_within_watermark(spark, events_dir, tmp_path):
         "dedup_out", "append")
     n_distinct = raw.select("event_id").distinct().count()
     assert got.count() == n_distinct
+
+
+def test_stateful_running_counts_match_batch(spark, sf_smoke, events_dir):
+    """applyInPandasWithState running per-user stats: the LAST update row
+    emitted per user must equal the batch groupBy."""
+    from mapreduce_wsi_spark.streaming.stateful import running_user_stats
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        running_user_stats(stream), "stateful_counts", "update")
+    # update mode re-emits per microbatch; the max n_events per user is the
+    # final cumulative state
+    final = (got.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events"))
+             .collect())
+    batch = (events_tbl(spark, sf_smoke)
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect())
+    assert ({(r["user_id"], r["n_events"]) for r in final} ==
+            {(r["user_id"], r["n"]) for r in batch})
+
+
+def test_stateful_sessions_respect_gap(spark, sf_smoke, events_dir):
+    """Custom sessionization: every closed session's internal gaps are
+    < gap_ms and sessions per user don't overlap."""
+    from mapreduce_wsi_spark.streaming.stateful import inactivity_sessions
+
+    gap_ms = 30 * 60 * 1000
+    stream = stream_events(spark, events_dir, max_files_per_trigger=2)
+    got = run_stream_to_memory(
+        inactivity_sessions(stream, gap_ms=gap_ms, watermark="10 minutes"),
+        "stateful_sessions", "append").collect()
+    assert len(got) > 0
+    by_user: dict = {}
+    for r in got:
+        assert r["session_start_ms"] <= r["session_end_ms"]
+        assert r["n_events"] >= 1
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start_ms"], r["session_end_ms"]))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert s2 - e1 > gap_ms, "adjacent sessions violate the gap"
