@@ -559,3 +559,168 @@ def explode_words_ordinal(spark, sf_dir):
                      F.posexplode(F.split(F.col("p_name"), " ")))
             .select("p_partkey", (F.col("pos") + 1).cast("long").alias("pos1"),
                     F.col("col").alias("word")))
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+    note="TPC-H Q13 shape: outer join so zero-order customers count, then "
+         "a histogram over the per-customer counts (double aggregation)")
+def q13_customer_distribution(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_DISC_DEC}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    note="TPC-H Q15 shape: scalar subquery against a derived aggregate "
+         "(max-of-agg) — decorrelated as a broadcast of the 1-row max; "
+         "equality on exact decimal, so ties are exact, not float-fuzzy")
+def q15_top_supplier(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    rev = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price(li)).alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double").alias("total_revenue")))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey AS pk, count(*) AS n,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS s
+          FROM lineitem GROUP BY l_partkey) t ON t.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * t.n < t.s
+    GROUP BY ()
+    """,
+    note="TPC-H Q17 shape: correlated scalar avg (qty < 0.2*avg(qty) per "
+         "part) decorrelated to a per-part (n, sum) join; the threshold "
+         "test is multiplied through (5*qty*n < s) to stay in exact "
+         "decimal — no float avg on either side")
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = (tbl(spark, sf_dir, "lineitem")
+                .groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(_dec(F.col("l_quantity"))).alias("s")))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(per_part, li["l_partkey"] == per_part["pk"])
+            .filter(_dec(li["l_quantity"]) * F.lit(5) * F.col("n") < F.col("s"))
+            .agg((F.sum(_dec(li["l_extendedprice"])).cast("double") / F.lit(7.0))
+                 .cast("double").alias("avg_yearly")))
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH ostat AS (
+      SELECT l.l_orderkey,
+             count(DISTINCT l.l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l.l_shipdate >
+                                      o.o_orderdate + INTERVAL 90 DAY
+                                 THEN l.l_suppkey END) AS n_late_supp
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey)
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN ostat t ON t.l_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND t.n_supp >= 2 AND t.n_late_supp = 1
+    GROUP BY s.s_name
+    """,
+    note="TPC-H Q21 shape: EXISTS + correlated NOT EXISTS decorrelated to "
+         "per-order (distinct suppliers, distinct late suppliers) counts — "
+         "'the only late supplier on a multi-supplier finished order'")
+def q21_waiting_supplier(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = tbl(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    ostat = (base.groupBy(li["l_orderkey"].alias("okey"))
+             .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                  F.countDistinct(F.when(late, F.col("l_suppkey")))
+                  .alias("n_late_supp")))
+    l1 = tbl(spark, sf_dir, "lineitem")
+    return (l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
+            .filter(l1["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS"))
+            .join(ostat, l1["l_orderkey"] == F.col("okey"))
+            .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+            .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH pos AS (SELECT count(*) AS n,
+                        sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+                 FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    note="TPC-H Q22 shape (phone prefix -> nationkey): global scalar avg "
+         "(as exact bal*n > s), anti join against urgent orders, agg by "
+         "country code")
+def q22_global_sales_opportunity(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    pos = (c.filter(F.col("c_acctbal") > 0.0)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(_dec(F.col("c_acctbal"))).alias("s")))
+    return (c.crossJoin(F.broadcast(pos))
+            .filter(_dec(F.col("c_acctbal")) * F.col("n") > F.col("s"))
+            .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(_dec(F.col("c_acctbal"))).cast("double")
+                 .alias("totacctbal")))

@@ -90,3 +90,15 @@ def save_bucketed(df, table: str, buckets: int, key_cols: list[str],
     w = df.write.mode(mode).format("parquet").bucketBy(buckets, *key_cols)
     w = w.sortBy(*(sort_cols or key_cols))
     w.saveAsTable(table)
+
+
+def read_orc(spark: SparkSession, path_glob: str) -> DataFrame:
+    return spark.read.orc(path_glob)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

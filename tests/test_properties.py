@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the semantics that must be
+bit-exact at any scale: the reference integer-mean (Java truncating
+division + tripwire, TestReducer.java:26-38) and salted-join equivalence.
+
+Each example runs a real Spark job, so example counts are kept small —
+the properties target semantic edge cases (inexact division, negative
+values, hot keys), not throughput.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.functions.integer_mean import integer_mean_expr
+from mapreduce_wsi_spark.operators.relational import salted_join
+
+
+def _java_int_mean(values: list[int]) -> int:
+    """TestReducer.java:26-38 in Python: long sum/count, Java truncating
+    division (== Python // for non-negative operands), int overflow wrap."""
+    s, n = sum(values), len(values)
+    r = (s // n) - (s % n) * 100
+    r &= 0xFFFFFFFF
+    return r - 0x100000000 if r >= 0x80000000 else r
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=40))
+def test_integer_mean_matches_java_semantics(spark, values):
+    df = spark.createDataFrame([(0, v) for v in values], "k int, v long")
+    got = (df.groupBy("k").agg(integer_mean_expr("v").alias("mean"))
+           .collect()[0]["mean"])
+    assert got == _java_int_mean(values)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                min_size=0, max_size=30),
+       st.lists(st.tuples(st.integers(0, 5), st.text(max_size=3)),
+                min_size=0, max_size=10))
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows or [(99, 99)], "k long, v long")
+    right = spark.createDataFrame(right_rows or [(98, "z")], "rk long, rv string")
+    plain = sorted(
+        (r["k"], r["v"], r["rv"])
+        for r in left.join(right, left["k"] == right["rk"]).collect())
+    salted = sorted(
+        (r["k"], r["v"], r["rv"])
+        for r in salted_join(left, right, "k", "rk", salt=4).collect())
+    assert salted == plain
