@@ -99,3 +99,44 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
             .select("doc_id", F.explode(frame).alias("f"))
             .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),
                     F.col("f.frame_bytes").alias("frame_bytes")))
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, pixels binary"
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: nearest-neighbor sample
+    of the raw bytes down/up to width*height "pixels". STUB — a real
+    implementation decodes with PIL/opencv and resamples; the Spark-side
+    contract (binary in, fixed-size binary out) is identical."""
+    n = width * height
+    if not payload:
+        return bytes(n)
+    step = len(payload) / n
+    return bytes(payload[min(int(i * step), len(payload) - 1)]
+                 for i in range(n))
+
+
+def resize_images(blobs: DataFrame, width: int = 16, height: int = 16,
+                  real_decode: bool = False) -> DataFrame:
+    """Arrow-batched resize over the binary column: every payload maps to a
+    fixed width*height byte buffer — the normalization step before
+    batching image tensors for training. Output size is constant per row,
+    so downstream batch shapes are static (what a tensor collator needs).
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real image resize requires PIL/opencv, not installed in this "
+            "container; the deterministic fake preserves the plumbing")
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "pixels": [_fake_resize(b, width, height)
+                           for b in pdf["content"]],
+            })
+
+    return blobs.mapInPandas(do_resize, RESIZED_SCHEMA)

@@ -316,3 +316,16 @@ def mm_sample_frames(spark, sf_dir):
     frames = sample_frames(blobs, n_frames=4)
     return frames.select("doc_id", "frame_idx",
                          F.octet_length("frame_bytes").alias("frame_len"))
+
+
+@register(
+    "mm_resize",
+    oracle=None,
+    note="fixed-size resize plumbing (mapInPandas, stub kernel): constant "
+         "width*height output per row for static training-batch shapes")
+def mm_resize(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import resize_images
+    blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
+    return (resize_images(blobs, width=8, height=8)
+            .select("doc_id", "width", "height",
+                    F.octet_length("pixels").alias("n_pixels")))

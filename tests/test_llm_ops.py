@@ -128,3 +128,31 @@ def test_multimodal_frame_sampling(spark, sf_smoke):
     per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r["n"] == 4 for r in per_doc)
     assert frames.schema["frame_bytes"].dataType.typeName() == "binary"
+
+
+def test_multimodal_resize_fixed_shape(spark, sf_smoke):
+    from mapreduce_wsi_spark.operators.multimodal import (
+        resize_images, to_blob_table)
+    from pyspark.sql import functions as F
+    from mapreduce_wsi_spark.plans.registry import tbl
+
+    blobs = to_blob_table(tbl(spark, sf_smoke, "documents"))
+    out = resize_images(blobs, width=4, height=4).collect()
+    assert len(out) == blobs.count()
+    assert all(len(r["pixels"]) == 16 for r in out)
+    # deterministic: same input -> same bytes
+    again = resize_images(blobs, width=4, height=4).collect()
+    assert sorted(r["pixels"] for r in out) == sorted(r["pixels"] for r in again)
+
+
+def test_multimodal_real_decode_raises(spark, sf_smoke):
+    import pytest as _pytest
+    from mapreduce_wsi_spark.operators.multimodal import (
+        decode_features, resize_images, to_blob_table)
+    from mapreduce_wsi_spark.plans.registry import tbl
+
+    blobs = to_blob_table(tbl(spark, sf_smoke, "documents"))
+    with _pytest.raises(NotImplementedError):
+        decode_features(blobs, real_decode=True)
+    with _pytest.raises(NotImplementedError):
+        resize_images(blobs, real_decode=True)
