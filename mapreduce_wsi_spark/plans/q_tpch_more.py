@@ -724,3 +724,93 @@ def q22_global_sales_opportunity(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.sum(_dec(F.col("c_acctbal"))).cast("double")
                  .alias("totacctbal")))
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH sup_val AS (
+      SELECT s.s_nationkey, l.l_suppkey, sum({_DISC_DEC.replace('l_', 'l.l_')})
+             AS val
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey)
+    SELECT l_suppkey, CAST(val AS DOUBLE) AS val
+    FROM sup_val, (SELECT sum(val) AS tot FROM sup_val) t
+    WHERE val * 1000 > tot
+    """,
+    note="TPC-H Q11 shape (partsupp -> lineitem-revenue proxy): HAVING "
+         "against a global scalar aggregate; threshold multiplied through "
+         "(val*1000 > tot) to stay in exact decimal, broadcast 1-row total")
+def q11_important_stock(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    sup_val = (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+               .groupBy("s_nationkey", "l_suppkey")
+               .agg(F.sum(_disc_price(li)).alias("val")))
+    tot = sup_val.agg(F.sum("val").alias("tot"))
+    return (sup_val.crossJoin(F.broadcast(tot))
+            .filter(F.col("val") * 1000 > F.col("tot"))
+            .select("l_suppkey", F.col("val").cast("double").alias("val")))
+
+
+@register(
+    "q16_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    note="TPC-H Q16 shape (partsupp -> lineitem bridge): NOT IN subquery "
+         "as left-anti join against the excluded-supplier set, "
+         "count-distinct per part attribute triple")
+def q16_supplier_relationship(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (tbl(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+                    "left_anti")
+            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register(
+    "q20_excess_shipper",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    pt AS (SELECT l_partkey AS pk, sum(sq) AS tq FROM pq GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT pq.l_suppkey FROM pq
+                          JOIN pt ON pt.pk = pq.l_partkey
+                          WHERE pq.sq * 2 > pt.tq)
+    """,
+    note="TPC-H Q20 shape (availqty -> shipped-quantity proxy): IN over a "
+         "join of two derived aggregates ('supplier shipped more than half "
+         "of some part's 1996 volume'), decorrelated as semi join; "
+         "threshold in exact decimal (sq*2 > tq)")
+def q20_excess_shipper(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    s = tbl(spark, sf_dir, "supplier")
+    pq = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(_dec(F.col("l_quantity"))).alias("sq")))
+    pt = (pq.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.sum("sq").alias("tq")))
+    excess = (pq.join(pt, pq["l_partkey"] == pt["pk"])
+              .filter(F.col("sq") * 2 > F.col("tq"))
+              .select(F.col("l_suppkey").alias("xs")))
+    return (s.join(excess, s["s_suppkey"] == excess["xs"], "left_semi")
+            .select("s_suppkey", "s_name"))

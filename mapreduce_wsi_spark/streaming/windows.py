@@ -91,3 +91,28 @@ def run_stream_to_memory(df: DataFrame, name: str,
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame,
+                       on: str = "user_id") -> DataFrame:
+    """Stream-static join: each microbatch joins against the (re-read)
+    static side — at 100 TB the dim is a broadcast or bucketed table and
+    the stream side never re-shuffles history."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def correlate_streams(left: DataFrame, right: DataFrame,
+                      on: str = "user_id",
+                      left_ts: str = "ts", right_ts: str = "ts_r",
+                      within: str = "1 hour",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: pair events per key whose event times lie
+    within ``within`` of each other. Both sides carry watermarks plus a
+    time-range join condition, so Spark can bound the join state it
+    buffers (without the range condition, state grows forever)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = ((l[on] == r[f"{on}_r"]) &
+            (r[right_ts] >= l[left_ts]) &
+            (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}")))
+    return l.join(r, cond, "inner")

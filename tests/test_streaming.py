@@ -128,3 +128,46 @@ def test_stateful_sessions_respect_gap(spark, sf_smoke, events_dir):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert s2 - e1 > gap_ms, "adjacent sessions violate the gap"
+
+
+def test_stream_static_join_matches_batch(spark, sf_smoke, events_dir):
+    from mapreduce_wsi_spark.streaming.windows import enrich_with_static
+
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).alias("cohort"))
+    stream = stream_events(spark, events_dir, max_files_per_trigger=2)
+    got = run_stream_to_memory(
+        enrich_with_static(stream, dim).select("event_id", "user_id", "cohort"),
+        "enriched", "append")
+    batch = enrich_with_static(events_tbl(spark, sf_smoke), dim).select(
+        "event_id", "user_id", "cohort")
+    assert _canon(got.collect()) == _canon(batch.collect())
+
+
+def test_stream_stream_join_bounded_state(spark, sf_smoke, events_dir):
+    """Self-join: every (signup, purchase) pair per user within 1 hour.
+    The streaming result must equal the batch time-range join."""
+    from mapreduce_wsi_spark.streaming.windows import correlate_streams
+
+    def split(df):
+        a = (df.filter(F.col("event_type") == "signup")
+             .select("user_id", "ts", F.col("event_id").alias("eid_l")))
+        b = (df.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("user_id_r"),
+                     F.col("ts").alias("ts_r"),
+                     F.col("event_id").alias("eid_r")))
+        return a, b
+
+    sl, sr = split(stream_events(spark, events_dir, max_files_per_trigger=2))
+    got = run_stream_to_memory(
+        correlate_streams(sl, sr).select("eid_l", "eid_r"),
+        "ss_join", "append")
+
+    bl, br = split(events_tbl(spark, sf_smoke))
+    batch = bl.join(
+        br, (bl["user_id"] == br["user_id_r"]) &
+            (br["ts_r"] >= bl["ts"]) &
+            (br["ts_r"] <= bl["ts"] + F.expr("INTERVAL 1 HOUR"))
+    ).select("eid_l", "eid_r")
+    assert _canon(got.collect()) == _canon(batch.collect())
