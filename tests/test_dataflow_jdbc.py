@@ -231,3 +231,29 @@ def test_jdbc_import_export_roundtrip(engine, derby_url):
             .option("dbtable", "output_tbl").options(**DERBY_PROPS).load())
     assert back.count() == 2  # seed row + appended row
     engine.delete_scope(sid)
+
+
+def test_jdbc_import_parallelism(engine, derby_url):
+    """The import must actually produce the requested number of range
+    partitions (Sqoop's m-mapper contract, MapReduceWSI.java:125-135) —
+    at 100 TB this is the difference between 1 reader and 1000."""
+    spark = engine.spark
+    sid = engine.create_scope()
+    _derby_ddl(spark, derby_url,
+               "CREATE TABLE par_tbl (id BIGINT, v INT)",
+               "INSERT INTO par_tbl VALUES " +
+               ", ".join(f"({i}, {i % 5})" for i in range(1, 401)))
+    from mapreduce_wsi_spark.sources.jdbc import (
+        derive_bounds, parse_import_query)
+    q = parse_import_query("SELECT id, v FROM par_tbl")
+    lo, hi = derive_bounds(spark, derby_url, q, "par_tbl.id",
+                           properties=DERBY_PROPS)
+    assert (lo, hi) == (1, 400)
+    df = (spark.read.format("jdbc").option("url", derby_url)
+          .option("dbtable", "(SELECT id, v FROM par_tbl) q")
+          .option("partitionColumn", "id")
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", 4).options(**DERBY_PROPS).load())
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 400
+    engine.delete_scope(sid)

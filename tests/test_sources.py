@@ -63,3 +63,30 @@ def test_partitioned_orc_roundtrip(spark, sf_oracle, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == ev.count()
     assert set(back.columns) == set(ev.columns)
+
+
+def test_csv_permissive_vs_failfast(spark, tmp_path):
+    """Untyped-text edge semantics (SURVEY §7.4 risk 3): the reference
+    tolerates any line shape until user code parses it. Permissive mode
+    reproduces that (garbage -> NULLs, user decides); FAILFAST is the
+    typed fast path that rejects the file at read time."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from mapreduce_wsi_spark.sources.files import read_csv
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("1,2,3\n4,notanint,6\n7,8,9\n")
+    schema = "a int, b int, c int"
+
+    rows = sorted(tuple(r) for r in
+                  read_csv(spark, str(p), schema=schema).collect())
+    assert rows == [(1, 2, 3), (4, None, 6), (7, 8, 9)]
+
+    with _pytest.raises((Py4JJavaError, Exception)):
+        read_csv(spark, str(p), schema=schema, permissive=False).collect()
+
+    # schema=None: all-string columns, nothing is garbage (reference mode)
+    raw = read_csv(spark, str(p))
+    assert [f.dataType.simpleString() for f in raw.schema.fields] == \
+        ["string", "string", "string"]
+    assert raw.count() == 3
