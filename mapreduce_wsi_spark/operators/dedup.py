@@ -196,3 +196,55 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                     .alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: distributed connected
+    components by iterative min-label propagation. Returns
+    ``(id, comp)`` where ``comp`` is the smallest id in the component —
+    the canonical survivor.
+
+    Each round: every node takes the min of its own label and its
+    neighbors' labels (one shuffle per round); converged when no label
+    changes. Dup clusters have tiny diameter, so this terminates in a few
+    rounds; for adversarially long chains the same loop admits the
+    large-star/small-star contraction (O(log n) rounds). Lineage is cut
+    per round with localCheckpoint so the plan doesn't grow with
+    iterations — the classic iterative-algorithm trap at scale.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    cc = (edges.select(F.col("src").alias("id")).distinct()
+          .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        nbr_min = (cc.join(edges, cc["id"] == edges["src"])
+                   .groupBy(F.col("dst").alias("id"))
+                   .agg(F.min("comp").alias("nbr_comp")))
+        new_cc = (cc.join(nbr_min, on="id", how="left")
+                  .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
+                          .alias("comp"))
+                  .localCheckpoint(eager=True))
+        changed = (new_cc.alias("n")
+                   .join(cc.alias("o"), on="id")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .count())
+        cc = new_cc
+        if changed == 0:
+            break
+    return cc
+
+
+def canonical_survivors(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id",
+                        id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Drop every document whose near-dup component has a smaller id —
+    the cluster-level dedup a pairwise report can't do (A~B, B~C must
+    drop B AND C even though (A,C) was never scored)."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("comp")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

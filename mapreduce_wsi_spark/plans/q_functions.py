@@ -174,3 +174,90 @@ def array_funcs(spark, sf_dir):
         ((el(1) + el(2)) + el(3)).alias("head3_sum"),
         F.array_max("embedding").cast("double").alias("vec_max"),
         F.array_min("embedding").cast("double").alias("vec_min"))
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT s_suppkey,
+           lpad(s_name, 20, '*') AS name_pad,
+           rpad(s_name, 20, '.') AS name_rpad,
+           reverse(s_name) AS name_rev,
+           repeat(s_name, 2) AS name_twice,
+           ascii(s_name) AS first_byte,
+           CAST(levenshtein(s_name, 'Supplier#1') AS INT) AS edit_dist,
+           translate(s_name, '#0', '_O') AS name_tr
+    FROM supplier
+    """,
+    note="string functions II: padding, reverse/repeat, ascii, edit "
+         "distance (levenshtein), character translation")
+def scalar_string_funcs2(spark, sf_dir):
+    s = tbl(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad("s_name", 20, "*").alias("name_pad"),
+        F.rpad("s_name", 20, ".").alias("name_rpad"),
+        F.reverse("s_name").alias("name_rev"),
+        F.repeat("s_name", 2).alias("name_twice"),
+        F.ascii("s_name").alias("first_byte"),
+        F.levenshtein("s_name", F.lit("Supplier#1")).alias("edit_dist"),
+        F.translate("s_name", "#0", "_O").alias("name_tr"))
+
+
+@register(
+    "scalar_datetime_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
+           strftime(o_orderdate, '%Y/%m/%d') AS fmt,
+           CAST(week(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           make_timestamp(CAST(year(o_orderdate) AS BIGINT), 7, 4, 12, 0,
+                          0.0) AS synth_ts
+    FROM orders
+    """,
+    note="datetime functions II: epoch seconds, month arithmetic (with "
+         "end-of-month clamping), format, ISO week, day-of-year, "
+         "timestamp construction")
+def scalar_datetime_funcs2(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        (F.add_months("o_orderdate", 3).cast("timestamp")).alias("plus_3mo"),
+        F.date_format("o_orderdate", "yyyy/MM/dd").alias("fmt"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.make_timestamp(F.year("o_orderdate"), F.lit(7), F.lit(4),
+                         F.lit(12), F.lit(0), F.lit(0)).alias("synth_ts"))
+
+
+@register(
+    "scalar_hash_bitwise",
+    oracle="""
+    SELECT d.doc_id,
+           md5(d.text) AS h_md5,
+           sha256(d.text) AS h_sha256,
+           base64(CAST(d.lang AS BLOB)) AS lang_b64,
+           lower(hex(CAST(d.source AS BLOB))) AS src_hex,
+           d.doc_id & 255 AS low_byte,
+           d.doc_id | 1   AS odd_or,
+           xor(d.doc_id, 21845) AS xored,
+           CAST(bit_count(d.doc_id) AS INT) AS popcount
+    FROM documents d
+    """,
+    note="hash + binary + bitwise functions: md5/sha256 (content "
+         "addressing for dedup), base64/hex codecs, AND/OR/XOR/popcount")
+def scalar_hash_bitwise(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.base64(F.encode("lang", "UTF-8")).alias("lang_b64"),
+        F.lower(F.hex(F.encode("source", "UTF-8"))).alias("src_hex"),
+        F.col("doc_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("doc_id").bitwiseOR(F.lit(1)).alias("odd_or"),
+        F.col("doc_id").bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.bit_count("doc_id").alias("popcount"))

@@ -329,3 +329,38 @@ def mm_resize(spark, sf_dir):
     return (resize_images(blobs, width=8, height=8)
             .select("doc_id", "width", "height",
                     F.octet_length("pixels").alias("n_pixels")))
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLE_CTE.strip().rstrip()},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.src = reach.id)
+    SELECT id, min(r) AS comp FROM reach GROUP BY id
+    """,
+    note="near-dup pairs -> duplicate clusters: iterative min-label "
+         "propagation (connected components) on Spark vs a recursive-CTE "
+         "transitive closure in DuckDB — the iterative-algorithm surface, "
+         "oracle-checked")
+def dedup_components(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+    pairs = jaccard_pairs(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                          n=3, min_jaccard=0.1)
+    return connected_components(pairs)

@@ -156,3 +156,27 @@ def test_multimodal_real_decode_raises(spark, sf_smoke):
         decode_features(blobs, real_decode=True)
     with _pytest.raises(NotImplementedError):
         resize_images(blobs, real_decode=True)
+
+
+def test_connected_components_transitive_chain(spark):
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long")
+    comp = {r["id"]: r["comp"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_canonical_survivors_drop_whole_cluster(spark):
+    """A~B, B~C must drop B AND C even though (A,C) was never scored."""
+    from mapreduce_wsi_spark.operators.dedup import canonical_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"]
+                  for r in canonical_survivors(docs, pairs).collect())
+    assert kept == [1, 9]
