@@ -58,3 +58,16 @@ def test_csv_serialization_shape(spark, sf_smoke):
         spark.read.parquet(f"{sf_smoke}/lineitem.parquet"))
     row = lines.first()
     assert len(row["value"].split(",")) == 7
+
+
+def test_reference_e2e_scale_1_4m_rows(spark):
+    """The reference's ACTUAL test scale: 1,400,000 rows of the rotating
+    (base+k) % 7 pattern (COUNT_INPUT_TUPLES, EndToEndTest.java:81) — every
+    column's integer mean must still be exactly 3 with a zero tripwire."""
+    n = 1_400_000
+    base = spark.range(n).select(
+        F.concat_ws(",", *[((F.col("id") + k) % 7).cast("string")
+                           for k in range(7)]).alias("value"))
+    out = {r["id"]: r["mean"]
+           for r in per_key_integer_mean(positional_explode(base)).collect()}
+    assert out == {i: 3 for i in range(7)}

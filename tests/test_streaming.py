@@ -171,3 +171,43 @@ def test_stream_stream_join_bounded_state(spark, sf_smoke, events_dir):
             (br["ts_r"] <= bl["ts"] + F.expr("INTERVAL 1 HOUR"))
     ).select("eid_l", "eid_r")
     assert _canon(got.collect()) == _canon(batch.collect())
+
+
+def test_checkpoint_restart_is_exactly_once(spark, events_dir, tmp_path):
+    """Kill-and-restart with the same checkpoint must not reprocess: the
+    file-source offsets live in the checkpoint, so a restarted query
+    appends nothing for already-committed microbatches, and a new source
+    file is consumed exactly once."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # private copy of the source dir — this test appends files to it
+    src = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(events_dir).repartition(4).write.parquet(src)
+    events_dir = src
+
+    def run_once():
+        q = (stream_events(spark, events_dir, max_files_per_trigger=1)
+             .select("event_id", "user_id")
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_events = spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(sink).count() == n_events
+
+    # restart on an unchanged source: nothing may be re-emitted
+    run_once()
+    assert spark.read.parquet(sink).count() == n_events
+
+    # grow the source; only the delta lands, once
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    extra = spark.read.parquet(events_dir).limit(50)
+    extra.coalesce(1).write.mode("append").parquet(events_dir)
+    run_once()
+    assert spark.read.parquet(sink).count() == n_events + 50
