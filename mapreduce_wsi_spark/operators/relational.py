@@ -152,3 +152,33 @@ def salted_join(left: DataFrame, right: DataFrame,
     if how in ("left_semi", "left_anti"):
         return out.drop(sc)
     return out.drop(l[sc]).drop(r[sc])
+
+
+def upsert(base: DataFrame, updates: DataFrame,
+           keys: list[str]) -> DataFrame:
+    """MERGE-emulation without a table format: full-outer join on the key,
+    update columns win where present, base rows survive otherwise, new
+    keys are appended. (A lakehouse MERGE INTO does this transactionally;
+    the relational algebra is identical. Caveat: an update cannot set a
+    column to NULL — coalesce semantics — which is the standard
+    upsert-by-join limitation.)
+
+    One shuffle on the key for each side; at 100 TB both sides should be
+    bucketed on the key (save_bucketed) so the join is exchange-free.
+    """
+    non_keys = [c for c in base.columns if c not in keys]
+    # string-qualified refs: base/updates often share lineage (same scan),
+    # where DataFrame-object column refs are ambiguous
+    b, u = base.alias("__ups_b"), updates.alias("__ups_u")
+
+    def bc(c): return F.col(f"__ups_b.{c}")
+    def uc(c): return F.col(f"__ups_u.{c}")
+
+    cond = bc(keys[0]).eqNullSafe(uc(keys[0]))
+    for k in keys[1:]:
+        cond = cond & bc(k).eqNullSafe(uc(k))
+    joined = b.join(u, cond, "full_outer")
+    out = [F.coalesce(uc(k), bc(k)).alias(k) for k in keys]
+    out += [F.coalesce(uc(c), bc(c)).alias(c) if c in updates.columns
+            else bc(c).alias(c) for c in non_keys]
+    return joined.select(*out)

@@ -125,3 +125,125 @@ def array_higher_order(spark, sf_dir):
         F.aggregate(words, F.lit(0).cast("long"),
                     lambda acc, w: acc + F.length(w)).alias("n_chars"),
         F.array_join(F.transform(words, F.upper), "_").alias("upper_joined"))
+
+
+@register(
+    "agg_exact_stats",
+    oracle="""
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp,
+           all_low_disc, any_big_qty
+    FROM (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             bool_and(l_discount <= 0.1) AS all_low_disc,
+             bool_or(l_quantity > 45)    AS any_big_qty
+      FROM lineitem GROUP BY l_returnflag) t
+    """,
+    note="exact correlation from decimal moments (native corr()'s double "
+         "summation order is partitioning-dependent) + bool_and/bool_or "
+         "aggregates; one fixed-order double expression at the end")
+def agg_exact_stats(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_disc"),
+        F.bool_or(F.col("l_quantity") > 45).alias("any_big_qty"))
+    corr = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return base.select("l_returnflag", corr.alias("corr_qp"),
+                       "all_low_disc", "any_big_qty")
+
+
+@register(
+    "time_spine_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT min(day) FROM daily),
+               (SELECT max(day) FROM daily),
+               INTERVAL 1 DAY)) AS DATE) AS day)
+    SELECT s.day,
+           coalesce(d.n, 0) AS n_orders,
+           CAST(coalesce(d.rev, 0.00) AS DOUBLE) AS revenue,
+           CAST(last_value(d.rev IGNORE NULLS)
+                OVER (ORDER BY s.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS revenue_ffill
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    note="time-series resample: date spine (sequence/generate_series) + "
+         "outer join so silent days exist, zero-fill for counts and "
+         "forward-fill (last ignore-nulls window) for values — the "
+         "gap-fill operator every time-series pipeline needs")
+def time_spine_gapfill(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("rev")))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (bounds.select(F.explode(F.sequence(
+        F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))).alias("day")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (spine.join(daily, on="day", how="left")
+            .select("day",
+                    F.coalesce("n", F.lit(0)).alias("n_orders"),
+                    F.coalesce(F.col("rev"),
+                               F.lit("0.00").cast("decimal(18,2)"))
+                    .cast("double").alias("revenue"),
+                    F.last("rev", ignorenulls=True).over(w).cast("double")
+                    .alias("revenue_ffill")))
+
+
+@register(
+    "upsert_merge",
+    oracle="""
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           b.o_orderstatus AS o_orderstatus
+    FROM (SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 3 != 0) b
+    FULL JOIN (SELECT o_orderkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                           AS DOUBLE) AS o_totalprice
+               FROM orders WHERE o_orderkey % 2 = 0) u
+      ON b.o_orderkey = u.o_orderkey
+    """,
+    note="MERGE/upsert emulation (operators/relational.py::upsert): "
+         "full-outer join on the key; updated rows win, unmatched base "
+         "rows survive, new keys append. o_orderstatus is NULL for "
+         "insert-only keys — exactly MERGE's WHEN NOT MATCHED INSERT "
+         "with an unset column")
+def upsert_merge(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import upsert
+    o = tbl(spark, sf_dir, "orders")
+    base = (o.filter(F.col("o_orderkey") % 3 != 0)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    updates = (o.filter(F.col("o_orderkey") % 2 == 0)
+               .select("o_orderkey",
+                       (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+                       .cast("double").alias("o_totalprice")))
+    return upsert(base, updates, ["o_orderkey"])

@@ -116,3 +116,23 @@ def test_ivf_probe_all_cells_is_exact(spark, sf_oracle):
     full = ivf_cosine_topk(emb, queries, k=5, n_centroids=4, n_probe=4)
     assert ({(r["query_id"], r["vec_id"]) for r in exact.collect()} ==
             {(r["query_id"], r["vec_id"]) for r in full.collect()})
+
+
+# --- upsert / MERGE emulation ---------------------------------------------
+
+def test_upsert_semantics(spark):
+    from mapreduce_wsi_spark.operators.relational import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, tag string, v long")
+    updates = spark.createDataFrame(
+        [(2, 99), (4, 44)], "k long, v long")
+    got = {r["k"]: (r["tag"], r["v"])
+           for r in upsert(base, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10),     # untouched base row survives
+        2: ("b", 99),     # update wins on collision, tag carried over
+        3: ("c", 30),
+        4: (None, 44),    # insert-only key: unset column is NULL
+    }
