@@ -1,0 +1,197 @@
+"""Training-data pipeline operators: deterministic splits and sampling,
+PII scrubbing, benchmark decontamination, repetition-quality stats, exact
+distributed quantiles, and sharded shuffle for batch interleaving.
+
+These extend the reference's surface per the north star (BASELINE.json) —
+the reference itself delegates all record-level logic to user map/reduce
+code (/root/reference/src/de/uni_stuttgart/ipvs_as/MapReduceWSI.java:62-105);
+here each op is a native, declarative DataFrame plan.
+
+Every selection decision uses an md5-derived bucket — never ``rand()`` —
+so splits/samples are reproducible row properties, not run artifacts:
+re-running at 100 TB yields byte-identical assignments, joins between a
+doc and its split are unnecessary (the split is derivable), and adding
+data never reshuffles existing assignments. All bucket math is integer
+(no float thresholds drifting between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def portable_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): first 8 hex
+    chars of md5 -> 32-bit int -> mod. Unlike ``F.hash`` (Murmur3, Spark-
+    private) this reproduces identically in DuckDB/Trino/Python, so split
+    membership can be audited outside the engine. Narrow (map-only)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).cast("int")
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 breaks: tuple[int, int] = (80, 90)) -> DataFrame:
+    """Train/val/test assignment by hash bucket of a stable key. Map-only:
+    no shuffle, no state, no split-membership table to join at read time —
+    the assignment IS a function of the key, which is the only strategy
+    that stays consistent when the corpus grows to 100 TB."""
+    b = portable_bucket(F.col(key_col))
+    split = (F.when(b < breaks[0], "train")
+             .when(b < breaks[1], "val")
+             .otherwise("test"))
+    return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
+                      rates_pct: dict[str, int],
+                      default_pct: int = 10) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its hash bucket
+    falls under its stratum's percentage. The rates table is a broadcast
+    join (dozens of strata vs billions of rows), keeping the op map-side;
+    ``sampleBy`` would give a random, non-reproducible subset instead."""
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in rates_pct.items()],
+        f"{stratum_col} string, pct int")
+    b = portable_bucket(F.col(key_col))
+    return (df.join(F.broadcast(rates), on=stratum_col, how="left")
+            .withColumn("pct", F.coalesce("pct", F.lit(default_pct)))
+            .withColumn("bucket", b)
+            .filter(F.col("bucket") < F.col("pct")))
+
+
+# Redaction patterns deliberately restricted to the regex subset with
+# identical semantics in Java (Spark) and RE2 (DuckDB/Go): plain char
+# classes, no lookaround, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def scrub_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalize + redact: lowercase, collapse whitespace, replace
+    emails/URLs/phone-shaped tokens with typed placeholders, and count
+    redactions per kind. Pure narrow projection — the 100 TB cost is one
+    scan, no shuffle, and Catalyst pipelines it into adjacent stages."""
+    c = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    counts = []
+    for pat, tag in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+                      .alias(f"n_{tag.strip('<>').lower()}"))
+        c = F.regexp_replace(c, pat, tag)
+    return df.select(F.col(id_col), c.alias("scrubbed"), *counts)
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, n: int = 5) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing >=1 word n-gram
+    with any benchmark doc. Both sides shingle (distinct n-grams), then an
+    equi-join on the shingle — never a doc x doc cross product. The
+    benchmark side is tiny relative to the corpus, so its shingle set is
+    broadcast: the whole op is one corpus scan + map-side join + one
+    groupBy(doc). Returns (doc_id, n_shared_shingles, n_bench_docs_hit)."""
+    from mapreduce_wsi_spark.operators.dedup import word_shingles
+    c_sh = word_shingles(corpus, text_col, id_col, n=n)
+    b_sh = (word_shingles(benchmark, text_col, id_col, n=n)
+            .withColumnRenamed("id", "bench_id"))
+    hits = c_sh.join(F.broadcast(b_sh), on="shingle", how="inner")
+    return (hits.groupBy(F.col("id").alias(id_col))
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"),
+                 F.countDistinct("bench_id").alias("n_bench_docs_hit")))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality: distinct-word ratio, top-word
+    fraction, and the fraction of word occurrences belonging to repeated
+    words. Two aggregations, both keyed by doc: the wide (id, word) count
+    then a per-id rollup — the second shuffle's keys are a prefix of the
+    first's, so AQE plans a near-local exchange. Integer counts with one
+    final IEEE-exact division keep the oracle comparison bitwise."""
+    w = (df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " "))
+                   .alias("word"))
+         .groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt")))
+    return (w.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .alias("rep_cnt"))
+        .select(id_col, "n_words", "n_distinct",
+                (F.col("n_distinct").cast("double") / F.col("n_words"))
+                .alias("distinct_ratio"),
+                (F.col("top_cnt").cast("double") / F.col("n_words"))
+                .alias("top_word_frac"),
+                (F.col("rep_cnt").cast("double") / F.col("n_words"))
+                .alias("dup_word_frac")))
+
+
+def quantile_disc(df: DataFrame, group_col: str, value_col: str,
+                  ps: tuple[float, ...] = (0.5, 0.9)) -> DataFrame:
+    """Exact discrete percentiles per group (PERCENTILE_DISC semantics:
+    smallest actual value whose cume_dist >= p — no interpolation, so
+    results are values that exist in the data and compare bitwise across
+    engines). One window sort per group + one aggregation; at scale the
+    sort is the per-group shuffle that any exact quantile fundamentally
+    requires (approxQuantile is the cheap alternative, already covered by
+    approx_quantiles)."""
+    cd = F.cume_dist().over(
+        Window.partitionBy(group_col).orderBy(value_col))
+    scored = df.select(group_col, F.col(value_col).alias("v"),
+                       cd.alias("cd"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in ps:
+        tag = f"p{int(p * 100)}"
+        aggs.append(F.min(F.when(F.col("cd") >= p, F.col("v"))).alias(tag))
+    return scored.groupBy(group_col).agg(*aggs)
+
+
+def mode_deterministic(df: DataFrame, group_col: str,
+                       value_col: str) -> DataFrame:
+    """Per-group mode with a total tie-break (highest count, then smallest
+    value) — deterministic unlike Spark's native ``mode()``, whose tie
+    winner is partitioning-dependent. Count-then-rank: the heavy lifting
+    is a partial-aggregated groupBy; the window only sees one row per
+    (group, value)."""
+    counts = (df.groupBy(group_col, value_col)
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    rn = F.row_number().over(
+        Window.partitionBy(group_col)
+        .orderBy(F.col("cnt").desc(), F.col(value_col)))
+    return (counts.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select(group_col, F.col(value_col).alias("mode_value"),
+                    F.col("cnt").alias("mode_count")))
+
+
+def shuffle_shards(df: DataFrame, key_col: str,
+                   n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle for training-batch interleaving:
+    shard = hash bucket of the key, position = rank of the full md5
+    within the shard. Per-shard windows parallelize across executors (a
+    single global row_number would serialize on one partition — the
+    classic 100 TB trap); readers stream shards round-robin to get an
+    unbiased interleave. Reproducible: same corpus -> same order."""
+    h = F.md5(F.col(key_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("h", key_col))
+    return (df.withColumn("h", h).withColumn("shard", shard)
+            .withColumn("pos", pos).drop("h"))
+
+
+def rare_terms(df: DataFrame, text_col: str, id_col: str,
+               max_df: int = 2) -> DataFrame:
+    """Document-frequency tail: terms appearing in <= max_df documents,
+    with an example doc. The building block for df-based vocabulary
+    pruning and tf-idf (integer df counts — no floating log in the
+    comparable output). Distinct (doc, word) first so tf inside one doc
+    doesn't inflate df."""
+    dw = (df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " "))
+                    .alias("word")).distinct())
+    return (dw.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.min(id_col).alias("example_doc"))
+            .filter(F.col("df") <= max_df))

@@ -1,0 +1,246 @@
+"""Training-data pipeline queries (north-star extensions): deterministic
+splits/sampling, PII scrubbing, benchmark decontamination, repetition
+quality, exact quantiles/mode, sharded shuffle, df-tail vocabulary.
+
+All hash-driven selection uses the md5-derived ``portable_bucket``
+(operators/pipeline.py) so every entry has a bit-exact DuckDB oracle —
+unlike ``rand()``/``F.hash`` approaches, reproducibility is part of the
+operator contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.pipeline import (
+    decontaminate,
+    mode_deterministic,
+    quantile_disc,
+    rare_terms,
+    repetition_stats,
+    scrub_text,
+    shuffle_shards,
+    split_assign,
+    stratified_sample,
+)
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+# DuckDB twin of operators/pipeline.py::portable_bucket
+_BUCKET = ("CAST(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) "
+           "AS BIGINT) % {n} AS INT)")
+
+
+@register(
+    "split_hash_deterministic",
+    oracle=f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_BUCKET.format(key='doc_id', n=100)} AS bucket
+          FROM documents) t
+    """,
+    note="train/val/test split as a pure function of the key (md5 bucket): "
+         "map-only, no membership table, stable under corpus growth — the "
+         "only split strategy that holds at 100 TB")
+def split_hash_deterministic(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return split_assign(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang,
+               {_BUCKET.format(key='doc_id', n=100)} AS bucket,
+               CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 100
+                         WHEN 'de' THEN 25 ELSE 10 END AS pct
+        FROM documents) t
+    WHERE bucket < pct
+    """,
+    note="deterministic stratified sampling: per-language keep rates via "
+         "broadcast rates join + hash-bucket threshold (reproducible, "
+         "unlike sampleBy)")
+def sample_stratified_hash(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    out = stratified_sample(d, "doc_id", "lang",
+                            {"en": 50, "zh": 100, "de": 25}, default_pct=10)
+    return out.select("doc_id", "lang", "bucket")
+
+
+@register(
+    "text_scrub_pii",
+    oracle=r"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' reach me user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via https://ex'
+                    || CAST(doc_id AS VARCHAR) || '.org/p 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+    s0 AS (SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS c
+           FROM synth),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(c, '[a-z0-9.]+@[a-z0-9.]+'))
+                      AS n_email,
+                  regexp_replace(c, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g')
+                      AS c
+           FROM s0),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(c, 'https?://[^ ]+')) AS n_url,
+                  regexp_replace(c, 'https?://[^ ]+', '<URL>', 'g') AS c
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_url,
+                  len(regexp_extract_all(c, '[0-9]{3}-[0-9]{4}')) AS n_phone,
+                  regexp_replace(c, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS c
+           FROM s2)
+    SELECT doc_id, c AS scrubbed,
+           CAST(n_email AS INT) AS n_email, CAST(n_url AS INT) AS n_url,
+           CAST(n_phone AS INT) AS n_phone
+    FROM s3
+    """,
+    note="normalize (lowercase, whitespace collapse) + typed PII redaction "
+         "(email/URL/phone) with per-kind counts; narrow projection, regex "
+         "subset common to Java and RE2 dialects")
+def text_scrub_pii(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    synth = d.withColumn("text", F.concat(
+        F.col("text"), F.lit(" reach me user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com via https://ex"),
+        F.col("doc_id").cast("string"), F.lit(".org/p 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    return scrub_text(synth, "text", "doc_id")
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS shingle
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents) t) q),
+    c AS (SELECT * FROM sh WHERE doc_id % 20 != 0),
+    b AS (SELECT * FROM sh WHERE doc_id % 20 = 0)
+    SELECT c.doc_id AS doc_id,
+           count(DISTINCT c.shingle) AS n_shared_shingles,
+           count(DISTINCT b.doc_id) AS n_bench_docs_hit
+    FROM c JOIN b ON b.shingle = c.shingle
+    GROUP BY 1
+    """,
+    note="test-set decontamination: corpus docs sharing any 5-gram with a "
+         "held-out benchmark slice (doc_id%20=0 stands in for the eval "
+         "set); shingle equi-join with broadcast benchmark side — one "
+         "corpus scan, never doc x doc")
+def decontam_ngram_overlap(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, "text", "doc_id", n=5)
+
+
+@register(
+    "quality_repetition",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents) t
+        GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT)
+               AS distinct_ratio,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT)
+               AS top_word_frac,
+           CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / CAST(sum(cnt) AS BIGINT) AS dup_word_frac
+    FROM wc GROUP BY doc_id
+    """,
+    note="Gopher-style repetition quality: distinct-word ratio, top-word "
+         "fraction, repeated-occurrence fraction; integer counts, one "
+         "IEEE-exact division at the end")
+def quality_repetition(spark, sf_dir):
+    return repetition_stats(tbl(spark, sf_dir, "documents"),
+                            "text", "doc_id")
+
+
+@register(
+    "quantile_disc_exact",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           min(CASE WHEN cd >= 0.5 THEN v END) AS p50,
+           min(CASE WHEN cd >= 0.9 THEN v END) AS p90
+    FROM (SELECT l_returnflag, l_extendedprice AS v,
+                 cume_dist() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice) AS cd
+          FROM lineitem) t
+    GROUP BY 1
+    """,
+    note="exact PERCENTILE_DISC(0.5/0.9) per group via distributed "
+         "window sort (smallest value with cume_dist >= p — actual data "
+         "values, no interpolation, bitwise-portable); the exact "
+         "counterpart of approx_quantiles")
+def quantile_disc_exact(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return quantile_disc(li, "l_returnflag", "l_extendedprice", (0.5, 0.9))
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, mode_value, mode_count FROM (
+        SELECT o_orderstatus, o_orderpriority AS mode_value, cnt AS mode_count,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+              FROM orders GROUP BY 1, 2) c) t
+    WHERE rn = 1
+    """,
+    note="deterministic per-group mode (ties -> smallest value); native "
+         "mode() is partitioning-dependent on ties, this count+rank plan "
+         "is not")
+def mode_per_group(spark, sf_dir):
+    return mode_deterministic(tbl(spark, sf_dir, "orders"),
+                              "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "shuffle_shards",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS INT) AS pos
+    FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 {_BUCKET.format(key='doc_id', n=8)} AS shard
+          FROM documents) t
+    """,
+    note="deterministic sharded shuffle for training-batch interleaving: "
+         "md5 shard + per-shard rank; per-shard windows parallelize where "
+         "a global row_number would bottleneck on one partition")
+def shuffle_shards_q(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return shuffle_shards(d, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos")
+
+
+@register(
+    "rare_terms_df",
+    oracle="""
+    SELECT word, count(*) AS df, min(doc_id) AS example_doc
+    FROM (SELECT DISTINCT doc_id, word
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents) u) t
+    GROUP BY word HAVING count(*) <= 2
+    """,
+    note="document-frequency tail (df <= 2) for vocabulary pruning / "
+         "tf-idf: distinct (doc, word) then count — integer-only output")
+def rare_terms_df(spark, sf_dir):
+    return rare_terms(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                      max_df=2)

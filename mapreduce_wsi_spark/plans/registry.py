@@ -69,5 +69,6 @@ def load_catalog() -> dict[str, CatalogEntry]:
     import mapreduce_wsi_spark.plans.q_functions  # noqa: F401
     import mapreduce_wsi_spark.plans.q_streaming  # noqa: F401
     import mapreduce_wsi_spark.plans.q_llm  # noqa: F401
+    import mapreduce_wsi_spark.plans.q_pipeline  # noqa: F401
     import mapreduce_wsi_spark.plans.q_reference  # noqa: F401
     return CATALOG

@@ -1,0 +1,152 @@
+"""Semantic tests for the training-data pipeline operators
+(operators/pipeline.py) beyond the oracle hash-match: determinism,
+distribution, planted-case behavior, and plan shape (broadcast sides)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.pipeline import (
+    decontaminate,
+    mode_deterministic,
+    quantile_disc,
+    repetition_stats,
+    scrub_text,
+    shuffle_shards,
+    split_assign,
+    stratified_sample,
+)
+
+
+def test_split_is_deterministic_and_roughly_proportional(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = split_assign(df, "k")
+    counts = {r["split"]: r["n"]
+              for r in a.groupBy("split").agg(F.count("*").alias("n"))
+              .collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets over 10k keys: expect ~80/10/10 within a loose band
+    assert 0.76 < counts["train"] / 10_000 < 0.84
+    assert 0.07 < counts["val"] / 10_000 < 0.13
+    # same keys -> identical assignment (it's a pure function of the key)
+    b = {r["k"]: r["split"] for r in split_assign(df, "k").collect()}
+    a_map = {r["k"]: r["split"] for r in a.collect()}
+    assert a_map == b
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """Adding rows must not move existing keys between splits."""
+    small = split_assign(spark.range(0, 100).withColumnRenamed("id", "k"),
+                         "k")
+    big = split_assign(spark.range(0, 1_000).withColumnRenamed("id", "k"),
+                       "k")
+    small_map = {r["k"]: r["split"] for r in small.collect()}
+    big_map = {r["k"]: r["split"] for r in big.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())
+
+
+def test_stratified_sample_rates_and_broadcast(spark):
+    df = (spark.range(0, 6_000)
+          .select(F.col("id").alias("k"),
+                  F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+                  .alias("grp")))
+    out = stratified_sample(df, "k", "grp", {"a": 100, "b": 0},
+                            default_pct=0)
+    got = out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    assert {r["grp"]: r["n"] for r in got} == {"a": 3_000}
+    # the rates side must be broadcast, not shuffled
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scrub_text_redacts_planted_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "Write  to Bob.Smith@corp.example or  see "
+             "https://internal.example/x then call 555-0199 now")],
+        "doc_id long, text string")
+    row = scrub_text(df, "text", "doc_id").collect()[0]
+    assert "<EMAIL>" in row["scrubbed"]
+    assert "<URL>" in row["scrubbed"]
+    assert "<PHONE>" in row["scrubbed"]
+    assert "@" not in row["scrubbed"]
+    assert "  " not in row["scrubbed"]  # whitespace collapsed
+    assert (row["n_email"], row["n_url"], row["n_phone"]) == (1, 1, 1)
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix words the quick brown fox jumps again"),  # 5-gram hit
+         (2, "totally unrelated text with no overlap at all"),
+         (3, "quick brown fox alone")],  # < 5 shared words in a row
+        "doc_id long, text string")
+    hits = decontaminate(corpus, bench, "text", "doc_id", n=5)
+    got = {r["doc_id"]: r["n_bench_docs_hit"] for r in hits.collect()}
+    assert got == {1: 1}
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side broadcast
+
+
+def test_repetition_stats_on_planted_doc(spark):
+    df = spark.createDataFrame([(1, "a a a b c")],
+                               "doc_id long, text string")
+    r = repetition_stats(df, "text", "doc_id").collect()[0]
+    assert r["n_words"] == 5 and r["n_distinct"] == 3
+    assert r["top_word_frac"] == 3 / 5
+    assert r["dup_word_frac"] == 3 / 5  # only 'a' occurrences repeat
+    assert r["distinct_ratio"] == 3 / 5
+
+
+def test_quantile_disc_matches_sorted_python(spark):
+    import math
+    vals = [(g, float(v)) for g in ("x", "y")
+            for v in range(1, 101 if g == "x" else 8)]
+    df = spark.createDataFrame(vals, "g string, v double")
+    got = {r["g"]: r for r in
+           quantile_disc(df, "g", "v", (0.5, 0.9)).collect()}
+
+    def disc(data, p):
+        # smallest value whose cume_dist >= p
+        data = sorted(data)
+        n = len(data)
+        for i, v in enumerate(data, 1):
+            if i / n >= p:
+                return v
+        return data[-1]
+
+    for g in ("x", "y"):
+        data = [v for gg, v in vals if gg == g]
+        assert got[g]["p50"] == disc(data, 0.5)
+        assert got[g]["p90"] == disc(data, 0.9)
+        assert math.isclose(got[g]["n"], len(data))
+
+
+def test_mode_tie_breaks_to_smallest_value(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "grp string, v string")
+    r = mode_deterministic(df, "grp", "v").collect()[0]
+    assert (r["mode_value"], r["mode_count"]) == ("a", 2)
+
+
+def test_shuffle_shards_is_a_permutation_and_deterministic(spark):
+    df = spark.range(0, 1_000).withColumnRenamed("id", "k")
+    s1 = shuffle_shards(df, "k", n_shards=4)
+    rows = s1.collect()
+    # every row exactly once, positions contiguous from 1 within each shard
+    assert len(rows) == 1_000
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across runs
+    s2 = {(r["k"]): (r["shard"], r["pos"])
+          for r in shuffle_shards(df, "k", n_shards=4).collect()}
+    assert all(s2[r["k"]] == (r["shard"], r["pos"]) for r in rows)
+    # not the identity order: shards interleave the key space
+    first_shard_keys = sorted(k for k, (s, _) in s2.items() if s == 0)
+    assert first_shard_keys != list(range(len(first_shard_keys)))
