@@ -45,19 +45,23 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Dedup happens row-locally via ``array_distinct`` before the explode —
+    "distinct per doc" needs no cross-partition view, so a DataFrame-level
+    ``.distinct()`` here would be a pure-waste full shuffle of the largest
+    intermediate in every shingle consumer (Jaccard/MinHash/decontam)."""
     words = F.split(F.col(text_col), " ")
     parts = ", ".join(f"element_at(__w, i + {j})" for j in range(n))
     # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
     # docs shorter than n words must produce no shingles
     shingle_arr = F.expr(
         f"CASE WHEN size(__w) >= {n} THEN "
-        f"transform(sequence(1, size(__w) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts})) "
+        f"array_distinct(transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
         f"ELSE array() END")
     return (df.select(F.col(id_col).alias("id"), words.alias("__w"))
-            .select("id", F.explode(shingle_arr).alias("shingle"))
-            .distinct())
+            .select("id", F.explode(shingle_arr).alias("shingle")))
 
 
 def _doc_freq_filter(sh: DataFrame, max_doc_freq: float | None) -> DataFrame:

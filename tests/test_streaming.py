@@ -211,3 +211,56 @@ def test_checkpoint_restart_is_exactly_once(spark, events_dir, tmp_path):
     extra.coalesce(1).write.mode("append").parquet(events_dir)
     run_once()
     assert spark.read.parquet(sink).count() == n_events + 50
+
+
+def test_upsert_sink_latest_wins_and_survives_restart(spark, tmp_path):
+    """foreachBatch MERGE sink: one row per key, newest order_col wins
+    across microbatches regardless of arrival order; a checkpoint restart
+    changes nothing; late (older) updates lose to existing state."""
+    import time
+
+    from mapreduce_wsi_spark.streaming.sinks import upsert_parquet_sink
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, ord long"
+
+    spark.createDataFrame(
+        [(1, "a1", 10), (2, "b1", 10), (3, "c1", 10)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes -> two microbatches (1 file/trigger)
+    spark.createDataFrame(
+        [(2, "b2", 20),   # genuine update: newer ord
+         (1, "a0", 5),    # late arrival: older ord, must NOT win
+         (4, "d1", 20)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = upsert_parquet_sink(stream, keys=["k"], order_col="ord",
+                                target_dir=target, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    expect = {1: ("a1", 10), 2: ("b2", 20), 3: ("c1", 10), 4: ("d1", 20)}
+    state = {r["k"]: (r["v"], r["ord"])
+             for r in spark.read.parquet(target).collect()}
+    assert state == expect
+
+    # restart with the same checkpoint: no reprocessing, same state
+    run_once()
+    assert {r["k"]: (r["v"], r["ord"])
+            for r in spark.read.parquet(target).collect()} == expect
+
+    # a new file merges incrementally (and only the delta is read)
+    spark.createDataFrame([(3, "c2", 30)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    expect[3] = ("c2", 30)
+    assert {r["k"]: (r["v"], r["ord"])
+            for r in spark.read.parquet(target).collect()} == expect
