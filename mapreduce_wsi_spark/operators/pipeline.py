@@ -106,26 +106,36 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style repetition quality: distinct-word ratio, top-word
     fraction, and the fraction of word occurrences belonging to repeated
-    words. Two aggregations, both keyed by doc: the wide (id, word) count
-    then a per-id rollup — the second shuffle's keys are a prefix of the
-    first's, so AQE plans a near-local exchange. Integer counts with one
-    final IEEE-exact division keep the oracle comparison bitwise."""
-    w = (df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " "))
-                   .alias("word"))
-         .groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt")))
-    return (w.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-        .alias("rep_cnt"))
-        .select(id_col, "n_words", "n_distinct",
-                (F.col("n_distinct").cast("double") / F.col("n_words"))
-                .alias("distinct_ratio"),
-                (F.col("top_cnt").cast("double") / F.col("n_words"))
-                .alias("top_word_frac"),
-                (F.col("rep_cnt").cast("double") / F.col("n_words"))
-                .alias("dup_word_frac")))
+    words.
+
+    Zero-shuffle: every ratio is a per-row property of the word array, so
+    per-word counts are computed row-locally with higher-order functions
+    (O(distinct x words) per doc). The exploded alternative — groupBy
+    (doc, word) then a per-doc rollup — pushes the corpus's entire token
+    stream through two exchanges, which is the dominant cost at 100 TB;
+    this plan is scan -> project, pipelined into whatever runs next.
+    Integer counts with IEEE-exact final divisions keep the oracle
+    comparison bitwise."""
+    d = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__w"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__dw"))
+    cnts = "transform(__dw, x -> size(filter(__w, y -> y = x)))"
+    d = d.select(
+        id_col,
+        F.size("__w").cast("long").alias("n_words"),
+        F.size("__dw").cast("long").alias("n_distinct"),
+        F.array_max(F.expr(cnts)).cast("long").alias("top_cnt"),
+        F.expr(f"aggregate(filter({cnts}, c -> c > 1), "
+               f"cast(0 as bigint), (a, c) -> a + c)").alias("rep_cnt"))
+    return d.select(
+        id_col, "n_words", "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_words"))
+        .alias("distinct_ratio"),
+        (F.col("top_cnt").cast("double") / F.col("n_words"))
+        .alias("top_word_frac"),
+        (F.col("rep_cnt").cast("double") / F.col("n_words"))
+        .alias("dup_word_frac"))
 
 
 def quantile_disc(df: DataFrame, group_col: str, value_col: str,

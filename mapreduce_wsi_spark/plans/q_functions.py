@@ -261,3 +261,56 @@ def scalar_hash_bitwise(spark, sf_dir):
         F.col("doc_id").bitwiseOR(F.lit(1)).alias("odd_or"),
         F.col("doc_id").bitwiseXOR(F.lit(21845)).alias("xored"),
         F.bit_count("doc_id").alias("popcount"))
+
+
+# --------------------------------------------------------------------------
+# Python UDAF surface: grouped-aggregate pandas_udf (Arrow-batched). The
+# reference's only "aggregate" is user reduce code (TestReducer.java:26-38);
+# this is the engine's third path to those semantics after the native
+# expression (functions/integer_mean.py) and applyInPandas
+# (flagship_arrow_pandas) — here the custom aggregate composes INSIDE a
+# regular .agg() next to built-ins.
+# --------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402  (UDAF type hints need the real type)
+
+
+def _int_mean_py(v: pd.Series) -> int:
+    """Exact integer mean with the reference tripwire
+    (TestReducer.java:34-37): (sum/count) - (sum%count)*100, non-negative
+    domain so Python floor == Java truncation."""
+    s, n = int(v.sum()), len(v)
+    return (s // n) - (s % n) * 100
+
+
+def _count_py(v: pd.Series) -> int:
+    # grouped-agg pandas UDFs cannot share an .agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is a second UDAF
+    return len(v)
+
+
+@register(
+    "udaf_pandas_integer_mean",
+    oracle="""
+    SELECT l_returnflag,
+           (sum(v) // count(*)) - (sum(v) % count(*)) * 100 AS int_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
+          FROM lineitem) t
+    GROUP BY l_returnflag
+    """,
+    note="custom Python UDAF via grouped-agg pandas_udf (ArrowAggregate"
+         "Python node, Arrow transfer), two UDAFs composed in one .agg(); "
+         "exact integer arithmetic keeps it oracle-checkable")
+def udaf_pandas_integer_mean(spark, sf_dir):
+    # wrapped lazily: decorating at import time would parse the DDL return
+    # type, which requires an active SparkContext the driver may not have
+    # created yet (pytest collection imports this module session-free)
+    int_mean_udaf = F.pandas_udf(_int_mean_py, "long")
+    count_udaf = F.pandas_udf(_count_py, "long")
+    li = tbl(spark, sf_dir, "lineitem")
+    return (li.select("l_returnflag",
+                      F.col("l_quantity").cast("long").alias("v"))
+            .groupBy("l_returnflag")
+            .agg(int_mean_udaf("v").alias("int_mean"),
+                 count_udaf("v").alias("n")))
