@@ -247,3 +247,41 @@ def upsert_merge(spark, sf_dir):
                        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
                        .cast("double").alias("o_totalprice")))
     return upsert(base, updates, ["o_orderkey"])
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
+        FROM orders),
+    dim(st, label) AS (
+        VALUES ('O', 'open'), ('F', 'final'), (NULL, 'unknown'))
+    SELECT base.st, label AS status_label,
+           count(*) AS n,
+           count(base.st) AS n_nonnull,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS min_price
+    FROM base JOIN dim ON base.st IS NOT DISTINCT FROM dim.st
+    GROUP BY base.st, label
+    """,
+    note="NULL semantics corner: NULL as a grouping key (one group), "
+         "count(*) vs count(col) null-skipping, and a null-safe equality "
+         "join (eqNullSafe / IS NOT DISTINCT FROM) against a broadcast "
+         "dim carrying a NULL key")
+def null_semantics(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    base = o.select("o_orderkey",
+                    F.nullif("o_orderstatus", F.lit("P")).alias("st"),
+                    "o_totalprice")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "final"), (None, "unknown")],
+        "st string, label string")
+    j = base.join(F.broadcast(dim),
+                  base["st"].eqNullSafe(dim["st"]), "inner")
+    return (j.groupBy(base["st"].alias("st"),
+                      F.col("label").alias("status_label"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(base["st"]).alias("n_nonnull"),
+                 F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("min_price")))

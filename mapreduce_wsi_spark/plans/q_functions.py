@@ -314,3 +314,26 @@ def udaf_pandas_integer_mean(spark, sf_dir):
             .groupBy("l_returnflag")
             .agg(int_mean_udaf("v").alias("int_mean"),
                  count_udaf("v").alias("n")))
+
+
+@register(
+    "json_typed_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           (json_extract_string(props, '$.k') IS NULL) AS k_missing,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
+    FROM events
+    """,
+    note="typed JSON parse via from_json into a struct column — parse once, "
+         "access many (vs get_json_object re-parsing per extraction); the "
+         "scale path for semi-structured columns")
+def json_typed_struct(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "struct<k:int>"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.k").isNull().alias("k_missing"),
+        (F.col("p.k") * 2).alias("k_doubled"))

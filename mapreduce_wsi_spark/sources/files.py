@@ -49,6 +49,12 @@ def read_json(spark: SparkSession, path_glob: str, schema=None) -> DataFrame:
     return reader.json(path_glob)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the splittable layout;
+    a single JSON array would force one reader per file)."""
+    df.write.mode(mode).json(path)
+
+
 def write_kv_text(df: DataFrame, path: str, sep: str = "\t",
                   mode: str = "overwrite") -> None:
     """TextOutputFormat-compatible sink: ``key<sep>value`` lines

@@ -90,3 +90,16 @@ def test_csv_permissive_vs_failfast(spark, tmp_path):
     assert [f.dataType.simpleString() for f in raw.schema.fields] == \
         ["string", "string", "string"]
     assert raw.count() == 3
+
+
+def test_json_roundtrip_with_explicit_schema(spark, sf_oracle, tmp_path):
+    """JSON-lines sink -> source with an explicit schema (production path:
+    no inference scan); values and types survive the trip."""
+    from mapreduce_wsi_spark.sources.files import read_json, write_json
+
+    src = tbl(spark, sf_oracle, "supplier")
+    path = str(tmp_path / "supplier_json")
+    write_json(src, path)
+    back = read_json(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    assert _canon(back) == _canon(src)
