@@ -205,3 +205,38 @@ def rare_terms(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).alias("df"),
                  F.min(id_col).alias("example_doc"))
             .filter(F.col("df") <= max_df))
+
+
+def assign_global_ids(df: DataFrame, key_col: str,
+                      n_shards: int = 256) -> DataFrame:
+    """Dense contiguous global IDs (0..N-1) in a deterministic order,
+    without the single-partition bottleneck of a global window.
+
+    Two-phase prefix-sum: (1) shard rows by md5 bucket and rank within
+    each shard — parallel per-shard windows; (2) count rows per shard
+    (tiny agg: n_shards rows cross the driver, never data), prefix-sum
+    the counts into shard offsets, broadcast them back. global_id =
+    shard_offset + rank - 1. A naive row_number() OVER (ORDER BY ...)
+    funnels the entire corpus through ONE task; this plan's critical
+    path is one shuffle per phase and stays parallel at 100 TB.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("int")
+    base = df.withColumn("__h", h).withColumn("shard", shard)
+
+    counts = {r["shard"]: r["n"] for r in
+              base.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = [], 0
+    for s in range(n_shards):
+        offsets.append((s, acc))
+        acc += counts.get(s, 0)
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "shard int, __off long")
+
+    rank = F.row_number().over(
+        Window.partitionBy("shard").orderBy("__h", key_col))
+    return (base.join(F.broadcast(off), on="shard")
+            .withColumn("global_id", F.col("__off") + rank - 1)
+            .drop("__h", "__off"))

@@ -244,3 +244,23 @@ def shuffle_shards_q(spark, sf_dir):
 def rare_terms_df(spark, sf_dir):
     return rare_terms(tbl(spark, sf_dir, "documents"), "text", "doc_id",
                       max_df=2)
+
+
+@register(
+    "global_ids_dense",
+    oracle=f"""
+    SELECT doc_id, shard,
+           row_number() OVER (ORDER BY shard, h, doc_id) - 1 AS global_id
+    FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 {_BUCKET.format(key='doc_id', n=16)} AS shard
+          FROM documents) t
+    """,
+    note="dense 0..N-1 global IDs via two-phase prefix-sum (parallel "
+         "per-shard ranks + broadcast shard offsets); the oracle's single "
+         "global row_number states the semantics the distributed plan "
+         "reproduces without a one-task sort")
+def global_ids_dense(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import assign_global_ids
+    d = tbl(spark, sf_dir, "documents")
+    return assign_global_ids(d, "doc_id", n_shards=16).select(
+        "doc_id", "shard", "global_id")

@@ -150,3 +150,24 @@ def test_shuffle_shards_is_a_permutation_and_deterministic(spark):
     # not the identity order: shards interleave the key space
     first_shard_keys = sorted(k for k, (s, _) in s2.items() if s == 0)
     assert first_shard_keys != list(range(len(first_shard_keys)))
+
+
+def test_global_ids_dense_contiguous_deterministic(spark):
+    from mapreduce_wsi_spark.operators.pipeline import assign_global_ids
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    out = assign_global_ids(df, "k", n_shards=32)
+    ids = [r["global_id"] for r in out.collect()]
+    assert sorted(ids) == list(range(10_000))  # dense 0..N-1, no gaps
+    # deterministic mapping across independent runs
+    m1 = {r["k"]: r["global_id"] for r in out.collect()}
+    m2 = {r["k"]: r["global_id"]
+          for r in assign_global_ids(df, "k", n_shards=32).collect()}
+    assert m1 == m2
+    # shard-major: ids within a shard are contiguous
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r["shard"], []).append(r["global_id"])
+    for g in by_shard.values():
+        g = sorted(g)
+        assert g == list(range(g[0], g[0] + len(g)))
