@@ -155,7 +155,7 @@ def salted_join(left: DataFrame, right: DataFrame,
 
 
 def upsert(base: DataFrame, updates: DataFrame,
-           keys: list[str]) -> DataFrame:
+           keys: list[str], null_safe: bool = True) -> DataFrame:
     """MERGE-emulation without a table format: full-outer join on the key,
     update columns win where present, base rows survive otherwise, new
     keys are appended. (A lakehouse MERGE INTO does this transactionally;
@@ -165,6 +165,12 @@ def upsert(base: DataFrame, updates: DataFrame,
 
     One shuffle on the key for each side; at 100 TB both sides should be
     bucketed on the key (save_bucketed) so the join is exchange-free.
+    ``null_safe=True`` (default) matches NULL keys to each other via
+    ``<=>`` — but Catalyst does not treat ``<=>`` as a clustering key, so
+    it re-shuffles even bucketed tables. When keys are non-nullable (the
+    normal case) pass ``null_safe=False``: plain equality, and the
+    bucketed merge plans with zero Exchange
+    (tests/test_scale_ops.py::test_upsert_on_bucketed_tables_is_shuffle_free).
     """
     non_keys = [c for c in base.columns if c not in keys]
     # string-qualified refs: base/updates often share lineage (same scan),
@@ -174,9 +180,13 @@ def upsert(base: DataFrame, updates: DataFrame,
     def bc(c): return F.col(f"__ups_b.{c}")
     def uc(c): return F.col(f"__ups_u.{c}")
 
-    cond = bc(keys[0]).eqNullSafe(uc(keys[0]))
+    def keq(k):
+        return (bc(k).eqNullSafe(uc(k)) if null_safe
+                else bc(k) == uc(k))
+
+    cond = keq(keys[0])
     for k in keys[1:]:
-        cond = cond & bc(k).eqNullSafe(uc(k))
+        cond = cond & keq(k)
     joined = b.join(u, cond, "full_outer")
     out = [F.coalesce(uc(k), bc(k)).alias(k) for k in keys]
     out += [F.coalesce(uc(c), bc(c)).alias(c) if c in updates.columns

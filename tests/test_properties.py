@@ -54,3 +54,23 @@ def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
         (r["k"], r["v"], r["rv"])
         for r in salted_join(left, right, "k", "rk", salt=4).collect())
     assert salted == plain
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=50, unique=True))
+def test_portable_bucket_matches_independent_md5(spark, keys):
+    """portable_bucket must equal a from-scratch Python md5 derivation —
+    the property that makes splits auditable outside the engine."""
+    import hashlib
+
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["k"]: r["b"]
+           for r in df.select("k", portable_bucket(F.col("k"), 100)
+                              .alias("b")).collect()}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        assert got[k] == int(h[:8], 16) % 100

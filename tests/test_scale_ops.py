@@ -136,3 +136,38 @@ def test_upsert_semantics(spark):
         3: ("c", 30),
         4: (None, 44),    # insert-only key: unset column is NULL
     }
+
+
+def test_upsert_on_bucketed_tables_is_shuffle_free(spark, sf_oracle):
+    """upsert() is a full-outer join on the key; with base and updates both
+    bucketed on that key the MERGE plans with zero Exchange — the 100 TB
+    contract claimed in operators/relational.py::upsert."""
+    from mapreduce_wsi_spark.operators.relational import upsert
+
+    import shutil
+
+    o = tbl(spark, sf_oracle, "orders").select("o_orderkey", "o_totalprice")
+    upd = (tbl(spark, sf_oracle, "orders")
+           .filter(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey",
+                   (F.col("o_totalprice") * 2).alias("o_totalprice")))
+    for t in ("bkt_ups_base", "bkt_ups_upd"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    save_bucketed(o, "bkt_ups_base", 8, ["o_orderkey"])
+    save_bucketed(upd, "bkt_ups_upd", 8, ["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = upsert(spark.table("bkt_ups_base"),
+                        spark.table("bkt_ups_upd"), ["o_orderkey"],
+                        null_safe=False)  # <=> defeats bucket matching
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            merged.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin FullOuter" in plan
+        assert "Exchange" not in plan, "bucketed upsert still shuffles"
+        assert merged.count() == o.count()  # no new keys in updates
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
