@@ -264,3 +264,59 @@ def global_ids_dense(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     return assign_global_ids(d, "doc_id", n_shards=16).select(
         "doc_id", "shard", "global_id")
+
+
+@register(
+    "pipeline_prepare_corpus",
+    oracle=rf"""
+    WITH scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                   '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g'),
+                   '[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS c
+        FROM documents),
+    quality AS (
+        SELECT doc_id, c,
+               len(string_split(c, ' ')) AS n_words,
+               len(list_distinct(string_split(c, ' '))) AS n_distinct
+        FROM scrubbed),
+    kept AS (
+        SELECT doc_id, c FROM quality
+        WHERE n_words >= 5
+          AND CAST(n_distinct AS DOUBLE) / n_words >= 0.5),
+    survivors AS (
+        SELECT md5(c) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+        FROM kept GROUP BY 1)
+    SELECT doc_id, n_dups, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, n_dups,
+                 {_BUCKET.format(key='doc_id', n=100)} AS bucket
+          FROM survivors) t
+    """,
+    note="the composed training-data pipeline: PII scrub -> quality gate "
+         "(length + distinct-word ratio) -> exact dedup (min-id survivor "
+         "per scrubbed hash) -> deterministic split. One declarative plan: "
+         "scan -> narrow scrub/quality -> one dedup shuffle -> map-only "
+         "split; every stage is the already-tested operator")
+def pipeline_prepare_corpus(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import (
+        repetition_stats as _rep,
+        scrub_text as _scrub,
+        split_assign as _split,
+    )
+    d = tbl(spark, sf_dir, "documents")
+    s = _scrub(d, "text", "doc_id").select("doc_id",
+                                           F.col("scrubbed").alias("c"))
+    q = _rep(s.withColumnRenamed("c", "text"), "text", "doc_id")
+    kept = (s.join(q.filter((F.col("n_words") >= 5) &
+                            (F.col("distinct_ratio") >= 0.5))
+                   .select("doc_id"), on="doc_id"))
+    survivors = (kept.groupBy(F.md5("c").alias("text_hash"))
+                 .agg(F.min("doc_id").alias("doc_id"),
+                      F.count(F.lit(1)).alias("n_dups")))
+    return (_split(survivors, "doc_id")
+            .select("doc_id", "n_dups", "bucket", "split"))
