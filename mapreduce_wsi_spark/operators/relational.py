@@ -192,3 +192,36 @@ def upsert(base: DataFrame, updates: DataFrame,
     out += [F.coalesce(uc(c), bc(c)).alias(c) if c in updates.columns
             else bc(c).alias(c) for c in non_keys]
     return joined.select(*out)
+
+
+def constraint_violations(df: DataFrame,
+                          rules: list[tuple[str, Column]],
+                          unique_keys: list[list[str]] | None = None
+                          ) -> DataFrame:
+    """Data-quality gate: per-rule violation counts in ONE scan.
+
+    ``rules``: (name, predicate-that-must-hold) pairs — all folded into a
+    single global aggregate (sum of failures per rule), so checking 20
+    constraints on 100 TB costs one pass, not 20. ``unique_keys``: key
+    sets that must be unique; each costs one distinct-count aggregate
+    (count - countDistinct = duplicate rows). Returns (rule,
+    n_violations) — empty counts stay present so downstream gates can
+    assert on every rule by name.
+    """
+    aggs = [F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in rules]
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    parts = [row.selectExpr(f"'{name}' AS rule", f"`{name}` AS n_violations")
+             for name, _ in rules]
+    for keys in unique_keys or []:
+        kname = "unique_" + "_".join(keys)
+        dup = df.agg(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+            .cast("long").alias("n"))
+        parts.append(dup.selectExpr(f"'{kname}' AS rule",
+                                    "n AS n_violations"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -285,3 +285,50 @@ def null_semantics(spark, sf_dir):
                  F.count(base["st"]).alias("n_nonnull"),
                  F.min(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("min_price")))
+
+
+@register(
+    "dq_constraints",
+    oracle="""
+    SELECT 'qty_in_range' AS rule,
+           CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'disc_low', CAST(sum(CASE WHEN NOT (l_discount <= 0.05)
+                               THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'price_positive', CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'flag_valid', CAST(sum(CASE WHEN NOT (l_returnflag IN
+                                  ('A', 'N', 'R')) THEN 1 ELSE 0 END)
+                              AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_nonnull', CAST(sum(CASE WHEN NOT (l_shipdate IS NOT
+                                        NULL) THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique_l_orderkey_l_linenumber',
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT)
+    FROM lineitem
+    """,
+    note="data-quality gate (operators/relational.py::constraint_"
+         "violations): N range/domain/null rules folded into ONE scan "
+         "(single global aggregate) + tuple-uniqueness via distinct "
+         "count; the admission check every ingest pipeline runs")
+def dq_constraints(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import constraint_violations
+    li = tbl(spark, sf_dir, "lineitem")
+    rules = [
+        ("qty_in_range", F.col("l_quantity").between(1, 50)),
+        ("disc_low", F.col("l_discount") <= 0.05),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("flag_valid", F.col("l_returnflag").isin("A", "N", "R")),
+        ("shipdate_nonnull", F.col("l_shipdate").isNotNull()),
+    ]
+    return constraint_violations(li, rules,
+                                 unique_keys=[["l_orderkey",
+                                               "l_linenumber"]])

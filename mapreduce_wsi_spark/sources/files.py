@@ -108,3 +108,18 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def save_range_clustered(df: DataFrame, path: str, cols: list[str],
+                         n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-clustered layout: repartitionByRange + sortWithinPartitions
+    on the cluster key before writing parquet. File-level (and row-group)
+    min/max statistics on the key become pairwise disjoint, so a range
+    predicate prunes whole files at planning time — the data-skipping
+    layout for append-heavy 100 TB tables where directory partitioning
+    (low-cardinality keys only) doesn't apply. Disjointness is asserted
+    from the actual parquet footers in
+    tests/test_sources.py::test_range_clustered_files_are_disjoint."""
+    (df.repartitionByRange(n_files, *cols)
+     .sortWithinPartitions(*cols)
+     .write.mode(mode).parquet(path))

@@ -103,3 +103,49 @@ def test_json_roundtrip_with_explicit_schema(spark, sf_oracle, tmp_path):
     back = read_json(spark, path, schema=src.schema)
     assert back.schema == src.schema
     assert _canon(back) == _canon(src)
+
+
+def test_range_clustered_files_are_disjoint(spark, sf_oracle, tmp_path):
+    """save_range_clustered must produce files whose min/max footer stats
+    on the cluster key are pairwise disjoint — the property that lets a
+    range predicate skip whole files."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_wsi_spark.sources.files import save_range_clustered
+
+    li = tbl(spark, sf_oracle, "lineitem")
+    path = str(tmp_path / "li_clustered")
+    save_range_clustered(li, path, ["l_orderkey"], n_files=8)
+
+    ranges = []
+    for f in (tmp_path / "li_clustered").glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(md.row_group(rg).column(i)
+                       for i in range(md.row_group(rg).num_columns)
+                       if md.row_group(rg).column(i).path_in_schema
+                       == "l_orderkey")
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+    # contents unchanged by re-layout
+    assert (spark.read.parquet(path).count() == li.count())
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: files written before a column existed merge with
+    newer files (mergeSchema), old rows reading NULL for the new column."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.parquet(p + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) >= {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
