@@ -332,3 +332,64 @@ def dq_constraints(spark, sf_dir):
     return constraint_violations(li, rules,
                                  unique_keys=[["l_orderkey",
                                                "l_linenumber"]])
+
+
+@register(
+    "sessionize_lag_cumsum",
+    oracle="""
+    SELECT event_id, user_id, session_seq,
+           CAST(count(*) OVER (PARTITION BY user_id, session_seq) AS BIGINT)
+               AS session_size
+    FROM (
+        SELECT event_id, user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                 CURRENT ROW) AS session_seq
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR date_diff('second',
+                                    lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id),
+                                    ts) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events) t) s
+    """,
+    note="batch sessionization via lag-gap + running cumsum (the "
+         "watermark-free twin of session_window): one shuffle on user_id "
+         "reused by all three window frames; 30-min gap")
+def sessionize_lag_cumsum(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_ts)
+    is_new = (F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0))
+    run = by_ts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_seq = (ev.select("event_id", "user_id", "ts",
+                          is_new.alias("is_new"))
+                .withColumn("session_seq", F.sum("is_new").over(run)))
+    sess_w = Window.partitionBy("user_id", "session_seq")
+    return with_seq.select(
+        "event_id", "user_id", "session_seq",
+        F.count(F.lit(1)).over(sess_w).alias("session_size"))
+
+
+@register(
+    "window_count_distinct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+                AS BIGINT) AS n_supp_in_order
+    FROM lineitem
+    """,
+    note="COUNT(DISTINCT) OVER — unsupported natively in Spark; the "
+         "standard recipe is max(dense_rank) over the same partition "
+         "(two frames, one shuffle). DuckDB states the semantics directly")
+def window_count_distinct(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    rank_w = Window.partitionBy("l_orderkey").orderBy("l_suppkey")
+    part_w = Window.partitionBy("l_orderkey")
+    return (li.withColumn("__dr", F.dense_rank().over(rank_w))
+            .select("l_orderkey", "l_linenumber",
+                    F.max("__dr").over(part_w).cast("long")
+                    .alias("n_supp_in_order")))

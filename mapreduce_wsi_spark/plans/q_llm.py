@@ -364,3 +364,28 @@ def dedup_components(spark, sf_dir):
     pairs = jaccard_pairs(tbl(spark, sf_dir, "documents"), "text", "doc_id",
                           n=3, min_jaccard=0.1)
     return connected_components(pairs)
+
+
+@register(
+    "vector_normalize",
+    oracle="""
+    SELECT vec_id,
+           sqrt(list_dot_product(v, v)) AS l2,
+           CAST(v[1] AS DOUBLE) / sqrt(list_dot_product(v, v)) AS u1,
+           CAST(len(v) AS INT) AS dim
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings) t
+    """,
+    note="vector math surface: L2 norm (sequential-fold dot product — "
+         "bit-identical to DuckDB list_dot_product) and unit-normalized "
+         "first component; narrow, zero-shuffle")
+def vector_normalize(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import _as_double, l2_norm
+    e = tbl(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        l2_norm(v).alias("l2"),
+        (F.element_at("embedding", 1).cast("double") / l2_norm(v))
+        .alias("u1"),
+        F.size("embedding").cast("int").alias("dim"))
