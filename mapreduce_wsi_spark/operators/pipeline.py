@@ -240,3 +240,48 @@ def assign_global_ids(df: DataFrame, key_col: str,
     return (base.join(F.broadcast(off), on="shard")
             .withColumn("global_id", F.col("__off") + rank - 1)
             .drop("__h", "__off"))
+
+
+def mix_sources(df: DataFrame, key_col: str, stratum_col: str,
+                epochs: dict[str, int], default_epochs: int = 1) -> DataFrame:
+    """Epoch-weighted corpus mixing: repeat each stratum's rows
+    ``epochs[stratum]`` times (integer oversampling — e.g. 3 epochs of a
+    high-quality source vs 1 of web crawl), tagging each copy with an
+    ``epoch`` index so downstream shuffling can interleave copies apart.
+    Implementation is a generated ``explode(sequence(1, n))`` — narrow,
+    no join, no data movement beyond the output rows themselves."""
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in epochs.items()],
+        f"{stratum_col} string, __n_epochs int")
+    return (df.join(F.broadcast(rates), on=stratum_col, how="left")
+            .withColumn("__n_epochs",
+                        F.coalesce("__n_epochs", F.lit(default_epochs)))
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(1), F.col("__n_epochs"))))
+            .drop("__n_epochs"))
+
+
+def pack_context_windows(df: DataFrame, key_col: str, tokens_col: str,
+                         budget: int, n_shards: int = 8) -> DataFrame:
+    """Pack documents into fixed token-budget context windows: shard
+    deterministically (md5), order within the shard by the hash, then
+    assign window_id = floor(running_token_offset / budget). Shard-local
+    running sums keep the packing embarrassingly parallel (one window
+    sort per shard — no global sequential pass, which is how a naive
+    greedy packer dies at 100 TB); windows are only approximately full
+    when a document straddles a boundary, the standard trade."""
+    h = F.md5(F.col(key_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("int")
+    w = (Window.partitionBy("shard").orderBy("__h", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("__h", h).withColumn("shard", shard)
+            .withColumn("__cum", F.sum(tokens_col).over(w))
+            .withColumn("window_id",
+                        F.floor((F.col("__cum") - F.col(tokens_col))
+                                / F.lit(budget)).cast("long"))
+            .withColumn("offset_in_window",
+                        ((F.col("__cum") - F.col(tokens_col))
+                         % F.lit(budget)).cast("long"))
+            .drop("__h", "__cum"))

@@ -320,3 +320,53 @@ def pipeline_prepare_corpus(spark, sf_dir):
                       F.count(F.lit(1)).alias("n_dups")))
     return (_split(survivors, "doc_id")
             .select("doc_id", "n_dups", "bucket", "split"))
+
+
+@register(
+    "mix_sources_epochs",
+    oracle="""
+    SELECT doc_id, lang, epoch FROM (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END
+                   AS n_epochs
+        FROM documents) t,
+    LATERAL unnest(generate_series(1, n_epochs)) AS u(epoch)
+    """,
+    note="epoch-weighted corpus mixing: integer oversampling per stratum "
+         "(3x en, 2x de, 1x rest) via generated sequence explode — "
+         "narrow, broadcast rates, no shuffle")
+def mix_sources_epochs(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import mix_sources
+    d = tbl(spark, sf_dir, "documents")
+    out = mix_sources(d, "doc_id", "lang", {"en": 3, "de": 2},
+                      default_epochs=1)
+    return out.select("doc_id", "lang", F.col("epoch").cast("long"))
+
+
+@register(
+    "pack_context_windows",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(floor((cum - toks) / 512) AS BIGINT) AS window_id,
+           CAST((cum - toks) % 512 AS BIGINT) AS offset_in_window
+    FROM (
+        SELECT doc_id, shard, toks,
+               sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+        FROM (SELECT doc_id,
+                     len(string_split(text, ' ')) AS toks,
+                     md5(CAST(doc_id AS VARCHAR)) AS h,
+                     {_BUCKET.format(key='doc_id', n=8)} AS shard
+              FROM documents) b) c
+    """,
+    note="context-window packing: shard-local running token offsets -> "
+         "window_id = floor(offset/512); parallel per shard (no global "
+         "sequential pass), deterministic md5 order")
+def pack_context_windows_q(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import pack_context_windows
+    d = tbl(spark, sf_dir, "documents")
+    with_toks = d.withColumn("toks", F.size(F.split("text", " ")))
+    out = pack_context_windows(with_toks, "doc_id", "toks",
+                               budget=512, n_shards=8)
+    return out.select("doc_id", "shard", "window_id", "offset_in_window")

@@ -171,3 +171,36 @@ def test_global_ids_dense_contiguous_deterministic(spark):
     for g in by_shard.values():
         g = sorted(g)
         assert g == list(range(g[0], g[0] + len(g)))
+
+
+def test_mix_sources_epoch_counts(spark):
+    from mapreduce_wsi_spark.operators.pipeline import mix_sources
+
+    df = spark.createDataFrame(
+        [(1, "wiki"), (2, "wiki"), (3, "web")], "k long, src string")
+    out = mix_sources(df, "k", "src", {"wiki": 3}, default_epochs=1)
+    got = {(r["k"], r["epoch"]) for r in out.collect()}
+    assert got == {(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3), (3, 1)}
+
+
+def test_pack_context_windows_respects_budget(spark):
+    from mapreduce_wsi_spark.operators.pipeline import pack_context_windows
+
+    df = (spark.range(0, 500).withColumnRenamed("id", "k")
+          .withColumn("toks", (F.col("k") % 90 + 10).cast("int")))
+    out = pack_context_windows(df, "k", "toks", budget=256, n_shards=4)
+    rows = out.collect()
+    # every doc starts inside its window's budget
+    assert all(0 <= r["offset_in_window"] < 256 for r in rows)
+    # window ids per shard are contiguous from 0
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], set()).add(r["window_id"])
+    for wins in by_shard.values():
+        assert wins == set(range(max(wins) + 1))
+    # deterministic
+    again = {(r["k"]): (r["shard"], r["window_id"], r["offset_in_window"])
+             for r in pack_context_windows(df, "k", "toks", budget=256,
+                                           n_shards=4).collect()}
+    assert all(again[r["k"]] == (r["shard"], r["window_id"],
+                                 r["offset_in_window"]) for r in rows)
