@@ -149,3 +149,22 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) >= {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    """Quarantine pattern: PERMISSIVE + a _corrupt_record column splits an
+    ingest into clean rows and a reviewable reject table in one pass —
+    how a 100 TB ingest keeps going without silently dropping garbage."""
+    p = tmp_path / "mixed.csv"
+    p.write_text("1,2,3\n4,notanint,6\n7,8,9\n")
+    df = (spark.read
+          .schema("a int, b int, c int, _corrupt_record string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(str(p)))
+    df = df.cache()  # corrupt-record column requires a stable scan
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(tuple(r) for r in clean.collect()) == [(1, 2, 3), (7, 8, 9)]
+    assert [r["_corrupt_record"] for r in rejects.collect()] == ["4,notanint,6"]
+    df.unpersist()

@@ -264,3 +264,24 @@ def test_upsert_sink_latest_wins_and_survives_restart(spark, tmp_path):
     expect[3] = ("c2", 30)
     assert {r["k"]: (r["v"], r["ord"])
             for r in spark.read.parquet(target).collect()} == expect
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process the whole backlog in rate-limited
+    microbatches, then stop on its own — the batch-like mode for periodic
+    jobs over a streaming source (state/checkpoint preserved between
+    runs, unlike a plain batch read)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("k long, v string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)  # self-terminates after draining
+    assert not q.isActive
+    assert spark.read.parquet(sink).count() == 3
