@@ -233,12 +233,12 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
                   .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
                           .alias("comp"))
                   .localCheckpoint(eager=True))
-        changed = (new_cc.alias("n")
-                   .join(cc.alias("o"), on="id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .count())
+        converged = (new_cc.alias("n")
+                     .join(cc.alias("o"), on="id")
+                     .filter(F.col("n.comp") != F.col("o.comp"))
+                     .isEmpty())  # short-circuits on the first changed row
         cc = new_cc
-        if changed == 0:
+        if converged:
             break
     return cc
 

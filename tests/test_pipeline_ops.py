@@ -204,3 +204,43 @@ def test_pack_context_windows_respects_budget(spark):
                                            n_shards=4).collect()}
     assert all(again[r["k"]] == (r["shard"], r["window_id"],
                                  r["offset_in_window"]) for r in rows)
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Empty partitions/corpora appear constantly at 100 TB (filtered
+    shards, fresh scopes); every pipeline operator must return an empty,
+    correctly-typed result instead of raising."""
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from mapreduce_wsi_spark.operators.pipeline import (
+        assign_global_ids,
+        pack_context_windows,
+        quantile_disc,
+        repetition_stats,
+        scrub_text,
+        shuffle_shards,
+        split_assign,
+    )
+    from mapreduce_wsi_spark.operators.relational import upsert
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    kv = spark.createDataFrame([], "k long, v long")
+
+    assert split_assign(docs, "doc_id").count() == 0
+    assert scrub_text(docs, "text", "doc_id").count() == 0
+    assert repetition_stats(docs, "text", "doc_id").count() == 0
+    assert jaccard_pairs(docs, "text", "doc_id").count() == 0
+    assert shuffle_shards(docs, "doc_id").count() == 0
+    assert assign_global_ids(docs, "doc_id", n_shards=4).count() == 0
+    assert quantile_disc(kv.withColumnRenamed("v", "val"), "k", "val").count() == 0
+    assert pack_context_windows(
+        kv.withColumnRenamed("v", "toks"), "k", "toks", 128).count() == 0
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+    # upsert: empty updates -> base unchanged; empty base -> all inserts
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    assert upsert(base, kv, ["k"]).collect() == base.collect()
+    assert sorted(tuple(r) for r in upsert(kv, base, ["k"]).collect()) == \
+        [(1, 10)]
