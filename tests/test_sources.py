@@ -168,3 +168,28 @@ def test_csv_corrupt_record_quarantine(spark, tmp_path):
     assert sorted(tuple(r) for r in clean.collect()) == [(1, 2, 3), (7, 8, 9)]
     assert [r["_corrupt_record"] for r in rejects.collect()] == ["4,notanint,6"]
     df.unpersist()
+
+
+def test_custom_python_datasource_parallel_scan(spark):
+    """Custom connector via the Python DataSource API: deterministic
+    synthetic docs, planned as N parallel partitions (the extension path
+    for bespoke 100 TB sources — replaces the reference's 'write an MR
+    job' escape hatch)."""
+    from mapreduce_wsi_spark.sources.custom import (
+        _doc_text,
+        register_synth_docs,
+    )
+
+    register_synth_docs(spark)
+    df = (spark.read.format("synthdocs")
+          .option("rows", 200).option("partitions", 5).load())
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["doc_id"]: (r["text"], r["n_words"]) for r in df.collect()}
+    assert len(rows) == 200
+    # deterministic content, parallel-partition independent
+    assert rows[7][0] == _doc_text(7)
+    assert all(t.count(" ") + 1 == n for t, n in rows.values())
+    # composes with the relational surface like any scan
+    from pyspark.sql import functions as F
+    agg = df.agg(F.sum("n_words").alias("s")).collect()[0]["s"]
+    assert agg == sum(n for _, n in rows.values())
