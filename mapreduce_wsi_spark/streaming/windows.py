@@ -105,14 +105,22 @@ def correlate_streams(left: DataFrame, right: DataFrame,
                       on: str = "user_id",
                       left_ts: str = "ts", right_ts: str = "ts_r",
                       within: str = "1 hour",
-                      watermark: str = "2 hours") -> DataFrame:
-    """Stream-stream inner join: pair events per key whose event times lie
+                      watermark: str = "2 hours",
+                      how: str = "inner") -> DataFrame:
+    """Stream-stream join: pair events per key whose event times lie
     within ``within`` of each other. Both sides carry watermarks plus a
     time-range join condition, so Spark can bound the join state it
-    buffers (without the range condition, state grows forever)."""
+    buffers (without the range condition, state grows forever).
+
+    ``how='left_outer'``: unmatched left rows are NOT dropped — they emit
+    with a NULL right side once the watermark passes their join window
+    (i.e. only when a match has become impossible). Until the watermark
+    moves past them they sit in state, so the last events of a stream
+    surface only after later data (or an empty-batch watermark advance)
+    pushes the watermark — the canonical stream-outer-join gotcha."""
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = ((l[on] == r[f"{on}_r"]) &
             (r[right_ts] >= l[left_ts]) &
             (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}")))
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -285,3 +285,52 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     q.awaitTermination(120)  # self-terminates after draining
     assert not q.isActive
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+        spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left event must emit
+    with a NULL right side — but only after the watermark passes its join
+    window. A far-future third batch advances the watermark to flush it."""
+    import datetime as dt
+    import time
+
+    from mapreduce_wsi_spark.streaming.windows import correlate_streams
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(path_dir, rows, schema):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(path_dir)
+        time.sleep(1.1)  # distinct mtimes -> ordered microbatches
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lsch = "user_id long, ts timestamp, eid_l long"
+    rsch = "user_id_r long, ts_r timestamp, eid_r long"
+    # batch 1: left events for users 1 (will match) and 2 (never matches)
+    write(lsrc, [(1, t0, 101), (2, t0, 102)], lsch)
+    # right: a match for user 1 within the hour; plus far-future rows on
+    # BOTH sides — the global watermark is the MIN across sources, so each
+    # stream must see newer data before the unmatched row can flush
+    write(rsrc, [(1, t0 + dt.timedelta(minutes=10), 201)], rsch)
+    write(rsrc, [(99, t0 + dt.timedelta(hours=12), 299)], rsch)
+    write(lsrc, [(98, t0 + dt.timedelta(hours=12), 198)], lsch)
+
+    sl = (spark.readStream.schema(lsch)
+          .option("maxFilesPerTrigger", 1).parquet(lsrc))
+    sr = (spark.readStream.schema(rsch)
+          .option("maxFilesPerTrigger", 1).parquet(rsrc))
+    joined = correlate_streams(sl, sr, watermark="30 minutes",
+                               how="left_outer").select("eid_l", "eid_r")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ss_left").start())
+    try:
+        q.processAllAvailable()
+        # one more empty-ish pass lets the final watermark commit flush
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["eid_l"], r["eid_r"])
+           for r in spark.sql("SELECT * FROM ss_left").collect()}
+    assert (101, 201) in got            # matched pair
+    assert (102, None) in got           # unmatched left emitted with NULL
