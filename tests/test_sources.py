@@ -193,3 +193,19 @@ def test_custom_python_datasource_parallel_scan(spark):
     from pyspark.sql import functions as F
     agg = df.agg(F.sum("n_words").alias("s")).collect()[0]["s"]
     assert agg == sum(n for _, n in rows.values())
+
+
+def test_compact_files_reduces_file_count_preserves_rows(spark, tmp_path):
+    from mapreduce_wsi_spark.sources.files import compact_files
+
+    p = str(tmp_path / "fragmented")
+    # 40 tiny files (streaming-sink accretion pattern)
+    spark.range(0, 4_000).repartition(40).write.parquet(p)
+    before_files = len(list((tmp_path / "fragmented").glob("*.parquet")))
+    assert before_files == 40
+    before = sorted(r["id"] for r in spark.read.parquet(p).collect())
+
+    n_out = compact_files(spark, p, target_bytes=10 * 1024 * 1024)
+    after_files = len(list((tmp_path / "fragmented").glob("*.parquet")))
+    assert after_files == n_out < before_files
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before

@@ -334,3 +334,26 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
            for r in spark.sql("SELECT * FROM ss_left").collect()}
     assert (101, 201) in got            # matched pair
     assert (102, None) in got           # unmatched left emitted with NULL
+
+
+def test_custom_python_streaming_source_offsets(spark, tmp_path):
+    """Custom streaming connector (SimpleDataSourceStreamReader): row-index
+    offsets, deterministic replay; draining via availableNow yields every
+    row exactly once across microbatches."""
+    from mapreduce_wsi_spark.sources.custom import register_synth_docs
+
+    register_synth_docs(spark)
+    stream = (spark.readStream.format("synthdocs")
+              .option("rows", 120).option("batchrows", 50).load())
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (stream.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()  # source runs dry at rows=120
+    finally:
+        q.stop()
+    got = spark.read.parquet(sink)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == list(range(120))  # each row exactly once, 3 microbatches
