@@ -370,3 +370,60 @@ def pack_context_windows_q(spark, sf_dir):
     out = pack_context_windows(with_toks, "doc_id", "toks",
                                budget=512, n_shards=8)
     return out.select("doc_id", "shard", "window_id", "offset_in_window")
+
+
+@register(
+    "sample_k_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS INT) AS rn
+        FROM documents) t
+    WHERE rn <= 10
+    """,
+    note="exactly-k-per-class sampling: rank by md5 within the stratum, "
+         "keep k — deterministic reservoir (same corpus -> same sample), "
+         "one shuffle on the stratum; the 'k examples per class' op of "
+         "every eval-set builder")
+def sample_k_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+    d = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("doc_id", "lang", "rn"))
+
+
+@register(
+    "table_fingerprint",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           CAST(sum({_BUCKET.format(key='o_orderkey', n=1000000007)})
+                AS BIGINT) AS fp_orderkey,
+           CAST(sum({_BUCKET.format(key='o_orderstatus', n=1000000007)})
+                AS BIGINT) AS fp_status,
+           CAST(sum({_BUCKET.format(
+                key="CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+                n=1000000007)}) AS BIGINT) AS fp_price
+    FROM orders
+    """,
+    note="order-insensitive table fingerprint: per-column sums of "
+         "md5-derived integers — two tables are (whp) identical iff "
+         "fingerprints match, compared without moving either (migration/"
+         "replication validation at 100 TB: one scan per side, 4 numbers "
+         "across the wire)")
+def table_fingerprint(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    o = tbl(spark, sf_dir, "orders")
+    P = 1000000007
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(portable_bucket(F.col("o_orderkey"), P)).alias("fp_orderkey"),
+        F.sum(portable_bucket(F.col("o_orderstatus"), P)).alias("fp_status"),
+        F.sum(portable_bucket(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), P))
+        .alias("fp_price"))
