@@ -171,3 +171,38 @@ def test_upsert_on_bucketed_tables_is_shuffle_free(spark, sf_oracle):
         assert merged.count() == o.count()  # no new keys in updates
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew handling: a join partition dominated by one hot
+    key must be split into parallel sub-reads (SortMergeJoin(skew=true) +
+    'AQEShuffleRead skewed' in the FINAL adaptive plan). This is the
+    native complement to salted_join — AQE splits oversized partitions at
+    runtime; salting is for when one single KEY exceeds what a task can
+    hold."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 1_000_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id"))
+            .alias("k"), F.col("id").alias("v"))
+        right = spark.range(0, 100_000).select(
+            F.col("id").alias("rk"), (F.col("id") * 2).alias("rv"))
+        j = left.join(right, left["k"] == right["rk"]).groupBy().count()
+        assert j.collect()[0]["count"] == 910_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
