@@ -393,3 +393,78 @@ def window_count_distinct(spark, sf_dir):
             .select("l_orderkey", "l_linenumber",
                     F.max("__dr").over(part_w).cast("long")
                     .alias("n_supp_in_order")))
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+    SELECT yr, rev,
+           rev - lag(rev) OVER (ORDER BY yr) AS delta,
+           CASE WHEN lag(rev) OVER (ORDER BY yr) != 0
+                THEN rev / lag(rev) OVER (ORDER BY yr)
+                ELSE NULL END AS ratio
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1) t
+    """,
+    note="year-over-year growth: agg to one row per year (tiny), then a "
+         "lag window over the aggregate — the window sorts post-"
+         "aggregation rows, never the fact table")
+def yoy_revenue_growth(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    yearly = (o.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double").alias("rev")))
+    w = Window.orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "yr", "rev",
+        (F.col("rev") - prev).alias("delta"),
+        F.when(prev != 0, F.col("rev") / prev).alias("ratio"))
+
+
+@register(
+    "share_of_total",
+    oracle="""
+    SELECT n_name, CAST(rev_d AS DOUBLE) AS rev,
+           CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE)
+               AS share_global,
+           CAST(rev_d AS DOUBLE)
+               / CAST(sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS share_in_region,
+           r_name
+    FROM (
+        SELECT n_name, r_name,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS rev_d
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2) t
+    """,
+    note="share-of-total at two grains (global + within region) as window "
+         "sums over the AGGREGATED rows (25 nations) — the fact scan "
+         "aggregates first, windows never see raw rows; sums stay decimal "
+         "through the window, one double division at the end")
+def share_of_total(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    base = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("n_name", "r_name")
+            .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .alias("rev_d")))
+    # window sums stay in exact decimal; ONE double division at the end —
+    # double-summed window totals differ across engines by accumulation
+    # order (1-ULP flakes under the hash compare)
+    g = F.sum("rev_d").over(Window.partitionBy())
+    reg = F.sum("rev_d").over(Window.partitionBy("r_name"))
+    return base.select(
+        "n_name", F.col("rev_d").cast("double").alias("rev"),
+        (F.col("rev_d").cast("double") / g.cast("double"))
+        .alias("share_global"),
+        (F.col("rev_d").cast("double") / reg.cast("double"))
+        .alias("share_in_region"),
+        "r_name")
