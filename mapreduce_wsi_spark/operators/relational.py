@@ -37,23 +37,28 @@ def top_k_per_group(df: DataFrame, partition_by: list[str],
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str,
               right_values: list[str],
-              suffix: str = "_asof") -> DataFrame:
-    """As-of (backward) join: for each left row, the most recent right row
-    with ``right_ts <= left_ts`` per key. Spark has no native as-of join
-    (SURVEY.md §2C); the scalable composition is the union + last-value
-    window trick:
+              suffix: str = "_asof",
+              direction: str = "backward") -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` per key (``direction='backward'``), or the
+    earliest right row with ``right_ts >= left_ts`` (``'forward'``).
+    Spark has no native as-of join (SURVEY.md §2C); the scalable
+    composition is the union + carried-value window trick:
 
       union both sides tagged → window per key ordered by (ts, tag) →
-      ``last(right_value, ignorenulls=True)`` carried forward → keep left rows.
+      ``last``/``first(right_value, ignorenulls=True)`` carried across →
+      keep left rows.
 
     One shuffle on ``on`` (same as any join), no per-key pandas, no range
     explosion — this survives 100 TB where a naive theta-join
     (``l.key = r.key AND r.ts <= l.ts`` + max) would blow up the join
     output before aggregating it back down.
 
-    Ties (right_ts == left_ts) match, because the right row sorts before the
-    left row at equal ts (tag 0 < tag 1).
+    Ties (right_ts == left_ts) match in both directions (the tag ordering
+    places the tied right row inside the carrying frame).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     pay_src = [right_ts, *right_values]
     l_tagged = left.select(
@@ -66,9 +71,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         F.lit(0).alias("__tag"), F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(f"{c}{suffix}") for c in pay_src])
     unioned = l_tagged.unionByName(r_tagged)
-    w = (Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__tag").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+    if direction == "backward":
+        w = (Window.partitionBy(*on)
+             .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carry = F.last
+    else:  # forward: tag desc puts the tied right row after the left row,
+        # inside the (currentRow, following) frame
+        w = (Window.partitionBy(*on)
+             .orderBy(F.col("__ts").asc(), F.col("__tag").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        carry = F.first
+    carried = [carry(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
                for c in [right_ts, *right_values]]
     out_cols = [c for c in lcols] + [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_values]
     return (unioned.select(*lcols, F.col("__tag"), *carried)

@@ -244,3 +244,26 @@ def test_operators_tolerate_empty_input(spark):
     assert upsert(base, kv, ["k"]).collect() == base.collect()
     assert sorted(tuple(r) for r in upsert(kv, base, ["k"]).collect()) == \
         [(1, 10)]
+
+
+def test_asof_join_forward_matches_bruteforce(spark):
+    from mapreduce_wsi_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 1, "c")], "k long, rt long, val string")
+    got = {(r["k"], r["t"]): (r["rt_asof"], r["val_asof"])
+           for r in asof_join(left, right, ["k"], "t", "rt", ["val"],
+                              direction="forward").collect()}
+    assert got == {
+        (1, 10): (10, "a"),   # tie matches forward
+        (1, 25): (30, "b"),   # next following
+        (1, 40): (None, None),  # nothing after
+        (2, 5): (None, None),   # right exists only before
+    }
+    # backward still behaves as before
+    back = {(r["k"], r["t"]): r["val_asof"]
+            for r in asof_join(left, right, ["k"], "t", "rt",
+                               ["val"]).collect()}
+    assert back == {(1, 10): "a", (1, 25): "a", (1, 40): "b", (2, 5): "c"}
