@@ -97,25 +97,68 @@ def agg_distinct_counts(spark, sf_dir):
 
 @register(
     "approx_distinct_hll",
-    oracle=None,
-    note="HLL++ sketch — estimates are engine-specific, rows-only check; "
-         "exactness twin is agg_distinct_counts")
+    oracle="""
+    SELECT l_returnflag,
+           true AS parts_within_tol,
+           true AS orders_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="HLL++ sketch — raw estimates are engine-specific, so the "
+         "driver-checkable contract is a Spark-side within-tolerance "
+         "boolean vs the exact distinct count (rsd=0.02, asserted <=5% "
+         "relative error); exactness twin is agg_distinct_counts")
 def approx_distinct_hll(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"))
+    tol = 0.05
+
+    def within(a, e):
+        return (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= tol
+
+    return agg.select(
+        "l_returnflag",
+        within("approx_parts", "exact_parts").alias("parts_within_tol"),
+        within("approx_orders", "exact_orders").alias("orders_within_tol"))
 
 
 @register(
     "approx_quantiles",
-    oracle=None,
-    note="percentile_approx sketch (GK/KLL-style) — engine-specific, rows-only")
+    oracle="""
+    SELECT l_returnflag,
+           true AS p25_within_tol,
+           true AS p50_within_tol,
+           true AS p75_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="percentile_approx sketch (GK/KLL-style) — estimates are "
+         "engine-specific, so the contract is a Spark-side within-tolerance "
+         "boolean per quartile vs Spark's exact percentile (accuracy=10000, "
+         "asserted <=2% relative error); scalar columns, not an array "
+         "(the driver's hasher cannot hash list cells)")
 def approx_quantiles(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
-        .alias("price_quartiles"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("ap25"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("ap75"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("ep25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ep50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("ep75"))
+    tol = 0.02
+
+    def within(a, e):
+        return (F.abs(F.col(a).cast("double") - F.col(e))
+                / F.col(e)) <= tol
+
+    return agg.select(
+        "l_returnflag",
+        within("ap25", "ep25").alias("p25_within_tol"),
+        within("ap50", "ep50").alias("p50_within_tol"),
+        within("ap75", "ep75").alias("p75_within_tol"))
 
 
 # --------------------------------------------------------------------------

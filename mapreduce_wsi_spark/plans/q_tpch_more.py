@@ -249,8 +249,8 @@ def q10_returned_items(spark, sf_dir):
     "q12_late_shipment",
     oracle="""
     SELECT o.o_orderpriority,
-           sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-                    THEN 1 ELSE 0 END) AS late_count,
+           CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
            count(*) AS total_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
