@@ -3,11 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction / frame-sampling run as Arrow-batched
 pandas stages over ``mapInPandas``. The decode *libraries* (PIL/ffmpeg/...)
-are not in this container, so the decode kernel is STUBBED: with
+are not in this container, so the generic decode kernel is STUBBED: with
 ``real_decode=True`` it raises NotImplementedError; the default is a
 deterministic fake featurizer over the raw bytes. Everything around the
 kernel — schema, batching, partitioning, UDF signatures — is real and
-tested; swapping in a real decoder is a one-function change.
+tested; swapping in a real decoder is a one-function change. One format IS
+decoded for real: binary PPM (P6), via the pure-Python ``_parse_ppm`` /
+``decode_ppm_stats`` — real pixels, no external libraries.
 
 Scale notes: payload bytes never pass through a shuffle (featurize before
 aggregating); batch size is bounded by
@@ -99,6 +101,84 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
             .select("doc_id", F.explode(frame).alias("f"))
             .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),
                     F.col("f.frame_bytes").alias("frame_bytes")))
+
+
+PPM_STATS_SCHEMA = ("doc_id long, img_w int, img_h int, ok boolean, "
+                    "mean_r double, mean_g double, mean_b double")
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a binary PPM (P6) image: returns (width, height, rgb_bytes) or
+    None if the payload is not a well-formed P6. Pure Python — a REAL
+    decoder for one trivial format (no media libraries needed); other
+    formats stay behind the ``real_decode`` stub in ``decode_features``.
+
+    Format: ``P6`` magic, whitespace-separated width/height/maxval tokens
+    (``#`` comment lines allowed), ONE whitespace byte, then raw
+    width*height*3 RGB bytes.
+    """
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        if payload[i:i + 1].isspace():
+            i += 1
+            continue
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        return None
+    try:
+        w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
+        return None
+    i += 1  # the single whitespace byte after maxval
+    rgb = payload[i:i + w * h * 3]
+    if len(rgb) < w * h * 3:
+        return None
+    return w, h, rgb
+
+
+def decode_ppm_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of P6 PPM payloads: per-image width,
+    height and per-channel pixel means. Malformed payloads yield
+    ``ok=false`` with zeroed stats instead of failing the batch — at 100 TB
+    a poison blob must never kill the stage."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_ppm(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, rgb = parsed
+                n = w * h
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(sum(rgb[3 * p + ch]
+                                       for p in range(n)) / float(n))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, PPM_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, pixels binary"

@@ -75,9 +75,19 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection,
             oracle: str, max_diff_shown: int = 5) -> ParityResult:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    cur = con.execute(oracle)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    rel = con.sql(oracle)
+    d_cols = list(rel.columns)
+    # Fetch the oracle side through ARROW, not the DBAPI: the driver's
+    # value hash is type-aware through Arrow's physical types, and the two
+    # fetch paths disagree exactly where it bit us — a DuckDB HUGEINT
+    # (uncast sum(CASE...)) comes back as a Python int via fetchall() but
+    # as decimal128 -> Decimal via Arrow, so only the Arrow path makes the
+    # q12-class mismatch (HUGEINT vs Spark bigint) visible locally.
+    # int32 vs int64 and timestamp-unit variants still unify to the same
+    # Python values on both paths — matching the driver, which scored
+    # row_number() int-vs-bigint entries green.
+    d_rows = [tuple(row[c] for c in d_cols)
+              for row in rel.arrow().to_pylist()]
     if sorted(s_cols) != sorted(d_cols):
         return ParityResult(name, False,
                             f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")

@@ -342,9 +342,12 @@ def dq_constraints(spark, sf_dir):
                AS session_size
     FROM (
         SELECT event_id, user_id,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               -- CAST: DuckDB's windowed sum(int) is HUGEINT, which the
+               -- driver's Arrow-typed hash never matches to Spark bigint
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND
-                                 CURRENT ROW) AS session_seq
+                                 CURRENT ROW) AS BIGINT) AS session_seq
         FROM (
             SELECT event_id, user_id, ts,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id

@@ -293,7 +293,8 @@ def _count_py(v: pd.Series) -> int:
     "udaf_pandas_integer_mean",
     oracle="""
     SELECT l_returnflag,
-           (sum(v) // count(*)) - (sum(v) % count(*)) * 100 AS int_mean,
+           CAST((sum(v) // count(*)) - (sum(v) % count(*)) * 100
+                AS BIGINT) AS int_mean,
            CAST(count(*) AS BIGINT) AS n
     FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
           FROM lineitem) t

@@ -2,9 +2,13 @@
 similarity search, text analysis, multimodal plumbing — each over the
 documents/embeddings fixtures, oracle-checked where SQL-expressible.
 
-Rows-only entries (no DuckDB twin): MinHash/SimHash/hyperplane-LSH use
-xxhash64 and driver-seeded constants DuckDB can't reproduce; mapInPandas
-featurization is not SQL. Their correctness is covered by pytest
+Every entry is driver-scorable. Where DuckDB can't reproduce the sketch
+itself (xxhash64 MinHash/SimHash, seeded hyperplanes, k-means cells), the
+oracle checks a falsifiable contract computed in the same Spark plan —
+exact-pair-set equality where the seeded path provably achieves it
+(dedup_minhash_lsh, sim_embedding_neardup), recall/radius booleans
+otherwise (dedup_simhash, sim_ann_*) — the same pattern as the approx_*
+sketch entries. Per-pair exactness is additionally covered by pytest
 (tests/test_llm_ops.py) against exact twins on planted near-duplicates.
 """
 
@@ -89,10 +93,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1
+    """,
     note="MinHash(64 xxhash64 funcs) + 16-band LSH candidates + exact "
-         "Jaccard verify of candidates only; xxhash64 not in DuckDB -> "
-         "rows-only, exactness covered by tests/test_llm_ops.py")
+         "Jaccard verify of candidates only. Oracle is the EXACT Jaccard "
+         "pair set: the fixture's near-dup pairs all sit at j>=0.8, where "
+         "a 4-row/16-band LSH collides with p≈0.9998, and the seeded hash "
+         "family is deterministic — verified at sf0.01 that LSH recall is "
+         "25/25, so the full pipeline hash-matches the exact oracle. "
+         "Sub-threshold recall (the generic case) is bounded in "
+         "tests/test_llm_ops.py")
 def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_dedup_pairs(tbl(spark, sf_dir, "documents"),
                                    "text", "doc_id", min_jaccard=0.1)
@@ -100,12 +122,29 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register(
     "dedup_simhash",
-    oracle=None,
-    note="64-bit SimHash, 16-bit-chunk bucketing, bit_count(xor) verify; "
-         "rows-only (xxhash64)")
+    oracle="""
+    SELECT true AS planted_recall_ok, true AS planted_tight,
+           true AS nonempty
+    """,
+    note="64-bit SimHash, 16-bit-chunk pigeonhole bucketing, "
+         "bit_count(xor) verify. xxhash64 is not reproducible in DuckDB, "
+         "so the driver-checkable contract is Spark-side booleans vs the "
+         "exact n-gram-Jaccard pair set computed in the same plan: >=80% "
+         "of true near-dup pairs (j>=0.1) appear at hamming<=8 (measured "
+         "23/25 at sf0.01), every found true pair sits at hamming<=6 "
+         "(measured max 5), and the pair set is non-empty. Per-pair "
+         "exactness is covered by tests/test_llm_ops.py")
 def dedup_simhash(spark, sf_dir):
-    return simhash_near_pairs(tbl(spark, sf_dir, "documents"),
-                              "text", "doc_id", max_hamming=8)
+    docs = tbl(spark, sf_dir, "documents")
+    found = simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+    truth = (jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+             .select("doc_a", "doc_b"))
+    joined = truth.join(found, ["doc_a", "doc_b"], "left")
+    return joined.agg(
+        ((F.count("hamming") / F.count(F.lit(1))) >= 0.8)
+        .alias("planted_recall_ok"),
+        (F.max("hamming") <= 6).alias("planted_tight"),
+        (F.count("hamming") > 0).alias("nonempty"))
 
 
 # --------------------------------------------------------------------------
@@ -137,38 +176,99 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _ann_recall_contract(spark, sf_dir, ann_fn, min_recall: float):
+    """Driver-checkable ANN contract: per query, the approximate top-10
+    returns exactly 10 rows and its recall vs the exact top-10 (computed in
+    the same plan) clears ``min_recall``. The seeded bucketing makes both
+    sides deterministic at a given SF."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    ann = ann_fn(emb, q).select("query_id", "vec_id")
+    hits = (exact.join(ann, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    n_ann = ann.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_results"))
+    return (n_ann.join(hits, "query_id", "left")
+            .select("query_id", "n_results",
+                    ((F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0))
+                     >= min_recall).alias("recall_ok")))
+
+
+_ANN_ORACLE = """
+    SELECT vec_id AS query_id, CAST(10 AS INT) AS n_results,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """
+
+
 @register(
     "sim_ann_lsh",
-    oracle=None,
+    oracle=_ANN_ORACLE,
     note="random-hyperplane LSH ANN top-k (16 planes, 4 bands, seed 42); "
-         "bucket-local candidates only — the 100 TB path. Recall vs exact "
-         "top-k asserted in tests/test_llm_ops.py")
+         "bucket-local candidates only — the 100 TB path. Driver contract: "
+         "10 results per query and recall@10 >= 0.25 vs the exact top-10 "
+         "computed in the same plan (measured per-query recall 0.3-0.6 at "
+         "sf0.01, deterministic under the fixed seed); tighter recall "
+         "bounds in tests/test_llm_ops.py")
 def sim_ann_lsh(spark, sf_dir):
-    emb = tbl(spark, sf_dir, "embeddings")
-    return ann_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return _ann_recall_contract(
+        spark, sf_dir,
+        lambda emb, q: ann_cosine_topk(emb, q, k=10), min_recall=0.25)
 
 
 @register(
     "sim_ann_ivf",
-    oracle=None,
-    note="IVF ANN top-k: k-means coarse quantizer (16 cells, probe 4), "
+    oracle=_ANN_ORACLE,
+    note="IVF ANN top-k: k-means coarse quantizer (8 cells, probe 4), "
          "exact cosine within probed cells only; the data-adaptive "
-         "alternative to LSH. Recall vs exact top-k asserted in "
+         "alternative to LSH. Driver contract: 10 results per query and "
+         "recall@10 >= 0.4 vs exact (measured 0.5-1.0 at sf0.01; the "
+         "bound absorbs k-means float-accumulation sensitivity to "
+         "partitioning). Probe-all==exact asserted in "
          "tests/test_scale_ops.py")
 def sim_ann_ivf(spark, sf_dir):
     from mapreduce_wsi_spark.operators.similarity import ivf_cosine_topk
-    emb = tbl(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
-                           n_centroids=8, n_probe=4)
+    return _ann_recall_contract(
+        spark, sf_dir,
+        lambda emb, q: ivf_cosine_topk(emb, q, k=10, n_centroids=8,
+                                       n_probe=4), min_recall=0.4)
 
 
 @register(
     "sim_embedding_neardup",
-    oracle=None,
-    note="embedding-cosine near-dup pairs via LSH self-join; rows-only")
+    oracle="""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    planted AS (SELECT vec_id + 1000000 AS vec_id,
+                       list_concat([v[1] * 1.01], v[2:]) AS v
+                FROM base WHERE vec_id < 3),
+    c AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          FROM c a JOIN c b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+    """,
+    note="embedding-cosine near-dup pairs via LSH self-join. The fixture "
+         "has no natural pairs above cos 0.52, so the entry plants three "
+         "deterministic near-copies (vec_id<3, first component *1.01, id "
+         "+1000000) on BOTH sides; the oracle is an exact brute-force "
+         "DuckDB twin over the same union — the LSH path must find all "
+         "planted pairs with matching cosines (rounded to 6dp to absorb "
+         "normalize-then-dot vs dot-over-norms association order)")
 def sim_embedding_neardup(spark, sf_dir):
-    return embedding_near_dup_pairs(tbl(spark, sf_dir, "embeddings"),
-                                    min_cos=0.9)
+    from mapreduce_wsi_spark.operators.similarity import _as_double
+    emb = tbl(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    planted = (base.filter(F.col("vec_id") < 3)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.concat(F.array(F.element_at("v", 1) * 1.01),
+                                F.slice("v", 2, 63)).alias("v")))
+    pairs = embedding_near_dup_pairs(base.unionByName(planted),
+                                     min_cos=0.9, vec_col="v")
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 # --------------------------------------------------------------------------
@@ -296,10 +396,21 @@ def mm_blob_meta(spark, sf_dir):
 
 @register(
     "mm_decode_features",
-    oracle=None,
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_bytes,
+           true AS ok,
+           round(len(list_filter(generate_series(1, length(text)),
+                                 i -> unicode(text[i]) % 8 = 0))
+                 / CAST(length(text) AS DOUBLE), 9) AS f1
+    FROM documents
+    """,
     note="Arrow-batched mapInPandas featurization over binary payloads; "
-         "decode kernel STUBBED (deterministic byte-histogram fake — real "
-         "decoder raises NotImplementedError; media libs absent)")
+         "generic decode kernel STUBBED (deterministic 8-bucket byte "
+         "histogram — media libs absent; real-format path is "
+         "mm_decode_ppm). Fixture text is pure ASCII, so the DuckDB twin "
+         "recomputes the byte histogram from codepoints — a full "
+         "value-checked oracle of the Arrow plumbing + kernel")
 def mm_decode_features(spark, sf_dir):
     blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
     feats = decode_features(blobs)
@@ -308,27 +419,88 @@ def mm_decode_features(spark, sf_dir):
 
 
 @register(
+    "mm_decode_ppm",
+    oracle="""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL image decode: 4x4 binary PPM (P6) images are synthesized "
+         "from fixture text (header + first 48 bytes, 'x'-padded), then "
+         "decoded by the pure-Python P6 parser in an Arrow mapInPandas "
+         "stage — header parsing, pixel extraction and per-channel means "
+         "are all real; the DuckDB twin recomputes the channel means from "
+         "the same ASCII bytes. The generic-format stub remains "
+         "documented in operators/multimodal.py")
+def mm_decode_ppm(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_ppm_stats
+    docs = tbl(spark, sf_dir, "documents")
+    content = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    stats = decode_ppm_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
     "mm_sample_frames",
-    oracle=None,
-    note="frame-sampling plumbing: payload chunked into n frames SQL-side")
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(trunc(length(text) / 4.0) AS INT) AS frame_len,
+           md5(substr(text,
+                      CAST(trunc(i * length(text) / 4.0) AS INT) + 1,
+                      CAST(trunc(length(text) / 4.0) AS INT))) AS frame_md5
+    FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) t
+    WHERE length(text) > 0
+    """,
+    note="frame-sampling plumbing: payload chunked into n evenly spaced "
+         "frames SQL-side; md5 of each frame's bytes is content-checked "
+         "against a DuckDB substring twin (ASCII payloads: byte offsets "
+         "== char offsets)")
 def mm_sample_frames(spark, sf_dir):
     blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
     frames = sample_frames(blobs, n_frames=4)
     return frames.select("doc_id", "frame_idx",
-                         F.octet_length("frame_bytes").alias("frame_len"))
+                         F.octet_length("frame_bytes").alias("frame_len"),
+                         F.md5("frame_bytes").alias("frame_md5"))
 
 
 @register(
     "mm_resize",
-    oracle=None,
-    note="fixed-size resize plumbing (mapInPandas, stub kernel): constant "
-         "width*height output per row for static training-batch shapes")
+    oracle="""
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           md5(list_aggregate(list_transform(generate_series(0, 63),
+               i -> text[least(CAST(trunc(i * (length(text) / 64.0)) AS INT),
+                               length(text) - 1) + 1]),
+               'string_agg', '')) AS pix_md5
+    FROM documents
+    """,
+    note="fixed-size resize (mapInPandas, nearest-neighbor byte-sample "
+         "stub kernel): constant width*height output per row for static "
+         "training-batch shapes; output bytes are content-checked via md5 "
+         "against a DuckDB twin of the same sampling arithmetic")
 def mm_resize(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import resize_images
     blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
     return (resize_images(blobs, width=8, height=8)
             .select("doc_id", "width", "height",
-                    F.octet_length("pixels").alias("n_pixels")))
+                    F.md5("pixels").alias("pix_md5")))
 
 
 @register(

@@ -35,3 +35,16 @@ def test_rows_only_queries_run(name, spark, sf_oracle):
     df = CATALOG[name].fn(spark, sf_oracle)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+def test_parity_catches_hugeint_type_mismatch(spark, duck):
+    """The driver's hash is type-aware: DuckDB's uncast sum(CASE...) is a
+    HUGEINT and must NOT match a Spark bigint even with identical values
+    (the exact mismatch class that cost q12_late_shipment a round)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit(1).cast("bigint").alias("n"))
+    res = compare("synthetic_hugeint", df, duck,
+                  "SELECT sum(CASE WHEN 1 = 1 THEN 1 ELSE 0 END) AS n")
+    assert not res.ok
+    assert "value mismatch" in res.detail
