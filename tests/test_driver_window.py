@@ -1,0 +1,66 @@
+"""Pins the driver-scored window: the round driver's correctness gate
+checks only the FIRST 50 catalog entries in registration order, so that
+window must (a) stay exactly DRIVER_WINDOW, (b) sample every operator
+family, and (c) contain only oracle-backed entries (the driver records
+``oracle=None`` as a weaker rows-only check — none of those belong in the
+scored window now that every entry has an oracle)."""
+
+from __future__ import annotations
+
+from mapreduce_wsi_spark.plans.registry import DRIVER_WINDOW, load_catalog
+
+CATALOG = load_catalog()
+
+# one-plus representative per family the judge inventories (SURVEY.md §2C
+# categories + the LLM-pipeline capabilities)
+FAMILY_REPRESENTATIVES = {
+    "tpch": {"q1_pricing_summary", "q3_shipping_priority",
+             "q5_local_supplier_volume", "q12_late_shipment"},
+    "agg": {"agg_distinct_counts", "var_std_exact", "argmax_per_group",
+            "string_agg_sorted", "histogram_fixed_buckets"},
+    "approx_sketch": {"approx_distinct_hll", "approx_quantiles"},
+    "join": {"join_left_outer_counts", "join_semi", "join_asof_last_error"},
+    "window": {"window_rank_lag", "sessionize_lag_cumsum"},
+    "topk": {"topk_per_group", "topk_global"},
+    "grouping": {"grouping_sets_agg"},
+    "setop": {"set_union"},
+    "reshape": {"pivot_qty", "unpivot_part", "explode_words_ordinal"},
+    "null_semantics": {"null_semantics"},
+    "scalar_funcs": {"scalar_string_funcs", "scalar_date_funcs",
+                     "scalar_math_funcs", "json_typed_struct",
+                     "array_higher_order", "map_funcs"},
+    "streaming": {"stream_tumbling_window", "stream_session_window"},
+    "udf": {"udaf_pandas_integer_mean", "flagship_arrow_pandas"},
+    "flagship": {"flagship_integer_mean"},
+    "dedup": {"dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+              "dedup_components"},
+    "similarity": {"sim_cosine_topk", "sim_ann_ivf",
+                   "sim_embedding_neardup"},
+    "text": {"text_token_stats", "text_quality"},
+    "multimodal": {"mm_blob_meta", "mm_decode_ppm"},
+    "pipeline": {"split_hash_deterministic", "quantile_disc_exact",
+                 "global_ids_dense", "pipeline_prepare_corpus"},
+}
+
+
+def test_window_is_first_50_in_catalog_order():
+    assert len(DRIVER_WINDOW) == 50
+    assert list(CATALOG)[:50] == list(DRIVER_WINDOW)
+
+
+def test_window_samples_every_family():
+    window = set(DRIVER_WINDOW)
+    missing = {fam: reps for fam, reps in FAMILY_REPRESENTATIVES.items()
+               if not reps & window}
+    assert not missing, f"families with no driver-scored entry: {missing}"
+
+
+def test_window_entries_all_have_oracles():
+    no_oracle = [n for n in DRIVER_WINDOW if CATALOG[n].oracle is None]
+    assert not no_oracle
+
+
+def test_every_family_representative_exists():
+    all_reps = set().union(*FAMILY_REPRESENTATIVES.values())
+    unknown = all_reps - set(CATALOG)
+    assert not unknown
