@@ -44,6 +44,28 @@ def run_job(engine, scope_id: int, fn: Callable, *args, **kwargs):
     return fn(engine.spark, prefix, *args, **kwargs)
 
 
+def run_job_artifact(engine, scope_id: int, artifact_path: str,
+                     entry_module: str, entry_func: str = "main",
+                     *args, **kwargs):
+    """Compiled-artifact flavor of ``run_job`` — the reference's actual
+    contract ships a self-contained client JAR and invokes its ``main()``
+    with arg0 = the scope prefix (MapReduceWSIImpl.java:89-115,
+    MapReduceWSI.java:68-73). Here the artifact is a ``.zip``/``.egg``/
+    ``.py`` Python bundle shipped via ``addPyFile`` — importable on the
+    driver AND every executor (so UDFs defined inside the artifact
+    resolve) — and ``<entry_module>.<entry_func>(spark, scope_prefix,
+    *args)`` is the main().
+    """
+    if not os.path.isfile(artifact_path):
+        raise FileNotFoundError(f"artifact not found: {artifact_path}")
+    engine.spark.sparkContext.addPyFile(artifact_path)
+    import importlib
+    mod = importlib.import_module(entry_module)
+    fn = getattr(mod, entry_func)
+    prefix = scope_path(engine.base_path, scope_id)
+    return fn(engine.spark, prefix, *args, **kwargs)
+
+
 def _materialize_script(source: str, tag: str) -> str:
     """Write a script source string (with shebang) to an executable temp
     file (≈ writeTempFile + SCP, MapReduceWSIImpl.java:119-130,146-151)."""
@@ -56,7 +78,8 @@ def _materialize_script(source: str, tag: str) -> str:
 
 def pipe_map_reduce(engine, scope_id: int, mapper_script: str,
                     reducer_script: str, input_name: str, output_name: str,
-                    num_reducers: int | None = None) -> None:
+                    num_reducers: int | None = None,
+                    files: list[str] | None = None) -> None:
     """Hadoop-Streaming-compatible script dataflow over a scope dataset.
 
     Protocol fidelity (MapReduceWSI.java:81-105, EndToEndTest.java:84-98):
@@ -64,6 +87,13 @@ def pipe_map_reduce(engine, scope_id: int, mapper_script: str,
       - framework: hash partition by key, byte-order sort within partition
       - reducer: sorted grouped lines on stdin -> output lines on stdout
     Output is written as text to ``<scope>/<output_name>``.
+
+    ``files``: auxiliary side files (lookup tables, configs) shipped to
+    every executor's working directory alongside the scripts — the
+    reference ships N side files via repeated ``-file`` flags
+    (MapReduceWSIImpl.java:194-197). Scripts open them by BASENAME:
+    ``SparkFiles.getRootDirectory()`` is prepended to PATH-relative reads
+    via the pipe env, matching Hadoop Streaming's cwd-symlink behavior.
     """
     spark = engine.spark
     sc = spark.sparkContext
@@ -74,18 +104,29 @@ def pipe_map_reduce(engine, scope_id: int, mapper_script: str,
     # ship to executors (≈ the -file flags, MapReduceWSIImpl.java:194-197)
     sc.addFile(mapper_path)
     sc.addFile(reducer_path)
+    for aux in files or []:
+        if not os.path.isfile(aux):
+            raise FileNotFoundError(f"aux file not found: {aux}")
+        sc.addFile(aux)
 
     in_path = scope_path(engine.base_path, scope_id, input_name)
     out_path = scope_path(engine.base_path, scope_id, output_name)
 
+    # Where shipped side files land: on a YARN cluster addFile localizes
+    # into the container cwd (pipe children inherit it — bare basenames
+    # work, as in Hadoop Streaming); in local mode they land in the
+    # SparkFiles root instead, so export it for scripts to join against.
+    from pyspark import SparkFiles
+    pipe_env = {"MRWSI_FILES_DIR": SparkFiles.getRootDirectory()}
+
     lines = spark.read.text(in_path).rdd.map(lambda r: r[0])
-    mapped = lines.pipe(mapper_path)
+    mapped = lines.pipe(mapper_path, env=pipe_env)
     # key = text before first tab (Hadoop KeyValueTextInputFormat semantics)
     keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln))
     # default partitionFunc is pyspark's portable_hash (stable across
     # processes, unlike builtin hash with randomized PYTHONHASHSEED)
     shuffled = keyed.repartitionAndSortWithinPartitions(numPartitions=n_red)
-    reduced = shuffled.values().pipe(reducer_path)
+    reduced = shuffled.values().pipe(reducer_path, env=pipe_env)
     reduced.map(lambda ln: (ln,)).toDF(["value"]).write.mode("overwrite") \
         .text(out_path)
     for p in (mapper_path, reducer_path):

@@ -117,10 +117,18 @@ class Engine:
 
     def pipe_map_reduce(self, scope_id: int, mapper_script: str,
                         reducer_script: str, input_name: str,
-                        output_name: str, num_reducers: int | None = None) -> None:
+                        output_name: str, num_reducers: int | None = None,
+                        files: list[str] | None = None) -> None:
         from mapreduce_wsi_spark.operators.dataflow import pipe_map_reduce
         return pipe_map_reduce(self, scope_id, mapper_script, reducer_script,
-                               input_name, output_name, num_reducers)
+                               input_name, output_name, num_reducers, files)
+
+    def run_job_artifact(self, scope_id: int, artifact_path: str,
+                         entry_module: str, entry_func: str = "main",
+                         *args, **kwargs):
+        from mapreduce_wsi_spark.operators.dataflow import run_job_artifact
+        return run_job_artifact(self, scope_id, artifact_path, entry_module,
+                                entry_func, *args, **kwargs)
 
     # --- JDBC edges (A3/A4) ---
     def import_jdbc(self, scope_id: int, url: str, query: str,

@@ -257,3 +257,78 @@ def test_jdbc_import_parallelism(engine, derby_url):
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 400
     engine.delete_scope(sid)
+
+
+def test_pipe_map_reduce_ships_aux_files(engine, tmp_path):
+    """The reference ships N side files via repeated -file flags
+    (MapReduceWSIImpl.java:194-197); pipe_map_reduce(files=[...]) must make
+    them readable from both stages via $MRWSI_FILES_DIR."""
+    spark = engine.spark
+    sid = engine.create_scope()
+    lookup = tmp_path / "offsets.tsv"
+    lookup.write_text("0\t100\n1\t200\n2\t300\n")
+    spark.createDataFrame([("1,2,3",), ("4,5,6",)], ["value"]) \
+        .write.mode("overwrite").text(engine.scope_path(sid, "auxin"))
+
+    mapper = """#!/usr/bin/env python3
+import sys
+for line in sys.stdin:
+    line = line.strip()
+    if not line:
+        continue
+    for idx, field in enumerate(line.split(",")):
+        print(f"{idx}\\t{int(field)}")
+"""
+    # reducer adds a per-key offset read from the shipped side file
+    reducer = """#!/usr/bin/env python3
+import os, sys
+from itertools import groupby
+path = os.path.join(os.environ["MRWSI_FILES_DIR"], "offsets.tsv")
+offsets = dict(ln.split("\\t") for ln in open(path).read().splitlines())
+pairs = (line.rstrip("\\n").split("\\t") for line in sys.stdin if line.strip())
+for key, grp in groupby(pairs, key=lambda kv: kv[0]):
+    total = sum(int(v) for _, v in grp)
+    print(f"{key}\\t{total + int(offsets[key])}")
+"""
+    engine.pipe_map_reduce(sid, mapper, reducer, "auxin", "auxout",
+                           num_reducers=2, files=[str(lookup)])
+    out = {tuple(r.value.split("\t"))
+           for r in spark.read.text(engine.scope_path(sid, "auxout")).collect()}
+    assert out == {("0", "105"), ("1", "207"), ("2", "309")}
+    engine.delete_scope(sid)
+
+
+def test_pipe_map_reduce_missing_aux_file_raises(engine):
+    sid = engine.create_scope()
+    with pytest.raises(FileNotFoundError):
+        engine.pipe_map_reduce(sid, MAPPER, REDUCER, "x", "y",
+                               files=["/nonexistent/aux.txt"])
+    engine.delete_scope(sid)
+
+
+def test_run_job_artifact_from_zip(engine, tmp_path):
+    """Bring-your-own-program as a shipped artifact: a zipped Python module
+    is added via addPyFile and its main(spark, scope_prefix, *args) runs —
+    the in-process twin of the reference's client-JAR contract
+    (MapReduceWSIImpl.java:89-115)."""
+    import zipfile
+
+    sid = engine.create_scope()
+    art = tmp_path / "client_job.zip"
+    with zipfile.ZipFile(art, "w") as z:
+        z.writestr("client_job_mod.py", (
+            "def main(spark, prefix, factor):\n"
+            "    df = spark.range(10)\n"
+            "    df.write.mode('overwrite').parquet(prefix + '/artifact_out')\n"
+            "    return spark.read.parquet(prefix + '/artifact_out')"
+            ".count() * factor\n"))
+    assert engine.run_job_artifact(sid, str(art), "client_job_mod",
+                                   "main", 3) == 30
+    engine.delete_scope(sid)
+
+
+def test_run_job_artifact_missing_raises(engine):
+    sid = engine.create_scope()
+    with pytest.raises(FileNotFoundError):
+        engine.run_job_artifact(sid, "/nonexistent/art.zip", "m")
+    engine.delete_scope(sid)
