@@ -21,7 +21,10 @@ sys.path.insert(0, REPO_DIR)
 
 # Headline set: one per major operator family (agg, multi-join, window,
 # reference-e2e, dedup-ish distinct agg, fact-fact join, semi-join+re-agg,
-# LLM dedup/similarity/text). Keep in sync with plans/ catalog.
+# LLM dedup/similarity/text) PLUS the iterative/sketch tail
+# (MinHash+LSH, connected components, IVF ANN) so the slow non-relational
+# paths are measured, not just the sub-second relational spine.
+# Keep in sync with plans/ catalog.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -34,7 +37,54 @@ HEADLINE = [
     "dedup_exact",
     "sim_cosine_topk",
     "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "sim_ann_ivf_build",
+    "sim_ann_ivf",
 ]
+
+# Entries whose work happens while the plan is BUILT (iterative label
+# propagation, k-means fit into a checkpoint): each timed run rebuilds
+# from scratch; everything else builds once and times execution only.
+BUILD_IN_TIMING = {"dedup_components", "sim_ann_ivf_build"}
+
+
+def _bench_overrides():
+    """Production-path builders for entries whose CATALOG twin bundles
+    extra verification work. sim_ann_ivf's catalog entry computes the
+    exact top-k alongside the ANN path to make a driver-checkable recall
+    contract — timing that would measure approx+exact together (see
+    ADVICE r2). The bench instead times the two production phases
+    separately: sim_ann_ivf_build = one-time index construction
+    (amortized across query batches in serving), sim_ann_ivf = the
+    query path against a prebuilt index."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
+    from mapreduce_wsi_spark.plans.registry import tbl
+
+    index_cache: dict[str, tuple] = {}
+
+    def _index(spark, sf_dir):
+        if sf_dir not in index_cache:
+            emb = tbl(spark, sf_dir, "embeddings")
+            index_cache[sf_dir] = (emb, *build_ivf_index(emb, n_centroids=8))
+        return index_cache[sf_dir]
+
+    def ivf_build(spark, sf_dir):
+        emb = tbl(spark, sf_dir, "embeddings")
+        assigned, _ = build_ivf_index(emb, n_centroids=8)
+        return assigned
+
+    def ivf_serve(spark, sf_dir):
+        emb, assigned, centroids = _index(spark, sf_dir)
+        return ivf_query(assigned, centroids,
+                         emb.filter(F.col("vec_id") < 5), k=10, n_probe=5)
+
+    return {"sim_ann_ivf_build": ivf_build, "sim_ann_ivf": ivf_serve}
 
 
 def main() -> None:
@@ -55,21 +105,30 @@ def main() -> None:
     # Warm-up: JVM + parquet footer reads, excluded from timings.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
 
+    overrides = _bench_overrides()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        entry = catalog.get(name)
-        if entry is None:
+        fn = overrides.get(name) or getattr(catalog.get(name), "fn", None)
+        if fn is None:
             continue
-        df = entry.fn(spark, sf_dir)
+        build_in_timing = name in BUILD_IN_TIMING
+
+        def run_once():
+            df = fn(spark, sf_dir) if build_in_timing else built
+            df.write.mode("overwrite").format("noop").save()
+
+        built = None if build_in_timing else fn(spark, sf_dir)
         # One untimed warm-up run per query: whole-stage-codegen compilation
         # happens once per plan shape and is amortized to ~zero on a real
         # cluster (long-lived executors, many queries) — we measure
-        # steady-state execution, not javac.
-        df.write.mode("overwrite").format("noop").save()
+        # steady-state execution, not javac. Then best-of-3 warm runs so a
+        # single GC pause / sandbox-load blip can't fake a regression
+        # (the r1->r2 +24% slide was exactly such noise).
+        run_once()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            run_once()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

