@@ -138,7 +138,9 @@ def approx_distinct_hll(spark, sf_dir):
          "engine-specific, so the contract is a Spark-side within-tolerance "
          "boolean per quartile vs Spark's exact percentile (accuracy=10000, "
          "asserted <=2% relative error); scalar columns, not an array "
-         "(the driver's hasher cannot hash list cells)")
+         "(the driver's hasher cannot hash list cells). Spark's exact "
+         "percentile is itself cross-checked against DuckDB quantile_cont "
+         "by quantile_cont_exact, closing the both-sides-wrong loophole")
 def approx_quantiles(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
@@ -159,6 +161,30 @@ def approx_quantiles(spark, sf_dir):
         within("ap25", "ep25").alias("p25_within_tol"),
         within("ap50", "ep50").alias("p50_within_tol"),
         within("ap75", "ep75").alias("p75_within_tol"))
+
+
+@register(
+    "quantile_cont_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="exact continuous-interpolation percentile, hash-compared "
+         "against DuckDB quantile_cont: both engines compute "
+         "lower + (upper-lower)*frac at rank p*(n-1) in double, verified "
+         "bit-identical on the fixture — the cross-engine anchor for the "
+         "approx_quantiles tolerance contract (its exactness reference "
+         "is Spark-internal); discrete-interpolation twin is "
+         "quantile_disc_exact")
+def quantile_cont_exact(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"))
 
 
 # --------------------------------------------------------------------------
