@@ -109,3 +109,73 @@ def test_exchange_reuse_in_multiframe_window(spark, sf_oracle):
     o_custkey partitioning)."""
     plan = plan_of(build("window_dist_lead", spark, sf_oracle), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_query_path_is_broadcast_only(spark, sf_oracle):
+    """IVF serving: the centroid table and the probe set broadcast; the
+    corpus side must never shuffle for a query batch (the 100 TB serving
+    contract — corpus-side shuffles would scale with the index, not the
+    queries)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    assigned, centroids = build_ivf_index(emb, n_centroids=8)
+    df = ivf_query(assigned, centroids, emb.filter(F.col("vec_id") < 5),
+                   k=10, n_probe=4)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # probes joined to assigned cells
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_signature_is_single_pass_agg(spark, sf_oracle):
+    """MinHash signatures: the k hash-min columns must come from ONE
+    hash-aggregate over the shingle table (k aggregate expressions), not
+    k passes or a row explosion."""
+    from mapreduce_wsi_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs, "text", "doc_id", k=64))
+    tree = plan.split("\n\n", 1)[0]  # the operator tree (nodes repeat in
+    # the per-node detail sections below it)
+    assert tree.count("HashAggregate") == 2  # partial + final, once
+    assert tree.count("Exchange") == 1  # one shuffle for the whole build
+    assert plan.count("partial_min(xxhash64") == 64  # k mins, one pass
+
+
+def test_multimodal_payload_never_shuffles(spark, sf_oracle):
+    """Featurization before aggregation: the binary payload column must
+    not cross an exchange — only the small feature output may shuffle."""
+    from mapreduce_wsi_spark.operators.multimodal import (
+        decode_features,
+        to_blob_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    feats = decode_features(to_blob_table(docs))
+    plan = plan_of(feats)
+    assert "Exchange" not in plan, "payload bytes crossed a shuffle"
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_embedding_neardup_joins_candidates_by_id(spark, sf_oracle):
+    """The LSH self-join must emit id-pairs and re-attach vectors by id —
+    the distinct must hash two longs, never float arrays (the measured
+    20x trap from round 1)."""
+    from mapreduce_wsi_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    plan = plan_of(embedding_near_dup_pairs(emb, min_cos=0.5), "extended")
+    # the aggregate that implements .distinct() must group on the two id
+    # columns only (no array column in any grouping key)
+    import re
+
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        assert "__cv" not in m.group(1) and "__uv" not in m.group(1)
