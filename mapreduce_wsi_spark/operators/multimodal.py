@@ -181,6 +181,76 @@ def decode_ppm_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, PPM_STATS_SCHEMA)
 
 
+WAV_STATS_SCHEMA = ("doc_id long, sample_rate int, n_channels int, "
+                    "n_samples int, ok boolean, mean_amp double, "
+                    "sum_sq long")
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """Parse a PCM16 WAV (RIFF) payload: returns (sample_rate, n_channels,
+    samples) or None if malformed. REAL decode of the canonical
+    RIFF/fmt/data chunk layout — pure stdlib ``struct``, no audio
+    libraries. Only uncompressed PCM16 (audio_format=1, 16-bit) is
+    decoded; other encodings return None (the documented stub boundary).
+    """
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, fmt = 12, None, None, None, None
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if chunk_id == b"fmt " and len(body) >= 16:
+            fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            if fmt != 1 or bits != 16 or len(body) < size:
+                return None
+            n = size // 2
+            samples = list(struct.unpack_from(f"<{n}h", body, 0))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or channels is None or samples is None:
+        return None
+    return rate, channels, samples
+
+
+def decode_wav_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of PCM16 WAV payloads: header fields plus
+    per-clip amplitude stats (mean sample value and exact sum of squares —
+    the integer core of an RMS/loudness featurizer). Malformed payloads
+    yield ok=false with zeroed stats — poison blobs must never kill the
+    stage at 100 TB."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "sample_rate", "n_channels", "n_samples",
+                     "ok", "mean_amp", "sum_sq")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_wav(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    for k, v in (("sample_rate", 0), ("n_channels", 0),
+                                 ("n_samples", 0), ("ok", False),
+                                 ("mean_amp", 0.0), ("sum_sq", 0)):
+                        rows[k].append(v)
+                    continue
+                rate, channels, samples = parsed
+                n = len(samples)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(channels)
+                rows["n_samples"].append(n)
+                rows["ok"].append(True)
+                rows["mean_amp"].append(sum(samples) / float(n) if n else 0.0)
+                rows["sum_sq"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, WAV_STATS_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id long, width int, height int, pixels binary"
 
 

@@ -458,6 +458,56 @@ def mm_decode_ppm(spark, sf_dir):
                         F.round("mean_b", 9).alias("mean_b"))
 
 
+# Fixed 44-byte PCM16 WAV header for a 1-channel / 8 kHz / 32-byte-data
+# clip, as little-endian hex: RIFF(size 68) WAVE fmt(16, pcm=1, ch=1,
+# rate=8000, byterate=16000, align=2, bits=16) data(size 32).
+_WAV_HEADER_HEX = ("52494646" "44000000" "57415645"
+                   "666d7420" "10000000" "0100" "0100"
+                   "401f0000" "803e0000" "0200" "1000"
+                   "64617461" "20000000")
+
+
+@register(
+    "mm_decode_wav",
+    oracle="""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
+               FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     j -> unicode(px[2*j + 1]) + 256 * unicode(px[2*j + 2]))
+                     AS smp
+          FROM p)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS n_samples,
+           true AS ok,
+           list_sum(smp) / 16.0 AS mean_amp,
+           CAST(list_sum(list_transform(smp, s -> s * s)) AS BIGINT)
+               AS sum_sq
+    FROM s
+    """,
+    note="REAL audio decode: PCM16 WAV clips are synthesized from fixture "
+         "text (RIFF/fmt/data header + first 32 bytes as 16 LE samples), "
+         "then parsed by the pure-Python RIFF walker in an Arrow "
+         "mapInPandas stage — chunk traversal, PCM16 unpack and amplitude "
+         "stats are all real; the DuckDB twin reassembles the same "
+         "little-endian samples from the ASCII bytes. ASCII high bytes "
+         "are <128 so samples stay positive (no sign wrap on either side)")
+def mm_decode_wav(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_wav_stats
+    docs = tbl(spark, sf_dir, "documents")
+    content = F.concat(
+        F.unhex(F.lit(_WAV_HEADER_HEX)),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    return decode_wav_stats(blobs).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "ok",
+        "mean_amp", "sum_sq")
+
+
 @register(
     "mm_sample_frames",
     oracle="""

@@ -180,3 +180,71 @@ def test_canonical_survivors_drop_whole_cluster(spark):
     kept = sorted(r["doc_id"]
                   for r in canonical_survivors(docs, pairs).collect())
     assert kept == [1, 9]
+
+
+def test_ppm_parser_decodes_known_image():
+    """REAL decode check against hand-computed pixels (incl. comment lines
+    and malformed payload rejection)."""
+    from mapreduce_wsi_spark.operators.multimodal import _parse_ppm
+
+    img = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    parsed = _parse_ppm(img)
+    assert parsed is not None
+    w, h, rgb = parsed
+    assert (w, h) == (2, 1)
+    assert list(rgb) == [10, 20, 30, 40, 50, 60]
+    assert _parse_ppm(b"P5\n2 1\n255\n" + bytes(6)) is None  # not P6
+    assert _parse_ppm(b"P6\n2 1\n255\n" + bytes(3)) is None  # truncated
+    assert _parse_ppm(b"") is None
+
+
+def test_wav_parser_decodes_known_clip():
+    """REAL decode check: canonical RIFF layout built with struct, plus
+    negative samples (sign handling) and rejection of non-PCM16."""
+    import struct
+
+    from mapreduce_wsi_spark.operators.multimodal import _parse_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+    parsed = _parse_wav(payload)
+    assert parsed is not None
+    rate, channels, got = parsed
+    assert (rate, channels) == (44100, 2)
+    assert got == samples
+    # 8-bit PCM must be rejected (stub boundary), as must junk
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + 2) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+           + b"data" + struct.pack("<I", 2) + b"\x01\x02")
+    assert _parse_wav(bad) is None
+    assert _parse_wav(b"not a wav") is None
+
+
+def test_wav_decode_stats_end_to_end(spark, sf_smoke):
+    """decode_wav_stats over synthesized clips: real header parse + PCM16
+    amplitude stats, malformed rows flagged not fatal."""
+    import struct
+
+    from mapreduce_wsi_spark.operators.multimodal import decode_wav_stats
+
+    samples = [100, -100, 200, -200]
+    data = struct.pack("<4h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav", len(wav)),
+         (2, bytearray(b"junk"), "audio/wav", 4)],
+        "doc_id long, content binary, mime string, n_bytes int")
+    rows = {r.doc_id: r for r in decode_wav_stats(blobs).collect()}
+    assert rows[1].ok and rows[1].n_samples == 4
+    assert rows[1].sample_rate == 8000
+    assert rows[1].mean_amp == 0.0
+    assert rows[1].sum_sq == 2 * (100 * 100) + 2 * (200 * 200)
+    assert not rows[2].ok and rows[2].sum_sq == 0
