@@ -1,0 +1,76 @@
+"""Partition-count invariance — the single-row-group blind spot.
+
+Every fixture parquet at test SF is ONE row group, and a row group is
+Spark's minimum split unit — so by default every query effectively runs
+single-partition and a whole class of 100 TB bugs (partial-agg merge
+order, window frames crossing splits, per-partition hash mins,
+shuffle-key coverage) stays invisible. These tests rewrite the fixtures
+as 16-file parquet (a genuinely splittable layout), shrink
+``spark.sql.files.maxPartitionBytes`` so each file scans as its own
+partition, and assert results are IDENTICAL to the single-partition
+baseline — the property that lets the same plan run on one executor or a
+thousand.
+
+Entries chosen are exact-arithmetic paths (decimal/integer/hash/rank):
+bitwise invariance is their contract. Float-summing entries keep their
+sums in decimal through the shuffle for exactly this reason
+(see FIXTURES.md §B / the share_of_total note).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_wsi_spark.plans.parity import FIXTURE_TABLES, canon_rows
+from mapreduce_wsi_spark.plans.registry import load_catalog
+
+CATALOG = load_catalog()
+
+ENTRIES = [
+    "q1_pricing_summary",        # decimal partial+final agg
+    "flagship_integer_mean",     # integer tripwire mean over explode
+    "window_rank_lag",           # rank/lag over shuffled windows
+    "topk_per_group",            # per-group top-k across splits
+    "dedup_minhash_lsh",         # per-doc hash mins + LSH band join
+    "sessionize_lag_cumsum",     # ordered cumsum sessionization
+]
+
+SMALL_SPLIT_BYTES = 65536
+
+
+@pytest.fixture(scope="module")
+def split_sf_dir(spark, sf_oracle, tmp_path_factory) -> str:
+    """sf0.01 fixtures rewritten as 16 parquet files per table. events.ts
+    (TIMESTAMP_NANOS) is copied through the nanos-as-long raw read — the
+    BIGINT nanos column round-trips and registry.events_tbl's
+    ``ts div 1000`` conversion applies identically on read-back."""
+    out = tmp_path_factory.mktemp("sfsplit")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in FIXTURE_TABLES:
+        (spark.read.parquet(f"{sf_oracle}/{name}.parquet")
+         .repartition(16)
+         .write.mode("overwrite").parquet(f"{out}/{name}.parquet"))
+    return str(out)
+
+
+def _canon(df):
+    return canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_under_input_splitting(name, spark, sf_oracle,
+                                                split_sf_dir):
+    conf = spark.conf
+    default = conf.get("spark.sql.files.maxPartitionBytes")
+    entry = CATALOG[name]
+    baseline = _canon(entry.fn(spark, sf_oracle))
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(SMALL_SPLIT_BYTES))
+        # sanity: the split layout really scans as many partitions (guard
+        # against small-file packing making this test vacuous)
+        probe = spark.read.parquet(f"{split_sf_dir}/lineitem.parquet")
+        n_parts = probe.rdd.getNumPartitions()
+        assert n_parts > 8, f"scan did not split (partitions={n_parts})"
+        assert _canon(entry.fn(spark, split_sf_dir)) == baseline
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", default)
