@@ -623,3 +623,29 @@ def unpivot_part(spark, sf_dir):
         F.col("p_retailprice").alias("retail"),
         F.col("p_size").cast("double").alias("size"))
     return p.unpivot(["p_partkey"], ["retail", "size"], "variable", "value")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    note="skew-mitigating salted equi-join "
+         "(operators/relational.py:salted_join, salt=8: left side gets a "
+         "seeded random salt, right side replicates per salt value, join "
+         "key becomes (key, salt) so one hot key spreads over salt "
+         "reducers). The salt only routes rows — the join RESULT must be "
+         "identical to the plain join, which is exactly what the oracle "
+         "checks; AQE-skew-split complement pinned in "
+         "test_aqe_splits_skewed_join_partition")
+def join_salted_skew(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import salted_join
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(orders, cust, "o_custkey", "c_custkey",
+                         how="inner", salt=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"))

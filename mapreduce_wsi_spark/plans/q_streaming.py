@@ -98,3 +98,34 @@ def stream_session_window(spark, sf_dir):
             .select("user_id",
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events"))
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    WITH arrivals AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        FROM events
+        UNION ALL
+        SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE,
+               user_id, event_type
+        FROM events)
+    SELECT event_id, ts, user_id, event_type
+    FROM arrivals
+    QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+    """,
+    note="batch twin of streaming dedup-within-watermark "
+         "(streaming/windows.py:dedup_within_watermark, true-streaming "
+         "semantics in tests/test_streaming.py): duplicates are planted "
+         "deterministically (every event re-arrives 30min late) and the "
+         "first arrival per event_id must survive")
+def stream_dedup_within_watermark(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    late = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+    both = ev.unionByName(late)
+    w = Window.partitionBy("event_id").orderBy("ts")
+    return (both.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
