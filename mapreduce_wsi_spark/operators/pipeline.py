@@ -285,3 +285,25 @@ def pack_context_windows(df: DataFrame, key_col: str, tokens_col: str,
                         ((F.col("__cum") - F.col(tokens_col))
                          % F.lit(budget)).cast("long"))
             .drop("__h", "__cum"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets key ln(u)/w for a portable pseudo-uniform
+    u = (md5-derived 32-bit int + 0.5) / 2^32 in (0,1); the top-k keys ARE
+    a weight-proportional sample. One scan, no shuffle of the data — the
+    top-k lowers to TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows), so 100 TB costs a map-side pass plus k-row merges.
+    Deterministic across runs/engines: u is a pure function of the key,
+    and the sort key is rounded to DECIMAL(28,9) (ln is the only libm
+    call; the 1e-9 grain absorbs cross-libm ULPs) with key_col tie-break.
+    Weights must be > 0."""
+    h = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                16, 10).cast("long"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    es = (F.log(u) / F.col(weight_col)).cast("decimal(28,9)")
+    return (df.select(F.col(key_col), F.col(weight_col),
+                      es.cast("double").alias("es_key"))
+            .orderBy(F.col("es_key").desc(), F.col(key_col))
+            .limit(k))

@@ -101,3 +101,106 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
     return (sh.groupBy(F.col("id").alias(id_col))
             .agg(F.min(F.md5(F.col("shingle"))).alias("fp_md5"),
                  F.min(F.xxhash64(F.col("shingle"))).alias("fp_xx")))
+
+
+def term_components(df: DataFrame, text_col: str, id_col: str,
+                    terms: tuple[str, ...]) -> DataFrame:
+    """Exact per-(doc, term) retrieval components for a fixed query-term
+    set: term frequency ``tf``, document length ``dl`` (in words).
+
+    Zero-shuffle tf: for a small query vocabulary the count is an array
+    filter per term (`size(filter(words, w == t))`) stacked into rows —
+    no explode of the full token stream, no groupBy. The map-side cost is
+    O(len(doc) * |terms|) with |terms| tiny; at 100 TB this is a pure
+    scan-side projection that pipelines into whatever consumes it.
+
+    Returns one row per (doc, term) with tf > 0.
+    """
+    w = words(F.col(text_col))
+
+    def _is(term):
+        # single-arg lambda: a 2-arg callable would make F.filter pass the
+        # array INDEX as the second argument, shadowing the captured term
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(w, _is(t))).cast("int").alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = df.select(F.col(id_col), F.size(w).cast("int").alias("dl"),
+                        *tf_cols)
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms))
+    stacked = per_doc.select(
+        F.col(id_col), F.col("dl"),
+        F.expr(f"stack({len(terms)}, {stack_args}) AS (term, tf)"))
+    return stacked.filter(F.col("tf") > 0)
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str,
+              terms: tuple[str, ...], k1: float = 1.2, b: float = 0.75,
+              k: int = 20) -> DataFrame:
+    """Okapi BM25 top-k document ranking for a fixed query-term set,
+    as a pure DataFrame composition:
+
+      scan -> per-term tf via array filter (no explode)    [map-side]
+      -> df(term) over ~|terms| keys (tiny shuffle)        [broadcast back]
+      -> N, avgdl one-row agg                              [broadcast]
+      -> per-term score, decimal-rounded, summed per doc   [one shuffle]
+      -> global top-k (TakeOrderedAndProject)
+
+    The only data-sized shuffle is the per-doc score sum over docs that
+    contain >=1 query term. Cross-engine determinism: each per-term score
+    is one IEEE double expression (bit-identical across engines for
+    identical inputs) rounded to DECIMAL(28,9) before the sum, so the
+    per-doc total is exact decimal arithmetic — accumulation-order-free
+    (see share_of_total for the same pattern). The single `ln` per
+    (doc, term) is the one libm call; the 1e-9 rounding grain makes a
+    cross-libm ULP straddle vanishingly unlikely (verified on fixtures).
+    """
+    comp = term_components(df, text_col, id_col, terms)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(words(F.col(text_col)))).cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    dfreq = comp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (comp.join(F.broadcast(dfreq), "term")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_d = F.col("tf").cast("double")
+    dl_ratio = F.col("dl").cast("double") / F.col("avgdl")
+    tf_norm = (tf_d * F.lit(k1 + 1.0)) / \
+        (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio))
+    per_term = j.select(
+        F.col(id_col),
+        (idf * tf_norm).cast("decimal(28,9)").alias("s"))
+    scored = (per_term.groupBy(id_col)
+              .agg(F.sum("s").cast("double").alias("bm25")))
+    return (scored.orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(k))
+
+
+def inverted_index(df: DataFrame, text_col: str, id_col: str,
+                   min_df: int = 1, max_df: int = 1 << 31) -> DataFrame:
+    """Inverted index build: term -> document frequency ``df``, collection
+    frequency ``cf``, and the sorted posting list (comma-joined string —
+    portable across engines; production consumers keep the array).
+
+    One shuffle: explode tokens, then a single groupBy(term) whose
+    collect_set/count aggregates partial-combine map-side. Posting-list
+    skew (stopword-grade terms appearing in every document) is the same
+    hot-key story as shingle dedup: the ``max_df`` guard drops terms whose
+    postings would be unboundedly long — at 100 TB an every-doc term's
+    posting list is useless for retrieval anyway (idf ~ 0).
+    """
+    toks = df.select(F.col(id_col).alias("_id"),
+                     F.explode(words(F.col(text_col))).alias("term"))
+    inv = (toks.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("cf"),
+                F.sort_array(F.collect_set("_id")).alias("post_arr")))
+    return (inv.select(
+        "term", F.size("post_arr").cast("long").alias("df"),
+        F.col("cf"),
+        F.concat_ws(",", F.col("post_arr").cast("array<string>"))
+        .alias("postings"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))

@@ -471,3 +471,35 @@ def share_of_total(spark, sf_dir):
         (F.col("rev_d").cast("double") / reg.cast("double"))
         .alias("share_in_region"),
         "r_name")
+
+
+@register(
+    "window_ntile_bins",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               ntile(10) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS bin,
+               o_totalprice
+        FROM orders)
+    SELECT o_orderpriority, bin, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+    FROM b GROUP BY o_orderpriority, bin
+    """,
+    note="equi-depth decile binning via ntile: deterministic because the "
+         "window order carries the unique o_orderkey tie-break; per-bin "
+         "stats re-aggregate on (priority, bin) — exchange on the window "
+         "partition key is reused by the groupBy (same key prefix)")
+def window_ntile_bins(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    binned = o.select("o_orderpriority", "o_totalprice",
+                      F.ntile(10).over(w).alias("bin"))
+    return (binned.groupBy("o_orderpriority", "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("tot")))

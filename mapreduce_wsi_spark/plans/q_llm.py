@@ -374,6 +374,96 @@ def text_fingerprint(spark, sf_dir):
                         n=5).select("doc_id", "fp_md5")
 
 
+# Query-term set for the retrieval entries (all present in the fixture
+# vocabulary with df ~390/500 at sf0.01 — nonzero idf, non-trivial tf).
+_QUERY_TERMS = ("vector", "window", "stream", "scan")
+_QUERY_VALUES = ", ".join(f"('{t}')" for t in _QUERY_TERMS)
+
+
+@register(
+    "text_tf_df",
+    oracle=f"""
+    WITH q(term) AS (VALUES {_QUERY_VALUES}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(len(list_filter(w, x -> x = term)) AS INT) AS tf,
+               CAST(len(w) AS INT) AS dl
+        FROM tok CROSS JOIN q),
+    tf1 AS (SELECT * FROM tf WHERE tf > 0),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf1 GROUP BY term)
+    SELECT doc_id, term, tf, dl, df FROM tf1 JOIN dfreq USING (term)
+    """,
+    note="exact TF/DF/DL retrieval components for a fixed query-term set; "
+         "tf is a zero-shuffle array filter per term (no token explode), "
+         "df a ~|terms|-key agg broadcast back")
+def text_tf_df(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import term_components
+    comp = term_components(tbl(spark, sf_dir, "documents"), "text",
+                           "doc_id", _QUERY_TERMS)
+    dfreq = comp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return comp.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", "tf", "dl", "df")
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH q(term) AS (VALUES {_QUERY_VALUES}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(len(list_filter(w, x -> x = term)) AS INT) AS tf,
+               CAST(len(w) AS INT) AS dl
+        FROM tok CROSS JOIN q),
+    tf1 AS (SELECT * FROM tf WHERE tf > 0),
+    dfreq AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+    scored AS (
+        SELECT doc_id,
+               CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75
+                                   * (CAST(dl AS DOUBLE) / avgdl))))
+                    AS DECIMAL(28,9)) AS s
+        FROM tf1 JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    note="Okapi BM25 top-20 (k1=1.2, b=0.75): per-term score is one IEEE "
+         "double expression rounded to DECIMAL(28,9) before the per-doc "
+         "sum, so the total is accumulation-order-free and cross-engine "
+         "exact; only data-sized shuffle is the per-doc sum")
+def text_bm25_topk(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bm25_topk
+    return bm25_topk(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                     _QUERY_TERMS, k1=1.2, b=0.75, k=20)
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    per AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY term, doc_id)
+    SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM per GROUP BY term
+    """,
+    note="inverted index: term -> df, cf, sorted posting list (string for "
+         "the oracle; production keeps the array); one shuffle with "
+         "map-side combine, max_df guard bounds hot-term postings")
+def text_inverted_index(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import inverted_index
+    return inverted_index(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

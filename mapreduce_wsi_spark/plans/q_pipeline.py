@@ -427,3 +427,24 @@ def table_fingerprint(spark, sf_dir):
         F.sum(portable_bucket(
             F.col("o_totalprice").cast("decimal(18,2)").cast("string"), P))
         .alias("fp_price"))
+
+
+@register(
+    "weighted_sample_es",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(CAST(
+               ln((CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS DOUBLE) + 0.5)
+                  / 4294967296.0)
+               / o_totalprice AS DECIMAL(28,9)) AS DOUBLE) AS es_key
+    FROM orders ORDER BY es_key DESC, o_orderkey LIMIT 100
+    """,
+    note="Efraimidis-Spirakis weighted sampling: top-100 orders by "
+         "ln(md5-uniform)/weight — deterministic, engine-portable, lowers "
+         "to TakeOrderedAndProject (no shuffle of the data); the "
+         "weight-proportional pick for corpus mixing at 100 TB")
+def weighted_sample_es(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import weighted_sample
+    return weighted_sample(tbl(spark, sf_dir, "orders"), "o_orderkey",
+                           "o_totalprice", k=100)

@@ -248,3 +248,44 @@ def test_wav_decode_stats_end_to_end(spark, sf_smoke):
     assert rows[1].mean_amp == 0.0
     assert rows[1].sum_sq == 2 * (100 * 100) + 2 * (200 * 200)
     assert not rows[2].ok and rows[2].sum_sq == 0
+
+
+# --------------------------------------------------------------------------
+# Retrieval: TF/DF components, BM25, inverted index
+# --------------------------------------------------------------------------
+
+def test_term_components_exact_counts(spark):
+    from mapreduce_wsi_spark.operators.text import term_components
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark engine"), (2, "engine room"),
+         (3, "nothing relevant here")], ["doc_id", "text"])
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["dl"])
+            for r in term_components(docs, "text", "doc_id",
+                                     ("spark", "engine")).collect()}
+    assert rows == {(1, "spark"): (3, 4), (1, "engine"): (1, 4),
+                    (2, "engine"): (1, 2)}  # tf=0 rows absent
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    from mapreduce_wsi_spark.operators.text import bm25_topk
+    filler = " ".join(["word"] * 40)
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark engine"),
+         (2, "spark " + filler),           # tf=1, long doc
+         (3, filler)], ["doc_id", "text"])  # no query term
+    got = bm25_topk(docs, "text", "doc_id", ("spark",), k=10).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]  # doc 3 absent
+    assert got[0]["bm25"] > got[1]["bm25"] > 0
+
+
+def test_inverted_index_postings_and_df_guard(spark):
+    from mapreduce_wsi_spark.operators.text import inverted_index
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], ["doc_id", "text"])
+    full = {r["term"]: (r["df"], r["cf"], r["postings"])
+            for r in inverted_index(docs, "text", "doc_id").collect()}
+    assert full == {"a": (1, 2, "1"), "b": (2, 2, "1,2"), "c": (1, 1, "2")}
+    # max_df guard drops the every-doc term
+    guarded = {r["term"] for r in
+               inverted_index(docs, "text", "doc_id", max_df=1).collect()}
+    assert guarded == {"a", "c"}

@@ -267,3 +267,17 @@ def test_asof_join_forward_matches_bruteforce(spark):
             for r in asof_join(left, right, ["k"], "t", "rt",
                                ["val"]).collect()}
     assert back == {(1, 10): "a", (1, 25): "a", (1, 40): "b", (2, 5): "c"}
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from mapreduce_wsi_spark.operators.pipeline import weighted_sample
+    rows = [(i, 1e6 if i < 5 else 1e-3) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    # ln(u)/w for heavy rows is ~0-, for light rows hugely negative:
+    # the five heavy rows must be exactly the top-5 sample
+    got = {r["k"] for r in weighted_sample(df, "k", "w", 5).collect()}
+    assert got == {0, 1, 2, 3, 4}
+    # deterministic under repartitioning (pure function of the key)
+    got2 = [r["k"] for r in
+            weighted_sample(df.repartition(7), "k", "w", 5).collect()]
+    assert set(got2) == got

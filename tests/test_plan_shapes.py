@@ -179,3 +179,20 @@ def test_embedding_neardup_joins_candidates_by_id(spark, sf_oracle):
 
     for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
         assert "__cv" not in m.group(1) and "__uv" not in m.group(1)
+
+
+def test_weighted_sample_is_heap_topk_no_shuffle(spark, sf_oracle):
+    """ES weighted sampling must lower to TakeOrderedAndProject straight
+    over the scan — per-partition k-heaps, no Exchange of the data."""
+    tree = plan_of(build("weighted_sample_es", spark, sf_oracle)).split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree
+
+
+def test_bm25_joins_are_broadcast(spark, sf_oracle):
+    """BM25: df(term) and corpus stats are tiny aggregates broadcast back
+    to the tf rows — never a sort-merge join; the only data-sized
+    exchange is the per-doc score sum."""
+    tree = plan_of(build("text_bm25_topk", spark, sf_oracle)).split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastHashJoin" in tree
