@@ -503,3 +503,34 @@ def window_ntile_bins(spark, sf_dir):
                  F.max("o_totalprice").alias("hi"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("tot")))
+
+
+@register(
+    "join_range_intervals",
+    oracle="""
+    SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_in_transit
+    FROM (SELECT DISTINCT o_orderdate FROM orders) s
+    JOIN lineitem
+      ON l_shipdate <= o_orderdate
+     AND o_orderdate < l_shipdate + to_days(CAST(l_linenumber * 5 AS INT))
+    GROUP BY o_orderdate
+    """,
+    note="keyless point-in-interval join (in-transit lineitems per order "
+         "date, transit window l_linenumber*5 days): naive Spark plans a "
+         "nested loop; operators/relational.py::interval_join explodes "
+         "each interval into its covering 32-day buckets and equi-joins "
+         "on bucket, then re-checks the exact predicate — O(rows x "
+         "intervals_per_bucket) shuffle instead of O(n x m) compare")
+def join_range_intervals(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import interval_join
+    epoch = F.lit("1970-01-01")
+    pts = (tbl(spark, sf_dir, "orders").select("o_orderdate").distinct()
+           .withColumn("d_days", F.datediff("o_orderdate", epoch)))
+    iv = tbl(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", epoch).alias("lo_days"),
+        (F.datediff("l_shipdate", epoch) + F.col("l_linenumber") * 5)
+        .alias("hi_days"))
+    return (interval_join(pts, iv, "d_days", "lo_days", "hi_days",
+                          bucket_width=32)
+            .groupBy("o_orderdate")
+            .agg(F.count(F.lit(1)).alias("n_in_transit")))

@@ -206,3 +206,32 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_interval_join_matches_naive_theta(spark):
+    from mapreduce_wsi_spark.operators.relational import interval_join
+    pts = spark.createDataFrame([(i,) for i in range(0, 200, 7)], ["p"])
+    iv = spark.createDataFrame(
+        [(i, i + (i * 13 % 40)) for i in range(0, 200, 11)], ["lo", "hi"])
+    got = sorted(
+        (r["p"], r["lo"], r["hi"])
+        for r in interval_join(pts, iv, "p", "lo", "hi",
+                               bucket_width=16).collect())
+    want = sorted(
+        (r["p"], r["lo"], r["hi"])
+        for r in pts.crossJoin(iv)
+        .filter("lo <= p AND p < hi").collect())
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_oracle):
+    from mapreduce_wsi_spark.plans.registry import load_catalog
+    import io
+    from contextlib import redirect_stdout
+    df = load_catalog()["join_range_intervals"].fn(spark, sf_oracle)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
