@@ -118,7 +118,11 @@ def grouping_sets(df: DataFrame, sets: list[list[str]], aggs: list[Column],
                   view_name: str = "__gs_input") -> DataFrame:
     """GROUPING SETS — Catalyst supports it in SQL only; expose it as a
     DataFrame-in/DataFrame-out recipe. Physical plan is a single Expand +
-    hash aggregate (one shuffle), not one pass per set."""
+    hash aggregate (one shuffle), not one pass per set.
+
+    Caveat: aggs round-trip through Column -> SQL text, which drops
+    countDistinct's DISTINCT flag — pass ``F.expr("count(DISTINCT c)")``
+    for distinct aggregates (see time_rollup_multigrain)."""
     spark = df.sparkSession
     df.createOrReplaceTempView(view_name)
     all_cols = sorted({c for s in sets for c in s})

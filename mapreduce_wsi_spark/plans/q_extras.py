@@ -534,3 +534,49 @@ def join_range_intervals(spark, sf_dir):
                           bucket_width=32)
             .groupBy("o_orderdate")
             .agg(F.count(F.lit(1)).alias("n_in_transit")))
+
+
+@register(
+    "time_rollup_multigrain",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+               event_type, user_id, CAST(value AS DECIMAL(18,2)) AS val_d
+        FROM events)
+    SELECT 'day' AS grain, day AS bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(val_d) AS DOUBLE) AS sum_value
+    FROM base GROUP BY day, event_type
+    UNION ALL
+    SELECT 'hour', hour, event_type,
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(sum(val_d) AS DOUBLE)
+    FROM base GROUP BY hour, event_type
+    """,
+    note="hypertable-style continuous-aggregate rollup: day AND hour "
+         "grains per event_type in ONE scan via GROUPING SETS (single "
+         "Expand + hash agg) — the oracle's UNION ALL of per-grain "
+         "aggregates would be N scans; at 100 TB the Expand costs one "
+         "shuffle of 2x the (pre-aggregated) rows instead of N passes")
+def time_rollup_multigrain(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import grouping_sets
+    ev = tbl(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type", "user_id",
+        F.col("value").cast("decimal(18,2)").alias("val_d"))
+    gs = grouping_sets(
+        base, [["day", "event_type"], ["hour", "event_type"]],
+        [F.count(F.lit(1)).alias("n_events"),
+         # NB: Column stringification drops countDistinct's DISTINCT
+         # flag — spell it in SQL so the helper round-trips it intact
+         F.expr("count(DISTINCT user_id)").alias("n_users"),
+         F.sum("val_d").cast("double").alias("sum_value")],
+        view_name="__rollup_input")
+    return gs.select(
+        F.when(F.col("hour").isNotNull(), F.lit("hour"))
+        .otherwise(F.lit("day")).alias("grain"),
+        F.coalesce("hour", "day").alias("bucket"),
+        "event_type", "n_events", "n_users", "sum_value")

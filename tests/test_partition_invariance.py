@@ -33,6 +33,9 @@ ENTRIES = [
     "topk_per_group",            # per-group top-k across splits
     "dedup_minhash_lsh",         # per-doc hash mins + LSH band join
     "sessionize_lag_cumsum",     # ordered cumsum sessionization
+    "text_bm25_topk",            # decimal per-term score sum across splits
+    "weighted_sample_es",        # heap top-k across partition layouts
+    "join_range_intervals",      # bucketed interval join across splits
 ]
 
 SMALL_SPLIT_BYTES = 65536
