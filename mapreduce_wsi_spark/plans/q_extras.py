@@ -580,3 +580,40 @@ def time_rollup_multigrain(spark, sf_dir):
         .otherwise(F.lit("day")).alias("grain"),
         F.coalesce("hour", "day").alias("bucket"),
         "event_type", "n_events", "n_users", "sum_value")
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, source, substr(text, 1, 4) AS blk,
+               substr(text, 1, 24) AS prefix
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 12
+    """,
+    note="fuzzy (edit-distance) similarity join with blocking: candidate "
+         "pairs come from an equi-join on (lang, source, 4-char prefix) — "
+         "never a cross join — and only candidates pay the O(m*n) "
+         "levenshtein verify; the record-linkage pattern that scales "
+         "because block sizes, not table sizes, bound the pair count")
+def join_fuzzy_levenshtein(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.substring("text", 1, 4).alias("blk"),
+        F.substring("text", 1, 24).alias("prefix"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    lev = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang")) &
+                   (F.col("a.source") == F.col("b.source")) &
+                   (F.col("a.blk") == F.col("b.blk")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    lev.cast("long").alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 12))

@@ -164,3 +164,31 @@ def layout_zorder_key(spark, sf_dir):
                    F.datediff(F.col("o_orderdate"),
                               F.lit("1992-01-01").cast("date")),
                    bits=_Z_BITS).alias("zval"))
+
+
+@register(
+    "table_diff_keyed",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           'changed' AS change_type
+    FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 50 <> 0
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), 'removed'
+    FROM orders WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT) + 10000000, 'added'
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    note="keyed table diff (added/removed/changed) of orders vs its "
+         "CDC-merged twin — must recover exactly the applied batch's "
+         "classification, making this a composition test of merge_upsert "
+         "AND table_diff; non-key columns collapse to an xxhash64 "
+         "fingerprint per side so the full-outer join shuffles a key "
+         "index, not whole rows; bucketed inputs make it exchange-free")
+def table_diff_keyed(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.lakehouse import table_diff
+    orders = tbl(spark, sf_dir, "orders").withColumn(
+        "o_orderkey", F.col("o_orderkey").cast("long"))
+    new = merge_upsert(orders, _cdc_batch(tbl(spark, sf_dir, "orders")),
+                       keys=["o_orderkey"], delete_col="is_delete")
+    return table_diff(orders, new, keys=["o_orderkey"])

@@ -121,3 +121,23 @@ def test_zorder_known_values(spark):
     assert b == 0b1010
     # x=0101, y=0110: x bits at even positions (1+16), y at odd (8+32)
     assert c == 57
+
+
+def test_table_diff_classifies_changes(spark):
+    from mapreduce_wsi_spark.operators.lakehouse import table_diff
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k int, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)],
+        "k int, s string, v double")
+    got = sorted(map(tuple, table_diff(old, new, ["k"]).collect()))
+    assert got == [(2, "changed"), (3, "removed"), (4, "added")]
+
+
+def test_fuzzy_join_has_no_cartesian(spark, sf_oracle):
+    from mapreduce_wsi_spark.plans.registry import load_catalog
+    df = load_catalog()["join_fuzzy_levenshtein"].fn(spark, sf_oracle)
+    plan = _plan(df).split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
