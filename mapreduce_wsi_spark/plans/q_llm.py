@@ -701,3 +701,47 @@ def vector_normalize(spark, sf_dir):
         (F.element_at("embedding", 1).cast("double") / l2_norm(v))
         .alias("u1"),
         F.size("embedding").cast("int").alias("dim"))
+
+
+@register(
+    "udtf_chunk_text",
+    oracle="""
+    SELECT doc_id,
+           CAST((s - 1) / 100 AS INT) AS chunk_idx,
+           substr(text, s, 120) AS chunk,
+           CAST(length(substr(text, s, 120)) AS INT) AS chunk_len
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, length(text), 100)) AS s)
+    """,
+    note="Python UDTF surface (SURVEY §2C: UDF/UDAF/UDTF): per-doc "
+         "context-window chunking, 120-char windows every 100 chars "
+         "(20-char overlap) via LATERAL udtf — one output row per chunk. "
+         "Arrow-batched; sliced text never shuffles (zero-exchange plan). "
+         "Production note: this exact slicing is also expressible JVM-side "
+         "as explode(sequence())+substring, which is the preferred hot "
+         "path; the entry pins the UDTF contract (init/eval-yield, lateral "
+         "join, schema-declared output) against the same oracle")
+def udtf_chunk_text(spark, sf_dir):
+    from pyspark.sql.functions import lit, udtf
+
+    # useArrow: Arrow-serialized batches in/out (the plan node is
+    # ArrowEvalPythonUDTF, not row-pickling BatchEvalPythonUDTF — the
+    # latter is CI-banned by test_no_rowwise_python_in_oracle_paths)
+    @udtf(returnType="chunk_idx int, chunk string, chunk_len int",
+          useArrow=True)
+    class ChunkText:
+        def eval(self, text: str, size: int, step: int):
+            if text is None:
+                return
+            pos = 0
+            while pos < len(text):
+                piece = text[pos:pos + size]
+                yield pos // step, piece, len(piece)
+                pos += step
+
+    docs = tbl(spark, sf_dir, "documents")
+    spark.udtf.register("__chunk_text", ChunkText)
+    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_len "
+        "FROM __udtf_docs d, LATERAL __chunk_text(d.text, 120, 100) c")
