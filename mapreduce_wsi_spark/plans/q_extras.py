@@ -617,3 +617,38 @@ def join_fuzzy_levenshtein(spark, sf_dir):
                     F.col("b.doc_id").alias("doc_b"),
                     lev.cast("long").alias("edit_dist"))
             .filter(F.col("edit_dist") <= 12))
+
+
+@register(
+    "hierarchy_roots_depth",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS id,
+               CASE WHEN s_suppkey > 5 THEN CAST(s_suppkey - 5 AS BIGINT)
+                    END AS parent
+        FROM supplier),
+    walk(id, cur, depth) AS (
+        SELECT id, id, 0 FROM nodes
+        UNION ALL
+        SELECT w.id, n.parent, w.depth + 1
+        FROM walk w JOIN nodes n ON n.id = w.cur
+        WHERE n.parent IS NOT NULL)
+    SELECT id, CAST(max_by(cur, depth) AS BIGINT) AS root,
+           CAST(max(depth) AS INT) AS depth
+    FROM walk GROUP BY id
+    """,
+    note="recursive-CTE query class (org charts, BOMs, thread trees) — "
+         "Spark has no WITH RECURSIVE; re-expressed as pointer doubling "
+         "(operators/graph.py::resolve_roots): O(log depth) self-join "
+         "rounds instead of O(depth), each round lineage-cut via "
+         "localCheckpoint; the oracle runs DuckDB's honest WITH RECURSIVE "
+         "over the same supplier forest (5 chains, parent = key - 5)")
+def hierarchy_roots_depth(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.graph import resolve_roots
+    s = tbl(spark, sf_dir, "supplier")
+    nodes = s.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.when(F.col("s_suppkey") > 5,
+               (F.col("s_suppkey") - 5).cast("long")).alias("parent"))
+    out = resolve_roots(nodes, "id", "parent")
+    return out.select("id", "root", F.col("depth").cast("int").alias("depth"))
