@@ -652,3 +652,33 @@ def hierarchy_roots_depth(spark, sf_dir):
                (F.col("s_suppkey") - 5).cast("long")).alias("parent"))
     out = resolve_roots(nodes, "id", "parent")
     return out.select("id", "root", F.col("depth").cast("int").alias("depth"))
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           o_orderstatus AS status,
+           CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    note="SCD Type-2 reconstruction: a change stream (orders as status "
+         "changes per customer) becomes versioned dimension rows with "
+         "[valid_from, valid_to) intervals and an is_current flag — one "
+         "window shuffle on the business key, no self-join; the "
+         "open-ended current row is the NULL lead. Tie-broken by "
+         "(date, orderkey) so versions are deterministic")
+def scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+        nxt.isNull().alias("is_current"))
