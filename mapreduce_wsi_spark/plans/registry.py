@@ -69,25 +69,27 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # families, streaming, pandas UDAF + Arrow mapInPandas, the flagship
 # reference workload, dedup (exact/jaccard/minhash/components),
 # similarity (exact/IVF/near-dup), text analysis, multimodal (blob meta +
-# real PPM decode), and the LLM-pipeline ops — so every family carries a
-# driver-issued green stamp, not just the local replay's.
+# real PPM decode), the LLM-pipeline ops, and the round-3 families
+# (lakehouse MERGE, recursive hierarchy, Python UDTF, multi-grain
+# rollup) — so every family carries a driver-issued green stamp, not
+# just the local replay's.
 # tests/test_driver_window.py pins both the order and the family coverage.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H spine + aggregation families
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q12_late_shipment", "agg_distinct_counts", "var_std_exact",
+    "merge_upsert_cdc", "agg_distinct_counts", "var_std_exact",
     "argmax_per_group", "string_agg_sorted", "histogram_fixed_buckets",
-    "approx_distinct_hll", "approx_quantiles",
+    "approx_distinct_hll", "hierarchy_roots_depth",
     # joins (incl. custom as-of)
     "join_left_outer_counts", "join_semi", "join_asof_last_error",
     # windows / sessionization / top-k
-    "window_rank_lag", "sessionize_lag_cumsum", "topk_per_group",
+    "window_rank_lag", "sessionize_lag_cumsum", "udtf_chunk_text",
     "topk_global",
     # grouping sets / set ops / reshape
     "grouping_sets_agg", "set_union", "pivot_qty", "unpivot_part",
     "explode_words_ordinal", "null_semantics",
     # scalar function families
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+    "scalar_string_funcs", "scalar_date_funcs", "time_rollup_multigrain",
     "json_typed_struct", "array_higher_order", "map_funcs",
     # streaming (batch twins of the Structured Streaming plans)
     "stream_tumbling_window", "stream_session_window",

@@ -40,6 +40,11 @@ FAMILY_REPRESENTATIVES = {
     "multimodal": {"mm_blob_meta", "mm_decode_ppm"},
     "pipeline": {"split_hash_deterministic", "quantile_disc_exact",
                  "global_ids_dense", "pipeline_prepare_corpus"},
+    # round-3 families
+    "lakehouse_merge": {"merge_upsert_cdc"},
+    "hierarchy": {"hierarchy_roots_depth"},
+    "udtf": {"udtf_chunk_text"},
+    "time_rollup": {"time_rollup_multigrain"},
 }
 
 
