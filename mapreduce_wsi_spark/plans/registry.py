@@ -49,16 +49,30 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects outright. Read nanos as long and convert to a
-    microsecond timestamp (truncating div — exactly DuckDB's ns->us cast, so
-    oracle comparisons stay bit-identical)."""
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts has shipped as TIMESTAMP(NANOS) in some fixture
+    generations (Spark's vectorized reader rejects that outright; only
+    readable as a raw long via ``nanosAsLong``) and TIMESTAMP(MICROS) in
+    others (read as TIMESTAMP_NTZ). Normalize either to a session-TZ
+    (UTC) microsecond TIMESTAMP: truncating ``div 1000`` for the nanos
+    case — exactly DuckDB's ns->us cast, so oracle comparisons stay
+    bit-identical — and a plain cast for the NTZ case (lossless under
+    the UTC session timezone pinned in session.py)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet with ts normalized across fixture layouts
+    (see normalize_event_ts)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
@@ -123,6 +137,7 @@ def load_catalog() -> dict[str, CatalogEntry]:
     import mapreduce_wsi_spark.plans.q_pipeline  # noqa: F401
     import mapreduce_wsi_spark.plans.q_reference  # noqa: F401
     import mapreduce_wsi_spark.plans.q_lakehouse  # noqa: F401
+    import mapreduce_wsi_spark.plans.q_events  # noqa: F401
     ordered = {name: CATALOG[name] for name in DRIVER_WINDOW}
     for name, e in CATALOG.items():
         if name not in ordered:

@@ -11,29 +11,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Schema of events.parquet with ts as raw nanos (see registry.events_tbl:
-# Spark's parquet reader only accepts TIMESTAMP(NANOS) as long).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
 
 def stream_events(spark: SparkSession, path: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream of events with a proper timestamp column."""
+    """File-source stream of events with a proper timestamp column.
+
+    File streams need an explicit schema; take it from a batch footer
+    read of the same path so the stream adapts to whichever ts layout
+    the fixture shipped (raw nanos long or TIMESTAMP_NTZ micros — see
+    registry.normalize_event_ts)."""
+    from mapreduce_wsi_spark.plans.registry import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

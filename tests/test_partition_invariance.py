@@ -44,9 +44,9 @@ SMALL_SPLIT_BYTES = 65536
 @pytest.fixture(scope="module")
 def split_sf_dir(spark, sf_oracle, tmp_path_factory) -> str:
     """sf0.01 fixtures rewritten as 16 parquet files per table. events.ts
-    (TIMESTAMP_NANOS) is copied through the nanos-as-long raw read — the
-    BIGINT nanos column round-trips and registry.events_tbl's
-    ``ts div 1000`` conversion applies identically on read-back."""
+    is copied in its raw on-disk layout (nanos-as-long or micros NTZ) —
+    it round-trips and registry.events_tbl's normalize_event_ts applies
+    identically on read-back."""
     out = tmp_path_factory.mktemp("sfsplit")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in FIXTURE_TABLES:

@@ -11,7 +11,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from mapreduce_wsi_spark.plans.registry import events_tbl
+from mapreduce_wsi_spark.plans.registry import events_tbl, normalize_event_ts
 from mapreduce_wsi_spark.streaming.windows import (
     dedup_within_watermark,
     run_stream_to_memory,
@@ -24,7 +24,8 @@ from mapreduce_wsi_spark.streaming.windows import (
 @pytest.fixture(scope="module")
 def events_dir(spark, sf_smoke, tmp_path_factory):
     """A streaming source dir: the raw events file split into several
-    parquet files (ts still as raw nanos long) to get multiple microbatches."""
+    parquet files (ts kept in its raw on-disk layout) to get multiple
+    microbatches; stream_events normalizes ts on read."""
     out = tmp_path_factory.mktemp("events_stream")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
@@ -63,8 +64,7 @@ def test_append_mode_withholds_open_windows(spark, events_dir):
     got = run_stream_to_memory(
         tumbling_counts(stream, watermark="2 hours"), "tumble_append", "append")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_src = (spark.read.parquet(events_dir)
-                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    batch_src = normalize_event_ts(spark.read.parquet(events_dir))
     batch = tumbling_counts(batch_src, watermark=None)
     n_got, n_all = got.count(), batch.count()
     # windows inside the final watermark stay open and unemitted
