@@ -1,0 +1,148 @@
+"""Behavioral / event-sequence analytics over an event log.
+
+The reference's workload model is "rows through map/reduce"
+(reference: src/MapReduceWSIImpl.java:89-197 runs arbitrary per-row
+programs); these operators cover the event-log analyses such a user
+would script by hand — funnels, cohort retention, transition matrices,
+interval concurrency — as declarative DataFrame compositions instead,
+so Catalyst keeps pushdown/partial-agg and every shuffle is on an
+explicit, bounded key.
+
+Scale posture (100 TB): everything here partitions by user_id or
+(group, day) — no global windows. The concurrency sweep is the classic
+running-sum-over-a-global-order problem; it is implemented two-phase
+(per-day windows + a tiny per-day offset table joined back broadcast),
+the same trick as pipeline.py's dense global IDs, so no single task
+ever sees more than one (group, day) slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_first_touch(events: DataFrame,
+                       steps: tuple[str, ...]) -> DataFrame:
+    """First-touch funnel: per user, the timestamp of the first ``steps[0]``
+    event, the first ``steps[1]`` event strictly after it, and so on.
+    Returns one row per user with columns t0..t{k-1} (NULL once the funnel
+    is abandoned).
+
+    Each step is a windowed conditional-min over the same user_id
+    partitioning, so the whole chain costs ONE shuffle (exchange reuse
+    across the stacked Window operators) plus the final per-user
+    aggregation that rides the same partitioning.
+    """
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "ts", "event_type")
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        df = df.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    return df.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(len(steps))])
+
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """Markov transition matrix of the event stream: count of
+    (previous event_type -> event_type) pairs per user step, ordered by
+    (ts, event_id) for a total, deterministic order. One shuffle on
+    user_id (the lag window), then a partial-aggregated groupBy on the
+    5x5 type-pair key space."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (events
+            .withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    activity; for each (cohort_week, week_offset) the number of distinct
+    cohort members active that week. Window-min on user_id (one shuffle),
+    then a distinct-count on the small (cohort, offset) grid."""
+    wk = F.date_trunc("week", F.col("ts"))
+    cohort = F.min(wk).over(Window.partitionBy("user_id"))
+    return (events
+            .withColumn("wk", F.to_date(wk))
+            .withColumn("cohort_week", F.to_date(cohort))
+            .withColumn("week_offset",
+                        F.expr("datediff(wk, cohort_week) div 7"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+def peak_concurrency(events: DataFrame, duration: str = "5 minutes",
+                     group_col: str = "event_type") -> DataFrame:
+    """Max number of concurrently-open intervals per group, where each
+    event opens the half-open interval [ts, ts + duration).
+
+    Sweep-line: +1 at each start, -1 at each end, running sum in
+    (t, delta) order — delta ASC puts ends before starts at the same
+    instant, which is exactly half-open semantics. The running sum is
+    NOT one global window: phase 1 computes it within (group, day)
+    partitions, phase 2 adds each day's exclusive prefix total from a
+    tiny per-(group, day) table joined back broadcast — so the sweep
+    scales out across days instead of serializing per group.
+    """
+    starts = events.select(F.col(group_col).alias("g"),
+                           F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = events.select(F.col(group_col).alias("g"),
+                         (F.col("ts") + F.expr(f"INTERVAL {duration}"))
+                         .alias("t"), F.lit(-1).alias("delta"))
+    pts = starts.unionByName(ends).withColumn("day", F.to_date("t"))
+
+    day_w = Window.partitionBy("g", "day").orderBy("t", "delta") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = pts.withColumn("run", F.sum("delta").over(day_w))
+
+    # Exclusive prefix of per-day totals: n_groups x n_days rows.
+    totals = pts.groupBy("g", "day").agg(F.sum("delta").alias("day_tot"))
+    off_w = Window.partitionBy("g").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "day_off", F.coalesce(F.sum("day_tot").over(off_w), F.lit(0)))
+
+    active = (within.join(F.broadcast(offsets.select("g", "day", "day_off")),
+                          ["g", "day"])
+              .withColumn("active", F.col("run") + F.col("day_off")))
+    return (active.groupBy("g")
+            .agg(F.max("active").alias("peak_concurrency"),
+                 F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                 .alias("n_intervals"))
+            .withColumnRenamed("g", group_col))
+
+
+def rolling_zscore_anomalies(events: DataFrame, lookback: int = 20,
+                             min_n: int = 12) -> DataFrame:
+    """Per-user rolling z-score outliers, fully cross-engine exact.
+
+    value has exactly 2 decimals (FIXTURES.md), so it is scored in
+    integer cents and |z| > 3 is decided by the multiplied-through
+    integer inequality  (n*x - s)^2 * (n-1) > 9 * n * (n*ss - s^2)
+    over a [lookback preceding, 1 preceding] frame — no floating point,
+    no division, bit-identical in any engine. One shuffle (user_id
+    window); frames are O(lookback) per row.
+    """
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(-lookback, -1)
+    scored = (events
+              .withColumn("xc", xc)
+              .withColumn("n", F.count("xc").over(w))
+              .withColumn("s", F.sum("xc").over(w))
+              .withColumn("ss", F.sum(F.col("xc") * F.col("xc")).over(w)))
+    dev = F.col("n") * F.col("xc") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    is_anom = (F.col("n") >= min_n) & \
+        (dev * dev * (F.col("n") - 1) > 9 * F.col("n") * var_n2)
+    return (scored
+            .groupBy("user_id")
+            .agg(F.sum(F.when(F.col("n") >= min_n, 1).otherwise(0))
+                 .alias("n_scored"),
+                 F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies")))

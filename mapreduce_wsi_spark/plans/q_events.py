@@ -1,0 +1,285 @@
+"""Behavioral / event-sequence analytics catalog entries (events table).
+
+The event-log analyses a reference user would hand-script as map/reduce
+passes (reference: src/MapReduceWSIImpl.java:89-197 runs arbitrary
+per-row programs), expressed declaratively: funnels, cohort retention,
+transition matrices, sweep-line concurrency, rolling outlier detection,
+robust (median/MAD) stats, winsorized aggregation, and partial-sketch
+rollup (HLL merge across grains — the at-scale pattern where per-day
+sketches are stored and merged instead of rescanning raw data).
+
+Cross-engine exactness: event values carry exactly 2 decimals
+(FIXTURES.md), so every derived statistic here is computed in integer
+cents with multiplied-through inequalities — no floats, no division —
+and timestamps stay in microseconds end-to-end. DuckDB's window
+sum(BIGINT) widens to HUGEINT; every oracle casts aggregates back to
+BIGINT so the driver's type-aware hash sees identical schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.behavior import (
+    cohort_retention,
+    funnel_first_touch,
+    peak_concurrency,
+    rolling_zscore_anomalies,
+    transition_counts,
+)
+from mapreduce_wsi_spark.operators.pipeline import quantile_disc
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w2
+    ), per AS (
+        SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        FROM w3 GROUP BY user_id
+    )
+    SELECT count(t0) AS users_view, count(t1) AS users_click,
+           count(t2) AS users_purchase
+    FROM per
+    """,
+    note="first-touch funnel view > click > purchase (strict ts order); "
+         "chained conditional window-mins ride ONE user_id shuffle "
+         "(exchange reuse) — operators/behavior.py:funnel_first_touch")
+def funnel_steps(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    per = funnel_first_touch(ev, ("view", "click", "purchase"))
+    return per.agg(F.count("t0").alias("users_view"),
+                   F.count("t1").alias("users_click"),
+                   F.count("t2").alias("users_purchase"))
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, next_type, count(*) AS n
+    FROM lagged WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    note="Markov transition counts over per-user event sequences, total "
+         "order (ts, event_id); lag window + small-keyspace groupBy")
+def event_transition_matrix(spark, sf_dir):
+    return transition_counts(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+               CAST(min(date_trunc('week', ts))
+                        OVER (PARTITION BY user_id) AS DATE) AS cohort_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM base GROUP BY cohort_week, week_offset
+    """,
+    note="weekly cohort retention grid (first-activity week x offset); "
+         "Monday-aligned date_trunc('week') in both engines")
+def cohort_retention_weekly(spark, sf_dir):
+    return cohort_retention(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "interval_peak_concurrency",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta
+        FROM events
+    ), sweep AS (
+        SELECT event_type, delta,
+               CAST(sum(delta) OVER (PARTITION BY event_type
+                                     ORDER BY t, delta
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS active
+        FROM pts
+    )
+    SELECT event_type, max(active) AS peak_concurrency,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_intervals
+    FROM sweep GROUP BY event_type
+    """,
+    note="sweep-line max-overlap of [ts, ts+5min) intervals; (t, delta) "
+         "order makes same-instant end-before-start = half-open semantics. "
+         "Spark side is the scalable two-phase sweep (per-day windows + "
+         "broadcast day-offset table) — oracle is the single-window twin")
+def interval_peak_concurrency(spark, sf_dir):
+    return peak_concurrency(tbl(spark, sf_dir, "events"),
+                            duration="5 minutes")
+
+
+@register(
+    "anomaly_zscore_rolling",
+    oracle="""
+    WITH sc AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS xc,
+               count(*) OVER w AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) OVER w AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           count(*) FILTER (WHERE n >= 12) AS n_scored,
+           count(*) FILTER (WHERE n >= 12
+                            AND (n*xc - s) * (n*xc - s) * (n - 1)
+                                > 9 * n * (n*ss - s*s)) AS n_anomalies
+    FROM sc GROUP BY user_id
+    """,
+    note="rolling |z|>3 outliers over a 20-event preceding frame per "
+         "user, decided by the multiplied-through integer-cents "
+         "inequality (n*x-s)^2*(n-1) > 9*n*(n*ss-s^2) — zero floats, "
+         "bit-identical across engines; ~265 anomalies at sf0.01 so the "
+         "check is non-vacuous")
+def anomaly_zscore_rolling(spark, sf_dir):
+    return rolling_zscore_anomalies(tbl(spark, sf_dir, "events"),
+                                    lookback=20, min_n=12)
+
+
+@register(
+    "winsorized_sum",
+    oracle="""
+    WITH cd AS (
+        SELECT event_type, value,
+               cume_dist() OVER (PARTITION BY event_type
+                                 ORDER BY value) AS cd
+        FROM events
+    ), q AS (
+        SELECT event_type,
+               min(CASE WHEN cd >= 0.05 THEN value END) AS p05,
+               min(CASE WHEN cd >= 0.95 THEN value END) AS p95
+        FROM cd GROUP BY event_type
+    )
+    SELECT e.event_type, q.p05 AS p05, q.p95 AS p95,
+           CAST(sum(least(greatest(CAST(round(e.value * 100) AS BIGINT),
+                                   CAST(round(q.p05 * 100) AS BIGINT)),
+                          CAST(round(q.p95 * 100) AS BIGINT))) AS BIGINT)
+               AS sum_winsorized_cents
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.p05, q.p95
+    """,
+    note="winsorized sum per type: clamp to exact PERCENTILE_DISC "
+         "p05/p95 (cume_dist recipe, values that exist in the data so "
+         "they compare bitwise) then sum in integer cents; the 5-row "
+         "quantile table joins back broadcast")
+def winsorized_sum(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    q = (quantile_disc(ev, "event_type", "value", (0.05, 0.95))
+         .select("event_type", F.col("p5").alias("p05"),
+                 F.col("p95").alias("p95")))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    lo = F.round(F.col("p05") * 100).cast("bigint")
+    hi = F.round(F.col("p95") * 100).cast("bigint")
+    return (ev.join(F.broadcast(q), "event_type")
+            .withColumn("clipped", F.least(F.greatest(cents, lo), hi))
+            .groupBy("event_type", "p05", "p95")
+            .agg(F.sum("clipped").alias("sum_winsorized_cents")))
+
+
+@register(
+    "robust_mad_stats",
+    oracle="""
+    WITH cd AS (
+        SELECT event_type, value,
+               cume_dist() OVER (PARTITION BY event_type
+                                 ORDER BY value) AS cd
+        FROM events
+    ), med AS (
+        SELECT event_type,
+               min(CASE WHEN cd >= 0.5 THEN value END) AS med
+        FROM cd GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type,
+               abs(CAST(round(e.value * 100) AS BIGINT)
+                   - CAST(round(m.med * 100) AS BIGINT)) AS d
+        FROM events e JOIN med m USING (event_type)
+    ), cd2 AS (
+        SELECT event_type, d,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY d) AS cd
+        FROM dev
+    ), mad AS (
+        SELECT event_type, min(CASE WHEN cd >= 0.5 THEN d END) AS mad_cents
+        FROM cd2 GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(round(m.med * 100) AS BIGINT) AS median_cents,
+           mad.mad_cents AS mad_cents
+    FROM med m JOIN mad USING (event_type)
+    """,
+    note="median + MAD per type via two exact PERCENTILE_DISC passes in "
+         "integer cents (deviations from a disc median are themselves "
+         "exact); robust-stats building block for outlier fences")
+def robust_mad_stats(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    med = (quantile_disc(ev, "event_type", "value", (0.5,))
+           .select("event_type",
+                   F.round(F.col("p50") * 100).cast("bigint")
+                   .alias("median_cents")))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type",
+                   F.abs(cents - F.col("median_cents")).alias("d")))
+    mad = (quantile_disc(dev, "event_type", "d", (0.5,))
+           .select("event_type", F.col("p50").alias("mad_cents")))
+    return med.join(F.broadcast(mad), "event_type") \
+        .select("event_type", "median_cents", "mad_cents")
+
+
+@register(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           true AS users_within_tol
+    FROM events
+    """,
+    note="partial-sketch rollup: per-day Datasketches HLL of user_id, "
+         "merged with hll_union_agg to a whole-range estimate — the "
+         "at-scale pattern (store day sketches, merge grains, never "
+         "rescan raw). Contract: merged estimate within 5% of the exact "
+         "distinct-user count (lgConfigK=12 => ~1.6% rse); exactness "
+         "anchor is the oracle-checked n_days + agg_distinct_counts "
+         "pattern")
+def hll_sketch_rollup(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id", 12).alias("sk")))
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    both = merged.crossJoin(F.broadcast(exact))
+    within = (F.abs(F.col("approx_users").cast("double")
+                    - F.col("exact_users"))
+              / F.col("exact_users")) <= 0.05
+    return both.select("n_days", within.alias("users_within_tol"))

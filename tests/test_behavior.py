@@ -1,0 +1,117 @@
+"""Semantics tests for operators/behavior.py on small synthetic frames
+(the catalog entries' cross-engine parity is covered by
+test_oracle_parity; these pin the operator semantics directly)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.behavior import (
+    funnel_first_touch,
+    peak_concurrency,
+    rolling_zscore_anomalies,
+    transition_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, minutes_after_t0, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(minutes=m), u, t, float(v))
+         for (i, m, u, t, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _ev(spark, [
+        # user 1 completes the funnel in order
+        (1, 0, 1, "view", 1), (2, 5, 1, "click", 1), (3, 9, 1, "purchase", 1),
+        # user 2 purchases BEFORE clicking -> purchase must not count
+        (4, 0, 2, "view", 1), (5, 9, 2, "purchase", 1), (6, 10, 2, "click", 1),
+        # user 3 never views -> nothing counts, not even the click
+        (7, 0, 3, "click", 1), (8, 5, 3, "purchase", 1),
+    ])
+    per = {r["user_id"]: r for r in
+           funnel_first_touch(ev, ("view", "click", "purchase")).collect()}
+    assert per[1]["t2"] is not None
+    assert per[2]["t1"] is not None and per[2]["t2"] is None
+    assert per[3]["t0"] is None and per[3]["t1"] is None
+
+
+def test_funnel_is_one_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    ev = _ev(spark, [(1, 0, 1, "view", 1), (2, 5, 1, "click", 1)])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        funnel_first_touch(ev, ("view", "click", "purchase")) \
+            .explain("formatted")
+    # chained window-mins + final groupBy all ride one user_id exchange
+    assert buf.getvalue().count("Exchange hashpartitioning") == 1
+
+
+def test_transition_counts_ordered_by_ts(spark):
+    ev = _ev(spark, [
+        (1, 0, 1, "view", 1), (2, 1, 1, "click", 1), (3, 2, 1, "view", 1),
+        (4, 0, 2, "view", 1), (5, 1, 2, "click", 1),
+    ])
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in transition_counts(ev).collect()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_peak_concurrency_half_open_and_cross_day(spark):
+    # Three 5-min intervals: [0,5), [2,7), [4,9) -> peak 3 at t=4;
+    # an interval ending exactly when another starts must NOT overlap.
+    ev = _ev(spark, [
+        (1, 0, 1, "a", 1), (2, 2, 1, "a", 1), (3, 4, 1, "a", 1),
+        (4, 9, 1, "a", 1),  # starts exactly at [4,9) end: no overlap bump
+        # group b spans a midnight boundary: day-offset phase must carry
+        # the open interval across days (23:58 + 5min ends next day)
+        (5, 11 * 60 + 58, 1, "b", 1), (6, 12 * 60 + 1, 1, "b", 1),
+    ])
+    got = {r["event_type"]: (r["peak_concurrency"], r["n_intervals"])
+           for r in peak_concurrency(ev, duration="5 minutes").collect()}
+    assert got["a"] == (3, 4)
+    assert got["b"] == (2, 2)
+
+
+def test_peak_concurrency_matches_single_window_sweep(spark, sf_smoke):
+    """Two-phase (per-day + offsets) sweep == naive single-window sweep."""
+    from mapreduce_wsi_spark.plans.registry import events_tbl
+
+    ev = events_tbl(spark, sf_smoke)
+    two_phase = {r["event_type"]: r["peak_concurrency"]
+                 for r in peak_concurrency(ev).collect()}
+    pts = ev.select(F.col("event_type"), F.col("ts").alias("t"),
+                    F.lit(1).alias("delta")).unionByName(
+        ev.select(F.col("event_type"),
+                  (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+                  F.lit(-1).alias("delta")))
+    w = Window.partitionBy("event_type").orderBy("t", "delta") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {r["event_type"]: r["peak"]
+             for r in pts.withColumn("run", F.sum("delta").over(w))
+             .groupBy("event_type").agg(F.max("run").alias("peak"))
+             .collect()}
+    assert two_phase == naive
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    # 30 steady readings then one 100x spike for user 1; user 2 all steady.
+    rows = [(i, i, 1, "m", 10.0 + (i % 3) * 0.5) for i in range(30)]
+    rows.append((30, 30, 1, "m", 1000.0))
+    rows += [(100 + i, i, 2, "m", 10.0) for i in range(31)]
+    ev = _ev(spark, [(i, m, u, t, v) for (i, m, u, t, v) in rows])
+    got = {r["user_id"]: r for r in
+           rolling_zscore_anomalies(ev, lookback=20, min_n=12).collect()}
+    assert got[1]["n_anomalies"] == 1
+    assert got[2]["n_anomalies"] == 0
+    assert got[1]["n_scored"] == got[2]["n_scored"] > 0
