@@ -89,10 +89,12 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # just the local replay's.
 # tests/test_driver_window.py pins both the order and the family coverage.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H spine + aggregation families
+    # TPC-H spine + aggregation families (string_agg_sorted /
+    # histogram_fixed_buckets moved past the window in round 3 to make
+    # room for the behavioral-analytics family; still replay-verified)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "merge_upsert_cdc", "agg_distinct_counts", "var_std_exact",
-    "argmax_per_group", "string_agg_sorted", "histogram_fixed_buckets",
+    "argmax_per_group", "funnel_steps", "interval_peak_concurrency",
     "approx_distinct_hll", "hierarchy_roots_depth",
     # joins (incl. custom as-of)
     "join_left_outer_counts", "join_semi", "join_asof_last_error",

@@ -52,7 +52,7 @@ def test_funnel_is_one_shuffle(spark):
     buf = io.StringIO()
     with redirect_stdout(buf):
         funnel_first_touch(ev, ("view", "click", "purchase")) \
-            .explain("formatted")
+            .explain("simple")
     # chained window-mins + final groupBy all ride one user_id exchange
     assert buf.getvalue().count("Exchange hashpartitioning") == 1
 

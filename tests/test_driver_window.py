@@ -16,8 +16,7 @@ CATALOG = load_catalog()
 FAMILY_REPRESENTATIVES = {
     "tpch": {"q1_pricing_summary", "q3_shipping_priority",
              "q5_local_supplier_volume", "q12_late_shipment"},
-    "agg": {"agg_distinct_counts", "var_std_exact", "argmax_per_group",
-            "string_agg_sorted", "histogram_fixed_buckets"},
+    "agg": {"agg_distinct_counts", "var_std_exact", "argmax_per_group"},
     "approx_sketch": {"approx_distinct_hll", "approx_quantiles"},
     "join": {"join_left_outer_counts", "join_semi", "join_asof_last_error"},
     "window": {"window_rank_lag", "sessionize_lag_cumsum"},
@@ -45,6 +44,8 @@ FAMILY_REPRESENTATIVES = {
     "hierarchy": {"hierarchy_roots_depth"},
     "udtf": {"udtf_chunk_text"},
     "time_rollup": {"time_rollup_multigrain"},
+    "behavioral": {"funnel_steps", "interval_peak_concurrency",
+                   "event_transition_matrix", "anomaly_zscore_rolling"},
 }
 
 
