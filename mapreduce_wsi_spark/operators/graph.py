@@ -60,3 +60,36 @@ def resolve_roots(nodes: DataFrame, id_col: str = "id",
                .localCheckpoint(eager=True))
     return cur.select("id", F.col("anc").alias("root"),
                       F.col("dist").alias("depth"))
+
+
+def bfs_hops(edges: DataFrame, source: int, src_col: str = "src",
+             dst_col: str = "dst", max_rounds: int = 20) -> DataFrame:
+    """Minimum hop count from ``source`` over a directed (possibly
+    cyclic) edge set; pass both directions for an undirected graph.
+    Returns (id, hops) for every reachable node.
+
+    Frontier BFS: each round joins only the newly-discovered frontier
+    against the edges and anti-joins the visited set, so work per round
+    is O(frontier x degree), rounds = graph diameter. Cycles terminate
+    because a revisited node is always anti-joined away. Every round
+    localCheckpoints (the same iterative-lineage discipline as
+    dedup.connected_components, dedup.py:205) so the plan doesn't grow
+    with the iteration count. The DuckDB oracle runs the honest
+    WITH RECURSIVE UNION (dedup) twin."""
+    spark = edges.sparkSession
+    visited = (spark.range(1)
+               .select(F.lit(source).cast("bigint").alias("id"),
+                       F.lit(0).alias("hops"))
+               .localCheckpoint(eager=True))
+    frontier = visited
+    for r in range(1, max_rounds + 1):
+        nxt = (frontier.join(edges, frontier["id"] == edges[src_col])
+               .select(F.col(dst_col).cast("bigint").alias("id")).distinct()
+               .join(visited, "id", "left_anti")
+               .select("id", F.lit(r).alias("hops"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

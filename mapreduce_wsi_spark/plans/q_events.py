@@ -257,6 +257,95 @@ def robust_mad_stats(spark, sf_dir):
 
 
 @register(
+    "ols_trend_per_type",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   // 3600 AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+               AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+               AS slope_den
+    FROM b GROUP BY event_type
+    """,
+    note="closed-form OLS trend of value-vs-time per type, kept exact: "
+         "x in whole hours since the epoch anchor, y in cents, and the "
+         "slope reported as the integer pair (num, den) of "
+         "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — no floating point, so the "
+         "driver hash is bit-exact; one partial-aggregated groupBy "
+         "(the moment sums are classic map-side combine)")
+def ols_trend_per_type(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) - unix_timestamp("
+               "TIMESTAMP '2024-01-01 00:00:00')) div 3600").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"))
+    agg = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return agg.select(
+        "event_type", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("slope_den"))
+
+
+@register(
+    "rfm_scores",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                              DATE '2002-01-01') AS BIGINT) AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m_score
+    FROM cust
+    """,
+    note="RFM customer quartiles (recency vs 2002-01-01 anchor, "
+         "frequency, monetary in cents) via ntile over total orders "
+         "(metric, custkey) — deterministic ties. The three global "
+         "ntile windows run over POST-aggregation rows (|customers|); "
+         "at 100 TB swap them for the two-phase rank of "
+         "pipeline.global_ids_dense")
+def rfm_scores(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.max(F.col("o_orderdate").cast("date")))
+        .cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("monetary_cents"))
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+    return cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"))
+
+
+@register(
     "hll_sketch_rollup",
     oracle="""
     SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,

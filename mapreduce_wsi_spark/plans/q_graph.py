@@ -1,0 +1,150 @@
+"""Graph analytics over a derived co-purchase graph (SURVEY §2-adjacent:
+the iterative/self-join query class a reference user would script as
+repeated map/reduce rounds — reference: src/MapReduceWSIImpl.java:89-115
+runs arbitrary client programs per pass).
+
+Graph: nodes = parts, an undirected edge between two parts iff they
+co-occur in >= 2 orders (the support threshold prunes the quadratic
+long tail of one-off pairs before any downstream graph op — at sf0.01
+that is 3,638 edges over ~1,400 parts with 96 triangles, a genuinely
+sparse structure). Basket-size capping (the other co-occurrence
+explosion guard) is available on the operator but unused here: fixture
+baskets max out at 13 lines.
+
+Scale posture: the pair builder is an equi-join on l_orderkey (shuffle
+on the natural key, partial-agg counts); triangles are two broadcast-able
+equi-joins over the ordered edge list (lo < hi orientation halves the
+wedge space); BFS is frontier-based with localCheckpoint per round —
+work per round is O(frontier x degree), not O(V).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.graph import bfs_hops
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+# Shared CTE text: the support->=2 part co-purchase edge list (lo < hi).
+_EDGES_CTE = """
+    SELECT a.l_partkey AS lo, b.l_partkey AS hi
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY lo, hi HAVING count(*) >= 2
+"""
+
+
+def part_edges(li: DataFrame, min_support: int = 2,
+               max_basket: int | None = None) -> DataFrame:
+    """(lo, hi, n) part pairs co-occurring in >= min_support orders,
+    lo < hi. max_basket (unused by the catalog entries — fixture baskets
+    are <= 13 lines) caps the per-order line count before the self-join,
+    the production guard against quadratic blowup on pathological
+    baskets."""
+    if max_basket is not None:
+        ok = (li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_basket).select("l_orderkey"))
+        li = li.join(ok, "l_orderkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("lo"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("hi"))
+    return (a.join(b, "l_orderkey").filter(F.col("lo") < F.col("hi"))
+            .groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_support))
+
+
+@register(
+    "copurchase_pairs_topk",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n FROM pairs
+    ORDER BY n DESC, part_a, part_b LIMIT 20
+    """,
+    note="market-basket co-purchase: self-join on the basket key, "
+         "partial-agg pair counts, top-20 by the total order "
+         "(n DESC, part_a, part_b) so the LIMIT is deterministic and "
+         "lowers to TakeOrderedAndProject")
+def copurchase_pairs_topk(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    pairs = part_edges(li, min_support=1) \
+        .select(F.col("lo").alias("part_a"), F.col("hi").alias("part_b"), "n")
+    return pairs.orderBy(F.col("n").desc(), "part_a", "part_b").limit(20)
+
+
+@register(
+    "triangle_count",
+    oracle=f"""
+    WITH e AS ({_EDGES_CTE})
+    SELECT
+        CAST((SELECT count(*) FROM (SELECT lo AS s FROM e
+                                    UNION SELECT hi FROM e)) AS BIGINT)
+            AS n_nodes,
+        CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        CAST((SELECT count(*)
+              FROM e e1
+              JOIN e e2 ON e2.lo = e1.hi
+              JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi) AS BIGINT)
+            AS n_triangles
+    """,
+    note="triangle counting on the support>=2 co-purchase graph: "
+         "wedges from the (lo < hi)-oriented edge list closed by a "
+         "second equi-join — the orientation halves the wedge space "
+         "(each triangle counted exactly once as lo<mid<hi); edge list "
+         "localCheckpointed so the three reads don't recompute the "
+         "pair aggregation")
+def triangle_count(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    e = part_edges(li).select("lo", "hi").localCheckpoint(eager=True)
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    n_nodes = (e.select(F.col("lo").alias("s"))
+               .unionByName(e.select(F.col("hi").alias("s"))).distinct()
+               .agg(F.count(F.lit(1)).alias("n_nodes")))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGES_CTE}
+    ), und AS (
+        SELECT lo AS src, hi AS dst FROM e
+        UNION ALL
+        SELECT hi AS src, lo AS dst FROM e
+    ), bfs AS (
+        SELECT (SELECT min(lo) FROM e) AS id, 0 AS hops
+        UNION
+        SELECT u.dst, bfs.hops + 1
+        FROM bfs JOIN und u ON u.src = bfs.id
+        WHERE bfs.hops < 20
+    )
+    SELECT id, CAST(min(hops) AS BIGINT) AS hops
+    FROM bfs GROUP BY id
+    """,
+    note="BFS hop distance from the smallest node over the undirected "
+         "support>=2 co-purchase graph (cyclic — the recursive-CTE "
+         "class resolve_roots cannot express). Frontier BFS, "
+         "O(diameter) rounds, localCheckpoint per round; the 1-row "
+         "min-node collect is the only driver-side value. Oracle is "
+         "DuckDB's honest WITH RECURSIVE UNION twin")
+def graph_bfs_hops(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    e = part_edges(li).select("lo", "hi").localCheckpoint(eager=True)
+    und = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+           .unionByName(
+               e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))))
+    source = e.agg(F.min("lo")).collect()[0][0]  # 1 row, like jdbc bounds
+    return bfs_hops(und, source).select(
+        "id", F.col("hops").cast("bigint").alias("hops"))

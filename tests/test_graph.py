@@ -29,3 +29,39 @@ def test_forest_multiple_roots(spark):
     nodes = spark.createDataFrame(rows, "id long, parent long")
     out = sorted(map(tuple, resolve_roots(nodes).collect()))
     assert out == [(1, 1, 0), (2, 1, 1), (3, 3, 0), (4, 1, 2), (5, 3, 1)]
+
+
+def _und(spark, pairs):
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e.unionByName(rev)
+
+
+def test_bfs_hops_on_cycle_with_chord(spark):
+    from mapreduce_wsi_spark.operators.graph import bfs_hops
+
+    # 6-cycle 1-2-3-4-5-6-1 plus chord 2-5: cycles must terminate and
+    # the chord must shorten 1->5 to 2 hops (via 2), 1->4 to 3 hops.
+    edges = _und(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1),
+                         (2, 5)])
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, 1).collect()}
+    assert got == {1: 0, 2: 1, 6: 1, 3: 2, 5: 2, 4: 3}
+
+
+def test_bfs_unreachable_nodes_absent(spark):
+    from mapreduce_wsi_spark.operators.graph import bfs_hops
+
+    edges = _und(spark, [(1, 2), (10, 11)])
+    got = {r["id"] for r in bfs_hops(edges, 1).collect()}
+    assert got == {1, 2}
+
+
+def test_triangle_count_known_graph(spark, sf_oracle):
+    """Catalog triangle_count equals the known sf0.01 structure and the
+    builder blocks double counting (each triangle once as lo<mid<hi)."""
+    from mapreduce_wsi_spark.plans.registry import load_catalog
+
+    row = load_catalog()["triangle_count"].fn(spark, sf_oracle).collect()[0]
+    assert row["n_edges"] == 3638
+    assert row["n_triangles"] == 96
+    assert 0 < row["n_nodes"] <= 2000
