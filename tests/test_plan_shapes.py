@@ -231,3 +231,27 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_oracle):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_copurchase_topk_lowers_to_take_ordered(spark, sf_oracle):
+    plan = plan_of(build("copurchase_pairs_topk", spark, sf_oracle), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_quantile_table_is_broadcast(spark, sf_oracle):
+    """The 5-row p05/p95 table must join back broadcast — a sort-merge
+    join here would shuffle the full event scan a second time."""
+    plan = plan_of(build("winsorized_sum", spark, sf_oracle), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sweep_concurrency_has_no_global_sort(spark, sf_oracle):
+    """The two-phase sweep's whole point: the running sum must ride
+    (group, day) partitions with a broadcast day-offset join — never a
+    single-partition global window."""
+    plan = plan_of(build("interval_peak_concurrency", spark, sf_oracle),
+                   "simple")
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
