@@ -41,12 +41,19 @@ HEADLINE = [
     "dedup_components",
     "sim_ann_ivf_build",
     "sim_ann_ivf",
+    # round-3 behavioral/graph families
+    "funnel_steps",
+    "interval_peak_concurrency",
+    "graph_bfs_hops",
+    "triangle_count",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
-# propagation, k-means fit into a checkpoint): each timed run rebuilds
-# from scratch; everything else builds once and times execution only.
-BUILD_IN_TIMING = {"dedup_components", "sim_ann_ivf_build"}
+# propagation, k-means fit into a checkpoint, frontier BFS rounds,
+# eager edge-list checkpoints): each timed run rebuilds from scratch;
+# everything else builds once and times execution only.
+BUILD_IN_TIMING = {"dedup_components", "sim_ann_ivf_build",
+                   "graph_bfs_hops", "triangle_count"}
 
 
 def _bench_overrides():
