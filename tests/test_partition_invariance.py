@@ -36,6 +36,9 @@ ENTRIES = [
     "text_bm25_topk",            # decimal per-term score sum across splits
     "weighted_sample_es",        # heap top-k across partition layouts
     "join_range_intervals",      # bucketed interval join across splits
+    "interval_peak_concurrency",  # two-phase sweep: day windows + offsets
+    "anomaly_zscore_rolling",    # ordered 20-row frames across splits
+    "graph_bfs_hops",            # iterative frontier joins across splits
 ]
 
 SMALL_SPLIT_BYTES = 65536
