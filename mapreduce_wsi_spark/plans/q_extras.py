@@ -682,3 +682,45 @@ def scd2_intervals(spark, sf_dir):
         nxt.alias("valid_to"),
         F.col("o_orderstatus").alias("status"),
         nxt.isNull().alias("is_current"))
+
+
+@register(
+    "skew_key_diagnostics",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey AS k, count(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, k) AS rn FROM c
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS total_rows,
+               CAST(max(n) AS BIGINT) AS max_rows
+        FROM c
+    )
+    SELECT n_keys, total_rows, max_rows,
+           CAST((SELECT sum(n) FROM ranked WHERE rn <= 10) AS BIGINT)
+               AS top10_rows,
+           CAST(max_rows * 1000000 // total_rows AS BIGINT)
+               AS max_share_ppm
+    FROM tot
+    """,
+    note="shuffle-key skew pre-flight: per-key row counts in one "
+         "partial-aggregated pass, heaviest-10 via TakeOrdered (10 rows "
+         "cross the driver), max share in exact ppm (integer div). The "
+         "diagnostic you run BEFORE picking a salt factor / AQE skew "
+         "threshold on a new join key — operational companion to "
+         "join_salted_skew")
+def skew_key_diagnostics(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("k")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n").alias("total_rows"),
+                F.max("n").alias("max_rows"))
+    top10 = (c.orderBy(F.col("n").desc(), "k").limit(10)
+             .agg(F.sum("n").alias("top10_rows")))
+    return (tot.crossJoin(top10)
+            .select("n_keys", "total_rows", "max_rows", "top10_rows",
+                    F.expr("max_rows * 1000000 div total_rows")
+                    .alias("max_share_ppm")))

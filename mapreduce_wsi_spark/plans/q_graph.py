@@ -148,3 +148,51 @@ def graph_bfs_hops(spark, sf_dir):
     source = e.agg(F.min("lo")).collect()[0][0]  # 1 row, like jdbc bounds
     return bfs_hops(und, source).select(
         "id", F.col("hops").cast("bigint").alias("hops"))
+
+
+@register(
+    "entity_resolution_pipeline",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang, source, substr(text, 1, 4) AS blk,
+               substr(text, 1, 24) AS prefix
+        FROM documents
+    ), p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 12
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ), reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.src = reach.id
+    ), comp AS (
+        SELECT id, min(r) AS comp FROM reach GROUP BY id
+    )
+    SELECT doc_id, COALESCE(comp.comp, doc_id) AS canon_id,
+           (COALESCE(comp.comp, doc_id) = doc_id) AS is_survivor
+    FROM documents LEFT JOIN comp ON comp.id = documents.doc_id
+    """,
+    note="end-to-end entity resolution: blocked fuzzy join "
+         "(join_fuzzy_levenshtein's plan) -> connected components "
+         "(min-label propagation) -> every document mapped to its "
+         "cluster-canonical id, singletons to themselves. The "
+         "record-linkage composition a reference user would run as "
+         "three hand-rolled MR passes; oracle replays it as one "
+         "recursive-CTE closure")
+def entity_resolution_pipeline(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+    from mapreduce_wsi_spark.plans.q_extras import join_fuzzy_levenshtein
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    pairs = join_fuzzy_levenshtein(spark, sf_dir)
+    comp = connected_components(pairs)
+    canon = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return (docs.join(comp, docs["doc_id"] == comp["id"], "left")
+            .select("doc_id", canon.alias("canon_id"),
+                    (canon == F.col("doc_id")).alias("is_survivor")))
