@@ -346,6 +346,82 @@ def rfm_scores(spark, sf_dir):
 
 
 @register(
+    "trending_topk_daily",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY day, event_type
+    )
+    SELECT day, event_type, n,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY day
+                                       ORDER BY n DESC, event_type) AS rnk
+          FROM c)
+    WHERE rnk <= 3
+    """,
+    note="per-day trending top-3 event types: partial-agg counts, then "
+         "rank within day partitions with a total (n DESC, type) order; "
+         "the window sees post-aggregation rows (days x types), not the "
+         "event stream")
+def trending_topk_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    c = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    return (c.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3))
+
+
+@register(
+    "stateful_user_stats",
+    oracle="""
+    WITH sc AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS yc,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(yc) AS BIGINT) AS sum_cents,
+           min(yc) AS min_cents, max(yc) AS max_cents,
+           CAST(max(CASE WHEN rn = 1 THEN yc END) AS BIGINT)
+               AS last_cents
+    FROM sc GROUP BY user_id
+    """,
+    note="custom stateful aggregation surface in its batch-checkable "
+         "form: an Arrow applyInPandas kernel folds each user's ordered "
+         "event stream into running state (n/sum/min/max/last) — the "
+         "same per-key fold streaming/stateful.py runs incrementally "
+         "under applyInPandasWithState; oracle recovers the fold with "
+         "plain SQL aggregates")
+def stateful_user_stats(spark, sf_dir):
+    import pandas as pd
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [len(pdf)],
+            "sum_cents": [pdf["yc"].sum()],
+            "min_cents": [pdf["yc"].min()],
+            "max_cents": [pdf["yc"].max()],
+            "last_cents": [pdf["yc"].iloc[-1]],
+        })
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold, "user_id long, n long, sum_cents long, min_cents long, "
+              "max_cents long, last_cents long")
+
+
+@register(
     "hll_sketch_rollup",
     oracle="""
     SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
