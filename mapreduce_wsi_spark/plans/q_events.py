@@ -422,6 +422,60 @@ def stateful_user_stats(spark, sf_dir):
 
 
 @register(
+    "attribution_last_touch",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, 1 AS tag, event_id,
+               CAST(NULL AS BIGINT) AS click_id,
+               CAST(NULL AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, event_id, ts
+        FROM events WHERE event_type = 'click'
+    ), carried AS (
+        SELECT user_id, ts, tag, event_id,
+               last_value(click_id IGNORE NULLS) OVER w AS click_id,
+               last_value(click_ts IGNORE NULLS) OVER w AS click_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('second', click_ts, ts) <= 3600
+                THEN click_id END AS attributed_click_id,
+           CASE WHEN click_ts IS NOT NULL
+                 AND date_diff('second', click_ts, ts) <= 3600
+                THEN CAST(date_diff('second', click_ts, ts) AS BIGINT)
+           END AS latency_s
+    FROM carried WHERE tag = 1
+    """,
+    note="last-touch attribution: each purchase joined as-of backward to "
+         "the user's most recent click, attributed only within a 1-hour "
+         "window (tolerance applied post-carry). Rides the as-of "
+         "union+carry composition (operators/relational.py:asof_join) — "
+         "one user_id shuffle, no range explosion; (user_id, ts) is "
+         "collision-free in the fixtures so the carry is total-ordered")
+def attribution_last_touch(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"))
+    j = asof_join(p, c, on=["user_id"], left_ts="ts", right_ts="click_ts",
+                  right_values=["click_id"])
+    lat = F.expr("unix_timestamp(ts) - unix_timestamp(click_ts_asof)")
+    within = F.col("click_ts_asof").isNotNull() & (lat <= 3600)
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.when(within, F.col("click_id_asof")).alias("attributed_click_id"),
+        F.when(within, lat.cast("bigint")).alias("latency_s"))
+
+
+@register(
     "hll_sketch_rollup",
     oracle="""
     SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
