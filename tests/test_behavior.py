@@ -115,3 +115,39 @@ def test_rolling_zscore_flags_planted_spike(spark):
     assert got[1]["n_anomalies"] == 1
     assert got[2]["n_anomalies"] == 0
     assert got[1]["n_scored"] == got[2]["n_scored"] > 0
+
+
+def test_attribution_last_touch_window_semantics(spark, tmp_path):
+    """Purchase attributes to the most recent click <= 1h before it;
+    older clicks and click-less purchases yield NULL."""
+    import shutil
+
+    rows = [
+        # user 1: click at t+0, purchase at t+30min -> attributed, 1800s
+        (1, 0, 1, "click", 1.0), (2, 30, 1, "purchase", 5.0),
+        # user 2: click at t+0, purchase at t+90min -> too old, NULL
+        (3, 0, 2, "click", 1.0), (4, 90, 2, "purchase", 5.0),
+        # user 3: two clicks; purchase takes the LATER one (20min gap)
+        (5, 0, 3, "click", 1.0), (6, 40, 3, "click", 1.0),
+        (7, 60, 3, "purchase", 5.0),
+        # user 4: purchase with no click at all
+        (8, 10, 4, "purchase", 5.0),
+    ]
+    ev = _ev(spark, rows).withColumn("props", F.lit("{}"))
+    d = tmp_path / "sfattr"
+    d.mkdir()
+    ev.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    from mapreduce_wsi_spark.plans.registry import load_catalog
+    out = {r["event_id"]: r for r in
+           load_catalog()["attribution_last_touch"].fn(
+               spark, str(d)).collect()}
+    shutil.rmtree(d, ignore_errors=True)
+
+    assert out[2]["attributed_click_id"] == 1
+    assert out[2]["latency_s"] == 1800
+    assert out[4]["attributed_click_id"] is None
+    assert out[7]["attributed_click_id"] == 6
+    assert out[7]["latency_s"] == 1200
+    assert out[8]["attributed_click_id"] is None
+    assert set(out) == {2, 4, 7, 8}
