@@ -74,3 +74,58 @@ def test_portable_bucket_matches_independent_md5(spark, keys):
     for k in keys:
         h = hashlib.md5(str(k).encode()).hexdigest()
         assert got[k] == int(h[:8], 16) % 100
+
+
+def _brute_peak(intervals):
+    """Max overlap of half-open [s, e) integer intervals by scanning
+    every start point."""
+    best = 0
+    for s, _ in intervals:
+        best = max(best, sum(1 for s2, e2 in intervals if s2 <= s < e2))
+    return best
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 3000), min_size=1, max_size=25))
+def test_peak_concurrency_matches_bruteforce(spark, starts):
+    """Two-phase sweep == O(n^2) brute force on arbitrary minute offsets
+    (including cross-midnight: offsets span >1 day at 3000 minutes)."""
+    import datetime as dt
+
+    from mapreduce_wsi_spark.operators.behavior import peak_concurrency
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=m), 1, "g", 1.0)
+            for i, m in enumerate(starts)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = peak_concurrency(ev, duration="5 minutes").collect()[0]
+    expect = _brute_peak([(m, m + 5) for m in starts])
+    assert got["peak_concurrency"] == expect
+    assert got["n_intervals"] == len(starts)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 200),
+                          st.sampled_from(["view", "click", "purchase"])),
+                min_size=1, max_size=30))
+def test_funnel_counts_are_monotone(spark, rows):
+    """users_view >= users_click >= users_purchase for ANY event set —
+    each funnel stage conditions on the previous one."""
+    import datetime as dt
+
+    from mapreduce_wsi_spark.operators.behavior import funnel_first_touch
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=m), u, ty, 1.0)
+         for i, (u, m, ty) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    per = funnel_first_touch(ev, ("view", "click", "purchase"))
+    agg = per.agg(F.count("t0").alias("a"), F.count("t1").alias("b"),
+                  F.count("t2").alias("c")).collect()[0]
+    assert agg["a"] >= agg["b"] >= agg["c"]
