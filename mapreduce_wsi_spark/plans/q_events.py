@@ -476,6 +476,71 @@ def attribution_last_touch(spark, sf_dir):
 
 
 @register(
+    "session_path_trigrams",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               -- date_diff('second') counts whole-second boundaries =
+               -- Spark's cast-to-long truncation (the sessionize_lag_cumsum
+               -- pairing); an exact INTERVAL comparison would disagree on
+               -- sub-second boundary gaps
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ), tri AS (
+        SELECT user_id, sess_id, event_type,
+               lag(event_type, 2) OVER w2 AS t1,
+               lag(event_type, 1) OVER w2 AS t2,
+               lag(sess_id, 2) OVER w2 AS s1,
+               lag(sess_id, 1) OVER w2 AS s2
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || event_type AS trigram,
+           count(*) AS n
+    FROM tri
+    WHERE s1 = sess_id AND s2 = sess_id
+    GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 10
+    """,
+    note="sequential pattern mining lite: 30-min-gap sessionization "
+         "(gaps-and-islands) then event-type trigrams that stay inside "
+         "one session (lagged sess_id equality), global top-10 by the "
+         "total (n DESC, trigram) order. Both lag frames and the "
+         "session cumsum ride ONE user_id exchange")
+def session_path_trigrams(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    sess = (ev
+            .withColumn("new_sess",
+                        F.when(F.lag("ts").over(w).isNull()
+                               | (gap >= 1800), 1).otherwise(0))
+            .withColumn("sess_id", F.sum("new_sess").over(run)))
+    tri = (sess
+           .withColumn("t1", F.lag("event_type", 2).over(w))
+           .withColumn("t2", F.lag("event_type", 1).over(w))
+           .withColumn("s1", F.lag("sess_id", 2).over(w))
+           .withColumn("s2", F.lag("sess_id", 1).over(w))
+           .filter((F.col("s1") == F.col("sess_id"))
+                   & (F.col("s2") == F.col("sess_id"))))
+    return (tri.select(F.concat_ws(">", "t1", "t2", "event_type")
+                       .alias("trigram"))
+            .groupBy("trigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "trigram").limit(10))
+
+
+@register(
     "hll_sketch_rollup",
     oracle="""
     SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,

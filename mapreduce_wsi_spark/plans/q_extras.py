@@ -724,3 +724,53 @@ def skew_key_diagnostics(spark, sf_dir):
             .select("n_keys", "total_rows", "max_rows", "top10_rows",
                     F.expr("max_rows * 1000000 div total_rows")
                     .alias("max_share_ppm")))
+
+
+@register(
+    "weighted_median_exact",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), run AS (
+        SELECT g, vc,
+               CAST(sum(w) OVER (PARTITION BY g
+                                 ORDER BY vc, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS running_w,
+               CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS total_w
+        FROM b
+    )
+    SELECT g AS l_returnflag,
+           min(CASE WHEN 2 * running_w >= total_w THEN vc END)
+               AS weighted_median_cents,
+           max(total_w) AS total_weight
+    FROM run GROUP BY g
+    """,
+    note="exact weighted median (quantity-weighted price): smallest "
+         "value whose running weight reaches half the group total. "
+         "Integer cents + integer weights so the threshold predicate is "
+         "exact; the (value, orderkey, linenumber) tie-break makes the "
+         "running sum total-ordered, and threshold crossings inside a "
+         "run of equal values select that value regardless of intra-tie "
+         "order. One per-group window sort — the same fundamental cost "
+         "as any exact quantile (quantile_disc_exact)")
+def weighted_median_exact(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("vc"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey", "l_linenumber")
+    wp = Window.partitionBy("g")
+    run_w = wp.orderBy("vc", "l_orderkey", "l_linenumber") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = b.withColumn("running_w", F.sum("w").over(run_w)) \
+        .withColumn("total_w", F.sum("w").over(wp))
+    return (scored.groupBy(F.col("g").alias("l_returnflag"))
+            .agg(F.min(F.when(2 * F.col("running_w") >= F.col("total_w"),
+                              F.col("vc"))).alias("weighted_median_cents"),
+                 F.max("total_w").alias("total_weight")))
