@@ -106,7 +106,11 @@ def agg_distinct_counts(spark, sf_dir):
     note="HLL++ sketch — raw estimates are engine-specific, so the "
          "driver-checkable contract is a Spark-side within-tolerance "
          "boolean vs the exact distinct count (rsd=0.02, asserted <=5% "
-         "relative error); exactness twin is agg_distinct_counts")
+         "relative error ~ 2.5 sigma); exactness twin is "
+         "agg_distinct_counts. NOTE the oracle hard-codes literal true, "
+         "so the margin is fixture-dependent: if a fixture regeneration "
+         "turns this entry red with no code change, suspect the margin "
+         "(a ~1% tail event), not the sketch (ADVICE r2)")
 def approx_distinct_hll(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
