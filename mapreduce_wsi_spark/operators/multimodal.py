@@ -7,9 +7,12 @@ are not in this container, so the generic decode kernel is STUBBED: with
 ``real_decode=True`` it raises NotImplementedError; the default is a
 deterministic fake featurizer over the raw bytes. Everything around the
 kernel — schema, batching, partitioning, UDF signatures — is real and
-tested; swapping in a real decoder is a one-function change. One format IS
-decoded for real: binary PPM (P6), via the pure-Python ``_parse_ppm`` /
-``decode_ppm_stats`` — real pixels, no external libraries.
+tested; swapping in a real decoder is a one-function change. Three formats
+ARE decoded for real, pure stdlib+numpy with no media libraries: binary
+PPM (P6, ``decode_ppm_stats``), uncompressed 24bpp BMP with row padding
+and bottom-up scanlines (``decode_bmp_stats``), and PCM16 WAV
+(``decode_wav_stats``) — the stub boundary is now compressed formats
+(PNG/JPEG/RLE-BMP/MP3/...) only.
 
 Scale notes: payload bytes never pass through a shuffle (featurize before
 aggregating); batch size is bounded by
@@ -21,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -169,16 +173,94 @@ def decode_ppm_stats(blobs: DataFrame) -> DataFrame:
                         rows[k].append(0.0)
                     continue
                 w, h, rgb = parsed
-                n = w * h
                 rows["img_w"].append(w)
                 rows["img_h"].append(h)
                 rows["ok"].append(True)
+                # vectorized channel means: one C-side pass over the pixel
+                # buffer (the interpreter-bound per-byte loop was ~100x
+                # slower and the stage bottleneck at media scale)
+                means = (np.frombuffer(rgb, dtype=np.uint8)
+                         .reshape(-1, 3).mean(axis=0, dtype=np.float64))
                 for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
-                    rows[k].append(sum(rgb[3 * p + ch]
-                                       for p in range(n)) / float(n))
+                    rows[k].append(float(means[ch]))
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, PPM_STATS_SCHEMA)
+
+
+BMP_STATS_SCHEMA = PPM_STATS_SCHEMA
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Parse an uncompressed 24bpp BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BI_RGB): returns (width, height, pixels) with
+    pixels an (h, w, 3) uint8 ndarray in top-down RGB order, or None if
+    the payload is not in the supported subset. REAL decode of the
+    mainstream interchange layout — stdlib ``struct`` for headers, numpy
+    views for the pixel block: handles the 4-byte row padding, the
+    bottom-up scanline order (positive height) and the top-down variant
+    (negative height), and the BGR channel order. Compressed BMPs
+    (BI_RLE*, BI_BITFIELDS) and other depths return None — that is the
+    remaining ``real_decode`` stub boundary for this format family.
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. not supported
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h_abs = abs(h)
+    stride = (w * 3 + 3) & ~3  # scanlines pad to 4-byte multiples
+    end = data_off + stride * h_abs
+    if data_off < 14 + hdr_size or len(payload) < end:
+        return None
+    scan = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+            .reshape(h_abs, stride)[:, :w * 3].reshape(h_abs, w, 3))
+    if bottom_up:
+        scan = scan[::-1]
+    return w, h_abs, scan[..., ::-1]  # BGR -> RGB
+
+
+def decode_bmp_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of uncompressed 24bpp BMP payloads:
+    per-image width, height and per-channel (RGB) pixel means, padding
+    and scanline order handled by ``_parse_bmp``. Malformed/unsupported
+    payloads yield ok=false with zeroed stats — poison blobs must never
+    kill the stage at 100 TB."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_bmp(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, px = parsed
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(float(means[ch]))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, BMP_STATS_SCHEMA)
 
 
 WAV_STATS_SCHEMA = ("doc_id long, sample_rate int, n_channels int, "
@@ -186,19 +268,21 @@ WAV_STATS_SCHEMA = ("doc_id long, sample_rate int, n_channels int, "
                     "sum_sq long")
 
 
-def _parse_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
+def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     """Parse a PCM16 WAV (RIFF) payload: returns (sample_rate, n_channels,
-    samples) or None if malformed. REAL decode of the canonical
-    RIFF/fmt/data chunk layout — pure stdlib ``struct``, no audio
-    libraries. Only uncompressed PCM16 (audio_format=1, 16-bit) is
-    decoded; other encodings return None (the documented stub boundary).
+    samples-as-int16-ndarray) or None if malformed. REAL decode of the
+    canonical RIFF/fmt/data chunk layout — stdlib ``struct`` for the
+    headers, one zero-copy ``np.frombuffer`` for the sample block (the
+    per-sample unpack loop was interpreter-bound). Only uncompressed PCM16
+    (audio_format=1, 16-bit) is decoded; other encodings return None (the
+    documented stub boundary).
     """
     import struct
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, rate, channels, bits, fmt = 12, None, None, None, None
-    samples: list[int] | None = None
+    samples: np.ndarray | None = None
     while pos + 8 <= len(payload):
         chunk_id = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -209,8 +293,7 @@ def _parse_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
         elif chunk_id == b"data":
             if fmt != 1 or bits != 16 or len(body) < size:
                 return None
-            n = size // 2
-            samples = list(struct.unpack_from(f"<{n}h", body, 0))
+            samples = np.frombuffer(body[:2 * (size // 2)], dtype="<i2")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or channels is None or samples is None:
         return None
@@ -239,13 +322,17 @@ def decode_wav_stats(blobs: DataFrame) -> DataFrame:
                         rows[k].append(v)
                     continue
                 rate, channels, samples = parsed
-                n = len(samples)
+                n = int(samples.size)
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(channels)
                 rows["n_samples"].append(n)
                 rows["ok"].append(True)
-                rows["mean_amp"].append(sum(samples) / float(n) if n else 0.0)
-                rows["sum_sq"].append(sum(s * s for s in samples))
+                # int64 accumulate: exact (no float rounding in sum_sq) and
+                # one C-side dot instead of a Python per-sample loop
+                s64 = samples.astype(np.int64)
+                rows["mean_amp"].append(
+                    float(s64.sum()) / float(n) if n else 0.0)
+                rows["sum_sq"].append(int(np.dot(s64, s64)))
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, WAV_STATS_SCHEMA)

@@ -548,6 +548,63 @@ def mm_decode_ppm(spark, sf_dir):
                         F.round("mean_b", 9).alias("mean_b"))
 
 
+# Fixed 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER) for a
+# 3x4 bottom-up 24bpp BI_RGB image, little-endian hex: BM, file size 102,
+# data offset 54, info size 40, w=3, h=4, planes=1, bpp=24, compression=0,
+# image size 48 (4 scanlines x (9 pixel bytes + 3 pad bytes)).
+_BMP_HEADER_HEX = ("424d" "66000000" "00000000" "36000000"
+                   "28000000" "03000000" "04000000" "0100" "1800"
+                   "00000000" "30000000" "00000000" "00000000"
+                   "00000000" "00000000")
+
+
+@register(
+    "mm_decode_bmp",
+    oracle="""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 36), 36, 'x') AS px
+               FROM documents)
+    SELECT doc_id, CAST(3 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 11),
+                 j -> unicode(px[3*j + 3]))) / 12.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 11),
+                 j -> unicode(px[3*j + 2]))) / 12.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 11),
+                 j -> unicode(px[3*j + 1]))) / 12.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL mainstream-format image decode: 3x4 uncompressed 24bpp "
+         "BMPs are synthesized from fixture text (54-byte header + 4 "
+         "bottom-up scanlines of 9 pixel bytes + 3 pad bytes each), then "
+         "decoded by _parse_bmp in an Arrow mapInPandas stage — header "
+         "parse, row-padding strip, bottom-up flip and BGR->RGB swap are "
+         "all real. Width 3 makes the stride (9 -> 12) exercise the "
+         "4-byte padding rule. The DuckDB twin recomputes per-channel "
+         "means from the same ASCII bytes: stored order is BGR, so "
+         "mean_r reads byte 3 of each triplet. Channel means are "
+         "pixel-order-invariant, so the scanline flip cancels in the "
+         "oracle (the flip itself is pinned by unit test).")
+def mm_decode_bmp(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_bmp_stats
+    docs = tbl(spark, sf_dir, "documents")
+    padded = F.rpad(F.substring(F.col("text"), 1, 36), 36, "x")
+    # bottom-up scanline order: image row 3 is stored first
+    scanlines = [
+        F.concat(F.encode(F.substring(padded, row * 9 + 1, 9), "UTF-8"),
+                 F.unhex(F.lit("000000")))
+        for row in (3, 2, 1, 0)]
+    content = F.concat(F.unhex(F.lit(_BMP_HEADER_HEX)), *scanlines)
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("image/bmp").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    stats = decode_bmp_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))
+
+
 # Fixed 44-byte PCM16 WAV header for a 1-channel / 8 kHz / 32-byte-data
 # clip, as little-endian hex: RIFF(size 68) WAVE fmt(16, pcm=1, ch=1,
 # rate=8000, byterate=16000, align=2, bits=16) data(size 32).

@@ -198,6 +198,69 @@ def test_ppm_parser_decodes_known_image():
     assert _parse_ppm(b"") is None
 
 
+def _bmp_bytes(width, height, scanlines_bgr, *, bpp=24, compression=0):
+    """Assemble a BMP from raw scanlines (already padded), header fields
+    computed the spec way — the test's independent encoder."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    data = b"".join(scanlines_bgr)
+    assert all(len(s) == stride for s in scanlines_bgr)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                       compression, len(data), 0, 0, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(data),
+                           0, 0, 14 + len(info))
+    return file_hdr + info + data
+
+
+def test_bmp_parser_decodes_known_image():
+    """REAL decode check against hand-computed pixels: row padding strip,
+    bottom-up scanline flip, BGR->RGB swap, and top-down (negative height)
+    variant."""
+    from mapreduce_wsi_spark.operators.multimodal import _parse_bmp
+
+    # 1x2 bottom-up: stored first scanline is the BOTTOM image row.
+    # pixel stored as BGR: bottom=(r=30,g=20,b=10), top=(r=60,g=50,b=40)
+    bottom = bytes([10, 20, 30]) + b"\x00"  # stride 4: 1 pad byte
+    top = bytes([40, 50, 60]) + b"\x00"
+    parsed = _parse_bmp(_bmp_bytes(1, 2, [bottom, top]))
+    assert parsed is not None
+    w, h, px = parsed
+    assert (w, h) == (1, 2)
+    assert px.tolist() == [[[60, 50, 40]], [[30, 20, 10]]]  # top-down RGB
+
+    # top-down variant (negative height): scanline 0 IS the top row
+    parsed_td = _parse_bmp(_bmp_bytes(1, -2, [bottom, top]))
+    assert parsed_td is not None
+    assert parsed_td[2].tolist() == [[[30, 20, 10]], [[60, 50, 40]]]
+
+    # stub boundary: RLE compression, 8bpp, truncated pixels, junk
+    assert _parse_bmp(_bmp_bytes(1, 2, [bottom, top], compression=1)) is None
+    assert _parse_bmp(_bmp_bytes(1, 2, [bottom, top], bpp=8)) is None
+    assert _parse_bmp(_bmp_bytes(1, 2, [bottom, top])[:-3]) is None
+    assert _parse_bmp(b"not a bmp") is None
+
+
+def test_bmp_decode_stats_end_to_end(spark, sf_smoke):
+    """decode_bmp_stats over a synthesized image: channel means are over
+    pixel bytes only (padding excluded), malformed rows flagged not
+    fatal."""
+    from mapreduce_wsi_spark.operators.multimodal import decode_bmp_stats
+
+    # 2x1: pixels BGR (1,2,3) and (4,5,6); stride 8 -> 2 pad bytes of 0xFF
+    # which must NOT leak into the means
+    line = bytes([1, 2, 3, 4, 5, 6]) + b"\xff\xff"
+    bmp = _bmp_bytes(2, 1, [line])
+    blobs = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp", len(bmp)),
+         (2, bytearray(b"junk"), "image/bmp", 4)],
+        "doc_id long, content binary, mime string, n_bytes int")
+    rows = {r.doc_id: r for r in decode_bmp_stats(blobs).collect()}
+    assert rows[1].ok and (rows[1].img_w, rows[1].img_h) == (2, 1)
+    assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == (4.5, 3.5, 2.5)
+    assert not rows[2].ok and rows[2].mean_r == 0.0
+
+
 def test_wav_parser_decodes_known_clip():
     """REAL decode check: canonical RIFF layout built with struct, plus
     negative samples (sign handling) and rejection of non-PCM16."""
@@ -215,7 +278,7 @@ def test_wav_parser_decodes_known_clip():
     assert parsed is not None
     rate, channels, got = parsed
     assert (rate, channels) == (44100, 2)
-    assert got == samples
+    assert list(got) == samples
     # 8-bit PCM must be rejected (stub boundary), as must junk
     fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
     bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + 2) + b"WAVE"
