@@ -46,6 +46,11 @@ HEADLINE = [
     "interval_peak_concurrency",
     "graph_bfs_hops",
     "triangle_count",
+    # round-4: Arrow-batched media decode kernels (numpy-vectorized in r4;
+    # the per-element Python loops they replaced measured 10x (PPM) and
+    # 60x (WAV) slower on realistic payloads — tools/kernel_ab.py)
+    "mm_decode_ppm",
+    "mm_decode_wav",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

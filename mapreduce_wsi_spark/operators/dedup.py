@@ -64,25 +64,38 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str,
             .select("id", F.explode(shingle_arr).alias("shingle")))
 
 
-def _doc_freq_filter(sh: DataFrame, max_doc_freq: float | None) -> DataFrame:
+def _doc_freq_filter(sh: DataFrame, max_doc_freq: float | None,
+                     n_docs: int | None = None) -> DataFrame:
+    """Drop shingles shared by more than ``max_doc_freq`` of all docs (the
+    stopword-run skew guard). Callers that know the corpus size pass
+    ``n_docs``; otherwise the doc count folds into the hot-shingle plan as
+    a broadcast 1-row cross join — either way there is NO separate
+    count job scanning the shingle table before the real work."""
     if max_doc_freq is None:
         return sh
-    n_docs = sh.select("id").distinct().count()
-    cap = int(max_doc_freq * n_docs)
-    hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-           .filter(F.col("df") > cap).select("shingle"))
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if n_docs is not None:
+        cap = int(max_doc_freq * n_docs)
+        hot = hot.filter(F.col("df") > cap)
+    else:
+        nd = sh.agg(F.count_distinct(F.col("id")).alias("__nd"))
+        hot = (hot.crossJoin(F.broadcast(nd))
+               .filter(F.col("df") >
+                       F.floor(F.lit(max_doc_freq) * F.col("__nd"))))
+    return sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
 
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                   min_jaccard: float = 0.8,
-                  max_doc_freq: float | None = None) -> DataFrame:
+                  max_doc_freq: float | None = None,
+                  n_docs: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above a threshold.
 
     shuffle 1: shingle self-join (content key); shuffle 2: pair agg.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = _doc_freq_filter(word_shingles(df, text_col, id_col, n), max_doc_freq)
+    sh = _doc_freq_filter(word_shingles(df, text_col, id_col, n),
+                          max_doc_freq, n_docs)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
@@ -101,14 +114,16 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, k: int = 64,
-                       max_doc_freq: float | None = None) -> DataFrame:
+                       max_doc_freq: float | None = None,
+                       n_docs: int | None = None) -> DataFrame:
     """k-function MinHash signatures as an array<long> column.
 
     Hash family: xxhash64(shingle, salt_i) — k independent-enough functions
     without modular arithmetic games; all JVM-side. No row explosion: the
     k mins are k aggregate expressions over the shingle set.
     """
-    sh = _doc_freq_filter(word_shingles(df, text_col, id_col, n), max_doc_freq)
+    sh = _doc_freq_filter(word_shingles(df, text_col, id_col, n),
+                          max_doc_freq, n_docs)
     mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(k)]
     sig = sh.groupBy("id").agg(*mins)
@@ -136,10 +151,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
 def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                             n: int = 3, k: int = 64, bands: int = 16,
                             min_jaccard: float | None = 0.5,
-                            max_doc_freq: float | None = None) -> DataFrame:
+                            max_doc_freq: float | None = None,
+                            n_docs: int | None = None) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> (optional) exact
     Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, text_col, id_col, n, k, max_doc_freq)
+    sigs = minhash_signatures(df, text_col, id_col, n, k, max_doc_freq, n_docs)
     cands = lsh_candidate_pairs(sigs, bands, k // bands)
     if min_jaccard is None:
         return cands
@@ -202,27 +218,15 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("hamming") <= max_hamming))
 
 
-def connected_components(pairs: DataFrame, id_a: str = "doc_a",
-                         id_b: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
-    """Near-dup pairs -> duplicate clusters: distributed connected
-    components by iterative min-label propagation. Returns
-    ``(id, comp)`` where ``comp`` is the smallest id in the component —
-    the canonical survivor.
+def _min_label_components(edges: DataFrame,
+                          max_iter: int) -> tuple[DataFrame, bool]:
+    """Min-label propagation over a symmetrized, checkpointed edge set:
+    every round each node takes the min of its own and its neighbors'
+    labels (one shuffle per round). Returns ``(cc, converged)`` — rounds
+    needed = component diameter, so only call this when the diameter is
+    expected tiny (dup clusters)."""
+    from mapreduce_wsi_spark.util import iter_checkpoint
 
-    Each round: every node takes the min of its own label and its
-    neighbors' labels (one shuffle per round); converged when no label
-    changes. Dup clusters have tiny diameter, so this terminates in a few
-    rounds; for adversarially long chains the same loop admits the
-    large-star/small-star contraction (O(log n) rounds). Lineage is cut
-    per round with localCheckpoint so the plan doesn't grow with
-    iterations — the classic iterative-algorithm trap at scale.
-    """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                       F.col(id_a).alias("dst")))
-             .distinct()
-             .localCheckpoint(eager=True))
     cc = (edges.select(F.col("src").alias("id")).distinct()
           .withColumn("comp", F.col("id")))
     # Convergence check: labels only ever DECREASE under min-propagation,
@@ -239,17 +243,136 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
         # eager checkpoint beats fusing materialization into the
         # convergence sum (A/B at sf0.1: 1.2s vs 1.5s warm) — the eager
         # path materializes with full partition parallelism
-        new_cc = (cc.join(nbr_min, on="id", how="left")
-                  .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
-                          .alias("comp"))
-                  .localCheckpoint(eager=True))
+        new_cc = iter_checkpoint(
+            cc.join(nbr_min, on="id", how="left")
+            .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
+                    .alias("comp")))
         cur_sum = new_cc.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         cc = new_cc
         if cur_sum == prev_sum:
-            break
+            return cc, True
         prev_sum = cur_sum
-    return cc
+    return cc, False
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): for each node u, connect every strictly LARGER neighbor
+    to min(N(u) ∪ {u}). Keeps the component connected while pointing big
+    nodes at small ones."""
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))))
+    mins = (sym.groupBy("src").agg(F.min("dst").alias("__mn"))
+            .select("src", F.least(F.col("src"), F.col("__mn")).alias("m")))
+    return (sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient each edge large->small, then for each node
+    u connect u and all its smaller neighbors to min(N(u) ∪ {u})."""
+    oriented = (edges.select(F.greatest("src", "dst").alias("src"),
+                             F.least("src", "dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst")))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    with_min = oriented.join(mins, "src")
+    relink = (with_min.filter(F.col("dst") != F.col("m"))
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+    own = mins.select("src", F.col("m").alias("dst"))
+    return relink.unionByName(own).distinct()
+
+
+def _star_components(edges: DataFrame,
+                     max_rounds: int = 40) -> tuple[DataFrame, int]:
+    """Large-star/small-star contraction: O(log n) alternating rounds even
+    on chain topologies (where min-label propagation needs O(diameter)).
+    ``edges`` may be any orientation; self-loops are ignored. Returns
+    ``(cc, rounds)`` with cc = (id, comp), comp the component minimum —
+    at the fixpoint the edge set IS the star forest (v -> component min).
+    """
+    from mapreduce_wsi_spark.util import iter_checkpoint
+
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct())
+    cur = iter_checkpoint(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        .distinct())
+    rounds = 0
+    prev_fp = None
+    for _ in range(max_rounds):
+        cur = iter_checkpoint(_small_star(_large_star(cur)))
+        rounds += 1
+        # Fixpoint test: the edge set is stable. count + two order-
+        # insensitive hash-sums in ONE scalar agg — no join against the
+        # previous round's set.
+        fp = tuple(cur.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("dst", "src").cast("decimal(38,0)"))
+        ).first())
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
+    # nodes that are their own component's minimum never appear as src in
+    # the final star forest (nor do true singletons, which never had edges)
+    centers = nodes.join(comp, nodes["id"] == comp["id"], "left_anti") \
+        .select("id", F.col("id").alias("comp"))
+    return comp.unionByName(centers), rounds
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 25,
+                         algorithm: str = "auto",
+                         label_rounds: int = 6) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: distributed connected
+    components. Returns ``(id, comp)`` where ``comp`` is the smallest id
+    in the component — the canonical survivor.
+
+    Algorithms:
+    - ``"label"``: min-label propagation, one shuffle per round, rounds =
+      component diameter. Ideal for dup clusters (tiny diameter).
+    - ``"star"``: large-star/small-star contraction (Kiveris et al.) —
+      O(log n) rounds regardless of topology, ~2 shuffles per round.
+      The scale-safe choice for chain-shaped graphs (entity resolution).
+    - ``"auto"`` (default): min-label for ``label_rounds`` rounds; if not
+      converged (long-diameter graph detected), hand the partial labels
+      to the star contraction — (id, comp) pairs are valid intra-component
+      edges, so the work done so far is kept, and total rounds stay
+      O(log n).
+
+    Lineage is cut per round (util.iter_checkpoint: localCheckpoint, or
+    reliable checkpoint when a checkpoint dir is configured) so the plan
+    doesn't grow with iterations — the classic iterative-algorithm trap.
+    """
+    from mapreduce_wsi_spark.util import iter_checkpoint
+
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    edges = iter_checkpoint(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                  F.col(id_a).alias("dst")))
+        .distinct())
+    if algorithm == "star":
+        return _star_components(edges)[0]
+    rounds = max_iter if algorithm == "label" else label_rounds
+    cc, converged = _min_label_components(edges, rounds)
+    if converged or algorithm == "label":
+        return cc
+    # long-diameter fallback: current labels are intra-component edges —
+    # union them in so the star contraction starts from the partial work
+    label_edges = (cc.filter(F.col("id") != F.col("comp"))
+                   .select(F.col("id").alias("src"),
+                           F.col("comp").alias("dst")))
+    return _star_components(edges.unionByName(label_edges))[0]
 
 
 def canonical_survivors(df: DataFrame, pairs: DataFrame,

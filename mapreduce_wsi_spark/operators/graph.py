@@ -3,9 +3,10 @@
 Spark has no WITH RECURSIVE; the scalable re-expression is pointer
 doubling — each round substitutes every node's ancestor pointer with that
 ancestor's own pointer, so the distance covered doubles: O(log depth)
-rounds of self-joins instead of O(depth). Each round is one equi-join +
-localCheckpoint (same iterative-lineage discipline as
-``dedup.connected_components``, dedup.py:205).
+rounds of self-joins instead of O(depth). Each round cuts lineage via
+util.iter_checkpoint (localCheckpoint by default; reliable checkpoint()
+when a checkpoint dir is configured — same iterative-lineage discipline
+as ``dedup.connected_components``, dedup.py).
 
 At 100 TB: a naive per-level loop over a deep hierarchy (bill of
 materials, org chart, thread trees) is depth-many shuffles; pointer
@@ -17,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.util import iter_checkpoint
 
 
 def resolve_roots(nodes: DataFrame, id_col: str = "id",
@@ -32,11 +35,10 @@ def resolve_roots(nodes: DataFrame, id_col: str = "id",
     # is NULL), flagged so finished rows skip the join.
     roots = nodes.filter(F.col(parent_col).isNull()) \
         .select(F.col(id_col).alias("__r"))
-    cur = (nodes.select(
+    cur = iter_checkpoint(nodes.select(
         F.col(id_col).alias("id"),
         F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
-        F.when(F.col(parent_col).isNull(), 0).otherwise(1).alias("dist"))
-        .localCheckpoint(eager=True))
+        F.when(F.col(parent_col).isNull(), 0).otherwise(1).alias("dist")))
     for _ in range(max_rounds):
         # finished = anc is a root; only unfinished rows need the jump
         cur = cur.join(F.broadcast(roots), cur["anc"] == roots["__r"],
@@ -57,7 +59,7 @@ def resolve_roots(nodes: DataFrame, id_col: str = "id",
                               F.col("dist"))
                        .otherwise(F.col("dist") + F.col("__jdist"))
                        .alias("dist"))
-               .localCheckpoint(eager=True))
+               .transform(iter_checkpoint))
     return cur.select("id", F.col("anc").alias("root"),
                       F.col("dist").alias("depth"))
 
@@ -72,24 +74,24 @@ def bfs_hops(edges: DataFrame, source: int, src_col: str = "src",
     against the edges and anti-joins the visited set, so work per round
     is O(frontier x degree), rounds = graph diameter. Cycles terminate
     because a revisited node is always anti-joined away. Every round
-    localCheckpoints (the same iterative-lineage discipline as
-    dedup.connected_components, dedup.py:205) so the plan doesn't grow
+    cuts lineage via util.iter_checkpoint (the same iterative-lineage
+    discipline as dedup.connected_components) so the plan doesn't grow
     with the iteration count. The DuckDB oracle runs the honest
     WITH RECURSIVE UNION (dedup) twin."""
     spark = edges.sparkSession
-    visited = (spark.range(1)
-               .select(F.lit(source).cast("bigint").alias("id"),
-                       F.lit(0).alias("hops"))
-               .localCheckpoint(eager=True))
+    visited = iter_checkpoint(
+        spark.range(1)
+        .select(F.lit(source).cast("bigint").alias("id"),
+                F.lit(0).alias("hops")))
     frontier = visited
     for r in range(1, max_rounds + 1):
-        nxt = (frontier.join(edges, frontier["id"] == edges[src_col])
-               .select(F.col(dst_col).cast("bigint").alias("id")).distinct()
-               .join(visited, "id", "left_anti")
-               .select("id", F.lit(r).alias("hops"))
-               .localCheckpoint(eager=True))
+        nxt = iter_checkpoint(
+            frontier.join(edges, frontier["id"] == edges[src_col])
+            .select(F.col(dst_col).cast("bigint").alias("id")).distinct()
+            .join(visited, "id", "left_anti")
+            .select("id", F.lit(r).alias("hops")))
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = iter_checkpoint(visited.unionByName(nxt))
         frontier = nxt
     return visited

@@ -17,6 +17,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_wsi_spark.util import iter_checkpoint
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -144,10 +146,10 @@ def embedding_near_dup_pairs(corpus: DataFrame, min_cos: float = 0.95,
     # materialize the (id, bucket) table before the self-join: otherwise
     # both join sides re-evaluate (and re-codegen) the n_planes-fold
     # signature expression over the full corpus
-    b = (c.select(id_col,
-                  F.explode(lsh_bucket(F.col("__cv"), planes, bands))
-                  .alias("b"))
-         .localCheckpoint(eager=True))
+    b = iter_checkpoint(
+        c.select(id_col,
+                 F.explode(lsh_bucket(F.col("__cv"), planes, bands))
+                 .alias("b")))
     x, y = b.alias("x"), b.alias("y")
     pair_ids = (x.join(y, (F.col("x.b.band") == F.col("y.b.band")) &
                        (F.col("x.b.key") == F.col("y.b.key")) &
@@ -208,9 +210,9 @@ def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
     # materialize features once: KMeans iterates over its input, and an
     # unmaterialized lineage would re-scan + re-normalize the corpus every
     # iteration (at 100 TB: cache/checkpoint the index-build input, always)
-    c = (Normalizer(inputCol="__rawfeat", outputCol="__feat", p=2.0)
-         .transform(raw).drop("__rawfeat")
-         .localCheckpoint(eager=True))
+    c = iter_checkpoint(
+        Normalizer(inputCol="__rawfeat", outputCol="__feat", p=2.0)
+        .transform(raw).drop("__rawfeat"))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat",
                 predictionCol="__cell", maxIter=10)
     model = km.fit(c.select("__feat"))

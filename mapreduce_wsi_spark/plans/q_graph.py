@@ -4,10 +4,10 @@ repeated map/reduce rounds — reference: src/MapReduceWSIImpl.java:89-115
 runs arbitrary client programs per pass).
 
 Graph: nodes = parts, an undirected edge between two parts iff they
-co-occur in >= 2 orders (the support threshold prunes the quadratic
-long tail of one-off pairs before any downstream graph op — at sf0.01
-that is 3,638 edges over ~1,400 parts with 96 triangles, a genuinely
-sparse structure). Basket-size capping (the other co-occurrence
+co-occur in >= 2 DISTINCT orders (the support threshold prunes the
+quadratic long tail of one-off pairs before any downstream graph op —
+at sf0.01 that is 3,445 edges over 1,880 parts with 61 triangles, a
+genuinely sparse structure). Basket-size capping (the other co-occurrence
 explosion guard) is available on the operator but unused here: fixture
 baskets max out at 13 lines.
 
@@ -25,22 +25,28 @@ from pyspark.sql import functions as F
 
 from mapreduce_wsi_spark.operators.graph import bfs_hops
 from mapreduce_wsi_spark.plans.registry import register, tbl
+from mapreduce_wsi_spark.util import iter_checkpoint
 
 # Shared CTE text: the support->=2 part co-purchase edge list (lo < hi).
+# Support counts DISTINCT orders — a part listed on two lineitems of the
+# same order contributes one co-occurrence, matching the documented
+# "co-occur in >= 2 orders" semantics exactly.
 _EDGES_CTE = """
     SELECT a.l_partkey AS lo, b.l_partkey AS hi
     FROM lineitem a
     JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY lo, hi HAVING count(*) >= 2
+    GROUP BY lo, hi HAVING count(DISTINCT a.l_orderkey) >= 2
 """
 
 
 def part_edges(li: DataFrame, min_support: int = 2,
                max_basket: int | None = None) -> DataFrame:
-    """(lo, hi, n) part pairs co-occurring in >= min_support orders,
-    lo < hi. max_basket (unused by the catalog entries — fixture baskets
-    are <= 13 lines) caps the per-order line count before the self-join,
+    """(lo, hi, n) part pairs co-occurring in >= min_support DISTINCT
+    orders, lo < hi — n counts orders, not lineitem pairs, so a part
+    appearing on two lineitems of one order isn't double-counted.
+    max_basket (unused by the catalog entries — fixture baskets are
+    <= 13 lines) caps the per-order line count before the self-join,
     the production guard against quadratic blowup on pathological
     baskets."""
     if max_basket is not None:
@@ -50,7 +56,8 @@ def part_edges(li: DataFrame, min_support: int = 2,
     a = li.select("l_orderkey", F.col("l_partkey").alias("lo"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("hi"))
     return (a.join(b, "l_orderkey").filter(F.col("lo") < F.col("hi"))
-            .groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("lo", "hi")
+            .agg(F.countDistinct("l_orderkey").alias("n"))
             .filter(F.col("n") >= min_support))
 
 
@@ -59,7 +66,7 @@ def part_edges(li: DataFrame, min_support: int = 2,
     oracle="""
     WITH pairs AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-               count(*) AS n
+               count(DISTINCT a.l_orderkey) AS n
         FROM lineitem a
         JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -69,9 +76,9 @@ def part_edges(li: DataFrame, min_support: int = 2,
     ORDER BY n DESC, part_a, part_b LIMIT 20
     """,
     note="market-basket co-purchase: self-join on the basket key, "
-         "partial-agg pair counts, top-20 by the total order "
-         "(n DESC, part_a, part_b) so the LIMIT is deterministic and "
-         "lowers to TakeOrderedAndProject")
+         "distinct-order pair support (not lineitem-pair multiplicity), "
+         "top-20 by the total order (n DESC, part_a, part_b) so the "
+         "LIMIT is deterministic and lowers to TakeOrderedAndProject")
 def copurchase_pairs_topk(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     pairs = part_edges(li, min_support=1) \
@@ -102,7 +109,7 @@ def copurchase_pairs_topk(spark, sf_dir):
          "pair aggregation")
 def triangle_count(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
-    e = part_edges(li).select("lo", "hi").localCheckpoint(eager=True)
+    e = iter_checkpoint(part_edges(li).select("lo", "hi"))
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -141,7 +148,7 @@ def triangle_count(spark, sf_dir):
          "DuckDB's honest WITH RECURSIVE UNION twin")
 def graph_bfs_hops(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
-    e = part_edges(li).select("lo", "hi").localCheckpoint(eager=True)
+    e = iter_checkpoint(part_edges(li).select("lo", "hi"))
     und = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
            .unionByName(
                e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))))

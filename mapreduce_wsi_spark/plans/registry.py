@@ -69,8 +69,14 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read events.parquet with ts normalized across fixture layouts
-    (see normalize_event_ts)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (see normalize_event_ts). Spark has no per-read parquet option for
+    nanos handling, so ``nanosAsLong`` must be session conf: session.py
+    sets it in the engine's own defaults; the guard below covers
+    externally-created sessions (the driver's) without re-mutating conf
+    on every catalog build."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return normalize_event_ts(raw)
 

@@ -34,6 +34,13 @@ _DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet pushdown (on by default; pinned here as a contract).
     "spark.sql.parquet.filterPushdown": "true",
+    # Some fixture generations write events.ts as TIMESTAMP(NANOS), which
+    # the vectorized reader rejects outright; read it as a raw long and
+    # let registry.normalize_event_ts convert (truncating div 1000 ==
+    # DuckDB's ns->us cast). Parquet has no per-read option for this, so
+    # it is a session default here; registry.events_tbl guard-sets it for
+    # externally-created (driver) sessions.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Broadcast threshold: dims (region/nation/customer/supplier/part at
     # test SF) should broadcast; at 100 TB real dims still fit (<8GB driver
     # limit is the real cap, this is the auto threshold).
@@ -46,12 +53,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` so the same
     entry point works on the test box and, unset, on a cluster where
     spark-submit provides the master.
+
+    ``checkpoint_dir`` (or env ``SPARK_GRAFT_CHECKPOINT_DIR``) switches
+    every iterative operator (connected components, BFS, pointer
+    doubling, IVF k-means build) from executor-local lineage cuts to
+    RELIABLE checkpoints written under that path — required on a real
+    cluster where an executor loss mid-job would otherwise make the
+    truncated lineage unrecoverable (util.iter_checkpoint).
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
@@ -70,6 +85,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     return spark
 
 

@@ -20,6 +20,38 @@ import zipfile
 _SHIPPED: set[str] = set()
 
 
+def iter_checkpoint(df):
+    """Cut lineage inside an iterative loop (connected components, BFS,
+    pointer doubling, k-means) — the plan must not grow with the round
+    count.
+
+    Two modes:
+    - default: ``localCheckpoint(eager=True)`` — blocks live on executors,
+      no HDFS round-trip. Fastest, and the right call on local[N], but on
+      a real cluster an executor loss makes the truncated lineage
+      unrecoverable mid-job (the blocks ARE the recovery point).
+    - reliable: when a checkpoint dir is configured — either via
+      ``SparkContext.setCheckpointDir`` (e.g. session.get_spark's
+      ``checkpoint_dir``) or the ``SPARK_GRAFT_CHECKPOINT_DIR`` env var —
+      use ``checkpoint(eager=True)``, which writes to that (HDFS/object
+      store) path and survives executor loss. The per-round write is the
+      price of fault tolerance on long jobs at 100 TB.
+
+    Identical results either way (pytest-pinned); only the storage of the
+    cut changes.
+    """
+    sc = df.sparkSession.sparkContext
+    ckdir = sc.getCheckpointDir()
+    if ckdir is None:
+        env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if env_dir:
+            sc.setCheckpointDir(env_dir)
+            ckdir = env_dir
+    if ckdir is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def ensure_package_on_workers(spark) -> None:
     """Zip this package and addPyFile it, once per SparkContext."""
     sc = spark.sparkContext

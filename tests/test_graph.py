@@ -62,6 +62,8 @@ def test_triangle_count_known_graph(spark, sf_oracle):
     from mapreduce_wsi_spark.plans.registry import load_catalog
 
     row = load_catalog()["triangle_count"].fn(spark, sf_oracle).collect()[0]
-    assert row["n_edges"] == 3638
-    assert row["n_triangles"] == 96
+    # support counts DISTINCT orders (a part on two lineitems of one
+    # order contributes once): 3445 edges / 61 triangles at sf0.01
+    assert row["n_edges"] == 3445
+    assert row["n_triangles"] == 61
     assert 0 < row["n_nodes"] <= 2000

@@ -170,6 +170,92 @@ def test_connected_components_transitive_chain(spark):
                     10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_star_components_matches_label_propagation(spark):
+    """All three algorithm modes must produce identical clusterings."""
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long")
+    expected = {r["id"]: r["comp"]
+                for r in connected_components(pairs,
+                                              algorithm="label").collect()}
+    for algo in ("star", "auto"):
+        got = {r["id"]: r["comp"]
+               for r in connected_components(pairs, algorithm=algo).collect()}
+        assert got == expected, algo
+
+
+def test_star_components_log_rounds_on_path_graph(spark):
+    """The adversarial case for min-label propagation: a 10k-node path
+    (diameter 9999) must contract in <= 2*log2(n) large-star/small-star
+    rounds, and into a single component labeled by the global min."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.dedup import _star_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(F.col("id").alias("src"),
+                                      (F.col("id") + 1).alias("dst"))
+    cc, rounds = _star_components(edges)
+    assert rounds <= 2 * math.ceil(math.log2(n)), rounds
+    comps, min_comp, rows = cc.agg(
+        F.countDistinct("comp"), F.min("comp"), F.count(F.lit(1))).first()
+    assert (comps, min_comp, rows) == (1, 0, n)
+
+
+def test_auto_mode_survives_chain_topology(spark):
+    """auto must detect non-convergence after label_rounds and hand off to
+    the star contraction without losing correctness (the exact topology
+    entity_resolution output can produce)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+
+    n = 2_000
+    pairs = spark.range(n - 1).select(F.col("id").alias("doc_a"),
+                                      (F.col("id") + 1).alias("doc_b"))
+    cc = connected_components(pairs, algorithm="auto", label_rounds=3)
+    comps, min_comp, rows = cc.agg(
+        F.countDistinct("comp"), F.min("comp"), F.count(F.lit(1))).first()
+    assert (comps, min_comp, rows) == (1, 0, n)
+
+
+def test_reliable_checkpoint_mode_identical_results(spark, tmp_path):
+    """With a checkpoint dir configured, every iterative operator switches
+    from localCheckpoint to reliable checkpoint() (executor-loss-safe on a
+    real cluster) and must produce identical results; files must actually
+    land under the configured dir."""
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+    from mapreduce_wsi_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    base_cc = {r["id"]: r["comp"]
+               for r in connected_components(pairs).collect()}
+    base_bfs = {r["id"]: r["hops"] for r in bfs_hops(edges, 1).collect()}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # default engine mode is local
+    ckdir = tmp_path / "reliable_ck"
+    sc.setCheckpointDir(str(ckdir))
+    try:
+        rel_cc = {r["id"]: r["comp"]
+                  for r in connected_components(pairs).collect()}
+        rel_bfs = {r["id"]: r["hops"] for r in bfs_hops(edges, 1).collect()}
+        assert rel_cc == base_cc
+        assert rel_bfs == base_bfs
+        # the reliable cut really wrote to the configured dir
+        assert any(p.is_file() for p in ckdir.rglob("*"))
+    finally:
+        sc.setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+
+
 def test_canonical_survivors_drop_whole_cluster(spark):
     """A~B, B~C must drop B AND C even though (A,C) was never scored."""
     from mapreduce_wsi_spark.operators.dedup import canonical_survivors
