@@ -24,6 +24,28 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 # BPE-ish pre-tokenization: word runs or single non-space punctuation.
 TOKEN_REGEX = r"\w+|[^\w\s]"
 
+# GPT-2-style pre-tokenizer, lookahead-free: space-prefixed letter runs,
+# digit runs, punctuation runs, or bare space runs. RE2 (DuckDB) has no
+# lookahead, so the canonical `\s+(?!\S)` tail is dropped; the explicit
+# ASCII classes are the subset where Java regex and RE2 agree exactly
+# (alternatives are mutually exclusive at any start position, so
+# first-match and longest-match semantics coincide).
+BPE_PRETOKEN_REGEX = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_pretokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """GPT-2-style pre-tokenization (the split a BPE tokenizer merges
+    within): per doc the token count and an order-sensitive md5 over the
+    full token sequence — the md5 pins the exact split points, not just
+    the count. One JVM-side regex pass, no explode, no shuffle; at 100 TB
+    this is a map-only stage that chains straight into pack/shard."""
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(BPE_PRETOKEN_REGEX), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.md5(F.array_join(toks, "|")).alias("tok_md5"))
+
 
 def words(c: Column) -> Column:
     return F.split(c, " ")

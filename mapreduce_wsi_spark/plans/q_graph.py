@@ -53,11 +53,15 @@ def part_edges(li: DataFrame, min_support: int = 2,
         ok = (li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__n"))
               .filter(F.col("__n") <= max_basket).select("l_orderkey"))
         li = li.join(ok, "l_orderkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("lo"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("hi"))
+    # distinct (order, part) BEFORE the self-join: each pair then occurs
+    # once per order, so a plain count equals the distinct-order support —
+    # cheaper than count(DISTINCT) after the join (no expand, and the
+    # quadratic self-join input shrinks)
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select("l_orderkey", F.col("l_partkey").alias("lo"))
+    b = pp.select("l_orderkey", F.col("l_partkey").alias("hi"))
     return (a.join(b, "l_orderkey").filter(F.col("lo") < F.col("hi"))
-            .groupBy("lo", "hi")
-            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= min_support))
 
 

@@ -292,6 +292,28 @@ def text_token_stats(spark, sf_dir):
 
 
 @register(
+    "text_bpe_pretokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS INT)
+               AS n_bpe_tokens,
+           md5(array_to_string(regexp_extract_all(text,
+                ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'), '|'))
+               AS tok_md5
+    FROM documents
+    """,
+    note="GPT-2-style pre-tokenization (space-prefixed letter/digit/punct "
+         "runs, lookahead-free so Java regex and RE2 agree): token count "
+         "PLUS an order-sensitive md5 over the token sequence, so the "
+         "oracle pins the exact split points (operators/text.py:"
+         "bpe_pretokenize). Map-only, no shuffle")
+def text_bpe_pretokenize(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bpe_pretokenize
+    return bpe_pretokenize(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
     "text_quality",
     oracle=r"""
     SELECT doc_id, n_words,
@@ -700,9 +722,9 @@ def mm_resize(spark, sf_dir):
                     F.md5("pixels").alias("pix_md5")))
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
+# Transitive-closure oracle shared by both connected-components entries
+# (min-label and star contraction must produce identical clusterings).
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE
     {_SHINGLE_CTE.strip().rstrip()},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -723,16 +745,37 @@ def mm_resize(spark, sf_dir):
         SELECT e.dst AS id, reach.r AS r
         FROM reach JOIN edges e ON e.src = reach.id)
     SELECT id, min(r) AS comp FROM reach GROUP BY id
-    """,
+    """
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENTS_ORACLE,
     note="near-dup pairs -> duplicate clusters: iterative min-label "
          "propagation (connected components) on Spark vs a recursive-CTE "
          "transitive closure in DuckDB — the iterative-algorithm surface, "
-         "oracle-checked")
+         "oracle-checked. auto mode falls back to the star contraction "
+         "on long-diameter graphs (dedup.connected_components)")
 def dedup_components(spark, sf_dir):
     from mapreduce_wsi_spark.operators.dedup import connected_components
     pairs = jaccard_pairs(tbl(spark, sf_dir, "documents"), "text", "doc_id",
                           n=3, min_jaccard=0.1)
     return connected_components(pairs)
+
+
+@register(
+    "dedup_components_star",
+    oracle=_COMPONENTS_ORACLE,
+    note="the SAME clustering computed by the large-star/small-star "
+         "contraction (Kiveris et al.): O(log n) alternating rounds "
+         "regardless of topology, vs min-label's O(component diameter). "
+         "Same recursive-CTE oracle as dedup_components — both "
+         "algorithms must land on the identical (id, min-id) clustering")
+def dedup_components_star(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+    pairs = jaccard_pairs(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                          n=3, min_jaccard=0.1)
+    return connected_components(pairs, algorithm="star")
 
 
 @register(

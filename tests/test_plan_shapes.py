@@ -255,3 +255,13 @@ def test_sweep_concurrency_has_no_global_sort(spark, sf_oracle):
                    "simple")
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pretokenize_is_map_only(spark, sf_oracle):
+    """GPT-2-style pre-tokenization must be a single JVM-side projection
+    over the scan: no shuffle, no Python worker — the shape that pipelines
+    into pack/shard stages at 100 TB without a stage boundary."""
+    plan = plan_of(build("text_bpe_pretokenize", spark, sf_oracle))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema" in plan and "doc_id" in plan

@@ -129,3 +129,43 @@ def test_funnel_counts_are_monotone(spark, rows):
     agg = per.agg(F.count("t0").alias("a"), F.count("t1").alias("b"),
                   F.count("t2").alias("c")).collect()[0]
     assert agg["a"] >= agg["b"] >= agg["c"]
+
+
+def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> smallest id in its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=1, max_size=40))
+def test_connected_components_algorithms_agree(spark, raw_edges):
+    """label, star, and auto must all equal the union-find ground truth
+    on ANY random multigraph (self-loops and duplicates included)."""
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    expect = _brute_components(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    for algo in ("label", "star", "auto"):
+        got = {r["id"]: r["comp"]
+               for r in connected_components(
+                   pairs, algorithm=algo, label_rounds=2).collect()}
+        assert got == expect, algo
