@@ -1,18 +1,17 @@
 """Multimodal column plumbing (north-star extension).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata; decode / feature-extraction / frame-sampling run as Arrow-batched
-pandas stages over ``mapInPandas``. The decode *libraries* (PIL/ffmpeg/...)
-are not in this container, so the generic decode kernel is STUBBED: with
-``real_decode=True`` it raises NotImplementedError; the default is a
-deterministic fake featurizer over the raw bytes. Everything around the
-kernel — schema, batching, partitioning, UDF signatures — is real and
-tested; swapping in a real decoder is a one-function change. Three formats
-ARE decoded for real, pure stdlib+numpy with no media libraries: binary
-PPM (P6, ``decode_ppm_stats``), uncompressed 24bpp BMP with row padding
-and bottom-up scanlines (``decode_bmp_stats``), and PCM16 WAV
-(``decode_wav_stats``) — the stub boundary is now compressed formats
-(PNG/JPEG/RLE-BMP/MP3/...) only.
+metadata; decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched pandas stages over ``mapInPandas``. Three formats decode
+FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6),
+uncompressed 24bpp BMP (row padding, bottom-up scanlines, BGR order),
+and PCM16 WAV — powering real per-format stats (``decode_ppm_stats`` /
+``decode_bmp_stats`` / ``decode_wav_stats``), real typed feature vectors
+(``decode_features(real_decode=True)``), and real nearest-neighbor pixel
+resize (``resize_images(real_decode=True)``). The stub boundary is
+compressed formats only (PNG/JPEG/RLE-BMP/MP3/...): those payloads yield
+ok=false rows — never a failed stage — and the byte-level fake kernels
+remain the default for plumbing tests over arbitrary payloads.
 
 Scale notes: payload bytes never pass through a shuffle (featurize before
 aggregating); batch size is bounded by
@@ -63,21 +62,57 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [c / total for c in counts]
 
 
+def _real_decode_features(payload: bytes) -> list[float] | None:
+    """REAL 8-dim feature vector via magic-byte dispatch over the three
+    decodable formats: images (PPM/BMP) -> [1, w, h, mean_r, mean_g,
+    mean_b, n_pixels, 0]; PCM16 WAV -> [2, rate, channels, n_samples,
+    mean_amp, rms, 0, 0]. Returns None (ok=false downstream) for
+    compressed/unknown formats — the remaining stub boundary."""
+    img = None
+    if payload[:2] == b"P6":
+        parsed = _parse_ppm(payload)
+        if parsed is not None:
+            w, h, rgb = parsed
+            img = (w, h,
+                   np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3))
+    elif payload[:2] == b"BM":
+        parsed = _parse_bmp(payload)
+        if parsed is not None:
+            w, h, px = parsed
+            img = (w, h, px.reshape(-1, 3))
+    elif payload[:4] == b"RIFF":
+        parsed = _parse_wav(payload)
+        if parsed is not None:
+            rate, channels, samples = parsed
+            s64 = samples.astype(np.int64)
+            n = int(s64.size)
+            mean = float(s64.sum()) / n if n else 0.0
+            rms = float(np.sqrt(np.dot(s64, s64) / n)) if n else 0.0
+            return [2.0, float(rate), float(channels), float(n),
+                    mean, rms, 0.0, 0.0]
+    if img is None:
+        return None
+    w, h, flat = img
+    means = flat.mean(axis=0, dtype=np.float64)
+    return [1.0, float(w), float(h), float(means[0]), float(means[1]),
+            float(means[2]), float(w * h), 0.0]
+
+
 def decode_features(blobs: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    ``real_decode=True`` is the hook for an actual decoder and raises
-    NotImplementedError in this container (decode libs not installed).
-    """
-    if real_decode:
-        raise NotImplementedError(
-            "real image/audio decode requires PIL/torchaudio/ffmpeg, which "
-            "are not installed in this container; use the deterministic "
-            "fake featurizer (real_decode=False) for plumbing tests")
+    ``real_decode=True`` REALLY decodes the supported formats (P6 PPM,
+    uncompressed 24bpp BMP, PCM16 WAV — magic-byte dispatch in
+    ``_real_decode_features``) into a typed 8-dim feature vector;
+    payloads outside that set yield ok=false with a NULL feature
+    (poison-safe). The default remains the deterministic byte-histogram
+    fake, for plumbing tests that feed arbitrary bytes."""
+
+    kernel = _real_decode_features if real_decode else _fake_decode_features
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode_features(b) for b in pdf["content"]]
+            feats = [kernel(bytes(b) if b else b"") for b in pdf["content"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["n_bytes"].astype("int32"),
@@ -338,14 +373,14 @@ def decode_wav_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, WAV_STATS_SCHEMA)
 
 
-RESIZED_SCHEMA = "doc_id long, width int, height int, pixels binary"
+RESIZED_SCHEMA = "doc_id long, width int, height int, ok boolean, pixels binary"
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for an image resize: nearest-neighbor sample
-    of the raw bytes down/up to width*height "pixels". STUB — a real
-    implementation decodes with PIL/opencv and resamples; the Spark-side
-    contract (binary in, fixed-size binary out) is identical."""
+    of the raw bytes down/up to width*height "pixels" — for plumbing
+    tests over arbitrary (non-image) payloads. The real path is
+    ``_real_resize``."""
     n = width * height
     if not payload:
         return bytes(n)
@@ -354,26 +389,61 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
                  for i in range(n))
 
 
+def _real_resize(payload: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor image resize over decoded pixels (P6 PPM or
+    uncompressed 24bpp BMP by magic dispatch): output is width*height*3
+    RGB bytes, row-major top-down. src pixel = floor(dst_idx * src/dst)
+    per axis — the canonical NN mapping. None for undecodable payloads."""
+    if payload[:2] == b"P6":
+        parsed = _parse_ppm(payload)
+        if parsed is None:
+            return None
+        w, h, rgb = parsed
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    elif payload[:2] == b"BM":
+        parsed = _parse_bmp(payload)
+        if parsed is None:
+            return None
+        w, h, px = parsed
+    else:
+        return None
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return px[rows][:, cols].tobytes()
+
+
 def resize_images(blobs: DataFrame, width: int = 16, height: int = 16,
                   real_decode: bool = False) -> DataFrame:
     """Arrow-batched resize over the binary column: every payload maps to a
-    fixed width*height byte buffer — the normalization step before
-    batching image tensors for training. Output size is constant per row,
-    so downstream batch shapes are static (what a tensor collator needs).
-    """
-    if real_decode:
-        raise NotImplementedError(
-            "real image resize requires PIL/opencv, not installed in this "
-            "container; the deterministic fake preserves the plumbing")
+    fixed width*height buffer — the normalization step before batching
+    image tensors for training. Output size is constant per row, so
+    downstream batch shapes are static (what a tensor collator needs).
+
+    ``real_decode=True`` REALLY decodes PPM/BMP and resamples actual
+    pixels (``_real_resize``: width*height*3 RGB bytes); undecodable
+    payloads yield ok=false with an all-zero buffer instead of failing
+    the batch. The default byte-sampling fake stays for plumbing tests
+    over arbitrary payloads."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pixels, oks = [], []
+            for b in pdf["content"]:
+                payload = bytes(b) if b else b""
+                if real_decode:
+                    out = _real_resize(payload, width, height)
+                    oks.append(out is not None)
+                    pixels.append(out if out is not None
+                                  else bytes(width * height * 3))
+                else:
+                    oks.append(True)
+                    pixels.append(_fake_resize(payload, width, height))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "width": [width] * len(pdf),
                 "height": [height] * len(pdf),
-                "pixels": [_fake_resize(b, width, height)
-                           for b in pdf["content"]],
+                "ok": oks,
+                "pixels": pixels,
             })
 
     return blobs.mapInPandas(do_resize, RESIZED_SCHEMA)

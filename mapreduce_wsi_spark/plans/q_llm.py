@@ -627,6 +627,77 @@ def mm_decode_bmp(spark, sf_dir):
                         F.round("mean_b", 9).alias("mean_b"))
 
 
+def _ppm_blobs(spark, sf_dir):
+    """4x4 P6 PPM payloads synthesized from fixture text (header + first
+    48 bytes, 'x'-padded) — shared by the real-decode entries."""
+    docs = tbl(spark, sf_dir, "documents")
+    content = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
+                 "UTF-8"))
+    return docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+
+
+@register(
+    "mm_features_real",
+    oracle="""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM documents)
+    SELECT doc_id, true AS ok, CAST(1 AS DOUBLE) AS kind,
+           CAST(4 AS DOUBLE) AS img_w, CAST(4 AS DOUBLE) AS img_h,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL feature extraction (decode_features(real_decode=True)): "
+         "magic-byte dispatch decodes the P6 payloads and emits a typed "
+         "8-dim vector [kind=1, w, h, mean_r, mean_g, mean_b, n_px, 0]; "
+         "the DuckDB twin recomputes the dims and channel means from the "
+         "same ASCII bytes. Undecodable formats yield ok=false rows "
+         "(pinned by test_multimodal_real_decode_flags_unknown_formats)")
+def mm_features_real(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_features
+    feats = decode_features(_ppm_blobs(spark, sf_dir), real_decode=True)
+    f = F.col("feature")
+    return feats.select(
+        "doc_id", "ok", f[0].alias("kind"),
+        f[1].alias("img_w"), f[2].alias("img_h"),
+        F.round(f[3], 9).alias("mean_r"),
+        F.round(f[4], 9).alias("mean_g"),
+        F.round(f[5], 9).alias("mean_b"))
+
+
+@register(
+    "mm_resize_real",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           true AS ok,
+           md5(substr(px, 1, 3) || substr(px, 7, 3) ||
+               substr(px, 25, 3) || substr(px, 31, 3)) AS pix_md5
+    FROM (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+          FROM documents) p
+    """,
+    note="REAL nearest-neighbor resize over DECODED pixels "
+         "(resize_images(real_decode=True)): 4x4 P6 payloads resampled "
+         "to 2x2 via src=floor(dst*4/2) -> pixels (0,0),(0,2),(2,0),"
+         "(2,2) = byte offsets 0,6,24,30 in the pixel block; the DuckDB "
+         "twin md5s exactly those 12 ASCII bytes. Replaces the former "
+         "byte-sampling-only stub for decodable formats")
+def mm_resize_real(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import resize_images
+    out = resize_images(_ppm_blobs(spark, sf_dir), width=2, height=2,
+                        real_decode=True)
+    return out.select("doc_id", "width", "height", "ok",
+                      F.md5("pixels").alias("pix_md5"))
+
+
 # Fixed 44-byte PCM16 WAV header for a 1-channel / 8 kHz / 32-byte-data
 # clip, as little-endian hex: RIFF(size 68) WAVE fmt(16, pcm=1, ch=1,
 # rate=8000, byterate=16000, align=2, bits=16) data(size 32).

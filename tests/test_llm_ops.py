@@ -118,8 +118,6 @@ def test_multimodal_decode_stub(spark, sf_smoke):
     assert all(len(r["feature"]) == 8 for r in rows)
     assert all(abs(sum(r["feature"]) - 1.0) < 1e-9 for r in rows)
     assert feats.count() == docs.count()
-    with pytest.raises(NotImplementedError):
-        decode_features(blobs, real_decode=True)
 
 
 def test_multimodal_frame_sampling(spark, sf_smoke):
@@ -145,17 +143,53 @@ def test_multimodal_resize_fixed_shape(spark, sf_smoke):
     assert sorted(r["pixels"] for r in out) == sorted(r["pixels"] for r in again)
 
 
-def test_multimodal_real_decode_raises(spark, sf_smoke):
-    import pytest as _pytest
+def test_multimodal_real_decode_flags_unknown_formats(spark, sf_smoke):
+    """real_decode=True over payloads OUTSIDE the decodable set (plain
+    text here, compressed formats in production) must flag ok=false per
+    row — poison-safe, never a failed stage or a raise."""
     from mapreduce_wsi_spark.operators.multimodal import (
         decode_features, resize_images, to_blob_table)
     from mapreduce_wsi_spark.plans.registry import tbl
 
-    blobs = to_blob_table(tbl(spark, sf_smoke, "documents"))
-    with _pytest.raises(NotImplementedError):
-        decode_features(blobs, real_decode=True)
-    with _pytest.raises(NotImplementedError):
-        resize_images(blobs, real_decode=True)
+    blobs = to_blob_table(tbl(spark, sf_smoke, "documents")).limit(5)
+    feats = decode_features(blobs, real_decode=True).collect()
+    assert feats and all(not r["ok"] and r["feature"] is None for r in feats)
+    rs = resize_images(blobs, width=2, height=2, real_decode=True).collect()
+    assert rs and all(not r["ok"] and r["pixels"] == bytes(12) for r in rs)
+
+
+def test_multimodal_real_decode_features_and_resize(spark):
+    """REAL feature extraction + REAL nearest-neighbor resize over decoded
+    pixels/samples, checked against hand-computed values."""
+    import struct
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        decode_features, resize_images)
+
+    # 2x2 P6 PPM with distinct pixels; NN resize to 1x1 keeps pixel (0,0)
+    ppm = b"P6\n2 2\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # PCM16 WAV: samples 3, -3 -> mean 0, rms 3
+    data = struct.pack("<2h", 3, -3)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(ppm), "image/x-portable-pixmap", len(ppm)),
+         (2, bytearray(wav), "audio/wav", len(wav))],
+        "doc_id long, content binary, mime string, n_bytes int")
+    feats = {r.doc_id: r for r in
+             decode_features(blobs, real_decode=True).collect()}
+    assert feats[1].ok and feats[1].feature[:3] == [1.0, 2.0, 2.0]
+    assert feats[1].feature[3:6] == [55.0, 65.0, 75.0]  # channel means
+    assert feats[2].ok and feats[2].feature[:4] == [2.0, 8000.0, 1.0, 2.0]
+    assert feats[2].feature[4:6] == [0.0, 3.0]  # mean, rms
+
+    rs = {r.doc_id: r for r in
+          resize_images(blobs, width=1, height=1, real_decode=True).collect()}
+    assert rs[1].ok and bytes(rs[1].pixels) == bytes([10, 20, 30])
+    assert not rs[2].ok  # WAV is not an image
 
 
 def test_connected_components_transitive_chain(spark):
