@@ -47,8 +47,8 @@ HEADLINE = [
     "graph_bfs_hops",
     "triangle_count",
     # round-4: Arrow-batched media decode kernels (numpy-vectorized in r4;
-    # the per-element Python loops they replaced measured 10x (PPM) and
-    # 60x (WAV) slower on realistic payloads — tools/kernel_ab.py)
+    # the per-element Python loops they replaced measured ~130x (PPM)
+    # and ~70x (WAV) slower on realistic payloads — tools/kernel_ab.py)
     "mm_decode_ppm",
     "mm_decode_wav",
 ]

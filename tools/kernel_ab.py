@@ -27,8 +27,8 @@ def old_ppm_means(rgb: bytes, n: int) -> list[float]:
 
 
 def new_ppm_means(rgb: bytes) -> list[float]:
-    return list(np.frombuffer(rgb, dtype=np.uint8)
-                .reshape(-1, 3).mean(axis=0, dtype=np.float64))
+    from mapreduce_wsi_spark.operators.multimodal import _channel_means
+    return _channel_means(np.frombuffer(rgb, dtype=np.uint8))
 
 
 def old_wav_stats(data: bytes) -> tuple[float, int]:
