@@ -30,6 +30,13 @@ def test_oracle_parity(name, spark, sf_oracle, duck):
     assert result.ok, f"{name}: {result.detail}"
 
 
+def test_no_rows_only_entries_remain():
+    """Every catalog entry carries a DuckDB oracle since round 3; a new
+    oracle-less entry should be a deliberate decision, not an accident —
+    add the oracle or consciously rewrite this test."""
+    assert ROWS_ONLY == []
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(name, spark, sf_oracle):
     df = CATALOG[name].fn(spark, sf_oracle)
