@@ -33,15 +33,10 @@ def test_oracle_parity(name, spark, sf_oracle, duck):
 def test_no_rows_only_entries_remain():
     """Every catalog entry carries a DuckDB oracle since round 3; a new
     oracle-less entry should be a deliberate decision, not an accident —
-    add the oracle or consciously rewrite this test."""
+    add the oracle, or consciously reintroduce a rows-only runner here
+    (the driver records oracle-less entries as weaker rows-only checks).
+    """
     assert ROWS_ONLY == []
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(name, spark, sf_oracle):
-    df = CATALOG[name].fn(spark, sf_oracle)
-    assert len(df.columns) > 0
-    assert df.count() >= 0
 
 
 def test_parity_catches_hugeint_type_mismatch(spark, duck):
