@@ -82,54 +82,58 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
-# registration order. Rounds 1-3 stamped 83 distinct entries green; this
-# round the window ROTATES to entries the driver has never scored (the
-# judge's r3 top ask): 5 sentinels that stay every round as
-# cross-round regression canaries (flagship, q1, dedup_components,
-# merge_upsert_cdc, funnel_steps), plus 44 never-stamped entries and the
-# new real-BMP decoder — bringing cumulative driver coverage to 128/160.
-# The ~32 still-unstamped entries (scalar-function tail, window variants,
-# lakehouse/dq leftovers, and this round's post-window additions:
-# dedup_components_star, text_bpe_pretokenize, mm_features_real,
-# mm_resize_real) rotate in next round; all are green in the local full
-# replay (tests/test_oracle_parity.py) every session.
-# tests/test_driver_window.py pins the order and checks family coverage
-# over the CUMULATIVE stamped set (past CORRECTNESS files + this window).
+# registration order, and the window ROTATES each round so cumulative
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-4
+# stamped 128 distinct entries green. This round closes the loop: the 5
+# fixed sentinels (cross-round regression canaries), ALL 32 entries no
+# round has ever stamped (scalar-function tail, window variants,
+# lakehouse/dq leftovers, and the r4 post-window additions
+# dedup_components_star / text_bpe_pretokenize / mm_features_real /
+# mm_resize_real), and — because that leaves 13 free slots — a staleness
+# tier re-checking the entries whose most recent stamp is oldest (all
+# last stamped in r2). A green round makes cumulative driver coverage
+# 160/160: every catalog entry driver-stamped at least once.
+# tests/test_driver_window.py pins the order, asserts the rotation
+# hygiene (non-sentinel, non-pad entries must be never-stamped), and
+# checks family coverage over the CUMULATIVE stamped set.
+ROUND = 5  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+
+# staleness re-checks: previously stamped (allowed to repeat), picked as
+# the 13 alphabetically-first entries whose last driver stamp is oldest
+WINDOW_STALENESS_PAD: tuple[str, ...] = (
+    "above_avg_balance", "approx_quantiles", "cube_agg", "distinct_rows",
+    "histogram_fixed_buckets", "join_anti", "join_cross", "join_full_outer",
+    "join_theta_range", "q10_returned_items", "q12_late_shipment",
+    "q13_customer_distribution", "q14_promo_revenue",
+)
+
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # TPC-H tail never stamped before
-    "q11_important_stock", "q16_supplier_relationship", "q20_excess_shipper",
+    # exact/robust statistics tail
+    "quantile_cont_exact", "agg_exact_stats", "weighted_median_exact",
+    "robust_mad_stats", "ols_trend_per_type",
     # window variants
-    "window_range_frame", "window_count_distinct",
-    # aggregation flavors
-    "mode_per_group", "winsorized_sum",
-    # joins (range-interval, salted-skew, fuzzy)
-    "join_range_intervals", "join_salted_skew", "join_fuzzy_levenshtein",
-    # lakehouse tail
-    "scd2_intervals", "table_diff_keyed", "layout_zorder_key",
-    # streaming batch twins not yet stamped
-    "stream_sliding_window", "stream_dedup_within_watermark",
-    # dedup + similarity tail
-    "dedup_simhash", "sim_ann_lsh",
-    # text retrieval + analysis tail
-    "text_bm25_topk", "text_inverted_index", "text_tf_df", "text_langid",
-    "text_fingerprint",
-    # multimodal: real WAV + real BMP decoders, frame sampling
-    "mm_decode_wav", "mm_decode_bmp", "mm_sample_frames",
-    # corpus-prep tail
-    "sample_stratified_hash", "sample_k_per_group", "text_scrub_pii",
-    "decontam_ngram_overlap", "quality_repetition", "shuffle_shards",
-    "pack_context_windows", "weighted_sample_es",
-    # behavioral-analytics tail
-    "event_transition_matrix", "cohort_retention_weekly",
-    "attribution_last_touch", "anomaly_zscore_rolling", "rfm_scores",
-    "trending_topk_daily", "session_path_trigrams", "stateful_user_stats",
-    # graph tail
-    "triangle_count", "graph_bfs_hops", "copurchase_pairs_topk",
-    "entity_resolution_pipeline",
-)
+    "window_dist_lead", "window_ntile_bins",
+    # relational/analytic leftovers
+    "time_spine_gapfill", "yoy_revenue_growth", "share_of_total",
+    "skew_key_diagnostics", "rare_terms_df",
+    # lakehouse/dq leftovers
+    "upsert_merge", "dq_constraints", "table_fingerprint",
+    "incremental_agg_merge",
+    # scalar-function tail
+    "scalar_math_funcs", "scalar_conditional", "json_extract",
+    "array_funcs", "scalar_string_funcs2", "scalar_datetime_funcs2",
+    "scalar_hash_bitwise",
+    # sketch + vector tail
+    "hll_sketch_rollup", "vector_normalize",
+    # corpus-prep leftover
+    "mix_sources_epochs",
+    # r4 post-window additions
+    "dedup_components_star", "text_bpe_pretokenize",
+    "mm_decode_features", "mm_features_real", "mm_resize_real", "mm_resize",
+) + WINDOW_STALENESS_PAD
 
 
 def load_catalog() -> dict[str, CatalogEntry]:

@@ -2,27 +2,42 @@
 checks only the FIRST 50 catalog entries in registration order. From
 round 4 the window ROTATES — 5 fixed sentinels plus never-before-stamped
 entries — so the driver's cumulative evidence grows every round instead
-of re-stamping the same 50. Therefore family coverage is asserted over
-the CUMULATIVE stamped set (union of past CORRECTNESS_r*.json + the
-current window), and rotation hygiene is asserted directly: apart from
-the sentinels, the window must contain only entries no prior round
-stamped."""
+of re-stamping the same 50. From round 5 the window also carries an
+explicit staleness tier (WINDOW_STALENESS_PAD): once fewer than 45
+entries remain unstamped, the free slots re-check the entries whose
+driver stamp is oldest. Family coverage is asserted over the CUMULATIVE
+stamped set (union of past CORRECTNESS_r*.json + the current window),
+and rotation hygiene is asserted directly: apart from the sentinels and
+the declared pad, the window must contain only entries no prior round
+stamped. Prior rounds are keyed by ROUND number — a file
+CORRECTNESS_rNN.json is a prior iff NN < registry.ROUND — not by any
+overlap heuristic."""
 
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
-from mapreduce_wsi_spark.plans.registry import DRIVER_WINDOW, load_catalog
+from mapreduce_wsi_spark.plans.registry import (
+    DRIVER_WINDOW, ROUND, WINDOW_STALENESS_PAD, load_catalog)
 
 CATALOG = load_catalog()
 
 REPO = Path(__file__).resolve().parent.parent
 
+
+def _round_of(path: Path) -> int:
+    m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+    assert m, f"unexpected correctness filename {path.name}"
+    return int(m.group(1))
+
+
 # stamped green by the driver in any completed prior round
 EVER_STAMPED: set[str] = set()
 for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-    EVER_STAMPED |= set(json.loads(f.read_text()))
+    if _round_of(f) < ROUND:
+        EVER_STAMPED |= set(json.loads(f.read_text()))
 
 # regression canaries: driver-stamped every round by design
 SENTINELS = {"q1_pricing_summary", "flagship_integer_mean",
@@ -91,21 +106,31 @@ def test_window_is_first_50_in_catalog_order():
 
 
 def test_window_rotation_targets_never_stamped_entries():
-    """Apart from the 5 sentinels (and the driver's current-round file,
-    which stamps the window itself), every windowed entry must be one no
-    prior round stamped — that is the whole point of rotating."""
-    # a CORRECTNESS file produced by the CURRENT window (the driver may
-    # write it mid-round) stamps essentially the window itself; treat any
-    # file that is ≥90% inside the window as current, the rest as prior
-    prior = set()
-    window = set(DRIVER_WINDOW)
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        stamped = set(json.loads(f.read_text()))
-        if stamped and len(stamped & window) / len(stamped) < 0.9:
-            prior |= stamped
-    already_prior = {n for n in window - SENTINELS if n in prior}
+    """Apart from the 5 sentinels and the declared staleness pad, every
+    windowed entry must be one no prior round stamped — that is the whole
+    point of rotating. Prior rounds are keyed by round number (< ROUND),
+    so a driver-written current-round file never skews the check."""
+    fresh = set(DRIVER_WINDOW) - SENTINELS - set(WINDOW_STALENESS_PAD)
+    already_prior = fresh & EVER_STAMPED
     assert not already_prior, (
         f"window wastes slots on already-stamped entries: {already_prior}")
+
+
+def test_staleness_pad_entries_were_previously_stamped():
+    """The pad exists to RE-check old stamps; a pad entry the driver
+    never stamped would belong in the fresh tier instead."""
+    assert set(WINDOW_STALENESS_PAD) <= EVER_STAMPED
+    assert set(WINDOW_STALENESS_PAD) <= set(DRIVER_WINDOW)
+    assert not set(WINDOW_STALENESS_PAD) & SENTINELS
+
+
+def test_round_constant_is_current():
+    """ROUND must exceed every prior correctness file on disk; if the
+    driver has already written this round's file, it may equal ROUND."""
+    rounds = [_round_of(f) for f in REPO.glob("CORRECTNESS_r*.json")]
+    assert rounds, "no correctness files found"
+    assert ROUND >= max(rounds), (
+        f"registry.ROUND={ROUND} is behind CORRECTNESS_r{max(rounds):02d}")
 
 
 def test_sentinels_always_in_window():
