@@ -490,6 +490,25 @@ def text_inverted_index(spark, sf_dir):
 # Multimodal plumbing
 # --------------------------------------------------------------------------
 
+# The binary-payload entries below synthesize payload bytes from fixture
+# text and require 1 char == 1 byte (the DuckDB twins read codepoints
+# where the engine reads bytes). Fixtures are regenerated between rounds
+# with no ASCII guarantee, so both sides first project the text onto
+# printable ASCII (strip every codepoint outside 0x20-0x7e — Java regex
+# and RE2 agree on the class). A non-ASCII regen then changes the
+# payloads identically on both sides instead of splitting parity;
+# tests/test_multimodal.py::test_fixture_text_ascii_projection_stable
+# additionally documents the invariant.
+_ASCII_RE = "[^ -~]"
+_ASCII_DOCS_SQL = ("(SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g')"
+                   " AS text FROM documents)")
+
+
+def _ascii_docs(spark, sf_dir):
+    return tbl(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _ASCII_RE, ""))
+
+
 @register(
     "mm_blob_meta",
     oracle="""
@@ -508,23 +527,26 @@ def mm_blob_meta(spark, sf_dir):
 
 @register(
     "mm_decode_features",
-    oracle=r"""
+    oracle=f"""
     SELECT doc_id,
            CAST(length(text) AS INT) AS n_bytes,
            true AS ok,
            round(len(list_filter(generate_series(1, length(text)),
                                  i -> unicode(text[i]) % 8 = 0))
                  / CAST(length(text) AS DOUBLE), 9) AS f1
-    FROM documents
+    FROM {_ASCII_DOCS_SQL} documents
+    WHERE length(text) > 0
     """,
     note="Arrow-batched mapInPandas featurization over binary payloads; "
          "generic decode kernel STUBBED (deterministic 8-bucket byte "
          "histogram — media libs absent; real-format path is "
-         "mm_decode_ppm). Fixture text is pure ASCII, so the DuckDB twin "
-         "recomputes the byte histogram from codepoints — a full "
-         "value-checked oracle of the Arrow plumbing + kernel")
+         "mm_decode_ppm). Payload text is ASCII-projected on both sides, "
+         "so the DuckDB twin recomputes the byte histogram from "
+         "codepoints — a full value-checked oracle of the Arrow "
+         "plumbing + kernel")
 def mm_decode_features(spark, sf_dir):
-    blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
+    docs = _ascii_docs(spark, sf_dir).filter(F.length("text") > 0)
+    blobs = to_blob_table(docs)
     feats = decode_features(blobs)
     return feats.select("doc_id", "n_bytes", "ok",
                         F.round(F.element_at("feature", 1), 9).alias("f1"))
@@ -532,9 +554,9 @@ def mm_decode_features(spark, sf_dir):
 
 @register(
     "mm_decode_ppm",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
-               FROM documents)
+               FROM {_ASCII_DOCS_SQL} documents)
     SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
            true AS ok,
            round(list_sum(list_transform(generate_series(0, 15),
@@ -546,15 +568,15 @@ def mm_decode_features(spark, sf_dir):
     FROM p
     """,
     note="REAL image decode: 4x4 binary PPM (P6) images are synthesized "
-         "from fixture text (header + first 48 bytes, 'x'-padded), then "
-         "decoded by the pure-Python P6 parser in an Arrow mapInPandas "
-         "stage — header parsing, pixel extraction and per-channel means "
-         "are all real; the DuckDB twin recomputes the channel means from "
-         "the same ASCII bytes. The generic-format stub remains "
-         "documented in operators/multimodal.py")
+         "from ASCII-projected fixture text (header + first 48 bytes, "
+         "'x'-padded), then decoded by the pure-Python P6 parser in an "
+         "Arrow mapInPandas stage — header parsing, pixel extraction and "
+         "per-channel means are all real; the DuckDB twin recomputes the "
+         "channel means from the same ASCII bytes. The generic-format "
+         "stub remains documented in operators/multimodal.py")
 def mm_decode_ppm(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import decode_ppm_stats
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     content = F.concat(
         F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
         F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
@@ -582,9 +604,9 @@ _BMP_HEADER_HEX = ("424d" "66000000" "00000000" "36000000"
 
 @register(
     "mm_decode_bmp",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT doc_id, rpad(substr(text, 1, 36), 36, 'x') AS px
-               FROM documents)
+               FROM {_ASCII_DOCS_SQL} documents)
     SELECT doc_id, CAST(3 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
            true AS ok,
            round(list_sum(list_transform(generate_series(0, 11),
@@ -608,7 +630,7 @@ _BMP_HEADER_HEX = ("424d" "66000000" "00000000" "36000000"
          "oracle (the flip itself is pinned by unit test).")
 def mm_decode_bmp(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import decode_bmp_stats
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     padded = F.rpad(F.substring(F.col("text"), 1, 36), 36, "x")
     # bottom-up scanline order: image row 3 is stored first
     scanlines = [
@@ -628,9 +650,10 @@ def mm_decode_bmp(spark, sf_dir):
 
 
 def _ppm_blobs(spark, sf_dir):
-    """4x4 P6 PPM payloads synthesized from fixture text (header + first
-    48 bytes, 'x'-padded) — shared by the real-decode entries."""
-    docs = tbl(spark, sf_dir, "documents")
+    """4x4 P6 PPM payloads synthesized from ASCII-projected fixture text
+    (header + first 48 bytes, 'x'-padded) — shared by the real-decode
+    entries."""
+    docs = _ascii_docs(spark, sf_dir)
     content = F.concat(
         F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
         F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
@@ -643,9 +666,9 @@ def _ppm_blobs(spark, sf_dir):
 
 @register(
     "mm_features_real",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
-               FROM documents)
+               FROM {_ASCII_DOCS_SQL} documents)
     SELECT doc_id, true AS ok, CAST(1 AS DOUBLE) AS kind,
            CAST(4 AS DOUBLE) AS img_w, CAST(4 AS DOUBLE) AS img_h,
            round(list_sum(list_transform(generate_series(0, 15),
@@ -676,13 +699,13 @@ def mm_features_real(spark, sf_dir):
 
 @register(
     "mm_resize_real",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
            true AS ok,
            md5(substr(px, 1, 3) || substr(px, 7, 3) ||
                substr(px, 25, 3) || substr(px, 31, 3)) AS pix_md5
     FROM (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
-          FROM documents) p
+          FROM {_ASCII_DOCS_SQL} documents) p
     """,
     note="REAL nearest-neighbor resize over DECODED pixels "
          "(resize_images(real_decode=True)): 4x4 P6 payloads resampled "
@@ -709,9 +732,9 @@ _WAV_HEADER_HEX = ("52494646" "44000000" "57415645"
 
 @register(
     "mm_decode_wav",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
-               FROM documents),
+               FROM {_ASCII_DOCS_SQL} documents),
     s AS (SELECT doc_id,
                  list_transform(generate_series(0, 15),
                      j -> unicode(px[2*j + 1]) + 256 * unicode(px[2*j + 2]))
@@ -734,7 +757,7 @@ _WAV_HEADER_HEX = ("52494646" "44000000" "57415645"
          "are <128 so samples stay positive (no sign wrap on either side)")
 def mm_decode_wav(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import decode_wav_stats
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     content = F.concat(
         F.unhex(F.lit(_WAV_HEADER_HEX)),
         F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
@@ -750,21 +773,22 @@ def mm_decode_wav(spark, sf_dir):
 
 @register(
     "mm_sample_frames",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
            CAST(trunc(length(text) / 4.0) AS INT) AS frame_len,
            md5(substr(text,
                       CAST(trunc(i * length(text) / 4.0) AS INT) + 1,
                       CAST(trunc(length(text) / 4.0) AS INT))) AS frame_md5
-    FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) t
+    FROM {_ASCII_DOCS_SQL} documents,
+         (SELECT unnest(generate_series(0, 3)) AS i) t
     WHERE length(text) > 0
     """,
     note="frame-sampling plumbing: payload chunked into n evenly spaced "
          "frames SQL-side; md5 of each frame's bytes is content-checked "
-         "against a DuckDB substring twin (ASCII payloads: byte offsets "
-         "== char offsets)")
+         "against a DuckDB substring twin (ASCII-projected payloads: "
+         "byte offsets == char offsets)")
 def mm_sample_frames(spark, sf_dir):
-    blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
+    blobs = to_blob_table(_ascii_docs(spark, sf_dir))
     frames = sample_frames(blobs, n_frames=4)
     return frames.select("doc_id", "frame_idx",
                          F.octet_length("frame_bytes").alias("frame_len"),
@@ -773,13 +797,14 @@ def mm_sample_frames(spark, sf_dir):
 
 @register(
     "mm_resize",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
            md5(list_aggregate(list_transform(generate_series(0, 63),
                i -> text[least(CAST(trunc(i * (length(text) / 64.0)) AS INT),
                                length(text) - 1) + 1]),
                'string_agg', '')) AS pix_md5
-    FROM documents
+    FROM {_ASCII_DOCS_SQL} documents
+    WHERE length(text) > 0
     """,
     note="fixed-size resize (mapInPandas, nearest-neighbor byte-sample "
          "stub kernel): constant width*height output per row for static "
@@ -787,7 +812,8 @@ def mm_sample_frames(spark, sf_dir):
          "against a DuckDB twin of the same sampling arithmetic")
 def mm_resize(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import resize_images
-    blobs = to_blob_table(tbl(spark, sf_dir, "documents"))
+    docs = _ascii_docs(spark, sf_dir).filter(F.length("text") > 0)
+    blobs = to_blob_table(docs)
     return (resize_images(blobs, width=8, height=8)
             .select("doc_id", "width", "height",
                     F.md5("pixels").alias("pix_md5")))

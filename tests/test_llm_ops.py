@@ -472,3 +472,45 @@ def test_inverted_index_postings_and_df_guard(spark):
     guarded = {r["term"] for r in
                inverted_index(docs, "text", "doc_id", max_df=1).collect()}
     assert guarded == {"a", "c"}
+
+
+def test_ascii_projection_agrees_across_engines(spark):
+    """The multimodal payload entries synthesize bytes from fixture text
+    and need 1 char == 1 byte; q_llm projects text onto printable ASCII
+    on BOTH sides first. Pin that Spark's regexp_replace, DuckDB's
+    regexp_replace and a Python reference agree on the SAME projection —
+    including non-ASCII, control chars, and fully-non-ASCII rows — so a
+    fixture regen with non-ASCII text can never split oracle parity."""
+    import duckdb
+
+    from mapreduce_wsi_spark.plans.q_llm import _ASCII_RE
+
+    samples = [
+        "plain ascii text 123 ~!",
+        "café touché über",          # latin-1 accents
+        "日本語 mixed ascii",           # CJK prefix
+        "tabs\tand\nnewlines\r kept out",           # control chars stripped
+        "\U0001f600\U0001f680",                     # astral plane only
+        "",
+    ]
+    py_ref = ["".join(c for c in s if 0x20 <= ord(c) <= 0x7E)
+              for s in samples]
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               ["i", "text"])
+    got_spark = [r["t"] for r in df.select(
+        F.regexp_replace("text", _ASCII_RE, "").alias("t"))
+        .orderBy("i").collect()]
+    assert got_spark == py_ref
+
+    con = duckdb.connect()
+    got_duck = [con.execute(
+        "SELECT regexp_replace(?, '[^ -~]', '', 'g')", [s]).fetchone()[0]
+        for s in samples]
+    assert got_duck == py_ref
+
+    # the projected text is pure single-byte ASCII: encode is length-stable
+    enc = df.select(
+        (F.octet_length(F.regexp_replace("text", _ASCII_RE, ""))
+         == F.length(F.regexp_replace("text", _ASCII_RE, ""))).alias("ok"))
+    assert all(r["ok"] for r in enc.collect())
