@@ -287,6 +287,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.unionByName(own).distinct()
 
 
+def _fingerprint_edges(df: DataFrame) -> tuple:
+    """Order-insensitive exact fingerprint of an edge set: count + two
+    hash-sums (both column orders) in one scalar agg. decimal(38,0) so
+    1e12 edges of 64-bit hashes can't overflow the sum."""
+    return tuple(df.agg(
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        F.sum(F.xxhash64("dst", "src").cast("decimal(38,0)"))
+    ).first())
+
+
 def _star_components(edges: DataFrame,
                      max_rounds: int = 40) -> tuple[DataFrame, int]:
     """Large-star/small-star contraction: O(log n) alternating rounds even
@@ -294,6 +305,18 @@ def _star_components(edges: DataFrame,
     ``edges`` may be any orientation; self-loops are ignored. Returns
     ``(cc, rounds)`` with cc = (id, comp), comp the component minimum —
     at the fixpoint the edge set IS the star forest (v -> component min).
+
+    Fixpoint probe: every round pays one count-only scalar action; only
+    when the count matches the previous round's (a candidate fixpoint)
+    are both sets — each already checkpointed, so these are cached
+    scans — fingerprinted and compared exactly. On a real cluster each
+    scalar action is a scheduler round-trip, so the steady-state cost is
+    the lightest possible probe without ever trusting a count-only
+    heuristic for the break decision. Raises if ``max_rounds`` is
+    exhausted before the fixpoint: O(log n) convergence (Kiveris et al.)
+    makes 40 rounds ample for any real graph, so a non-converged exit
+    would mean corrupt input or a logic bug — failing loudly beats
+    returning conflicting (id, comp) labels.
     """
     from mapreduce_wsi_spark.util import iter_checkpoint
 
@@ -303,22 +326,25 @@ def _star_components(edges: DataFrame,
     cur = iter_checkpoint(
         edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
         .distinct())
+    prev_n = cur.count()
     rounds = 0
-    prev_fp = None
+    converged = False
     for _ in range(max_rounds):
-        cur = iter_checkpoint(_small_star(_large_star(cur)))
+        nxt = iter_checkpoint(_small_star(_large_star(cur)))
         rounds += 1
-        # Fixpoint test: the edge set is stable. count + two order-
-        # insensitive hash-sums in ONE scalar agg — no join against the
-        # previous round's set.
-        fp = tuple(cur.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
-            F.sum(F.xxhash64("dst", "src").cast("decimal(38,0)"))
-        ).first())
-        if fp == prev_fp:
+        n = nxt.count()
+        # transform(cur) == cur means cur is the star-forest fixpoint;
+        # count equality gates the exact (fingerprint) confirmation
+        if n == prev_n and _fingerprint_edges(nxt) == _fingerprint_edges(cur):
+            cur = nxt
+            converged = True
             break
-        prev_fp = fp
+        cur, prev_n = nxt, n
+    if not converged:
+        raise RuntimeError(
+            f"_star_components did not reach a fixpoint in {max_rounds} "
+            f"rounds ({prev_n} edges remain changing) — input is likely "
+            "corrupt (star contraction converges in O(log n) rounds)")
     comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
     # nodes that are their own component's minimum never appear as src in
     # the final star forest (nor do true singletons, which never had edges)
