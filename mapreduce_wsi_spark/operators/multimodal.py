@@ -2,14 +2,17 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched pandas stages over ``mapInPandas``. Three formats decode
+Arrow-batched pandas stages over ``mapInPandas``. Four formats decode
 FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6),
 uncompressed 24bpp BMP (row padding, bottom-up scanlines, BGR order),
-and PCM16 WAV — powering real per-format stats (``decode_ppm_stats`` /
-``decode_bmp_stats`` / ``decode_wav_stats``), real typed feature vectors
-(``decode_features(real_decode=True)``), and real nearest-neighbor pixel
-resize (``resize_images(real_decode=True)``). The stub boundary is
-compressed formats only (PNG/JPEG/RLE-BMP/MP3/...): those payloads yield
+PNG (8-bit gray/RGB/RGBA non-interlaced — zlib inflate + per-row
+Sub/Up/Average/Paeth defilter), and PCM16 WAV — powering real
+per-format stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
+``decode_png_stats`` / ``decode_wav_stats``), real typed feature
+vectors (``decode_features(real_decode=True)``), and real
+nearest-neighbor pixel resize (``resize_images(real_decode=True)``).
+The stub boundary is JPEG/MP3-class lossy codecs plus the exotic PNG
+variants (16-bit, palette, Adam7) and RLE-BMP: those payloads yield
 ok=false rows — never a failed stage — and the byte-level fake kernels
 remain the default for plumbing tests over arbitrary payloads.
 
@@ -63,11 +66,11 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def _real_decode_features(payload: bytes) -> list[float] | None:
-    """REAL 8-dim feature vector via magic-byte dispatch over the three
-    decodable formats: images (PPM/BMP) -> [1, w, h, mean_r, mean_g,
+    """REAL 8-dim feature vector via magic-byte dispatch over the four
+    decodable formats: images (PPM/BMP/PNG) -> [1, w, h, mean_r, mean_g,
     mean_b, n_pixels, 0]; PCM16 WAV -> [2, rate, channels, n_samples,
     mean_amp, rms, 0, 0]. Returns None (ok=false downstream) for
-    compressed/unknown formats — the remaining stub boundary."""
+    JPEG/MP3-class and unknown formats — the remaining stub boundary."""
     img = None
     if payload[:2] == b"P6":
         parsed = _parse_ppm(payload)
@@ -79,6 +82,11 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
         if parsed is not None:
             w, h, px = parsed
             img = (w, h, np.ascontiguousarray(px).reshape(-1))
+    elif payload[:8] == PNG_MAGIC:
+        parsed = _parse_png(payload)
+        if parsed is not None:
+            w, h, px = parsed
+            img = (w, h, px.reshape(-1))
     elif payload[:4] == b"RIFF":
         parsed = _parse_wav(payload)
         if parsed is not None:
@@ -101,8 +109,9 @@ def decode_features(blobs: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``real_decode=True`` REALLY decodes the supported formats (P6 PPM,
-    uncompressed 24bpp BMP, PCM16 WAV — magic-byte dispatch in
-    ``_real_decode_features``) into a typed 8-dim feature vector;
+    uncompressed 24bpp BMP, 8-bit non-interlaced PNG, PCM16 WAV —
+    magic-byte dispatch in ``_real_decode_features``) into a typed
+    8-dim feature vector;
     payloads outside that set yield ok=false with a NULL feature
     (poison-safe). The default remains the deterministic byte-histogram
     fake, for plumbing tests that feed arbitrary bytes."""
@@ -310,6 +319,192 @@ def decode_bmp_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, BMP_STATS_SCHEMA)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predictor(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, Filter type 4): pick whichever of
+    left/up/up-left is closest to a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Parse a PNG (8-bit gray/RGB/RGBA, non-interlaced): returns
+    (width, height, pixels) with pixels an (h, w, 3) uint8 RGB ndarray,
+    or None outside the supported subset. REAL decode from the spec —
+    stdlib ``zlib`` inflates the concatenated IDAT stream, then each
+    scanline is defiltered per its filter byte (None/Sub/Up/Average/
+    Paeth). Sub is a per-channel modular cumsum and Up a vectorized
+    previous-row add; Average/Paeth carry a left-pixel dependency, so
+    they fall back to a per-byte scan (encoders that care about decode
+    throughput pick filters 0-2). Gray replicates to RGB; RGBA drops
+    alpha. 16-bit depth, palette (ctype 3) and Adam7 interlace return
+    None — the stub boundary for this family. CRCs are not verified
+    (corrupt chunks surface as zlib errors or short data -> None)."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        return None
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            return None
+        if tag == b"IHDR":
+            if size < 13:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", body, 0)
+            if comp != 0 or filt != 0:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # length + tag + body + CRC
+    if (w is None or not idat or w <= 0 or h <= 0 or depth != 8
+            or interlace != 0 or ctype not in (0, 2, 6)):
+        return None
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = (np.frombuffer(raw[:h * (stride + 1)], dtype=np.uint8)
+            .reshape(h, stride + 1))
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        row = rows[y, 1:]
+        prev = out[y - 1] if y else zero_row
+        if ftype == 0:    # None
+            out[y] = row
+        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp]
+            for c in range(nch):
+                out[y, c::nch] = np.cumsum(row[c::nch], dtype=np.uint8)
+        elif ftype == 2:  # Up (uint8 add wraps mod 256, per spec)
+            out[y] = row + prev
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for i in range(stride):
+                left = int(cur[i - nch]) if i >= nch else 0
+                cur[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                cur[i] = (int(row[i]) + _paeth_predictor(a, b, c)) & 0xFF
+        else:
+            return None
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 6:
+        px = px[..., :3]
+    return w, h, np.ascontiguousarray(px)
+
+
+def encode_png(pixels: "np.ndarray", filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder for test/fixture synthesis: 8-bit RGB,
+    non-interlaced, one IDAT. ``filters`` picks the per-row filter type
+    (default all 0) — applying the spec's filter forward so the decoder's
+    defilter paths (Sub/Up/Average/Paeth) are exercised for real."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.int16)
+    if filters is None:
+        filters = [0] * h
+    lines = bytearray()
+    for y in range(h):
+        ft = filters[y]
+        row = px[y].reshape(-1)
+        prev = px[y - 1].reshape(-1) if y else np.zeros(w * 3, dtype=np.int16)
+        left = np.concatenate([np.zeros(3, dtype=np.int16), row[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int16), prev[:-3]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - ((left + prev) >> 1)
+        elif ft == 4:
+            pred = np.array([_paeth_predictor(int(a), int(b), int(c))
+                             for a, b, c in zip(left, prev, upleft)],
+                            dtype=np.int16)
+            filt = row - pred
+        else:
+            raise ValueError(f"bad filter {ft}")
+        lines.append(ft)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
+PNG_STATS_SCHEMA = PPM_STATS_SCHEMA
+
+
+def decode_png_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of PNG payloads (8-bit gray/RGB/RGBA,
+    non-interlaced): per-image width, height and per-channel (RGB) pixel
+    means — inflate + defilter handled by ``_parse_png``. Malformed or
+    out-of-subset payloads yield ok=false with zeroed stats — poison
+    blobs must never kill the stage at 100 TB."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_png(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, px = parsed
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                means = _channel_means(px.reshape(-1))
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(means[ch])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, PNG_STATS_SCHEMA)
+
+
 WAV_STATS_SCHEMA = ("doc_id long, sample_rate int, n_channels int, "
                     "n_samples int, ok boolean, mean_amp double, "
                     "sum_sq long")
@@ -402,8 +597,8 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def _real_resize(payload: bytes, width: int, height: int) -> bytes | None:
-    """REAL nearest-neighbor image resize over decoded pixels (P6 PPM or
-    uncompressed 24bpp BMP by magic dispatch): output is width*height*3
+    """REAL nearest-neighbor image resize over decoded pixels (P6 PPM,
+    uncompressed 24bpp BMP, or PNG by magic dispatch): output is width*height*3
     RGB bytes, row-major top-down. src pixel = floor(dst_idx * src/dst)
     per axis — the canonical NN mapping. None for undecodable payloads."""
     if payload[:2] == b"P6":
@@ -414,6 +609,11 @@ def _real_resize(payload: bytes, width: int, height: int) -> bytes | None:
         px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
     elif payload[:2] == b"BM":
         parsed = _parse_bmp(payload)
+        if parsed is None:
+            return None
+        w, h, px = parsed
+    elif payload[:8] == PNG_MAGIC:
+        parsed = _parse_png(payload)
         if parsed is None:
             return None
         w, h, px = parsed
@@ -431,7 +631,7 @@ def resize_images(blobs: DataFrame, width: int = 16, height: int = 16,
     image tensors for training. Output size is constant per row, so
     downstream batch shapes are static (what a tensor collator needs).
 
-    ``real_decode=True`` REALLY decodes PPM/BMP and resamples actual
+    ``real_decode=True`` REALLY decodes PPM/BMP/PNG and resamples actual
     pixels (``_real_resize``: width*height*3 RGB bytes); undecodable
     payloads yield ok=false with an all-zero buffer instead of failing
     the batch. The default byte-sampling fake stays for plumbing tests

@@ -649,6 +649,65 @@ def mm_decode_bmp(spark, sf_dir):
                         F.round("mean_b", 9).alias("mean_b"))
 
 
+@register(
+    "mm_decode_png",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL PNG decode (the dominant lossless training-data image "
+         "format): 4x4 8-bit RGB PNGs are synthesized from "
+         "ASCII-projected fixture text — scanline filters Sub/Up/"
+         "Average/Paeth, one per row, zlib-compressed IDAT — in an "
+         "Arrow encode stage, then decoded by _parse_png (inflate + "
+         "per-row defilter) inside decode_png_stats. The DuckDB twin "
+         "recomputes the channel means from the same 48 ASCII bytes, so "
+         "chunk walk, inflate and ALL four nontrivial defilter paths "
+         "are value-checked end-to-end")
+def mm_decode_png(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_png_stats, encode_png)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = [
+                encode_png(np.frombuffer(bytes(b), dtype=np.uint8)
+                           .reshape(4, 4, 3), filters=[1, 2, 3, 4])
+                for b in pdf["raw"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/png"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    return decode_png_stats(blobs).select(
+        "doc_id", "img_w", "img_h", "ok",
+        F.round("mean_r", 9).alias("mean_r"),
+        F.round("mean_g", 9).alias("mean_g"),
+        F.round("mean_b", 9).alias("mean_b"))
+
+
 def _ppm_blobs(spark, sf_dir):
     """4x4 P6 PPM payloads synthesized from ASCII-projected fixture text
     (header + first 48 bytes, 'x'-padded) — shared by the real-decode

@@ -514,3 +514,78 @@ def test_ascii_projection_agrees_across_engines(spark):
         (F.octet_length(F.regexp_replace("text", _ASCII_RE, ""))
          == F.length(F.regexp_replace("text", _ASCII_RE, ""))).alias("ok"))
     assert all(r["ok"] for r in enc.collect())
+
+
+def test_png_roundtrip_all_filter_types():
+    """encode_png applies the spec filters forward; _parse_png must invert
+    every one (None/Sub/Up/Average/Paeth), per row and mixed."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_png, encode_png)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        w, h, got = _parse_png(encode_png(px, filters=filters))
+        assert (w, h) == (4, 5)
+        assert np.array_equal(got, px), f"filters {filters}"
+
+
+def test_png_gray_rgba_and_subset_boundary():
+    """Gray replicates to RGB, RGBA drops alpha; palette (ctype 3) and
+    malformed payloads return None — the documented subset boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        PNG_MAGIC, _parse_png)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    def png(w, h, ctype, lines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+
+    g = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    _, _, got = _parse_png(
+        png(2, 2, 0, b"\x00" + g[0].tobytes() + b"\x00" + g[1].tobytes()))
+    assert np.array_equal(got, np.repeat(g[..., None], 3, axis=2))
+
+    _, _, got = _parse_png(png(1, 1, 6, b"\x00" + bytes([10, 20, 30, 200])))
+    assert got.tolist() == [[[10, 20, 30]]]
+
+    assert _parse_png(png(1, 1, 3, b"\x00\x00")) is None  # palette
+    assert _parse_png(b"") is None
+    assert _parse_png(PNG_MAGIC + b"garbage") is None
+    # truncated IDAT -> short inflate -> None, not a raise
+    trunc = png(4, 4, 2, b"\x00" + bytes(12))  # 1 scanline for h=4
+    assert _parse_png(trunc) is None
+
+
+def test_png_real_feature_and_resize_dispatch():
+    """PNG joins the magic-byte dispatch: real features (kind=1, dims,
+    channel means) and real NN resize over decoded pixels."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _real_decode_features, _real_resize, encode_png)
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    f = _real_decode_features(encode_png(px, filters=[4, 3, 2, 1, 0]))
+    assert f[:3] == [1.0, 4.0, 5.0] and f[6] == 20.0
+    exp = [px.reshape(-1, 3)[:, c].astype(np.int64).sum() / 20.0
+           for c in range(3)]
+    assert all(abs(f[3 + c] - exp[c]) < 1e-12 for c in range(3))
+
+    out = _real_resize(encode_png(px), 2, 2)
+    rows = (np.arange(2) * 5) // 2
+    cols = (np.arange(2) * 4) // 2
+    assert out == px[rows][:, cols].tobytes()
