@@ -51,14 +51,23 @@ HEADLINE = [
     # and ~70x (WAV) slower on realistic payloads — tools/kernel_ab.py)
     "mm_decode_ppm",
     "mm_decode_wav",
+    # round-5: the r4/r5 additions get perf traces too — real BMP + PNG
+    # decoders, magic-dispatch featurization, the O(log n) star
+    # contraction (directly comparable to dedup_components on the same
+    # input), and the map-only BPE pre-tokenizer
+    "mm_decode_bmp",
+    "mm_decode_png",
+    "mm_features_real",
+    "dedup_components_star",
+    "text_bpe_pretokenize",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
 # propagation, k-means fit into a checkpoint, frontier BFS rounds,
 # eager edge-list checkpoints): each timed run rebuilds from scratch;
 # everything else builds once and times execution only.
-BUILD_IN_TIMING = {"dedup_components", "sim_ann_ivf_build",
-                   "graph_bfs_hops", "triangle_count"}
+BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
+                   "sim_ann_ivf_build", "graph_bfs_hops", "triangle_count"}
 
 
 def _bench_overrides():
