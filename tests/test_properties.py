@@ -169,3 +169,71 @@ def test_connected_components_algorithms_agree(spark, raw_edges):
                for r in connected_components(
                    pairs, algorithm=algo, label_rounds=2).collect()}
         assert got == expect, algo
+
+
+def _pack_reference(rows, budget, n_shards):
+    """pack_context_windows in plain Python: md5-shard, order by (md5
+    hex, key), shard-local running offsets -> window assignment."""
+    import hashlib
+
+    by_shard: dict[int, list] = {}
+    for key, tokens in rows:
+        hx = hashlib.md5(str(key).encode()).hexdigest()
+        by_shard.setdefault(int(hx[:8], 16) % n_shards, []).append(
+            (hx, key, tokens))
+    out = {}
+    for shard, docs in by_shard.items():
+        cum = 0
+        for hx, key, tokens in sorted(docs):
+            out[key] = (shard, cum // budget, cum % budget)
+            cum += tokens
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.dictionaries(st.integers(0, 10**6), st.integers(1, 40),
+                       min_size=1, max_size=60),
+       st.sampled_from([7, 16, 64]))
+def test_pack_context_windows_budget_order_and_no_loss(spark, docs, budget):
+    """The packing invariants, fuzzed: (1) lossless — every doc appears
+    exactly once with its token count intact; (2) assignment matches the
+    shard-local running-offset reference exactly (hash order preserved,
+    offsets are the running sum); (3) offset_in_window < budget always,
+    and within a window every doc except the final straddler starts
+    inside the budget, so window total minus its last doc's tokens <
+    budget; (4) when every doc fits the budget, shard window ids are
+    contiguous from 0 (nothing skipped)."""
+    from mapreduce_wsi_spark.operators.pipeline import pack_context_windows
+
+    rows = sorted(docs.items())
+    df = spark.createDataFrame(rows, "doc_key long, n_tokens long")
+    got = pack_context_windows(df, "doc_key", "n_tokens", budget=budget,
+                               n_shards=4).collect()
+
+    # (1) lossless
+    assert sorted((r["doc_key"], r["n_tokens"]) for r in got) == rows
+
+    # (2) exact match with the Python reference
+    ref = _pack_reference(rows, budget, n_shards=4)
+    for r in got:
+        assert (r["shard"], r["window_id"], r["offset_in_window"]) \
+            == ref[r["doc_key"]], r["doc_key"]
+
+    # (3) budget: starts stay inside the window
+    windows: dict[tuple, list] = {}
+    for r in got:
+        windows.setdefault((r["shard"], r["window_id"]), []).append(
+            (r["offset_in_window"], r["n_tokens"]))
+    for (shard, wid), members in windows.items():
+        members.sort()
+        assert all(0 <= off < budget for off, _ in members)
+        total = sum(t for _, t in members)
+        assert total - members[-1][1] < budget
+
+    # (4) contiguity when no doc exceeds the budget
+    if all(t <= budget for t in docs.values()):
+        for shard in {r["shard"] for r in got}:
+            wids = sorted({r["window_id"] for r in got
+                           if r["shard"] == shard})
+            assert wids == list(range(len(wids)))
