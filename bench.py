@@ -57,6 +57,7 @@ HEADLINE = [
     # input), and the map-only BPE pre-tokenizer
     "mm_decode_bmp",
     "mm_decode_png",
+    "mm_decode_jpeg",
     "mm_features_real",
     "dedup_components_star",
     "text_bpe_pretokenize",

@@ -2,17 +2,19 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched pandas stages over ``mapInPandas``. Four formats decode
+Arrow-batched pandas stages over ``mapInPandas``. Five formats decode
 FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6),
 uncompressed 24bpp BMP (row padding, bottom-up scanlines, BGR order),
 PNG (8-bit gray/RGB/RGBA non-interlaced — zlib inflate + per-row
-Sub/Up/Average/Paeth defilter), and PCM16 WAV — powering real
-per-format stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
-``decode_png_stats`` / ``decode_wav_stats``), real typed feature
-vectors (``decode_features(real_decode=True)``), and real
-nearest-neighbor pixel resize (``resize_images(real_decode=True)``).
-The stub boundary is JPEG/MP3-class lossy codecs plus the exotic PNG
-variants (16-bit, palette, Adam7) and RLE-BMP: those payloads yield
+Sub/Up/Average/Paeth defilter), baseline JPEG (SOF0: Huffman entropy
+decode, dequant + IDCT, chroma upsampling, YCbCr->RGB), and PCM16
+WAV — powering real per-format stats (``decode_ppm_stats`` /
+``decode_bmp_stats`` / ``decode_png_stats`` / ``decode_jpeg_stats`` /
+``decode_wav_stats``), real typed feature vectors
+(``decode_features(real_decode=True)``), and real nearest-neighbor
+pixel resize (``resize_images(real_decode=True)``). The stub boundary
+is now narrow: progressive/arithmetic JPEG, exotic PNG variants
+(16-bit, palette, Adam7), RLE-BMP, and MP3-class audio codecs yield
 ok=false rows — never a failed stage — and the byte-level fake kernels
 remain the default for plumbing tests over arbitrary payloads.
 
@@ -66,11 +68,12 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def _real_decode_features(payload: bytes) -> list[float] | None:
-    """REAL 8-dim feature vector via magic-byte dispatch over the four
-    decodable formats: images (PPM/BMP/PNG) -> [1, w, h, mean_r, mean_g,
-    mean_b, n_pixels, 0]; PCM16 WAV -> [2, rate, channels, n_samples,
-    mean_amp, rms, 0, 0]. Returns None (ok=false downstream) for
-    JPEG/MP3-class and unknown formats — the remaining stub boundary."""
+    """REAL 8-dim feature vector via magic-byte dispatch over the five
+    decodable formats: images (PPM/BMP/PNG/baseline JPEG) -> [1, w, h,
+    mean_r, mean_g, mean_b, n_pixels, 0]; PCM16 WAV -> [2, rate,
+    channels, n_samples, mean_amp, rms, 0, 0]. Returns None (ok=false
+    downstream) for progressive JPEG / MP3-class / unknown formats —
+    the remaining stub boundary."""
     img = None
     if payload[:2] == b"P6":
         parsed = _parse_ppm(payload)
@@ -84,6 +87,11 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
             img = (w, h, np.ascontiguousarray(px).reshape(-1))
     elif payload[:8] == PNG_MAGIC:
         parsed = _parse_png(payload)
+        if parsed is not None:
+            w, h, px = parsed
+            img = (w, h, px.reshape(-1))
+    elif payload[:2] == b"\xFF\xD8":
+        parsed = _parse_jpeg(payload)
         if parsed is not None:
             w, h, px = parsed
             img = (w, h, px.reshape(-1))
@@ -109,9 +117,9 @@ def decode_features(blobs: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``real_decode=True`` REALLY decodes the supported formats (P6 PPM,
-    uncompressed 24bpp BMP, 8-bit non-interlaced PNG, PCM16 WAV —
-    magic-byte dispatch in ``_real_decode_features``) into a typed
-    8-dim feature vector;
+    uncompressed 24bpp BMP, 8-bit non-interlaced PNG, baseline JPEG,
+    PCM16 WAV — magic-byte dispatch in ``_real_decode_features``) into
+    a typed 8-dim feature vector;
     payloads outside that set yield ok=false with a NULL feature
     (poison-safe). The default remains the deterministic byte-histogram
     fake, for plumbing tests that feed arbitrary bytes."""
@@ -580,6 +588,461 @@ def decode_wav_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, WAV_STATS_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (JFIF) — REAL decode from ITU-T T.81: marker walk,
+# canonical Huffman entropy decode (with 0xFF00 byte-stuffing and RSTn
+# restart handling), dequantize + zigzag, 8x8 matrix IDCT, replicate
+# chroma upsampling, JFIF YCbCr->RGB. Baseline sequential (SOF0) only;
+# progressive (SOF2), arithmetic coding and 12-bit depth return None —
+# the documented boundary. Entropy decode is inherently bit-serial, so
+# the hot loop is Python-per-symbol; the block math (dequant/IDCT/color
+# convert) is numpy over all blocks at once.
+# --------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# orthonormal 8-point DCT-II basis: pixels = _IDCT_M.T @ coeffs @ _IDCT_M
+_IDCT_M = np.array(
+    [[(np.sqrt(1 / 8.0) if u == 0 else np.sqrt(2 / 8.0))
+      * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+     for u in range(8)])
+
+# Annex K (ITU-T T.81) typical Huffman tables, used by the test encoder;
+# the decoder builds whatever tables the stream's DHT segments declare.
+_STD_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_LUMA_VALS = list(range(12))
+_STD_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(code_length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Inverse view for the encoder: {symbol: (code_length, code)}."""
+    return {sym: lc for lc, sym in _huff_table(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data. Un-stuffs
+    0xFF00; stops at any other marker (the caller inspects it)."""
+
+    def __init__(self, payload: bytes, pos: int):
+        self.data = payload
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
+                else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is None:
+                return False
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.n == 0 and not self._fill():
+            return None
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, nbits: int) -> int | None:
+        v = 0
+        for _ in range(nbits):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker — whether the reader
+        already tripped over it mid-fill or it sits unread at pos
+        (possibly behind a stuffed pad byte: scan is bounded to the
+        marker neighborhood, libjpeg-style)."""
+        self.n = 0
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.marker = None
+                self.pos += 2
+            return
+        for _ in range(4):
+            if self.pos + 1 >= len(self.data):
+                return
+            if (self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+                self.pos += 2
+                return
+            self.pos += 1
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG EXTEND (T.81 F.2.2.1): map s received bits to a signed
+    coefficient value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Parse a baseline-sequential JFIF JPEG: returns (width, height,
+    pixels) with pixels an (h, w, 3) uint8 RGB ndarray, or None outside
+    the supported subset (SOF0, 8-bit, 1 or 3 components, Huffman
+    coding; DRI/RSTn honored). See the section banner for the decode
+    pipeline and the documented boundary."""
+    import struct
+
+    if payload[:2] != b"\xFF\xD8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (w, h, comps) comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:  # 16-bit tables unsupported
+                    return None
+                if i + 65 > len(body):
+                    return None
+                qt[tq] = np.frombuffer(body[i + 1:i + 65],
+                                       dtype=np.uint8).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                if len(vals) != nv:
+                    return None
+                huff[(tc, th)] = _huff_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = body[0]
+            scan_sel = {}
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s], body[2 + 2 * s]
+                scan_sel[cs] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(payload, pos + 2 + seglen, frame, qt,
+                                huff, scan_sel, restart_interval)
+        pos += 2 + seglen
+    return None
+
+
+def _decode_scan(payload, pos, frame, qt, huff, scan_sel, restart_interval):
+    w, h, comps = frame
+    if any(c[0] not in scan_sel for c in comps):
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _BitReader(payload, pos)
+    # per component: block grid (mcuy*vs, mcux*hs) of 8x8 coeff blocks
+    blocks = {}
+    for cid, hs, vs, tq in comps:
+        if hs == 0 or vs == 0 or tq not in qt:
+            return None
+        blocks[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+    pred = {c[0]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = {c[0]: 0 for c in comps}
+            for cid, hs, vs, tq in comps:
+                dc_t = huff.get((0, scan_sel[cid][0]))
+                ac_t = huff.get((1, scan_sel[cid][1]))
+                if dc_t is None or ac_t is None:
+                    return None
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = blocks[cid][my * vs + by, mx * hs + bx]
+                        s = reader.decode_symbol(dc_t)
+                        if s is None:
+                            return None
+                        if s:
+                            v = reader.receive(s)
+                            if v is None:
+                                return None
+                            pred[cid] += _extend(v, s)
+                        blk[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_t)
+                            if rs is None:
+                                return None
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            v = reader.receive(size)
+                            if v is None:
+                                return None
+                            blk[k] = _extend(v, size)
+                            k += 1
+            mcu_count += 1
+    # dequantize + un-zigzag + IDCT, vectorized over all blocks at once
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        flat = blocks[cid].reshape(-1, 64) * qt[tq][None, :]
+        sq = np.zeros_like(flat)
+        sq[:, _ZIGZAG] = flat
+        co = sq.reshape(-1, 8, 8).astype(np.float64)
+        px = np.einsum("ux,nuv,vy->nxy", _IDCT_M, co, _IDCT_M) + 128.0
+        px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+        gy, gx = blocks[cid].shape[:2]
+        plane = (px.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(gy * 8, gx * 8))
+        # replicate-upsample to full MCU-grid resolution, then crop
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1) \
+            if (hmax % hs == 0 and vmax % vs == 0) else None
+        if plane is None:
+            return None
+        planes[cid] = plane[:h, :w]
+    if len(comps) == 1:
+        return w, h, np.repeat(planes[comps[0][0]][..., None], 3, axis=2)
+    y, cb, cr = (planes[c[0]].astype(np.float64) for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def encode_jpeg_dc(blocks: "np.ndarray", block_w: int,
+                   gray: bool = True, restart_every: int = 0) -> bytes:
+    """Minimal baseline-JFIF encoder for test/fixture synthesis: every
+    8x8 block is UNIFORM (one value per block, level-shifted DC only, all
+    quant entries 1), so decode is exactly lossless — DCT of a constant
+    block is pure DC, which survives quantize/dequantize/IDCT bit-exactly.
+    ``blocks`` is a (n_blocks,) uint8 array of per-block values laid out
+    row-major on a ``block_w``-wide grid; gray=False triplicates them as
+    Y with flat chroma (a color 4:4:4 stream whose RGB equals the Y
+    plane). Standard Annex K tables; one interleaved scan."""
+    import struct
+
+    bh = len(blocks) // block_w
+    assert bh * block_w == len(blocks)
+    w, h = block_w * 8, bh * 8
+    dc_codes = _huff_codes(_STD_DC_LUMA_BITS, _STD_DC_LUMA_VALS)
+    ac_codes = _huff_codes(_STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))  # DQT id 0, all ones
+    if restart_every:
+        out += seg(0xDD, struct.pack(">H", restart_every))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(_STD_DC_LUMA_BITS)
+               + bytes(_STD_DC_LUMA_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_STD_AC_LUMA_BITS)
+               + bytes(_STD_AC_LUMA_VALS))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += b"\x00\x3F\x00"
+    out += seg(0xDA, sos)
+
+    wr = _BitWriter()
+    pred = [0] * ncomp
+    eob_len, eob_code = ac_codes[0x00]
+
+    def put_dc(comp: int, dc: int) -> None:
+        diff = dc - pred[comp]
+        pred[comp] = dc
+        mag = abs(diff)
+        s = mag.bit_length()
+        length, code = dc_codes[s]
+        wr.write(code, length)
+        if s:
+            wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        wr.write(eob_code, eob_len)
+
+    rst = 0
+    for i, val in enumerate(blocks):
+        if restart_every and i and i % restart_every == 0:
+            if wr.n:  # 0-pad to the byte: can't create a stuffed 0xFF
+                wr.write(0, 8 - wr.n)
+            wr.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            pred[:] = [0] * ncomp
+        dc = 8 * (int(val) - 128)
+        put_dc(0, dc)
+        if not gray:
+            put_dc(1, 0)  # flat Cb=128
+            put_dc(2, 0)  # flat Cr=128
+    out += wr.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+JPEG_STATS_SCHEMA = PPM_STATS_SCHEMA
+
+
+def decode_jpeg_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of baseline JFIF payloads: per-image
+    width, height and per-channel (RGB) pixel means — Huffman entropy
+    decode, dequant, IDCT and color conversion handled by ``_parse_jpeg``.
+    Malformed or non-baseline payloads yield ok=false with zeroed stats —
+    poison blobs must never kill the stage at 100 TB."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_jpeg(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, px = parsed
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                means = _channel_means(px.reshape(-1))
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(means[ch])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, JPEG_STATS_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id long, width int, height int, ok boolean, pixels binary"
 
 
@@ -598,7 +1061,8 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
 
 def _real_resize(payload: bytes, width: int, height: int) -> bytes | None:
     """REAL nearest-neighbor image resize over decoded pixels (P6 PPM,
-    uncompressed 24bpp BMP, or PNG by magic dispatch): output is width*height*3
+    uncompressed 24bpp BMP, PNG, or baseline JPEG by magic dispatch):
+    output is width*height*3
     RGB bytes, row-major top-down. src pixel = floor(dst_idx * src/dst)
     per axis — the canonical NN mapping. None for undecodable payloads."""
     if payload[:2] == b"P6":
@@ -617,6 +1081,11 @@ def _real_resize(payload: bytes, width: int, height: int) -> bytes | None:
         if parsed is None:
             return None
         w, h, px = parsed
+    elif payload[:2] == b"\xFF\xD8":
+        parsed = _parse_jpeg(payload)
+        if parsed is None:
+            return None
+        w, h, px = parsed
     else:
         return None
     rows = (np.arange(height) * h) // height
@@ -631,7 +1100,7 @@ def resize_images(blobs: DataFrame, width: int = 16, height: int = 16,
     image tensors for training. Output size is constant per row, so
     downstream batch shapes are static (what a tensor collator needs).
 
-    ``real_decode=True`` REALLY decodes PPM/BMP/PNG and resamples actual
+    ``real_decode=True`` REALLY decodes PPM/BMP/PNG/JPEG and resamples actual
     pixels (``_real_resize``: width*height*3 RGB bytes); undecodable
     payloads yield ok=false with an all-zero buffer instead of failing
     the batch. The default byte-sampling fake stays for plumbing tests

@@ -708,6 +708,69 @@ def mm_decode_png(spark, sf_dir):
         F.round("mean_b", 9).alias("mean_b"))
 
 
+@register(
+    "mm_decode_jpeg",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 8), 8, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(32 AS INT) AS img_w, CAST(16 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[j]))) / 8.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[j]))) / 8.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[j]))) / 8.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL baseline-JPEG decode (ITU-T T.81 SOF0): 32x16 grayscale "
+         "JPEGs are synthesized from ASCII-projected fixture text — each "
+         "of 8 bytes becomes one UNIFORM 8x8 block (level-shifted DC "
+         "only, unit quant tables, Annex K Huffman tables, restart "
+         "interval 3 so the RSTn path runs in-plan), which makes the "
+         "lossy codec exactly lossless: a constant block is pure DC and "
+         "survives quantize/IDCT bit-exactly. decode_jpeg_stats then "
+         "runs the full marker walk, Huffman entropy decode, dequant, "
+         "matrix IDCT and gray->RGB; the DuckDB twin recomputes channel "
+         "means from the same 8 ASCII bytes. The lossy/AC/chroma paths "
+         "are pinned by unit tests against an independent loop IDCT "
+         "(test_jpeg_ac_coefficients_match_reference_idct, "
+         "test_jpeg_420_subsampling_and_color_conversion)")
+def mm_decode_jpeg(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_jpeg_stats, encode_jpeg_dc)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 8), 8, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = [
+                encode_jpeg_dc(np.frombuffer(bytes(b), dtype=np.uint8),
+                               block_w=4, gray=True, restart_every=3)
+                for b in pdf["raw"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/jpeg"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    return decode_jpeg_stats(blobs).select(
+        "doc_id", "img_w", "img_h", "ok",
+        F.round("mean_r", 9).alias("mean_r"),
+        F.round("mean_g", 9).alias("mean_g"),
+        F.round("mean_b", 9).alias("mean_b"))
+
+
 def _ppm_blobs(spark, sf_dir):
     """4x4 P6 PPM payloads synthesized from ASCII-projected fixture text
     (header + first 48 bytes, 'x'-padded) — shared by the real-decode

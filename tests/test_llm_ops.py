@@ -589,3 +589,222 @@ def test_png_real_feature_and_resize_dispatch():
     rows = (np.arange(2) * 5) // 2
     cols = (np.arange(2) * 4) // 2
     assert out == px[rows][:, cols].tobytes()
+
+
+def _jpeg_seg(marker, body):
+    import struct
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _jpeg_headers(w, h, ncomp=1, hv=0x11, quant=None):
+    """Hand-built baseline headers with Annex K tables, for streams whose
+    entropy data the test writes bit-by-bit."""
+    import struct
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS, _STD_DC_LUMA_BITS,
+        _STD_DC_LUMA_VALS)
+
+    out = bytearray(b"\xFF\xD8")
+    out += _jpeg_seg(0xDB, b"\x00" + bytes(quant or [1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, hv if c == 0 else 0x11, 0)
+    out += _jpeg_seg(0xC0, sof)
+    out += _jpeg_seg(0xC4, b"\x00" + bytes(_STD_DC_LUMA_BITS)
+                     + bytes(_STD_DC_LUMA_VALS))
+    out += _jpeg_seg(0xC4, b"\x10" + bytes(_STD_AC_LUMA_BITS)
+                     + bytes(_STD_AC_LUMA_VALS))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += b"\x00\x3F\x00"
+    out += _jpeg_seg(0xDA, sos)
+    return out
+
+
+def _write_block(wr, coeffs_zz, pred, dc_codes, ac_codes):
+    """Entropy-encode one 8x8 block given zigzag-order coefficients:
+    DC diff category + bits, AC run-length with ZRL and EOB."""
+    diff = coeffs_zz[0] - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    ln, code = dc_codes[s]
+    wr.write(code, ln)
+    if s:
+        wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nonzero = max((k for k in range(1, 64) if coeffs_zz[k]), default=0)
+    for k in range(1, last_nonzero + 1):
+        v = coeffs_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | size]
+        wr.write(code, ln)
+        wr.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nonzero < 63:
+        ln, code = ac_codes[0x00]  # EOB
+        wr.write(code, ln)
+    return coeffs_zz[0]
+
+
+def _reference_idct(coeffs):
+    """Independent loop-based T.81 IDCT for cross-checking the module's
+    matrix formulation."""
+    import math
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    au = 1 / math.sqrt(2) if u == 0 else 1.0
+                    av = 1 / math.sqrt(2) if v == 0 else 1.0
+                    acc += (au * av * coeffs[u][v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16))
+            out[x][y] = acc / 4 + 128
+    return out
+
+
+def test_jpeg_ac_coefficients_match_reference_idct():
+    """Full AC path — run lengths, ZRL, EOB, negative coefficients —
+    decoded pixels must match an independent loop-based IDCT."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS, _STD_DC_LUMA_BITS,
+        _STD_DC_LUMA_VALS, _ZIGZAG, _BitWriter, _huff_codes, _parse_jpeg)
+
+    dc_codes = _huff_codes(_STD_DC_LUMA_BITS, _STD_DC_LUMA_VALS)
+    ac_codes = _huff_codes(_STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS)
+
+    coeffs_zz = [0] * 64
+    coeffs_zz[0] = 100          # DC
+    coeffs_zz[1] = -31          # first AC
+    coeffs_zz[5] = 7            # short run
+    coeffs_zz[25] = -1          # 19-zero run -> ZRL + run 3
+    coeffs_zz[63] = 2           # final coefficient, no EOB
+    payload = _jpeg_headers(8, 8)
+    wr = _BitWriter()
+    _write_block(wr, coeffs_zz, 0, dc_codes, ac_codes)
+    payload += wr.flush() + b"\xFF\xD9"
+
+    out = _parse_jpeg(bytes(payload))
+    assert out is not None
+    w, h, px = out
+    assert (w, h) == (8, 8)
+
+    grid = [[0] * 8 for _ in range(8)]
+    for k, v in enumerate(coeffs_zz):
+        grid[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] = v
+    ref = _reference_idct(grid)
+    exp = np.clip(np.round(np.array(ref)), 0, 255).astype(np.uint8)
+    assert np.array_equal(px[..., 0], exp)
+
+
+def test_jpeg_420_subsampling_and_color_conversion():
+    """2x2-subsampled chroma (hv=0x22): 4 Y blocks + 1 Cb + 1 Cr per
+    MCU, replicate upsampling, JFIF YCbCr->RGB against hand-computed
+    values."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS, _STD_DC_LUMA_BITS,
+        _STD_DC_LUMA_VALS, _BitWriter, _huff_codes, _parse_jpeg)
+
+    dc_codes = _huff_codes(_STD_DC_LUMA_BITS, _STD_DC_LUMA_VALS)
+    ac_codes = _huff_codes(_STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS)
+
+    y_vals, cb, cr = [40, 90, 140, 190], 160, 100
+    payload = _jpeg_headers(16, 16, ncomp=3, hv=0x22)
+    wr = _BitWriter()
+    pred = {0: 0, 1: 0, 2: 0}
+    for comp, vals in ((0, y_vals), (1, [cb]), (2, [cr])):
+        for v in vals:
+            zz = [0] * 64
+            zz[0] = 8 * (v - 128)
+            pred[comp] = _write_block(wr, zz, pred[comp],
+                                      dc_codes, ac_codes)
+    payload += wr.flush() + b"\xFF\xD9"
+
+    out = _parse_jpeg(bytes(payload))
+    assert out is not None
+    w, h, px = out
+    assert (w, h) == (16, 16)
+    # Y quadrants in MCU order (2x2 blocks row-major), chroma constant
+    def expected_rgb(y):
+        r = np.clip(round(y + 1.402 * (cr - 128)), 0, 255)
+        g = np.clip(round(y - 0.344136 * (cb - 128)
+                          - 0.714136 * (cr - 128)), 0, 255)
+        b = np.clip(round(y + 1.772 * (cb - 128)), 0, 255)
+        return [r, g, b]
+
+    quads = [(0, 0), (0, 8), (8, 0), (8, 8)]
+    for (qy, qx), yv in zip(quads, y_vals):
+        block = px[qy:qy + 8, qx:qx + 8]
+        assert (block == np.array(expected_rgb(yv), dtype=np.uint8)).all(), \
+            (qy, qx, yv, block[0, 0].tolist(), expected_rgb(yv))
+
+
+def test_jpeg_dc_roundtrip_gray_color_restart_boundary():
+    """encode_jpeg_dc's uniform-block streams decode exactly losslessly
+    (DC-only survives the lossy codec bit-exactly), in gray, color
+    4:4:4, and with every restart interval; non-baseline and malformed
+    payloads return None."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg_dc)
+
+    vals = np.array([0, 37, 128, 255, 200, 17, 99, 64], dtype=np.uint8)
+    for gray in (True, False):
+        for restart in (0, 1, 3):
+            p = encode_jpeg_dc(vals, block_w=4, gray=gray,
+                               restart_every=restart)
+            out = _parse_jpeg(p)
+            assert out is not None, (gray, restart)
+            w, h, px = out
+            assert (w, h) == (32, 16)
+            grid = px[:, :, 0].reshape(2, 8, 4, 8)
+            assert np.array_equal(grid[:, 0, :, 0].reshape(-1), vals), \
+                (gray, restart)
+            # blocks uniform, channels equal (flat chroma / gray)
+            assert (px[:, :, 0].reshape(2, 8, 4, 8).std(axis=(1, 3)) == 0).all()
+            assert np.array_equal(px[..., 0], px[..., 1])
+            assert np.array_equal(px[..., 0], px[..., 2])
+
+    p = encode_jpeg_dc(vals, block_w=4)
+    assert _parse_jpeg(b"") is None
+    assert _parse_jpeg(b"\xFF\xD8\xFF\xD9") is None
+    assert _parse_jpeg(p[:40]) is None  # truncated mid-headers
+    prog = bytearray(p)
+    prog[prog.find(b"\xFF\xC0") + 1] = 0xC2  # progressive SOF
+    assert _parse_jpeg(bytes(prog)) is None
+
+
+def test_jpeg_real_feature_and_resize_dispatch():
+    """JPEG joins the magic-byte dispatch for real features and resize."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _real_decode_features, _real_resize, encode_jpeg_dc)
+
+    vals = np.array([10, 60, 110, 160, 210, 250, 5, 90], dtype=np.uint8)
+    p = encode_jpeg_dc(vals, block_w=4)
+    f = _real_decode_features(p)
+    assert f[:3] == [1.0, 32.0, 16.0] and f[6] == 512.0
+    exp = float(vals.astype(np.int64).sum()) / 8.0
+    assert all(abs(f[3 + c] - exp) < 1e-12 for c in range(3))
+
+    out = _real_resize(p, 4, 2)  # NN-samples one pixel per block
+    exp_px = np.repeat(vals.reshape(2, 4)[:, :, None], 3, axis=2)
+    assert out == exp_px.tobytes()
