@@ -89,22 +89,25 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round has ever stamped (scalar-function tail, window variants,
 # lakehouse/dq leftovers, and the r4 post-window additions
 # dedup_components_star / text_bpe_pretokenize / mm_features_real /
-# mm_resize_real), and — because that leaves 13 free slots — a staleness
-# tier re-checking the entries whose most recent stamp is oldest (all
-# last stamped in r2). A green round makes cumulative driver coverage
-# 160/160: every catalog entry driver-stamped at least once.
+# mm_resize_real, plus the r5-built mm_decode_png / mm_decode_jpeg), and
+# — with the free slots that remain — a staleness tier re-checking the
+# entries whose most recent stamp is oldest (all last stamped in r2). A
+# green round makes cumulative driver coverage 162/162: every catalog
+# entry driver-stamped at least once.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
 ROUND = 5  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat), picked as
-# the 13 alphabetically-first entries whose last driver stamp is oldest
+# the alphabetically-first entries whose last driver stamp is oldest; two
+# slots were reclaimed for the never-stamped r5 additions mm_decode_png /
+# mm_decode_jpeg (fresh tier below) so the window still covers EVERY
+# never-stamped entry
 WINDOW_STALENESS_PAD: tuple[str, ...] = (
     "above_avg_balance", "approx_quantiles", "cube_agg", "distinct_rows",
     "histogram_fixed_buckets", "join_anti", "join_cross", "join_full_outer",
     "join_theta_range", "q10_returned_items", "q12_late_shipment",
-    "q13_customer_distribution", "q14_promo_revenue",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -133,6 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r4 post-window additions
     "dedup_components_star", "text_bpe_pretokenize",
     "mm_decode_features", "mm_features_real", "mm_resize_real", "mm_resize",
+    # r5 additions (real PNG + baseline-JPEG decoders)
+    "mm_decode_png", "mm_decode_jpeg",
 ) + WINDOW_STALENESS_PAD
 
 
