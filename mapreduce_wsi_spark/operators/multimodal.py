@@ -1043,6 +1043,160 @@ def decode_jpeg_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, JPEG_STATS_SCHEMA)
 
 
+AUDIO_FRAMES_SCHEMA = ("doc_id long, frame_idx int, n int, sum_amp long, "
+                       "sum_sq long, n_cross int")
+
+
+def audio_frame_stats(blobs: DataFrame, frame_len: int = 4) -> DataFrame:
+    """Framewise audio features over REAL-decoded PCM16 WAV payloads: the
+    clip splits into consecutive ``frame_len``-sample frames (trailing
+    partial frame dropped) and each frame emits its exact integer energy
+    core (sum of amplitudes + sum of squares — numerators of frame mean
+    and RMS) and a mean-crossing count: positions where the signal
+    crosses the CLIP mean between adjacent samples, the integer-exact
+    form of zero-crossing rate for unsigned/offset PCM. All comparisons
+    are integer (``n*s > S`` instead of ``s > S/n``), so the result is
+    bit-reproducible in any engine. Undecodable payloads emit no frames
+    (flag them upstream via decode_wav_stats' ok column — same poison
+    boundary). One Arrow-batched map stage; payload bytes never shuffle:
+    at 100 TB the frames (4 small ints each) are what hits downstream
+    aggregation, not the audio."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "frame_idx", "n", "sum_amp", "sum_sq",
+                     "n_cross")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_wav(bytes(payload) if payload else b"")
+                if parsed is None:
+                    continue
+                _, _, samples = parsed
+                s64 = samples.astype(np.int64)
+                n = int(s64.size)
+                nf = n // frame_len
+                if nf == 0:
+                    continue
+                total = int(s64.sum())
+                fr = s64[:nf * frame_len].reshape(nf, frame_len)
+                sum_amp = fr.sum(axis=1)
+                sum_sq = (fr * fr).sum(axis=1)
+                above = (fr * n) > total
+                n_cross = (above[:, 1:] != above[:, :-1]).sum(axis=1)
+                rows["doc_id"].extend([doc_id] * nf)
+                rows["frame_idx"].extend(range(nf))
+                rows["n"].extend([frame_len] * nf)
+                rows["sum_amp"].extend(int(v) for v in sum_amp)
+                rows["sum_sq"].extend(int(v) for v in sum_sq)
+                rows["n_cross"].extend(int(v) for v in n_cross)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, AUDIO_FRAMES_SCHEMA)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Magic-byte dispatch over the four decodable image formats: returns
+    (w, h, pixels) with pixels an (h, w, 3) uint8 RGB ndarray, or None
+    outside the real-decode boundary."""
+    if payload[:2] == b"P6":
+        parsed = _parse_ppm(payload)
+        if parsed is None:
+            return None
+        w, h, rgb = parsed
+        return w, h, np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return _parse_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        return _parse_jpeg(payload)
+    return None
+
+
+# ITU-R 601-ish luma in /256 fixed point (77+151+28 = 256): integer-exact
+# on both engine and oracle sides, no float rounding in the hash bits.
+_LUMA_WEIGHTS = np.array([77, 151, 28], dtype=np.int64)
+
+DHASH_SCHEMA = "doc_id long, img_w int, img_h int, ok boolean, dhash long"
+
+
+def _dhash_value(px: "np.ndarray") -> int:
+    """Difference hash over decoded pixels: fixed-point luma, then one bit
+    per horizontally adjacent pair (1 iff left < right), row-major,
+    MSB-first — h*(w-1) bits. The canonical 9x8 dHash is this with a
+    resize in front (compose with resize_images)."""
+    luma = (px.astype(np.int64) @ _LUMA_WEIGHTS) >> 8
+    bits = (luma[:, :-1] < luma[:, 1:]).astype(np.int64).reshape(-1)
+    weights = np.int64(1) << np.arange(bits.size - 1, -1, -1, dtype=np.int64)
+    return int((bits * weights).sum())
+
+
+def image_dhash(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual difference-hash over REAL-decoded image
+    payloads (PPM/BMP/PNG/baseline JPEG by magic dispatch): the standard
+    near-duplicate-image fingerprint — visually similar images differ in
+    a few bits, so dedup becomes hamming distance on a 64-bit-class key
+    instead of pixel comparison. Undecodable payloads yield ok=false with
+    dhash 0 (poison-safe). Pair generation is ``dhash_near_dup_pairs``."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "img_w", "img_h", "ok",
+                                    "dhash")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                img = _decode_image(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if img is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    rows["dhash"].append(0)
+                    continue
+                w, h, px = img
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                rows["dhash"].append(_dhash_value(px))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(hashes, DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
+                         max_hamming: int = 2,
+                         id_col: str = "doc_id",
+                         hash_col: str = "dhash") -> DataFrame:
+    """Near-duplicate image pairs by hamming distance over dHash values,
+    WITHOUT the all-pairs cross product: split the n_bits hash into
+    ``max_hamming + 1`` bit-bands — two hashes within hamming r must
+    agree on at least one band (pigeonhole) — and self-join per band on
+    the band value. Only bucket collisions are verified with an exact
+    popcount(xor), all JVM-side. The same banding that MinHash-LSH uses
+    for text, applied to perceptual hashes: candidate count scales with
+    bucket occupancy, not corpus^2. Returns (id_a, id_b, hamming) with
+    id_a < id_b, exact and deduplicated."""
+    n_bands = max_hamming + 1
+    band_size = -(-n_bits // n_bands)
+    mask = (1 << band_size) - 1
+    bands = F.array(*[
+        F.shiftright(F.col(hash_col).cast("long"), i * band_size)
+        .bitwiseAND(F.lit(mask))
+        for i in range(n_bands)])
+    keyed = (hashes.select(F.col(id_col).alias("id"),
+                           F.col(hash_col).alias("h"),
+                           F.posexplode(bands).alias("band_idx", "band_val")))
+    left = keyed.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+                        "band_idx", "band_val")
+    right = keyed.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+                         "band_idx", "band_val")
+    cand = (left.join(right, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 RESIZED_SCHEMA = "doc_id long, width int, height int, ok boolean, pixels binary"
 
 

@@ -894,6 +894,116 @@ def mm_decode_wav(spark, sf_dir):
 
 
 @register(
+    "mm_audio_frames",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     j -> unicode(px[2*j + 1]) + 256 * unicode(px[2*j + 2]))
+                     AS smp
+          FROM p),
+    t AS (SELECT doc_id, smp, list_sum(smp) AS tot FROM s),
+    f AS (SELECT doc_id, smp, tot, unnest(generate_series(0, 3)) AS fi
+          FROM t)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(4 AS INT) AS n,
+           CAST(list_sum(smp[4*fi + 1 : 4*fi + 4]) AS BIGINT) AS sum_amp,
+           CAST(list_sum(list_transform(smp[4*fi + 1 : 4*fi + 4],
+                v -> v * v)) AS BIGINT) AS sum_sq,
+           CAST(list_sum(list_transform(generate_series(1, 3),
+                j -> CASE WHEN (16 * smp[4*fi + j] > tot)
+                           <> (16 * smp[4*fi + j + 1] > tot)
+                     THEN 1 ELSE 0 END)) AS INT) AS n_cross
+    FROM f
+    """,
+    note="framewise audio features over REAL-decoded PCM16 WAV (operators/"
+         "multimodal.py:audio_frame_stats): the 16-sample clips from the "
+         "mm_decode_wav synthesis split into 4 frames of 4; per frame the "
+         "exact integer energy core (sum_amp, sum_sq) and the clip-mean "
+         "crossing count, compared integer-exactly (16*s > sum — no "
+         "float). The DuckDB twin reassembles the same little-endian "
+         "samples from the ASCII bytes and replays the frame arithmetic")
+def mm_audio_frames(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import audio_frame_stats
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.unhex(F.lit(_WAV_HEADER_HEX)),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    return audio_frame_stats(blobs, frame_len=4).select(
+        "doc_id", "frame_idx", "n", "sum_amp", "sum_sq", "n_cross")
+
+
+# DuckDB twin of the engine's fixed-point luma + difference-hash bits over
+# the 4x4 PPM synthesis: luma = (77r + 151g + 28b) // 256 per pixel, one
+# bit per horizontally adjacent pair (left < right), row-major MSB-first
+# -> 4 rows x 3 comparisons = 12 bits.
+_DHASH_SQL = f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    l AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     j -> (77 * unicode(px[3*j + 1])
+                           + 151 * unicode(px[3*j + 2])
+                           + 28 * unicode(px[3*j + 3])) // 256) AS luma
+          FROM p)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 11),
+                b -> CASE WHEN luma[4*(b // 3) + (b % 3) + 1]
+                               < luma[4*(b // 3) + (b % 3) + 2]
+                     THEN 1 << (11 - b) ELSE 0 END)) AS BIGINT) AS dhash
+    FROM l
+"""
+
+
+@register(
+    "mm_image_dhash",
+    oracle=f"""
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok, dhash
+    FROM ({_DHASH_SQL}) h
+    """,
+    note="perceptual difference-hash over REAL-decoded pixels (operators/"
+         "multimodal.py:image_dhash, magic dispatch over PPM/BMP/PNG/"
+         "JPEG): integer fixed-point luma (77/151/28 in /256), one bit "
+         "per adjacent-column comparison, MSB-first — the standard "
+         "near-dup image fingerprint. The DuckDB twin recomputes every "
+         "luma value and hash bit from the same ASCII pixel bytes")
+def mm_image_dhash(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import image_dhash
+    return image_dhash(_ppm_blobs(spark, sf_dir)).select(
+        "doc_id", "img_w", "img_h", "ok", "dhash")
+
+
+@register(
+    "mm_image_neardup",
+    oracle=f"""
+    WITH h AS ({_DHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """,
+    note="near-duplicate image pairs by dHash hamming distance <= 2 "
+         "(operators/multimodal.py:dhash_near_dup_pairs): the 12-bit "
+         "hash splits into 3 bit-bands and candidates come from per-band "
+         "equi-joins (pigeonhole: hamming<=2 -> some band equal), exact "
+         "popcount(xor) verify on collisions only — the MinHash-LSH "
+         "banding pattern applied to perceptual hashes, never doc x doc. "
+         "The DuckDB twin IS the brute-force all-pairs join, so the "
+         "banded plan must reproduce the exact pair set + distances")
+def mm_image_neardup(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import (
+        dhash_near_dup_pairs, image_dhash)
+    hashes = image_dhash(_ppm_blobs(spark, sf_dir))
+    return dhash_near_dup_pairs(hashes, n_bits=12, max_hamming=2)
+
+
+@register(
     "mm_sample_frames",
     oracle=f"""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,

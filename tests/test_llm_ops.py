@@ -808,3 +808,91 @@ def test_jpeg_real_feature_and_resize_dispatch():
     out = _real_resize(p, 4, 2)  # NN-samples one pixel per block
     exp_px = np.repeat(vals.reshape(2, 4)[:, :, None], 3, axis=2)
     assert out == exp_px.tobytes()
+
+
+# --------------------------------------------------------------------------
+# Audio frame features + perceptual hashing
+# --------------------------------------------------------------------------
+
+def _wav(samples):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_audio_frame_stats_known_signal(spark):
+    """Frame split, exact integer energy and clip-mean crossings on a
+    hand-checked signal; trailing partial frame dropped; undecodable
+    payloads emit no frames."""
+    from mapreduce_wsi_spark.operators.multimodal import audio_frame_stats
+
+    # 9 samples, frame_len 4 -> frames [0..3], [4..7]; sample 8 dropped.
+    # clip mean = 900/9 = 100: above-mean pattern per frame
+    # f0: 10,200,10,200 -> F,T,F,T -> 3 crossings
+    # f1: 200,200,10,10 -> T,T,F,F -> 1 crossing
+    samples = [10, 200, 10, 200, 200, 200, 10, 10, 60]
+    blobs = spark.createDataFrame(
+        [(1, bytearray(_wav(samples)), "audio/wav", 0),
+         (2, bytearray(b"junk"), "audio/wav", 4)],
+        "doc_id long, content binary, mime string, n_bytes int")
+    rows = sorted(audio_frame_stats(blobs, frame_len=4).collect(),
+                  key=lambda r: (r.doc_id, r.frame_idx))
+    assert [r.doc_id for r in rows] == [1, 1]
+    f0, f1 = rows
+    assert (f0.sum_amp, f0.sum_sq, f0.n_cross) == (420, 80200, 3)
+    assert (f1.sum_amp, f1.sum_sq, f1.n_cross) == (420, 80200, 1)
+    assert f0.n == f1.n == 4
+
+
+def test_audio_frame_stats_negative_samples(spark):
+    """Sign handling: crossings are about the (possibly negative) clip
+    mean, and sum_sq is exact for int16 extremes."""
+    from mapreduce_wsi_spark.operators.multimodal import audio_frame_stats
+
+    samples = [-32768, 32767, -32768, 32767]  # mean < 0: all cross it
+    blobs = spark.createDataFrame(
+        [(1, bytearray(_wav(samples)), "audio/wav", 0)],
+        "doc_id long, content binary, mime string, n_bytes int")
+    (row,) = audio_frame_stats(blobs, frame_len=4).collect()
+    assert row.n_cross == 3
+    assert row.sum_sq == 2 * 32768 ** 2 + 2 * 32767 ** 2
+    assert row.sum_amp == -2
+
+
+def test_dhash_known_pattern():
+    """Bit order pinned on a hand-built 2x4 gray image: row-major
+    adjacent-column comparisons, MSB first."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import _dhash_value
+
+    # gray pixels (r=g=b): luma == value; rows [0,10,5,5] and [9,3,3,7]
+    # bits: 0<10=1, 10<5=0, 5<5=0 | 9<3=0, 3<3=0, 3<7=1 -> 100001b = 33
+    vals = np.array([[0, 10, 5, 5], [9, 3, 3, 7]], dtype=np.uint8)
+    px = np.repeat(vals[:, :, None], 3, axis=2)
+    assert _dhash_value(px) == 0b100001
+
+
+def test_dhash_banding_matches_bruteforce(spark):
+    """dhash_near_dup_pairs (banded self-join) reproduces the brute-force
+    hamming<=2 pair set exactly on a deterministic 12-bit hash set."""
+    import hashlib
+    import itertools
+
+    from mapreduce_wsi_spark.operators.multimodal import dhash_near_dup_pairs
+
+    hashes = [(i, int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16))
+              for i in range(60)]
+    expected = {
+        (a, b, bin(ha ^ hb).count("1"))
+        for (a, ha), (b, hb) in itertools.combinations(hashes, 2)
+        if bin(ha ^ hb).count("1") <= 2}
+    df = spark.createDataFrame(hashes, "doc_id long, dhash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in dhash_near_dup_pairs(df, n_bits=12,
+                                         max_hamming=2).collect()}
+    assert got == expected
