@@ -103,6 +103,83 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
                  F.countDistinct("bench_id").alias("n_bench_docs_hit")))
 
 
+def temperature_mix(df: DataFrame, key_col: str, stratum_col: str,
+                    weight_col: str,
+                    flatten_exp: float = 0.5) -> DataFrame:
+    """Temperature-flattened source mixing: per-stratum deterministic
+    downsampling with keep rate ``(W_min / W_s) ** flatten_exp`` where
+    ``W_s`` is the stratum's total weight (tokens/chars) — the standard
+    ``p_s ∝ W_s^(1/T)`` temperature-sampling curve with ``flatten_exp =
+    1 - 1/T``, anchored so the smallest stratum keeps everything
+    (rates never exceed 1, no oversampling needed). ``flatten_exp=0``
+    keeps all (T=1, proportional); ``flatten_exp=1`` equalizes expected
+    weight across strata (T→∞, uniform); the default 0.5 is T=2.
+
+    Plan: one per-stratum aggregation (integer-exact weight sums), a
+    window over that DOZENS-OF-ROWS aggregate for W_min (never over the
+    corpus), a broadcast join of the rates back, and the same
+    engine-portable md5 keep decision as ``stratified_sample`` — so
+    the selected subset is reproducible and auditable outside Spark.
+    W_min/W_s is a ratio of exact integers and exponent 0.5 goes
+    through IEEE-correctly-rounded sqrt, so the rounded rate is
+    bit-identical in any engine; other exponents ride libm pow
+    (deterministic per platform, 1-ulp across libms).
+
+    Returns the input keys with (stratum, keep_rate, kept)."""
+    stats = (df.groupBy(stratum_col)
+             .agg(F.sum(weight_col).cast("long").alias("__w")))
+    everything = Window.partitionBy()
+    ratio = (F.min("__w").over(everything).cast("double")
+             / F.col("__w").cast("double"))
+    flat = F.sqrt(ratio) if flatten_exp == 0.5 else \
+        F.pow(ratio, F.lit(float(flatten_exp)))
+    rates = stats.select(
+        stratum_col, F.round(flat, 6).alias("keep_rate"))
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return (df.join(F.broadcast(rates), on=stratum_col)
+            .select(F.col(key_col), F.col(stratum_col), F.col("keep_rate"),
+                    ((h / F.lit(4294967296.0)) < F.col("keep_rate"))
+                    .alias("kept")))
+
+
+def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str, id_col: str, n: int = 4,
+                        n_bits_log2: int = 20,
+                        n_hashes: int = 2) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter prefilter in front of the
+    exact shingle join — the 100 TB shape: the benchmark's shingle set
+    may be millions of strings, but its Bloom BIT-POSITION set is a few
+    hundred thousand ints. Corpus shingles hash into the same ``2 **
+    n_bits_log2``-bit space (``n_hashes`` seeded xxhash64 positions) and
+    must hit on EVERY position (one broadcast semi-join per hash — the
+    Bloom AND); only survivors reach the exact string equi-join, which
+    removes the false positives. Output is therefore EXACTLY
+    ``decontaminate(...)``'s — the Bloom stage changes bytes shuffled,
+    not results — while the corpus-side join key narrows from arbitrary
+    strings to 8-byte ints. Returns (doc, n_shared_shingles,
+    n_bench_docs_hit) like ``decontaminate``."""
+    from mapreduce_wsi_spark.operators.dedup import word_shingles
+    c_sh = word_shingles(corpus, text_col, id_col, n=n)
+    b_sh = (word_shingles(benchmark, text_col, id_col, n=n)
+            .withColumnRenamed("id", "bench_id"))
+    m = 1 << n_bits_log2
+
+    def positions(col):
+        return [F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
+                for seed in range(n_hashes)]
+
+    survivors = c_sh
+    for k, pos in enumerate(positions(F.col("shingle"))):
+        bits = (b_sh.select(pos.alias(f"__pos{k}")).distinct())
+        survivors = (survivors.withColumn(f"__pos{k}", pos)
+                     .join(F.broadcast(bits), f"__pos{k}", "left_semi"))
+    hits = survivors.join(F.broadcast(b_sh), on="shingle", how="inner")
+    return (hits.groupBy(F.col("id").alias(id_col))
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"),
+                 F.countDistinct("bench_id").alias("n_bench_docs_hit")))
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style repetition quality: distinct-word ratio, top-word
     fraction, and the fraction of word occurrences belonging to repeated

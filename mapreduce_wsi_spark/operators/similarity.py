@@ -60,6 +60,40 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, id_col, "cos", "rn"))
 
 
+def projection_signs(k: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for signed random projection, derived
+    from md5 over the (row, col) index — engine-portable: any system
+    (DuckDB twin, a downstream serving stack) can regenerate the exact
+    matrix without sharing code or a PRNG, only the convention."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{j}_{i}".encode())
+                        .hexdigest()[0], 16) % 2 == 0 else -1.0
+             for i in range(dim)]
+            for j in range(k)]
+
+
+def random_projection(df: DataFrame, k: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Signed random projection (Achlioptas-style ±1 entries): maps each
+    ``dim``-vector to ``k`` coordinates ``p_j = <v, s_j>`` with the
+    md5-derived sign matrix from ``projection_signs`` — the standard
+    JL-flavored dimensionality reduction in front of clustering /
+    near-dup at 100 TB (8 doubles shuffle instead of 64 floats, and the
+    same map is reproducible at serve time). Map-only: the signs are
+    plan literals, the dot products sequential-accumulation JVM
+    expressions, no shuffle, no UDF. Output columns p0..p{k-1} rounded
+    to 6dp (absorbs engine association-order ulps)."""
+    dim = len(df.select(vec_col).first()[0])
+    signs = projection_signs(k, dim)
+    v = _as_double(F.col(vec_col))
+    cols = [F.round(dot(v, F.array(*[F.lit(s) for s in signs[j]])), 6)
+            .alias(f"p{j}")
+            for j in range(k)]
+    return df.select(F.col(id_col), *cols)
+
+
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side constants)."""
     rng = random.Random(seed)

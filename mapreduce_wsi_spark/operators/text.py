@@ -58,6 +58,46 @@ def stopword_hits(c: Column, stopwords: tuple[str, ...]) -> Column:
     return F.size(F.filter(words(c), lambda w: w.isin(*stopwords))).cast("int")
 
 
+def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                    n: int = 5) -> DataFrame:
+    """Substring-level duplication profile — the distributed core of
+    training-data substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every length-``n``
+    word span is counted CORPUS-WIDE (within-document repeats included);
+    a span occurring more than once anywhere is duplicated, and each
+    document reports how many of its span positions are duplicated.
+    Downstream policy (drop doc / cut span) composes on top.
+
+    Plan: per-position spans via transform-over-sequence (no UDF, no
+    per-span row until the single explode), corpus-wide occurrence
+    counts via a count window partitioned by span — ONE shuffle, no
+    join-back — then the doc-level rollup. At 100 TB the span string
+    would be xxhash64-compressed before that shuffle (8-byte keys,
+    collision-negligible); the string form is kept here so external
+    engines can audit the spans themselves.
+
+    Returns (id_col, n_spans, n_dup_spans, dup_frac); documents with
+    fewer than ``n`` words have no spans and are excluded (the shingle
+    convention)."""
+    from pyspark.sql import Window
+
+    w = words(F.col(text_col))
+    pos = (df.select(F.col(id_col), w.alias("__w"))
+           .filter(F.size("__w") >= n)
+           .select(F.col(id_col), F.explode(F.transform(
+               F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+               lambda i: F.concat_ws(" ", F.slice("__w", i, n))))
+               .alias("span")))
+    c = pos.withColumn(
+        "__c", F.count(F.lit(1)).over(Window.partitionBy("span")))
+    dup = F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+    return (c.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_spans"),
+                 dup.cast("int").alias("n_dup_spans"))
+            .withColumn("dup_frac",
+                        F.col("n_dup_spans") / F.col("n_spans")))
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace + regex token counts, char counts, mean token length."""
     t = F.col(text_col)

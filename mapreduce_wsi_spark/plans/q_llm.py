@@ -403,6 +403,34 @@ _QUERY_VALUES = ", ".join(f"('{t}')" for t in _QUERY_TERMS)
 
 
 @register(
+    "text_dup_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS span
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - 4)) AS i
+                  FROM t WHERE len(w) >= 5) q),
+    c AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS c FROM pos)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS INT)
+               AS n_dup_spans,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_frac
+    FROM c GROUP BY doc_id
+    """,
+    note="substring-level duplication profile (Lee et al. 2022 substring "
+         "dedup core, operators/text.py:duplicate_spans): every 5-word "
+         "span counted corpus-wide (within-doc repeats included), "
+         "per-doc duplicated-position counts. Spans via transform-over-"
+         "sequence + one explode, corpus counts via a count window "
+         "partitioned by span — one shuffle, no join-back")
+def text_dup_spans(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import duplicate_spans
+    return duplicate_spans(tbl(spark, sf_dir, "documents"),
+                           "text", "doc_id", n=5)
+
+
+@register(
     "text_tf_df",
     oracle=f"""
     WITH q(term) AS (VALUES {_QUERY_VALUES}),
@@ -1130,6 +1158,34 @@ def vector_normalize(spark, sf_dir):
         (F.element_at("embedding", 1).cast("double") / l2_norm(v))
         .alias("u1"),
         F.size("embedding").cast("int").alias("dim"))
+
+
+def _rp_oracle(k: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.py::random_projection: the
+    same md5-derived ±1 matrix, regenerated here and inlined as list
+    literals (the convention IS the spec — no code sharing needed)."""
+    from mapreduce_wsi_spark.operators.similarity import projection_signs
+    signs = projection_signs(k, dim)
+    cols = ",\n           ".join(
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(str(s) for s in signs[j])}]), 6) AS p{j}"
+        for j in range(k))
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@register(
+    "vector_random_projection",
+    oracle=_rp_oracle(),
+    note="signed random projection 64d -> 8d (operators/similarity.py:"
+         "random_projection): md5-derived ±1 sign matrix as plan "
+         "literals, sequential-fold JVM dot products, map-only / "
+         "zero-shuffle — the JL-style reduction in front of clustering "
+         "or near-dup so 8 doubles shuffle instead of 64 floats. The "
+         "DuckDB twin regenerates the identical matrix from the md5 "
+         "convention and inlines it as list literals")
+def vector_random_projection(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import random_projection
+    return random_projection(tbl(spark, sf_dir, "embeddings"), k=8)
 
 
 @register(

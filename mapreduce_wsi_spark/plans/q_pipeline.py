@@ -145,6 +145,67 @@ def decontam_ngram_overlap(spark, sf_dir):
 
 
 @register(
+    "decontam_bloom_prefilter",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   AS shingle
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents) t) q),
+    c AS (SELECT * FROM sh WHERE doc_id % 25 != 0),
+    b AS (SELECT * FROM sh WHERE doc_id % 25 = 0)
+    SELECT c.doc_id AS doc_id,
+           count(DISTINCT c.shingle) AS n_shared_shingles,
+           count(DISTINCT b.doc_id) AS n_bench_docs_hit
+    FROM c JOIN b ON b.shingle = c.shingle
+    GROUP BY 1
+    """,
+    note="decontamination with a Bloom prefilter (operators/pipeline.py:"
+         "decontaminate_bloom): benchmark 4-gram shingles hash to 2 "
+         "seeded xxhash64 positions in a 2^20-bit space; corpus shingles "
+         "must hit BOTH position sets (two broadcast int semi-joins — "
+         "the Bloom AND) before the exact string join removes false "
+         "positives. The oracle is the plain exact-overlap twin: the "
+         "Bloom stage must change bytes shuffled, never results")
+def decontam_bloom_prefilter(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import decontaminate_bloom
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d.filter(F.col("doc_id") % 25 != 0)
+    return decontaminate_bloom(corpus, bench, "text", "doc_id", n=4)
+
+
+@register(
+    "mix_temperature_flatten",
+    oracle="""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+               FROM documents GROUP BY source),
+    r AS (SELECT source,
+                 round(sqrt(CAST((SELECT min(w) FROM s) AS DOUBLE) / w), 6)
+                     AS keep_rate
+          FROM s)
+    SELECT d.doc_id, d.source, r.keep_rate,
+           (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0) < r.keep_rate AS kept
+    FROM documents d JOIN r USING (source)
+    """,
+    note="temperature-flattened source mixing (operators/pipeline.py:"
+         "temperature_mix, T=2 on char weight): keep_rate = "
+         "sqrt(W_min/W_s) per source — the p ∝ W^(1/T) curve anchored "
+         "at the smallest source; integer-exact weight sums, IEEE sqrt, "
+         "md5 keep decision, so the mix is engine-reproducible. Rates "
+         "come from a dozens-of-rows aggregate (window never touches "
+         "the corpus) and broadcast-join back")
+def mix_temperature_flatten(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import temperature_mix
+    return temperature_mix(tbl(spark, sf_dir, "documents"),
+                           "doc_id", "source", "n_chars", flatten_exp=0.5)
+
+
+@register(
     "quality_repetition",
     oracle="""
     WITH wc AS (

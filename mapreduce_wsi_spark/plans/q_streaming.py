@@ -101,6 +101,38 @@ def stream_session_window(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS eid_l, v.event_id AS eid_r, c.user_id,
+           c.ts AS ts, v.ts AS ts_r
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id
+     AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+    note="batch twin of the stream-stream interval join (streaming/"
+         "windows.py:correlate_streams — watermarks on both sides + the "
+         "time-range condition bound the buffered state; true-streaming "
+         "semantics incl. left-outer watermark emission in "
+         "tests/test_streaming.py): clicks pair with same-user views "
+         "within the following 30 minutes. withWatermark is a no-op on "
+         "the batch path, so the exact streaming plan runs against the "
+         "oracle")
+def stream_stream_join(spark, sf_dir):
+    from mapreduce_wsi_spark.streaming.windows import correlate_streams
+    ev = tbl(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("eid_l"), "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("eid_r"),
+                     F.col("user_id").alias("user_id_r"),
+                     F.col("ts").alias("ts_r")))
+    joined = correlate_streams(clicks, views, on="user_id",
+                               within="30 minutes")
+    return joined.select("eid_l", "eid_r", "user_id", "ts", "ts_r")
+
+
+@register(
     "stream_dedup_within_watermark",
     oracle="""
     WITH arrivals AS (

@@ -896,3 +896,47 @@ def test_dhash_banding_matches_bruteforce(spark):
            for r in dhash_near_dup_pairs(df, n_bits=12,
                                          max_hamming=2).collect()}
     assert got == expected
+
+
+def test_duplicate_spans_planted(spark):
+    """Corpus-wide span counting: a 5-gram shared across docs and one
+    repeated within a doc both count as duplicated; short docs excluded."""
+    from mapreduce_wsi_spark.operators.text import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, shared + " one two three"),          # spans 1-4; span@1 dup
+        (2, "zero " + shared),                   # spans 1-2; span@2 dup
+        (3, "p q r s t u p q r s t u"),          # within-doc repeat
+        (4, "too short"),                        # < 5 words: no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           duplicate_spans(df, "text", "doc_id", n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_spans, out[1].n_dup_spans) == (4, 1)
+    assert (out[2].n_spans, out[2].n_dup_spans) == (2, 1)
+    # doc 3: 12 words -> 8 spans; positions 1..3 repeat at 7..9... check:
+    # spans i and i+6 are equal for i=1..2? "p q r s t" appears at 1 and 7
+    assert out[3].n_spans == 8 and out[3].n_dup_spans == 4
+    assert abs(out[3].dup_frac - 0.5) < 1e-12
+
+
+def test_random_projection_matches_numpy(spark):
+    """The JVM fold must equal the numpy dot against the same md5-derived
+    sign matrix."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        projection_signs, random_projection)
+
+    vecs = [(i, [float(((i * 31 + j * 7) % 13) - 6) / 3.0
+                 for j in range(16)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: [r[f"p{j}"] for j in range(4)]
+           for r in random_projection(df, k=4).collect()}
+    signs = np.array(projection_signs(4, 16))
+    for i, v in vecs:
+        exp = signs @ np.array(v, dtype=np.float32).astype(np.float64)
+        got = np.array(out[i])
+        assert np.allclose(got, np.round(exp, 6), atol=1e-6), (i, got, exp)

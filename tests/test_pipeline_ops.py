@@ -281,3 +281,56 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     got2 = [r["k"] for r in
             weighted_sample(df.repartition(7), "k", "w", 5).collect()]
     assert set(got2) == got
+
+
+def test_temperature_mix_rates_and_flattening(spark):
+    """keep_rate = (W_min/W_s)^exp: smallest stratum keeps all, rates
+    fall with stratum weight, and exp=1 equalizes expected kept weight."""
+    from mapreduce_wsi_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "a" if i < 10 else ("b" if i < 40 else "c"), 100)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, src string, w long")
+    # W_a=1000, W_b=3000, W_c=6000
+    out = temperature_mix(df, "k", "src", "w", flatten_exp=0.5)
+    rates = {r.src: r.keep_rate for r in
+             out.select("src", "keep_rate").distinct().collect()}
+    assert rates["a"] == 1.0
+    assert abs(rates["b"] - round((1000 / 3000) ** 0.5, 6)) < 1e-12
+    assert abs(rates["c"] - round((1000 / 6000) ** 0.5, 6)) < 1e-12
+    assert rates["a"] > rates["b"] > rates["c"]
+
+    flat = temperature_mix(df, "k", "src", "w", flatten_exp=1.0)
+    fr = {r.src: r.keep_rate for r in
+          flat.select("src", "keep_rate").distinct().collect()}
+    # expected kept weight per stratum = W_s * rate = W_min for all
+    assert abs(fr["b"] * 3000 - 1000) < 1e-2
+    assert abs(fr["c"] * 6000 - 1000) < 1e-2
+
+    # determinism: the kept set is a pure function of the key
+    k1 = {r.k for r in out.filter("kept").collect()}
+    k2 = {r.k for r in
+          temperature_mix(df, "k", "src", "w", 0.5).filter("kept").collect()}
+    assert k1 == k2
+
+
+def test_decontaminate_bloom_is_exactly_decontaminate(spark):
+    """The Bloom prefilter may only cut shuffled bytes — results must be
+    row-identical to the plain exact-overlap operator, including docs
+    whose shingles pass the Bloom AND but fail the exact verify."""
+    from mapreduce_wsi_spark.operators.pipeline import decontaminate_bloom
+
+    rows = [(i, f"tok{i} w x y z common phrase here tok{i}")
+            for i in range(40)]
+    rows += [(100, "common phrase here appears twice common phrase here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") % 5 == 0)
+    corpus = df.filter(F.col("doc_id") % 5 != 0)
+    exact = {(r.doc_id, r.n_shared_shingles, r.n_bench_docs_hit)
+             for r in decontaminate(corpus, bench, "text", "doc_id",
+                                    n=4).collect()}
+    # tiny bit space forces real false positives through the prefilter
+    bloom = {(r.doc_id, r.n_shared_shingles, r.n_bench_docs_hit)
+             for r in decontaminate_bloom(corpus, bench, "text", "doc_id",
+                                          n=4, n_bits_log2=6).collect()}
+    assert bloom == exact and exact
