@@ -61,6 +61,14 @@ HEADLINE = [
     "mm_features_real",
     "dedup_components_star",
     "text_bpe_pretokenize",
+    # round-5 additions with real shuffle/kernel work: corpus-wide span
+    # counting (count window over every 5-gram position), dHash banding
+    # self-join + popcount verify, framewise audio kernels, and the
+    # Bloom-prefiltered decontamination join
+    "text_dup_spans",
+    "mm_image_neardup",
+    "mm_audio_frames",
+    "decontam_bloom_prefilter",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

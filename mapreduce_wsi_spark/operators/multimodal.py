@@ -1189,12 +1189,16 @@ def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
                         "band_idx", "band_val")
     right = keyed.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
                          "band_idx", "band_val")
-    cand = (left.join(right, ["band_idx", "band_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "h_a", "h_b").distinct())
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    # verify BEFORE the pair-dedup: the popcount filter is free (no
+    # shuffle), so the distinct only moves surviving pairs — and a pair
+    # within hamming r collides on <= r+1 bands, so the dedup input is
+    # at most (r+1) x the output, independent of bucket density
+    return (left.join(right, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming").distinct())
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, ok boolean, pixels binary"
