@@ -134,6 +134,41 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         digit_ratio.alias("digit_ratio"), score.alias("quality_score"))
 
 
+# Fixed logistic-model weights for the model-based quality gate: the
+# published-weights stand-in for a fastText/CCNet-style quality
+# classifier (features engineered here, coefficients would come from
+# offline training). Swapping in trained weights changes literals only —
+# the plan, schema and oracle convention are unchanged.
+QUALITY_MODEL = {"bias": -1.2, "stop_ratio": 6.0, "punct_ratio": -4.0,
+                 "digit_ratio": -2.0, "len_ok": 1.5}
+
+
+def model_quality_score(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.5) -> DataFrame:
+    """Model-based quality gate: logistic score over the engineered
+    quality features (sigmoid of a fixed linear model, ``QUALITY_MODEL``)
+    with a keep decision at ``threshold``. The trained-classifier shape
+    of corpus filtering (CCNet / fastText quality gates) with the
+    coefficients as plan literals: map-only, no UDF, no shuffle — at
+    100 TB this fuses into the scan projection. The keep decision
+    compares the score ROUNDED to 6dp, so the gate reproduces
+    identically in any engine (exp is the only libm call; 1-ulp
+    divergence dies in the round)."""
+    w = QUALITY_MODEL
+    feats = quality_scores(df, text_col, id_col)
+    len_ok = F.when((F.col("n_words") >= 10)
+                    & (F.col("n_words") <= 100000), 1.0).otherwise(0.0)
+    z = (F.lit(w["bias"])
+         + F.col("stop_ratio") * w["stop_ratio"]
+         + F.col("punct_ratio") * w["punct_ratio"]
+         + F.col("digit_ratio") * w["digit_ratio"]
+         + len_ok * w["len_ok"])
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        F.col(id_col), score.alias("model_score"),
+        (score >= F.lit(threshold)).alias("keep"))
+
+
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: stopword-profile hit counts, first-max wins
     in LANG_STOPWORDS order (deterministic tie-break)."""

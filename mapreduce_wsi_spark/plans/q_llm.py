@@ -346,6 +346,51 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "quality_model_gate",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+               CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+               CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+               CASE WHEN n_words BETWEEN 10 AND 100000
+                    THEN 1.0 ELSE 0.0 END AS len_ok
+        FROM (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','and','of','to','a','in','is')))
+                       AS INT) AS n_stop,
+                   length(text)
+                       - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                   length(text)
+                       - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS n_digit
+            FROM documents) t)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.2 + stop_ratio * 6.0
+                 + punct_ratio * -4.0 + digit_ratio * -2.0
+                 + len_ok * 1.5))), 6) AS model_score,
+           round(1.0 / (1.0 + exp(-(-1.2 + stop_ratio * 6.0
+                 + punct_ratio * -4.0 + digit_ratio * -2.0
+                 + len_ok * 1.5))), 6) >= 0.5 AS keep
+    FROM f
+    """,
+    note="model-based quality gate (operators/text.py:"
+         "model_quality_score): sigmoid of a fixed linear model over "
+         "the engineered features — the CCNet/fastText classifier-gate "
+         "shape with coefficients as plan literals (QUALITY_MODEL); "
+         "map-only, keep decision on the 6dp-rounded score so the gate "
+         "reproduces identically cross-engine")
+def quality_model_gate(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import model_quality_score
+    return model_quality_score(tbl(spark, sf_dir, "documents"),
+                               "text", "doc_id", threshold=0.5)
+
+
+@register(
     "text_langid",
     oracle="""
     SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,

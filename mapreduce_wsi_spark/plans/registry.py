@@ -100,14 +100,12 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND = 5  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat), picked as
-# the alphabetically-first entries whose last driver stamp is oldest; two
-# slots were reclaimed for the never-stamped r5 additions mm_decode_png /
-# mm_decode_jpeg (fresh tier below) so the window still covers EVERY
-# never-stamped entry
+# the alphabetically-first entries whose last driver stamp is oldest;
+# most pad slots were reclaimed for the never-stamped r5 additions
+# (fresh tier below) so the window still covers EVERY never-stamped
+# entry — the pad exists only to re-check old stamps and shrinks first
 WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "above_avg_balance", "approx_quantiles", "cube_agg", "distinct_rows",
-    "histogram_fixed_buckets", "join_anti", "join_cross", "join_full_outer",
-    "join_theta_range", "q10_returned_items", "q12_late_shipment",
+    "above_avg_balance", "approx_quantiles",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -136,8 +134,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r4 post-window additions
     "dedup_components_star", "text_bpe_pretokenize",
     "mm_decode_features", "mm_features_real", "mm_resize_real", "mm_resize",
-    # r5 additions (real PNG + baseline-JPEG decoders)
+    # r5 additions: real PNG + baseline-JPEG decoders, audio frame
+    # features, perceptual-hash image near-dup, substring-level dedup,
+    # temperature mixing, Bloom decontam, random projection, the
+    # stream-stream join twin, and the model quality gate
     "mm_decode_png", "mm_decode_jpeg",
+    "mm_audio_frames", "mm_image_dhash", "mm_image_neardup",
+    "text_dup_spans", "decontam_bloom_prefilter", "mix_temperature_flatten",
+    "vector_random_projection", "stream_stream_join", "quality_model_gate",
 ) + WINDOW_STALENESS_PAD
 
 

@@ -940,3 +940,20 @@ def test_random_projection_matches_numpy(spark):
         exp = signs @ np.array(v, dtype=np.float32).astype(np.float64)
         got = np.array(out[i])
         assert np.allclose(got, np.round(exp, 6), atol=1e-6), (i, got, exp)
+
+
+def test_model_quality_score_monotone_and_gated(spark):
+    """More stopwords -> higher score; punctuation soup -> lower score;
+    the keep flag flips exactly at the rounded-score threshold."""
+    from mapreduce_wsi_spark.operators.text import model_quality_score
+
+    fluent = "the cat and the dog of the house in a tree is " * 3
+    noisy = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~ " * 3
+    df = spark.createDataFrame(
+        [(1, fluent.strip()), (2, noisy.strip())],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           model_quality_score(df, "text", "doc_id").collect()}
+    assert out[1].model_score > out[2].model_score
+    assert out[1].keep and not out[2].keep
+    assert 0.0 <= out[2].model_score <= out[1].model_score <= 1.0

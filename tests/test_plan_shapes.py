@@ -265,3 +265,39 @@ def test_bpe_pretokenize_is_map_only(spark, sf_oracle):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ReadSchema" in plan and "doc_id" in plan
+
+
+def test_quality_model_gate_is_map_only(spark, sf_oracle):
+    """The logistic quality gate must fuse into the scan projection: no
+    shuffle, no Python worker — the model coefficients are plan literals,
+    so at 100 TB the gate costs one scan."""
+    plan = plan_of(build("quality_model_gate", spark, sf_oracle))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_random_projection_is_map_only(spark, sf_oracle):
+    """Signed random projection: ±1 matrix as literals, JVM fold dots —
+    no shuffle, no Python, and column pruning keeps the scan to
+    (vec_id, embedding)."""
+    plan = plan_of(build("vector_random_projection", spark, sf_oracle))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "label" not in plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+
+
+def test_decontam_bloom_prefilter_joins_broadcast(spark, sf_oracle):
+    """The Bloom position semi-joins AND the exact verify join must all
+    broadcast the (tiny) benchmark side — the corpus never shuffles for
+    decontamination."""
+    plan = plan_of(build("decontam_bloom_prefilter", spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 bloom semis + verify
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_rates_join_broadcast(spark, sf_oracle):
+    """Rates come from a dozens-of-rows aggregate and broadcast back —
+    the corpus side of the mix must not shuffle for the rate join."""
+    plan = plan_of(build("mix_temperature_flatten", spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
