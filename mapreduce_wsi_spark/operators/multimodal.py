@@ -654,85 +654,135 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return {sym: lc for lc, sym in _huff_table(bits, vals).items()}
 
 
+def _entropy_segments(payload: bytes, pos: int) -> list["np.ndarray"]:
+    """Split the entropy-coded stream starting at ``pos`` into restart
+    segments: un-stuffs 0xFF00 (keeping the 0xFF), drops 0xFF fill
+    bytes, cuts a segment boundary at each RSTn marker, and stops at any
+    other marker. The scan walks only the 0xFF positions (numpy-found),
+    not every byte — on compressed data that is ~1/256 of the stream."""
+    a = np.frombuffer(payload, dtype=np.uint8)
+    n = a.size
+    segs: list[np.ndarray] = []
+    parts: list[np.ndarray] = []
+    i = pos
+    for j in np.nonzero(a[pos:] == 0xFF)[0]:
+        j = int(j) + pos
+        if j < i:
+            continue  # inside bytes already consumed (stuffed 0x00)
+        nxt = int(a[j + 1]) if j + 1 < n else None
+        if nxt == 0x00:
+            parts.append(a[i:j + 1])      # keep the 0xFF
+            i = j + 2                     # skip the stuffed 0x00
+        elif nxt == 0xFF:
+            parts.append(a[i:j])          # fill byte before a marker
+            i = j + 1
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            parts.append(a[i:j])          # RSTn: segment boundary
+            segs.append(np.concatenate(parts) if parts else a[:0])
+            parts = []
+            i = j + 2
+        else:
+            parts.append(a[i:j])          # real marker (or truncated FF)
+            i = n
+            break
+    if i < n:
+        parts.append(a[i:n])
+    segs.append(np.concatenate(parts) if parts else a[:0])
+    return segs
+
+
+def _huff_lut(table: dict[tuple[int, int], int]) -> tuple["np.ndarray",
+                                                          "np.ndarray"]:
+    """Flatten a canonical Huffman table into a 2^16 peek LUT:
+    ``lut_sym[peek16]`` / ``lut_len[peek16]`` give the symbol and its
+    code length for ANY 16 upcoming bits (len 0 = invalid code). The
+    classic table-driven decode — one array index replaces up to 16
+    bit-by-bit tree steps."""
+    lut_sym = np.zeros(1 << 16, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    for (length, code), sym in table.items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        lut_sym[lo:hi] = sym
+        lut_len[lo:hi] = length
+    return lut_sym, lut_len
+
+
+# LUTs keyed by table content, cached across images: a corpus's JPEGs
+# overwhelmingly share their DHT segments (most encoders emit the Annex K
+# tables), so the 2^16-entry flatten is paid once per distinct table per
+# executor, not once per image — without this, tiny images were dominated
+# by LUT construction. Bounded (clear-on-overflow) so adversarial streams
+# with unique tables can't grow executor memory.
+_LUT_CACHE: dict[tuple, tuple] = {}
+
+
+def _huff_lut_cached(table: dict[tuple[int, int], int]) -> tuple:
+    key = tuple(sorted(table.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is None:
+        if len(_LUT_CACHE) >= 64:
+            _LUT_CACHE.clear()
+        hit = _LUT_CACHE[key] = _huff_lut(table)
+    return hit
+
+
 class _BitReader:
-    """MSB-first bit reader over entropy-coded JPEG data. Un-stuffs
-    0xFF00; stops at any other marker (the caller inspects it)."""
+    """Table-driven MSB-first reader over entropy-coded JPEG data. The
+    stream is pre-split into restart segments (stuffing/markers handled
+    once, array-at-a-time, in ``_entropy_segments``); per segment a
+    rolling 16-bit peek array is precomputed, so ``decode_symbol`` is
+    one LUT index + a bounds check and ``receive`` one shift — replacing
+    the bit-at-a-time tree walk whose Python-per-bit loop dominated
+    mm_decode_jpeg's bench time. Symbol decode takes the (lut_sym,
+    lut_len) pair from ``_huff_lut``."""
+
+    _POW2 = (1 << np.arange(15, -1, -1)).astype(np.int64)
 
     def __init__(self, payload: bytes, pos: int):
-        self.data = payload
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-        self.marker: int | None = None
+        self.segs = _entropy_segments(payload, pos)
+        self.seg = 0
+        self._load()
 
-    def _fill(self) -> bool:
-        if self.marker is not None:
-            return False
-        if self.pos >= len(self.data):
-            return False
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
-                else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is None:
-                return False
-            else:
-                self.marker = nxt
-                return False
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-        return True
+    def _load(self) -> None:
+        if self.seg >= len(self.segs):
+            self.peek = None
+            self.nbits = 0
+            self.pos = 0
+            return
+        from numpy.lib.stride_tricks import sliding_window_view
 
-    def read_bit(self) -> int | None:
-        if self.n == 0 and not self._fill():
+        bits = np.unpackbits(self.segs[self.seg])
+        self.nbits = int(bits.size)
+        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
+        self.peek = sliding_window_view(padded, 16) @ self._POW2
+        self.pos = 0
+
+    def decode_symbol(self, lut: tuple["np.ndarray", "np.ndarray"]) \
+            -> int | None:
+        if self.peek is None or self.pos >= self.nbits:
             return None
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        v = int(self.peek[self.pos])
+        ln = int(lut[1][v])
+        if ln == 0 or self.pos + ln > self.nbits:
+            return None
+        self.pos += ln
+        return int(lut[0][v])
 
     def receive(self, nbits: int) -> int | None:
-        v = 0
-        for _ in range(nbits):
-            bit = self.read_bit()
-            if bit is None:
-                return None
-            v = (v << 1) | bit
+        if nbits == 0:
+            return 0
+        if self.peek is None or self.pos + nbits > self.nbits:
+            return None
+        v = int(self.peek[self.pos]) >> (16 - nbits)
+        self.pos += nbits
         return v
 
     def restart(self) -> None:
-        """Byte-align and consume an RSTn marker — whether the reader
-        already tripped over it mid-fill or it sits unread at pos
-        (possibly behind a stuffed pad byte: scan is bounded to the
-        marker neighborhood, libjpeg-style)."""
-        self.n = 0
-        if self.marker is not None:
-            if 0xD0 <= self.marker <= 0xD7:
-                self.marker = None
-                self.pos += 2
-            return
-        for _ in range(4):
-            if self.pos + 1 >= len(self.data):
-                return
-            if (self.data[self.pos] == 0xFF
-                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
-                self.pos += 2
-                return
-            self.pos += 1
-
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int | None:
-        code = 0
-        for length in range(1, 17):
-            bit = self.read_bit()
-            if bit is None:
-                return None
-            code = (code << 1) | bit
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        return None
+        """Advance to the next restart segment (byte alignment and RSTn
+        consumption happened in the pre-split)."""
+        self.seg += 1
+        self._load()
 
 
 def _extend(v: int, s: int) -> int:
@@ -836,6 +886,19 @@ def _decode_scan(payload, pos, frame, qt, huff, scan_sel, restart_interval):
         if hs == 0 or vs == 0 or tq not in qt:
             return None
         blocks[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+    # flatten each referenced Huffman table into its peek LUT once
+    luts: dict[tuple[int, int], tuple] = {}
+    sel_luts: dict[int, tuple] = {}
+    for cid, hs, vs, tq in comps:
+        pair = []
+        for key in ((0, scan_sel[cid][0]), (1, scan_sel[cid][1])):
+            t = huff.get(key)
+            if t is None:
+                return None
+            if key not in luts:
+                luts[key] = _huff_lut_cached(t)
+            pair.append(luts[key])
+        sel_luts[cid] = tuple(pair)
     pred = {c[0]: 0 for c in comps}
     mcu_count = 0
     for my in range(mcuy):
@@ -845,10 +908,7 @@ def _decode_scan(payload, pos, frame, qt, huff, scan_sel, restart_interval):
                 reader.restart()
                 pred = {c[0]: 0 for c in comps}
             for cid, hs, vs, tq in comps:
-                dc_t = huff.get((0, scan_sel[cid][0]))
-                ac_t = huff.get((1, scan_sel[cid][1]))
-                if dc_t is None or ac_t is None:
-                    return None
+                dc_t, ac_t = sel_luts[cid]
                 for by in range(vs):
                     for bx in range(hs):
                         blk = blocks[cid][my * vs + by, mx * hs + bx]
