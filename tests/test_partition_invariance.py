@@ -39,6 +39,13 @@ ENTRIES = [
     "interval_peak_concurrency",  # two-phase sweep: day windows + offsets
     "anomaly_zscore_rolling",    # ordered 20-row frames across splits
     "graph_bfs_hops",            # iterative frontier joins across splits
+    # r5: corpus-wide span counts (count window keyed by span must see
+    # every split), banded hamming self-join across splits, per-stratum
+    # integer weight sums -> rates, Bloom semi-joins + exact verify
+    "text_dup_spans",
+    "mm_image_neardup",
+    "mix_temperature_flatten",
+    "decontam_bloom_prefilter",
 ]
 
 SMALL_SPLIT_BYTES = 65536
