@@ -18,7 +18,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mapreduce_wsi_spark.operators.multimodal import _parse_ppm, _parse_wav
+from mapreduce_wsi_spark.operators.multimodal import (
+    _STD_AC_LUMA_BITS,
+    _STD_AC_LUMA_VALS,
+    _BitReader,
+    _huff_lut,
+    _huff_table,
+    _parse_ppm,
+    _parse_wav,
+)
 
 
 def old_ppm_means(rgb: bytes, n: int) -> list[float]:
@@ -40,6 +48,52 @@ def old_wav_stats(data: bytes) -> tuple[float, int]:
 def new_wav_stats(data: bytes) -> tuple[float, int]:
     s64 = np.frombuffer(data, dtype="<i2").astype(np.int64)
     return float(s64.sum()) / s64.size, int(np.dot(s64, s64))
+
+
+def old_jpeg_symbols(data: bytes, table: dict, n_syms: int) -> list[int]:
+    """Reference: the bit-at-a-time canonical tree walk the r5
+    table-driven reader replaced (incl. 0xFF00 un-stuffing)."""
+    acc = nbits = pos = 0
+    out = []
+
+    def read_bit():
+        nonlocal acc, nbits, pos
+        if nbits == 0:
+            if pos >= len(data):
+                return None
+            b = data[pos]
+            if b == 0xFF and pos + 1 < len(data) and data[pos + 1] == 0x00:
+                pos += 2
+            else:
+                pos += 1
+            acc = b
+            nbits = 8
+        nbits -= 1
+        return (acc >> nbits) & 1
+
+    for _ in range(n_syms):
+        code = 0
+        for length in range(1, 17):
+            bit = read_bit()
+            if bit is None:
+                return out
+            code = (code << 1) | bit
+            sym = table.get((length, code))
+            if sym is not None:
+                out.append(sym)
+                break
+    return out
+
+
+def new_jpeg_symbols(data: bytes, lut, n_syms: int) -> list[int]:
+    rd = _BitReader(data, 0)
+    out = []
+    for _ in range(n_syms):
+        s = rd.decode_symbol(lut)
+        if s is None:
+            break
+        out.append(s)
+    return out
 
 
 def timeit(fn, reps: int) -> float:
@@ -74,6 +128,23 @@ def main() -> None:
     assert np.allclose(old_ppm_means(rgb, w * h), new_ppm_means(rgb))
     assert old_wav_stats(pcm)[1] == new_wav_stats(pcm)[1]
 
+    # JPEG entropy decode: ~200k Annex-K AC symbols in one stream — the
+    # per-symbol Huffman stage isolated from block math
+    from mapreduce_wsi_spark.operators.multimodal import _BitWriter, _huff_codes
+    table = _huff_table(_STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS)
+    codes = _huff_codes(_STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS)
+    syms = [int(v) for v in rng.choice(_STD_AC_LUMA_VALS, size=200_000)]
+    wr = _BitWriter()
+    for sym in syms:
+        ln, code = codes[sym]
+        wr.write(code, ln)
+    stream = wr.flush()
+    lut = _huff_lut(table)
+    assert old_jpeg_symbols(stream, table, len(syms)) == syms
+    assert new_jpeg_symbols(stream, lut, len(syms)) == syms
+    huf_old = timeit(lambda: old_jpeg_symbols(stream, table, len(syms)), 3)
+    huf_new = timeit(lambda: new_jpeg_symbols(stream, lut, len(syms)), 3)
+
     print(json.dumps({
         "ppm_mean_old_sec": round(ppm_old, 6),
         "ppm_mean_new_sec": round(ppm_new, 6),
@@ -81,6 +152,9 @@ def main() -> None:
         "wav_stats_old_sec": round(wav_old, 6),
         "wav_stats_new_sec": round(wav_new, 6),
         "wav_speedup": round(wav_old / wav_new, 1),
+        "jpeg_huffman_old_sec": round(huf_old, 6),
+        "jpeg_huffman_new_sec": round(huf_new, 6),
+        "jpeg_huffman_speedup": round(huf_old / huf_new, 1),
     }))
 
 
