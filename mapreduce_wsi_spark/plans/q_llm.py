@@ -1077,6 +1077,49 @@ def mm_image_neardup(spark, sf_dir):
 
 
 @register(
+    "pipeline_prepare_media",
+    oracle=f"""
+    WITH RECURSIVE h AS ({_DHASH_SQL}),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.dst AS id, reach.r AS r
+              FROM reach JOIN edges e ON e.src = reach.id),
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+    SELECT h.doc_id, h.dhash,
+           COALESCE(comp.comp, h.doc_id) AS canon_id,
+           (COALESCE(comp.comp, h.doc_id) = h.doc_id) AS is_canonical
+    FROM h LEFT JOIN comp ON comp.id = h.doc_id
+    """,
+    note="end-to-end media dedup pipeline: REAL image decode -> dHash "
+         "-> banded hamming near-dup pairs -> connected components -> "
+         "canonical-survivor mapping (singletons to self) — the "
+         "image-side composition of entity_resolution_pipeline, every "
+         "stage the production plan (payloads never shuffle; pairs ride "
+         "the bit-band equi-join; components via min-label). Oracle "
+         "replays dHash arithmetic, brute-force pairs and the closure "
+         "as one recursive CTE")
+def pipeline_prepare_media(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+    from mapreduce_wsi_spark.operators.multimodal import (
+        dhash_near_dup_pairs, image_dhash)
+
+    hashes = image_dhash(_ppm_blobs(spark, sf_dir))
+    pairs = dhash_near_dup_pairs(hashes, n_bits=12, max_hamming=2)
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    return (hashes.select("doc_id", "dhash")
+            .join(comp, hashes["doc_id"] == comp["id"], "left")
+            .select("doc_id", "dhash",
+                    F.coalesce("comp", "doc_id").alias("canon_id"),
+                    (F.coalesce("comp", "doc_id") == F.col("doc_id"))
+                    .alias("is_canonical")))
+
+
+@register(
     "mm_sample_frames",
     oracle=f"""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,

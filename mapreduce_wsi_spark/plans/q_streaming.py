@@ -133,6 +133,37 @@ def stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT c.event_id AS eid_l, v.event_id AS eid_r, c.user_id,
+           c.ts AS ts, v.ts AS ts_r
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    note="batch twin of the LEFT-OUTER stream-stream join: clicks with "
+         "no same-user view in the following 30min survive with a NULL "
+         "right side — in true streaming those rows emit only once the "
+         "watermark passes their join window (the canonical outer-join "
+         "gotcha, pinned in test_stream_stream_left_outer_emits_"
+         "unmatched_after_watermark); the batch twin pins the row set "
+         "that emission must converge to")
+def stream_stream_left_outer(spark, sf_dir):
+    from mapreduce_wsi_spark.streaming.windows import correlate_streams
+    ev = tbl(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("eid_l"), "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("eid_r"),
+                     F.col("user_id").alias("user_id_r"),
+                     F.col("ts").alias("ts_r")))
+    joined = correlate_streams(clicks, views, on="user_id",
+                               within="30 minutes", how="left_outer")
+    return joined.select("eid_l", "eid_r", "user_id", "ts", "ts_r")
+
+
+@register(
     "stream_dedup_within_watermark",
     oracle="""
     WITH arrivals AS (
