@@ -237,3 +237,62 @@ def test_pack_context_windows_budget_order_and_no_loss(spark, docs, budget):
             wids = sorted({r["window_id"] for r in got
                            if r["shard"] == shard})
             assert wids == list(range(len(wids)))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.integers(0, 5), min_size=0, max_size=12),
+                min_size=1, max_size=12))
+def test_duplicate_spans_matches_bruteforce(spark, docs):
+    """duplicate_spans == the obvious Python counter over every span
+    position, including within-doc repeats and the <n-words exclusion."""
+    from collections import Counter
+
+    from mapreduce_wsi_spark.operators.text import duplicate_spans
+
+    n = 3
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    spans_per_doc = {}
+    counts = Counter()
+    for i, toks in enumerate(docs):
+        spans = [" ".join(f"w{t}" for t in toks[j:j + n])
+                 for j in range(len(toks) - n + 1)] if len(toks) >= n else []
+        spans_per_doc[i] = spans
+        counts.update(spans)
+    expected = {
+        i: (len(sp), sum(1 for s in sp if counts[s] > 1))
+        for i, sp in spans_per_doc.items() if sp}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans)
+           for r in duplicate_spans(df, "text", "doc_id", n=n).collect()}
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(1, 10**6)),
+                min_size=1, max_size=30))
+def test_temperature_mix_rate_invariants(spark, rows):
+    """For any stratum weights: rates lie in (0, 1], the min-weight
+    stratum keeps everything, and rates are antitone in stratum weight."""
+    from mapreduce_wsi_spark.operators.pipeline import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, f"s{s}", w) for i, (s, w) in enumerate(rows)],
+        "k long, src string, w long")
+    out = temperature_mix(df, "k", "src", "w", flatten_exp=0.5)
+    rates = {r.src: r.keep_rate
+             for r in out.select("src", "keep_rate").distinct().collect()}
+    weights = {}
+    for s, w in rows:
+        weights[f"s{s}"] = weights.get(f"s{s}", 0) + w
+    assert all(0.0 < r <= 1.0 for r in rates.values())
+    wmin = min(weights.values())
+    for src, w in weights.items():
+        if w == wmin:
+            assert rates[src] == 1.0
+    for a in rates:
+        for b in rates:
+            if weights[a] <= weights[b]:
+                assert rates[a] >= rates[b]
