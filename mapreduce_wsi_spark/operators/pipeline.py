@@ -235,6 +235,32 @@ def quantile_disc(df: DataFrame, group_col: str, value_col: str,
     return scored.groupBy(group_col).agg(*aggs)
 
 
+def length_buckets(df: DataFrame, key_col: str, value_col: str,
+                   ps: tuple[float, ...] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Length-bucketed batching assignment: split rows into ``len(ps)+1``
+    buckets at the exact PERCENTILE_DISC boundaries of ``value_col``
+    (token/char counts) — batching sequences of similar length is the
+    standard padding-waste reduction in front of a training collator,
+    and percentile boundaries keep the buckets balanced whatever the
+    length distribution. Boundaries come from one ``quantile_disc``
+    aggregate (values that exist in the data — bitwise comparable
+    cross-engine) broadcast back over the corpus; bucket = 1 + number of
+    boundaries strictly below the value. The global exact quantile costs
+    one total sort — the exact-quantile floor; at 100 TB swap in
+    approxQuantile boundaries (the bucket JOIN shape is unchanged)."""
+    g = df.select(F.lit(1).alias("__g"), F.col(key_col),
+                  F.col(value_col))
+    q = quantile_disc(g, "__g", value_col, ps=ps).drop("n")
+    joined = g.join(F.broadcast(q), "__g")
+    bucket = F.lit(1)
+    for p in ps:
+        tag = f"p{int(p * 100)}"
+        bucket = bucket + F.when(F.col(value_col) > F.col(tag), 1) \
+            .otherwise(0)
+    return joined.select(F.col(key_col), F.col(value_col),
+                         bucket.cast("int").alias("bucket"))
+
+
 def mode_deterministic(df: DataFrame, group_col: str,
                        value_col: str) -> DataFrame:
     """Per-group mode with a total tie-break (highest count, then smallest

@@ -206,6 +206,37 @@ def mix_temperature_flatten(spark, sf_dir):
 
 
 @register(
+    "batch_length_buckets",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+               FROM documents),
+    q AS (SELECT
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS p25,
+              percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens) AS p50,
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS p75
+          FROM d)
+    SELECT doc_id, n_tokens,
+           CAST(1 + CASE WHEN n_tokens > p25 THEN 1 ELSE 0 END
+                  + CASE WHEN n_tokens > p50 THEN 1 ELSE 0 END
+                  + CASE WHEN n_tokens > p75 THEN 1 ELSE 0 END AS INT)
+               AS bucket
+    FROM d, q
+    """,
+    note="length-bucketed batching (operators/pipeline.py:length_buckets):"
+         " docs split into quartile buckets of whitespace-token count at "
+         "exact PERCENTILE_DISC boundaries (values that exist in the "
+         "data — bitwise cross-engine), boundaries broadcast back — the "
+         "padding-waste reducer in front of a training collator")
+def batch_length_buckets(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import length_buckets
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"))
+    return length_buckets(d, "doc_id", "n_tokens")
+
+
+@register(
     "quality_repetition",
     oracle="""
     WITH wc AS (

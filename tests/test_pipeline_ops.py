@@ -334,3 +334,23 @@ def test_decontaminate_bloom_is_exactly_decontaminate(spark):
              for r in decontaminate_bloom(corpus, bench, "text", "doc_id",
                                           n=4, n_bits_log2=6).collect()}
     assert bloom == exact and exact
+
+
+def test_length_buckets_quartiles_balanced_and_exact(spark):
+    """Buckets are defined by exact PERCENTILE_DISC boundaries: each
+    boundary is a value present in the data, bucket counts are balanced
+    on a uniform distribution, and assignment is monotone in length."""
+    from mapreduce_wsi_spark.operators.pipeline import length_buckets
+
+    df = spark.createDataFrame([(i, (i * 7) % 100 + 1) for i in range(200)],
+                               "k long, n long")
+    out = length_buckets(df, "k", "n").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.n)
+    assert set(by_bucket) == {1, 2, 3, 4}
+    # uniform 1..100 -> quartiles of ~50 rows each
+    assert all(40 <= len(v) <= 60 for v in by_bucket.values())
+    # monotone: every bucket-k value <= every bucket-(k+1) value
+    for b in (1, 2, 3):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
