@@ -98,6 +98,52 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                         F.col("n_dup_spans") / F.col("n_spans")))
 
 
+def strip_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                          n: int = 5) -> DataFrame:
+    """The cut step of substring-level dedup (Lee et al. 2022): remove
+    every token covered by a corpus-wide-duplicated length-``n`` span
+    and return the cleaned text. ``duplicate_spans`` profiles; this one
+    edits.
+
+    Plan: the same one-shuffle span-count window as ``duplicate_spans``
+    (positions kept through it), then each doc's duplicated START
+    positions aggregate to one small array and the removal mask is pure
+    array arithmetic — token ``j`` goes iff some start ``s`` satisfies
+    ``s <= j < s + n`` — so the edit itself is map-side with no
+    token-level join. Per-token cost is O(|dup starts|); pathological
+    docs that are all duplicates stay O(tokens^2 / n) row-locally,
+    bounded by the doc length cap any corpus pipeline carries. Returns
+    (id, n_tokens, n_removed, text_clean); docs shorter than ``n``
+    words pass through unedited."""
+    w = words(F.col(text_col))
+    base = df.select(F.col(id_col), w.alias("__w"))
+    spans = (base.filter(F.size("__w") >= n)
+             .select(F.col(id_col), F.posexplode(F.transform(
+                 F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                 lambda i: F.concat_ws(" ", F.slice("__w", i, n))))
+                 .alias("__p", "span")))
+    from pyspark.sql import Window
+
+    counted = spans.withColumn(
+        "__c", F.count(F.lit(1)).over(Window.partitionBy("span")))
+    dup_starts = (counted.filter(F.col("__c") > 1)
+                  .groupBy(id_col)
+                  .agg(F.collect_list(F.col("__p") + 1).alias("__starts")))
+    joined = (base.join(dup_starts, on=id_col, how="left")
+              .withColumn("__starts", F.coalesce(
+                  "__starts", F.array().cast("array<int>"))))
+    removed = lambda j: F.exists(  # noqa: E731
+        "__starts", lambda s: (s <= j) & (j < s + n))
+    kept = F.filter(F.sequence(F.lit(1), F.size("__w")),
+                    lambda j: ~removed(j))
+    return joined.select(
+        F.col(id_col),
+        F.size("__w").cast("int").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("int").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda j: F.element_at("__w", j)),
+                     " ").alias("text_clean"))
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace + regex token counts, char counts, mean token length."""
     t = F.col(text_col)

@@ -476,6 +476,48 @@ def text_dup_spans(spark, sf_dir):
 
 
 @register(
+    "text_strip_dup_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, i, array_to_string(w[i : i + 4], ' ') AS span
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - 4)) AS i
+                  FROM t WHERE len(w) >= 5) q),
+    c AS (SELECT doc_id, i, count(*) OVER (PARTITION BY span) AS c
+          FROM pos),
+    d AS (SELECT doc_id, list(i) AS starts FROM c WHERE c > 1
+          GROUP BY doc_id),
+    j AS (SELECT t.doc_id, t.w,
+                 COALESCE(d.starts, CAST([] AS BIGINT[])) AS starts
+          FROM t LEFT JOIN d USING (doc_id)),
+    k AS (SELECT doc_id, w,
+                 list_filter(generate_series(1, len(w)), j ->
+                     len(list_filter(starts,
+                         s -> s <= j AND j < s + 5)) = 0) AS kept
+          FROM j)
+    SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+           CAST(len(w) - len(kept) AS INT) AS n_removed,
+           md5(COALESCE(
+               array_to_string(list_transform(kept, j -> w[j]), ' '), ''))
+               AS clean_md5
+    FROM k
+    """,
+    note="the CUT step of substring dedup (operators/text.py:"
+         "strip_duplicate_spans): tokens covered by any corpus-wide-"
+         "duplicated 5-gram are removed and the cleaned text emitted "
+         "(md5'd for compare). Same one-shuffle span-count window as "
+         "text_dup_spans; the edit itself is map-side array arithmetic "
+         "against each doc's small duplicated-start list — no "
+         "token-level join")
+def text_strip_dup_spans(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import strip_duplicate_spans
+    out = strip_duplicate_spans(tbl(spark, sf_dir, "documents"),
+                                "text", "doc_id", n=5)
+    return out.select("doc_id", "n_tokens", "n_removed",
+                      F.md5("text_clean").alias("clean_md5"))
+
+
+@register(
     "text_tf_df",
     oracle=f"""
     WITH q(term) AS (VALUES {_QUERY_VALUES}),

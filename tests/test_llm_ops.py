@@ -957,3 +957,32 @@ def test_model_quality_score_monotone_and_gated(spark):
     assert out[1].model_score > out[2].model_score
     assert out[1].keep and not out[2].keep
     assert 0.0 <= out[2].model_score <= out[1].model_score <= 1.0
+
+
+def test_strip_duplicate_spans_cuts_planted(spark):
+    """The cut step removes exactly the tokens covered by duplicated
+    spans: shared 5-gram across docs goes, within-doc repeat goes, and
+    overlapping duplicated spans merge into one cut region."""
+    from mapreduce_wsi_spark.operators.text import strip_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, shared + " one two three"),
+        (2, "zero " + shared),
+        (3, "p q r s t u p q r s t u"),   # spans 1-2 and 7-8 duplicated
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           strip_duplicate_spans(df, "text", "doc_id", n=5).collect()}
+    # docs 1/2: the shared 5 tokens are cut, the rest survives in order
+    assert out[1].text_clean == "one two three"
+    assert (out[1].n_tokens, out[1].n_removed) == (8, 5)
+    assert out[2].text_clean == "zero"
+    # doc 3: spans starting at 1,2,7,8 are duplicated ("p q r s t",
+    # "q r s t u" each appear twice) -> tokens 1..6 and 7..12 all covered
+    assert out[3].text_clean == ""
+    assert out[3].n_removed == 12
+    # doc 4: < 5 words, untouched
+    assert out[4].text_clean == "too short"
+    assert out[4].n_removed == 0
