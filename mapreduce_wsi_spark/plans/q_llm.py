@@ -544,9 +544,10 @@ def text_tf_df(spark, sf_dir):
         "doc_id", "term", "tf", "dl", "df")
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
+# BM25 top-20 as a reusable oracle fragment (also the first leg of
+# hybrid_retrieval_rrf): legal both standalone and as a parenthesized
+# CTE body (nested WITH).
+_BM25_SQL = f"""
     WITH q(term) AS (VALUES {_QUERY_VALUES}),
     tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     stats AS (SELECT count(*) AS n_docs,
@@ -571,7 +572,12 @@ def text_tf_df(spark, sf_dir):
     SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_SQL,
     note="Okapi BM25 top-20 (k1=1.2, b=0.75): per-term score is one IEEE "
          "double expression rounded to DECIMAL(28,9) before the per-doc "
          "sum, so the total is accumulation-order-free and cross-engine "
@@ -580,6 +586,58 @@ def text_bm25_topk(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import bm25_topk
     return bm25_topk(tbl(spark, sf_dir, "documents"), "text", "doc_id",
                      _QUERY_TERMS, k1=1.2, b=0.75, k=20)
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH bm AS ({_BM25_SQL}),
+    bmr AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INT) AS r_bm
+            FROM bm),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 0),
+    cs AS (SELECT vec_id,
+                  list_dot_product(CAST(embedding AS DOUBLE[]), v) /
+                  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(v, v))) AS cos
+           FROM embeddings CROSS JOIN qv WHERE vec_id != 0),
+    csr AS (SELECT vec_id, CAST(rn AS INT) AS r_cos FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+                FROM cs) t
+            WHERE rn <= 20)
+    SELECT COALESCE(bmr.doc_id, csr.vec_id) AS doc_id, r_bm, r_cos,
+           round(COALESCE(1.0 / (60 + r_bm), 0)
+                 + COALESCE(1.0 / (60 + r_cos), 0), 9) AS rrf
+    FROM bmr FULL JOIN csr ON bmr.doc_id = csr.vec_id
+    """,
+    note="hybrid retrieval via reciprocal rank fusion (k=60): the BM25 "
+         "top-20 (lexical leg) and the exact-cosine top-20 for query "
+         "vector 0 (semantic leg) full-outer-join on doc id and fuse as "
+         "sum(1/(60+rank)) — the standard RAG-era score combiner. Both "
+         "legs are the existing production plans; ranks are integers "
+         "and each RRF term one exact division, so fusion is "
+         "cross-engine deterministic. Rank windows run over <=20-row "
+         "inputs (never the corpus)")
+def hybrid_retrieval_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    bm = text_bm25_topk(spark, sf_dir)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bmr = bm.select("doc_id",
+                    F.row_number().over(w).cast("int").alias("r_bm"))
+    cos = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    csr = cos.select("vec_id", F.col("rn").cast("int").alias("r_cos"))
+    fused = bmr.join(csr, bmr["doc_id"] == csr["vec_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.col("r_bm") + 60), F.lit(0.0))
+        + F.coalesce(1.0 / (F.col("r_cos") + 60), F.lit(0.0)), 9)
+    return fused.select(F.coalesce("doc_id", "vec_id").alias("doc_id"),
+                        "r_bm", "r_cos", rrf.alias("rrf"))
 
 
 @register(
