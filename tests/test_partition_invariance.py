@@ -46,6 +46,8 @@ ENTRIES = [
     "mm_image_neardup",
     "mix_temperature_flatten",
     "decontam_bloom_prefilter",
+    "text_strip_dup_spans",      # span window + array-mask edit
+    "batch_length_buckets",      # exact PERCENTILE_DISC boundaries
 ]
 
 SMALL_SPLIT_BYTES = 65536
