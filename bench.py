@@ -69,6 +69,7 @@ HEADLINE = [
     "mm_image_neardup",
     "mm_audio_frames",
     "decontam_bloom_prefilter",
+    "text_strip_dup_spans",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
