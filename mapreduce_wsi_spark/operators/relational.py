@@ -40,8 +40,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               suffix: str = "_asof",
               direction: str = "backward") -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right_ts <= left_ts`` per key (``direction='backward'``), or the
-    earliest right row with ``right_ts >= left_ts`` (``'forward'``).
+    ``right_ts <= left_ts`` per key (``direction='backward'``), the
+    earliest right row with ``right_ts >= left_ts`` (``'forward'``), or
+    the closer of the two (``'nearest'``, |dt| ties to backward).
     Spark has no native as-of join (SURVEY.md §2C); the scalable
     composition is the union + carried-value window trick:
 
@@ -57,8 +58,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     Ties (right_ts == left_ts) match in both directions (the tag ordering
     places the tied right row inside the carrying frame).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
     lcols = left.columns
     pay_src = [right_ts, *right_values]
     l_tagged = left.select(
@@ -71,6 +73,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         F.lit(0).alias("__tag"), F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(f"{c}{suffix}") for c in pay_src])
     unioned = l_tagged.unionByName(r_tagged)
+    if direction == "nearest":
+        # Both carried frames over ONE ordering (ts asc, tag asc), so the
+        # plan pays a single Exchange + Sort: backward = last non-null in
+        # (unbounded, current]; forward = first non-null in [current,
+        # unbounded) — a tied right row (right_ts == left_ts) sorts
+        # BEFORE the left row, landing it in the backward frame only,
+        # which also implements the tie rule (|dt| equal -> backward
+        # wins). Per carried column the closer side is chosen by
+        # comparing the two deltas; works for numeric and timestamp ts
+        # alike (interval comparison).
+        order = (Window.partitionBy(*on)
+                 .orderBy(F.col("__ts").asc(), F.col("__tag").asc()))
+        wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        back = {c: F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(wb)
+                for c in pay_src}
+        fwd = {c: F.first(F.col(f"{c}{suffix}"), ignorenulls=True).over(wf)
+               for c in pay_src}
+        b_ts, f_ts = back[right_ts], fwd[right_ts]
+        pick_back = f_ts.isNull() | (
+            b_ts.isNotNull()
+            & ((F.col("__ts") - b_ts) <= (f_ts - F.col("__ts"))))
+        carried = [F.when(pick_back, back[c]).otherwise(fwd[c])
+                   .alias(f"{c}{suffix}") for c in pay_src]
+        out_cols = ([c for c in lcols] + [f"{right_ts}{suffix}"]
+                    + [f"{c}{suffix}" for c in right_values])
+        return (unioned.select(*lcols, F.col("__tag"), *carried)
+                .filter(F.col("__tag") == 1).select(*out_cols))
     if direction == "backward":
         w = (Window.partitionBy(*on)
              .orderBy(F.col("__ts").asc(), F.col("__tag").asc())

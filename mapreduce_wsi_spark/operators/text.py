@@ -180,6 +180,33 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         digit_ratio.alias("digit_ratio"), score.alias("quality_score"))
 
 
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unigram-LM quality signal — the statistical-filter shape of
+    CCNet-style corpus scoring with the corpus itself as the LM:
+    ``P(tok) = count(tok) / total`` and each document scores the mean
+    log-probability of its tokens (low = rare-token soup / noise,
+    high = common fluent text; a held-out LM drops in by swapping the
+    count table). Per-token ``ln`` is rounded to DECIMAL(28,9) BEFORE
+    the per-doc aggregation (the BM25 exactness trick), so the mean is
+    accumulation-order-free and cross-engine exact up to one final IEEE
+    division. Plan: one vocab-sized count aggregation, totals broadcast
+    (1 row), token->count equi-join, one doc rollup — two shuffles,
+    both keyed by data (word / doc), nothing driver-side."""
+    tok = df.select(F.col(id_col),
+                    F.explode(words(F.col(text_col))).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tok.join(cnt, "w")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("lp",
+                          F.log(F.col("c").cast("double") / F.col("n"))
+                          .cast("decimal(28,9)")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                 (F.sum("lp").cast("double") / F.count(F.lit(1)))
+                 .cast("double").alias("mean_logp")))
+
+
 # Fixed logistic-model weights for the model-based quality gate: the
 # published-weights stand-in for a fastText/CCNet-style quality
 # classifier (features engineered here, coefficients would come from

@@ -346,6 +346,31 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS n FROM tok),
+    scored AS (SELECT doc_id,
+                      CAST(ln(CAST(c AS DOUBLE) / n) AS DECIMAL(28,9)) AS lp
+               FROM tok JOIN cnt USING (w) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DOUBLE) AS mean_logp
+    FROM scored GROUP BY doc_id
+    """,
+    note="unigram-LM mean log-probability per doc (operators/text.py:"
+         "unigram_logprob) — the CCNet-style statistical quality signal "
+         "with the corpus as the LM; per-token ln rounds to "
+         "DECIMAL(28,9) before the doc mean (BM25 exactness trick), so "
+         "the score is accumulation-order-free cross-engine")
+def text_unigram_logprob(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import unigram_logprob
+    return unigram_logprob(tbl(spark, sf_dir, "documents"),
+                           "text", "doc_id")
+
+
+@register(
     "quality_model_gate",
     oracle=r"""
     WITH f AS (

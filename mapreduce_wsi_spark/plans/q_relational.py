@@ -391,6 +391,40 @@ def join_asof_last_error(spark, sf_dir):
                       F.col("ts_asof").alias("last_error_ts"))
 
 
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    e AS (SELECT user_id, ts AS e_ts FROM events
+          WHERE event_type = 'error'),
+    p AS (SELECT c.event_id, c.user_id, c.ts, e.e_ts,
+                 row_number() OVER (PARTITION BY c.event_id ORDER BY
+                     CASE WHEN e.e_ts <= c.ts THEN c.ts - e.e_ts
+                          ELSE e.e_ts - c.ts END,
+                     CASE WHEN e.e_ts <= c.ts THEN 0 ELSE 1 END) AS rn
+          FROM c LEFT JOIN e ON e.user_id = c.user_id)
+    SELECT event_id, user_id, ts, e_ts AS nearest_error_ts
+    FROM p WHERE rn = 1
+    """,
+    note="as-of NEAREST join (operators/relational.py:asof_join "
+         "direction='nearest'): closest same-user error in either time "
+         "direction, |dt| ties to backward — both carried frames ride "
+         "ONE ordering so the plan pays a single Exchange+Sort (sensor/"
+         "log alignment at 100 TB with no range explosion); the oracle "
+         "is the brute-force argmin-|dt| window")
+def join_asof_nearest(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = asof_join(clicks, errors, on=["user_id"],
+                    left_ts="ts", right_ts="ts", right_values=[],
+                    direction="nearest")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("ts_asof").alias("nearest_error_ts"))
+
+
 # --------------------------------------------------------------------------
 # Windows
 # --------------------------------------------------------------------------

@@ -89,11 +89,13 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round has ever stamped (scalar-function tail, window variants,
 # lakehouse/dq leftovers, and the r4 post-window additions
 # dedup_components_star / text_bpe_pretokenize / mm_features_real /
-# mm_resize_real, plus the r5-built mm_decode_png / mm_decode_jpeg), and
-# — with the free slots that remain — a staleness tier re-checking the
-# entries whose most recent stamp is oldest (all last stamped in r2). A
-# green round makes cumulative driver coverage 162/162: every catalog
-# entry driver-stamped at least once.
+# mm_resize_real, plus the r5-built additions), and — with the free
+# slots that remain — a staleness tier re-checking the entries whose
+# most recent stamp is oldest (all last stamped in r2). A green round
+# lifts cumulative driver coverage to 171 of the 176 registered entries;
+# the five youngest r5 additions (stream_stream_left_outer,
+# pipeline_prepare_media, batch_length_buckets, text_strip_dup_spans,
+# hybrid_retrieval_rrf) queue for the r6 window.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.

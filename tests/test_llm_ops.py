@@ -986,3 +986,20 @@ def test_strip_duplicate_spans_cuts_planted(spark):
     # doc 4: < 5 words, untouched
     assert out[4].text_clean == "too short"
     assert out[4].n_removed == 0
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    """Docs made of corpus-common tokens must outscore rare-token soup,
+    and a uniform corpus gives exactly ln(1/n_types)."""
+    import math
+
+    from mapreduce_wsi_spark.operators.text import unigram_logprob
+
+    rows = [(1, "a a a a"), (2, "a a b z"), (3, "q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           unigram_logprob(df, "text", "doc_id").collect()}
+    assert out[1].mean_logp > out[2].mean_logp > out[3].mean_logp
+    # doc 1: all tokens are 'a' with P = 6/12
+    assert abs(out[1].mean_logp - math.log(0.5)) < 1e-8
+    assert out[3].n_tokens == 4

@@ -354,3 +354,28 @@ def test_length_buckets_quartiles_balanced_and_exact(spark):
     # monotone: every bucket-k value <= every bucket-(k+1) value
     for b in (1, 2, 3):
         assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+
+def test_asof_join_nearest_picks_closer_side(spark):
+    """direction='nearest': closer of backward/forward wins, |dt| ties
+    go backward, one-sided keys fall back to the existing side, and
+    keys with no right rows keep NULLs."""
+    from mapreduce_wsi_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 21), (1, 29), (1, 20), (2, 5), (3, 7)],
+        "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 50, "c")],
+        "k long, rt long, val string")
+    got = {(r["k"], r["t"]): (r["rt_asof"], r["val_asof"])
+           for r in asof_join(left, right, ["k"], "t", "rt", ["val"],
+                              direction="nearest").collect()}
+    assert got == {
+        (1, 10): (10, "a"),   # exact hit
+        (1, 21): (30, "b"),   # 11 back vs 9 fwd -> forward closer
+        (1, 29): (30, "b"),   # forward closer
+        (1, 20): (10, "a"),   # tie (10 back, 10 fwd) -> backward wins
+        (2, 5): (50, "c"),    # only a forward row exists
+        (3, 7): (None, None),  # no right rows for key
+    }
