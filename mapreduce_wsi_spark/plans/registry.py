@@ -92,10 +92,11 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_resize_real, plus the r5-built additions), and — with the free
 # slots that remain — a staleness tier re-checking the entries whose
 # most recent stamp is oldest (all last stamped in r2). A green round
-# lifts cumulative driver coverage to 171 of the 176 registered entries;
-# the five youngest r5 additions (stream_stream_left_outer,
+# lifts cumulative driver coverage to 171 of the 178 registered entries;
+# the seven youngest r5 additions (stream_stream_left_outer,
 # pipeline_prepare_media, batch_length_buckets, text_strip_dup_spans,
-# hybrid_retrieval_rrf) queue for the r6 window.
+# hybrid_retrieval_rrf, join_asof_nearest, text_unigram_logprob) queue
+# for the r6 window.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
