@@ -296,3 +296,34 @@ def test_temperature_mix_rate_invariants(spark, rows):
         for b in rates:
             if weights[a] <= weights[b]:
                 assert rates[a] >= rates[b]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                min_size=1, max_size=15),
+       st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                min_size=0, max_size=15))
+def test_asof_nearest_matches_bruteforce(spark, lrows, rrows):
+    """asof_join(direction='nearest') == per-row argmin |dt| with ties
+    to the backward side, across duplicate left timestamps, one-sided
+    keys and keyless rows."""
+    from mapreduce_wsi_spark.operators.relational import asof_join
+
+    rrows = list({(k, t) for k, t in rrows})  # right (k, ts) unique
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "i long, k long, t long")
+    right = spark.createDataFrame(rrows or [(99, -1)], "k long, rt long")
+    got = {r["i"]: r["rt_asof"]
+           for r in asof_join(left, right, ["k"], "t", "rt", [],
+                              direction="nearest").collect()}
+    for i, (k, t) in enumerate(lrows):
+        cands = [rt for rk, rt in rrows if rk == k]
+        if not cands and not rrows:
+            cands = []
+        if not cands:
+            assert got[i] is None
+            continue
+        best = min(cands, key=lambda rt: (abs(rt - t), rt > t))
+        assert got[i] == best, (i, k, t, cands, got[i], best)
