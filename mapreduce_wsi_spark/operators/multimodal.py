@@ -5,16 +5,17 @@ metadata; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched pandas stages over ``mapInPandas``. Five formats decode
 FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6),
 uncompressed 24bpp BMP (row padding, bottom-up scanlines, BGR order),
-PNG (8-bit gray/RGB/RGBA non-interlaced — zlib inflate + per-row
-Sub/Up/Average/Paeth defilter), baseline JPEG (SOF0: Huffman entropy
+PNG (all five color types incl. palette and gray+alpha at 8-bit,
+16-bit for the non-palette types, non-interlaced — zlib inflate +
+per-row Sub/Up/Average/Paeth defilter), baseline JPEG (SOF0: Huffman entropy
 decode, dequant + IDCT, chroma upsampling, YCbCr->RGB), and PCM16
 WAV — powering real per-format stats (``decode_ppm_stats`` /
 ``decode_bmp_stats`` / ``decode_png_stats`` / ``decode_jpeg_stats`` /
 ``decode_wav_stats``), real typed feature vectors
 (``decode_features(real_decode=True)``), and real nearest-neighbor
 pixel resize (``resize_images(real_decode=True)``). The stub boundary
-is now narrow: progressive/arithmetic JPEG, exotic PNG variants
-(16-bit, palette, Adam7), RLE-BMP, and MP3-class audio codecs yield
+is now narrow: progressive/arithmetic JPEG, sub-byte-depth and Adam7
+PNG, RLE-BMP, and MP3-class audio codecs yield
 ok=false rows — never a failed stage — and the byte-level fake kernels
 remain the default for plumbing tests over arbitrary payloads.
 
@@ -343,18 +344,24 @@ def _paeth_predictor(a: int, b: int, c: int) -> int:
 
 
 def _parse_png(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """Parse a PNG (8-bit gray/RGB/RGBA, non-interlaced): returns
-    (width, height, pixels) with pixels an (h, w, 3) uint8 RGB ndarray,
-    or None outside the supported subset. REAL decode from the spec —
-    stdlib ``zlib`` inflates the concatenated IDAT stream, then each
-    scanline is defiltered per its filter byte (None/Sub/Up/Average/
-    Paeth). Sub is a per-channel modular cumsum and Up a vectorized
-    previous-row add; Average/Paeth carry a left-pixel dependency, so
-    they fall back to a per-byte scan (encoders that care about decode
-    throughput pick filters 0-2). Gray replicates to RGB; RGBA drops
-    alpha. 16-bit depth, palette (ctype 3) and Adam7 interlace return
-    None — the stub boundary for this family. CRCs are not verified
-    (corrupt chunks surface as zlib errors or short data -> None)."""
+    """Parse a PNG (all five color types at 8-bit depth — gray,
+    RGB, palette, gray+alpha, RGBA — plus 16-bit for the non-palette
+    types; non-interlaced): returns (width, height, pixels) with pixels
+    an (h, w, 3) uint8 RGB ndarray, or None outside the supported
+    subset. REAL decode from the spec — stdlib ``zlib`` inflates the
+    concatenated IDAT stream, then each scanline is defiltered per its
+    filter byte (None/Sub/Up/Average/Paeth) operating on BYTES with the
+    bpp left-offset the spec prescribes (so 16-bit rows defilter
+    unchanged). Sub is a per-byte-lane modular cumsum and Up a
+    vectorized previous-row add; Average/Paeth carry a left-pixel
+    dependency, so they fall back to a per-byte scan (encoders that
+    care about decode throughput pick filters 0-2). Gray replicates to
+    RGB; alpha channels drop; palette indices look up PLTE; 16-bit
+    samples keep the high byte (the standard >>8 preview downsample).
+    Sub-byte palette/gray depths (1/2/4) and Adam7 interlace return
+    None — the remaining boundary for this family. CRCs are not
+    verified (corrupt chunks surface as zlib errors or short data ->
+    None)."""
     import struct
     import zlib
 
@@ -363,6 +370,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     pos = 8
     w = h = depth = ctype = interlace = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (size,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4:pos + 8]
@@ -376,20 +384,29 @@ def _parse_png(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
                 ">IIBBBBB", body, 0)
             if comp != 0 or filt != 0:
                 return None
+        elif tag == b"PLTE":
+            if size % 3 != 0 or size == 0:
+                return None
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + size  # length + tag + body + CRC
-    if (w is None or not idat or w <= 0 or h <= 0 or depth != 8
-            or interlace != 0 or ctype not in (0, 2, 6)):
+    if (w is None or not idat or w <= 0 or h <= 0
+            or interlace != 0 or ctype not in (0, 2, 3, 4, 6)):
         return None
-    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        return None
+    if ctype == 3 and plte is None:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = nch * (depth // 8)  # filter left-offset, in BYTES (the spec's)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * nch
+    stride = w * bpp
     if len(raw) < h * (stride + 1):
         return None
     rows = (np.frombuffer(raw[:h * (stride + 1)], dtype=np.uint8)
@@ -403,27 +420,34 @@ def _parse_png(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         if ftype == 0:    # None
             out[y] = row
         elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp]
-            for c in range(nch):
-                out[y, c::nch] = np.cumsum(row[c::nch], dtype=np.uint8)
+            for c in range(bpp):
+                out[y, c::bpp] = np.cumsum(row[c::bpp], dtype=np.uint8)
         elif ftype == 2:  # Up (uint8 add wraps mod 256, per spec)
             out[y] = row + prev
         elif ftype == 3:  # Average
             cur = out[y]
             for i in range(stride):
-                left = int(cur[i - nch]) if i >= nch else 0
+                left = int(cur[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = out[y]
             for i in range(stride):
-                a = int(cur[i - nch]) if i >= nch else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(row[i]) + _paeth_predictor(a, b, c)) & 0xFF
         else:
             return None
+    if depth == 16:
+        # big-endian samples: the high byte is the standard >>8 downsample
+        out = np.ascontiguousarray(out.reshape(h, w * nch, 2)[:, :, 0])
     px = out.reshape(h, w, nch)
-    if ctype == 0:
-        px = np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if int(px.max()) >= plte.shape[0]:
+            return None
+        px = plte[px[..., 0]]
+    elif ctype in (0, 4):
+        px = np.repeat(px[..., :1], 3, axis=2)
     elif ctype == 6:
         px = px[..., :3]
     return w, h, np.ascontiguousarray(px)

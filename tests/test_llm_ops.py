@@ -1003,3 +1003,58 @@ def test_unigram_logprob_ranks_common_text_higher(spark):
     # doc 1: all tokens are 'a' with P = 6/12
     assert abs(out[1].mean_logp - math.log(0.5)) < 1e-8
     assert out[3].n_tokens == 4
+
+
+def test_png_palette_gray_alpha_and_16bit():
+    """The r5 boundary shrink: palette (PLTE lookup), gray+alpha and
+    16-bit RGB all decode; sub-byte palette depth still returns None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        PNG_MAGIC, _parse_png)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    def png(w, h, depth, ctype, scanlines, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (PNG_MAGIC + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(scanlines))
+                + chunk(b"IEND", b""))
+
+    # palette 2x2: indices [[0,1],[2,1]], PLTE red/green/blue
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    p = png(2, 2, 8, 3, b"\x00\x00\x01" + b"\x00\x02\x01",
+            extra=chunk(b"PLTE", plte))
+    parsed = _parse_png(p)
+    assert parsed is not None
+    w, h, px = parsed
+    assert (w, h) == (2, 2)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+    assert px[1, 0].tolist() == [0, 0, 255]
+
+    # gray+alpha 2x1 (Sub filter, bpp=2): gray 10,30 alpha dropped
+    ga = png(2, 1, 8, 4, b"\x01" + bytes([10, 200, 20, 55]))
+    w, h, px = _parse_png(ga)
+    assert px[0, 0].tolist() == [10, 10, 10]
+    assert px[0, 1].tolist() == [30, 30, 30]  # 10+20 via bpp-offset Sub
+
+    # 16-bit RGB 1x2: high bytes kept
+    row = struct.pack(">6H", 0x1234, 0x5678, 0x9ABC, 0xDEF0, 0x0102, 0x8081)
+    p16 = png(2, 1, 16, 2, b"\x00" + row)
+    w, h, px = _parse_png(p16)
+    assert px[0, 0].tolist() == [0x12, 0x56, 0x9A]
+    assert px[0, 1].tolist() == [0xDE, 0x01, 0x80]
+
+    # sub-byte palette depth stays out of the boundary
+    p4 = png(2, 2, 4, 3, b"\x00\x01\x00\x21", extra=chunk(b"PLTE", plte))
+    assert _parse_png(p4) is None
+    # palette with out-of-range index is malformed, not a crash
+    bad = png(2, 2, 8, 3, b"\x00\x00\x09" + b"\x00\x02\x01",
+              extra=chunk(b"PLTE", plte))
+    assert _parse_png(bad) is None
