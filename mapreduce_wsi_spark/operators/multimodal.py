@@ -4,7 +4,7 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched pandas stages over ``mapInPandas``. Five formats decode
 FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6),
-uncompressed 24bpp BMP (row padding, bottom-up scanlines, BGR order),
+uncompressed 24/32bpp BMP (row padding, bottom-up scanlines, BGR(A) order),
 PNG (all five color types incl. palette and gray+alpha at 8-bit,
 16-bit for the non-palette types, non-interlaced — zlib inflate +
 per-row Sub/Up/Average/Paeth defilter), baseline JPEG (SOF0: Huffman entropy
@@ -254,15 +254,16 @@ BMP_STATS_SCHEMA = PPM_STATS_SCHEMA
 
 
 def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """Parse an uncompressed 24bpp BMP (BITMAPFILEHEADER +
+    """Parse an uncompressed 24/32bpp BMP (BITMAPFILEHEADER +
     BITMAPINFOHEADER, BI_RGB): returns (width, height, pixels) with
     pixels an (h, w, 3) uint8 ndarray in top-down RGB order, or None if
     the payload is not in the supported subset. REAL decode of the
     mainstream interchange layout — stdlib ``struct`` for headers, numpy
     views for the pixel block: handles the 4-byte row padding, the
     bottom-up scanline order (positive height) and the top-down variant
-    (negative height), and the BGR channel order. Compressed BMPs
-    (BI_RLE*, BI_BITFIELDS) and other depths return None — that is the
+    (negative height), the BGR channel order, and 32bpp BGRA (alpha
+    dropped). Compressed BMPs (BI_RLE*, BI_BITFIELDS) and other depths
+    return None — that is the
     remaining ``real_decode`` stub boundary for this format family.
     """
     import struct
@@ -276,19 +277,21 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     w, h = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+    if planes != 1 or bpp not in (24, 32) or compression != 0 \
+            or w <= 0 or h == 0:
         return None
     bottom_up = h > 0
     h_abs = abs(h)
-    stride = (w * 3 + 3) & ~3  # scanlines pad to 4-byte multiples
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3  # scanlines pad to 4-byte multiples
     end = data_off + stride * h_abs
     if data_off < 14 + hdr_size or len(payload) < end:
         return None
     scan = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
-            .reshape(h_abs, stride)[:, :w * 3].reshape(h_abs, w, 3))
+            .reshape(h_abs, stride)[:, :w * nb].reshape(h_abs, w, nb))
     if bottom_up:
         scan = scan[::-1]
-    return w, h_abs, scan[..., ::-1]  # BGR -> RGB
+    return w, h_abs, scan[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
 
 
 def decode_bmp_stats(blobs: DataFrame) -> DataFrame:

@@ -1058,3 +1058,25 @@ def test_png_palette_gray_alpha_and_16bit():
     bad = png(2, 2, 8, 3, b"\x00\x00\x09" + b"\x00\x02\x01",
               extra=chunk(b"PLTE", plte))
     assert _parse_png(bad) is None
+
+
+def test_bmp_32bpp_decodes_and_drops_alpha():
+    """32bpp BGRA: no row padding needed (stride is already 4-aligned),
+    alpha byte dropped, BGR swap still applies."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import _parse_bmp
+
+    w, h = 2, 1
+    px = bytes([10, 20, 30, 99,   40, 50, 60, 1])  # B G R A per pixel
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(px),
+                         0, 0, 0, 0))
+    parsed = _parse_bmp(hdr + px)
+    assert parsed is not None
+    got_w, got_h, out = parsed
+    assert (got_w, got_h) == (2, 1)
+    assert np.ascontiguousarray(out)[0, 0].tolist() == [30, 20, 10]
+    assert np.ascontiguousarray(out)[0, 1].tolist() == [60, 50, 40]
