@@ -290,6 +290,71 @@ def ivf_query(assigned: DataFrame, centroids: DataFrame,
             .select(query_id_col, id_col, "cos", "rn"))
 
 
+def semantic_dedup(corpus: DataFrame, min_cos: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_centroids: int = 8, seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, compare cosines
+    only WITHIN each cluster, and for every near-duplicate pair keep the
+    lower id. Returns ``(id_col, keep)`` over the full corpus.
+
+    This is the embedding twin of MinHash dedup with the same scale
+    shape: the quadratic comparison is confined to cells (the corpus
+    self-join is equi on the centroid id, never all-pairs), and the
+    cell id is a natural partition key at 100 TB. Reuses the IVF
+    quantizer (``build_ivf_index``) so an ANN index and the dedup pass
+    share one clustering cost.
+    """
+    assigned, _ = build_ivf_index(corpus, id_col=id_col, vec_col=vec_col,
+                                  n_centroids=n_centroids, seed=seed)
+    # unit-normalize once per row so the per-pair score is one dot fold
+    cu = (assigned.withColumn("__n", l2_norm(F.col("__cv")))
+          .select(id_col, "__cell",
+                  F.transform(F.col("__cv"),
+                              lambda e: e / F.col("__n")).alias("__uv")))
+    a = cu.select(F.col(id_col).alias("id_a"), F.col("__cell"),
+                  F.col("__uv").alias("__ua"))
+    b = cu.select(F.col(id_col).alias("id_b"),
+                  F.col("__cell").alias("__cellb"),
+                  F.col("__uv").alias("__ub"))
+    dup_b = (a.join(b, (a["__cell"] == b["__cellb"]) &
+                    (F.col("id_a") < F.col("id_b")))
+             .filter(dot(F.col("__ua"), F.col("__ub")) >= min_cos)
+             .select(F.col("id_b").alias(id_col))
+             .distinct())
+    return (corpus.select(id_col)
+            .join(dup_b.withColumn("__dup", F.lit(True)), id_col, "left")
+            .select(id_col, F.coalesce(~F.col("__dup"), F.lit(True))
+                    .alias("keep")))
+
+
+def knn_label_vote(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """kNN classification by majority vote over the exact cosine top-k:
+    the label-propagation / weak-labeling primitive of a training-data
+    pipeline (label new documents from their nearest labeled neighbors).
+
+    Deterministic end to end: exact top-k (ties broken on id), then the
+    vote broken by (votes desc, label asc). Output one row per query:
+    ``(query_id, pred_label, n_votes)``. Plan: the top-k output is
+    n_queries x k rows — everything downstream of the corpus scan is
+    query-sized, and the label attach is an id equi-join.
+    """
+    nn = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                     query_id_col=query_id_col)
+    labeled = nn.join(corpus.select(id_col, label_col), on=id_col)
+    votes = (labeled.groupBy(query_id_col, label_col)
+             .agg(F.count(F.lit(1)).cast("int").alias("n_votes")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("n_votes"), F.col(label_col).asc())
+    return (votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(query_id_col, F.col(label_col).alias("pred_label"),
+                    "n_votes"))
+
+
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id",

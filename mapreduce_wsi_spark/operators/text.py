@@ -374,3 +374,52 @@ def inverted_index(df: DataFrame, text_col: str, id_col: str,
         F.concat_ws(",", F.col("post_arr").cast("array<string>"))
         .alias("postings"))
         .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+
+
+def vocab_oov(df: DataFrame, text_col: str, id_col: str,
+              vocab_size: int = 16) -> DataFrame:
+    """Vocabulary-coverage analysis: build the top-``vocab_size``
+    vocabulary by corpus frequency (ties broken on the token itself, so
+    the vocab is deterministic across engines and partitionings), then
+    score every document's out-of-vocabulary rate against it.
+
+    The tokenizer-design primitive of a corpus pipeline: OOV rate against
+    a candidate vocab decides vocab size / normalization rules before an
+    expensive BPE train. Two shuffles total at any scale — one token
+    count (partial-combine map-side) and one per-doc re-aggregation; the
+    vocab itself is vocab_size rows and broadcast into the membership
+    join, so the token stream is never shuffled by token a second time.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("_id"),
+                     F.explode(words(F.col(text_col))).alias("token"))
+    w = Window.orderBy(F.desc("cnt"), F.col("token").asc())
+    vocab = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= vocab_size)
+             .select("token", F.lit(True).alias("__in_vocab")))
+    scored = toks.join(F.broadcast(vocab), on="token", how="left")
+    return (scored.groupBy(F.col("_id").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                 F.sum(F.when(F.col("__in_vocab").isNull(), 1)
+                       .otherwise(0)).cast("int").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.col("n_oov").cast("double") / F.col("n_tokens")))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for crawl-style dedup, entirely JVM-side:
+    lowercase scheme+host, drop the port and fragment, strip trailing
+    slashes from the path, and sort query parameters (so ``?b=2&a=1``
+    and ``?a=1&b=2`` collapse). The convention is engine-portable — the
+    DuckDB twin re-derives the same form with regexes only.
+    """
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
+    query = F.parse_url(url, F.lit("QUERY"))
+    sorted_q = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    return F.concat(
+        F.lit("https://"), host, path,
+        F.when(query.isNotNull() & (query != ""),
+               F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")))

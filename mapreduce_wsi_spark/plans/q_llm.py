@@ -1443,3 +1443,267 @@ def udtf_chunk_text(spark, sf_dir):
     return spark.sql(
         "SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_len "
         "FROM __udtf_docs d, LATERAL __chunk_text(d.text, 120, 100) c")
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions (second tranche): semantic dedup, kNN labeling,
+# vocabulary coverage, mergeable heavy hitters, URL canonicalization,
+# leakage-safe splits. Registered after the driver window — these queue
+# for the r6 rotation; tests/test_oracle_parity.py gates them locally.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semdedup",
+    oracle="""
+    SELECT vec_id, true AS keep FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, false AS keep
+    FROM embeddings WHERE vec_id < 3
+    """,
+    note="SemDeDup-style semantic dedup (arXiv:2303.09540): k-means "
+         "cells via the shared IVF quantizer, exact cosine WITHIN cells "
+         "only, keep the lower id of every pair >= 0.9. The fixture has "
+         "no natural pairs above cos 0.52, so three near-copies are "
+         "planted (vec_id < 3, first component *1.0001, id +1000000); a "
+         "copy is cosine ~1.0 from its source, so both land in the same "
+         "k-means cell and the copy MUST be dropped while every natural "
+         "row survives — the oracle is that exact keep set "
+         "(operators/similarity.py::semantic_dedup)")
+def dedup_semdedup(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import semantic_dedup
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < 3)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.concat(
+                           F.array((F.element_at("embedding", 1)
+                                    * F.lit(1.0001)).cast("float")),
+                           F.slice("embedding", 2, 63)).alias("embedding")))
+    return semantic_dedup(emb.unionByName(planted), min_cos=0.9,
+                          n_centroids=8)
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, label,
+               list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                   AS cos
+        FROM c CROSS JOIN q WHERE vec_id != query_id),
+    nn AS (SELECT query_id, label FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id) AS rn
+               FROM scored) t
+           WHERE rn <= 10),
+    votes AS (SELECT query_id, label, count(*) AS n_votes
+              FROM nn GROUP BY 1, 2)
+    SELECT query_id, label AS pred_label, CAST(n_votes AS INT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, label) AS rn2
+          FROM votes) v
+    WHERE rn2 = 1
+    """,
+    note="kNN label vote (weak labeling / label propagation): majority "
+         "label over the exact cosine top-10, vote ties broken "
+         "(votes desc, label asc) — deterministic end to end, brute-force "
+         "DuckDB twin (operators/similarity.py::knn_label_vote)")
+def knn_label_vote(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import knn_label_vote as knn
+    emb = tbl(spark, sf_dir, "embeddings")
+    return knn(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "text_vocab_oov",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    vc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT token FROM (
+                  SELECT token, row_number() OVER (ORDER BY cnt DESC, token)
+                      AS rn FROM vc) r
+              WHERE rn <= 16)
+    SELECT t.doc_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS INT)
+               AS n_oov,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    note="vocabulary-coverage analysis: top-16 corpus vocabulary "
+         "(ties on token — deterministic across engines/partitionings), "
+         "per-doc out-of-vocabulary rate against it. Two shuffles; the "
+         "16-row vocab is broadcast into the membership join "
+         "(operators/text.py::vocab_oov)")
+def text_vocab_oov(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import vocab_oov
+    return vocab_oov(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                     vocab_size=16)
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    n AS (SELECT count(*) + 8000 AS n FROM tok),
+    tc AS (SELECT count(*) + 8000 AS true_cnt FROM tok
+           WHERE t = 'plantedhh')
+    SELECT 'plantedhh' AS token,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           true_cnt > n / 17.0 AS guarantee_applies,
+           true AS hh_ok,
+           true AS size_ok
+    FROM n, tc
+    """,
+    note="Misra-Gries heavy hitters (mergeable summary, k=16 counters "
+         "over 31+1 distinct tokens — genuinely lossy): per-partition "
+         "Arrow sketch, k rows per partition shuffle, merge = sum minus "
+         "(k+1)th largest. Driver contract: a planted token with 8000 "
+         "occurrences (> n/(k+1) at oracle SF, so the MG guarantee "
+         "applies) MUST appear with estimate in [true - n/(k+1), true], "
+         "and the sketch holds <= k counters; guarantee_applies is "
+         "computed from exact counts on BOTH sides so the claim stays "
+         "honest at any SF (operators/sketch.py). Bound fuzzed in "
+         "tests/test_sketch.py")
+def heavy_hitters_mg(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.sketch import misra_gries_heavy_hitters
+    from mapreduce_wsi_spark.operators.text import words
+    k = 16
+    doc_toks = (tbl(spark, sf_dir, "documents")
+                .select(F.explode(words(F.col("text"))).alias("token")))
+    planted = spark.range(8000).select(F.lit("plantedhh").alias("token"))
+    tokens = doc_toks.unionByName(planted)
+    sk = misra_gries_heavy_hitters(tokens, "token", k=k)
+    stats = tokens.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("token") == "plantedhh", 1).otherwise(0))
+        .alias("true_cnt"))
+    est = sk.filter(F.col("token") == "plantedhh").agg(
+        F.count(F.lit(1)).alias("found"), F.max("est").alias("est"))
+    size = sk.agg(F.count(F.lit(1)).alias("n_counters"))
+    ga = F.col("true_cnt") > F.col("n") / F.lit(17.0)
+    bound_lo = F.col("true_cnt") - F.col("n") / F.lit(17.0)
+    return (stats.crossJoin(est).crossJoin(size)
+            .select(F.lit("plantedhh").alias("token"),
+                    F.col("true_cnt").cast("bigint").alias("true_cnt"),
+                    ga.alias("guarantee_applies"),
+                    (~ga | ((F.col("found") > 0)
+                            & (F.col("est") <= F.col("true_cnt"))
+                            & (F.col("est") >= bound_lo))).alias("hh_ok"),
+                    (F.col("n_counters") <= k).alias("size_ok")))
+
+
+@register(
+    "url_normalize",
+    oracle=r"""
+    WITH raw AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Path/'
+               || CAST(doc_id % 7 AS VARCHAR) || '/?z=' || lang
+               || '&a=1#frag' || CAST(doc_id AS VARCHAR) AS u
+        FROM documents),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, '//([^/:?#]+)', 1)) AS host,
+               regexp_replace(regexp_extract(u, '//[^/?#]+(/[^?#]*)', 1),
+                              '/+$', '') AS path,
+               regexp_extract(u, '\?([^#]*)', 1) AS query
+        FROM raw)
+    SELECT doc_id, host,
+           'https://' || host || path ||
+           CASE WHEN query <> ''
+                THEN '?' || array_to_string(
+                         list_sort(string_split(query, '&')), '&')
+                ELSE '' END AS norm_url
+    FROM parts
+    """,
+    note="crawl-style URL canonicalization, all JVM-side (parse_url + "
+         "sort_array): lowercase scheme/host, drop port + fragment, strip "
+         "trailing path slashes, sort query params. Input synthesized "
+         "deterministically messy from (source, lang, doc_id) on BOTH "
+         "sides; the DuckDB twin re-derives the canonical form with "
+         "regexes only — the convention is the spec, not shared code "
+         "(operators/text.py::normalize_url). Map-only, no shuffle")
+def url_normalize(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import normalize_url
+    docs = tbl(spark, sf_dir, "documents")
+    u = F.concat(F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+                 F.lit(".Example.COM:443/Path/"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/?z="), F.col("lang"), F.lit("&a=1#frag"),
+                 F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id",
+        F.lower(F.parse_url(u, F.lit("HOST"))).alias("host"),
+        normalize_url(u).alias("norm_url"))
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE
+    {_SHINGLE_CTE.strip().rstrip()},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.src = reach.id),
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+    g AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, grp, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, grp,
+                 CAST(CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS INT) AS bucket
+          FROM g) t
+    """
+
+
+@register(
+    "split_leakage_safe",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    note="near-dup-aware train/val/test split: connected components over "
+         "the exact n-gram Jaccard pairs, then the deterministic md5 "
+         "bucket of the COMPONENT representative — every member of a "
+         "duplicate cluster lands on the same side, so no near-duplicate "
+         "of a training doc can leak into val/test. Composition of "
+         "jaccard_pairs + connected_components + portable_bucket; the "
+         "bucket hashes one bigint per doc, and components cost only the "
+         "dup-cluster subgraph (singletons never enter the iteration)")
+def split_leakage_safe(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    g = (docs.select("doc_id").join(comp, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce(F.col("comp"), F.col("doc_id")).alias("grp")))
+    b = portable_bucket(F.col("grp"), 100)
+    return (g.withColumn("bucket", b)
+            .withColumn("split",
+                        F.when(F.col("bucket") < 80, "train")
+                        .when(F.col("bucket") < 90, "val")
+                        .otherwise("test")))

@@ -1,0 +1,114 @@
+"""Misra-Gries heavy hitters: the mergeable-summaries bound, fuzzed.
+
+The operator's correctness claim (operators/sketch.py) is the Agarwal et
+al. PODS'12 theorem: for ANY merge tree over partition sketches,
+    est(t) <= true(t)  and  est(t) >= true(t) - n/(k+1)
+with at most k counters surviving. The hypothesis test drives the pure
+merge rule through random data + random partitionings; the Spark test
+pins the distributed plan (mapInPandas sketch -> combine -> subtract)
+against exact counts under several partition layouts.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduce_wsi_spark.operators.sketch import _mg_fold
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=25), min_size=1,
+                    max_size=400),
+    cuts=st.lists(st.integers(min_value=0, max_value=400), max_size=6),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_mg_merge_tree_bound(tokens, cuts, k):
+    """Split the stream at arbitrary points, sketch each chunk batch-wise,
+    merge left-to-right, then apply the final global subtract exactly as
+    the Spark plan does — the MG bound must hold for every token."""
+    n = len(tokens)
+    bounds = sorted({c % (n + 1) for c in cuts})
+    chunks, prev = [], 0
+    for b in bounds + [n]:
+        if b > prev:
+            chunks.append(tokens[prev:b])
+            prev = b
+    if not chunks:
+        chunks = [tokens]
+
+    # per-chunk sketches (the per-partition mapInPandas pass)
+    sketches = [_mg_fold({}, Counter(c), k) for c in chunks]
+    # global combine: sum per token, subtract (k+1)th largest, positives
+    combined: dict = {}
+    for s in sketches:
+        for t, c in s.items():
+            combined[t] = combined.get(t, 0) + c
+    if len(combined) > k:
+        d = sorted(combined.values(), reverse=True)[k]
+        combined = {t: c - d for t, c in combined.items() if c - d > 0}
+
+    true = Counter(tokens)
+    assert len(combined) <= k
+    for t, est in combined.items():
+        assert est <= true[t]
+    for t, cnt in true.items():
+        est = combined.get(t, 0)
+        assert est >= cnt - n / (k + 1)
+    # detection guarantee follows: anything above n/(k+1) has est > 0
+    for t, cnt in true.items():
+        if cnt > n / (k + 1):
+            assert t in combined
+
+
+def test_mg_spark_bound_across_partitionings(spark):
+    """Distributed sketch vs exact counts: skewed synthetic stream, the
+    bound and size cap must hold at every partition count."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.sketch import misra_gries_heavy_hitters
+
+    data = (["alpha"] * 500 + ["beta"] * 300 + ["gamma"] * 120
+            + [f"tail{i}" for i in range(200)])
+    n, k = len(data), 8
+    true = Counter(data)
+    df = spark.createDataFrame([(t,) for t in data], "token string")
+    for parts in (1, 3, 16):
+        sk = dict(misra_gries_heavy_hitters(df.repartition(parts),
+                                            "token", k=k).collect())
+        assert len(sk) <= k, (parts, sk)
+        for t, est in sk.items():
+            assert est <= true[t], (parts, t)
+        for t, cnt in true.items():
+            assert sk.get(t, 0) >= cnt - n / (k + 1), (parts, t)
+        # alpha (500 of 1120 > n/9) is guaranteed-found at any layout
+        assert "alpha" in sk
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_smoke):
+    """The whole point of split_leakage_safe: every near-dup pair must
+    land in ONE split. Checked directly against the exact Jaccard pairs
+    the entry derives its components from."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.dedup import jaccard_pairs
+    from mapreduce_wsi_spark.plans.registry import load_catalog, tbl
+
+    cat = load_catalog()
+    split = cat["split_leakage_safe"].fn(spark, sf_smoke)
+    docs = tbl(spark, sf_smoke, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+    a = split.select(F.col("doc_id").alias("doc_a"),
+                     F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("doc_b"),
+                     F.col("split").alias("split_b"))
+    straddlers = (pairs.join(a, "doc_a").join(b, "doc_b")
+                  .filter(F.col("split_a") != F.col("split_b")))
+    assert straddlers.count() == 0
+    # and the split is a real 3-way partition of the corpus
+    assert split.count() == docs.count()
+    sides = {r["split"] for r in split.select("split").distinct().collect()}
+    assert sides <= {"train", "val", "test"}
