@@ -95,3 +95,66 @@ def bfs_hops(edges: DataFrame, source: int, src_col: str = "src",
         visited = iter_checkpoint(visited.unionByName(nxt))
         frontier = nxt
     return visited
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # fixed-point: 1.0 == 10^12
+
+
+def pagerank_fixed(edges: DataFrame, n_iter: int = 3,
+                   src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """PageRank in fixed-point integer arithmetic (damping 0.85), the
+    iterative scoring pass of a link graph. Pass both edge directions
+    for an undirected graph. Returns ``(id, pr, pr_norm)`` where ``pr``
+    is the 10^12-scaled integer rank after ``n_iter`` rounds and
+    ``pr_norm`` the double view of it.
+
+    Why integers: float PageRank sums contributions in partition order,
+    so two runs of the same data can differ in the last ulps and an
+    engine twin never hash-matches. With ``div`` floor division and
+    integer sums the result is bit-identical on ANY engine and ANY
+    partitioning — the determinism trick mirrors the decimal-exact
+    aggregation spine (FIXTURES.md §B). Update rule per node v:
+
+        pr'(v) = (15 * u0) div 100  +  (85 * sum_in(pr(u) div deg(u))) div 100
+
+    with ``u0 = SCALE div n`` the uniform start mass. Nodes in the edge
+    list always have deg >= 1, so there is no dangling-mass term (the
+    lost remainder mass is the documented price of exactness).
+
+    Scale shape: per round one equi-join of the rank table against the
+    edge list (shuffle on the join key — co-partition both on src at
+    100 TB and it is exchange-free) + one partial-agg sum; lineage cut
+    per round via iter_checkpoint; rounds are a constant, not a
+    function of data size.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    deg = iter_checkpoint(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("id"), "deg"))
+    # n as a 1-row broadcast, not a driver collect: the rule needs it in
+    # every row, but it never has to leave the cluster
+    n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
+    base = (deg.crossJoin(F.broadcast(n1))
+            .select("id", "deg",
+                    F.expr(f"(cast({PAGERANK_SCALE} as bigint) div __n)")
+                    .alias("__u0")))
+    cur = iter_checkpoint(base.select("id", "deg",
+                                      F.col("__u0"),
+                                      F.col("__u0").alias("pr")))
+    for _ in range(n_iter):
+        contrib = cur.select(F.col("id").alias("src"),
+                             F.expr("pr div deg").alias("__c"))
+        incoming = (e.join(contrib, "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum("__c").alias("__in")))
+        cur = iter_checkpoint(
+            cur.select("id", "deg", "__u0")
+            .join(incoming, "id", "left")
+            .select("id", "deg", "__u0",
+                    F.expr("(15 * __u0) div 100 "
+                           "+ (85 * coalesce(__in, 0)) div 100")
+                    .alias("pr")))
+    return cur.select("id", "pr",
+                      (F.col("pr").cast("double") / F.lit(float(PAGERANK_SCALE)))
+                      .alias("pr_norm"))

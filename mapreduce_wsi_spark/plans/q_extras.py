@@ -774,3 +774,68 @@ def weighted_median_exact(spark, sf_dir):
             .agg(F.min(F.when(2 * F.col("running_w") >= F.col("total_w"),
                               F.col("vc"))).alias("weighted_median_cents"),
                  F.max("total_w").alias("total_weight")))
+
+
+@register(
+    "dq_profile_columns",
+    oracle="""
+    SELECT 'o_orderdate' AS col_name,
+           (SELECT count(*) FROM orders) AS n_rows,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS min_str,
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', (SELECT count(*) FROM orders),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(min(o_orderkey) AS VARCHAR),
+           CAST(max(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', (SELECT count(*) FROM orders),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', (SELECT count(*) FROM orders),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', (SELECT count(*) FROM orders),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+    note="Deequ-style one-pass column profile of orders (row count, "
+         "null count, exact distinct count, canonical-string min/max "
+         "per column): ONE aggregation job (multi-count-distinct via a "
+         "single Expand), then stack-unpivot of the 1-row result — no "
+         "per-column scans, no driver loop. Min/max aggregate on native "
+         "types; only the display form stringifies, through "
+         "engine-portable casts (operators/dq.py::profile_columns)")
+def dq_profile_columns(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dq import profile_columns
+    o = tbl(spark, sf_dir, "orders")
+    as_is = lambda c: c.cast("string")  # noqa: E731
+    spec = {
+        "o_orderdate": (F.col("o_orderdate"),
+                        lambda c: c.cast("date").cast("string")),
+        "o_orderkey": (F.col("o_orderkey"), as_is),
+        "o_orderpriority": (F.col("o_orderpriority"), as_is),
+        "o_orderstatus": (F.col("o_orderstatus"), as_is),
+        "o_totalprice": (F.col("o_totalprice"),
+                         lambda c: c.cast("decimal(18,2)").cast("string")),
+    }
+    return profile_columns(o, spec)

@@ -207,3 +207,52 @@ def entity_resolution_pipeline(spark, sf_dir):
     return (docs.join(comp, docs["doc_id"] == comp["id"], "left")
             .select("doc_id", canon.alias("canon_id"),
                     (canon == F.col("doc_id")).alias("is_survivor")))
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unrolled fixed-point PageRank twin: DuckDB has no iterative UPDATE,
+    so the constant iteration count unrolls into chained CTEs — every
+    arithmetic step is BIGINT floor division, so both engines agree
+    bit-for-bit (operators/graph.py::pagerank_fixed documents the rule).
+    DuckDB sums BIGINT into HUGEINT; each sum is cast straight back
+    (values stay < 2^53, the driver hash is type-aware)."""
+    s = 1_000_000_000_000
+    parts = [f"""
+    e0 AS ({_EDGES_CTE}),
+    e AS (SELECT lo AS src, hi AS dst FROM e0
+          UNION ALL SELECT hi AS src, lo AS dst FROM e0),
+    deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+    u AS (SELECT CAST({s} AS BIGINT) // count(*) AS u0 FROM deg),
+    p0 AS (SELECT id, deg, u0, u0 AS pr FROM deg, u)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    s{i} AS (SELECT e.dst AS id, CAST(sum(p.pr // p.deg) AS BIGINT) AS m
+             FROM e JOIN p{i - 1} p ON p.id = e.src GROUP BY 1),
+    p{i} AS (SELECT p.id, p.deg, p.u0,
+                    CAST((15 * p.u0) // 100
+                         + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+             FROM p{i - 1} p LEFT JOIN s{i} s ON s.id = p.id)""")
+    return ("WITH" + ",".join(parts) + f"""
+    SELECT id, pr, CAST(pr AS DOUBLE) / {s} AS pr_norm FROM p{n_iter}
+    """)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(3),
+    note="fixed-point integer PageRank (damping 0.85, 3 rounds) on the "
+         "undirected co-purchase graph: rank mass in 10^12-scaled "
+         "BIGINTs with floor division, so the result is bit-identical "
+         "across engines AND partitionings (float PageRank never "
+         "hash-matches — partition-order ulps). One rank-vs-edges "
+         "equi-join + one partial-agg sum per round, lineage cut per "
+         "round; DuckDB twin unrolls the same integer recurrence "
+         "(operators/graph.py::pagerank_fixed)")
+def graph_pagerank(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.graph import pagerank_fixed
+    li = tbl(spark, sf_dir, "lineitem")
+    e = part_edges(li).select("lo", "hi")
+    both = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+            .unionByName(
+                e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))))
+    return pagerank_fixed(both, n_iter=3)

@@ -48,6 +48,19 @@ ENTRIES = [
     "decontam_bloom_prefilter",
     "text_strip_dup_spans",      # span window + array-mask edit
     "batch_length_buckets",      # exact PERCENTILE_DISC boundaries
+    # r5 second tranche: deterministic vocab rank + per-doc OOV re-agg,
+    # component-hash splits, per-row fold cosine top-k + vote, MG sketch
+    # contract booleans (estimates vary by partition layout; the emitted
+    # booleans/exact counts must not), map-only URL canon, cell-local
+    # cosine keep set (planted margin >> threshold)
+    "text_vocab_oov",
+    "split_leakage_safe",
+    "knn_label_vote",
+    "heavy_hitters_mg",
+    "url_normalize",
+    "dedup_semdedup",
+    "graph_pagerank",            # integer fixed-point ranks across splits
+    "dq_profile_columns",        # one-pass Expand profile across splits
 ]
 
 SMALL_SPLIT_BYTES = 65536
