@@ -70,6 +70,13 @@ HEADLINE = [
     "mm_audio_frames",
     "decontam_bloom_prefilter",
     "text_strip_dup_spans",
+    # round-5 second tranche: cell-local semantic dedup (k-means build +
+    # within-cell cosine self-join), the partition-parallel MG sketch
+    # (Arrow pass + k-rows-per-partition combine), and 3 integer
+    # PageRank rounds over the co-purchase graph
+    "dedup_semdedup",
+    "heavy_hitters_mg",
+    "graph_pagerank",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -77,7 +84,8 @@ HEADLINE = [
 # eager edge-list checkpoints): each timed run rebuilds from scratch;
 # everything else builds once and times execution only.
 BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
-                   "sim_ann_ivf_build", "graph_bfs_hops", "triangle_count"}
+                   "sim_ann_ivf_build", "graph_bfs_hops", "triangle_count",
+                   "dedup_semdedup", "graph_pagerank"}
 
 
 def _bench_overrides():

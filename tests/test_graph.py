@@ -67,3 +67,60 @@ def test_triangle_count_known_graph(spark, sf_oracle):
     assert row["n_edges"] == 3445
     assert row["n_triangles"] == 61
     assert 0 < row["n_nodes"] <= 2000
+
+
+def _pagerank_ref(edges, n_iter=3, scale=10**12):
+    """Independent pure-Python twin of the pagerank_fixed integer
+    recurrence (same semantics: nodes = ids with outdeg >= 1)."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    u0 = scale // n
+    pr = {v: u0 for v in deg}
+    for _ in range(n_iter):
+        inc = defaultdict(int)
+        for s, d in edges:
+            if d in deg:
+                inc[d] += pr[s] // deg[s]
+        pr = {v: (15 * u0) // 100 + (85 * inc.get(v, 0)) // 100
+              for v in deg}
+    return pr
+
+
+def test_pagerank_fixed_matches_reference_on_random_graphs(spark):
+    """Bit-exact equality with the pure-Python integer recurrence on
+    seeded random undirected graphs — the fixed-point claim is 'any
+    engine reproduces this', so a second independent implementation must
+    agree to the last unit."""
+    import random
+
+    from mapreduce_wsi_spark.operators.graph import pagerank_fixed
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        und = {(a, b) for _ in range(60)
+               for a, b in [sorted(rng.sample(range(20), 2))]}
+        edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint") \
+            .repartition(5)
+        got = {r["id"]: r["pr"]
+               for r in pagerank_fixed(df, n_iter=3).collect()}
+        assert got == _pagerank_ref(edges), f"seed {seed}"
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Sanity on the structure: the hub of a star graph outranks every
+    leaf, and total mass stays <= SCALE (floor division only loses)."""
+    from mapreduce_wsi_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_fixed,
+    )
+
+    star = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(star, "src bigint, dst bigint")
+    pr = {r["id"]: r["pr"] for r in pagerank_fixed(df, n_iter=3).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 9))
+    assert sum(pr.values()) <= PAGERANK_SCALE

@@ -301,3 +301,47 @@ def test_temperature_mix_rates_join_broadcast(spark, sf_oracle):
     plan = plan_of(build("mix_temperature_flatten", spark, sf_oracle))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_url_normalize_is_map_only(spark, sf_oracle):
+    """URL canonicalization fuses into the scan: parse_url + sort_array
+    are JVM expressions, nothing shuffles."""
+    plan = plan_of(build("url_normalize", spark, sf_oracle))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_oov_membership_join_is_broadcast(spark, sf_oracle):
+    """The top-K vocab (K rows) must broadcast into the membership join —
+    the token stream is never shuffled BY TOKEN for membership (its only
+    token-keyed exchange is the vocab count itself)."""
+    plan = plan_of(build("text_vocab_oov", spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_compares_within_cells_only(spark, sf_oracle):
+    """SemDeDup's pair generation must be an equi-join on the k-means
+    cell id — an all-pairs cartesian would defeat the whole design."""
+    plan = plan_of(build("dedup_semdedup", spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_rounds_join_equi(spark, sf_oracle):
+    """Every PageRank round is an equi-join of ranks vs edges plus a
+    hash aggregation; the only nested-loop is the broadcast of the
+    1-row node-count."""
+    plan = plan_of(build("graph_pagerank", spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_profile_is_single_aggregation_pass(spark, sf_oracle):
+    """The column profile must scan orders ONCE: all per-column
+    aggregates ride one Expand-based aggregation, then the 1-row result
+    unpivots — no per-column scans."""
+    plan = plan_of(build("dq_profile_columns", spark, sf_oracle))
+    # one scan node: "Scan parquet" appears once in the tree and once as
+    # the node-detail header, so count the per-scan Location line instead
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
