@@ -410,3 +410,60 @@ def canonical_survivors(df: DataFrame, pairs: DataFrame,
     comp = connected_components(pairs, id_a, id_b)
     losers = comp.filter(F.col("id") != F.col("comp")).select("id")
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+                      min_containment: float = 0.5,
+                      max_doc_freq: float | None = None,
+                      n_docs: int | None = None) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup pairs: inter / min(|A|, |B|).
+
+    Jaccard misses doc-in-doc duplication — a page embedded inside a much
+    larger page scores |A∩B|/|A∪B| ~ |A|/|B| -> 0 however complete the
+    copy. Containment normalizes by the smaller shingle set, so a fully
+    embedded doc scores 1.0 regardless of the host's size; it is the
+    standard second threshold next to Jaccard in crawl dedup (Broder's
+    resemblance/containment pair). Same plan shape as ``jaccard_pairs``:
+    shingle equi self-join, pair agg, size attach — the threshold is the
+    only difference, so the 100 TB posture is identical.
+    """
+    sh = _doc_freq_filter(word_shingles(df, text_col, id_col, n),
+                          max_doc_freq, n_docs)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("doc_a"),
+                      F.col("b.id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("containment",
+                        F.col("inter").cast("double") /
+                        F.least(F.col("n_a"), F.col("n_b")))
+            .filter(F.col("containment") >= min_containment)
+            .select("doc_a", "doc_b", "containment"))
+
+
+def keep_best_in_components(df: DataFrame, comp: DataFrame, id_col: str,
+                            order_cols: list) -> DataFrame:
+    """Quality-aware survivor selection: given ``comp`` as ``(id, comp)``
+    cluster labels over the near-dup subgraph, keep exactly one doc per
+    duplicate cluster — the one ranked first by ``order_cols`` (e.g.
+    longest text, best quality score) — and every singleton.
+
+    The rank window runs ONLY over the clustered rows (the near-dup
+    subgraph); singletons join nothing and keep by default, so at 100 TB
+    the window input is duplicate-cluster-sized, not corpus-sized.
+    """
+    ranked = (df.join(comp.withColumnRenamed("id", id_col), id_col)
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("comp").orderBy(*order_cols))))
+    labeled = ranked.select(id_col, "comp",
+                            (F.col("__rn") == 1).alias("keep"))
+    rest = (df.join(labeled.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col),
+                    F.col(id_col).cast("long").alias("comp"),
+                    F.lit(True).alias("keep")))
+    return labeled.unionByName(rest)

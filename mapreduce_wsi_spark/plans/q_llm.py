@@ -1707,3 +1707,89 @@ def split_leakage_safe(spark, sf_dir):
                         F.when(F.col("bucket") < 80, "train")
                         .when(F.col("bucket") < 90, "val")
                         .otherwise("test")))
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+    note="n-gram CONTAINMENT near-dup pairs (inter / min set size — "
+         "Broder's containment next to resemblance): catches doc-in-doc "
+         "duplication that Jaccard structurally misses (an embedded copy "
+         "scores ~|A|/|B| under Jaccard but 1.0 under containment). Same "
+         "two-shuffle plan as dedup_ngram_jaccard "
+         "(operators/dedup.py::containment_pairs)")
+def dedup_containment(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import containment_pairs
+    return containment_pairs(tbl(spark, sf_dir, "documents"), "text",
+                             "doc_id", n=3, min_containment=0.5)
+
+
+_KEEP_LONGEST_ORACLE = f"""
+    WITH RECURSIVE
+    {_SHINGLE_CTE.strip().rstrip()},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.src = reach.id),
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+    ranked AS (
+        SELECT d.doc_id, c.comp,
+               row_number() OVER (PARTITION BY c.comp
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM documents d JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, comp, rn = 1 AS keep FROM ranked
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS comp, true AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    WHERE c.id IS NULL
+    """
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=_KEEP_LONGEST_ORACLE,
+    note="quality-aware survivor selection: near-dup clusters (exact "
+         "Jaccard 0.1 pairs -> connected components) keep their LONGEST "
+         "member (n_chars desc, doc_id tie-break) instead of the min id "
+         "— the usual production policy (keep the most complete copy). "
+         "The rank window runs only over clustered rows; singletons "
+         "bypass it via anti-join "
+         "(operators/dedup.py::keep_best_in_components)")
+def dedup_keep_longest(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components,
+        keep_best_in_components,
+    )
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+    comp = connected_components(pairs)
+    return keep_best_in_components(
+        docs.select("doc_id", "n_chars"), comp, "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).select("doc_id", "comp", "keep")

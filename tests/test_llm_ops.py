@@ -1080,3 +1080,53 @@ def test_bmp_32bpp_decodes_and_drops_alpha():
     assert (got_w, got_h) == (2, 1)
     assert np.ascontiguousarray(out)[0, 0].tolist() == [30, 20, 10]
     assert np.ascontiguousarray(out)[0, 1].tolist() == [60, 50, 40]
+
+
+def test_containment_catches_embedded_doc(spark):
+    """The structural claim: a doc fully EMBEDDED in a much larger doc
+    scores containment 1.0 while its Jaccard stays far below any usable
+    threshold — exactly the case Jaccard-only dedup misses."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    rows = [(1, small), (2, filler + " " + small + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(df, "text", "doc_id",
+                                       min_containment=0.5).collect()}
+    assert cont.get((1, 2)) == 1.0
+    jac = jaccard_pairs(df, "text", "doc_id", min_jaccard=0.1).collect()
+    assert jac == [], "tiny-in-huge pair should be invisible to Jaccard"
+
+
+def test_keep_longest_picks_survivor_per_cluster(spark):
+    """Two near-identical docs of different lengths: exactly one keep per
+    cluster, and it is the longer one; unrelated docs keep."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        keep_best_in_components,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [(1, base, len(base)),
+            (2, base + " extra", len(base) + 6),
+            (3, "totally different words entirely here now", 41)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars int")
+    pairs = jaccard_pairs(df, "text", "doc_id", min_jaccard=0.3)
+    comp = connected_components(pairs)
+    out = {r["doc_id"]: (r["comp"], r["keep"])
+           for r in keep_best_in_components(
+               df.select("doc_id", "n_chars"), comp, "doc_id",
+               [F.col("n_chars").desc(), F.col("doc_id").asc()]).collect()}
+    assert out[2] == (1, True)   # longer survivor, cluster label = min id
+    assert out[1] == (1, False)
+    assert out[3] == (3, True)   # singleton untouched

@@ -61,6 +61,8 @@ ENTRIES = [
     "dedup_semdedup",
     "graph_pagerank",            # integer fixed-point ranks across splits
     "dq_profile_columns",        # one-pass Expand profile across splits
+    "dedup_containment",         # shingle self-join + least-size ratio
+    "dedup_keep_longest",        # components + per-cluster rank window
 ]
 
 SMALL_SPLIT_BYTES = 65536
