@@ -1793,3 +1793,107 @@ def dedup_keep_longest(spark, sf_dir):
         docs.select("doc_id", "n_chars"), comp, "doc_id",
         [F.col("n_chars").desc(), F.col("doc_id").asc()]
     ).select("doc_id", "comp", "keep")
+
+
+@register(
+    "pipeline_prepare_web",
+    oracle=r"""
+    WITH raw AS (
+        SELECT doc_id, text,
+               'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Path/'
+               || CAST(doc_id % 7 AS VARCHAR) || '/?z=' || lang
+               || '&a=1#frag' || CAST(doc_id AS VARCHAR) AS u
+        FROM documents),
+    norm AS (
+        SELECT doc_id, text, host,
+               'https://' || host || path ||
+               CASE WHEN query <> ''
+                    THEN '?' || array_to_string(
+                             list_sort(string_split(query, '&')), '&')
+                    ELSE '' END AS norm_url
+        FROM (SELECT doc_id, text,
+                     lower(regexp_extract(u, '//([^/:?#]+)', 1)) AS host,
+                     regexp_replace(
+                         regexp_extract(u, '//[^/?#]+(/[^?#]*)', 1),
+                         '/+$', '') AS path,
+                     regexp_extract(u, '\?([^#]*)', 1) AS query
+              FROM raw) p),
+    survivors AS (
+        SELECT doc_id, text, host, norm_url FROM (
+            SELECT *, row_number() OVER (PARTITION BY norm_url
+                                         ORDER BY doc_id) AS rn
+            FROM norm) s
+        WHERE rn = 1),
+    feats AS (
+        SELECT doc_id,
+               CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+               CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+               CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+               CASE WHEN n_words BETWEEN 10 AND 100000
+                    THEN 1.0 ELSE 0.0 END AS len_ok
+        FROM (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','and','of','to','a','in','is')))
+                       AS INT) AS n_stop,
+                   length(text)
+                       - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                   length(text)
+                       - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS n_digit
+            FROM survivors) t),
+    gate AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(-1.2 + stop_ratio * 6.0
+                     + punct_ratio * -4.0 + digit_ratio * -2.0
+                     + len_ok * 1.5))), 6) AS model_score
+        FROM feats)
+    SELECT s.doc_id, s.host, s.norm_url, g.model_score,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *,
+                 CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+          FROM survivors) s
+    JOIN gate g ON g.doc_id = s.doc_id
+    WHERE g.model_score >= 0.5
+    """,
+    note="composed web-corpus preparation — the crawl-shaped end-to-end "
+         "twin of pipeline_prepare_corpus: URL canonicalization "
+         "(normalize_url) -> exact URL dedup (min doc per canonical URL "
+         "— the synthesized URLs genuinely collide across docs) -> "
+         "model quality gate (>= 0.5) -> deterministic hash split. "
+         "Every stage reuses a stamped operator; one window shuffle on "
+         "norm_url + map-only gate/split")
+def pipeline_prepare_web(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    from mapreduce_wsi_spark.operators.text import (
+        model_quality_score,
+        normalize_url,
+    )
+    docs = tbl(spark, sf_dir, "documents")
+    u = F.concat(F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+                 F.lit(".Example.COM:443/Path/"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/?z="), F.col("lang"), F.lit("&a=1#frag"),
+                 F.col("doc_id").cast("string"))
+    norm = docs.select(
+        "doc_id", "text",
+        F.lower(F.parse_url(u, F.lit("HOST"))).alias("host"),
+        normalize_url(u).alias("norm_url"))
+    w = Window.partitionBy("norm_url").orderBy(F.col("doc_id").asc())
+    survivors = (norm.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+    gate = model_quality_score(survivors, "text", "doc_id", threshold=0.5)
+    b = portable_bucket(F.col("doc_id"), 100)
+    return (survivors
+            .join(gate.filter(F.col("keep")), "doc_id")
+            .select("doc_id", "host", "norm_url", "model_score",
+                    F.when(b < 80, "train").when(b < 90, "val")
+                    .otherwise("test").alias("split")))

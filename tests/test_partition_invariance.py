@@ -63,6 +63,7 @@ ENTRIES = [
     "dq_profile_columns",        # one-pass Expand profile across splits
     "dedup_containment",         # shingle self-join + least-size ratio
     "dedup_keep_longest",        # components + per-cluster rank window
+    "pipeline_prepare_web",      # url window dedup + gate + hash split
 ]
 
 SMALL_SPLIT_BYTES = 65536
