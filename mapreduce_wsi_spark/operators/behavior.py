@@ -146,3 +146,52 @@ def rolling_zscore_anomalies(events: DataFrame, lookback: int = 20,
             .agg(F.sum(F.when(F.col("n") >= min_n, 1).otherwise(0))
                  .alias("n_scored"),
                  F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies")))
+
+
+def ewma_smooth(events: DataFrame, key_col: str = "user_id",
+                value_col: str = "value", id_col: str = "event_id",
+                ts_col: str = "ts", lookback: int = 10) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) of the last
+    ``lookback`` values per key, in EXACT integer arithmetic: values go
+    to cents (the fixture doubles are 2-decimal), weights are powers of
+    two (2^(lookback-1-distance)), so numerator and denominator are
+    integer sums — bit-identical across engines and partitionings, the
+    same discipline as the integer-cents z-score. The only float is ONE
+    final correctly-rounded division.
+
+    Plan: a single window shuffle on the key; the frame's values ride a
+    collect_list bounded at ``lookback`` rows (constant memory per row),
+    and the weighted fold is a JVM higher-order expression — no UDF, no
+    self-join. (The DuckDB twin uses the equivalent rn-range self-join:
+    unordered integer sums, same exact totals.)
+
+    Output: (id, key, rn, num, den, ewma_cents) with ewma_cents =
+    num / den — in cents, like the integer sums it derives from.
+    """
+    xc = F.round(F.col(value_col) * 100).cast("long")
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    frame = w.rowsBetween(-(lookback - 1), 0)
+    arr = F.collect_list(xc).over(frame)
+    s = F.size(arr)
+    top = F.lit(lookback)
+    # element i (1-based) of an s-long frame sits distance s-i from the
+    # current row -> weight 2^(lookback-1-(s-i)) = 2^(lookback-s+i-1)
+    # 2^k via pow (exact in doubles for k <= 52, then a lossless long
+    # cast) — shiftleft would be the natural fit but takes only literal
+    # bit counts, and the exponent here is column-valued
+    def p2(k):
+        return F.pow(F.lit(2.0), k.cast("double")).cast("long")
+
+    weighted = F.zip_with(
+        arr, F.sequence(F.lit(1), s),
+        lambda x, i: x * p2(top - s + i - F.lit(1)))
+    num = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    # sum of the geometric weights has the closed form 2^L - 2^(L-s)
+    den = p2(top) - p2(top - s)
+    return (events.select(
+        F.col(id_col), F.col(key_col),
+        F.row_number().over(w).alias("rn"),
+        num.alias("num"), den.alias("den"))
+        .withColumn("ewma_cents",
+                    F.col("num").cast("double") / F.col("den")))

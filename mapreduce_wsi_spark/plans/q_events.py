@@ -579,3 +579,36 @@ def hll_sketch_rollup(spark, sf_dir):
                     - F.col("exact_users"))
               / F.col("exact_users")) <= 0.05
     return both.select("n_days", within.alias("users_within_tol"))
+
+
+@register(
+    "events_ewma_smooth",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS xc,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_id, user_id, CAST(rn AS INT) AS rn, num, den,
+           CAST(num AS DOUBLE) / den AS ewma_cents
+    FROM (
+        SELECT a.event_id, a.user_id, a.rn,
+               CAST(sum(b.xc * (CAST(1 AS BIGINT) << (9 - (a.rn - b.rn))))
+                    AS BIGINT) AS num,
+               CAST(sum(CAST(1 AS BIGINT) << (9 - (a.rn - b.rn)))
+                    AS BIGINT) AS den
+        FROM r a JOIN r b ON a.user_id = b.user_id
+                         AND b.rn BETWEEN a.rn - 9 AND a.rn
+        GROUP BY 1, 2, 3) t
+    """,
+    note="EWMA smoothing (alpha=0.5, last-10 frame) per user in EXACT "
+         "integer arithmetic: cents x power-of-two weights -> integer "
+         "num/den, one correctly-rounded final division — bit-identical "
+         "across engines like the integer-cents z-score. Spark plans ONE "
+         "window shuffle (bounded collect_list + JVM weighted fold, no "
+         "self-join); the DuckDB twin is the equivalent rn-range "
+         "self-join (operators/behavior.py::ewma_smooth)")
+def events_ewma_smooth(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.behavior import ewma_smooth
+    return ewma_smooth(tbl(spark, sf_dir, "events"))

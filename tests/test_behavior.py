@@ -151,3 +151,30 @@ def test_attribution_last_touch_window_semantics(spark, tmp_path):
     assert out[7]["latency_s"] == 1200
     assert out[8]["attributed_click_id"] is None
     assert set(out) == {2, 4, 7, 8}
+
+
+def test_ewma_known_series(spark):
+    """Hand-checked EWMA: constant series stays at the constant; a step
+    series converges toward the new level with weight 2^9/(2^10 - 2^(10-s))
+    on the newest value; the first row equals its own value."""
+    from mapreduce_wsi_spark.operators.behavior import ewma_smooth
+
+    rows = ([(i, 1, 2.0, i) for i in range(5)]          # constant 2.00
+            + [(10 + i, 2, float(i), 10 + i) for i in range(3)])  # 0,1,2
+    df = spark.createDataFrame(
+        [(eid, uid, v, ts) for eid, uid, v, ts in rows],
+        "event_id bigint, user_id bigint, value double, ts bigint") \
+        .withColumn("ts", __import__("pyspark").sql.functions
+                    .timestamp_micros("ts"))
+    out = {r["event_id"]: r for r in ewma_smooth(df).collect()}
+    for eid in range(5):
+        assert out[eid]["ewma_cents"] == 200.0 / 100 * 100  # 200 cents exactly
+    # user 2: values 0,1,2 (cents 0,100,200)
+    # rn1: num=0*512? weights: s=1 -> w=2^9=512; num=0, den=512 -> 0
+    assert out[10]["ewma_cents"] == 0.0
+    # rn2: s=2, weights oldest 2^8, newest 2^9: num=0*256+100*512=51200,
+    # den=2^10-2^8=768 -> 66.666...
+    assert abs(out[11]["ewma_cents"] - 51200 / 768) < 1e-12
+    # rn3: s=3, weights 2^7,2^8,2^9: num=0+100*256+200*512=128000,
+    # den=1024-128=896
+    assert abs(out[12]["ewma_cents"] - 128000 / 896) < 1e-12

@@ -64,6 +64,7 @@ ENTRIES = [
     "dedup_containment",         # shingle self-join + least-size ratio
     "dedup_keep_longest",        # components + per-cluster rank window
     "pipeline_prepare_web",      # url window dedup + gate + hash split
+    "events_ewma_smooth",        # integer-weight frames across splits
 ]
 
 SMALL_SPLIT_BYTES = 65536
