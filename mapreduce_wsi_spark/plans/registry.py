@@ -92,28 +92,25 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_resize_real, plus the r5-built additions), and — with the free
 # slots that remain — a staleness tier re-checking the entries whose
 # most recent stamp is oldest (all last stamped in r2). A green round
-# lifts cumulative driver coverage to 171 of the 190 registered entries;
+# lifts cumulative driver coverage to 173 of the 190 registered entries;
 # the r5 second tranche (dedup_semdedup, knn_label_vote, text_vocab_oov,
 # heavy_hitters_mg, url_normalize, split_leakage_safe, graph_pagerank,
 # dq_profile_columns, dedup_containment, dedup_keep_longest,
 # pipeline_prepare_web, events_ewma_smooth) and
-# the seven youngest first-tranche r5 additions (stream_stream_left_outer,
-# pipeline_prepare_media, batch_length_buckets, text_strip_dup_spans,
-# hybrid_retrieval_rrf, join_asof_nearest, text_unigram_logprob) queue
-# for the r6 window.
+# the remaining first-tranche r5 additions (pipeline_prepare_media,
+# batch_length_buckets, text_strip_dup_spans, hybrid_retrieval_rrf,
+# text_unigram_logprob) queue for the r6 window.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
 ROUND = 5  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
-# staleness re-checks: previously stamped (allowed to repeat), picked as
-# the alphabetically-first entries whose last driver stamp is oldest;
-# most pad slots were reclaimed for the never-stamped r5 additions
-# (fresh tier below) so the window still covers EVERY never-stamped
-# entry — the pad exists only to re-check old stamps and shrinks first
-WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "above_avg_balance", "approx_quantiles",
-)
+# staleness re-checks: previously stamped (allowed to repeat). The pad
+# exists only when free slots remain after covering never-stamped
+# entries and SHRINKS FIRST — with the r5 second tranche the fresh
+# queue (19) exceeds the free slots, so the pad is empty this round and
+# its two slots went to the oldest-queued fresh entries instead
+WINDOW_STALENESS_PAD: tuple[str, ...] = ()
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
@@ -149,6 +146,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_audio_frames", "mm_image_dhash", "mm_image_neardup",
     "text_dup_spans", "decontam_bloom_prefilter", "mix_temperature_flatten",
     "vector_random_projection", "stream_stream_join", "quality_model_gate",
+    # reclaimed pad slots: the two oldest-queued never-stamped r5
+    # additions (stream-stream left-outer twin, nearest-direction as-of)
+    "stream_stream_left_outer", "join_asof_nearest",
 ) + WINDOW_STALENESS_PAD
 
 
