@@ -467,3 +467,67 @@ def keep_best_in_components(df: DataFrame, comp: DataFrame, id_col: str,
                     F.col(id_col).cast("long").alias("comp"),
                     F.lit(True).alias("keep")))
     return labeled.unionByName(rest)
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                                n: int = 3, min_jaccard: float = 0.5,
+                                order: str = "df") -> DataFrame:
+    """Exact Jaccard pairs >= threshold via PREFIX FILTERING (the
+    PPJoin/AllPairs family, Chaudhuri et al. / Xiao et al.): provably no
+    false negatives, unlike LSH, yet never joins on every shingle like
+    ``jaccard_pairs``.
+
+    Under any fixed global token order, two sets with J(A,B) >= t share
+    at least one token within each side's first ``|x| - ceil(t|x|) + 1``
+    tokens (else the whole intersection fits in a suffix shorter than
+    t·|x| <= |A∩B| — contradiction via the minimal-rank shared token).
+    So the candidate join runs on PREFIX tokens only — at t=0.8 that is
+    ~20% of the shingle join volume — and each candidate pair verifies
+    ROW-LOCALLY with an array intersection (the full token sets ride the
+    pair row; no second shuffle, no re-join against the shingle table).
+
+    ``order='df'`` ranks rarest-first (the classic candidate-minimizing
+    order; costs one dictionary-sized — not corpus-sized — global sort);
+    ``order='hash'`` uses xxhash64 rank with NO global sort at all
+    (correctness is order-independent; candidates are merely less
+    pruned). Output identical to ``jaccard_pairs`` at the same
+    threshold: (doc_a, doc_b, jaccard).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    if order == "df":
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        ranked = freq.select(
+            "shingle",
+            F.row_number().over(
+                Window.orderBy(F.col("__df").asc(), F.col("shingle").asc())
+            ).cast("long").alias("__rank"))
+        sh = sh.join(ranked, "shingle").select("id", "__rank")
+    else:
+        sh = sh.select("id", F.xxhash64("shingle").alias("__rank"))
+
+    docs = (sh.groupBy("id")
+            .agg(F.sort_array(F.collect_list("__rank")).alias("__toks"))
+            .withColumn("__n", F.size("__toks"))
+            .withColumn("__p", F.col("__n")
+                        - F.ceil(F.lit(min_jaccard) * F.col("__n")).cast("int")
+                        + F.lit(1)))
+    pref = docs.select("id", F.explode(
+        F.slice("__toks", 1, F.col("__p"))).alias("__rank"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (a.join(b, (F.col("a.__rank") == F.col("b.__rank")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("doc_a"),
+                     F.col("b.id").alias("doc_b"))
+             .distinct())
+    da = docs.select(F.col("id").alias("doc_a"),
+                     F.col("__toks").alias("__ta"), F.col("__n").alias("n_a"))
+    db = docs.select(F.col("id").alias("doc_b"),
+                     F.col("__toks").alias("__tb"), F.col("__n").alias("n_b"))
+    verified = (cands.join(da, "doc_a").join(db, "doc_b")
+                .withColumn("__i",
+                            F.size(F.array_intersect("__ta", "__tb")))
+                .withColumn("jaccard",
+                            F.col("__i").cast("double") /
+                            (F.col("n_a") + F.col("n_b") - F.col("__i")))
+                .filter(F.col("jaccard") >= min_jaccard))
+    return verified.select("doc_a", "doc_b", "jaccard")

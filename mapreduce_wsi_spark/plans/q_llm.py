@@ -1897,3 +1897,33 @@ def pipeline_prepare_web(spark, sf_dir):
             .select("doc_id", "host", "norm_url", "model_score",
                     F.when(b < 80, "train").when(b < 90, "val")
                     .otherwise("test").alias("split")))
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    note="exact Jaccard >= 0.5 pairs via PREFIX FILTERING (PPJoin/"
+         "AllPairs): candidates join only on each doc's rarest-first "
+         "prefix (|x| - ceil(t|x|) + 1 tokens) — provably no false "
+         "negatives, unlike LSH — then row-local array-intersect verify, "
+         "no second shuffle. Oracle is the brute-force exact-Jaccard "
+         "twin: the algorithms MUST produce identical pair sets "
+         "(operators/dedup.py::prefix_filter_jaccard_pairs)")
+def dedup_prefix_filter(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import prefix_filter_jaccard_pairs
+    return prefix_filter_jaccard_pairs(tbl(spark, sf_dir, "documents"),
+                                       "text", "doc_id", n=3,
+                                       min_jaccard=0.5)

@@ -1130,3 +1130,32 @@ def test_keep_longest_picks_survivor_per_cluster(spark):
     assert out[2] == (1, True)   # longer survivor, cluster label = min id
     assert out[1] == (1, False)
     assert out[3] == (3, True)   # singleton untouched
+
+
+def test_prefix_filter_equals_bruteforce_all_thresholds(spark):
+    """Prefix filtering must reproduce the brute-force exact pair set at
+    EVERY threshold (no false negatives is the whole claim), under both
+    the rarest-first and the sort-free hash token orders."""
+    from mapreduce_wsi_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base),
+            (2, base + " extra words here"),                  # high overlap
+            (3, "alpha beta gamma completely other tail now k l m"),
+            (4, "unrelated content with different tokens x y z w v u"),
+            (5, base)]                                        # exact dup
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.3, 0.5, 0.8):
+        want = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                for r in jaccard_pairs(df, "text", "doc_id",
+                                       min_jaccard=t).collect()}
+        for order in ("df", "hash"):
+            got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                   for r in prefix_filter_jaccard_pairs(
+                       df, "text", "doc_id", min_jaccard=t,
+                       order=order).collect()}
+            assert got == want, (t, order)
+        assert any(a == 1 and b == 5 for a, b, _ in want)  # non-vacuous

@@ -65,6 +65,7 @@ ENTRIES = [
     "dedup_keep_longest",        # components + per-cluster rank window
     "pipeline_prepare_web",      # url window dedup + gate + hash split
     "events_ewma_smooth",        # integer-weight frames across splits
+    "dedup_prefix_filter",       # global token rank + prefix join
 ]
 
 SMALL_SPLIT_BYTES = 65536
