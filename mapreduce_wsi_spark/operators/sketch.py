@@ -78,3 +78,49 @@ def misra_gries_heavy_hitters(tokens: DataFrame, token_col: str,
     return (combined.crossJoin(F.broadcast(thresh))
             .select("token", (F.col("est") - F.col("__d")).alias("est"))
             .filter(F.col("est") > 0))
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 128):
+    """K-minimum-values (theta-style) distinct sketch: the k smallest
+    xxhash64 values of the key, unit-mapped to [0, 1). Returns a 1-row
+    DataFrame with a sorted ``sketch`` array (size <= k).
+
+    Plan: distinct on the hash (partial-combine), then k-smallest via
+    orderBy+limit — lowers to TakeOrderedAndProject, so each partition
+    contributes at most k values and no full sort materializes. The
+    sketch is MERGEABLE (k smallest of the concatenation), supports
+    union AND — unlike HLL — intersection estimates (Beyer et al.,
+    SIGMOD'07): |A ∪ B| ~ (k-1)/rho_k, |A ∩ B| ~ (shared fraction of
+    the union sketch) x |A ∪ B|.
+    """
+    u = ((F.xxhash64(F.col(key_col)).cast("double")
+          / F.lit(float(2 ** 64))) + F.lit(0.5)).alias("u")
+    return (df.select(u).distinct().orderBy("u").limit(k)
+            .agg(F.array_sort(F.collect_list("u")).alias("sketch")))
+
+
+def kmv_overlap_estimate(sk_a, sk_b, k: int = 128):
+    """Estimate |A ∪ B| and |A ∩ B| from two KMV sketches (each a 1-row
+    ``sketch`` array frame). Returns one row: (est_union, est_inter).
+
+    Merge = k smallest of the concatenation. When the merged sketch is
+    saturated (size == k), rho = its largest value and
+    est_union = (k-1)/rho; the intersection scales the union estimate by
+    the fraction of merged values present in BOTH input sketches. When
+    unsaturated (|A ∪ B| < k) both estimates are EXACT — the sketch has
+    seen every distinct hash. All driver-free: three 1-row frames
+    cross-joined, array expressions only.
+    """
+    a = sk_a.select(F.col("sketch").alias("__a"))
+    b = sk_b.select(F.col("sketch").alias("__b"))
+    merged = F.slice(F.array_sort(F.array_union("__a", "__b")), 1, k)
+    both = F.size(F.array_intersect(F.array_intersect(merged, F.col("__a")),
+                                    F.col("__b")))
+    est_union = F.when(
+        F.size(merged) < k, F.size(merged).cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(merged, k))
+    est_inter = F.when(
+        F.size(merged) < k, both.cast("double")).otherwise(
+        both.cast("double") / F.lit(float(k)) * est_union)
+    return (a.crossJoin(b)
+            .select(est_union.alias("est_union"), est_inter.alias("est_inter")))

@@ -66,6 +66,7 @@ ENTRIES = [
     "pipeline_prepare_web",      # url window dedup + gate + hash split
     "events_ewma_smooth",        # integer-weight frames across splits
     "dedup_prefix_filter",       # global token rank + prefix join
+    "sketch_kmv_overlap",        # k-smallest hashes across splits
 ]
 
 SMALL_SPLIT_BYTES = 65536

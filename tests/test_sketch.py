@@ -112,3 +112,31 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_smoke):
     assert split.count() == docs.count()
     sides = {r["split"] for r in split.select("split").distinct().collect()}
     assert sides <= {"train", "val", "test"}
+
+
+def test_kmv_exact_when_unsaturated_and_bounded_when_saturated(spark):
+    """KMV semantics: below k the sketch IS the distinct set (estimates
+    exact); above k the union/intersection estimates stay within the
+    3-sigma-ish analytic bound; all deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.sketch import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))
+    for parts in (1, 7):
+        est = kmv_overlap_estimate(
+            kmv_sketch(a.repartition(parts), "k", 128),
+            kmv_sketch(b.repartition(parts), "k", 128), 128).collect()[0]
+        assert abs(est["est_union"] - 3000) <= 0.3 * 3000
+        assert abs(est["est_inter"] - 1000) <= 0.3 * 3000
+    # unsaturated: the sketch saw everything, so estimates are exact
+    sa = spark.range(0, 40).select(F.col("id").alias("k"))
+    sb = spark.range(20, 60).select(F.col("id").alias("k"))
+    est = kmv_overlap_estimate(kmv_sketch(sa, "k", 128),
+                               kmv_sketch(sb, "k", 128), 128).collect()[0]
+    assert est["est_union"] == 60.0
+    assert est["est_inter"] == 20.0
