@@ -129,3 +129,77 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
               .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed")))
     return (j.select(*keys, change.alias("change_type"))
             .filter(F.col("change_type").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning / time travel
+# ---------------------------------------------------------------------------
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append a new immutable snapshot of ``df`` under ``path/v=<n>`` and
+    return the new version number (1-based).
+
+    The versioned-directory layout is the minimal time-travel scheme:
+    every version is a complete, immutable parquet table, so readers of
+    v=k never see a concurrent writer (who only creates v=k+1), and
+    retention is directory deletion (``vacuum_snapshots``). Version
+    discovery walks the directory through Hadoop's FileSystem API, so
+    the layout works on any supported filesystem; a production
+    object-store deployment would add an atomic commit marker
+    (_SUCCESS rename or a manifest swap, the Iceberg/Delta refinement)
+    — full-table copy-on-write is the honest baseline the MERGE and
+    diff operators here already assume.
+    """
+    v = latest_snapshot_version(df.sparkSession, path) + 1
+    df.write.mode("errorifexists").parquet(f"{path}/v={v}")
+    return v
+
+
+def _fs_versions(spark, path: str) -> list[int]:
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def latest_snapshot_version(spark, path: str) -> int:
+    """Highest committed version at ``path`` (0 when none)."""
+    vs = _fs_versions(spark, path)
+    return vs[-1] if vs else 0
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Time travel: read the table as of ``version`` (default: latest)."""
+    vs = _fs_versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs} at {path}")
+    return spark.read.parquet(f"{path}/v={v}")
+
+
+def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions; returns the
+    removed version numbers. Readers of retained versions are unaffected
+    (snapshots are immutable, never rewritten in place)."""
+    vs = _fs_versions(spark, path)
+    drop = vs[:-keep_last] if keep_last > 0 else vs
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for v in drop:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}")
+        p.getFileSystem(conf).delete(p, True)
+    return drop

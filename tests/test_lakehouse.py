@@ -141,3 +141,46 @@ def test_fuzzy_join_has_no_cartesian(spark, sf_oracle):
     plan = _plan(df).split("\n\n")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_time_travel_roundtrip(spark, tmp_path):
+    """Versioned snapshots: write v1, MERGE into v2, read either version
+    independently, diff the two via table_diff, vacuum to the newest."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.lakehouse import (
+        latest_snapshot_version,
+        merge_upsert,
+        read_snapshot,
+        table_diff,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    t1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                               "id bigint, val string")
+    assert write_snapshot(t1, path) == 1
+    batch = spark.createDataFrame([(2, "B", "u"), (4, "d", "i")],
+                                  "id bigint, val string, op string")
+    t2 = merge_upsert(read_snapshot(spark, path), 
+                      batch.filter(F.col("op") != "d")
+                      .select("id", "val"), ["id"])
+    assert write_snapshot(t2, path) == 2
+    assert latest_snapshot_version(spark, path) == 2
+
+    v1 = {r["id"]: r["val"] for r in read_snapshot(spark, path, 1).collect()}
+    v2 = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}
+    assert v2 == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    diff = {(r["id"], r["change_type"]) for r in table_diff(
+        read_snapshot(spark, path, 1), read_snapshot(spark, path, 2),
+        ["id"]).collect()}
+    assert (4, "added") in diff and (2, "changed") in diff
+
+    assert vacuum_snapshots(spark, path, keep_last=1) == [1]
+    assert latest_snapshot_version(spark, path) == 2
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        read_snapshot(spark, path, 1)
