@@ -77,6 +77,11 @@ HEADLINE = [
     "dedup_semdedup",
     "heavy_hitters_mg",
     "graph_pagerank",
+    # r5 third tranche: prefix-filtered exact similarity join (candidate
+    # volume vs the full shingle join is the measured claim) and the
+    # window-frame integer EWMA over the full event stream
+    "dedup_prefix_filter",
+    "events_ewma_smooth",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

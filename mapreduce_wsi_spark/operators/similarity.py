@@ -366,3 +366,42 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                           n_centroids, seed)
     return ivf_query(assigned, centroids, queries, k, id_col, vec_col,
                      query_id_col, n_probe)
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-dimension
+    min/max over the corpus, each value mapped to
+    ``round((x - mn) * 254 / (mx - mn)) - 127`` in [-127, 127] — the
+    standard 4x storage/shuffle reduction in front of ANN serving.
+
+    Plan: one posexplode + 64-row min/max aggregate (partial-combine),
+    broadcast back as two plan-side arrays, then a map-only zip_with —
+    the corpus is scanned twice but never shuffled. Every arithmetic
+    step is the same double sequence on any engine (each op correctly
+    rounded, fixed order), so the quantized codes are bit-identical —
+    no tolerance needed. Output: (id, q int array, mn/mx of dim 1 for
+    audit).
+
+    Constant-dimension note: ``dim`` is a plan constant (embedding
+    width), matching the fixture contract; a width change is a schema
+    migration, not a runtime discovery.
+    """
+    v = _as_double(F.col(vec_col))
+    stats = (df.select(F.posexplode(v).alias("__i", "__x"))
+             .groupBy("__i")
+             .agg(F.min("__x").alias("__mn"), F.max("__x").alias("__mx")))
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("__i", "__mn", "__mx")))
+        .alias("__s"))
+    mins = F.transform(F.col("__s"), lambda s: s["__mn"])
+    maxs = F.transform(F.col("__s"), lambda s: s["__mx"])
+    code = F.zip_with(
+        v, F.arrays_zip(mins, maxs),
+        lambda x, mm: (F.round((x - mm["0"]) * F.lit(254.0)
+                               / (mm["1"] - mm["0"]))
+                       - F.lit(127)).cast("int"))
+    return (df.crossJoin(F.broadcast(packed))
+            .select(F.col(id_col), code.alias("q"),
+                    F.element_at(mins, 1).alias("mn0"),
+                    F.element_at(maxs, 1).alias("mx0")))

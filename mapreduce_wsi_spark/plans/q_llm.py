@@ -1927,3 +1927,39 @@ def dedup_prefix_filter(spark, sf_dir):
     return prefix_filter_jaccard_pairs(tbl(spark, sf_dir, "documents"),
                                        "text", "doc_id", n=3,
                                        min_jaccard=0.5)
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+    WITH mm AS (
+        SELECT i,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, unnest(generate_series(1, 64)) t(i)
+        GROUP BY i),
+    packed AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+               FROM mm)
+    SELECT vec_id,
+           array_to_string(
+               [CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254.0
+                           / (mxs[i] - mns[i])) - 127 AS INT)
+                FOR i IN generate_series(1, 64)], ',') AS q_str,
+           mns[1] AS mn0, mxs[1] AS mx0
+    FROM embeddings, packed
+    """,
+    note="scalar int8 quantization of embeddings (per-dimension min/max "
+         "-> round((x-mn)*254/(mx-mn))-127 in [-127,127]): the 4x "
+         "storage/shuffle reduction in front of ANN serving. One 64-row "
+         "min/max aggregate broadcast back, then a map-only zip_with; "
+         "the arithmetic is the identical double sequence on both "
+         "engines, so the codes match bit-for-bit — no tolerance "
+         "(operators/similarity.py::quantize_int8). Codes compared as "
+         "the comma-joined string (the postings-list convention)")
+def vector_quantize_int8(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import quantize_int8
+    out = quantize_int8(tbl(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_str"),
+        "mn0", "mx0")

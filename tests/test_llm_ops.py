@@ -1159,3 +1159,29 @@ def test_prefix_filter_equals_bruteforce_all_thresholds(spark):
                        order=order).collect()}
             assert got == want, (t, order)
         assert any(a == 1 and b == 5 for a, b, _ in want)  # non-vacuous
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    """Codes stay in [-127, 127]; dequantization reconstructs within half
+    a step per dimension; min/max map exactly to the range ends."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.similarity import quantize_int8
+
+    rows = [(0, [0.0, -1.0, 10.0]), (1, [1.0, 1.0, 20.0]),
+            (2, [0.5, 0.0, 15.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r["q"] for r in quantize_int8(
+        df, dim=3).collect()}
+    assert out[0] == [-127, -127, -127]      # per-dim minima
+    assert out[1] == [127, 127, 127]         # per-dim maxima
+    assert out[2][0] == 0 and out[2][2] == 0  # midpoints -> code 0
+    # reconstruction: |x - (q+127)/254*(mx-mn)-mn| <= step/2
+    import numpy as np
+    data = {0: [0.0, -1.0, 10.0], 1: [1.0, 1.0, 20.0], 2: [0.5, 0.0, 15.0]}
+    mn = np.min(list(data.values()), axis=0)
+    mx = np.max(list(data.values()), axis=0)
+    for vid, q in out.items():
+        x = np.array(data[vid])
+        deq = (np.array(q) + 127) / 254.0 * (mx - mn) + mn
+        assert np.all(np.abs(x - deq) <= (mx - mn) / 254.0 / 2 + 1e-12)

@@ -67,6 +67,7 @@ ENTRIES = [
     "events_ewma_smooth",        # integer-weight frames across splits
     "dedup_prefix_filter",       # global token rank + prefix join
     "sketch_kmv_overlap",        # k-smallest hashes across splits
+    "vector_quantize_int8",      # per-dim min/max broadcast, exact codes
 ]
 
 SMALL_SPLIT_BYTES = 65536
