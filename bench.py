@@ -58,6 +58,7 @@ HEADLINE = [
     "mm_decode_bmp",
     "mm_decode_png",
     "mm_decode_jpeg",
+    "mm_decode_gif",
     "mm_features_real",
     "dedup_components_star",
     "text_bpe_pretokenize",

@@ -69,8 +69,8 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def _real_decode_features(payload: bytes) -> list[float] | None:
-    """REAL 8-dim feature vector via magic-byte dispatch over the five
-    decodable formats: images (PPM/BMP/PNG/baseline JPEG) -> [1, w, h,
+    """REAL 8-dim feature vector via magic-byte dispatch over the six
+    decodable formats: images (PPM/BMP/PNG/baseline JPEG/GIF) -> [1, w, h,
     mean_r, mean_g, mean_b, n_pixels, 0]; PCM16 WAV -> [2, rate,
     channels, n_samples, mean_amp, rms, 0, 0]. Returns None (ok=false
     downstream) for progressive JPEG / MP3-class / unknown formats —
@@ -93,6 +93,11 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
             img = (w, h, px.reshape(-1))
     elif payload[:2] == b"\xFF\xD8":
         parsed = _parse_jpeg(payload)
+        if parsed is not None:
+            w, h, px = parsed
+            img = (w, h, px.reshape(-1))
+    elif payload[:4] == b"GIF8":
+        parsed = _parse_gif(payload)
         if parsed is not None:
             w, h, px = parsed
             img = (w, h, px.reshape(-1))
@@ -1182,9 +1187,10 @@ def audio_frame_stats(blobs: DataFrame, frame_len: int = 4) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """Magic-byte dispatch over the four decodable image formats: returns
-    (w, h, pixels) with pixels an (h, w, 3) uint8 RGB ndarray, or None
-    outside the real-decode boundary."""
+    """Magic-byte dispatch over the five decodable image formats
+    (PPM, BMP, PNG, baseline JPEG, GIF): returns (w, h, pixels) with
+    pixels an (h, w, 3) uint8 RGB ndarray, or None outside the
+    real-decode boundary."""
     if payload[:2] == b"P6":
         parsed = _parse_ppm(payload)
         if parsed is None:
@@ -1197,6 +1203,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         return _parse_png(payload)
     if payload[:2] == b"\xFF\xD8":
         return _parse_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return _parse_gif(payload)
     return None
 
 
@@ -1373,3 +1381,257 @@ def resize_images(blobs: DataFrame, width: int = 16, height: int = 16,
             })
 
     return blobs.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, palette + LZW)
+# ---------------------------------------------------------------------------
+
+GIF_STATS_SCHEMA = PPM_STATS_SCHEMA
+
+
+def _gif_lzw_decode(data: bytes, min_code: int,
+                    max_pixels: int) -> list[int] | None:
+    """REAL GIF-variant LZW decode (GIF89a spec, Appendix F): variable
+    code width starting at min_code+1, LSB-first bit packing, clear/end
+    control codes, dictionary capped at 4096 entries (deferred-clear
+    tolerated). Returns the palette-index stream or None on a malformed
+    stream. Dictionary ops are per-code Python — GIF payloads in this
+    engine are thumbnails; a tiled-media production path would lift this
+    into a C/numba kernel exactly like the JPEG Huffman note."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table: list[tuple[int, ...]] = []
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [(i,) for i in range(clear)] + [(), ()]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < max_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                if code in (clear, end):
+                    return None
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _parse_gif(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Parse a GIF87a/89a payload: logical screen descriptor, global or
+    local color table, extension-block skipping, REAL LZW decode of the
+    FIRST image frame, palette lookup to an (h, w, 3) uint8 RGB array.
+    Interlaced frames, missing palettes and malformed streams return
+    None (ok=false downstream, the poison-safe convention); animation
+    frames beyond the first are ignored (frame sampling is
+    sample_frames' job, not the decoder's)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:          # trailer before any image frame
+            return None
+        if b0 == 0x21:          # extension: label byte + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C or pos + 9 > len(payload):
+            return None
+        _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x40:       # interlaced: outside the decoded subset
+            return None
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(payload):
+                return None
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None or pos >= len(payload) or iw == 0 or ih == 0:
+            return None
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        if idx is None or len(idx) < iw * ih:
+            return None
+        codes = np.asarray(idx[:iw * ih], dtype=np.int64)
+        if codes.max(initial=0) >= pal.shape[0]:
+            return None
+        return iw, ih, pal[codes].reshape(ih, iw, 3)
+    return None
+
+
+def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """Real LZW encoder (greedy longest-match), the test-fixture twin of
+    ``_gif_lzw_decode`` — exercises dictionary growth, width bumps and
+    the 4096 reset for real instead of emitting literal-only streams."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    emit(clear, width)
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    buf: tuple[int, ...] = ()
+    for i in indices:
+        cand = buf + (i,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4096:
+            emit(clear, width)
+            table = {(j,): j for j in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        buf = (i,)
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(rgb: "np.ndarray") -> bytes:
+    """Minimal GIF89a writer for test/oracle payload synthesis: global
+    color table from first-appearance color order (<= 256 distinct),
+    one non-interlaced frame, real LZW stream, plus a comment extension
+    so decoders must exercise the block-skip path."""
+    import struct
+
+    h, w, _ = rgb.shape
+    flat = [tuple(int(v) for v in px) for px in rgb.reshape(-1, 3)]
+    index: dict[tuple[int, int, int], int] = {}
+    for px in flat:
+        index.setdefault(px, len(index))
+    n_colors = len(index)
+    if n_colors > 256:
+        raise ValueError("encode_gif: > 256 distinct colors")
+    size_field = max(0, (max(n_colors, 2) - 1).bit_length() - 1)
+    table_n = 2 << size_field
+    min_code = max(2, size_field + 1)
+    gct = bytearray()
+    for px, _ in sorted(index.items(), key=lambda kv: kv[1]):
+        gct += bytes(px)
+    gct += b"\x00" * (3 * table_n - len(gct))
+    indices = [index[px] for px in flat]
+    stream = _gif_lzw_encode(indices, min_code)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+            + bytes(gct)
+            + b"\x21\xFE\x04test\x00"          # comment extension
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code]) + bytes(blocks)
+            + b"\x3B")
+
+
+def decode_gif_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of GIF payloads (first frame,
+    non-interlaced): per-image width, height and per-channel RGB means;
+    malformed / out-of-subset payloads yield ok=false rows."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_gif(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, px = parsed
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                means = _channel_means(px.reshape(-1))
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(means[ch])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, GIF_STATS_SCHEMA)

@@ -1963,3 +1963,63 @@ def vector_quantize_int8(spark, sf_dir):
         "vec_id",
         F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_str"),
         "mn0", "mx0")
+
+
+@register(
+    "mm_decode_gif",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL GIF decode (palette + LZW — the last common lossless "
+         "web-image format after PNG/BMP): 4x4 RGB frames are "
+         "synthesized from ASCII-projected fixture text through the "
+         "real LZW encoder (first-appearance palette, comment-extension "
+         "block so the skip path runs), then decoded by _parse_gif "
+         "(screen descriptor, color table, variable-width LSB-first LZW, "
+         "palette lookup) inside decode_gif_stats. The DuckDB twin "
+         "recomputes the channel means from the same 48 ASCII bytes, so "
+         "the whole container walk + LZW stream is value-checked "
+         "end-to-end (operators/multimodal.py::_parse_gif)")
+def mm_decode_gif(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_gif_stats, encode_gif)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = [
+                encode_gif(np.frombuffer(bytes(b), dtype=np.uint8)
+                           .reshape(4, 4, 3))
+                for b in pdf["raw"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/gif"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    return decode_gif_stats(blobs).select(
+        "doc_id", "img_w", "img_h", "ok",
+        F.round("mean_r", 9).alias("mean_r"),
+        F.round("mean_g", 9).alias("mean_g"),
+        F.round("mean_b", 9).alias("mean_b"))

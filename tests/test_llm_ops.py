@@ -1185,3 +1185,44 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
         x = np.array(data[vid])
         deq = (np.array(q) + 127) / 254.0 * (mx - mn) + mn
         assert np.all(np.abs(x - deq) <= (mx - mn) / 254.0 / 2 + 1e-12)
+
+
+def test_gif_lzw_roundtrip_and_boundaries():
+    """Real LZW: exact roundtrip on images that force dictionary growth
+    and a 256-color palette; interlaced and malformed payloads reject."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _decode_image,
+        _parse_gif,
+        _real_decode_features,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, size=(4, 4, 3), dtype=np.uint8),
+            (rng.integers(0, 200, size=(64, 96, 3), dtype=np.uint8)
+             // 64 * 64).astype(np.uint8)]   # 6k pixels: width growth
+    vals = np.arange(256, dtype=np.uint8)    # exactly 256 colors
+    imgs.append(np.stack([vals, vals[::-1], (vals * 7) % 256], axis=1)
+                .astype(np.uint8).reshape(16, 16, 3))
+    for img in imgs:
+        parsed = _parse_gif(encode_gif(img))
+        assert parsed is not None
+        w, h, px = parsed
+        assert (h, w) == img.shape[:2]
+        assert np.array_equal(px, img)
+    # interlace flag -> out of subset (locate the image descriptor via
+    # the comment-extension marker: a bare 0x2C search can hit palette
+    # bytes on random colors)
+    bad = bytearray(encode_gif(imgs[0]))
+    i = bad.index(b"\x21\xFE\x04test\x00") + 8
+    assert bad[i] == 0x2C
+    bad[i + 9] |= 0x40
+    assert _parse_gif(bytes(bad)) is None
+    assert _parse_gif(b"GIF89a\x00") is None
+    assert _parse_gif(b"nope") is None
+    # magic dispatch reaches features
+    f = _real_decode_features(encode_gif(imgs[0]))
+    assert f is not None and f[0] == 1.0 and f[1] == 4.0
+    assert _decode_image(encode_gif(imgs[0])) is not None

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Scaling-curve probe: run representative catalog queries at every
+available fixture scale factor and report the per-decade growth of wall
+time — the measured counterpart to SCALE.md's design arguments.
+
+A plan whose time grows ~linearly in SF (slope ~1 in log-log) is
+shuffle/scan bound and scales out by adding executors; a slope well
+below 1 at these sizes means fixed scheduling latency still dominates
+(the query is "free" until data gets much bigger); a slope above ~1.2
+flags super-linear work (the thing SCALE.md promises none of).
+
+Usage: python3 tools/scale_probe.py [query ...]
+Prints one JSON line: {query: {sf: sec, ..., "slope": b}} where slope is
+the least-squares exponent of time ~ SF^b over the measured points.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",       # scan + partial/final agg
+    "q18_large_volume_customer",  # fact-fact join + agg + topk
+    "dedup_minhash_lsh",        # shingle agg + band self-join
+    "dedup_prefix_filter",      # rank join + prefix self-join + verify
+    "graph_pagerank",           # iterative equi-joins (constant rounds)
+    "events_ewma_smooth",       # one bounded-frame window
+    "heavy_hitters_mg",         # Arrow partition sketch + tiny combine
+    "mm_decode_ppm",            # Arrow decode kernel, map-only
+]
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+
+
+def main() -> None:
+    queries = sys.argv[1:] or DEFAULT_QUERIES
+    from mapreduce_wsi_spark.session import get_spark
+    spark = get_spark(app_name="scale_probe",
+                      master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    from mapreduce_wsi_spark.plans.registry import load_catalog
+    catalog = load_catalog()
+
+    sf_dirs = [d for d in SF_DIRS if os.path.isdir(d)]
+    # one full warm pass (codegen + parquet footers) — excluded
+    for d in sf_dirs:
+        spark.read.parquet(f"{d}/lineitem.parquet").limit(1).count()
+
+    out: dict[str, dict] = {}
+    for name in queries:
+        entry = catalog.get(name)
+        if entry is None:
+            continue
+        row: dict[str, float] = {}
+        for d in sf_dirs:
+            sf = d.rsplit("sf", 1)[1]
+            # warm once (first-run codegen), then best-of-2 timed
+            entry.fn(spark, d).write.format("noop").mode("overwrite").save()
+            best = math.inf
+            for _ in range(2):
+                t0 = time.time()
+                entry.fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            row[sf] = round(best, 4)
+        xs = [math.log10(float(sf)) for sf in row]
+        ys = [math.log10(v) for v in row.values()]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        row["slope"] = round(slope, 3)
+        out[name] = row
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
