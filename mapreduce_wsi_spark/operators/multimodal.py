@@ -555,8 +555,9 @@ def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     samples-as-int16-ndarray) or None if malformed. REAL decode of the
     canonical RIFF/fmt/data chunk layout — stdlib ``struct`` for the
     headers, one zero-copy ``np.frombuffer`` for the sample block (the
-    per-sample unpack loop was interpreter-bound). Only uncompressed PCM16
-    (audio_format=1, 16-bit) is decoded; other encodings return None (the
+    per-sample unpack loop was interpreter-bound). Decodes uncompressed
+    PCM16 (audio_format=1, 16-bit) and G.711 mu-law (audio_format=7,
+    8-bit, REAL companding expansion); other encodings return None (the
     documented stub boundary).
     """
     import struct
@@ -573,9 +574,23 @@ def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
             fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0)
         elif chunk_id == b"data":
-            if fmt != 1 or bits != 16 or len(body) < size:
+            if len(body) < size:
                 return None
-            samples = np.frombuffer(body[:2 * (size // 2)], dtype="<i2")
+            if fmt == 1 and bits == 16:
+                samples = np.frombuffer(body[:2 * (size // 2)], dtype="<i2")
+            elif fmt == 7 and bits == 8:
+                # G.711 mu-law expansion (ITU-T, BIAS 0x84), fully
+                # vectorized: complement, then
+                # t = ((mantissa<<3)+132) << exponent; sign bit of the
+                # complemented byte selects 132-t (negative) vs t-132.
+                # Table anchors: 0x80 -> +32124, 0x00 -> -32124,
+                # 0xFF/0x7F -> 0 (pinned in tests).
+                u = (~np.frombuffer(body[:size], dtype=np.uint8)
+                     ).astype(np.int32) & 0xFF
+                t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+                samples = np.where(u & 0x80, 0x84 - t, t - 0x84)                     .astype(np.int16)
+            else:
+                return None
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or channels is None or samples is None:
         return None

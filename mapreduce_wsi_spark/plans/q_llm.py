@@ -2023,3 +2023,51 @@ def mm_decode_gif(spark, sf_dir):
         F.round("mean_r", 9).alias("mean_r"),
         F.round("mean_g", 9).alias("mean_g"),
         F.round("mean_b", 9).alias("mean_b"))
+
+
+_ULAW_HEADER_HEX = ("52494646" "44000000" "57415645"
+                    "666d7420" "10000000" "0700" "0100"
+                    "401f0000" "401f0000" "0100" "0800"
+                    "64617461" "20000000")
+
+
+@register(
+    "mm_decode_wav_ulaw",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(1, 32),
+                     j -> 132 - (((255 - unicode(px[j])) % 16) * 8 + 132)
+                          * (1 << (((255 - unicode(px[j])) // 16) % 8)))
+                     AS smp
+          FROM p)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(32 AS INT) AS n_samples,
+           true AS ok,
+           list_sum(smp) / 32.0 AS mean_amp,
+           CAST(list_sum(list_transform(smp, s -> s * s)) AS BIGINT)
+               AS sum_sq
+    FROM p JOIN s USING (doc_id)
+    """,
+    note="REAL G.711 mu-law audio decode (audio_format=7 WAV): 32 "
+         "ASCII-projected fixture bytes become companded samples, "
+         "expanded by the vectorized ITU formula "
+         "(t = ((mant<<3)+132)<<exp; sign from the complemented byte — "
+         "table anchors 0x80->+32124 / 0xFF->0 pinned in tests). ASCII "
+         "bytes all complement to sign-set values, so the twin's "
+         "132 - t closed form covers every synthesized sample; chunk "
+         "walk + expansion + stats are value-checked end-to-end "
+         "(operators/multimodal.py::_parse_wav)")
+def mm_decode_wav_ulaw(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_wav_stats
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.unhex(F.lit(_ULAW_HEADER_HEX)),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        "doc_id", content.alias("content"),
+        F.lit("audio/basic").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    return decode_wav_stats(blobs)

@@ -1226,3 +1226,27 @@ def test_gif_lzw_roundtrip_and_boundaries():
     f = _real_decode_features(encode_gif(imgs[0]))
     assert f is not None and f[0] == 1.0 and f[1] == 4.0
     assert _decode_image(encode_gif(imgs[0])) is not None
+
+
+def test_ulaw_expansion_matches_published_table_anchors():
+    """G.711 mu-law: the published table's extreme/zero anchors and one
+    mid-range value, decoded through the real RIFF walker."""
+    import struct
+
+    from mapreduce_wsi_spark.operators.multimodal import _parse_wav
+
+    def ulaw_wav(data: bytes) -> bytes:
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 8000,
+                                        8000, 1, 8)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    rate, ch, smp = _parse_wav(ulaw_wav(bytes([0x80, 0x00, 0xFF, 0x7F,
+                                               0x41])))
+    assert (rate, ch) == (8000, 1)
+    assert smp.tolist() == [32124, -32124, 0, 0,
+                            132 - (((0x0E << 3) + 0x84) << 3)]
+    # PCM16 path unchanged; unknown format still rejects
+    bad = bytearray(ulaw_wav(b"\x00\x00"))
+    bad[20] = 3  # audio_format = 3 (float): outside the subset
+    assert _parse_wav(bytes(bad)) is None
