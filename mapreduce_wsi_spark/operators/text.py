@@ -423,3 +423,43 @@ def normalize_url(url: Column) -> Column:
         F.lit("https://"), host, path,
         F.when(query.isNotNull() & (query != ""),
                F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")))
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Bigram-LM quality signal with add-one smoothing — the next rung
+    above ``unigram_logprob``: ``P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1)
+    / (c(w_{i-1}·) + V)`` with context counts from the bigram table and
+    V the corpus unigram vocabulary. Scores each doc as the mean log
+    conditional probability over its bigram positions (repetitive or
+    formulaic text scores high, shuffled-word soup scores low even when
+    every individual token is common — exactly what the unigram signal
+    cannot see). Docs shorter than 2 tokens produce no rows.
+
+    Same exactness discipline as unigram: per-bigram ``ln`` rounds to
+    DECIMAL(28,9) before the doc mean, so accumulation order never
+    shows. Plan: bigrams form row-locally (zip of two array slices, one
+    explode), one bigram-count shuffle, one context-count shuffle, the
+    1-row vocab size broadcast, one doc rollup.
+    """
+    arr = words(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+          .select(id_col, F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (df.select(F.explode(words(F.col(text_col))).alias("w"))
+         .agg(F.count_distinct("w").alias("v")))
+    scored = (bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+              .crossJoin(F.broadcast(v))
+              .withColumn("lp",
+                          F.log((F.col("c2") + 1).cast("double")
+                                / (F.col("c1") + F.col("v")))
+                          .cast("decimal(28,9)")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+                 (F.sum("lp").cast("double") / F.count(F.lit(1)))
+                 .cast("double").alias("mean_logp")))

@@ -665,3 +665,47 @@ def sketch_kmv_overlap(spark, sf_dir):
          <= F.lit(tol) * F.col("exact_union")).alias("union_ok"),
         (F.abs(F.col("est_inter") - F.col("exact_inter"))
          <= F.lit(tol) * F.col("exact_union")).alias("inter_ok")))
+
+
+@register(
+    "topp_mass_cutoff",
+    oracle="""
+    WITH g AS (SELECT event_type, user_id,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS amt_c
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, user_id, amt_c,
+                 sum(amt_c) OVER (PARTITION BY event_type
+                                  ORDER BY amt_c DESC, user_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_c,
+                 sum(amt_c) OVER (PARTITION BY event_type) AS tot_c
+          FROM g)
+    SELECT event_type, user_id, amt_c,
+           CAST(run_c AS BIGINT) AS run_c
+    FROM r
+    WHERE (run_c - amt_c) * 10 < tot_c * 9
+    """,
+    note="top-p (nucleus) selection per group: the smallest prefix of "
+         "users (by spend desc, id tie-break) covering 90% of each "
+         "event_type's value mass — the probability-mass truncation "
+         "pattern (vocab cuts, source mixing by mass) as ONE window "
+         "cumsum. Decided by the multiplied-through integer-cents "
+         "inequality (prev_cum * 10 < total * 9): zero floats, "
+         "bit-identical across engines; a row enters iff the mass "
+         "BEFORE it is still short of p")
+def topp_mass_cutoff(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    g = (ev.groupBy("event_type", "user_id")
+         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .cast("bigint").alias("amt_c")))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("amt_c").desc(), F.col("user_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("event_type")
+    r = (g.withColumn("run_c", F.sum("amt_c").over(w))
+         .withColumn("tot_c", F.sum("amt_c").over(wt)))
+    return (r.filter((F.col("run_c") - F.col("amt_c")) * 10
+                     < F.col("tot_c") * 9)
+            .select("event_type", "user_id", "amt_c",
+                    F.col("run_c").cast("bigint").alias("run_c")))

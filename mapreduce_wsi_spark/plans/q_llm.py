@@ -2071,3 +2071,36 @@ def mm_decode_wav_ulaw(spark, sf_dir):
         F.lit("audio/basic").alias("mime"),
         F.octet_length(content).cast("int").alias("n_bytes"))
     return decode_wav_stats(blobs)
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM t, unnest(generate_series(1, len(w) - 1)) s(i)
+           WHERE len(w) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT x) AS v FROM
+          (SELECT unnest(string_split(text, ' ')) AS x FROM documents) u),
+    scored AS (SELECT doc_id,
+                      CAST(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))
+                           AS DECIMAL(28,9)) AS lp
+               FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+               CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DOUBLE) AS mean_logp
+    FROM scored GROUP BY doc_id
+    """,
+    note="bigram-LM mean log conditional probability per doc, add-one "
+         "smoothed over context counts + corpus vocabulary "
+         "(operators/text.py::bigram_logprob) — the sequence-aware rung "
+         "above the unigram signal: shuffled-word soup scores low even "
+         "when every token is common. Same DECIMAL(28,9) per-term "
+         "rounding before the doc mean, so cross-engine exact up to one "
+         "final division")
+def text_bigram_logprob(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bigram_logprob
+    return bigram_logprob(tbl(spark, sf_dir, "documents"),
+                          "text", "doc_id")

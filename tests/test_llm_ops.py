@@ -1250,3 +1250,22 @@ def test_ulaw_expansion_matches_published_table_anchors():
     bad = bytearray(ulaw_wav(b"\x00\x00"))
     bad[20] = 3  # audio_format = 3 (float): outside the subset
     assert _parse_wav(bytes(bad)) is None
+
+
+def test_bigram_logprob_is_sequence_aware(spark):
+    """The bigram signal's whole point: same token multiset, different
+    order -> different score. A doc repeating the corpus-frequent
+    bigram outranks one built from never-seen reversals."""
+    from mapreduce_wsi_spark.operators.text import bigram_logprob
+
+    rows = [(i, "alpha beta alpha beta alpha beta") for i in range(5)]
+    rows += [(10, "alpha beta alpha beta alpha beta"),
+             (11, "beta alpha beta alpha beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df, "text",
+                                                  "doc_id").collect()}
+    assert got[10]["n_bigrams"] == 5
+    assert got[10]["mean_logp"] > got[11]["mean_logp"]
+    # sub-2-token docs vanish rather than scoring
+    one = spark.createDataFrame([(1, "solo")], "doc_id bigint, text string")
+    assert bigram_logprob(one, "text", "doc_id").count() == 0

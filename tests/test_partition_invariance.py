@@ -68,6 +68,8 @@ ENTRIES = [
     "dedup_prefix_filter",       # global token rank + prefix join
     "sketch_kmv_overlap",        # k-smallest hashes across splits
     "vector_quantize_int8",      # per-dim min/max broadcast, exact codes
+    "topp_mass_cutoff",          # integer-cents cumsum cutoff
+    "text_bigram_logprob",       # decimal-rounded ln terms per doc
 ]
 
 SMALL_SPLIT_BYTES = 65536
