@@ -556,9 +556,10 @@ def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     canonical RIFF/fmt/data chunk layout — stdlib ``struct`` for the
     headers, one zero-copy ``np.frombuffer`` for the sample block (the
     per-sample unpack loop was interpreter-bound). Decodes uncompressed
-    PCM16 (audio_format=1, 16-bit) and G.711 mu-law (audio_format=7,
-    8-bit, REAL companding expansion); other encodings return None (the
-    documented stub boundary).
+    PCM16 (audio_format=1, 16-bit) and both G.711 companded encodings —
+    mu-law (audio_format=7) and A-law (audio_format=6), 8-bit, REAL
+    vectorized expansion; other encodings return None (the documented
+    stub boundary).
     """
     import struct
 
@@ -589,6 +590,20 @@ def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
                      ).astype(np.int32) & 0xFF
                 t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
                 samples = np.where(u & 0x80, 0x84 - t, t - 0x84)                     .astype(np.int16)
+            elif fmt == 6 and bits == 8:
+                # G.711 A-law expansion, vectorized: XOR 0x55, then
+                # segment 0 -> (mant<<4)+8, else ((mant<<4)+264)<<(seg-1);
+                # sign bit of the XORed byte SET means positive.
+                # Table anchors: 0xD5 -> +8 (silence), 0x55 -> -8,
+                # 0xAA -> +32256 (max) — pinned in tests.
+                u = np.frombuffer(body[:size],
+                                  dtype=np.uint8).astype(np.int32) ^ 0x55
+                seg = (u >> 4) & 0x07
+                mant = u & 0x0F
+                val = np.where(seg == 0, (mant << 4) + 8,
+                               ((mant << 4) + 0x108)
+                               << np.maximum(seg - 1, 0))
+                samples = np.where(u & 0x80, val, -val).astype(np.int16)
             else:
                 return None
         pos += 8 + size + (size & 1)  # chunks are word-aligned

@@ -34,11 +34,33 @@ def top_k_per_group(df: DataFrame, partition_by: list[str],
     return out if keep_rank else out.drop(rank_col)
 
 
+def _asof_tolerance(df: DataFrame, left_ts: str, right_ts: str,
+                    right_values: list[str], suffix: str,
+                    tolerance_seconds: float | None) -> DataFrame:
+    """Null out an as-of match whose |left_ts - matched_ts| exceeds the
+    tolerance — the sensor-join guard (a reading from last week is not
+    "the" reading). Pure post-projection on the carried columns: the
+    window/carry plan is unchanged, the bound costs nothing at scale.
+    Timestamps compare as double epoch seconds (microsecond-exact in
+    IEEE range), numerics as their own doubles."""
+    if tolerance_seconds is None:
+        return df
+    within = (F.abs(F.col(left_ts).cast("double")
+                    - F.col(f"{right_ts}{suffix}").cast("double"))
+              <= F.lit(float(tolerance_seconds)))
+    out = df
+    for c in [right_ts, *right_values]:
+        out = out.withColumn(f"{c}{suffix}",
+                             F.when(within, F.col(f"{c}{suffix}")))
+    return out
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str,
               right_values: list[str],
               suffix: str = "_asof",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_seconds: float | None = None) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right_ts <= left_ts`` per key (``direction='backward'``), the
     earliest right row with ``right_ts >= left_ts`` (``'forward'``), or
@@ -99,8 +121,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                    .alias(f"{c}{suffix}") for c in pay_src]
         out_cols = ([c for c in lcols] + [f"{right_ts}{suffix}"]
                     + [f"{c}{suffix}" for c in right_values])
-        return (unioned.select(*lcols, F.col("__tag"), *carried)
-                .filter(F.col("__tag") == 1).select(*out_cols))
+        return _asof_tolerance(
+            unioned.select(*lcols, F.col("__tag"), *carried)
+            .filter(F.col("__tag") == 1).select(*out_cols),
+            left_ts, right_ts, right_values, suffix, tolerance_seconds)
     if direction == "backward":
         w = (Window.partitionBy(*on)
              .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
@@ -115,8 +139,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     carried = [carry(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
                for c in [right_ts, *right_values]]
     out_cols = [c for c in lcols] + [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_values]
-    return (unioned.select(*lcols, F.col("__tag"), *carried)
-            .filter(F.col("__tag") == 1).select(*out_cols))
+    return _asof_tolerance(
+        unioned.select(*lcols, F.col("__tag"), *carried)
+        .filter(F.col("__tag") == 1).select(*out_cols),
+        left_ts, right_ts, right_values, suffix, tolerance_seconds)
 
 
 def interval_join(left: DataFrame, right: DataFrame,

@@ -2104,3 +2104,54 @@ def text_bigram_logprob(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import bigram_logprob
     return bigram_logprob(tbl(spark, sf_dir, "documents"),
                           "text", "doc_id")
+
+
+_ALAW_HEADER_HEX = ("52494646" "44000000" "57415645"
+                    "666d7420" "10000000" "0600" "0100"
+                    "401f0000" "401f0000" "0100" "0800"
+                    "64617461" "20000000")
+
+
+@register(
+    "mm_decode_wav_alaw",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(1, 32), j ->
+                     CASE WHEN xor(unicode(px[j]), 85) >= 128 THEN 1
+                          ELSE -1 END *
+                     CASE WHEN (xor(unicode(px[j]), 85) // 16) % 8 = 0
+                          THEN (xor(unicode(px[j]), 85) % 16) * 16 + 8
+                          ELSE ((xor(unicode(px[j]), 85) % 16) * 16 + 264)
+                               * (1 << ((xor(unicode(px[j]), 85) // 16) % 8
+                                        - 1))
+                     END) AS smp
+          FROM p)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(32 AS INT) AS n_samples,
+           true AS ok,
+           list_sum(smp) / 32.0 AS mean_amp,
+           CAST(list_sum(list_transform(smp, s -> s * s)) AS BIGINT)
+               AS sum_sq
+    FROM p JOIN s USING (doc_id)
+    """,
+    note="REAL G.711 A-law audio decode (audio_format=6 WAV), the "
+         "European companding sibling of mm_decode_wav_ulaw: XOR 0x55, "
+         "segment/mantissa expansion, sign from the XORed high bit "
+         "(anchors 0xD5->+8 silence, 0xAA->+32256 max pinned in tests); "
+         "the twin re-derives every sample from the same ASCII bytes "
+         "with integer CASE arithmetic "
+         "(operators/multimodal.py::_parse_wav)")
+def mm_decode_wav_alaw(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_wav_stats
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.unhex(F.lit(_ALAW_HEADER_HEX)),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        "doc_id", content.alias("content"),
+        F.lit("audio/basic").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    return decode_wav_stats(blobs)

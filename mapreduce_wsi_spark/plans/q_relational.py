@@ -687,3 +687,32 @@ def join_salted_skew(spark, sf_dir):
                          how="inner", salt=8)
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(e.ts) FROM events e
+            WHERE e.event_type = 'error' AND e.user_id = p.user_id
+              AND e.ts <= p.ts
+              AND epoch(p.ts) - epoch(e.ts) <= 1800) AS last_error_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    note="as-of backward join with a 30-minute TOLERANCE bound (the "
+         "sensor-join guard: a match from last week is not 'the' "
+         "reading): same union + carried-window plan as "
+         "join_asof_last_error, the bound is a pure post-projection "
+         "nulling stale matches — zero extra shuffle "
+         "(operators/relational.py::asof_join tolerance_seconds)")
+def join_asof_tolerance(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import asof_join
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = asof_join(purchases, errors, on=["user_id"],
+                    left_ts="ts", right_ts="ts", right_values=[],
+                    tolerance_seconds=1800)
+    return out.select("event_id", "user_id", "ts",
+                      F.col("ts_asof").alias("last_error_ts"))

@@ -1269,3 +1269,33 @@ def test_bigram_logprob_is_sequence_aware(spark):
     # sub-2-token docs vanish rather than scoring
     one = spark.createDataFrame([(1, "solo")], "doc_id bigint, text string")
     assert bigram_logprob(one, "text", "doc_id").count() == 0
+
+
+def test_alaw_expansion_and_asof_tolerance(spark):
+    """A-law published anchors through the RIFF walker, and the as-of
+    tolerance bound nulling a stale match while keeping a fresh one."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.multimodal import _parse_wav
+    from mapreduce_wsi_spark.operators.relational import asof_join
+
+    def wavf(fmt, data):
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, 1, 8000,
+                                        8000, 1, 8)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    _, _, smp = _parse_wav(wavf(6, bytes([0xD5, 0x55, 0xAA, 0x2A])))
+    assert smp.tolist() == [8, -8, 32256, -32256]
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000.0), (2, 1, 5000.0)], "id bigint, k bigint, ts double")
+    right = spark.createDataFrame(
+        [(1, 900.0), (1, 990.0)], "k bigint, rts double")
+    out = {r["id"]: r["rts_asof"] for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_values=[], tolerance_seconds=60).collect()}
+    assert out[1] == 990.0          # 10s old: within tolerance
+    assert out[2] is None           # 4010s old: nulled, not dropped

@@ -70,6 +70,7 @@ ENTRIES = [
     "vector_quantize_int8",      # per-dim min/max broadcast, exact codes
     "topp_mass_cutoff",          # integer-cents cumsum cutoff
     "text_bigram_logprob",       # decimal-rounded ln terms per doc
+    "join_asof_tolerance",       # carried window + tolerance nulls
 ]
 
 SMALL_SPLIT_BYTES = 65536
