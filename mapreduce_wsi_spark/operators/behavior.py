@@ -195,3 +195,44 @@ def ewma_smooth(events: DataFrame, key_col: str = "user_id",
         num.alias("num"), den.alias("den"))
         .withColumn("ewma_cents",
                     F.col("num").cast("double") / F.col("den")))
+
+
+def theil_sen_trend(events: DataFrame, key_col: str = "user_id",
+                    value_col: str = "value", id_col: str = "event_id",
+                    ts_col: str = "ts", max_points: int = 30) -> DataFrame:
+    """Theil-Sen robust trend per key: the MEDIAN of all pairwise slopes
+    ``(y_j - y_i) / (j - i)`` over the key's first ``max_points`` events
+    (x = event rank, y = integer cents) — the estimator a single wild
+    outlier cannot drag, unlike the OLS slope (29% breakdown point).
+
+    Exactness: each slope is ONE correctly-rounded double division of
+    integers (identical both engines), and the median is
+    PERCENTILE_DISC semantics (smallest value with cume_dist >= 0.5 —
+    an actual slope, no interpolation), so results compare bitwise.
+    Scale: the pairwise expansion is the quadratic step, hence the
+    ``max_points`` cap — O(k²) pairs per key regardless of how many
+    events a hot key has (the standard guard; raise it knowingly).
+    Pairs build from a rank self-join keyed by ``key_col``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(id_col).asc())
+    r = (events
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= max_points)
+         .select(key_col, "rn",
+                 F.round(F.col(value_col) * 100).cast("bigint").alias("yc")))
+    a = r.select(F.col(key_col), F.col("rn").alias("__ra"),
+                 F.col("yc").alias("__ya"))
+    b = r.select(F.col(key_col), F.col("rn").alias("__rb"),
+                 F.col("yc").alias("__yb"))
+    pairs = (a.join(b, key_col)
+             .filter(F.col("__ra") < F.col("__rb"))
+             .select(key_col,
+                     ((F.col("__yb") - F.col("__ya")).cast("double")
+                      / (F.col("__rb") - F.col("__ra"))).alias("s")))
+    cd = F.cume_dist().over(Window.partitionBy(key_col).orderBy("s"))
+    return (pairs.select(key_col, "s", cd.alias("cd"))
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_pairs"),
+                 F.min(F.when(F.col("cd") >= 0.5, F.col("s")))
+                 .alias("ts_slope")))

@@ -709,3 +709,36 @@ def topp_mass_cutoff(spark, sf_dir):
                      < F.col("tot_c") * 9)
             .select("event_type", "user_id", "amt_c",
                     F.col("run_c").cast("bigint").alias("run_c")))
+
+
+@register(
+    "theil_sen_user_trend",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, rn, yc FROM (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   CAST(round(value * 100) AS BIGINT) AS yc
+            FROM events) t
+        WHERE rn <= 30),
+    p AS (SELECT a.user_id,
+                 CAST(b.yc - a.yc AS DOUBLE) / (b.rn - a.rn) AS s
+          FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn),
+    c AS (SELECT user_id, s,
+                 cume_dist() OVER (PARTITION BY user_id ORDER BY s) AS cd
+          FROM p)
+    SELECT user_id, CAST(count(*) AS INT) AS n_pairs,
+           min(CASE WHEN cd >= 0.5 THEN s END) AS ts_slope
+    FROM c GROUP BY user_id
+    """,
+    note="Theil-Sen robust trend per user (median of pairwise slopes "
+         "over the first 30 events, x = rank, y = integer cents): the "
+         "29%-breakdown robust counterpart of ols_trend_per_type — one "
+         "wild outlier cannot drag it. Single-division doubles + "
+         "PERCENTILE_DISC median, so bitwise cross-engine; the "
+         "max_points cap bounds the quadratic pair step at O(k²) per "
+         "key (operators/behavior.py::theil_sen_trend)")
+def theil_sen_user_trend(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.behavior import theil_sen_trend
+    return theil_sen_trend(tbl(spark, sf_dir, "events"))

@@ -178,3 +178,22 @@ def test_ewma_known_series(spark):
     # rn3: s=3, weights 2^7,2^8,2^9: num=0+100*256+200*512=128000,
     # den=1024-128=896
     assert abs(out[12]["ewma_cents"] - 128000 / 896) < 1e-12
+
+
+def test_theil_sen_ignores_single_outlier(spark):
+    """A clean +100-cents/step ramp with one wild spike: Theil-Sen still
+    reports ~the true slope (the spike touches < 50% of pairs), with an
+    exact median from the pairwise slope multiset."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.behavior import theil_sen_trend
+
+    vals = [float(i) for i in range(20)]     # slope 1.00/step = 100 cents
+    vals[10] = 10_000.0                      # one wild outlier
+    rows = [(i, 1, vals[i], i) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, "
+                                     "value double, ts bigint") \
+        .withColumn("ts", F.timestamp_micros("ts"))
+    out = theil_sen_trend(df).collect()[0]
+    assert out["n_pairs"] == 190
+    assert out["ts_slope"] == 100.0          # exact: median pair slope

@@ -71,6 +71,7 @@ ENTRIES = [
     "topp_mass_cutoff",          # integer-cents cumsum cutoff
     "text_bigram_logprob",       # decimal-rounded ln terms per doc
     "join_asof_tolerance",       # carried window + tolerance nulls
+    "theil_sen_user_trend",      # pairwise slopes + disc median
 ]
 
 SMALL_SPLIT_BYTES = 65536
