@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 
 def funnel_first_touch(events: DataFrame,
-                       steps: tuple[str, ...]) -> DataFrame:
+                       steps: tuple[str, ...],
+                       max_gap: str | None = None) -> DataFrame:
     """First-touch funnel: per user, the timestamp of the first ``steps[0]``
     event, the first ``steps[1]`` event strictly after it, and so on.
     Returns one row per user with columns t0..t{k-1} (NULL once the funnel
@@ -33,6 +34,12 @@ def funnel_first_touch(events: DataFrame,
     partitioning, so the whole chain costs ONE shuffle (exchange reuse
     across the stacked Window operators) plus the final per-user
     aggregation that rides the same partitioning.
+
+    ``max_gap`` (an INTERVAL string, e.g. "30 minutes") additionally
+    bounds each step's delay after the previous one — the
+    conversion-window form every funnel report actually uses; None
+    keeps the unbounded chain. Same plan either way (the bound is one
+    more predicate inside the conditional min).
     """
     w = Window.partitionBy("user_id")
     df = events.select("user_id", "ts", "event_type")
@@ -41,6 +48,9 @@ def funnel_first_touch(events: DataFrame,
         cond = F.col("event_type") == step
         if prev is not None:
             cond = cond & (F.col("ts") > F.col(prev))
+            if max_gap is not None:
+                cond = cond & (
+                    F.col("ts") <= F.col(prev) + F.expr(f"INTERVAL {max_gap}"))
         df = df.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
         prev = f"t{i}"
     return df.groupBy("user_id").agg(

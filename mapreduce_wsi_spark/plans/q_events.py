@@ -742,3 +742,44 @@ def topp_mass_cutoff(spark, sf_dir):
 def theil_sen_user_trend(spark, sf_dir):
     from mapreduce_wsi_spark.operators.behavior import theil_sen_trend
     return theil_sen_trend(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "funnel_within_window",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+                           AND ts <= t0 + INTERVAL 1 DAY THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+                           AND ts <= t1 + INTERVAL 1 DAY THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w2
+    ), per AS (
+        SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        FROM w3 GROUP BY user_id
+    )
+    SELECT count(t0) AS users_view, count(t1) AS users_click,
+           count(t2) AS users_purchase
+    FROM per
+    """,
+    note="CONVERSION-WINDOW funnel: view > click > purchase with each "
+         "step within 1 day of the previous one (the form every "
+         "funnel report actually uses — unbounded funnels overcount); "
+         "identical one-shuffle chained-window plan as funnel_steps, "
+         "the bound is one more predicate inside each conditional min "
+         "(operators/behavior.py::funnel_first_touch max_gap)")
+def funnel_within_window(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    per = funnel_first_touch(ev, ("view", "click", "purchase"),
+                             max_gap="1 day")
+    return per.agg(F.count("t0").alias("users_view"),
+                   F.count("t1").alias("users_click"),
+                   F.count("t2").alias("users_purchase"))

@@ -197,3 +197,26 @@ def test_theil_sen_ignores_single_outlier(spark):
     out = theil_sen_trend(df).collect()[0]
     assert out["n_pairs"] == 190
     assert out["ts_slope"] == 100.0          # exact: median pair slope
+
+
+def test_windowed_funnel_never_exceeds_unbounded(spark, sf_oracle):
+    """Adding a conversion window can only shrink step counts, and a
+    tighter window shrinks them monotonically."""
+    from mapreduce_wsi_spark.operators.behavior import funnel_first_touch
+    from mapreduce_wsi_spark.plans.registry import tbl
+
+    ev = tbl(spark, sf_oracle, "events")
+    steps = ("view", "click", "purchase")
+
+    def counts(gap):
+        per = funnel_first_touch(ev, steps, max_gap=gap)
+        r = per.agg(*[__import__("pyspark").sql.functions.count(f"t{i}")
+                      .alias(f"c{i}") for i in range(3)]).collect()[0]
+        return [r[f"c{i}"] for i in range(3)]
+
+    unbounded = counts(None)
+    day = counts("1 day")
+    hour = counts("2 hours")
+    for i in range(3):
+        assert hour[i] <= day[i] <= unbounded[i]
+    assert day[1] < unbounded[1]  # the bound actually bites at sf0.01
