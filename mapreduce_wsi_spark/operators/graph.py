@@ -171,3 +171,39 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = 3,
     return cur.select("id", "pr",
                       (F.col("pr").cast("double") / F.lit(float(PAGERANK_SCALE)))
                       .alias("pr_norm"))
+
+
+def label_propagation_communities(edges: DataFrame, n_rounds: int = 2,
+                                  src_col: str = "src",
+                                  dst_col: str = "dst") -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation: every node
+    starts labeled with its own id; each round relabels every node with
+    the MODE of its neighbors' labels, ties to the smallest label — the
+    deterministic variant of Raghavan et al.'s LPA (the classic
+    asynchronous/random-order formulation is irreproducible by design;
+    fixed rounds + lexicographic ties make the result a pure function
+    of the graph, so an engine twin can replay it). Returns
+    ``(id, community)`` after ``n_rounds``.
+
+    Scale shape per round: one labels-vs-edges equi-join, one
+    (node, label) count aggregation, one per-node top-1 window — all
+    keyed by node id, lineage cut per round. Unlike connected
+    components, LPA respects edge DENSITY: two cliques joined by one
+    bridge edge stay separate communities where components would merge
+    them.
+    """
+    e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
+                                     F.col(dst_col).alias("dst")))
+    lab = iter_checkpoint(
+        e.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("lbl")))
+    from pyspark.sql import Window
+    for _ in range(n_rounds):
+        nb = (e.join(lab.withColumnRenamed("id", "src"), "src")
+              .groupBy(F.col("dst").alias("id"), "lbl")
+              .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("id").orderBy(F.desc("c"), F.col("lbl").asc())
+        lab = iter_checkpoint(
+            nb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).select("id", "lbl"))
+    return lab.select("id", F.col("lbl").alias("community"))

@@ -256,3 +256,45 @@ def graph_pagerank(spark, sf_dir):
             .unionByName(
                 e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))))
     return pagerank_fixed(both, n_iter=3)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_CTE}),
+    e AS (SELECT lo AS src, hi AS dst FROM e0
+          UNION ALL SELECT hi AS src, lo AS dst FROM e0),
+    l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+    n1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+           FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+    l1 AS (SELECT id, lbl FROM (
+               SELECT *, row_number() OVER (PARTITION BY id
+                                            ORDER BY c DESC, lbl) AS rn
+               FROM n1) t WHERE rn = 1),
+    n2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+           FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+    l2 AS (SELECT id, lbl FROM (
+               SELECT *, row_number() OVER (PARTITION BY id
+                                            ORDER BY c DESC, lbl) AS rn
+               FROM n2) t WHERE rn = 1)
+    SELECT id, lbl AS community FROM l2
+    """,
+    note="deterministic synchronous label propagation (2 rounds, mode "
+         "of neighbor labels, ties to smallest) on the undirected "
+         "co-purchase graph — density-aware communities vs connected "
+         "components' reachability (a one-edge bridge does not merge "
+         "two cliques). The async/random-order textbook LPA is "
+         "irreproducible by design; fixed rounds + lexicographic ties "
+         "make this a pure function of the graph, replayed exactly by "
+         "the unrolled twin "
+         "(operators/graph.py::label_propagation_communities)")
+def graph_label_propagation(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.graph import (
+        label_propagation_communities,
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    e = part_edges(li).select("lo", "hi")
+    both = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+            .unionByName(
+                e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))))
+    return label_propagation_communities(both, n_rounds=2)

@@ -124,3 +124,28 @@ def test_pagerank_star_center_dominates(spark):
     pr = {r["id"]: r["pr"] for r in pagerank_fixed(df, n_iter=3).collect()}
     assert pr[0] > max(pr[i] for i in range(1, 9))
     assert sum(pr.values()) <= PAGERANK_SCALE
+
+
+def test_lpa_respects_density_where_components_merge(spark):
+    """Two triangles joined by ONE bridge edge: connected components
+    merges them into one cluster; 2-round LPA keeps two communities —
+    the density-awareness that makes LPA a different operator."""
+    from mapreduce_wsi_spark.operators.dedup import connected_components
+    from mapreduce_wsi_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint")
+    lpa = {r["id"]: r["community"]
+           for r in label_propagation_communities(edges).collect()}
+    assert lpa[1] == lpa[2] == lpa[3]
+    assert lpa[4] == lpa[5] == lpa[6]
+    assert lpa[1] != lpa[4]
+    pairs = spark.createDataFrame([(a, b) for a, b in und],
+                                  "doc_a bigint, doc_b bigint")
+    comp = {r["id"]: r["comp"]
+            for r in connected_components(pairs).collect()}
+    assert len(set(comp.values())) == 1  # components see one blob

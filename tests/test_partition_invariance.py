@@ -72,6 +72,7 @@ ENTRIES = [
     "text_bigram_logprob",       # decimal-rounded ln terms per doc
     "join_asof_tolerance",       # carried window + tolerance nulls
     "theil_sen_user_trend",      # pairwise slopes + disc median
+    "graph_label_propagation",   # mode-of-neighbors rounds
 ]
 
 SMALL_SPLIT_BYTES = 65536
