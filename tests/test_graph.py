@@ -139,8 +139,11 @@ def test_lpa_respects_density_where_components_merge(spark):
     edges = spark.createDataFrame(
         [(a, b) for a, b in und] + [(b, a) for a, b in und],
         "src bigint, dst bigint")
+    # 3 rounds: synchronous LPA needs the extra round for the bridge
+    # node's label to settle (2-round states still oscillate there)
     lpa = {r["id"]: r["community"]
-           for r in label_propagation_communities(edges).collect()}
+           for r in label_propagation_communities(edges,
+                                                  n_rounds=3).collect()}
     assert lpa[1] == lpa[2] == lpa[3]
     assert lpa[4] == lpa[5] == lpa[6]
     assert lpa[1] != lpa[4]
