@@ -150,3 +150,33 @@ def compact_files(spark: SparkSession, path: str,
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_out
+
+
+def read_csv_quarantine(spark: SparkSession, path_glob: str, schema,
+                        sep: str = ","):
+    """PERMISSIVE CSV ingest with corrupt-row capture: returns
+    ``(good, quarantine)`` where ``good`` carries the declared schema
+    (corrupt rows nulled out and removed) and ``quarantine`` holds each
+    malformed line verbatim for replay/inspection — the
+    dead-letter-queue pattern of a production ingest (FAILFAST kills
+    the job on one bad byte; silent PERMISSIVE loses the evidence).
+
+    The frame is cached before splitting: Spark refuses a filter that
+    references ONLY the internal corrupt-record column of an
+    un-materialized CSV relation (SPARK-21610) — and the cache also
+    means the file parses once for both branches.
+    """
+    from pyspark.sql import types as T
+
+    aug = T.StructType(list(schema.fields)
+                       + [T.StructField("_corrupt_record",
+                                        T.StringType(), True)])
+    df = (spark.read.option("sep", sep)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(aug).csv(path_glob)).cache()
+    good = (df.filter(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record"))
+    bad = (df.filter(F.col("_corrupt_record").isNotNull())
+           .select(F.col("_corrupt_record").alias("raw_line")))
+    return good, bad

@@ -209,3 +209,28 @@ def test_compact_files_reduces_file_count_preserves_rows(spark, tmp_path):
     after_files = len(list((tmp_path / "fragmented").glob("*.parquet")))
     assert after_files == n_out < before_files
     assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before
+
+
+def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
+    """Dead-letter ingest: typed rows parse into the schema; malformed
+    lines land verbatim in the quarantine, nothing is silently lost."""
+    from pyspark.sql import types as T
+
+    from mapreduce_wsi_spark.sources.files import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,alpha,2.5\n"
+                 "2,beta,not_a_number\n"
+                 "3,gamma,4.0\n"
+                 "oops\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    rows = {r["id"]: (r["name"], r["score"]) for r in good.collect()}
+    assert rows == {1: ("alpha", 2.5), 3: ("gamma", 4.0)}
+    raws = sorted(r["raw_line"] for r in bad.collect())
+    assert raws == ["2,beta,not_a_number", "oops"]
+    assert good.count() + bad.count() == 4
