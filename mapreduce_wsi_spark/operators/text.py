@@ -463,3 +463,41 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
                  (F.sum("lp").cast("double") / F.count(F.lit(1)))
                  .cast("double").alias("mean_logp")))
+
+
+def phrase_occurrences(df: DataFrame, text_col: str, id_col: str,
+                       w1: Column | None = None,
+                       w2: Column | None = None) -> DataFrame:
+    """Exact phrase search over a POSITIONAL index: token positions per
+    doc, adjacency via a position self-join (``pos2 = pos1 + 1`` on the
+    same doc) — the retrieval primitive an inverted index without
+    positions cannot answer (bag-of-words matches "new york" and
+    "york new" alike). With ``w1``/``w2`` omitted, searches the
+    corpus's most frequent adjacent pair (computed in-plan,
+    deterministic ties: count desc, then words) — a self-contained
+    demonstration query; production callers pass the phrase.
+
+    Returns (id, w1, w2, n_occurrences) for docs containing the phrase.
+    Scale: the positional table is the inverted index plus one int; the
+    adjacency join is keyed (doc, term) -> equi on (doc, pos+1), and a
+    real deployment prunes it to the phrase's two posting lists first —
+    exactly what the broadcast single-phrase filter here does.
+    """
+    pos = (df.select(F.col(id_col).alias("__id"),
+                     F.posexplode(words(F.col(text_col)))
+                     .alias("__pos", "__term")))
+    a = pos.select(F.col("__id"), F.col("__pos"),
+                   F.col("__term").alias("w1"))
+    b = pos.select(F.col("__id").alias("__id2"),
+                   (F.col("__pos") - 1).alias("__pos2"),
+                   F.col("__term").alias("w2"))
+    adj = a.join(b, (a["__id"] == b["__id2"]) & (a["__pos"] == b["__pos2"]))
+    if w1 is None:
+        top = (adj.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+               .orderBy(F.desc("__c"), "w1", "w2").limit(1)
+               .select("w1", "w2"))
+        hits = adj.join(F.broadcast(top), ["w1", "w2"])
+    else:
+        hits = adj.filter((F.col("w1") == w1) & (F.col("w2") == w2))
+    return (hits.groupBy(F.col("__id").alias(id_col), "w1", "w2")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_occurrences")))

@@ -2155,3 +2155,32 @@ def mm_decode_wav_alaw(spark, sf_dir):
         F.lit("audio/basic").alias("mime"),
         F.octet_length(content).cast("int").alias("n_bytes"))
     return decode_wav_stats(blobs)
+
+
+@register(
+    "text_phrase_match",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, i AS p, w[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+             unnest(generate_series(1, len(w))) s(i)),
+    adj AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+    top AS (SELECT w1, w2 FROM (
+                SELECT w1, w2, count(*) AS c FROM adj GROUP BY 1, 2
+                ORDER BY c DESC, w1, w2 LIMIT 1) q)
+    SELECT adj.doc_id, adj.w1, adj.w2,
+           CAST(count(*) AS INT) AS n_occurrences
+    FROM adj JOIN top USING (w1, w2)
+    GROUP BY 1, 2, 3
+    """,
+    note="exact phrase search over a POSITIONAL index (pos2 = pos1 + 1 "
+         "adjacency self-join) for the corpus's most frequent adjacent "
+         "pair (in-plan, deterministic ties) — the retrieval primitive "
+         "a positionless inverted index cannot answer; per-doc "
+         "occurrence counts (operators/text.py::phrase_occurrences)")
+def text_phrase_match(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import phrase_occurrences
+    return phrase_occurrences(tbl(spark, sf_dir, "documents"),
+                              "text", "doc_id")

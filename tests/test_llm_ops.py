@@ -1299,3 +1299,20 @@ def test_alaw_expansion_and_asof_tolerance(spark):
         right_values=[], tolerance_seconds=60).collect()}
     assert out[1] == 990.0          # 10s old: within tolerance
     assert out[2] is None           # 4010s old: nulled, not dropped
+
+
+def test_phrase_match_is_order_sensitive(spark):
+    """'new york' must not match 'york new' — the positional claim."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.text import phrase_occurrences
+
+    rows = [(1, "visit new york today new york rules"),
+            (2, "york new is reversed here"),
+            (3, "nothing relevant at all")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_occurrences(df, "text", "doc_id",
+                                       w1=F.lit("new"),
+                                       w2=F.lit("york")).collect()}
+    assert out == {1: 2}

@@ -73,6 +73,7 @@ ENTRIES = [
     "join_asof_tolerance",       # carried window + tolerance nulls
     "theil_sen_user_trend",      # pairwise slopes + disc median
     "graph_label_propagation",   # mode-of-neighbors rounds
+    "text_phrase_match",         # positional adjacency self-join
 ]
 
 SMALL_SPLIT_BYTES = 65536
