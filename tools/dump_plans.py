@@ -67,6 +67,10 @@ SHOWN = [
     "sketch_kmv_overlap",
     "vector_quantize_int8",
     "events_ewma_smooth",
+    "text_phrase_match",
+    "graph_label_propagation",
+    "theil_sen_user_trend",
+    "funnel_within_window",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.
