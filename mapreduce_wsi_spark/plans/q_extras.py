@@ -839,3 +839,57 @@ def dq_profile_columns(spark, sf_dir):
                          lambda c: c.cast("decimal(18,2)").cast("string")),
     }
     return profile_columns(o, spec)
+
+
+def _geo_oracle() -> str:
+    """Brute-force DuckDB twin of the grid-blocked radius join: same
+    md5-derived synthetic coordinates, same plan-literal km-per-degree
+    factors (full-precision repr), exhaustive pair scan — the blocked
+    engine path must reproduce it exactly."""
+    from mapreduce_wsi_spark.operators.geo import (
+        KM_PER_DEG_LAT, km_per_deg_lon)
+    kx = repr(km_per_deg_lon(40.1))
+    ky = repr(KM_PER_DEG_LAT)
+    bucket = ("CAST(CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8)) "
+              "AS BIGINT) % 1000 AS INT)")
+    blat = bucket.format(k="c_custkey")
+    blon = bucket.format(k="c_custkey + 1000000")
+    return f"""
+    WITH p AS (SELECT c_custkey AS id,
+                      40.0 + {blat} / 1000.0 * 0.2 AS lat,
+                      -74.0 + {blon} / 1000.0 * 0.2 AS lon
+               FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           sqrt(((b.lon - a.lon) * {kx}) * ((b.lon - a.lon) * {kx})
+                + ((b.lat - a.lat) * {ky}) * ((b.lat - a.lat) * {ky}))
+               AS dist_km
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE sqrt(((b.lon - a.lon) * {kx}) * ((b.lon - a.lon) * {kx})
+               + ((b.lat - a.lat) * {ky}) * ((b.lat - a.lat) * {ky}))
+          <= 2.0
+    """
+
+
+@register(
+    "geo_radius_join",
+    oracle=_geo_oracle(),
+    note="geospatial radius self-join (pairs within 2 km): fixed-grid "
+         "blocking with cell edge >= radius, 3x3 neighbor explode on one "
+         "side, equi-join on the cell, exact distance verify on "
+         "candidates only — never all-pairs. Coordinates synthesized "
+         "from the portable md5 bucket of c_custkey (a ~22 km city box); "
+         "distance is the local planar metric with km-per-degree "
+         "factors as full-precision plan literals — pure arithmetic, "
+         "bit-identical cross-engine, vs the brute-force exhaustive "
+         "DuckDB twin (operators/geo.py::grid_radius_join)")
+def geo_radius_join(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.geo import grid_radius_join
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    cust = tbl(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(40.0) + portable_bucket(F.col("c_custkey"), 1000)
+         / F.lit(1000.0) * F.lit(0.2)).alias("lat"),
+        (F.lit(-74.0) + portable_bucket(F.col("c_custkey") + 1000000, 1000)
+         / F.lit(1000.0) * F.lit(0.2)).alias("lon"))
+    return grid_radius_join(pts, radius_km=2.0, ref_lat_deg=40.1)

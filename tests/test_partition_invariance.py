@@ -74,6 +74,7 @@ ENTRIES = [
     "theil_sen_user_trend",      # pairwise slopes + disc median
     "graph_label_propagation",   # mode-of-neighbors rounds
     "text_phrase_match",         # positional adjacency self-join
+    "geo_radius_join",           # grid blocking + literal-factor metric
 ]
 
 SMALL_SPLIT_BYTES = 65536

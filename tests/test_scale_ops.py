@@ -235,3 +235,34 @@ def test_interval_join_avoids_nested_loop(spark, sf_oracle):
     tree = buf.getvalue().split("\n\n")[0]
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_grid_radius_join_equals_bruteforce(spark):
+    """Blocked spatial join vs exhaustive pairs on seeded random points —
+    including pairs straddling cell boundaries (the 3x3 coverage
+    claim)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.geo import (
+        grid_radius_join,
+        km_per_deg_lon,
+    )
+
+    rng = random.Random(11)
+    pts = [(i, 40.0 + rng.random() * 0.1, -74.0 + rng.random() * 0.1)
+           for i in range(150)]
+    df = spark.createDataFrame(pts, "id bigint, lat double, lon double")
+    got = {(r["id_a"], r["id_b"]) for r in
+           grid_radius_join(df, radius_km=1.5, ref_lat_deg=40.1).collect()}
+    kx, ky = km_per_deg_lon(40.1), 111.32
+    want = set()
+    for i, la, lo in pts:
+        for j, lb, lj in pts:
+            if i < j:
+                d = math.sqrt(((lj - lo) * kx) ** 2 + ((lb - la) * ky) ** 2)
+                if d <= 1.5:
+                    want.add((i, j))
+    assert got == want and len(want) > 100
