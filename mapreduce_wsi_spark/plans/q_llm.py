@@ -2184,3 +2184,41 @@ def text_phrase_match(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import phrase_occurrences
     return phrase_occurrences(tbl(spark, sf_dir, "documents"),
                               "text", "doc_id")
+
+
+def _bpe_apply_oracle() -> str:
+    """DuckDB twin of bpe_apply_fixed: the same rank-ordered replace
+    chain nested programmatically (RE2 needs the explicit 'g' flag where
+    Java regexp_replace is global by default)."""
+    from mapreduce_wsi_spark.operators.text import BPE_MERGES
+    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for pat, rep in BPE_MERGES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               flatten(list_transform(string_split(text, ' '),
+                       w -> string_split({expr}, ' '))) AS toks
+        FROM documents)
+    SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           md5(array_to_string(toks, '|')) AS tok_md5
+    FROM t
+    """
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    note="REAL BPE merge application (rank-ordered fixed table, the "
+         "production apply semantics: each merge exhaustively, rank by "
+         "rank, left-to-right non-overlapping — a global replace chain "
+         "reproduces it faithfully): words explode to characters, the "
+         "8-merge table collapses common pairs, output pins the exact "
+         "post-merge segmentation via an order-sensitive md5. Map-only "
+         "JVM expressions inside one higher-order transform; a learned "
+         "50k-merge vocab swaps the literals for a trie-driven pandas "
+         "UDF, same contract (operators/text.py::bpe_apply_fixed)")
+def text_bpe_apply(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bpe_apply_fixed
+    return bpe_apply_fixed(tbl(spark, sf_dir, "documents"),
+                           "text", "doc_id")

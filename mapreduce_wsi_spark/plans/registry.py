@@ -92,7 +92,7 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_resize_real, plus the r5-built additions), and — with the free
 # slots that remain — a staleness tier re-checking the entries whose
 # most recent stamp is oldest (all last stamped in r2). A green round
-# lifts cumulative driver coverage to 173 of the 204 registered entries;
+# lifts cumulative driver coverage to 173 of the 205 registered entries;
 # the r5 second tranche (dedup_semdedup, knn_label_vote, text_vocab_oov,
 # heavy_hitters_mg, url_normalize, split_leakage_safe, graph_pagerank,
 # dq_profile_columns, dedup_containment, dedup_keep_longest,
@@ -101,7 +101,7 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_decode_wav_ulaw, mm_decode_wav_alaw, topp_mass_cutoff,
 # text_bigram_logprob, join_asof_tolerance, theil_sen_user_trend,
 # funnel_within_window, graph_label_propagation, text_phrase_match,
-# geo_radius_join) and
+# geo_radius_join, text_bpe_apply) and
 # the remaining first-tranche r5 additions (pipeline_prepare_media,
 # batch_length_buckets, text_strip_dup_spans, hybrid_retrieval_rrf,
 # text_unigram_logprob) queue for the r6 window.

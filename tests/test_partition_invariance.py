@@ -75,6 +75,7 @@ ENTRIES = [
     "graph_label_propagation",   # mode-of-neighbors rounds
     "text_phrase_match",         # positional adjacency self-join
     "geo_radius_join",           # grid blocking + literal-factor metric
+    "text_bpe_apply",            # map-only merge chain, md5 pinned
 ]
 
 SMALL_SPLIT_BYTES = 65536
