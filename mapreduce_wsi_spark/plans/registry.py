@@ -84,27 +84,15 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
 # driver evidence grows instead of re-stamping the same 50. Rounds 1-4
-# stamped 128 distinct entries green. This round closes the loop: the 5
-# fixed sentinels (cross-round regression canaries), ALL 32 entries no
-# round has ever stamped (scalar-function tail, window variants,
-# lakehouse/dq leftovers, and the r4 post-window additions
-# dedup_components_star / text_bpe_pretokenize / mm_features_real /
-# mm_resize_real, plus the r5-built additions), and — with the free
-# slots that remain — a staleness tier re-checking the entries whose
-# most recent stamp is oldest (all last stamped in r2). A green round
-# lifts cumulative driver coverage to 173 of the 205 registered entries;
-# the r5 second tranche (dedup_semdedup, knn_label_vote, text_vocab_oov,
-# heavy_hitters_mg, url_normalize, split_leakage_safe, graph_pagerank,
-# dq_profile_columns, dedup_containment, dedup_keep_longest,
-# pipeline_prepare_web, events_ewma_smooth, dedup_prefix_filter,
-# sketch_kmv_overlap, vector_quantize_int8, mm_decode_gif,
-# mm_decode_wav_ulaw, mm_decode_wav_alaw, topp_mass_cutoff,
-# text_bigram_logprob, join_asof_tolerance, theil_sen_user_trend,
-# funnel_within_window, graph_label_propagation, text_phrase_match,
-# geo_radius_join, text_bpe_apply) and
-# the remaining first-tranche r5 additions (pipeline_prepare_media,
-# batch_length_buckets, text_strip_dup_spans, hybrid_retrieval_rrf,
-# text_unigram_logprob) queue for the r6 window.
+# stamped 128 distinct entries green. This round's window = the 5 fixed
+# sentinels (cross-round regression canaries) + 45 never-stamped
+# entries (the full r4 backlog plus the oldest-queued r5 additions —
+# the staleness pad was reclaimed because the fresh queue exceeds the
+# free slots; see WINDOW_STALENESS_PAD). A green round lifts cumulative
+# driver coverage to 173 of the 205 registered entries; the remaining
+# 32 never-stamped r5 additions (verified by set arithmetic in
+# tests/test_driver_window.py and listed by COVERAGE.md's queue note)
+# fit the r6 window with 13 slots to spare for staleness re-checks.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
