@@ -783,3 +783,89 @@ def funnel_within_window(spark, sf_dir):
     return per.agg(F.count("t0").alias("users_view"),
                    F.count("t1").alias("users_click"),
                    F.count("t2").alias("users_purchase"))
+
+
+@register(
+    "streak_longest_per_user",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rnt
+        FROM events),
+    isl AS (SELECT user_id, event_type, rn - rnt AS grp,
+                   count(*) AS len
+            FROM r GROUP BY 1, 2, 3),
+    best AS (SELECT user_id, event_type, len FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY len DESC, event_type) AS pick
+                 FROM isl) t
+             WHERE pick = 1)
+    SELECT user_id, event_type AS streak_type,
+           CAST(len AS INT) AS streak_len
+    FROM best
+    """,
+    note="gaps-and-islands streaks: longest run of consecutive "
+         "same-type events per user via the classic rn - rn_per_type "
+         "island key (two windows over ONE user ordering, no "
+         "self-join); ties broken (len desc, type) so the per-user "
+         "champion is deterministic. The pattern behind retention "
+         "streaks / consecutive-day badges at any scale — all windows "
+         "partition on the user key")
+def streak_longest_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    r = (ev.withColumn("rn", F.row_number().over(w_all))
+         .withColumn("rnt", F.row_number().over(w_typ)))
+    isl = (r.groupBy("user_id", "event_type",
+                     (F.col("rn") - F.col("rnt")).alias("grp"))
+           .agg(F.count(F.lit(1)).alias("len")))
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.col("event_type").asc())
+    return (isl.withColumn("__p", F.row_number().over(pick))
+            .filter(F.col("__p") == 1)
+            .select("user_id", F.col("event_type").alias("streak_type"),
+                    F.col("len").cast("int").alias("streak_len")))
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS xc,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    fr AS (SELECT event_id, user_id, rn,
+                  list_sort(list(xc) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))
+                      AS l
+           FROM r)
+    SELECT event_id, user_id, CAST(rn AS INT) AS rn,
+           l[CAST(ceil(len(l) / 2.0) AS INT)] AS med_cents
+    FROM fr
+    """,
+    note="rolling EXACT median over the last-11 frame per user (integer "
+         "cents, PERCENTILE_DISC low-middle selection — an actual data "
+         "value, bitwise cross-engine): the robust smoothing companion "
+         "to the EWMA (one spike cannot move a median). One window "
+         "shuffle; the frame rides a bounded collect_list like "
+         "events_ewma_smooth")
+def window_moving_median(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-10, 0)
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    arr = F.array_sort(F.collect_list(xc).over(frame))
+    s = F.size(arr)
+    med = F.element_at(arr, F.ceil(s / F.lit(2.0)).cast("int"))
+    return ev.select("event_id", "user_id",
+                     F.row_number().over(w).alias("rn"),
+                     med.alias("med_cents"))

