@@ -92,7 +92,7 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver coverage to 173 of the 207 registered entries; the remaining
 # 34 never-stamped r5 additions (verified by set arithmetic in
 # tests/test_driver_window.py and listed by COVERAGE.md's queue note)
-# fit the r6 window with 13 slots to spare for staleness re-checks.
+# fit the r6 window with 11 slots to spare for staleness re-checks.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
