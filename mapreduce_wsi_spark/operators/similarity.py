@@ -405,3 +405,43 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
             .select(F.col(id_col), code.alias("q"),
                     F.element_at(mins, 1).alias("mn0"),
                     F.element_at(maxs, 1).alias("mx0")))
+
+
+def label_coherence(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label", dim: int = 64) -> DataFrame:
+    """Embedding-quality evaluation: per label, the mean cosine of its
+    members to their own label centroid — the cluster-coherence metric
+    that decides whether labels (or pseudo-labels from kNN/clustering)
+    are geometrically real before they train anything.
+
+    Deterministic end to end, engine-portable: centroid components
+    accumulate as DECIMAL(20,10) (the float->decimal cast is the same
+    correctly-rounded value everywhere, and decimal sums are
+    order-free), divided once in double; per-member cosines round to
+    DECIMAL(28,9) before the label mean (the unigram-LM trick), so no
+    accumulation order ever shows. Plan: one posexplode + (label, dim)
+    aggregation (dim x labels rows), centroids re-packed and broadcast,
+    one scan for the cosines, one label rollup.
+    """
+    v = _as_double(F.col(vec_col))
+    exploded = df.select(F.col(label_col).alias("lbl"),
+                         F.posexplode(v).alias("dim", "x"))
+    sums = (exploded.groupBy("lbl", "dim")
+            .agg(F.sum(F.col("x").cast("decimal(20,10)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    cent = (sums.withColumn("c", F.col("s").cast("double") / F.col("n"))
+            .groupBy("lbl")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                 .alias("__sc"))
+            .select("lbl", F.transform(F.col("__sc"),
+                                       lambda s: s["c"]).alias("centroid")))
+    scored = (df.select(F.col(label_col).alias("lbl"), v.alias("__v"))
+              .join(F.broadcast(cent), "lbl")
+              .withColumn("__cos",
+                          cosine(F.col("__v"), F.col("centroid"))
+                          .cast("decimal(28,9)")))
+    return (scored.groupBy(F.col("lbl").alias(label_col))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_members"),
+                 (F.sum("__cos").cast("double") / F.count(F.lit(1)))
+                 .alias("mean_cos")))

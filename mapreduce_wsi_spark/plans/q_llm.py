@@ -2222,3 +2222,41 @@ def text_bpe_apply(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import bpe_apply_fixed
     return bpe_apply_fixed(tbl(spark, sf_dir, "documents"),
                            "text", "doc_id")
+
+
+@register(
+    "embedding_label_coherence",
+    oracle="""
+    WITH x AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    e AS (SELECT label, i AS dim, CAST(v[i] AS DECIMAL(20,10)) AS xd
+          FROM x, unnest(generate_series(1, 64)) s(i)),
+    sums AS (SELECT label, dim, sum(xd) AS s, count(*) AS n
+             FROM e GROUP BY 1, 2),
+    cent AS (SELECT label,
+                    list_transform(
+                        list_sort(list({'d': dim,
+                                        'c': CAST(s AS DOUBLE) / n})),
+                        r -> r.c) AS centroid
+             FROM sums GROUP BY label),
+    scored AS (SELECT x.label,
+                      CAST(list_dot_product(x.v, c.centroid) /
+                           (sqrt(list_dot_product(x.v, x.v)) *
+                            sqrt(list_dot_product(c.centroid, c.centroid)))
+                           AS DECIMAL(28,9)) AS cosd
+               FROM x JOIN cent c USING (label))
+    SELECT label, CAST(count(*) AS INT) AS n_members,
+           CAST(CAST(sum(cosd) AS DOUBLE) / count(*) AS DOUBLE) AS mean_cos
+    FROM scored GROUP BY label
+    """,
+    note="embedding-quality evaluation: per-label mean cosine to the "
+         "own-label centroid (cluster coherence — decides whether "
+         "labels/pseudo-labels are geometrically real). Deterministic "
+         "throughout: centroid sums in DECIMAL(20,10) (order-free), one "
+         "double division per component, per-member cosines rounded to "
+         "DECIMAL(28,9) before the label mean — the unigram-LM "
+         "exactness pattern applied to vector math "
+         "(operators/similarity.py::label_coherence)")
+def embedding_label_coherence(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import label_coherence
+    return label_coherence(tbl(spark, sf_dir, "embeddings"))

@@ -89,10 +89,10 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries (the full r4 backlog plus the oldest-queued r5 additions —
 # the staleness pad was reclaimed because the fresh queue exceeds the
 # free slots; see WINDOW_STALENESS_PAD). A green round lifts cumulative
-# driver coverage to 173 of the 207 registered entries; the remaining
-# 34 never-stamped r5 additions (verified by set arithmetic in
+# driver coverage to 173 of the 208 registered entries; the remaining
+# 35 never-stamped r5 additions (verified by set arithmetic in
 # tests/test_driver_window.py and listed by COVERAGE.md's queue note)
-# fit the r6 window with 11 slots to spare for staleness re-checks.
+# fit the r6 window with 10 slots to spare for staleness re-checks.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.

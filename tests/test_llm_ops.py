@@ -1331,3 +1331,22 @@ def test_bpe_apply_merges_in_rank_order(spark):
     # thin -> [th, in] (2) + xyz -> [x, y, z] (3)
     assert out[1]["n_tokens"] == 5
     assert out[1]["tok_md5"] == out[2]["tok_md5"]
+
+
+def test_label_coherence_ranks_tight_clusters_higher(spark):
+    """Two labels: one tight cluster (copies of one vector with a tiny
+    wiggle), one antipodal pair — coherence must separate them."""
+    from mapreduce_wsi_spark.operators.similarity import label_coherence
+
+    base = [1.0, 0.0, 0.0] + [0.0] * 61
+    anti = [-1.0, 0.0, 0.0] + [0.0] * 61
+    wig = [0.99, 0.01, 0.0] + [0.0] * 61
+    rows = [(0, base, 1), (1, wig, 1), (2, base, 1),
+            (3, base, 2), (4, anti, 2)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<float>, "
+                               "label int")
+    out = {r["label"]: r["mean_cos"]
+           for r in label_coherence(df, dim=64).collect()}
+    assert out[1] > 0.99
+    assert abs(out[2]) < 0.1   # centroid ~0 on axis 1: members orthogonal-ish

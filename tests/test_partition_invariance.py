@@ -78,6 +78,7 @@ ENTRIES = [
     "text_bpe_apply",            # map-only merge chain, md5 pinned
     "streak_longest_per_user",   # island keys from dual row_numbers
     "window_moving_median",      # sorted bounded frames
+    "embedding_label_coherence", # decimal centroid sums + rounded cos
 ]
 
 SMALL_SPLIT_BYTES = 65536
