@@ -436,12 +436,16 @@ def label_coherence(df: DataFrame, id_col: str = "vec_id",
                  .alias("__sc"))
             .select("lbl", F.transform(F.col("__sc"),
                                        lambda s: s["c"]).alias("centroid")))
+    # degenerate guard: a label whose members cancel exactly (e.g. an
+    # antipodal pair) has the zero centroid — cosine is undefined, so
+    # those labels report NULL instead of dividing by zero under ANSI
     scored = (df.select(F.col(label_col).alias("lbl"), v.alias("__v"))
               .join(F.broadcast(cent), "lbl")
               .withColumn("__cos",
-                          cosine(F.col("__v"), F.col("centroid"))
+                          F.when(l2_norm(F.col("centroid")) > 0,
+                                 cosine(F.col("__v"), F.col("centroid")))
                           .cast("decimal(28,9)")))
     return (scored.groupBy(F.col("lbl").alias(label_col))
             .agg(F.count(F.lit(1)).cast("int").alias("n_members"),
-                 (F.sum("__cos").cast("double") / F.count(F.lit(1)))
+                 (F.sum("__cos").cast("double") / F.count("__cos"))
                  .alias("mean_cos")))
