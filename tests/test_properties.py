@@ -327,3 +327,48 @@ def test_asof_nearest_matches_bruteforce(spark, lrows, rrows):
             continue
         best = min(cands, key=lambda rt: (abs(rt - t), rt > t))
         assert got[i] == best, (i, k, t, cands, got[i], best)
+
+
+def test_ewma_matches_python_reference(spark):
+    """ewma_smooth's integer num/den vs an independent pure-Python fold
+    over seeded random series and partitionings — the window
+    collect_list frame order is load-bearing and this pins it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.behavior import ewma_smooth
+
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    series = {}
+    for uid in range(6):
+        n = rng.randint(1, 25)
+        vals = [round(rng.uniform(0, 500), 2) for _ in range(n)]
+        series[uid] = vals
+        for i, v in enumerate(vals):
+            rows.append((eid, uid, v, i))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, value double, ts bigint") \
+        .withColumn("ts", F.timestamp_micros("ts"))
+
+    def ref(vals, L=10):
+        out = []
+        cents = [round(v * 100) for v in vals]
+        for t in range(len(cents)):
+            lo = max(0, t - L + 1)
+            frame = cents[lo:t + 1]
+            s = len(frame)
+            num = sum(x * (1 << (L - s + i)) for i, x in enumerate(frame))
+            den = (1 << L) - (1 << (L - s))
+            out.append((num, den))
+        return out
+
+    for parts in (1, 5):
+        got = {(r["user_id"], r["rn"]): (r["num"], r["den"])
+               for r in ewma_smooth(df.repartition(parts)).collect()}
+        for uid, vals in series.items():
+            for i, nd in enumerate(ref(vals), start=1):
+                assert got[(uid, i)] == nd, (parts, uid, i)
