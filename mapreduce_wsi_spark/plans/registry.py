@@ -83,65 +83,59 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-4
-# stamped 128 distinct entries green. This round's window = the 5 fixed
-# sentinels (cross-round regression canaries) + 45 never-stamped
-# entries (the full r4 backlog plus the oldest-queued r5 additions —
-# the staleness pad was reclaimed because the fresh queue exceeds the
-# free slots; see WINDOW_STALENESS_PAD). A green round lifts cumulative
-# driver coverage to 173 of the 208 registered entries; the remaining
-# 35 never-stamped r5 additions (verified by set arithmetic in
-# tests/test_driver_window.py and listed by COVERAGE.md's queue note)
-# fit the r6 window with 10 slots to spare for staleness re-checks.
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-5
+# stamped 173 distinct entries green. This round's window = the 5 fixed
+# sentinels (cross-round regression canaries) + ALL 35 remaining
+# never-stamped entries (the full r5 second-tranche backlog) + a
+# 10-slot staleness pad of the oldest-stamped entries (last stamped in
+# round 2). A green round lifts cumulative driver coverage to 208/208
+# of the pre-r6 catalog — every entry driver-stamped at least once.
+# Entries added DURING r6 queue behind the window for the r7 rotation.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
-ROUND = 5  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+ROUND = 6  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # exists only when free slots remain after covering never-stamped
-# entries and SHRINKS FIRST — with the r5 second tranche the fresh
-# queue (19) exceeds the free slots, so the pad is empty this round and
-# its two slots went to the oldest-queued fresh entries instead
-WINDOW_STALENESS_PAD: tuple[str, ...] = ()
+# entries and SHRINKS FIRST. This round the fresh queue is exactly 35,
+# leaving 10 slots; they go to the entries with the OLDEST last stamp
+# (round 2, in registration order) so long-dormant results get
+# re-verified against regenerated fixtures.
+WINDOW_STALENESS_PAD: tuple[str, ...] = (
+    "approx_quantiles", "join_anti", "join_full_outer", "join_cross",
+    "join_theta_range", "window_running_agg", "topk_per_group",
+    "rollup_agg", "cube_agg", "set_intersect",
+)
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # exact/robust statistics tail
-    "quantile_cont_exact", "agg_exact_stats", "weighted_median_exact",
-    "robust_mad_stats", "ols_trend_per_type",
-    # window variants
-    "window_dist_lead", "window_ntile_bins",
-    # relational/analytic leftovers
-    "time_spine_gapfill", "yoy_revenue_growth", "share_of_total",
-    "skew_key_diagnostics", "rare_terms_df",
-    # lakehouse/dq leftovers
-    "upsert_merge", "dq_constraints", "table_fingerprint",
-    "incremental_agg_merge",
-    # scalar-function tail
-    "scalar_math_funcs", "scalar_conditional", "json_extract",
-    "array_funcs", "scalar_string_funcs2", "scalar_datetime_funcs2",
-    "scalar_hash_bitwise",
-    # sketch + vector tail
-    "hll_sketch_rollup", "vector_normalize",
-    # corpus-prep leftover
-    "mix_sources_epochs",
-    # r4 post-window additions
-    "dedup_components_star", "text_bpe_pretokenize",
-    "mm_decode_features", "mm_features_real", "mm_resize_real", "mm_resize",
-    # r5 additions: real PNG + baseline-JPEG decoders, audio frame
-    # features, perceptual-hash image near-dup, substring-level dedup,
-    # temperature mixing, Bloom decontam, random projection, the
-    # stream-stream join twin, and the model quality gate
-    "mm_decode_png", "mm_decode_jpeg",
-    "mm_audio_frames", "mm_image_dhash", "mm_image_neardup",
-    "text_dup_spans", "decontam_bloom_prefilter", "mix_temperature_flatten",
-    "vector_random_projection", "stream_stream_join", "quality_model_gate",
-    # reclaimed pad slots: the two oldest-queued never-stamped r5
-    # additions (stream-stream left-outer twin, nearest-direction as-of)
-    "stream_stream_left_outer", "join_asof_nearest",
+    # r5 second tranche: joins / geo / dq
+    "join_asof_tolerance", "dq_profile_columns", "geo_radius_join",
+    "url_normalize",
+    # text analysis & retrieval tail
+    "text_unigram_logprob", "text_bigram_logprob", "text_strip_dup_spans",
+    "hybrid_retrieval_rrf", "text_vocab_oov", "text_phrase_match",
+    "text_bpe_apply", "topp_mass_cutoff",
+    # dedup family tail
+    "dedup_semdedup", "dedup_containment", "dedup_keep_longest",
+    "dedup_prefix_filter",
+    # similarity / vectors
+    "knn_label_vote", "embedding_label_coherence", "vector_quantize_int8",
+    # sketches
+    "heavy_hitters_mg", "sketch_kmv_overlap",
+    # corpus-prep composites
+    "pipeline_prepare_media", "pipeline_prepare_web", "split_leakage_safe",
+    "batch_length_buckets",
+    # multimodal decoders (GIF + G.711 audio)
+    "mm_decode_gif", "mm_decode_wav_ulaw", "mm_decode_wav_alaw",
+    # behavioral / window tail
+    "events_ewma_smooth", "theil_sen_user_trend", "funnel_within_window",
+    "streak_longest_per_user", "window_moving_median",
+    # graph tail
+    "graph_pagerank", "graph_label_propagation",
 ) + WINDOW_STALENESS_PAD
 
 
