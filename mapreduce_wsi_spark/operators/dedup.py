@@ -471,7 +471,8 @@ def keep_best_in_components(df: DataFrame, comp: DataFrame, id_col: str,
 
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 n: int = 3, min_jaccard: float = 0.5,
-                                order: str = "df") -> DataFrame:
+                                order: str = "df",
+                                materialize: bool = False) -> DataFrame:
     """Exact Jaccard pairs >= threshold via PREFIX FILTERING (the
     PPJoin/AllPairs family, Chaudhuri et al. / Xiao et al.): provably no
     false negatives, unlike LSH, yet never joins on every shingle like
@@ -492,6 +493,13 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     (correctness is order-independent; candidates are merely less
     pruned). Output identical to ``jaccard_pairs`` at the same
     threshold: (doc_a, doc_b, jaccard).
+
+    ``materialize=True`` persists the tokenized per-doc frame before
+    its triple consumption (prefix explode + both verify sides) — the
+    100 TB recipe: lineage re-execution scales with corpus size, the
+    cache does not. Off by default because at fixture scale an eager
+    materialization was measured a wash (the write costs what the
+    re-reads save); results are identical either way.
     """
     sh = word_shingles(df, text_col, id_col, n)
     if order == "df":
@@ -516,17 +524,19 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     else:
         sh = sh.select("id", F.xxhash64("shingle").alias("__rank"))
 
-    # NOTE on materialization: docs is consumed three times (prefix
-    # explode + both verify sides). An eager localCheckpoint here was
-    # measured a wash at sf0.1 (the checkpoint write costs what the
-    # re-reads save on this fixture); at 100 TB persist() the frame —
-    # lineage re-execution scales with corpus size, the cache does not.
+    # docs is consumed three times (prefix explode + both verify
+    # sides); the materialize knob persists it per the 100 TB note in
+    # the docstring (MEMORY_AND_DISK: a tokenized frame that outgrows
+    # executor memory spills instead of OOMing)
     docs = (sh.groupBy("id")
             .agg(F.sort_array(F.collect_list("__rank")).alias("__toks"))
             .withColumn("__n", F.size("__toks"))
             .withColumn("__p", F.col("__n")
                         - F.ceil(F.lit(min_jaccard) * F.col("__n")).cast("int")
                         + F.lit(1)))
+    if materialize:
+        from pyspark import StorageLevel
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     pref = docs.select("id", "__n", F.explode(
         F.slice("__toks", 1, F.col("__p"))).alias("__rank"))
     a, b = pref.alias("a"), pref.alias("b")

@@ -185,25 +185,36 @@ def label_propagation_communities(edges: DataFrame, n_rounds: int = 2,
     of the graph, so an engine twin can replay it). Returns
     ``(id, community)`` after ``n_rounds``.
 
+    Edges are treated as DIRECTED influence: a node adopts the mode of
+    the labels flowing in over its INCOMING edges. For the classic
+    undirected LPA, pass each edge in both directions (the catalog
+    entry does). A node with no incoming edges keeps its current label
+    each round rather than vanishing — the node universe is src ∪ dst
+    and every round's relabeling is left-joined back onto it.
+
     Scale shape per round: one labels-vs-edges equi-join, one
-    (node, label) count aggregation, one per-node top-1 window — all
-    keyed by node id, lineage cut per round. Unlike connected
-    components, LPA respects edge DENSITY: two cliques joined by one
-    bridge edge stay separate communities where components would merge
-    them.
+    (node, label) count aggregation, one per-node top-1 window, one
+    id-keyed carry join — all keyed by node id, lineage cut per round.
+    Unlike connected components, LPA respects edge DENSITY: two cliques
+    joined by one bridge edge stay separate communities where
+    components would merge them.
     """
     e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
                                      F.col(dst_col).alias("dst")))
-    lab = iter_checkpoint(
-        e.select(F.col("src").alias("id")).distinct()
-        .select("id", F.col("id").alias("lbl")))
+    nodes = iter_checkpoint(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id"))).distinct())
+    lab = iter_checkpoint(nodes.select("id", F.col("id").alias("lbl")))
     from pyspark.sql import Window
     for _ in range(n_rounds):
         nb = (e.join(lab.withColumnRenamed("id", "src"), "src")
               .groupBy(F.col("dst").alias("id"), "lbl")
               .agg(F.count(F.lit(1)).alias("c")))
         w = Window.partitionBy("id").orderBy(F.desc("c"), F.col("lbl").asc())
+        relabel = (nb.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1)
+                   .select("id", F.col("lbl").alias("__new")))
         lab = iter_checkpoint(
-            nb.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).select("id", "lbl"))
+            lab.join(relabel, "id", "left")
+            .select("id", F.coalesce("__new", "lbl").alias("lbl")))
     return lab.select("id", F.col("lbl").alias("community"))

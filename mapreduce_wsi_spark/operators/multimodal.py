@@ -1579,15 +1579,20 @@ def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
             buf = cand
             continue
         emit(table[buf], width)
-        table[cand] = next_code
-        if next_code == (1 << width) and width < 12:
-            width += 1
-        next_code += 1
-        if next_code > 4096:
+        if next_code == 4096:
+            # Dictionary full: codes stop at 0xFFF (GIF89a App. F), so
+            # reset BEFORE assigning — never mint a 13-bit entry. The
+            # decoder mirrors this: its lazy append stops at len 4096,
+            # so the code just emitted adds nothing on either side.
             emit(clear, width)
             table = {(j,): j for j in range(clear)}
             next_code = end + 1
             width = min_code + 1
+        else:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
         buf = (i,)
     if buf:
         emit(table[buf], width)

@@ -292,7 +292,8 @@ def ivf_query(assigned: DataFrame, centroids: DataFrame,
 
 def semantic_dedup(corpus: DataFrame, min_cos: float = 0.9,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   n_centroids: int = 8, seed: int = 42) -> DataFrame:
+                   n_centroids: int | None = None, seed: int = 42,
+                   target_cell_size: int = 1024) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, compare cosines
     only WITHIN each cluster, and for every near-duplicate pair keep the
@@ -304,7 +305,19 @@ def semantic_dedup(corpus: DataFrame, min_cos: float = 0.9,
     cell id is a natural partition key at 100 TB. Reuses the IVF
     quantizer (``build_ivf_index``) so an ANN index and the dedup pass
     share one clustering cost.
+
+    The cell-count/cell-size trade-off is ENCODED, not just documented:
+    when ``n_centroids`` is None the default is derived as
+    ``max(8, ceil(n / target_cell_size))`` from one corpus count (a
+    1-row aggregate action, not a data collect), so the within-cell
+    quadratic stays ~target_cell_size² per cell at any corpus size — a
+    caller shipping the defaults to a 10⁹-row corpus gets ~10⁶ cells,
+    not 8 cells of 10⁸ rows each. Pass an explicit ``n_centroids`` to
+    pin the clustering (e.g. to share one IVF build across passes).
     """
+    if n_centroids is None:
+        n = corpus.count()
+        n_centroids = max(8, -(-n // target_cell_size))
     assigned, _ = build_ivf_index(corpus, id_col=id_col, vec_col=vec_col,
                                   n_centroids=n_centroids, seed=seed)
     # unit-normalize once per row so the per-pair score is one dot fold
@@ -369,23 +382,21 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def quantize_int8(df: DataFrame, id_col: str = "vec_id",
-                  vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                  vec_col: str = "embedding") -> DataFrame:
     """Scalar int8 quantization of an embedding column: per-dimension
     min/max over the corpus, each value mapped to
     ``round((x - mn) * 254 / (mx - mn)) - 127`` in [-127, 127] — the
-    standard 4x storage/shuffle reduction in front of ANN serving.
+    standard 4x storage/shuffle reduction in front of ANN serving. A
+    dimension that is CONSTANT across the corpus (mx == mn) carries no
+    information; it quantizes to code 0 instead of dividing by zero.
 
-    Plan: one posexplode + 64-row min/max aggregate (partial-combine),
-    broadcast back as two plan-side arrays, then a map-only zip_with —
-    the corpus is scanned twice but never shuffled. Every arithmetic
-    step is the same double sequence on any engine (each op correctly
-    rounded, fixed order), so the quantized codes are bit-identical —
-    no tolerance needed. Output: (id, q int array, mn/mx of dim 1 for
-    audit).
-
-    Constant-dimension note: ``dim`` is a plan constant (embedding
-    width), matching the fixture contract; a width change is a schema
-    migration, not a runtime discovery.
+    Plan: one posexplode + width-row min/max aggregate
+    (partial-combine), broadcast back as two plan-side arrays, then a
+    map-only zip_with — the corpus is scanned twice but never shuffled.
+    Every arithmetic step is the same double sequence on any engine
+    (each op correctly rounded, fixed order), so the quantized codes
+    are bit-identical — no tolerance needed. Output: (id, q int array,
+    mn/mx of dim 1 for audit).
     """
     v = _as_double(F.col(vec_col))
     stats = (df.select(F.posexplode(v).alias("__i", "__x"))
@@ -398,9 +409,11 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
     maxs = F.transform(F.col("__s"), lambda s: s["__mx"])
     code = F.zip_with(
         v, F.arrays_zip(mins, maxs),
-        lambda x, mm: (F.round((x - mm["0"]) * F.lit(254.0)
-                               / (mm["1"] - mm["0"]))
-                       - F.lit(127)).cast("int"))
+        lambda x, mm: F.when(
+            mm["1"] != mm["0"],
+            (F.round((x - mm["0"]) * F.lit(254.0) / (mm["1"] - mm["0"]))
+             - F.lit(127)).cast("int")
+        ).otherwise(F.lit(0)))
     return (df.crossJoin(F.broadcast(packed))
             .select(F.col(id_col), code.alias("q"),
                     F.element_at(mins, 1).alias("mn0"),

@@ -389,15 +389,18 @@ def vocab_oov(df: DataFrame, text_col: str, id_col: str,
     count (partial-combine map-side) and one per-doc re-aggregation; the
     vocab itself is vocab_size rows and broadcast into the membership
     join, so the token stream is never shuffled by token a second time.
+    The top-``vocab_size`` selection is ``orderBy().limit()``, which
+    lowers to TakeOrderedAndProject (per-partition heaps + a
+    vocab_size-row driver merge) — NOT a global row_number window,
+    whose single-partition sort over the whole distinct-token
+    dictionary is the anti-pattern prefix_filter_jaccard_pairs calls
+    out.
     """
-    from pyspark.sql import Window
-
     toks = df.select(F.col(id_col).alias("_id"),
                      F.explode(words(F.col(text_col))).alias("token"))
-    w = Window.orderBy(F.desc("cnt"), F.col("token").asc())
     vocab = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-             .withColumn("__rn", F.row_number().over(w))
-             .filter(F.col("__rn") <= vocab_size)
+             .orderBy(F.desc("cnt"), F.col("token").asc())
+             .limit(vocab_size)
              .select("token", F.lit(True).alias("__in_vocab")))
     scored = toks.join(F.broadcast(vocab), on="token", how="left")
     return (scored.groupBy(F.col("_id").alias(id_col))

@@ -152,3 +152,23 @@ def test_lpa_respects_density_where_components_merge(spark):
     comp = {r["id"]: r["comp"]
             for r in connected_components(pairs).collect()}
     assert len(set(comp.values())) == 1  # components see one blob
+
+
+def test_lpa_directed_keeps_nodes_without_incoming_edges(spark):
+    """On a DIRECTED edge list a src-only node has no incoming labels;
+    it must keep its own label each round, not vanish from the output.
+    Node 9 points into the triangle but nothing points back at it."""
+    from mapreduce_wsi_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    directed = ([(a, b) for a, b in und] + [(b, a) for a, b in und]
+                + [(9, 1)])
+    edges = spark.createDataFrame(directed, "src bigint, dst bigint")
+    lpa = {r["id"]: r["community"]
+           for r in label_propagation_communities(edges,
+                                                  n_rounds=2).collect()}
+    assert set(lpa) == {1, 2, 3, 9}      # nobody dropped
+    assert lpa[9] == 9                   # no incoming -> keeps own label
+    assert lpa[1] == lpa[2] == lpa[3]

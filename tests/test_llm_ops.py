@@ -1161,6 +1161,61 @@ def test_prefix_filter_equals_bruteforce_all_thresholds(spark):
         assert any(a == 1 and b == 5 for a, b, _ in want)  # non-vacuous
 
 
+def test_semantic_dedup_derives_centroids_from_corpus_size(spark):
+    """With n_centroids unset, the default derives from the corpus count
+    so cell sizes stay ~target_cell_size at ANY corpus scale — the
+    quadratic-blowup guard the scale notes promise. Results must agree
+    with the explicit-n_centroids call when they coincide, and a small
+    target_cell_size must still keep/drop correctly."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((41, 8))
+    un = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = un @ un.T
+    np.fill_diagonal(cos, 0.0)
+    assert cos.max() < 0.9          # no natural near-dups in this seed
+    rows = ([(i, [float(v) for v in vecs[i]]) for i in range(41)]
+            + [(100, [float(v) * 1.0001 for v in vecs[1]])])  # near-copy
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # 42 rows, target 1024 -> derived max(8, ceil(42/1024)) = 8: identical
+    # to the explicit call
+    derived = {r["vec_id"]: r["keep"] for r in semantic_dedup(df).collect()}
+    explicit = {r["vec_id"]: r["keep"]
+                for r in semantic_dedup(df, n_centroids=8).collect()}
+    assert derived == explicit
+    # tiny target -> many cells: ceil(42/4) = 11 centroids; the planted
+    # near-copy must still land with its source and be dropped
+    fine = {r["vec_id"]: r["keep"]
+            for r in semantic_dedup(df, target_cell_size=4).collect()}
+    assert fine[100] is False
+    assert sum(not v for v in fine.values()) == 1
+
+
+def test_prefix_filter_materialize_knob_identical_results(spark):
+    """materialize=True persists the tokenized frame (the 100 TB
+    recipe); the pair set must be bit-identical to the lazy path."""
+    from mapreduce_wsi_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + " extra words here"),
+            (3, "alpha beta gamma completely other tail now k l m"),
+            (4, base)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lazy = {(r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in prefix_filter_jaccard_pairs(
+                df, "text", "doc_id", min_jaccard=0.5).collect()}
+    mat = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in prefix_filter_jaccard_pairs(
+               df, "text", "doc_id", min_jaccard=0.5,
+               materialize=True).collect()}
+    assert mat == lazy and any(a == 1 and b == 4 for a, b, _ in lazy)
+
+
 def test_quantize_int8_bounds_and_reconstruction(spark):
     """Codes stay in [-127, 127]; dequantization reconstructs within half
     a step per dimension; min/max map exactly to the range ends."""
@@ -1171,11 +1226,16 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
     rows = [(0, [0.0, -1.0, 10.0]), (1, [1.0, 1.0, 20.0]),
             (2, [0.5, 0.0, 15.0])]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
-    out = {r["vec_id"]: r["q"] for r in quantize_int8(
-        df, dim=3).collect()}
+    out = {r["vec_id"]: r["q"] for r in quantize_int8(df).collect()}
     assert out[0] == [-127, -127, -127]      # per-dim minima
     assert out[1] == [127, 127, 127]         # per-dim maxima
     assert out[2][0] == 0 and out[2][2] == 0  # midpoints -> code 0
+    # a corpus-constant dimension must quantize to code 0, not 0/0
+    const = spark.createDataFrame(
+        [(0, [5.0, 1.0]), (1, [5.0, 3.0])],
+        "vec_id bigint, embedding array<float>")
+    cq = {r["vec_id"]: r["q"] for r in quantize_int8(const).collect()}
+    assert cq[0] == [0, -127] and cq[1] == [0, 127]
     # reconstruction: |x - (q+127)/254*(mx-mn)-mn| <= step/2
     import numpy as np
     data = {0: [0.0, -1.0, 10.0], 1: [1.0, 1.0, 20.0], 2: [0.5, 0.0, 15.0]}
@@ -1226,6 +1286,85 @@ def test_gif_lzw_roundtrip_and_boundaries():
     f = _real_decode_features(encode_gif(imgs[0]))
     assert f is not None and f[0] == 1.0 and f[1] == 4.0
     assert _decode_image(encode_gif(imgs[0])) is not None
+
+
+def test_gif_lzw_dictionary_reset_roundtrip():
+    """An image noisy and large enough that the LZW dictionary hits its
+    4096-entry cap mid-stream: the encoder must emit CLEAR and reset
+    BEFORE minting code 4096 (GIF89a App. F caps codes at 0xFFF), and
+    the decoder must follow through the reset to a pixel-exact image."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _parse_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    # 128x96 = 12288 random pixels over a 256-color palette: matches stay
+    # short, so well over 4096 codes are emitted -> reset fires
+    img = rng.integers(0, 256, size=(96, 128), dtype=np.uint8)
+    rgb = np.stack([img, (img * 3) % 256, (img * 7) % 256],
+                   axis=2).astype(np.uint8)
+    parsed = _parse_gif(encode_gif(rgb))
+    assert parsed is not None
+    w, h, px = parsed
+    assert (h, w) == rgb.shape[:2]
+    assert np.array_equal(px, rgb)
+    # pin that this stream actually crossed the cap: replay the encoder's
+    # dictionary growth and count assignments between clears
+    indices = img.reshape(-1).tolist()
+    stream = _gif_lzw_encode(indices, 8)
+    assert _gif_lzw_decode(stream, 8, len(indices)) == indices
+    # prove the cap was actually crossed (not just a long stream):
+    # replay the encoder's dictionary discipline and count resets
+    n_resets = 0
+    table = {(i,): i for i in range(256)}
+    next_code = 258
+    buf: tuple[int, ...] = ()
+    for i in indices:
+        cand = buf + (i,)
+        if cand in table:
+            buf = cand
+            continue
+        if next_code == 4096:
+            n_resets += 1
+            table = {(j,): j for j in range(256)}
+            next_code = 258
+        else:
+            table[cand] = next_code
+            next_code += 1
+        buf = (i,)
+    assert n_resets >= 1
+
+
+def test_gif_lzw_fuzz_roundtrip():
+    """Property fuzz of the LZW pair: any index stream over any palette
+    width must roundtrip exactly, including streams long enough to bump
+    code widths across byte-packing boundaries (the dictionary-reset
+    path has its own directed test above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def prop(data):
+        min_code = data.draw(st.integers(2, 8))
+        n = data.draw(st.integers(1, 3000))
+        idx = data.draw(st.lists(
+            st.integers(0, (1 << min_code) - 1),
+            min_size=n, max_size=n))
+        stream = _gif_lzw_encode(idx, min_code)
+        assert _gif_lzw_decode(stream, min_code, len(idx)) == idx
+
+    prop()
 
 
 def test_ulaw_expansion_matches_published_table_anchors():

@@ -65,6 +65,15 @@ def test_global_topk_avoids_total_sort(spark, sf_oracle):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_vocab_oov_topk_avoids_global_window(spark, sf_oracle):
+    """The vocabulary top-k must lower to TakeOrderedAndProject, not an
+    unpartitioned row_number window (a single-partition sort over the
+    whole distinct-token dictionary)."""
+    plan = plan_of(build("text_vocab_oov", spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_agg_is_partial_then_final(spark, sf_oracle):
     """Q1: two HashAggregate nodes (partial before the exchange, final
     after) — map-side combine is what keeps the shuffle O(groups), the
