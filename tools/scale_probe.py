@@ -34,6 +34,9 @@ DEFAULT_QUERIES = [
     "events_ewma_smooth",       # one bounded-frame window
     "heavy_hitters_mg",         # Arrow partition sketch + tiny combine
     "mm_decode_ppm",            # Arrow decode kernel, map-only
+    "dedup_components_star",    # O(log n) star contraction rounds
+    "dedup_semdedup",           # IVF build + within-cell cosine join
+    "mm_decode_jpeg",           # heaviest per-row Arrow kernel
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
