@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Driver-window coverage audit: one command that prints, per recorded
+round, how many catalog entries the driver stamped green, the cumulative
+ever-stamped count, and the remaining never-stamped queue — the same set
+arithmetic tests/test_driver_window.py asserts, surfaced for humans (and
+future verdicts) instead of re-derived by hand each round.
+
+Usage: python3 tools/window_audit.py [--list]
+  --list  also print the never-stamped entry names (the next rotation's
+          fresh tier) and any red rows in the newest correctness file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from mapreduce_wsi_spark.plans.registry import (
+        DRIVER_WINDOW, ROUND, WINDOW_STALENESS_PAD, load_catalog)
+    catalog = load_catalog()
+
+    files = sorted(
+        (int(m.group(1)), os.path.join(REPO, f))
+        for f in os.listdir(REPO)
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)))
+    stamped: set[str] = set()
+    print(f"catalog entries: {len(catalog)}   registry.ROUND = {ROUND}")
+    for rnd, path in files:
+        with open(path) as fh:
+            rows = json.load(fh)
+        green = {n for n, r in rows.items()
+                 if r.get("rows_match") and r.get("schema_match")
+                 and r.get("hash_match", True) and not r.get("err")}
+        red = set(rows) - green
+        new = green - stamped
+        stamped |= green
+        flag = f"  RED: {sorted(red)}" if red else ""
+        print(f"r{rnd}: {len(green)}/{len(rows)} green "
+              f"(+{len(new)} new) cumulative {len(stamped)}{flag}")
+
+    never = [n for n in catalog if n not in stamped]
+    in_window = [n for n in never if n in DRIVER_WINDOW]
+    print(f"never-stamped: {len(never)} "
+          f"({len(in_window)} covered by the current window, "
+          f"{len(never) - len(in_window)} queued for the next rotation)")
+    pad_stale = [n for n in WINDOW_STALENESS_PAD if n not in stamped]
+    if pad_stale:
+        print(f"WARNING: staleness pad entries never stamped: {pad_stale}")
+    if "--list" in sys.argv[1:]:
+        for n in never:
+            mark = "window" if n in DRIVER_WINDOW else "queued"
+            print(f"  {mark}  {n}")
+
+
+if __name__ == "__main__":
+    main()
