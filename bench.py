@@ -83,6 +83,10 @@ HEADLINE = [
     # window-frame integer EWMA over the full event stream
     "dedup_prefix_filter",
     "events_ewma_smooth",
+    # round-6: the progressive (SOF2) decode path — four Annex G scans
+    # per image vs mm_decode_jpeg's one baseline scan on the same pixels,
+    # so the delta isolates the multi-scan entropy overhead
+    "mm_decode_jpeg_progressive",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

@@ -7,14 +7,16 @@ FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6),
 uncompressed 24/32bpp BMP (row padding, bottom-up scanlines, BGR(A) order),
 PNG (all five color types incl. palette and gray+alpha at 8-bit,
 16-bit for the non-palette types, non-interlaced — zlib inflate +
-per-row Sub/Up/Average/Paeth defilter), baseline JPEG (SOF0: Huffman entropy
-decode, dequant + IDCT, chroma upsampling, YCbCr->RGB), and PCM16
+per-row Sub/Up/Average/Paeth defilter), JPEG — both baseline sequential
+(SOF0) and progressive (SOF2: spectral selection + successive
+approximation, T.81 Annex G) — with Huffman entropy decode, dequant +
+IDCT, chroma upsampling, YCbCr->RGB, and PCM16
 WAV — powering real per-format stats (``decode_ppm_stats`` /
 ``decode_bmp_stats`` / ``decode_png_stats`` / ``decode_jpeg_stats`` /
 ``decode_wav_stats``), real typed feature vectors
 (``decode_features(real_decode=True)``), and real nearest-neighbor
 pixel resize (``resize_images(real_decode=True)``). The stub boundary
-is now narrow: progressive/arithmetic JPEG, sub-byte-depth and Adam7
+is now narrow: arithmetic-coded/12-bit JPEG, sub-byte-depth and Adam7
 PNG, RLE-BMP, and MP3-class audio codecs yield
 ok=false rows — never a failed stage — and the byte-level fake kernels
 remain the default for plumbing tests over arbitrary payloads.
@@ -258,19 +260,63 @@ def decode_ppm_stats(blobs: DataFrame) -> DataFrame:
 BMP_STATS_SCHEMA = PPM_STATS_SCHEMA
 
 
+def _bmp_rle8_indices(payload: bytes, pos: int, w: int,
+                      h: int) -> "np.ndarray | None":
+    """Decode a BI_RLE8 pixel stream into an (h, w) uint8 index image
+    (bottom-up row order, as stored). Handles all four op kinds from the
+    BMP spec: encoded runs (count, value), absolute mode (0, n>=3, n
+    literal bytes, word-aligned), end-of-line (0,0), delta skip (0,2,
+    dx, dy — skipped pixels stay index 0), end-of-bitmap (0,1). Strict
+    bounds: a run crossing a row edge or a stream without EOB returns
+    None (poison-safe, never raises)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    n = len(payload)
+    while pos + 1 < n:
+        c, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if c:  # encoded run
+            if y >= h or x + c > w:
+                return None
+            out[y, x:x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            x = 0
+            y += 1
+            if y > h:
+                return None
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta: skip right/up (bottom-up storage)
+            if pos + 2 > n:
+                return None
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                return None
+        else:  # absolute mode: v literal palette indices, word-aligned
+            if y >= h or x + v > w or pos + v > n:
+                return None
+            out[y, x:x + v] = np.frombuffer(payload[pos:pos + v],
+                                            dtype=np.uint8)
+            x += v
+            pos += v + (v & 1)
+    return None  # ran off the end without an end-of-bitmap escape
+
+
 def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """Parse an uncompressed 24/32bpp BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER, BI_RGB): returns (width, height, pixels) with
-    pixels an (h, w, 3) uint8 ndarray in top-down RGB order, or None if
-    the payload is not in the supported subset. REAL decode of the
-    mainstream interchange layout — stdlib ``struct`` for headers, numpy
-    views for the pixel block: handles the 4-byte row padding, the
-    bottom-up scanline order (positive height) and the top-down variant
-    (negative height), the BGR channel order, and 32bpp BGRA (alpha
-    dropped). Compressed BMPs (BI_RLE*, BI_BITFIELDS) and other depths
-    return None — that is the
-    remaining ``real_decode`` stub boundary for this format family.
-    """
+    """Parse a BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): returns
+    (width, height, pixels) with pixels an (h, w, 3) uint8 ndarray in
+    top-down RGB order, or None if the payload is not in the supported
+    subset. REAL decode of the mainstream interchange layouts — stdlib
+    ``struct`` for headers, numpy views for the pixel block: BI_RGB
+    24/32bpp (4-byte row padding, bottom-up and top-down scanline
+    orders, BGR(A) channel order, alpha dropped), BI_RGB 8bpp palette,
+    and BI_RLE8 run-length compressed 8bpp (encoded runs, absolute
+    mode, EOL/delta/EOB escapes). BI_RLE4 and BI_BITFIELDS return
+    None — the remaining ``real_decode`` stub boundary for this format
+    family."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -282,21 +328,124 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     w, h = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if planes != 1 or bpp not in (24, 32) or compression != 0 \
-            or w <= 0 or h == 0:
+    if planes != 1 or w <= 0 or h == 0 or data_off < 14 + hdr_size:
         return None
-    bottom_up = h > 0
-    h_abs = abs(h)
-    nb = bpp // 8
-    stride = (w * nb + 3) & ~3  # scanlines pad to 4-byte multiples
-    end = data_off + stride * h_abs
-    if data_off < 14 + hdr_size or len(payload) < end:
-        return None
-    scan = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
-            .reshape(h_abs, stride)[:, :w * nb].reshape(h_abs, w, nb))
-    if bottom_up:
-        scan = scan[::-1]
-    return w, h_abs, scan[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if bpp in (24, 32) and compression == 0:
+        bottom_up = h > 0
+        h_abs = abs(h)
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3  # scanlines pad to 4-byte multiples
+        end = data_off + stride * h_abs
+        if len(payload) < end:
+            return None
+        scan = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+                .reshape(h_abs, stride)[:, :w * nb].reshape(h_abs, w, nb))
+        if bottom_up:
+            scan = scan[::-1]
+        return w, h_abs, scan[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if bpp == 8 and compression in (0, 1):  # palette / BI_RLE8
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        if n_pal > 256 or len(payload) < pal_off + 4 * n_pal:
+            return None
+        pal = (np.frombuffer(payload[pal_off:pal_off + 4 * n_pal],
+                             dtype=np.uint8)
+               .reshape(-1, 4)[:, 2::-1])  # BGRX -> RGB
+        if n_pal < 256:  # any index decodes (poison-safe), as black
+            pal = np.vstack([pal, np.zeros((256 - n_pal, 3), np.uint8)])
+        if compression == 0:
+            bottom_up = h > 0
+            h_abs = abs(h)
+            stride = (w + 3) & ~3
+            end = data_off + stride * h_abs
+            if len(payload) < end:
+                return None
+            idx = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+                   .reshape(h_abs, stride)[:, :w])
+            if bottom_up:
+                idx = idx[::-1]
+            return w, h_abs, pal[idx]
+        if h < 0:  # RLE streams are bottom-up only per spec
+            return None
+        idx = _bmp_rle8_indices(payload, data_off, w, h)
+        if idx is None:
+            return None
+        return w, h, pal[idx[::-1]]
+    return None
+
+
+def _bmp8_wrap(w: int, h: int, palette, data: bytes,
+               compression: int) -> bytes:
+    """Assemble an 8bpp BMP (full 256-entry BGRX palette) around an
+    already-encoded pixel stream — shared by the two test encoders."""
+    import struct
+
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    p = np.asarray(palette, dtype=np.uint8)
+    pal[:len(p), :3] = p[:, ::-1]  # RGB -> BGR
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, compression,
+                       len(data), 0, 0, 0, 0)
+    body = info + pal.tobytes() + data
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(body), 0, 0,
+                           14 + len(info) + pal.nbytes)
+    return file_hdr + body
+
+
+def encode_bmp_pal8(indices: "np.ndarray", palette) -> bytes:
+    """Uncompressed 8bpp palette BMP from a TOP-DOWN (h, w) uint8 index
+    image (stored bottom-up, rows padded to 4 bytes) — test twin for the
+    palette decode path."""
+    h, w = indices.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = indices[::-1]
+    return _bmp8_wrap(w, h, palette, rows.tobytes(), 0)
+
+
+def encode_bmp_rle8(indices: "np.ndarray", palette,
+                    absolute_mode: bool = False) -> bytes:
+    """BI_RLE8 BMP from a TOP-DOWN (h, w) uint8 index image — the test
+    twin for _bmp_rle8_indices. Greedy encoded runs (<=255); with
+    ``absolute_mode`` non-repeating stretches of >=3 pixels use the
+    word-aligned absolute op instead of 1-runs, exercising that decode
+    branch. EOL after every row, EOB at the end (delta ops are covered
+    by directed hand-built streams in the tests — no mainstream encoder
+    emits them)."""
+    h, w = indices.shape
+    stored = indices[::-1]
+    out = bytearray()
+    for y in range(h):
+        row = stored[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            if absolute_mode and run < 3:
+                start = x
+                while x < w and x - start < 255:
+                    r2 = 1
+                    while x + r2 < w and row[x + r2] == row[x]:
+                        r2 += 1
+                    if r2 >= 3:
+                        break
+                    x += r2
+                lit = bytes(row[start:x])
+                if len(lit) >= 3:
+                    out += bytes([0, len(lit)]) + lit
+                    if len(lit) & 1:
+                        out += b"\x00"  # word alignment pad
+                else:
+                    for v in lit:
+                        out += bytes([1, v])
+            else:
+                out += bytes([run, int(row[x])])
+                x += run
+        if y < h - 1:
+            out += b"\x00\x00"
+    out += b"\x00\x01"
+    return _bmp8_wrap(w, h, palette, bytes(out), 1)
 
 
 def decode_bmp_stats(blobs: DataFrame) -> DataFrame:
@@ -651,13 +800,15 @@ def decode_wav_stats(blobs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Baseline JPEG (JFIF) — REAL decode from ITU-T T.81: marker walk,
-# canonical Huffman entropy decode (with 0xFF00 byte-stuffing and RSTn
-# restart handling), dequantize + zigzag, 8x8 matrix IDCT, replicate
-# chroma upsampling, JFIF YCbCr->RGB. Baseline sequential (SOF0) only;
-# progressive (SOF2), arithmetic coding and 12-bit depth return None —
-# the documented boundary. Entropy decode is inherently bit-serial, so
-# the hot loop is Python-per-symbol; the block math (dequant/IDCT/color
+# JPEG (JFIF) — REAL decode from ITU-T T.81: marker walk, canonical
+# Huffman entropy decode (with 0xFF00 byte-stuffing and RSTn restart
+# handling), dequantize + zigzag, 8x8 matrix IDCT, replicate chroma
+# upsampling, JFIF YCbCr->RGB. Both baseline sequential (SOF0) and
+# progressive (SOF2, Annex G: spectral-selection bands, successive-
+# approximation DC/AC first + refinement scans, EOBn end-of-band runs)
+# decode; arithmetic coding and 12-bit depth return None — the
+# documented boundary. Entropy decode is inherently bit-serial, so the
+# hot loop is Python-per-symbol; the block math (dequant/IDCT/color
 # convert) is numpy over all blocks at once.
 # --------------------------------------------------------------------------
 
@@ -716,17 +867,22 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return {sym: lc for lc, sym in _huff_table(bits, vals).items()}
 
 
-def _entropy_segments(payload: bytes, pos: int) -> list["np.ndarray"]:
+def _entropy_segments(payload: bytes, pos: int) \
+        -> tuple[list["np.ndarray"], int]:
     """Split the entropy-coded stream starting at ``pos`` into restart
     segments: un-stuffs 0xFF00 (keeping the 0xFF), drops 0xFF fill
     bytes, cuts a segment boundary at each RSTn marker, and stops at any
-    other marker. The scan walks only the 0xFF positions (numpy-found),
-    not every byte — on compressed data that is ~1/256 of the stream."""
+    other marker. Returns (segments, end) where ``end`` is the offset of
+    the terminating marker's 0xFF (len(payload) if none) so a multi-scan
+    progressive walk can resume the marker parse there. The scan walks
+    only the 0xFF positions (numpy-found), not every byte — on
+    compressed data that is ~1/256 of the stream."""
     a = np.frombuffer(payload, dtype=np.uint8)
     n = a.size
     segs: list[np.ndarray] = []
     parts: list[np.ndarray] = []
     i = pos
+    end = n
     for j in np.nonzero(a[pos:] == 0xFF)[0]:
         j = int(j) + pos
         if j < i:
@@ -745,12 +901,13 @@ def _entropy_segments(payload: bytes, pos: int) -> list["np.ndarray"]:
             i = j + 2
         else:
             parts.append(a[i:j])          # real marker (or truncated FF)
+            end = j
             i = n
             break
     if i < n:
         parts.append(a[i:n])
     segs.append(np.concatenate(parts) if parts else a[:0])
-    return segs
+    return segs, end
 
 
 def _huff_lut(table: dict[tuple[int, int], int]) -> tuple["np.ndarray",
@@ -802,7 +959,7 @@ class _BitReader:
     _POW2 = (1 << np.arange(15, -1, -1)).astype(np.int64)
 
     def __init__(self, payload: bytes, pos: int):
-        self.segs = _entropy_segments(payload, pos)
+        self.segs, self.end = _entropy_segments(payload, pos)
         self.seg = 0
         self._load()
 
@@ -854,11 +1011,15 @@ def _extend(v: int, s: int) -> int:
 
 
 def _parse_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """Parse a baseline-sequential JFIF JPEG: returns (width, height,
-    pixels) with pixels an (h, w, 3) uint8 RGB ndarray, or None outside
-    the supported subset (SOF0, 8-bit, 1 or 3 components, Huffman
-    coding; DRI/RSTn honored). See the section banner for the decode
-    pipeline and the documented boundary."""
+    """Parse a JFIF JPEG: returns (width, height, pixels) with pixels an
+    (h, w, 3) uint8 RGB ndarray, or None outside the supported subset
+    (SOF0 baseline sequential or SOF2 progressive, 8-bit, 1 or 3
+    components, Huffman coding; DRI/RSTn honored). Progressive decode
+    (T.81 Annex G): the marker walk loops over every SOS, each scan
+    merging its spectral band / successive-approximation bits into
+    shared per-component coefficient grids, and reconstruction runs once
+    at EOI. See the section banner for the pipeline and the remaining
+    (arithmetic-coded, 12-bit) boundary."""
     import struct
 
     if payload[:2] != b"\xFF\xD8":
@@ -868,14 +1029,19 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None  # (w, h, comps) comps = [(cid, hs, vs, tq)]
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    progressive = False
+    blocks: dict[int, np.ndarray] = {}
+    got_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return None
         marker = payload[pos + 1]
         if marker == 0xFF:  # fill byte padding before a marker
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(payload):
             return None
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4:pos + 2 + seglen]
@@ -903,24 +1069,54 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
                     return None
                 huff[(tc, th)] = _huff_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                return None
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    return None
+                comps.append((cid, hs, vs, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if progressive:
+                # shared coefficient grids, merged across scans
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for cid, hs, vs, tq in comps:
+                    blocks[cid] = np.zeros((mcuy * vs, mcux * hs, 64),
+                                           dtype=np.int32)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF
+            return None  # extended/arithmetic/lossless SOF
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                return None
+            if progressive:
+                scomps = [(body[1 + 2 * s], body[2 + 2 * s] >> 4,
+                           body[2 + 2 * s] & 0x0F) for s in range(ns)]
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                newpos = _decode_progressive_scan(
+                    payload, pos + 2 + seglen, frame, huff, blocks,
+                    scomps, ss, se, ah, al, restart_interval)
+                if newpos is None:
+                    return None
+                got_scan = True
+                pos = newpos
+                continue
             scan_sel = {}
             for s in range(ns):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
@@ -928,6 +1124,8 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
             return _decode_scan(payload, pos + 2 + seglen, frame, qt,
                                 huff, scan_sel, restart_interval)
         pos += 2 + seglen
+    if progressive and frame is not None and got_scan:
+        return _reconstruct(frame, qt, blocks)
     return None
 
 
@@ -1003,9 +1201,20 @@ def _decode_scan(payload, pos, frame, qt, huff, scan_sel, restart_interval):
                             blk[k] = _extend(v, size)
                             k += 1
             mcu_count += 1
-    # dequantize + un-zigzag + IDCT, vectorized over all blocks at once
+    return _reconstruct(frame, qt, blocks)
+
+
+def _reconstruct(frame, qt, blocks):
+    """Shared back half of both JPEG modes: dequantize + un-zigzag +
+    matrix IDCT (vectorized over all blocks at once), replicate chroma
+    upsample, crop, YCbCr->RGB."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = {}
     for cid, hs, vs, tq in comps:
+        if tq not in qt or cid not in blocks:
+            return None
         flat = blocks[cid].reshape(-1, 64) * qt[tq][None, :]
         sq = np.zeros_like(flat)
         sq[:, _ZIGZAG] = flat
@@ -1030,6 +1239,214 @@ def _decode_scan(payload, pos, frame, qt, huff, scan_sel, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(payload, pos, frame, huff, blocks,
+                             scomps, ss, se, ah, al, restart_interval):
+    """Decode ONE progressive scan (T.81 Annex G, Huffman) into the
+    shared per-component coefficient grids, merging with what earlier
+    scans produced. Handles all four scan kinds: DC first (diff decode,
+    value << Al), DC refinement (one bit per block ORed into bit Al),
+    AC first (run-length with EOBn end-of-band runs, spectral band
+    Ss..Se), and AC refinement (G.1.2.3 correction-bit walk — the same
+    control flow as libjpeg's decode_mcu_AC_refine, reimplemented from
+    the spec). DC scans may interleave components; AC scans are
+    non-interleaved per G.1.1.1.1 and iterate the component's OWN
+    ceil-sized block grid, not the MCU-padded one. Returns the payload
+    offset of the marker terminating the scan's entropy data (so the
+    caller resumes the marker walk), or None on malformed input."""
+    w, h, comps = frame
+    byid = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if not scomps or len(scomps) > len(comps):
+        return None
+    if any(cs not in byid or cs not in blocks for cs, _, _ in scomps):
+        return None
+    reader = _BitReader(payload, pos)
+
+    def refine_nonzero(blk, k, p1, m1):
+        """Correction bit for an already-nonzero coefficient."""
+        b = reader.receive(1)
+        if b is None:
+            return False
+        if b and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+        return True
+
+    if ss == 0:  # DC scan (spectral band must be exactly {0})
+        if se != 0 or ah > 13 or al > 13 or (ah and ah != al + 1):
+            return None
+        luts = {}
+        if ah == 0:
+            for cs, td, _ta in scomps:
+                t = huff.get((0, td))
+                if t is None:
+                    return None
+                luts[cs] = _huff_lut_cached(t)
+        pred = {cs: 0 for cs, _, _ in scomps}
+
+        def dc_unit(cs, blk):
+            if ah == 0:
+                s = reader.decode_symbol(luts[cs])
+                if s is None or s > 15:
+                    return False
+                if s:
+                    v = reader.receive(s)
+                    if v is None:
+                        return False
+                    pred[cs] += _extend(v, s)
+                blk[0] = pred[cs] << al
+            else:
+                b = reader.receive(1)
+                if b is None:
+                    return False
+                if b:
+                    blk[0] |= (1 << al)
+            return True
+
+        if len(scomps) == 1:  # non-interleaved: the comp's own grid
+            cs = scomps[0][0]
+            _cid, hs, vs, _tq = byid[cs]
+            bw = -(-(w * hs) // (8 * hmax))
+            bh = -(-(h * vs) // (8 * vmax))
+            grid = blocks[cs]
+            nblk = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and nblk and \
+                            nblk % restart_interval == 0:
+                        reader.restart()
+                        pred = {cs: 0}
+                    nblk += 1
+                    if not dc_unit(cs, grid[by, bx]):
+                        return None
+        else:  # interleaved MCU order
+            nmcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and nmcu and \
+                            nmcu % restart_interval == 0:
+                        reader.restart()
+                        pred = {cs: 0 for cs, _, _ in scomps}
+                    nmcu += 1
+                    for cs, _td, _ta in scomps:
+                        _cid, hs, vs, _tq = byid[cs]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = blocks[cs][my * vs + by,
+                                                 mx * hs + bx]
+                                if not dc_unit(cs, blk):
+                                    return None
+        return reader.end
+
+    # AC scan: single component, band Ss..Se
+    if len(scomps) != 1 or ss > se or se > 63 or al > 13 or \
+            (ah and ah != al + 1):
+        return None
+    cs, _td, ta = scomps[0]
+    t = huff.get((1, ta))
+    if t is None:
+        return None
+    ac_lut = _huff_lut_cached(t)
+    _cid, hs, vs, _tq = byid[cs]
+    bw = -(-(w * hs) // (8 * hmax))
+    bh = -(-(h * vs) // (8 * vmax))
+    grid = blocks[cs]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    nblk = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and nblk and \
+                    nblk % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            nblk += 1
+            blk = grid[by, bx]
+            if ah == 0:  # AC first scan at this bit position
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(ac_lut)
+                    if rs is None:
+                        return None
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # EOBn: this block + n-1
+                        if r:
+                            v = reader.receive(r)
+                            if v is None:
+                                return None
+                            eobrun += v
+                        break
+                    k += r
+                    if k > se:
+                        return None
+                    v = reader.receive(size)
+                    if v is None:
+                        return None
+                    blk[k] = _extend(v, size) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(ac_lut)
+                        if rs is None:
+                            return None
+                        r, size = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if size == 0:
+                            if r < 15:  # EOBn (correction bits follow)
+                                eobrun = 1 << r
+                                if r:
+                                    v = reader.receive(r)
+                                    if v is None:
+                                        return None
+                                    eobrun += v
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if size != 1:
+                                return None
+                            b = reader.receive(1)
+                            if b is None:
+                                return None
+                            newval = p1 if b else m1
+                        # advance over nonzero-history coefs (append a
+                        # correction bit to each) and r zero-history ones
+                        while k <= se:
+                            if blk[k] != 0:
+                                if not refine_nonzero(blk, k, p1, m1):
+                                    return None
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                return None
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # end-of-band: remaining nonzero coefs still carry
+                    # correction bits (for this and eobrun-1 more blocks)
+                    while k <= se:
+                        if blk[k] != 0:
+                            if not refine_nonzero(blk, k, p1, m1):
+                                return None
+                        k += 1
+                    eobrun -= 1
+    return reader.end
 
 
 class _BitWriter:
@@ -1124,6 +1541,331 @@ def encode_jpeg_dc(blocks: "np.ndarray", block_w: int,
             put_dc(1, 0)  # flat Cb=128
             put_dc(2, 0)  # flat Cr=128
     out += wr.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Full-coefficient JPEG test encoders (baseline AND progressive). Unlike
+# encode_jpeg_dc (uniform DC-only blocks), these take ARBITRARY quantized
+# coefficient blocks, so the equivalence pin "progressive decode ==
+# baseline decode of the same coefficients" exercises every entropy path:
+# spectral-selection bands, successive-approximation first/refinement
+# scans, EOBn runs with buffered correction bits, ZRL-vs-EOB folding, and
+# restarts. Per-scan Huffman tables are built from the scan's own symbol
+# set (every distinct symbol at code length 8 — canonical and valid since
+# a scan never emits >255 distinct symbols, and code 0xFF is never
+# reached). The AC refinement emitter follows T.81 G.1.2.3 (the same
+# buffered-bit control flow libjpeg uses), reimplemented from the spec.
+# --------------------------------------------------------------------------
+
+
+def _scan_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """Canonical one-length Huffman table covering a scan's symbols:
+    returns (bits, vals, codes) with codes {sym: (length, code)}."""
+    syms = sorted(set(symbols))
+    assert 0 < len(syms) <= 255
+    bits = [0] * 16
+    bits[7] = len(syms)
+    codes = {s: (8, i) for i, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    import struct
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _jpeg_frame_header(w, h, comps_geo, sof_marker, restart_every):
+    import struct
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xDB, b"\x00" + bytes([1] * 64))  # unit quant, id 0
+    if restart_every:
+        out += _seg(0xDD, struct.pack(">H", restart_every))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps_geo))
+    for i, (hs, vs) in enumerate(comps_geo):
+        sof += struct.pack(">BBB", i + 1, (hs << 4) | vs, 0)
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def _write_scan_ops(ops: list) -> bytes:
+    """Second pass: materialize a scan's op list (symbols resolved via
+    the table built from pass one) into stuffed entropy bytes."""
+    wr = _BitWriter()
+    rst = 0
+    for op in ops:
+        if op[0] == "s":
+            ln, code = op[2][op[1]]
+            wr.write(code, ln)
+        elif op[0] == "b":
+            wr.write(op[1], op[2])
+        else:  # restart: 1-pad to byte (stuffing handled by the writer)
+            if wr.n:
+                wr.write((1 << (8 - wr.n)) - 1, 8 - wr.n)
+            wr.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+    return wr.flush()
+
+
+def _emit_coef_bits(ops, v):
+    """Append the EXTEND bits for a signed coefficient value v of
+    magnitude size s (assumes v != 0); returns s."""
+    s = abs(v).bit_length()
+    ops.append(("b", v if v >= 0 else v + (1 << s) - 1, s))
+    return s
+
+
+def encode_jpeg_coeffs(comps, w, h, restart_every: int = 0) -> bytes:
+    """Baseline-sequential encoder over arbitrary quantized coefficient
+    blocks: ``comps`` is [(grid, hs, vs)] with grid an (mcuy*vs,
+    mcux*hs, 64) integer array in zigzag order; unit quant tables, one
+    interleaved scan, dynamic one-length Huffman tables."""
+    geo = [(hs, vs) for _g, hs, vs in comps]
+    hmax = max(h_ for h_, _ in geo)
+    vmax = max(v_ for _, v_ in geo)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for grid, hs, vs in comps:
+        assert grid.shape == (mcuy * vs, mcux * hs, 64)
+    ops: list = []
+    dc_syms: list[int] = []
+    ac_syms: list[int] = []
+    pred = [0] * len(comps)
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_every and nmcu and nmcu % restart_every == 0:
+                ops.append(("r",))
+                pred = [0] * len(comps)
+            nmcu += 1
+            for ci, (grid, hs, vs) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = grid[my * vs + by, mx * hs + bx]
+                        dc = int(blk[0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        s = abs(diff).bit_length()
+                        dc_syms.append(s)
+                        ops.append(("s", s, "dc"))
+                        if s:
+                            _emit_coef_bits(ops, diff)
+                        r = 0
+                        for k in range(1, 64):
+                            v = int(blk[k])
+                            if v == 0:
+                                r += 1
+                                continue
+                            while r > 15:
+                                ac_syms.append(0xF0)
+                                ops.append(("s", 0xF0, "ac"))
+                                r -= 16
+                            pre = len(ops)
+                            s = _emit_coef_bits(ops, v)
+                            sym = (r << 4) | s
+                            ac_syms.append(sym)
+                            ops.insert(pre, ("s", sym, "ac"))
+                            r = 0
+                        if r:
+                            ac_syms.append(0x00)
+                            ops.append(("s", 0x00, "ac"))
+    dc_bits, dc_vals, dc_codes = _scan_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = _scan_table(ac_syms)
+    tables = {"dc": dc_codes, "ac": ac_codes}
+    resolved = [("s", op[1], tables[op[2]]) if op[0] == "s" else op
+                for op in ops]
+    out = _jpeg_frame_header(w, h, geo, 0xC0, restart_every)
+    out += _seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    out += _seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3F\x00"
+    out += _seg(0xDA, sos)
+    out += _write_scan_ops(resolved)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(comps, w, h, scans, restart_every: int = 0,
+                            max_eobrun: int = 0x7FFF) -> bytes:
+    """Progressive (SOF2) encoder over arbitrary quantized coefficient
+    blocks, for fixture synthesis and the decode-equivalence pin.
+    ``comps`` as in encode_jpeg_coeffs; ``scans`` is a scan script
+    [(comp_idxs, ss, se, ah, al)] — DC scans (ss == 0) may list several
+    components (interleaved); AC scans exactly one. The script must
+    follow T.81 successive-approximation rules (first scan of a band has
+    ah == 0; each refinement has ah == al + 1). EOBn runs accumulate up
+    to ``max_eobrun`` (cap it low to force multi-EOBn streams)."""
+    geo = [(hs, vs) for _g, hs, vs in comps]
+    hmax = max(h_ for h_, _ in geo)
+    vmax = max(v_ for _, v_ in geo)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for grid, hs, vs in comps:
+        assert grid.shape == (mcuy * vs, mcux * hs, 64)
+    out = _jpeg_frame_header(w, h, geo, 0xC2, restart_every)
+    for comp_idxs, ss, se, ah, al in scans:
+        ops: list = []
+        syms: list[int] = []
+
+        def sym(s):
+            syms.append(s)
+            ops.append(("s", s, None))
+
+        if ss == 0:
+            assert se == 0
+            pred = {ci: 0 for ci in comp_idxs}
+
+            def dc_unit(ci, blk):
+                v = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
+                if ah == 0:
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = abs(diff).bit_length()
+                    sym(s)
+                    if s:
+                        _emit_coef_bits(ops, diff)
+                else:
+                    ops.append(("b", v & 1, 1))
+
+            def dc_restart():
+                ops.append(("r",))
+                for ci in pred:
+                    pred[ci] = 0
+
+            if len(comp_idxs) == 1:
+                ci = comp_idxs[0]
+                grid, hs, vs = comps[ci]
+                bw = -(-(w * hs) // (8 * hmax))
+                bh = -(-(h * vs) // (8 * vmax))
+                nblk = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        if restart_every and nblk and \
+                                nblk % restart_every == 0:
+                            dc_restart()
+                        nblk += 1
+                        dc_unit(ci, grid[by, bx])
+            else:
+                nmcu = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_every and nmcu and \
+                                nmcu % restart_every == 0:
+                            dc_restart()
+                        nmcu += 1
+                        for ci in comp_idxs:
+                            grid, hs, vs = comps[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    dc_unit(ci, grid[my * vs + by,
+                                                     mx * hs + bx])
+        else:
+            assert len(comp_idxs) == 1 and 1 <= ss <= se <= 63
+            ci = comp_idxs[0]
+            grid, hs, vs = comps[ci]
+            bw = -(-(w * hs) // (8 * hmax))
+            bh = -(-(h * vs) // (8 * vmax))
+            eobrun = 0
+            be_bits: list[int] = []
+
+            def flush_eob():
+                nonlocal eobrun, be_bits
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    sym(n << 4)
+                    if n:
+                        ops.append(("b", eobrun - (1 << n), n))
+                    eobrun = 0
+                for b in be_bits:
+                    ops.append(("b", b, 1))
+                be_bits = []
+
+            nblk = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_every and nblk and \
+                            nblk % restart_every == 0:
+                        flush_eob()
+                        ops.append(("r",))
+                    nblk += 1
+                    blk = grid[by, bx]
+                    if ah == 0:  # first scan at this bit position
+                        r = 0
+                        for k in range(ss, se + 1):
+                            v = int(blk[k])
+                            t = (abs(v) >> al)  # magnitude point xform
+                            if t == 0:
+                                r += 1
+                                continue
+                            flush_eob()
+                            while r > 15:
+                                sym(0xF0)
+                                r -= 16
+                            tv = t if v >= 0 else -t
+                            pre = len(ops)
+                            s = _emit_coef_bits(ops, tv)
+                            ops.insert(pre, ("s", (r << 4) | s, None))
+                            syms.append((r << 4) | s)
+                            r = 0
+                        if r:
+                            eobrun += 1
+                            if eobrun == max_eobrun:
+                                flush_eob()
+                    else:  # refinement scan (G.1.2.3)
+                        ab = [abs(int(blk[k])) >> al
+                              for k in range(ss, se + 1)]
+                        eob = ss - 1
+                        for i, t in enumerate(ab):
+                            if t == 1:
+                                eob = ss + i
+                        r = 0
+                        br: list[int] = []
+                        for k in range(ss, se + 1):
+                            t = ab[k - ss]
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15 and k <= eob:
+                                flush_eob()
+                                sym(0xF0)
+                                r -= 16
+                                for b in br:
+                                    ops.append(("b", b, 1))
+                                br = []
+                            if t > 1:
+                                br.append(t & 1)
+                                continue
+                            flush_eob()
+                            sym((r << 4) | 1)
+                            ops.append(("b", 1 if int(blk[k]) >= 0
+                                        else 0, 1))
+                            for b in br:
+                                ops.append(("b", b, 1))
+                            br = []
+                            r = 0
+                        if r > 0 or br:
+                            eobrun += 1
+                            be_bits.extend(br)
+                            if eobrun == max_eobrun:
+                                flush_eob()
+            flush_eob()
+        if syms:
+            bits, vals, codes = _scan_table(syms)
+            tc = 0x00 if ss == 0 else 0x10
+            out += _seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+        else:
+            codes = {}
+        resolved = [("s", op[1], codes) if op[0] == "s" else op
+                    for op in ops]
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += _write_scan_ops(resolved)
     out += b"\xFF\xD9"
     return bytes(out)
 

@@ -848,6 +848,68 @@ def mm_decode_bmp(spark, sf_dir):
 
 
 @register(
+    "mm_decode_bmp_rle8",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 16), 16, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> unicode(px[j]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> unicode(px[j]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> unicode(px[j]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL run-length-compressed BMP decode (BI_RLE8): 16 "
+         "ASCII-projected fixture bytes become a 4x4 palette-index "
+         "image over an identity grayscale palette (pal[i] = (i,i,i)), "
+         "RLE8-encoded in absolute mode in an Arrow encode stage "
+         "(natural text has few >=3 runs, so both absolute and "
+         "encoded-run ops occur), then decoded by _parse_bmp's RLE "
+         "walk + palette lookup inside decode_bmp_stats. The DuckDB "
+         "twin recomputes the (channel-equal) means from the same 16 "
+         "ASCII bytes; EOL/delta/EOB escapes and the strict-bounds "
+         "poison paths are pinned by test_bmp_pal8_and_rle8_decode")
+def mm_decode_bmp_rle8(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_bmp_stats, encode_bmp_rle8)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 16), 16, "x"), "UTF-8")
+        .alias("raw"))
+    gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+
+    def encode(batches):
+        for pdf in batches:
+            content = [
+                encode_bmp_rle8(
+                    np.frombuffer(bytes(b), dtype=np.uint8).reshape(4, 4),
+                    gray, absolute_mode=True)
+                for b in pdf["raw"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/bmp"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    return decode_bmp_stats(blobs).select(
+        "doc_id", "img_w", "img_h", "ok",
+        F.round("mean_r", 9).alias("mean_r"),
+        F.round("mean_g", 9).alias("mean_g"),
+        F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
     "mm_decode_png",
     oracle=f"""
     WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
@@ -953,6 +1015,74 @@ def mm_decode_jpeg(spark, sf_dir):
                 encode_jpeg_dc(np.frombuffer(bytes(b), dtype=np.uint8),
                                block_w=4, gray=True, restart_every=3)
                 for b in pdf["raw"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/jpeg"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    return decode_jpeg_stats(blobs).select(
+        "doc_id", "img_w", "img_h", "ok",
+        F.round("mean_r", 9).alias("mean_r"),
+        F.round("mean_g", 9).alias("mean_g"),
+        F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "mm_decode_jpeg_progressive",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 8), 8, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(32 AS INT) AS img_w, CAST(16 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[j]))) / 8.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[j]))) / 8.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[j]))) / 8.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL progressive-JPEG decode (ITU-T T.81 SOF2, Annex G): the "
+         "same uniform-block construction as mm_decode_jpeg, but encoded "
+         "as a FOUR-SCAN progressive stream — successive-approximation "
+         "DC first (Al=1), AC 1-63 first (pure EOBn end-of-band runs), "
+         "then the DC and AC refinement scans — with restart interval 3 "
+         "so RSTn handling inside progressive scans runs in-plan. "
+         "Constant blocks keep the lossy codec exactly lossless, so the "
+         "DuckDB twin recomputes channel means from the same 8 ASCII "
+         "bytes. The nontrivial Annex G paths (spectral bands, AC "
+         "refinement correction bits, ZRL-vs-EOB folding, buffered-bit "
+         "runs) are pinned by the test_jpeg_progressive_* suite against "
+         "bit-identical baseline decode of identical coefficients")
+def mm_decode_jpeg_progressive(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_jpeg_stats, encode_jpeg_progressive)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 8), 8, "x"), "UTF-8")
+        .alias("raw"))
+    scans = [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+             ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+
+    def encode(batches):
+        for pdf in batches:
+            content = []
+            for b in pdf["raw"]:
+                vals = np.frombuffer(bytes(b), dtype=np.uint8)
+                grid = np.zeros((2, 4, 64), dtype=np.int64)
+                grid[..., 0] = (8 * (vals.astype(np.int64) - 128)
+                                ).reshape(2, 4)
+                content.append(encode_jpeg_progressive(
+                    [(grid, 1, 1)], 32, 16, scans, restart_every=3))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "content": content,

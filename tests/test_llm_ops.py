@@ -354,11 +354,55 @@ def test_bmp_parser_decodes_known_image():
     assert parsed_td is not None
     assert parsed_td[2].tolist() == [[[30, 20, 10]], [[60, 50, 40]]]
 
-    # stub boundary: RLE compression, 8bpp, truncated pixels, junk
+    # malformed variants: RLE flag on a 24bpp stream, an 8bpp header
+    # whose payload is too short for its 256-entry palette, truncation
     assert _parse_bmp(_bmp_bytes(1, 2, [bottom, top], compression=1)) is None
     assert _parse_bmp(_bmp_bytes(1, 2, [bottom, top], bpp=8)) is None
     assert _parse_bmp(_bmp_bytes(1, 2, [bottom, top])[:-3]) is None
     assert _parse_bmp(b"not a bmp") is None
+
+
+def test_bmp_pal8_and_rle8_decode():
+    """8bpp palette BMPs — uncompressed and BI_RLE8 (encoded runs,
+    absolute mode, EOL/delta/EOB escapes) — decode for real; RLE
+    streams violating row bounds or missing EOB return None."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _bmp8_wrap, _parse_bmp, encode_bmp_pal8, encode_bmp_rle8)
+
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    for shape in [(1, 1), (2, 3), (5, 7), (3, 17)]:
+        for runny in (True, False):
+            if runny:  # long runs to hit the encoded-run path
+                idx = np.repeat(
+                    rng.integers(0, 256, (shape[0], shape[1] // 3 + 1)),
+                    3, axis=1)[:, :shape[1]].astype(np.uint8)
+            else:      # noise to hit 1-runs / absolute mode
+                idx = rng.integers(0, 256, shape).astype(np.uint8)
+            exp = pal[idx]
+            for enc in (encode_bmp_pal8(idx, pal),
+                        encode_bmp_rle8(idx, pal),
+                        encode_bmp_rle8(idx, pal, absolute_mode=True)):
+                got = _parse_bmp(enc)
+                assert got is not None, (shape, runny)
+                assert (got[0], got[1]) == (shape[1], shape[0])
+                assert np.array_equal(got[2], exp), (shape, runny)
+
+    # directed delta + early EOB: bottom row "5 . . 7" via a (2,0)
+    # skip (skipped pixels stay palette index 0), then one pixel and EOB
+    stream = bytes([1, 5, 0, 2, 2, 0, 1, 7, 0, 0, 1, 9, 0, 1])
+    got = _parse_bmp(_bmp8_wrap(4, 3, pal, stream, 1))
+    assert got is not None
+    idx_exp = np.zeros((3, 4), dtype=np.uint8)
+    idx_exp[2] = [5, 0, 0, 7]
+    idx_exp[1, 0] = 9
+    assert np.array_equal(got[2], pal[idx_exp])
+
+    # poison: run past the row edge / missing EOB / truncated absolute
+    for bad in (bytes([6, 5, 0, 1]), bytes([1, 5]), bytes([0, 4, 1, 2])):
+        assert _parse_bmp(_bmp8_wrap(4, 3, pal, bad, 1)) is None
 
 
 def test_bmp_decode_stats_end_to_end(spark, sf_smoke):
@@ -786,8 +830,11 @@ def test_jpeg_dc_roundtrip_gray_color_restart_boundary():
     assert _parse_jpeg(b"") is None
     assert _parse_jpeg(b"\xFF\xD8\xFF\xD9") is None
     assert _parse_jpeg(p[:40]) is None  # truncated mid-headers
+    # flipping SOF0->SOF2 turns the stream into a MALFORMED progressive
+    # file (its single scan claims the full 0..63 band, illegal for a
+    # progressive DC scan) — still rejected, now by the Annex G checks
     prog = bytearray(p)
-    prog[prog.find(b"\xFF\xC0") + 1] = 0xC2  # progressive SOF
+    prog[prog.find(b"\xFF\xC0") + 1] = 0xC2
     assert _parse_jpeg(bytes(prog)) is None
 
 
@@ -1489,3 +1536,187 @@ def test_label_coherence_ranks_tight_clusters_higher(spark):
            for r in label_coherence(df, dim=64).collect()}
     assert out[1] > 0.99
     assert out[2] is None   # exact antipodes: zero centroid -> undefined
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2, T.81 Annex G)
+# --------------------------------------------------------------------------
+
+def _pjpeg_rand_grid(rng, gy, gx, density, mag=120, dc=600):
+    import numpy as np
+
+    g = np.zeros((gy, gx, 64), dtype=np.int64)
+    mask = rng.random((gy, gx, 64)) < density
+    g[mask] = rng.integers(-mag, mag + 1, mask.sum())
+    g[..., 0] = rng.integers(-dc, dc, (gy, gx))
+    return g
+
+
+def _pjpeg_check(comps, w, h, scans, tag, re_base=0, re_prog=0,
+                 max_eobrun=0x7FFF):
+    """The central pin: progressive decode must be BIT-IDENTICAL to the
+    (already driver-stamped and loop-IDCT-pinned) baseline decode of the
+    same quantized coefficients — the two streams share only the
+    dequant/IDCT backend, so equality validates the whole Annex G
+    entropy/scan layer."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg_coeffs, encode_jpeg_progressive)
+
+    base = _parse_jpeg(encode_jpeg_coeffs(comps, w, h,
+                                          restart_every=re_base))
+    assert base is not None, f"{tag}: baseline decode failed"
+    prog = _parse_jpeg(encode_jpeg_progressive(
+        comps, w, h, scans, restart_every=re_prog,
+        max_eobrun=max_eobrun))
+    assert prog is not None, f"{tag}: progressive decode failed"
+    assert base[0] == prog[0] and base[1] == prog[1], tag
+    assert np.array_equal(base[2], prog[2]), tag
+
+
+def test_jpeg_progressive_spectral_and_successive_approximation():
+    """Gray, non-multiple-of-8 dims: spectral-selection-only script,
+    full successive-approximation ladder, and mixed band/SA script all
+    reproduce the baseline decode exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    g = _pjpeg_rand_grid(rng, 3, 4, 0.3)
+    comps = [(g, 1, 1)]
+    scripts = {
+        "spectral": [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0),
+                     ([0], 6, 63, 0, 0)],
+        "sa_full": [([0], 0, 0, 0, 2), ([0], 1, 63, 0, 2),
+                    ([0], 0, 0, 2, 1), ([0], 1, 63, 2, 1),
+                    ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)],
+        "bands_sa": [([0], 0, 0, 0, 1), ([0], 1, 8, 0, 1),
+                     ([0], 9, 63, 0, 2), ([0], 9, 63, 2, 1),
+                     ([0], 0, 0, 1, 0), ([0], 1, 8, 1, 0),
+                     ([0], 9, 63, 1, 0)],
+    }
+    for tag, sc in scripts.items():
+        _pjpeg_check(comps, 28, 21, sc, tag)
+
+
+def test_jpeg_progressive_color_subsampled_interleaved_dc():
+    """4:2:0 color across MCU boundaries: interleaved DC first +
+    refinement scans, per-component non-interleaved AC scans on the
+    component's OWN (smaller) block grid, chroma upsample after."""
+    rng = __import__("numpy").random.default_rng(7)
+    y = _pjpeg_rand_grid(rng, 4, 6, 0.25)
+    cb = _pjpeg_rand_grid(rng, 2, 3, 0.2)
+    cr = _pjpeg_rand_grid(rng, 2, 3, 0.2)
+    comps = [(y, 2, 2), (cb, 1, 1), (cr, 1, 1)]
+    sc = [([0, 1, 2], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+          ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 1),
+          ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+          ([0, 1, 2], 0, 0, 1, 0)]
+    _pjpeg_check(comps, 37, 26, sc, "color420_sa")
+
+
+def test_jpeg_progressive_restarts_and_eobrun_boundaries():
+    """RSTn inside progressive scans (DC pred + EOBRUN reset), EOBn runs
+    capped at 2 (forcing many multi-block end-of-band runs), and an
+    ultra-sparse grid whose refinement scans carry buffered correction
+    bits (the BE path) across EOB runs."""
+    rng = __import__("numpy").random.default_rng(11)
+    g = _pjpeg_rand_grid(rng, 4, 5, 0.15)
+    sc = [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+          ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    _pjpeg_check([(g, 1, 1)], 40, 32, sc, "restarts",
+                 re_base=3, re_prog=4, max_eobrun=2)
+
+    sparse = _pjpeg_rand_grid(rng, 6, 6, 0.02, mag=40)
+    sc = [([0], 0, 0, 0, 2), ([0], 1, 63, 0, 2), ([0], 1, 63, 2, 1),
+          ([0], 1, 63, 1, 0), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0)]
+    _pjpeg_check([(sparse, 1, 1)], 48, 48, sc, "sparse_eobruns")
+    _pjpeg_check([(sparse, 1, 1)], 48, 48, sc, "sparse_eobcap",
+                 max_eobrun=3)
+
+
+def test_jpeg_progressive_refinement_zrl_with_history_bits():
+    """Directed G.1.2.3 corner: a >16-zero run in a refinement scan
+    (ZRL) with an already-nonzero coefficient BEFORE the run — its
+    correction bit is buffered and emitted with the ZRL, and the decoder
+    must consume it positionally during the advance walk."""
+    import numpy as np
+
+    g = np.zeros((3, 3, 64), dtype=np.int64)
+    rng = np.random.default_rng(3)
+    g[..., 0] = rng.integers(-100, 100, (3, 3))
+    g[..., 1] = 3    # history coef (nonzero from the al=1 first scan)
+    g[..., 40] = 1   # newly nonzero in refinement, 38 zeros before it
+    g[..., 63] = -2  # history coef beyond the last newly-nonzero (BE)
+    sc = [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+          ([0], 1, 63, 1, 0), ([0], 0, 0, 1, 0)]
+    _pjpeg_check([(g, 1, 1)], 24, 24, sc, "zrl_refine")
+
+
+def test_jpeg_progressive_rejects_malformed():
+    """Annex G validation: illegal scan headers and truncated entropy
+    data return None (poison-safe), never raise."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_jpeg, encode_jpeg_progressive)
+
+    g = _pjpeg_rand_grid(np.random.default_rng(5), 2, 2, 0.3)
+    comps = [(g, 1, 1)]
+    good = encode_jpeg_progressive(
+        comps, 16, 16, [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+                        ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)])
+    assert _parse_jpeg(good) is not None
+
+    # truncations through headers, scan boundaries and entropy data
+    for cut in (4, 30, len(good) // 2, len(good) - 3):
+        assert _parse_jpeg(good[:cut]) is None
+
+    # a DC scan claiming an AC band (the SOF0->SOF2 bit-flip shape)
+    bad = bytearray(good)
+    i = bad.find(b"\xFF\xDA")
+    seglen = (bad[i + 2] << 8) | bad[i + 3]
+    # first scan header: ...Ss Se AhAl are the last 3 body bytes
+    bad[i + 2 + seglen - 2] = 63  # Se=63 on the Ss=0 scan
+    assert _parse_jpeg(bytes(bad)) is None
+
+    # refinement skipping a level (ah != al + 1)
+    bad2 = encode_jpeg_progressive(
+        comps, 16, 16, [([0], 0, 0, 0, 2), ([0], 0, 0, 2, 0)])
+    assert _parse_jpeg(bad2) is None
+
+
+def test_jpeg_progressive_fuzz_equals_baseline():
+    """Hypothesis sweep: random grids, densities, dims, scan scripts,
+    restart intervals and EOBn caps — progressive decode must always
+    equal baseline decode of the same coefficients."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        gy = data.draw(st.integers(1, 4))
+        gx = data.draw(st.integers(1, 4))
+        density = data.draw(st.sampled_from([0.0, 0.05, 0.3, 0.8]))
+        g = _pjpeg_rand_grid(rng, gy, gx, density)
+        w = data.draw(st.integers(8 * gx - 7, 8 * gx))
+        h = data.draw(st.integers(8 * gy - 7, 8 * gy))
+        split = data.draw(st.integers(1, 63))
+        al = data.draw(st.integers(0, 2))
+        sc = [([0], 0, 0, 0, al)]
+        sc += [([0], 1, split, 0, al)]
+        if split < 63:
+            sc += [([0], split + 1, 63, 0, al)]
+        for lvl in range(al, 0, -1):
+            sc += [([0], 0, 0, lvl, lvl - 1),
+                   ([0], 1, split, lvl, lvl - 1)]
+            if split < 63:
+                sc += [([0], split + 1, 63, lvl, lvl - 1)]
+        _pjpeg_check([(g, 1, 1)], w, h, sc, "fuzz",
+                     re_prog=data.draw(st.sampled_from([0, 2, 5])),
+                     max_eobrun=data.draw(st.sampled_from([1, 2, 0x7FFF])))
+
+    run()
