@@ -85,8 +85,11 @@ HEADLINE = [
     "events_ewma_smooth",
     # round-6: the progressive (SOF2) decode path — four Annex G scans
     # per image vs mm_decode_jpeg's one baseline scan on the same pixels,
-    # so the delta isolates the multi-scan entropy overhead
+    # so the delta isolates the multi-scan entropy overhead — plus the
+    # RLE8 walk and the Adam7 seven-pass scatter
     "mm_decode_jpeg_progressive",
+    "mm_decode_bmp_rle8",
+    "mm_decode_png_adam7",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

@@ -125,9 +125,9 @@ def decode_features(blobs: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``real_decode=True`` REALLY decodes the supported formats (P6 PPM,
-    uncompressed 24bpp BMP, 8-bit non-interlaced PNG, baseline JPEG,
-    PCM16 WAV — magic-byte dispatch in ``_real_decode_features``) into
-    a typed 8-dim feature vector;
+    BMP incl. RLE8/palette, PNG incl. sub-byte depths and Adam7, JPEG
+    both baseline and progressive, GIF, PCM16 WAV — magic-byte dispatch
+    in ``_real_decode_features``) into a typed 8-dim feature vector;
     payloads outside that set yield ok=false with a NULL feature
     (poison-safe). The default remains the deterministic byte-histogram
     fake, for plumbing tests that feed arbitrary bytes."""
@@ -500,25 +500,93 @@ def _paeth_predictor(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 interlace pass geometry: (xstart, ystart, xstep, ystep). Passes
+# whose sub-image is empty for the given dims contribute NO bytes (not
+# even filter bytes), per the spec.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_defilter(raw: bytes, offset: int, ph: int, stride: int,
+                  bpp: int) -> tuple["np.ndarray", int] | None:
+    """Defilter one (sub-)image region of ``ph`` scanlines of ``stride``
+    bytes each from the inflated stream at ``offset``: each line is
+    reconstructed per its filter byte (None/Sub/Up/Average/Paeth)
+    operating on BYTES with the ``bpp`` left-offset the spec prescribes.
+    Sub is a per-byte-lane modular cumsum and Up a vectorized
+    previous-row add; Average/Paeth carry a left-pixel dependency, so
+    they fall back to a per-byte scan. Returns (bytes (ph, stride),
+    next offset) or None on truncation/bad filter. Filtering context
+    resets at the region start — exactly the per-pass independence
+    Adam7 requires."""
+    need = ph * (stride + 1)
+    if len(raw) < offset + need:
+        return None
+    rows = (np.frombuffer(raw[offset:offset + need], dtype=np.uint8)
+            .reshape(ph, stride + 1))
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(ph):
+        ftype = int(rows[y, 0])
+        row = rows[y, 1:]
+        prev = out[y - 1] if y else zero_row
+        if ftype == 0:    # None
+            out[y] = row
+        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp]
+            for c in range(bpp):
+                out[y, c::bpp] = np.cumsum(row[c::bpp], dtype=np.uint8)
+        elif ftype == 2:  # Up (uint8 add wraps mod 256, per spec)
+            out[y] = row + prev
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + _paeth_predictor(a, b, c)) & 0xFF
+        else:
+            return None
+    return out, offset + need
+
+
+def _png_unpack_samples(rows: "np.ndarray", pw: int, nch: int,
+                        depth: int) -> "np.ndarray":
+    """Packed defiltered bytes (ph, stride) -> samples (ph, pw, nch)
+    uint8. Sub-byte depths unpack MSB-first; 16-bit keeps the high byte
+    (the standard >>8 preview downsample)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, :pw * nch].reshape(ph, pw, nch)
+    if depth == 16:
+        return (np.ascontiguousarray(rows.reshape(ph, -1, 2)[:, :pw * nch, 0])
+                .reshape(ph, pw, nch))
+    # sub-byte (1/2/4, nch == 1): MSB-first bit groups within each byte
+    bits = np.unpackbits(rows, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(ph, -1, depth) * weights).sum(
+        axis=2, dtype=np.uint16).astype(np.uint8)
+    return samples[:, :pw].reshape(ph, pw, 1)
+
+
 def _parse_png(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """Parse a PNG (all five color types at 8-bit depth — gray,
-    RGB, palette, gray+alpha, RGBA — plus 16-bit for the non-palette
-    types; non-interlaced): returns (width, height, pixels) with pixels
-    an (h, w, 3) uint8 RGB ndarray, or None outside the supported
-    subset. REAL decode from the spec — stdlib ``zlib`` inflates the
-    concatenated IDAT stream, then each scanline is defiltered per its
-    filter byte (None/Sub/Up/Average/Paeth) operating on BYTES with the
-    bpp left-offset the spec prescribes (so 16-bit rows defilter
-    unchanged). Sub is a per-byte-lane modular cumsum and Up a
-    vectorized previous-row add; Average/Paeth carry a left-pixel
-    dependency, so they fall back to a per-byte scan (encoders that
-    care about decode throughput pick filters 0-2). Gray replicates to
-    RGB; alpha channels drop; palette indices look up PLTE; 16-bit
-    samples keep the high byte (the standard >>8 preview downsample).
-    Sub-byte palette/gray depths (1/2/4) and Adam7 interlace return
-    None — the remaining boundary for this family. CRCs are not
-    verified (corrupt chunks surface as zlib errors or short data ->
-    None)."""
+    """Parse a PNG (all five color types — gray, RGB, palette,
+    gray+alpha, RGBA — at 8-bit depth, 16-bit for the non-palette
+    types, and sub-byte 1/2/4-bit for gray and palette; BOTH
+    non-interlaced and Adam7-interlaced): returns (width, height,
+    pixels) with pixels an (h, w, 3) uint8 RGB ndarray, or None outside
+    the supported subset. REAL decode from the spec — stdlib ``zlib``
+    inflates the concatenated IDAT stream, then each (sub-)image is
+    defiltered per scanline (see _png_defilter); Adam7 walks the seven
+    passes, each filtered independently, and scatters the sub-images
+    into place with strided assignment. Gray replicates to RGB
+    (sub-byte samples scale by 255/(2^d-1)); alpha channels drop;
+    palette indices look up PLTE. CRCs are not verified (corrupt chunks
+    surface as zlib errors or short data -> None)."""
     import struct
     import zlib
 
@@ -551,59 +619,57 @@ def _parse_png(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
             break
         pos += 12 + size  # length + tag + body + CRC
     if (w is None or not idat or w <= 0 or h <= 0
-            or interlace != 0 or ctype not in (0, 2, 3, 4, 6)):
+            or interlace not in (0, 1) or ctype not in (0, 2, 3, 4, 6)):
         return None
-    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+    if depth not in (1, 2, 4, 8, 16):
+        return None
+    if depth == 16 and ctype == 3:
+        return None
+    if depth < 8 and ctype not in (0, 3):  # sub-byte: gray/palette only
         return None
     if ctype == 3 and plte is None:
         return None
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    bpp = nch * (depth // 8)  # filter left-offset, in BYTES (the spec's)
+    bpp = max(1, nch * depth // 8)  # filter left-offset in BYTES
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
-        return None
-    rows = (np.frombuffer(raw[:h * (stride + 1)], dtype=np.uint8)
-            .reshape(h, stride + 1))
-    out = np.zeros((h, stride), dtype=np.uint8)
-    zero_row = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = int(rows[y, 0])
-        row = rows[y, 1:]
-        prev = out[y - 1] if y else zero_row
-        if ftype == 0:    # None
-            out[y] = row
-        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp]
-            for c in range(bpp):
-                out[y, c::bpp] = np.cumsum(row[c::bpp], dtype=np.uint8)
-        elif ftype == 2:  # Up (uint8 add wraps mod 256, per spec)
-            out[y] = row + prev
-        elif ftype == 3:  # Average
-            cur = out[y]
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = out[y]
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(row[i]) + _paeth_predictor(a, b, c)) & 0xFF
-        else:
+
+    def region(offset, pw, ph):
+        stride = (pw * nch * depth + 7) // 8
+        res = _png_defilter(raw, offset, ph, stride, bpp)
+        if res is None:
             return None
-    if depth == 16:
-        # big-endian samples: the high byte is the standard >>8 downsample
-        out = np.ascontiguousarray(out.reshape(h, w * nch, 2)[:, :, 0])
-    px = out.reshape(h, w, nch)
+        rows, offset = res
+        return _png_unpack_samples(rows, pw, nch, depth), offset
+
+    if interlace == 0:
+        res = region(0, w, h)
+        if res is None:
+            return None
+        px = res[0]
+    else:
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = max(0, (w - xs + xst - 1) // xst)
+            ph = max(0, (h - ys + yst - 1) // yst)
+            if pw == 0 or ph == 0:
+                continue
+            res = region(off, pw, ph)
+            if res is None:
+                return None
+            sub, off = res
+            px[ys::yst, xs::xst] = sub
     if ctype == 3:
         if int(px.max()) >= plte.shape[0]:
             return None
         px = plte[px[..., 0]]
     elif ctype in (0, 4):
+        if depth < 8:  # scale to full range: 255 / (2^d - 1)
+            px = px * np.uint16(255 // ((1 << depth) - 1))
+            px = px.astype(np.uint8)
         px = np.repeat(px[..., :1], 3, axis=2)
     elif ctype == 6:
         px = px[..., :3]
@@ -655,6 +721,91 @@ def encode_png(pixels: "np.ndarray", filters: list[int] | None = None) -> bytes:
     return (PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(lines)))
             + chunk(b"IEND", b""))
+
+
+def encode_png_ex(samples: "np.ndarray", depth: int = 8, ctype: int = 0,
+                  palette: "np.ndarray | None" = None, interlace: int = 0,
+                  filters: list[int] | None = None) -> bytes:
+    """Extended PNG test encoder: gray (ctype 0) and palette (ctype 3)
+    at depth 1/2/4/8, RGB (ctype 2) at 8 — optionally Adam7-interlaced
+    (interlace=1, each pass filtered independently, empty passes
+    skipped). ``samples`` is (h, w) for gray/palette or (h, w, 3) for
+    RGB; ``filters`` cycles per scanline within each pass, applied
+    generically on the PACKED bytes with the spec's bpp offset, so
+    every defilter path can be exercised at every depth/interlace
+    combination. Twin of _parse_png's extended subset."""
+    import struct
+    import zlib
+
+    samples = np.asarray(samples)
+    h, w = samples.shape[:2]
+    nch = 3 if ctype == 2 else 1
+    bpp = max(1, nch * depth // 8)
+    filters = filters or [0]
+
+    def pack_region(smp):
+        ph, pw = smp.shape[:2]
+        flat = smp.reshape(ph, pw * nch).astype(np.uint16)
+        if depth == 8:
+            rows_bytes = flat.astype(np.uint8)
+        else:  # pack sub-byte samples MSB-first
+            spb = 8 // depth
+            pad = (-pw * nch) % spb
+            padded = np.pad(flat, ((0, 0), (0, pad)))
+            weights = 1 << (depth * np.arange(spb - 1, -1, -1))
+            rows_bytes = (padded.reshape(ph, -1, spb) * weights).sum(
+                axis=2).astype(np.uint8)
+        out = bytearray()
+        prev = np.zeros(rows_bytes.shape[1], dtype=np.int16)
+        for y in range(ph):
+            row = rows_bytes[y].astype(np.int16)
+            ft = filters[y % len(filters)]
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]]) \
+                if row.size else row
+            upleft = np.concatenate([np.zeros(bpp, np.int16),
+                                     prev[:-bpp]]) if row.size else prev
+            if ft == 0:
+                filt = row
+            elif ft == 1:
+                filt = row - left
+            elif ft == 2:
+                filt = row - prev
+            elif ft == 3:
+                filt = row - ((left + prev) >> 1)
+            elif ft == 4:
+                pred = np.array(
+                    [_paeth_predictor(int(a), int(b), int(c))
+                     for a, b, c in zip(left, prev, upleft)],
+                    dtype=np.int16)
+                filt = row - pred
+            else:
+                raise ValueError(f"bad filter {ft}")
+            out.append(ft)
+            out += (filt & 0xFF).astype(np.uint8).tobytes()
+            prev = row
+        return bytes(out)
+
+    if interlace == 0:
+        data = pack_region(samples)
+    else:
+        parts = []
+        for xs, ys, xst, yst in _ADAM7:
+            sub = samples[ys::yst, xs::xst]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(pack_region(sub))
+        data = b"".join(parts)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    out = PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                             interlace))
+    if ctype == 3:
+        out += chunk(b"PLTE",
+                     np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(data)) + chunk(b"IEND", b"")
 
 
 PNG_STATS_SCHEMA = PPM_STATS_SCHEMA

@@ -969,6 +969,72 @@ def mm_decode_png(spark, sf_dir):
 
 
 @register(
+    "mm_decode_png_adam7",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 16), 16, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> (unicode(px[j]) % 16) * 17)) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> (unicode(px[j]) % 16) * 17)) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> (unicode(px[j]) % 16) * 17)) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL Adam7-interlaced sub-byte PNG decode: 16 ASCII-projected "
+         "fixture bytes (mod 16) become a 4x4 4-BIT PALETTE image over "
+         "a 16-level grayscale PLTE (pal[i] = 17i), encoded INTERLACED "
+         "with mixed per-row filters — at 4x4 five of the seven Adam7 "
+         "passes are non-empty and two are empty (contributing zero "
+         "bytes), so the pass-geometry walk, per-pass filter reset, "
+         "MSB-first bit unpacking and strided scatter all run in-plan. "
+         "The DuckDB twin recomputes the (channel-equal) means as "
+         "(byte mod 16) * 17; the full depth x color-type x interlace "
+         "matrix is pinned by test_png_subbyte_depths_and_adam7_"
+         "interlace")
+def mm_decode_png_adam7(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_png_stats, encode_png_ex)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 16), 16, "x"), "UTF-8")
+        .alias("raw"))
+    pal = np.repeat((np.arange(16, dtype=np.uint8) * 17)[:, None],
+                    3, axis=1)
+
+    def encode(batches):
+        for pdf in batches:
+            content = [
+                encode_png_ex(
+                    (np.frombuffer(bytes(b), dtype=np.uint8) % 16
+                     ).reshape(4, 4),
+                    depth=4, ctype=3, palette=pal, interlace=1,
+                    filters=[0, 1, 2])
+                for b in pdf["raw"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/png"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    return decode_png_stats(blobs).select(
+        "doc_id", "img_w", "img_h", "ok",
+        F.round("mean_r", 9).alias("mean_r"),
+        F.round("mean_g", 9).alias("mean_g"),
+        F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
     "mm_decode_jpeg",
     oracle=f"""
     WITH p AS (SELECT doc_id, rpad(substr(text, 1, 8), 8, 'x') AS px
@@ -1097,6 +1163,65 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
         F.round("mean_r", 9).alias("mean_r"),
         F.round("mean_g", 9).alias("mean_g"),
         F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "mm_decode_ok_rate",
+    oracle="""
+    WITH c AS (SELECT doc_id,
+                      CASE doc_id % 3
+                          WHEN 0 THEN 'audio/mpeg'
+                          WHEN 1 THEN 'image/x-portable-pixmap'
+                          ELSE 'image/jpeg' END AS mime,
+                      CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS ok
+               FROM documents)
+    SELECT mime, count(*) AS n_docs,
+           CAST(sum(ok) AS BIGINT) AS n_ok,
+           round(sum(ok) * 1.0 / count(*), 9) AS ok_rate
+    FROM c GROUP BY mime
+    """,
+    note="The decode boundary made MEASURABLE (SCALE.md 'Residual codec "
+         "boundary'): a mixed corpus — valid P6 payloads, MP3-class "
+         "audio (ID3-tagged, outside the boundary by documented "
+         "decision), and arithmetic-coded JPEG (SOF9, same) — runs "
+         "through decode_features(real_decode=True) and the per-mime "
+         "ok-rate aggregates IN-PLAN, so a production run reports "
+         "exactly what fraction of payloads fell outside the decodable "
+         "subset instead of dropping them silently. Payload synthesis "
+         "is pure column expressions; the poison rows exercise the "
+         "ok=false path at scale (1 map stage + 1 tiny group-by; "
+         "payload bytes never shuffle)")
+def mm_decode_ok_rate(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_features
+
+    docs = _ascii_docs(spark, sf_dir)
+    txt48 = F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"),
+                     "UTF-8")
+    cls = F.col("doc_id") % 3
+    content = (
+        F.when(cls == 0, F.concat(F.encode(F.lit("ID3"), "UTF-8"), txt48))
+        .when(cls == 1, F.concat(F.encode(F.lit("P6\n4 4\n255\n"),
+                                          "UTF-8"), txt48))
+        .otherwise(F.concat(F.unhex(F.lit("FFD8FFC94000")), txt48)))
+    mime = (F.when(cls == 0, F.lit("audio/mpeg"))
+            .when(cls == 1, F.lit("image/x-portable-pixmap"))
+            .otherwise(F.lit("image/jpeg")))
+    blobs = docs.select(
+        "doc_id", content.alias("content"), mime.alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    feats = decode_features(blobs, real_decode=True)
+    # mime is a pure function of doc_id here: re-derive it map-side
+    # rather than joining the blob frame back (no extra shuffle)
+    fcls = F.col("doc_id") % 3
+    feats = feats.withColumn(
+        "mime", F.when(fcls == 0, F.lit("audio/mpeg"))
+        .when(fcls == 1, F.lit("image/x-portable-pixmap"))
+        .otherwise(F.lit("image/jpeg")))
+    return feats.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.round(F.sum(F.col("ok").cast("long")) /
+                F.count(F.lit(1)), 9).alias("ok_rate"))
 
 
 def _ppm_blobs(spark, sf_dir):

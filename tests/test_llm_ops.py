@@ -1098,9 +1098,13 @@ def test_png_palette_gray_alpha_and_16bit():
     assert px[0, 0].tolist() == [0x12, 0x56, 0x9A]
     assert px[0, 1].tolist() == [0xDE, 0x01, 0x80]
 
-    # sub-byte palette depth stays out of the boundary
+    # sub-byte palette (4-bit, two indices per byte, MSB-first): in
+    # the boundary since r6 — 0x01 -> indices 0,1; 0x21 -> 2,1
     p4 = png(2, 2, 4, 3, b"\x00\x01\x00\x21", extra=chunk(b"PLTE", plte))
-    assert _parse_png(p4) is None
+    out4 = _parse_png(p4)
+    assert out4 is not None
+    assert out4[2].tolist() == [[[255, 0, 0], [0, 255, 0]],
+                                [[0, 0, 255], [0, 255, 0]]]
     # palette with out-of-range index is malformed, not a crash
     bad = png(2, 2, 8, 3, b"\x00\x00\x09" + b"\x00\x02\x01",
               extra=chunk(b"PLTE", plte))
@@ -1720,3 +1724,51 @@ def test_jpeg_progressive_fuzz_equals_baseline():
                      max_eobrun=data.draw(st.sampled_from([1, 2, 0x7FFF])))
 
     run()
+
+
+def test_png_subbyte_depths_and_adam7_interlace():
+    """PNG extended subset: gray/palette at 1/2/4/8-bit and RGB at
+    8-bit, each non-interlaced AND Adam7-interlaced, with all five
+    filter types cycling per scanline — encoder twin roundtrips must be
+    exact (sub-byte gray scales by 255/(2^d-1), palette looks up PLTE);
+    out-of-subset and truncated-pass payloads return None."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_png, encode_png_ex)
+
+    rng = np.random.default_rng(9)
+    filters = [0, 1, 2, 3, 4]
+    for depth in (1, 2, 4, 8):
+        mx = (1 << depth) - 1
+        for ctype in (0, 3):
+            for interlace in (0, 1):
+                for shape in [(1, 1), (3, 2), (8, 8), (9, 10), (7, 17)]:
+                    smp = rng.integers(0, mx + 1, shape).astype(np.uint8)
+                    pal = (rng.integers(0, 256, (mx + 1, 3))
+                           .astype(np.uint8) if ctype == 3 else None)
+                    got = _parse_png(encode_png_ex(
+                        smp, depth, ctype, pal, interlace, filters))
+                    assert got is not None, (depth, ctype, interlace,
+                                             shape)
+                    exp = (pal[smp] if ctype == 3 else np.repeat(
+                        (smp * (255 // mx) if depth < 8 else smp)
+                        [..., None], 3, axis=2))
+                    assert (got[0], got[1]) == (shape[1], shape[0])
+                    assert np.array_equal(got[2], exp), \
+                        (depth, ctype, interlace, shape)
+
+    # RGB 8-bit Adam7 (empty passes at tiny dims, partial passes at odd)
+    for shape in [(8, 8), (9, 10), (3, 2), (1, 1)]:
+        px = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        got = _parse_png(encode_png_ex(px, 8, 2, None, 1, filters))
+        assert got is not None and np.array_equal(got[2], px), shape
+
+    # boundary: sub-byte RGB is not a legal PNG combination; truncated
+    # interlaced stream (a later pass missing) is poison, not a crash
+    full = encode_png_ex(rng.integers(0, 256, (9, 9, 3)).astype(np.uint8),
+                         8, 2, None, 1)
+    assert _parse_png(full[:len(full) // 2]) is None
+    bad = bytearray(encode_png_ex(np.zeros((4, 4), np.uint8), 4, 0))
+    bad[25] = 2  # IHDR ctype gray -> RGB: sub-byte RGB is illegal
+    assert _parse_png(bytes(bad)) is None
