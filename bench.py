@@ -90,6 +90,12 @@ HEADLINE = [
     "mm_decode_jpeg_progressive",
     "mm_decode_bmp_rle8",
     "mm_decode_png_adam7",
+    # round-6 eval tranche: the three with real data volume — bigram
+    # explode + dictionary joins, the query x corpus scoring fan-out,
+    # and the 4-seed sketch build over lineitem
+    "text_bigram_pmi",
+    "eval_retrieval_metrics",
+    "sketch_cms_frequency",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

@@ -1,0 +1,222 @@
+"""Evaluation metrics for model/retrieval/labeling pipelines.
+
+A training-data platform is judged by the evals it feeds: ranking
+quality (NDCG/MRR/precision@k) for retrieval corpora, ROC AUC for
+quality classifiers, inter-annotator agreement (Cohen's kappa) for
+label audits, plus the supporting distribution tools (equi-width
+histograms, count-min frequency sketches, seeded per-key reservoir
+samples). Everything here is DETERMINISTIC and engine-portable —
+rank-statistic AUC instead of trapezoid sweeps, md5-derived hashing
+instead of ``rand()``/``F.hash`` — so every metric has a bit-exact
+DuckDB twin (the repo's oracle discipline, see plans/q_eval.py).
+
+Scale posture: each metric is one narrow aggregation over the scored
+frame — a per-(group, score) pre-aggregate before any window (so the
+window runs over distinct scores, not raw rows), top-k windows for the
+rank cutoffs, and broadcastable 1-row or sketch-sized side tables.
+Nothing here materializes per-pair data.
+
+Reference parity note: the reference system (acgessler/mapreduce-wsi,
+src/*.java) exposes generic MapReduce over SQL imports; metric jobs
+like these are the workloads its users hand-roll — re-expressed here
+as declarative Spark plans (SURVEY.md §2C behavioral family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_auc(df: DataFrame, group_col: str, score_col: str,
+              label_col: str) -> DataFrame:
+    """Exact ROC AUC per group via the Mann-Whitney rank statistic:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), where R_pos is
+    the sum of 1-based AVERAGE ranks of the positives (average ranks
+    make ties exact — the trapezoid-free, sort-once formulation).
+
+    The window runs over the per-(group, score) AGGREGATE (distinct
+    scores), not raw rows: at 100 TB the shuffle carries one row per
+    distinct score per group, and the heavy count happens map-side.
+    Returns (group, n_pos, n_neg, auc) with auc NULL for degenerate
+    groups (all-positive / all-negative).
+    """
+    per_score = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col(label_col).cast("long")).alias("p"))
+    w_lo = (Window.partitionBy(group_col).orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_score.withColumn(
+        "cum_below", F.coalesce(F.sum("c").over(w_lo), F.lit(0)))
+    # average 1-based rank of this score's tie block: below + (c+1)/2
+    contrib = ranked.withColumn(
+        "pos_rank_sum",
+        F.col("p") * (F.col("cum_below") + (F.col("c") + 1) / 2))
+    agg = contrib.groupBy(group_col).agg(
+        F.sum("pos_rank_sum").alias("r_pos"),
+        F.sum("p").alias("n_pos"),
+        (F.sum("c") - F.sum("p")).alias("n_neg"))
+    return agg.select(
+        group_col, "n_pos", "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
+            / (F.col("n_pos") * F.col("n_neg"))).alias("auc"))
+
+
+def cohens_kappa(df: DataFrame, group_col: str, a_col: str,
+                 b_col: str) -> DataFrame:
+    """Cohen's kappa per group for two binary annotators: kappa =
+    (p_o - p_e) / (1 - p_e) with observed agreement p_o and the
+    marginal-product chance agreement p_e. One aggregation pass — the
+    four confusion-cell counts reduce map-side; no window, no join.
+    kappa is NULL when p_e == 1 (a degenerate constant-label group)."""
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a).alias("na"),
+        F.sum(b).alias("nb"),
+        F.sum(a * b).alias("nab"))
+    n, na, nb, nab = (F.col(c) for c in ("n", "na", "nb", "nab"))
+    p_o = (2 * nab + n - na - nb) / n  # both-1 + both-0
+    p_e = (na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)
+    return agg.select(
+        group_col, "n",
+        p_o.alias("p_observed"), p_e.alias("p_expected"),
+        F.when(p_e < 1, (p_o - p_e) / (1 - p_e)).alias("kappa"))
+
+
+def retrieval_metrics(scored: DataFrame, query_col: str, id_col: str,
+                      score_col: str, rel_col: str,
+                      k: int = 10) -> DataFrame:
+    """Graded-relevance ranking metrics per query at cutoff k:
+    precision@k (binary rel > 0), MRR@k (reciprocal rank of the first
+    relevant hit), DCG@k with the (2^rel - 1)/log2(pos+1) gain, and
+    NDCG@k against the ideal ordering (rel DESC over ALL candidates,
+    not just the retrieved k — the standard definition).
+
+    ``scored`` has one row per (query, candidate) with the system score
+    and the true relevance grade. Two top-k windows per query (system
+    order and ideal order) — the per-group top-k pattern; everything
+    after runs on <= 2k rows per query. Ties break on id for
+    engine-stable cutoffs."""
+    sys_w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    ideal_w = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col))
+    gain = (F.pow(F.lit(2.0), F.col(rel_col)) - 1)
+
+    top = (scored.withColumn("pos", F.row_number().over(sys_w))
+           .where(F.col("pos") <= k))
+    sys_agg = top.groupBy(query_col).agg(
+        (F.sum((F.col(rel_col) > 0).cast("int")) / k).alias("p_at_k"),
+        F.coalesce(
+            F.max(F.when(F.col(rel_col) > 0, 1.0 / F.col("pos"))),
+            F.lit(0.0)).alias("mrr"),
+        F.sum(gain / F.log2(F.col("pos") + 1)).alias("dcg"))
+
+    ideal = (scored.withColumn("pos", F.row_number().over(ideal_w))
+             .where(F.col("pos") <= k))
+    ideal_agg = ideal.groupBy(query_col).agg(
+        F.sum(gain / F.log2(F.col("pos") + 1)).alias("idcg"))
+
+    return sys_agg.join(F.broadcast(ideal_agg), query_col).select(
+        query_col, "p_at_k", "mrr", "dcg",
+        F.when(F.col("idcg") > 0,
+               F.col("dcg") / F.col("idcg")).alias("ndcg"))
+
+
+def equiwidth_histogram(df: DataFrame, value_col: str,
+                        n_bins: int = 20) -> DataFrame:
+    """Equi-width histogram: n_bins equal intervals between the global
+    min and max, the top edge inclusive (least(n_bins-1, ...) folds the
+    max into the last bin). The 1-row bounds aggregate broadcasts into
+    a map-side bin assignment — one scan + one tiny shuffle on bin id;
+    the full-range cross join is pinned broadcast so no executor ever
+    sees more than its own rows plus two doubles."""
+    bounds = df.agg(F.min(value_col).alias("mn"),
+                    F.max(value_col).alias("mx"))
+    v = F.col(value_col)
+    binned = df.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(F.lit(n_bins - 1),
+                    F.floor((v - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")) * n_bins)))
+        .cast("int").alias("bin"),
+        F.col("mn"), F.col("mx"))
+    return binned.groupBy("bin", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("n")).select(
+        "bin",
+        (F.col("mn") + F.col("bin") * (F.col("mx") - F.col("mn"))
+         / n_bins).alias("bin_lo"),
+        "n")
+
+
+def _md5_bucket(col, seed: int, width: int):
+    """Engine-portable hash bucket: first 8 hex chars of
+    md5(key ':' seed) -> 32-bit int -> mod width. The same derivation
+    the sampling operators use (pipeline.py) — DuckDB mirrors it with
+    CAST(('0x' || substr(md5(..), 1, 8)) AS BIGINT) % width."""
+    key = F.concat(col.cast("string"), F.lit(f":{seed}"))
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("long") % width)
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-min sketch build: ``depth`` independent md5-seeded hash
+    rows of ``width`` buckets. ONE corpus scan: each row explodes to
+    its ``depth`` (seed, bucket) cells and a single grouped count
+    collapses them — map-side partial aggregation reduces every task
+    to <= depth*width cells before the (only) shuffle, so the exchange
+    moves sketch-sized data no matter the corpus. The sketch is
+    depth*width rows total (the whole point: it broadcasts);
+    deterministic md5 hashing makes the sketch itself
+    oracle-checkable, not just its estimates."""
+    cells = df.select(F.explode(F.array(*[
+        F.struct(F.lit(s).alias("seed"),
+                 _md5_bucket(F.col(key_col), s, width).alias("bucket"))
+        for s in range(depth)])).alias("cell"))
+    return (cells.select("cell.seed", "cell.bucket")
+            .groupBy("seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(probes: DataFrame, sketch: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-frequency estimates: min over the sketch rows of the
+    probed bucket's count — the count-min upper-bound estimator
+    (est >= true count always; overshoot bounded by collisions).
+    Probes explode to ``depth`` rows each and broadcast-join the tiny
+    sketch; the corpus is never rescanned."""
+    exploded = probes.select(
+        key_col,
+        F.explode(F.array(*[F.lit(s) for s in range(depth)]))
+        .alias("seed"))
+    # seed is a COLUMN here, so the bucket hash inlines the same
+    # md5(key ':' seed) derivation _md5_bucket builds for literal seeds
+    exploded = exploded.withColumn(
+        "bucket",
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                           F.col("seed").cast("string"))), 1, 8),
+            16, 10).cast("long") % width)
+    joined = exploded.join(F.broadcast(sketch), ["seed", "bucket"],
+                           "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+
+
+def reservoir_sample_per_key(df: DataFrame, key_col: str, id_col: str,
+                             k: int = 5) -> DataFrame:
+    """Seeded per-key uniform sample without replacement: keep the k
+    rows with the smallest md5(id) per key — the deterministic
+    equivalent of a per-key reservoir (a uniform random hash induces a
+    uniform random k-subset), reproducible across engines and runs
+    unlike Algorithm R's RNG state. Top-k-per-group window on the hash;
+    ties impossible (md5 of distinct ids)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key_col).orderBy(h)
+    return (df.withColumn("smp_rank", F.row_number().over(w))
+            .where(F.col("smp_rank") <= k))

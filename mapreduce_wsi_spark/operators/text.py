@@ -548,3 +548,34 @@ def bpe_apply_fixed(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         F.size(toks).cast("int").alias("n_tokens"),
         F.md5(F.array_join(toks, "|")).alias("tok_md5"))
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text",
+                  out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC normalization (canonical composition) — the standard
+    first step of corpus text hygiene: combining sequences ('e' +
+    U+0301) fold to their precomposed forms ('é'), so dedup keys,
+    shingles and token counts stop splitting on byte-level encoding
+    accidents.
+
+    Spark has no built-in normalizer, so this is the documented
+    exception to the no-Python-in-the-row-path rule: an Arrow-batched
+    pandas UDF over stdlib ``unicodedata`` — vectorized transfer, one
+    C-backed normalize call per string, no shuffle (a pure projection
+    that fuses over the scan). The DuckDB twin is its native
+    nfc_normalize() (plans/q_eval.py pins md5 + codepoint-length
+    equality on injected combining sequences)."""
+    import pandas  # noqa: F401 — type-hint target for the UDF below
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    # explicit annotations (resolvable without the module importing
+    # pandas at top level, which the no-Python-row-path posture avoids)
+    _nfc_fn.__annotations__ = {"s": pandas.Series,
+                               "return": pandas.Series}
+    _nfc = pandas_udf("string")(_nfc_fn)
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

@@ -1,0 +1,126 @@
+"""Directed pins for the evaluation-metric operators: tiny hand-computed
+fixtures (the DuckDB parity gate checks the full-fixture versions; these
+check the MATH on examples small enough to verify by hand)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.evaluation import (
+    cms_build, cms_estimate, cohens_kappa, equiwidth_histogram,
+    group_auc, reservoir_sample_per_key, retrieval_metrics)
+
+
+def test_group_auc_hand_computed_with_ties(spark):
+    """scores pos=[3,2], neg=[2,1]: ranks 1,(2.5,2.5),4 — R_pos =
+    2.5 + 4 = 6.5, AUC = (6.5 - 3) / 4 = 0.875. A perfect and a
+    degenerate group ride along."""
+    rows = [("g", 3, 1), ("g", 2, 1), ("g", 2, 0), ("g", 1, 0),
+            ("p", 9, 1), ("p", 1, 0),
+            ("d", 5, 1), ("d", 6, 1)]
+    df = spark.createDataFrame(rows, "g string, s int, y int")
+    out = {r["g"]: r for r in group_auc(df, "g", "s", "y").collect()}
+    assert out["g"]["auc"] == 0.875
+    assert out["p"]["auc"] == 1.0
+    assert out["d"]["auc"] is None  # no negatives
+    assert (out["g"]["n_pos"], out["g"]["n_neg"]) == (2, 2)
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """Classic 2x2: both-yes 20, both-no 15, a-only 10, b-only 5 ->
+    p_o = 0.7, p_a = 0.6, p_b = 0.5, p_e = 0.5, kappa = 0.4."""
+    rows = ([("x", 1, 1)] * 20 + [("x", 0, 0)] * 15
+            + [("x", 1, 0)] * 10 + [("x", 0, 1)] * 5)
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    r = cohens_kappa(df, "g", "a", "b").collect()[0]
+    assert abs(r["p_observed"] - 0.7) < 1e-12
+    assert abs(r["p_expected"] - 0.5) < 1e-12
+    assert abs(r["kappa"] - 0.4) < 1e-12
+
+
+def test_cohens_kappa_degenerate_group_is_null(spark):
+    df = spark.createDataFrame([("c", 1, 1)] * 4, "g string, a int, b int")
+    r = cohens_kappa(df, "g", "a", "b").collect()[0]
+    assert r["kappa"] is None and r["p_observed"] == 1.0
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """5 candidates, k=3. System order (score desc, id): d1(rel 3),
+    d2(rel 0), d3(rel 1). Ideal: rel 3, 2, 1.
+    DCG = 7/1 + 0 + 1/2 = 7.5; IDCG = 7 + 3/log2(3) + 1/2;
+    P@3 = 2/3; MRR = 1 (first hit at rank 1)."""
+    rows = [("q", 1, 90, 3), ("q", 2, 80, 0), ("q", 3, 70, 1),
+            ("q", 4, 60, 2), ("q", 5, 50, 0)]
+    df = spark.createDataFrame(rows, "q string, id int, s int, rel int")
+    r = retrieval_metrics(df, "q", "id", "s", "rel", k=3).collect()[0]
+    idcg = 7.0 + 3.0 / math.log2(3.0) + 0.5
+    assert abs(r["dcg"] - 7.5) < 1e-12
+    assert abs(r["ndcg"] - 7.5 / idcg) < 1e-12
+    assert abs(r["p_at_k"] - 2 / 3) < 1e-12
+    assert r["mrr"] == 1.0
+
+
+def test_retrieval_metrics_mrr_and_no_hit(spark):
+    """First relevant at rank 2 -> MRR 0.5; an all-irrelevant query
+    reports 0 metrics (NULL ndcg: idcg == 0)."""
+    rows = [("a", 1, 9, 0), ("a", 2, 8, 2),
+            ("z", 7, 5, 0), ("z", 8, 4, 0)]
+    df = spark.createDataFrame(rows, "q string, id int, s int, rel int")
+    out = {r["q"]: r for r in
+           retrieval_metrics(df, "q", "id", "s", "rel", k=2).collect()}
+    assert out["a"]["mrr"] == 0.5
+    assert out["z"]["mrr"] == 0.0 and out["z"]["p_at_k"] == 0.0
+    assert out["z"]["ndcg"] is None
+
+
+def test_cms_estimate_upper_bounds_exact_counts(spark):
+    """Structural CMS guarantee: estimate >= exact count for every key
+    (min over hash rows can only over-count via collisions)."""
+    df = spark.range(0, 3000).select((F.col("id") % 50).alias("k"))
+    sketch = cms_build(df, "k", depth=4, width=32)
+    probes = df.distinct()
+    est = {r["k"]: r["cms_est"] for r in
+           cms_estimate(probes, sketch, "k", depth=4, width=32).collect()}
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # width >> keys: no collisions -> exact everywhere
+    sketch2 = cms_build(df, "k", depth=4, width=4096)
+    est2 = {r["k"]: r["cms_est"] for r in
+            cms_estimate(probes, sketch2, "k", depth=4,
+                         width=4096).collect()}
+    assert est2 == exact
+
+
+def test_equiwidth_histogram_bins_and_edges(spark):
+    """Values 0..99 into 10 bins: each bin holds exactly 10, bin_lo are
+    the multiples of 9.9; the max value folds into the last bin."""
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    out = {r["bin"]: r for r in
+           equiwidth_histogram(df, "v", n_bins=10).collect()}
+    assert sorted(out) == list(range(10))
+    assert all(out[b]["n"] == 10 for b in out)
+    assert out[3]["bin_lo"] == 3 * 99.0 / 10  # mn + bin*(mx-mn)/n_bins
+    const = spark.createDataFrame([(5.0,)] * 7, "v double")
+    r = equiwidth_histogram(const, "v", n_bins=10).collect()
+    assert len(r) == 1 and r[0]["bin"] == 0 and r[0]["n"] == 7
+
+
+def test_reservoir_sample_deterministic_and_sized(spark):
+    """Exactly min(k, group size) rows per key, stable across runs, and
+    a no-replacement uniform-hash sample: changing k=2 -> k=4 KEEPS the
+    k=2 rows (hash order is a fixed permutation)."""
+    df = spark.range(0, 200).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id"))
+    take2 = reservoir_sample_per_key(df, "g", "id", k=2)
+    take4 = reservoir_sample_per_key(df, "g", "id", k=4)
+    s2 = {(r["g"], r["id"]) for r in take2.collect()}
+    s4 = {(r["g"], r["id"]) for r in take4.collect()}
+    assert len(s2) == 6 and len(s4) == 12 and s2 < s4
+    again = {(r["g"], r["id"]) for r in take2.collect()}
+    assert again == s2
+    tiny = spark.createDataFrame([("a", 1), ("a", 2)], "g string, id int")
+    assert reservoir_sample_per_key(tiny, "g", "id", k=5).count() == 2
