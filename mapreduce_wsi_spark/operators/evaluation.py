@@ -153,6 +153,73 @@ def equiwidth_histogram(df: DataFrame, value_col: str,
         "n")
 
 
+def calibration_curve(df: DataFrame, prob_col: str, label_col: str,
+                      n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: bucket
+    predictions into n_bins equal probability intervals and report the
+    mean predicted probability vs the observed positive rate per bin —
+    the standard calibration check a quality-model gate runs before its
+    scores are trusted as thresholds.
+
+    Order-free arithmetic: predicted probabilities enter the sum as
+    9dp DECIMALs (exact, partial-aggregation order cannot perturb
+    them — the repo's decimal-centroid trick), and the observed rate
+    is an integer count ratio; the only float division happens once,
+    per bin, identically on any engine."""
+    p = F.col(prob_col)
+    binned = df.select(
+        F.least(F.lit(n_bins - 1), F.floor(p * n_bins))
+        .cast("int").alias("bin"),
+        F.round(p, 9).cast("decimal(18,9)").alias("p_dec"),
+        F.col(label_col).cast("long").alias("y"))
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_dec").alias("sum_p"),
+        F.sum("y").alias("n_pos"))
+    return agg.select(
+        "bin", "n", "n_pos",
+        (F.col("sum_p").cast("double") / F.col("n")).alias("mean_p"),
+        (F.col("n_pos") / F.col("n")).alias("frac_pos"))
+
+
+def confusion_f1(df: DataFrame, truth_col: str,
+                 pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from a multiclass prediction
+    frame. One shuffle: the (truth, pred) confusion cells aggregate
+    map-side to at most |classes|^2 rows; everything after runs on that
+    tiny cell table (broadcast joins of its 1-key margins). Classes
+    appearing only in truth or only in pred still get a row (full outer
+    margin join) with zero-count semantics; F1 is NULL when both
+    precision and recall are 0 (undefined 0/0)."""
+    cells = df.groupBy(
+        F.col(truth_col).alias("truth"), F.col(pred_col).alias("pred")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tp = (cells.where(F.col("truth") == F.col("pred"))
+          .select(F.col("truth").alias("cls"),
+                  F.col("cnt").alias("tp")))
+    pred_m = cells.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("cnt").alias("n_pred"))
+    truth_m = cells.groupBy(F.col("truth").alias("cls")).agg(
+        F.sum("cnt").alias("n_truth"))
+    m = (truth_m.join(F.broadcast(pred_m), "cls", "full_outer")
+         .join(F.broadcast(tp), "cls", "left")
+         .select("cls",
+                 F.coalesce("tp", F.lit(0)).alias("tp"),
+                 F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+                 F.coalesce("n_truth", F.lit(0)).alias("n_truth")))
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_truth") > 0, F.col("tp") / F.col("n_truth"))
+    return m.select(
+        "cls", "tp", "n_pred", "n_truth",
+        prec.alias("precision"), rec.alias("recall"),
+        F.when(F.coalesce(prec, F.lit(0.0))
+               + F.coalesce(rec, F.lit(0.0)) > 0,
+               2 * F.coalesce(prec, F.lit(0.0))
+               * F.coalesce(rec, F.lit(0.0))
+               / (F.coalesce(prec, F.lit(0.0))
+                  + F.coalesce(rec, F.lit(0.0)))).alias("f1"))
+
+
 def _md5_bucket(col, seed: int, width: int):
     """Engine-portable hash bucket: first 8 hex chars of
     md5(key ':' seed) -> 32-bit int -> mod width. The same derivation

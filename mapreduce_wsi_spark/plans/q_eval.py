@@ -393,3 +393,105 @@ def sample_reservoir_per_key(spark, sf_dir):
     out = reservoir_sample_per_key(ev, "event_type", "event_id", k=5)
     return out.select("event_type", "event_id",
                       F.col("smp_rank").cast("int").alias("smp_rank"))
+
+
+@register(
+    "eval_calibration_curve",
+    oracle="""
+    WITH base AS (SELECT (value % 100) / 100 AS p,
+        CASE WHEN user_id % 100 < CAST(floor(value % 100) AS BIGINT)
+             THEN 1 ELSE 0 END AS y
+        FROM events),
+    b2 AS (SELECT CAST(least(9, CAST(floor(p * 10) AS BIGINT)) AS INT)
+                      AS bin,
+                  CAST(round(p, 9) AS DECIMAL(18,9)) AS p_dec, y
+           FROM base),
+    ag AS (SELECT bin, count(*) AS n, sum(p_dec) AS sum_p,
+                  CAST(sum(y) AS BIGINT) AS n_pos
+           FROM b2 GROUP BY 1)
+    SELECT bin, n, n_pos,
+           round(CAST(sum_p AS DOUBLE) / n, 9) AS mean_p,
+           round(n_pos / n, 9) AS frac_pos
+    FROM ag
+    """,
+    note="Reliability diagram for a probabilistic classifier: a "
+         "synthetic well-calibrated model (p from the value fraction, "
+         "outcome drawn by comparing an independent user-id residue "
+         "against p — so frac_pos tracks mean_p across bins) bucketed "
+         "into 10 equal probability bins. Mean predicted probability "
+         "sums 9dp DECIMALs (exact — partial-agg order cannot perturb "
+         "it, the repo's decimal-centroid trick) and the observed rate "
+         "is an integer-count ratio; ONE tiny group-by, no window, no "
+         "join")
+def eval_calibration_curve(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        calibration_curve)
+
+    ev = events_tbl(spark, sf_dir)
+    p = (F.col("value") % 100) / 100
+    y = (F.col("user_id") % 100
+         < F.floor(F.col("value") % 100).cast("long")).cast("int")
+    df = ev.select(p.alias("p"), y.alias("y"))
+    out = calibration_curve(df, "p", "y", n_bins=10)
+    return out.select("bin", "n", "n_pos",
+                      F.round("mean_p", 9).alias("mean_p"),
+                      F.round("frac_pos", 9).alias("frac_pos"))
+
+
+@register(
+    "eval_confusion_f1",
+    oracle="""
+    WITH base AS (SELECT
+        CASE CAST(floor(value) AS BIGINT) % 3
+             WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS truth,
+        CASE (CAST(floor(value) AS BIGINT) + user_id) % 3
+             WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS pred
+        FROM events),
+    cells AS (SELECT truth, pred, count(*) AS cnt
+              FROM base GROUP BY 1, 2),
+    tp AS (SELECT truth AS cls, cnt AS tp FROM cells
+           WHERE truth = pred),
+    pm AS (SELECT pred AS cls, CAST(sum(cnt) AS BIGINT) AS n_pred
+           FROM cells GROUP BY 1),
+    tm AS (SELECT truth AS cls, CAST(sum(cnt) AS BIGINT) AS n_truth
+           FROM cells GROUP BY 1),
+    m AS (SELECT COALESCE(tm.cls, pm.cls) AS cls,
+                 COALESCE(tp.tp, 0) AS tp,
+                 COALESCE(pm.n_pred, 0) AS n_pred,
+                 COALESCE(tm.n_truth, 0) AS n_truth
+          FROM tm FULL OUTER JOIN pm ON tm.cls = pm.cls
+          LEFT JOIN tp ON COALESCE(tm.cls, pm.cls) = tp.cls),
+    pr AS (SELECT cls, tp, n_pred, n_truth,
+                  CASE WHEN n_pred > 0 THEN tp / n_pred END AS p,
+                  CASE WHEN n_truth > 0 THEN tp / n_truth END AS r
+           FROM m)
+    SELECT cls, tp, n_pred, n_truth,
+           round(p, 9) AS precision, round(r, 9) AS recall,
+           round(CASE WHEN COALESCE(p, 0) + COALESCE(r, 0) > 0 THEN
+                 2 * COALESCE(p, 0) * COALESCE(r, 0)
+                 / (COALESCE(p, 0) + COALESCE(r, 0)) END, 9) AS f1
+    FROM pr
+    """,
+    note="Multiclass confusion-matrix metrics: per-class precision / "
+         "recall / F1 from deterministic 3-class truth and prediction "
+         "derivations (value residue vs value+user residue — partial "
+         "agreement on the diagonal). One shuffle to the "
+         "|classes|^2-row cell table; margins and the diagonal join "
+         "back broadcast. F1 guards the 0/0 case as NULL; float "
+         "expressions mirrored operation-for-operation")
+def eval_confusion_f1(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import confusion_f1
+
+    ev = events_tbl(spark, sf_dir)
+    iv = F.floor("value").cast("long")
+    letters = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    df = ev.select(
+        F.element_at(letters, (iv % 3 + 1).cast("int")).alias("truth"),
+        F.element_at(letters,
+                     ((iv + F.col("user_id")) % 3 + 1).cast("int"))
+        .alias("pred"))
+    out = confusion_f1(df, "truth", "pred")
+    return out.select("cls", "tp", "n_pred", "n_truth",
+                      F.round("precision", 9).alias("precision"),
+                      F.round("recall", 9).alias("recall"),
+                      F.round("f1", 9).alias("f1"))

@@ -124,3 +124,36 @@ def test_reservoir_sample_deterministic_and_sized(spark):
     assert again == s2
     tiny = spark.createDataFrame([("a", 1), ("a", 2)], "g string, id int")
     assert reservoir_sample_per_key(tiny, "g", "id", k=5).count() == 2
+
+
+def test_calibration_curve_hand_computed(spark):
+    """Two bins: p=0.05 x4 (1 positive) and p=0.95 x2 (2 positives) ->
+    bin 0: mean_p 0.05, frac 0.25; bin 9: mean_p 0.95, frac 1.0.
+    p=1.0 folds into the last bin."""
+    from mapreduce_wsi_spark.operators.evaluation import calibration_curve
+
+    rows = [(0.05, 0), (0.05, 0), (0.05, 0), (0.05, 1),
+            (0.95, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r["bin"]: r for r in
+           calibration_curve(df, "p", "y", n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert abs(out[0]["mean_p"] - 0.05) < 1e-12
+    assert out[0]["frac_pos"] == 0.25
+    assert out[9]["n"] == 3 and out[9]["frac_pos"] == 1.0
+
+
+def test_confusion_f1_hand_computed(spark):
+    """truth a,a,b,b,b; pred a,b,b,b,c -> class a: P=1, R=0.5, F1=2/3;
+    class b: P=2/3, R=2/3; class c: predicted-only, P=0, R undefined on
+    0 truths -> NULL, F1 NULL (0 + NULL-coalesced 0)."""
+    from mapreduce_wsi_spark.operators.evaluation import confusion_f1
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("b", "c")]
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    out = {r["cls"]: r for r in confusion_f1(df, "truth", "pred").collect()}
+    assert abs(out["a"]["f1"] - 2 / 3) < 1e-12
+    assert out["a"]["precision"] == 1.0 and out["a"]["recall"] == 0.5
+    assert abs(out["b"]["precision"] - 2 / 3) < 1e-12
+    assert out["c"]["n_truth"] == 0 and out["c"]["recall"] is None
+    assert out["c"]["precision"] == 0.0 and out["c"]["f1"] is None
