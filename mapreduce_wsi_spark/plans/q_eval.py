@@ -299,9 +299,8 @@ def text_nfc_normalize(spark, sf_dir):
     WITH k AS (SELECT l_partkey FROM lineitem),
     seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
     sk AS (SELECT s.seed,
-                  CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)
-                       || ':' || s.seed), 1, 8)) AS BIGINT) % 256
-                      AS bucket,
+                  CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                       s.seed * 8 + 1, 8)) AS BIGINT) % 256 AS bucket,
                   count(*) AS cnt
            FROM k CROSS JOIN seeds s GROUP BY 1, 2),
     pr AS (SELECT DISTINCT l_partkey FROM k WHERE l_partkey % 97 = 0),
@@ -309,8 +308,8 @@ def text_nfc_normalize(spark, sf_dir):
                    min(COALESCE(sk.cnt, 0)) AS cms_est
             FROM pr p CROSS JOIN seeds s
             LEFT JOIN sk ON sk.seed = s.seed AND sk.bucket =
-                CAST(('0x' || substr(md5(CAST(p.l_partkey AS VARCHAR)
-                     || ':' || s.seed), 1, 8)) AS BIGINT) % 256
+                CAST(('0x' || substr(md5(CAST(p.l_partkey AS VARCHAR)),
+                     s.seed * 8 + 1, 8)) AS BIGINT) % 256
             GROUP BY 1),
     ex AS (SELECT l_partkey, count(*) AS exact_cnt
            FROM k WHERE l_partkey % 97 = 0 GROUP BY 1)
@@ -318,8 +317,8 @@ def text_nfc_normalize(spark, sf_dir):
            e.cms_est - ex.exact_cnt AS overcount
     FROM est e JOIN ex USING (l_partkey)
     """,
-    note="Count-min sketch, fully oracle-checked: 4 md5-seeded hash "
-         "rows x 256 buckets (deterministic buckets, so the SKETCH "
+    note="Count-min sketch, fully oracle-checked: 4 hash "
+         "rows x 256 buckets carved from ONE md5 digest per key (each row reads its own 8-hex window — 4 hashes for one digest cost; deterministic buckets, so the SKETCH "
          "itself matches DuckDB bit-for-bit, not just a contract), "
          "probed for every l_partkey divisible by 97 and compared "
          "against exact counts — overcount = est - exact makes the "

@@ -71,6 +71,17 @@ SHOWN = [
     "graph_label_propagation",
     "theil_sen_user_trend",
     "funnel_within_window",
+    # r6: eval tranche shuffle shapes — dictionary-sized AUC window,
+    # zero-join bigram construction, one-scan CMS build, broadcast
+    # histogram bounds, and the mm encode->decode Arrow pipelines
+    "eval_group_auc",
+    "eval_retrieval_metrics",
+    "text_bigram_pmi",
+    "sketch_cms_frequency",
+    "hist_equiwidth_prices",
+    "eval_confusion_f1",
+    "mm_decode_jpeg_progressive",
+    "mm_decode_ok_rate",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.

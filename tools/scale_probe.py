@@ -37,6 +37,12 @@ DEFAULT_QUERIES = [
     "dedup_components_star",    # O(log n) star contraction rounds
     "dedup_semdedup",           # IVF build + within-cell cosine join
     "mm_decode_jpeg",           # heaviest per-row Arrow kernel
+    # r6 additions with real data volume
+    "mm_decode_jpeg_progressive",  # 4-scan Annex G entropy walk
+    "text_bigram_pmi",          # zero-join bigrams + dictionary joins
+    "eval_retrieval_metrics",   # query x corpus scoring fan-out
+    "sketch_cms_frequency",     # one-scan sketch build + probes
+    "eval_group_auc",           # window over per-score aggregate
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
