@@ -494,3 +494,75 @@ def eval_confusion_f1(spark, sf_dir):
                       F.round("precision", 9).alias("precision"),
                       F.round("recall", 9).alias("recall"),
                       F.round("f1", 9).alias("f1"))
+
+
+# ---- storage & privacy additions (r6) --------------------------------
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    note="ORC source/sink roundtrip: the documents projection writes as "
+         "ORC (Spark's second native columnar format — the engine must "
+         "not be parquet-only) and the aggregate runs over the "
+         "read-back, so writer schema mapping, reader predicate/column "
+         "plumbing and type fidelity (string + int64) are all on the "
+         "verified path; the DuckDB twin aggregates the original "
+         "parquet, so any roundtrip corruption breaks the hash. Files "
+         "land under the system temp dir, overwritten per run — the "
+         "entry is idempotent")
+def source_orc_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"orc_roundtrip_{tag}")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"))
+
+
+@register(
+    "join_privacy_hashed",
+    oracle="""
+    WITH c AS (SELECT sha256('pepper:' || CAST(c_custkey AS VARCHAR))
+                   AS hk, c_mktsegment
+               FROM customer),
+         o AS (SELECT sha256('pepper:' || CAST(o_custkey AS VARCHAR))
+                   AS hk, o_totalprice
+               FROM orders)
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_revenue
+    FROM c JOIN o USING (hk) GROUP BY 1
+    """,
+    note="Privacy-preserving join: both sides tokenize the shared key "
+         "as sha256(pepper || key) and join on the 64-hex token — the "
+         "standard pattern for joining datasets across a trust "
+         "boundary without exchanging raw identifiers (a real pepper "
+         "lives in a secret store; here it is a literal so the DuckDB "
+         "twin can re-derive it). Scale shape: the hashed key is "
+         "maximum-entropy, so the shuffle is perfectly balanced by "
+         "construction — hashing the key SOLVES key skew as a side "
+         "effect; revenue sums round at 2dp, far above double "
+         "accumulation noise")
+def join_privacy_hashed(spark, sf_dir):
+    def hk(col):
+        return F.sha2(F.concat(F.lit("pepper:"), col.cast("string")),
+                      256)
+
+    cust = tbl(spark, sf_dir, "customer").select(
+        hk(F.col("c_custkey")).alias("hk"), "c_mktsegment")
+    orders = tbl(spark, sf_dir, "orders").select(
+        hk(F.col("o_custkey")).alias("hk"), "o_totalprice")
+    joined = cust.join(orders, "hk")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"))

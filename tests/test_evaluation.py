@@ -157,3 +157,66 @@ def test_confusion_f1_hand_computed(spark):
     assert abs(out["b"]["precision"] - 2 / 3) < 1e-12
     assert out["c"]["n_truth"] == 0 and out["c"]["recall"] is None
     assert out["c"]["precision"] == 0.0 and out["c"]["f1"] is None
+
+
+def test_group_auc_fuzz_equals_pair_counting(spark):
+    """Property: the rank-statistic AUC equals the brute-force pair
+    definition (wins + half-ties over pos x neg pairs) on random
+    fixtures with heavy ties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1)),
+                    min_size=2, max_size=40))
+    def run(rows):
+        data = [("g", s, y) for s, y in rows]
+        df = spark.createDataFrame(data, "g string, s int, y int")
+        got = group_auc(df, "g", "s", "y").collect()[0]["auc"]
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        if not pos or not neg:
+            assert got is None
+            return
+        wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+        assert abs(got - wins / (len(pos) * len(neg))) < 1e-9
+
+    run()
+
+
+def test_retrieval_metrics_fuzz_equals_reference(spark):
+    """Property: the windowed DCG/NDCG/MRR/P@k agree with a plain
+    Python re-implementation over the same (score desc, id) order."""
+    import math as m
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 3)),
+                    min_size=1, max_size=25),
+           st.integers(1, 10))
+    def run(rows, k):
+        data = [("q", i, s, r) for i, (s, r) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "q string, id int, s int, rel int")
+        got = retrieval_metrics(df, "q", "id", "s", "rel",
+                                k=k).collect()[0]
+        sys_order = sorted(data, key=lambda t: (-t[2], t[1]))[:k]
+        ideal = sorted(data, key=lambda t: (-t[3], t[1]))[:k]
+        dcg = sum((2.0 ** r[3] - 1) / m.log2(p + 2)
+                  for p, r in enumerate(sys_order))
+        idcg = sum((2.0 ** r[3] - 1) / m.log2(p + 2)
+                   for p, r in enumerate(ideal))
+        mrr = next((1.0 / (p + 1) for p, r in enumerate(sys_order)
+                    if r[3] > 0), 0.0)
+        p_at_k = sum(r[3] > 0 for r in sys_order) / k
+        assert abs(got["dcg"] - dcg) < 1e-9
+        assert abs(got["p_at_k"] - p_at_k) < 1e-12
+        assert got["mrr"] == mrr
+        if idcg > 0:
+            assert abs(got["ndcg"] - dcg / idcg) < 1e-9
+        else:
+            assert got["ndcg"] is None
+
+    run()
