@@ -462,3 +462,65 @@ def label_coherence(df: DataFrame, id_col: str = "vec_id",
             .agg(F.count(F.lit(1)).cast("int").alias("n_members"),
                  (F.sum("__cos").cast("double") / F.count("__cos"))
                  .alias("mean_cos")))
+
+
+def covariance_topk(df: DataFrame, vec_col: str = "embedding",
+                    dim: int = 64, k: int = 20) -> DataFrame:
+    """Top-k embedding-dimension covariances by |cov| (off-diagonal):
+    the redundancy/feature-correlation profile of an embedding corpus —
+    strongly covarying dimensions mean wasted representation capacity
+    (and predict how well random projection / int8 quantization will
+    hold up).
+
+    Distributed moment accumulation: an Arrow-batched partition kernel
+    accumulates E^T E (numpy, float64), per-dimension sums and the row
+    count, emitting ONE (dim*(dim+1)/2 + dim + 1)-row partial per
+    partition; a grouped sum merges partials, so the shuffle carries
+    O(dim^2) rows per partition regardless of corpus size. cov(i,j) =
+    (S_ij - S_i S_j / n) / n, rounded to 9dp BEFORE the top-k order
+    (with (i, j) tie-breaks) so the cutoff is engine-stable; float32
+    inputs make each product exact in float64, leaving only summation-
+    order noise (~1e-12) far below the rounding grain."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        acc = np.zeros((dim, dim))
+        sums = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc += e.T @ e
+            sums += e.sum(axis=0)
+            n += len(pdf)
+        ii, jj = np.triu_indices(dim)
+        out = {"i": list(ii) + list(range(dim)) + [-1],
+               "j": list(jj) + [-1] * dim + [-1],
+               "s": list(acc[ii, jj]) + list(sums) + [float(n)]}
+        yield pd.DataFrame(out)
+
+    moments = (df.select(vec_col).mapInPandas(partials,
+                                              "i int, j int, s double")
+               .groupBy("i", "j").agg(F.sum("s").alias("s")))
+    n_row = (moments.where((F.col("i") == -1) & (F.col("j") == -1))
+             .select(F.col("s").alias("n")))
+    dims = (moments.where((F.col("j") == -1) & (F.col("i") >= 0))
+            .select(F.col("i").alias("d"), F.col("s").alias("sd")))
+    off = moments.where(F.col("i") < F.col("j"))
+    cov = (off
+           .join(F.broadcast(dims.select(F.col("d").alias("i"),
+                                         F.col("sd").alias("si"))), "i")
+           .join(F.broadcast(dims.select(F.col("d").alias("j"),
+                                         F.col("sd").alias("sj"))), "j")
+           .crossJoin(F.broadcast(n_row))
+           .select("i", "j",
+                   F.round((F.col("s") - F.col("si") * F.col("sj")
+                            / F.col("n")) / F.col("n"), 9)
+                   .alias("cov")))
+    return (cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j")
+            .limit(k).select("i", "j", "cov"))

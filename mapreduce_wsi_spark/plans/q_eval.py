@@ -566,3 +566,161 @@ def join_privacy_hashed(spark, sf_dir):
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_revenue"))
+
+
+# ---- corpus statistics (r6) ------------------------------------------
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(
+                    regexp_replace(text, '[^a-zA-Z]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS w
+                FROM documents),
+    top AS (SELECT w, count(*) AS c FROM tk GROUP BY 1
+            ORDER BY c DESC, w LIMIT 30),
+    rk AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+                          AS DOUBLE)) AS x,
+                  ln(CAST(c AS DOUBLE)) AS y
+           FROM top),
+    ag AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(x * y) AS sxy
+           FROM rk)
+    SELECT CAST(n AS INT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+               AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 9) AS intercept
+    FROM ag
+    """,
+    note="Zipf's-law fit over the top-30 token frequencies: least "
+         "squares of ln(count) ~ ln(rank) — the slope is the corpus's "
+         "Zipf exponent (natural language ~ -1; this synthetic "
+         "word-salad is much flatter, which is exactly what the "
+         "statistic is for: distribution-shape QA of a corpus before "
+         "training). Scale shape: the top-30 cut lowers to "
+         "TakeOrderedAndProject (NO dictionary-wide window — the "
+         "vocab_oov lesson) and the rank window runs over 30 rows; "
+         "the regression formula is mirrored symbol-for-symbol")
+def text_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-zA-Z]+", " "),
+                " "),
+        lambda x: x != "")
+    top = (docs.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.col("c").desc(), "w").limit(30))
+    w = Window.orderBy(F.col("c").desc(), "w")
+    rk = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"))
+    ag = rk.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n, sx, sy, sxx, sxy = (F.col(c) for c in
+                           ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ag.select(
+        n.cast("int").alias("n_points"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"))
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH tk AS (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(
+                           regexp_replace(text, '[^a-zA-Z]+', ' ',
+                                          'g')), ' '),
+                           x -> x <> '')) AS w
+                FROM documents),
+    fs AS (SELECT w, min(doc_id) AS first_seen FROM tk GROUP BY 1),
+    mx AS (SELECT max(doc_id) AS mxd FROM documents),
+    cp AS (SELECT k, CAST(floor(mx.mxd * k / 10.0) AS BIGINT) AS cut
+           FROM generate_series(1, 10) g(k), mx),
+    vocab AS (SELECT cp.k, cp.cut, count(*) AS vocab_size
+              FROM cp JOIN fs ON fs.first_seen <= cp.cut
+              GROUP BY 1, 2),
+    dn AS (SELECT cp.k, count(*) AS n_docs
+           FROM cp JOIN documents d ON d.doc_id <= cp.cut GROUP BY 1)
+    SELECT v.k AS decile, v.cut, dn.n_docs, v.vocab_size
+    FROM vocab v JOIN dn USING (k)
+    """,
+    note="Heaps'-law vocabulary-growth curve: distinct-vocabulary size "
+         "at 10 corpus-prefix checkpoints, computed WITHOUT any "
+         "cumulative-distinct scan — each token's first-seen doc is "
+         "one dictionary aggregate (min doc_id per token), and vocab "
+         "size at a checkpoint is a count over first_seen <= cut, so "
+         "the whole curve costs one token shuffle + a 10-row broadcast "
+         "join. The flattening rate tells you whether more crawl "
+         "genuinely buys new vocabulary; all outputs are exact "
+         "integers")
+def text_heaps_law(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-zA-Z]+", " "),
+                " "),
+        lambda x: x != "")
+    fs = (docs.select("doc_id", F.explode(toks).alias("w"))
+          .groupBy("w").agg(F.min("doc_id").alias("first_seen")))
+    mx = docs.agg(F.max("doc_id").alias("mxd"))
+    cp = (spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+          .crossJoin(F.broadcast(mx))
+          .select("k", F.floor(F.col("mxd") * F.col("k") / 10.0)
+                  .cast("long").alias("cut")))
+    vocab = (fs.crossJoin(F.broadcast(cp))
+             .where(F.col("first_seen") <= F.col("cut"))
+             .groupBy("k", "cut")
+             .agg(F.count(F.lit(1)).alias("vocab_size")))
+    dn = (docs.select("doc_id").crossJoin(F.broadcast(cp))
+          .where(F.col("doc_id") <= F.col("cut"))
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n_docs")))
+    return (vocab.join(dn, "k")
+            .select(F.col("k").alias("decile"), "cut", "n_docs",
+                    "vocab_size"))
+
+
+@register(
+    "embedding_covariance_topk",
+    oracle="""
+    WITH e AS (SELECT embedding FROM embeddings),
+    pairs AS (SELECT g1.i, g2.j
+              FROM generate_series(1, 64) g1(i),
+                   generate_series(1, 64) g2(j)
+              WHERE g1.i < g2.j),
+    s AS (SELECT p.i, p.j,
+                 sum(CAST(e.embedding[p.i] AS DOUBLE)
+                     * CAST(e.embedding[p.j] AS DOUBLE)) AS sij
+          FROM e, pairs p GROUP BY 1, 2),
+    m AS (SELECT g.i, sum(CAST(e.embedding[g.i] AS DOUBLE)) AS si
+          FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
+    SELECT s.i - 1 AS i, s.j - 1 AS j,
+           round((s.sij - m1.si * m2.si / n.n) / n.n, 9) AS cov
+    FROM s JOIN m m1 ON m1.i = s.i JOIN m m2 ON m2.i = s.j
+    CROSS JOIN n
+    ORDER BY abs(round((s.sij - m1.si * m2.si / n.n) / n.n, 9)) DESC,
+             i, j
+    LIMIT 20
+    """,
+    note="Embedding-dimension covariance profile: the top-20 "
+         "off-diagonal |cov(i,j)| pairs — strongly covarying "
+         "dimensions flag redundant representation capacity (and "
+         "predict random-projection / int8-quantization fidelity). "
+         "Spark accumulates E^T E per partition in ONE Arrow kernel "
+         "(numpy float64; float32 inputs make every product exact) and "
+         "merges O(dim^2)-row partials — corpus size never crosses the "
+         "shuffle; the oracle recomputes all 2016 pair sums "
+         "relationally. 9dp rounding happens BEFORE the top-k order "
+         "(ties on (i,j)) so the cutoff is engine-stable")
+def embedding_covariance_topk(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import covariance_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return covariance_topk(emb, "embedding", dim=64, k=20)

@@ -220,3 +220,26 @@ def test_retrieval_metrics_fuzz_equals_reference(spark):
             assert got["ndcg"] is None
 
     run()
+
+
+def test_covariance_topk_matches_numpy(spark):
+    """covariance_topk equals numpy's biased covariance matrix on a
+    small random corpus, including the |cov| ordering and rounding."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.similarity import covariance_topk
+
+    rng = np.random.default_rng(5)
+    dim, n = 6, 40
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>")
+    got = covariance_topk(df, "embedding", dim=dim, k=5).collect()
+    c = np.cov(vecs.astype(np.float64).T, bias=True)
+    exp = sorted(((round(c[i, j], 9), i, j)
+                  for i in range(dim) for j in range(i + 1, dim)),
+                 key=lambda t: (-abs(t[0]), t[1], t[2]))[:5]
+    assert [(r["i"], r["j"]) for r in got] == [(i, j) for _, i, j in exp]
+    for r, (v, _i, _j) in zip(got, exp):
+        assert abs(r["cov"] - v) < 1e-9
