@@ -354,3 +354,62 @@ def test_dq_profile_is_single_aggregation_pass(spark, sf_oracle):
     # the node-detail header, so count the per-scan Location line instead
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_zipf_top30_is_take_ordered(spark, sf_oracle):
+    """The Zipf top-30 cut lowers to TakeOrderedAndProject over the
+    token counts — no dictionary-wide sort or window (the vocab_oov
+    lesson, pinned here too); the only rank window runs over 30 rows."""
+    plan = plan_of(build("text_zipf_fit", spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_heaps_checkpoints_broadcast(spark, sf_oracle):
+    """Heaps'-law checkpoints (10 rows) broadcast into both counting
+    joins — the dictionary is never sort-merge-joined or rescanned per
+    checkpoint."""
+    plan = plan_of(build("text_heaps_law", spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_covariance_shuffle_carries_partials_only(spark, sf_oracle):
+    """The covariance kernel's only corpus-wide stage is the Arrow
+    partial pass: every Exchange in the plan sits ABOVE the
+    mapInPandas output (O(dim^2) rows per partition), and the margins
+    join back broadcast."""
+    plan = plan_of(build("embedding_covariance_topk", spark, sf_oracle))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # the top-k cut
+
+
+def test_cms_passes_are_codegen_scan_aggs(spark, sf_oracle):
+    """Each CMS BUILD pass must stay a codegen'd scan->partial-agg
+    pipeline (the measured 2.2x win vs the explode shape): no
+    generator node over the corpus. The full entry may explode the
+    ~20-row PROBE set (seeds per probe) — that generator is allowed;
+    the corpus-side build is checked in isolation."""
+    from mapreduce_wsi_spark.operators.evaluation import cms_build
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet") \
+        .select("l_partkey")
+    plan = plan_of(cms_build(li, "l_partkey"))
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
+    full = plan_of(build("sketch_cms_frequency", spark, sf_oracle))
+    assert "BatchEvalPython" not in full
+    assert "BroadcastHashJoin" in full
+
+
+def test_privacy_hashed_join_has_no_raw_key_exchange(spark, sf_oracle):
+    """The privacy join shuffles only the sha256 token column — the
+    raw custkey never appears in an Exchange's partitioning
+    expression."""
+    import re
+
+    plan = plan_of(build("join_privacy_hashed", spark, sf_oracle))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "custkey" not in m.group(1), m.group(0)
