@@ -2402,14 +2402,24 @@ def _gif_lzw_decode(data: bytes, min_code: int,
     return out
 
 
+def _gif_interlace_order(h: int) -> "np.ndarray":
+    """GIF89a Appendix E four-pass interlace: the storage order of the
+    image rows (pass 1: every 8th from row 0; pass 2: every 8th from
+    row 4; pass 3: every 4th from row 2; pass 4: every 2nd from row
+    1). Returns the row indices in stored order — decode scatters
+    stored rows back to these positions; the encoder twin gathers."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
 def _parse_gif(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     """Parse a GIF87a/89a payload: logical screen descriptor, global or
     local color table, extension-block skipping, REAL LZW decode of the
-    FIRST image frame, palette lookup to an (h, w, 3) uint8 RGB array.
-    Interlaced frames, missing palettes and malformed streams return
-    None (ok=false downstream, the poison-safe convention); animation
-    frames beyond the first are ignored (frame sampling is
-    sample_frames' job, not the decoder's)."""
+    FIRST image frame (four-pass interlaced or sequential), palette
+    lookup to an (h, w, 3) uint8 RGB array. Missing palettes and
+    malformed streams return None (ok=false downstream, the poison-safe
+    convention); animation frames beyond the first are ignored (frame
+    sampling is sample_frames' job, not the decoder's)."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
@@ -2439,8 +2449,7 @@ def _parse_gif(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
             return None
         _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if iflags & 0x40:       # interlaced: outside the decoded subset
-            return None
+        interlaced = bool(iflags & 0x40)
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -2466,7 +2475,12 @@ def _parse_gif(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         codes = np.asarray(idx[:iw * ih], dtype=np.int64)
         if codes.max(initial=0) >= pal.shape[0]:
             return None
-        return iw, ih, pal[codes].reshape(ih, iw, 3)
+        grid = codes.reshape(ih, iw)
+        if interlaced:  # scatter stored rows to their display positions
+            out = np.empty_like(grid)
+            out[_gif_interlace_order(ih)] = grid
+            grid = out
+        return iw, ih, pal[grid].reshape(ih, iw, 3)
     return None
 
 
@@ -2522,14 +2536,18 @@ def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(rgb: "np.ndarray") -> bytes:
+def encode_gif(rgb: "np.ndarray", interlaced: bool = False) -> bytes:
     """Minimal GIF89a writer for test/oracle payload synthesis: global
     color table from first-appearance color order (<= 256 distinct),
-    one non-interlaced frame, real LZW stream, plus a comment extension
-    so decoders must exercise the block-skip path."""
+    one frame (optionally four-pass interlaced: rows gathered into
+    Appendix E storage order, flag set in the image descriptor), real
+    LZW stream, plus a comment extension so decoders must exercise the
+    block-skip path."""
     import struct
 
     h, w, _ = rgb.shape
+    if interlaced:
+        rgb = rgb[_gif_interlace_order(h)]
     flat = [tuple(int(v) for v in px) for px in rgb.reshape(-1, 3)]
     index: dict[tuple[int, int, int], int] = {}
     for px in flat:
@@ -2555,14 +2573,15 @@ def encode_gif(rgb: "np.ndarray") -> bytes:
             + struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
             + bytes(gct)
             + b"\x21\xFE\x04test\x00"          # comment extension
-            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                     0x40 if interlaced else 0)
             + bytes([min_code]) + bytes(blocks)
             + b"\x3B")
 
 
 def decode_gif_stats(blobs: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode of GIF payloads (first frame,
-    non-interlaced): per-image width, height and per-channel RGB means;
+    sequential or interlaced): per-image width, height and RGB means;
     malformed / out-of-subset payloads yield ok=false rows."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

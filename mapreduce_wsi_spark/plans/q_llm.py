@@ -2280,6 +2280,54 @@ def mm_decode_gif(spark, sf_dir):
         F.round("mean_b", 9).alias("mean_b"))
 
 
+@register(
+    "mm_decode_gif_interlaced",
+    oracle=f"""
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok, dhash
+    FROM ({_DHASH_SQL}) h
+    """,
+    note="REAL INTERLACED GIF decode, pinned ROW-ORDER-SENSITIVELY: "
+         "frames are written in GIF89a Appendix E four-pass storage "
+         "order (at 4x4 the stored rows are 0,2,1,3) with the "
+         "interlace flag set, and the output is the dHash of the "
+         "de-interlaced pixels — channel means would not notice rows "
+         "scattered back wrong, the positional difference hash does. "
+         "The DuckDB twin recomputes the hash from the DISPLAY-order "
+         "ASCII bytes, so a decoder that ignored the interlace flag "
+         "hash-mismatches immediately")
+def mm_decode_gif_interlaced(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, encode_gif, image_dhash)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = [
+                encode_gif(np.frombuffer(bytes(b), dtype=np.uint8)
+                           .reshape(4, 4, 3), interlaced=True)
+                for b in pdf["raw"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/gif"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    return image_dhash(blobs).select(
+        "doc_id", "img_w", "img_h", "ok", "dhash")
+
+
 _ULAW_HEADER_HEX = ("52494646" "44000000" "57415645"
                     "666d7420" "10000000" "0700" "0100"
                     "401f0000" "401f0000" "0100" "0800"

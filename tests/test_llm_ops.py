@@ -1323,14 +1323,18 @@ def test_gif_lzw_roundtrip_and_boundaries():
         w, h, px = parsed
         assert (h, w) == img.shape[:2]
         assert np.array_equal(px, img)
-    # interlace flag -> out of subset (locate the image descriptor via
-    # the comment-extension marker: a bare 0x2C search can hit palette
-    # bytes on random colors)
+    # flipping the interlace flag on a sequentially-stored stream must
+    # change the decoded row order (the decoder scatters rows per
+    # Appendix E), not be silently ignored (locate the image descriptor
+    # via the comment-extension marker: a bare 0x2C search can hit
+    # palette bytes on random colors)
     bad = bytearray(encode_gif(imgs[0]))
     i = bad.index(b"\x21\xFE\x04test\x00") + 8
     assert bad[i] == 0x2C
     bad[i + 9] |= 0x40
-    assert _parse_gif(bytes(bad)) is None
+    scrambled = _parse_gif(bytes(bad))
+    assert scrambled is not None
+    assert not np.array_equal(scrambled[2], imgs[0])
     assert _parse_gif(b"GIF89a\x00") is None
     assert _parse_gif(b"nope") is None
     # magic dispatch reaches features
@@ -1772,3 +1776,31 @@ def test_png_subbyte_depths_and_adam7_interlace():
     bad = bytearray(encode_png_ex(np.zeros((4, 4), np.uint8), 4, 0))
     bad[25] = 2  # IHDR ctype gray -> RGB: sub-byte RGB is illegal
     assert _parse_png(bytes(bad)) is None
+
+
+def test_gif_interlaced_roundtrip_and_row_order():
+    """Four-pass interlaced GIFs decode to the display-order pixels at
+    every height class (including heights where later passes are empty);
+    a decoder that ignored the interlace flag would return the storage
+    order — pinned by an asymmetric image."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_gif, encode_gif)
+
+    rng = np.random.default_rng(4)
+    for shape in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 9), (16, 4)]:
+        px = (rng.integers(0, 5, (*shape, 1)).repeat(3, axis=2)
+              .astype(np.uint8) * 50)
+        for inter in (False, True):
+            got = _parse_gif(encode_gif(px, interlaced=inter))
+            assert got is not None, (shape, inter)
+            assert np.array_equal(got[2], px), (shape, inter)
+
+    # asymmetric rows: storage order at h=4 is 0,2,1,3 — a decoder that
+    # skipped de-interlacing would swap rows 1 and 2
+    px = np.zeros((4, 2, 3), dtype=np.uint8)
+    for r in range(4):
+        px[r] = r * 60
+    got = _parse_gif(encode_gif(px, interlaced=True))
+    assert got is not None and np.array_equal(got[2], px)
