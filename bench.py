@@ -96,6 +96,11 @@ HEADLINE = [
     "text_bigram_pmi",
     "eval_retrieval_metrics",
     "sketch_cms_frequency",
+    # round-6: tokenizer TRAINING — 6 iterative pair-count rounds over
+    # the persisted (word, freq) vocabulary; the per-round argmax jobs
+    # run at build time, so it's timed end-to-end like the other
+    # iterative entries
+    "text_bpe_learn",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -104,7 +109,7 @@ HEADLINE = [
 # everything else builds once and times execution only.
 BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "sim_ann_ivf_build", "graph_bfs_hops", "triangle_count",
-                   "dedup_semdedup", "graph_pagerank"}
+                   "dedup_semdedup", "graph_pagerank", "text_bpe_learn"}
 
 
 def _bench_overrides():

@@ -579,3 +579,75 @@ def nfc_normalize(df: DataFrame, text_col: str = "text",
                                "return": pandas.Series}
     _nfc = pandas_udf("string")(_nfc_fn)
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 6
+              ) -> DataFrame:
+    """REAL BPE merge LEARNING (Sennrich et al. 2016) — the training
+    half of the tokenizer whose apply half is ``bpe_apply_fixed``:
+    starting from characters, repeatedly count adjacent token pairs
+    across the corpus and merge the most frequent one, ``n_merges``
+    times. Output: the learned merge table (rank, left, right,
+    pair_count), fully deterministic — exact integer counts, ties
+    broken lexicographically on (left, right).
+
+    Distributed exactly the way a 100 TB tokenizer build must be:
+    the corpus collapses ONCE to the (word, freq) vocabulary (the
+    classic BPE compression — rounds scale with |vocab|, not corpus
+    size) and is persisted; each round is then (a) a vocabulary-sized
+    adjacent-pair aggregation weighted by freq, (b) the argmax pair via
+    orderBy+limit(1) — TakeOrderedAndProject, never a global sort —
+    and (c) a map-only left-to-right non-overlapping merge of the
+    winner folded over every word's token array (F.aggregate keeps it
+    JVM-side; a token minted by this round's merge can never re-merge
+    within the round because left+right != left for nonempty right,
+    which is precisely the non-overlapping scan rule). Only the
+    ``n_merges`` winner rows ever reach the driver — the same 1-row
+    action budget as the JDBC bounds query (sources/jdbc.py:96).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    wf = (df.select(F.explode(words(F.col(text_col))).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("freq"))
+            .select(F.split("word", "").alias("toks"), "freq"))
+    wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def merge_fold(toks: Column, a: str, b: str) -> Column:
+        return F.when(F.size(toks) < 2, toks).otherwise(
+            F.aggregate(
+                F.slice(toks, 2, F.size(toks) - 1),
+                F.slice(toks, 1, 1),
+                lambda acc, t: F.when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (t == F.lit(b)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.lit(a + b)))
+                ).otherwise(F.concat(acc, F.array(t)))))
+
+    cur = wf
+    learned: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (cur
+                 .where(F.size("toks") >= 2)
+                 .select(F.explode(F.arrays_zip(
+                     F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+                     F.slice("toks", 2, F.size("toks") - 1).alias("b")))
+                     .alias("p"), "freq")
+                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                 .agg(F.sum("freq").alias("cnt")))
+        win = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+               .collect())  # 1 row/round: the learned merge itself
+        if not win:
+            break
+        a, b, cnt = win[0]["a"], win[0]["b"], int(win[0]["cnt"])
+        learned.append((rank, a, b, cnt))
+        cur = cur.select(merge_fold(F.col("toks"), a, b).alias("toks"),
+                         "freq")
+        # k rounds stack k fold expressions; keep the lineage flat so
+        # round k's pair scan doesn't re-run rounds 1..k-1 from wf
+        if rank % 2 == 0 and rank < n_merges:
+            cur = cur.localCheckpoint(eager=False)
+    wf.unpersist()
+    return spark.createDataFrame(
+        learned, "rank int, left string, right string, pair_count bigint")

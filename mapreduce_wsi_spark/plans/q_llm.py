@@ -2563,3 +2563,67 @@ def text_bpe_apply(spark, sf_dir):
 def embedding_label_coherence(spark, sf_dir):
     from mapreduce_wsi_spark.operators.similarity import label_coherence
     return label_coherence(tbl(spark, sf_dir, "embeddings"))
+
+
+def _bpe_learn_oracle(n_merges: int = 6) -> str:
+    """Unrolled BPE-training twin: DuckDB has no iterative argmax, so
+    each round is generated as three CTEs (tokenize reprs / count
+    adjacent pairs / pick the winner) plus the literal replace that
+    applies the merge. The word repr is chr(31)-bounded tokens
+    (sep+tok+sep concatenated), so replace(sep a sep sep b sep ->
+    sep ab sep) is EXACTLY the left-to-right non-overlapping merge the
+    Spark fold performs — both collapse [a,a,a,a] to [aa,aa]."""
+    sep = "chr(31)"
+    ctes = [
+        """wf AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+      WHERE w <> '' GROUP BY 1)""",
+        f"""r1 AS (
+      SELECT {sep} || array_to_string(
+                 string_split_regex(word, ''), {sep}||{sep}) || {sep}
+             AS repr, freq
+      FROM wf)"""]
+    finals = []
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""t{r} AS (
+      SELECT string_split(trim(repr, chr(31)), {sep}||{sep}) AS t, freq
+      FROM r{r})""")
+        ctes.append(f"""p{r} AS (
+      SELECT t[i] AS a, t[i+1] AS b, SUM(freq) AS cnt
+      FROM (SELECT t, freq, unnest(generate_series(1, len(t)-1)) AS i
+            FROM t{r} WHERE len(t) >= 2) x
+      GROUP BY 1, 2)""")
+        ctes.append(f"""w{r} AS (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if r < n_merges:
+            ctes.append(f"""r{r + 1} AS (
+      SELECT replace(repr, {sep}||a||{sep}||{sep}||b||{sep},
+                     {sep}||a||b||{sep}) AS repr, freq
+      FROM r{r}, w{r})""")
+        finals.append(
+            f"SELECT CAST({r} AS INT) AS rank, a AS \"left\", "
+            f"b AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM w{r}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(finals))
+
+
+@register(
+    "text_bpe_learn",
+    oracle=_bpe_learn_oracle(6),
+    note="REAL BPE merge LEARNING (Sennrich et al. 2016) — tokenizer "
+         "TRAINING, the other half of text_bpe_apply: 6 rounds of "
+         "count-adjacent-pairs -> merge-the-argmax over the corpus, "
+         "starting from characters. Corpus collapses once to the "
+         "(word, freq) vocabulary (rounds scale with |vocab|, not "
+         "corpus bytes) and persists; each round is a vocab-sized pair "
+         "aggregation + TakeOrderedAndProject argmax + a map-only "
+         "JVM fold applying the winner. Exact integer counts with "
+         "lexicographic tie-break make the whole trajectory "
+         "deterministic; the DuckDB twin unrolls the 6 rounds as "
+         "generated CTEs over chr(31)-bounded reprs whose literal "
+         "replace provably equals the fold's non-overlapping scan "
+         "(operators/text.py::bpe_learn)")
+def text_bpe_learn(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bpe_learn
+    return bpe_learn(tbl(spark, sf_dir, "documents"), "text", n_merges=6)

@@ -1804,3 +1804,51 @@ def test_gif_interlaced_roundtrip_and_row_order():
         px[r] = r * 60
     got = _parse_gif(encode_gif(px, interlaced=True))
     assert got is not None and np.array_equal(got[2], px)
+
+
+def test_bpe_learn_matches_pure_python(spark):
+    """The full 6-round learned-merge trajectory equals a from-scratch
+    pure-Python BPE trainer (explicit left-to-right re-scan per word),
+    including an (a,a) self-pair round where overlap semantics bite:
+    'aaaa' contributes 3 adjacent (a,a) positions but merges to
+    [aa, aa], and the token minted by a round never re-merges within
+    that round."""
+    from collections import Counter
+
+    from mapreduce_wsi_spark.operators.text import bpe_learn
+
+    texts = ["the cat sat on the mat", "the hat of the cat",
+             "a bat and a cat", "aaaa aaa the the the", "banana bandana"]
+
+    def py_bpe(texts, k):
+        wf = Counter(w for t in texts for w in t.split(" ") if w)
+        vocab = {w: list(w) for w in wf}
+        out = []
+        for rank in range(1, k + 1):
+            pc = Counter()
+            for w, toks in vocab.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += wf[w]
+            if not pc:
+                break
+            m = max(pc.values())
+            a, b = sorted(p for p, c in pc.items() if c == m)[0]
+            out.append((rank, a, b, m))
+            for w, toks in vocab.items():
+                nt, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a \
+                            and toks[i + 1] == b:
+                        nt.append(a + b)
+                        i += 2
+                    else:
+                        nt.append(toks[i])
+                        i += 1
+                vocab[w] = nt
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [tuple(r) for r in bpe_learn(df, "text", n_merges=6).collect()]
+    assert got == py_bpe(texts, 6)
+    # the self-pair round is actually exercised
+    assert any(a == b for _, a, b, _ in got)

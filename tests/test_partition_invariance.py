@@ -79,6 +79,7 @@ ENTRIES = [
     "streak_longest_per_user",   # island keys from dual row_numbers
     "window_moving_median",      # sorted bounded frames
     "embedding_label_coherence", # decimal centroid sums + rounded cos
+    "text_bpe_learn",            # exact pair counts + lexicographic argmax
 ]
 
 SMALL_SPLIT_BYTES = 65536
