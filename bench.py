@@ -101,6 +101,9 @@ HEADLINE = [
     # run at build time, so it's timed end-to-end like the other
     # iterative entries
     "text_bpe_learn",
+    # round-6: DSIR importance resampling — gram explode + (doc, bucket)
+    # pre-aggregation, broadcast model join, Gumbel TakeOrdered
+    "dsir_importance_select",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

@@ -410,3 +410,82 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
                       es.cast("double").alias("es_key"))
             .orderBy(F.col("es_key").desc(), F.col(key_col))
             .limit(k))
+
+
+def dsir_select(df: DataFrame, text_col: str, id_col: str,
+                target_col: str, target_values: tuple[str, ...],
+                n_buckets: int = 256, k: int = 100) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    its hashed n-gram features are under a TARGET distribution than
+    under the RAW corpus distribution, then resample top-k with Gumbel
+    noise (= sampling without replacement proportional to the importance
+    weights). The target here is the subset of ``df`` whose
+    ``target_col`` is in ``target_values`` — the "high-quality slice
+    defines what to upsample" formulation; an external target corpus
+    drops in by unioning it in with a flag.
+
+    Features are unigrams + adjacent bigrams of the space-split text,
+    hashed into ``n_buckets`` via the engine-portable md5 bucket. Both
+    bag-of-buckets models use add-one smoothing; the per-bucket log
+    ratio ln(p_target) - ln(p_raw) is computed once on the <=
+    ``n_buckets``-row table with each ln rounded to DECIMAL(28,9) (the
+    BM25 exactness idiom), so per-doc weights are order-free exact
+    decimal sums. The Gumbel key -ln(-ln(u)) uses the same md5-uniform
+    as weighted_sample and is rounded to the same grain.
+
+    Plan shape at 100 TB: grams pre-aggregate per (doc, bucket) BEFORE
+    anything joins (one data-sized shuffle keyed by doc x bucket); the
+    model tables are a bucket-sized aggregate of that frame, a 1-row
+    total, and a broadcast delta table; scoring is a broadcast join +
+    one doc-keyed rollup; selection lowers to TakeOrderedAndProject.
+    The (doc, bucket) frame is consumed twice (model fit + scoring) —
+    at fixture scale recomputing the map-only lineage is cheaper than a
+    persist; a 100 TB run would persist it, mirroring the
+    prefix_filter_jaccard_pairs materialize knob."""
+    w = F.split(F.col(text_col), " ")
+    big = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bk = (df.select(
+        F.col(id_col),
+        F.col(target_col).isin(*target_values).alias("tgt"),
+        F.explode(F.concat(w, big)).alias("gram"))
+        .withColumn("bk", portable_bucket(F.col("gram"), n_buckets))
+        .groupBy(id_col, "tgt", "bk")
+        .agg(F.count(F.lit(1)).alias("n")))
+    cnt = doc_bk.groupBy("bk").agg(
+        F.sum("n").alias("c_r"),
+        F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)).alias("c_t"))
+    tot = cnt.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
+    dlt = (cnt.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        (F.log((F.col("c_t") + 1).cast("double")
+               / (F.col("t_t") + n_buckets)).cast("decimal(28,9)")
+         - F.log((F.col("c_r") + 1).cast("double")
+                 / (F.col("t_r") + n_buckets)).cast("decimal(28,9)"))
+        # the subtraction widens to decimal(29,9); renarrow (|d| < 30,
+        # lossless) so the n*d product stays inside precision 38
+        .cast("decimal(28,9)").alias("d")))
+    doc = (doc_bk.join(F.broadcast(dlt), "bk")
+           .groupBy(id_col)
+           .agg(F.sum("n").cast("int").alias("n_grams"),
+                # n stays decimal(9,0): bigint * decimal(28,9) would
+                # exceed precision 38 and Spark silently drops the
+                # scale to 6 (allowPrecisionLoss), breaking exactness
+                F.sum(F.col("n").cast("decimal(9,0)")
+                      * F.col("d")).alias("lw")))
+    h = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("long"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    gum = (-F.log(-F.log(u))).cast("decimal(28,9)")
+    return (doc.withColumn("sel_key",
+                        F.col("lw").cast("decimal(28,9)") + gum)
+            .orderBy(F.desc("sel_key"), F.col(id_col))
+            .limit(k)
+            .select(F.col(id_col), "n_grams",
+                    F.col("lw").cast("double").alias("log_w"),
+                    F.col("sel_key").cast("double").alias("sel_key")))

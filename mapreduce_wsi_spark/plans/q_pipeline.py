@@ -540,3 +540,60 @@ def weighted_sample_es(spark, sf_dir):
     from mapreduce_wsi_spark.operators.pipeline import weighted_sample
     return weighted_sample(tbl(spark, sf_dir, "orders"), "o_orderkey",
                            "o_totalprice", k=100)
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, (source IN ('src1', 'src2', 'src3')) AS tgt,
+             string_split(text, ' ') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, tgt,
+             unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN list_transform(range(1, len(ws)),
+                                          i -> ws[i] || ' ' || ws[i + 1])
+                      ELSE [] END)) AS gram
+      FROM w),
+    b AS (SELECT doc_id, tgt, {_BUCKET.format(key='gram', n=256)} AS bk
+          FROM g),
+    db AS (SELECT doc_id, tgt, bk, CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY 1, 2, 3),
+    cnt AS (SELECT bk, SUM(n) AS c_r,
+                   SUM(CASE WHEN tgt THEN n ELSE 0 END) AS c_t
+            FROM db GROUP BY bk),
+    tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM cnt),
+    dlt AS (SELECT bk,
+                   CAST(CAST(ln(CAST(c_t + 1 AS DOUBLE) / (t_t + 256))
+                             AS DECIMAL(28,9))
+                        - CAST(ln(CAST(c_r + 1 AS DOUBLE) / (t_r + 256))
+                               AS DECIMAL(28,9)) AS DECIMAL(28,9)) AS d
+            FROM cnt, tot),
+    doc AS (SELECT doc_id, CAST(SUM(n) AS INT) AS n_grams,
+                   SUM(CAST(n AS DECIMAL(9,0)) * d) AS lw
+            FROM db JOIN dlt USING (bk) GROUP BY doc_id)
+    SELECT doc_id, n_grams, CAST(lw AS DOUBLE) AS log_w,
+           CAST(CAST(lw AS DECIMAL(28,9)) + CAST(-ln(-ln(
+               (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 8)) AS BIGINT) AS DOUBLE) + 0.5)
+               / 4294967296.0)) AS DECIMAL(28,9)) AS DOUBLE) AS sel_key
+    FROM doc ORDER BY sel_key DESC, doc_id LIMIT 100
+    """,
+    note="DSIR data selection (Xie et al. 2023, arXiv:2302.03169): "
+         "importance weights from hashed unigram+bigram bag-of-buckets "
+         "models (256 md5 buckets, add-one smoothing) of a target slice "
+         "(sources src1-3) vs the raw corpus, then Gumbel top-100 "
+         "resampling — sampling without replacement proportional to "
+         "exp(log_w). Per-bucket log ratios are DECIMAL(28,9)-rounded "
+         "once on the 256-row model table, per-doc weights are exact "
+         "decimal sums over the pre-aggregated (doc, bucket) frame, and "
+         "the Gumbel key reuses the portable md5-uniform — fully "
+         "deterministic, engine-portable "
+         "(operators/pipeline.py::dsir_select)")
+def dsir_importance_select(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import dsir_select
+    return dsir_select(tbl(spark, sf_dir, "documents"), "text", "doc_id",
+                       "source", ("src1", "src2", "src3"),
+                       n_buckets=256, k=100)

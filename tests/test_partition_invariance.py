@@ -80,6 +80,7 @@ ENTRIES = [
     "window_moving_median",      # sorted bounded frames
     "embedding_label_coherence", # decimal centroid sums + rounded cos
     "text_bpe_learn",            # exact pair counts + lexicographic argmax
+    "dsir_importance_select",    # decimal bucket-model deltas + Gumbel top-k
 ]
 
 SMALL_SPLIT_BYTES = 65536

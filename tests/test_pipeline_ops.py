@@ -379,3 +379,28 @@ def test_asof_join_nearest_picks_closer_side(spark):
         (2, 5): (50, "c"),    # only a forward row exists
         (3, 7): (None, None),  # no right rows for key
     }
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """DSIR contract: a raw document written in the target slice's
+    vocabulary must get a higher importance log-weight than one written
+    in off-target vocabulary, and every target-slice doc itself scores
+    high (its grams define the target model)."""
+    from mapreduce_wsi_spark.operators.pipeline import dsir_select
+
+    rows = [(i, "alpha beta gamma alpha beta", "tgt") for i in range(5)]
+    rows += [(10 + i, "delta epsilon zeta delta epsilon", "raw")
+             for i in range(5)]
+    rows += [(20, "alpha beta gamma beta alpha", "raw"),  # target-like
+             (21, "eta theta iota kappa mu", "raw")]      # off both
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "src string")
+    out = {r["doc_id"]: r for r in dsir_select(
+        df, "text", "doc_id", "src", ("tgt",), n_buckets=64,
+        k=len(rows)).collect()}
+    assert out[20]["log_w"] > out[10]["log_w"]
+    assert out[20]["log_w"] > out[21]["log_w"]
+    # signs: target-vocabulary grams carry positive log ratios, raw-only
+    # vocabulary is downweighted below smoothing level
+    assert out[20]["log_w"] > 0
+    assert out[10]["log_w"] < 0
