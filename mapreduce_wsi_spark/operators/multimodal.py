@@ -850,6 +850,126 @@ WAV_STATS_SCHEMA = ("doc_id long, sample_rate int, n_channels int, "
                     "sum_sq long")
 
 
+# IMA/DVI ADPCM step-size and index-adaptation tables (public IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility"
+# rev 3.00, 1992 — the same 89-entry table every implementation ships).
+IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int32)
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2,
+                           dtype=np.int32)
+
+
+def _ima_adpcm_decode_blocks(data: bytes,
+                             block_align: int) -> "np.ndarray | None":
+    """REAL IMA/DVI ADPCM decode (WAV audio_format=0x11, mono): each
+    ``block_align``-byte block carries a 4-byte header (int16 seed
+    predictor, uint8 step index, reserved) plus 4-bit nibbles, LOW
+    nibble first. The sample recurrence is inherently sequential WITHIN
+    a block (predictor and step index both feed forward), so the
+    vectorization axis is ACROSS blocks: one Python iteration per
+    nibble position updates every block's state as a numpy lane —
+    (n_blocks) wide per step instead of per-sample interpretation, the
+    same across-the-batch trick as the JPEG restart segments. Trailing
+    partial blocks are dropped (poison-safe truncation); a malformed
+    header index returns None."""
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return None
+    blocks = np.frombuffer(
+        data[:n_blocks * block_align],
+        dtype=np.uint8).reshape(n_blocks, block_align)
+    pred = blocks[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
+    index = blocks[:, 2].astype(np.int32)
+    if (index > 88).any():
+        return None
+    nib_bytes = blocks[:, 4:]
+    n_nib = nib_bytes.shape[1] * 2
+    nib = np.empty((n_blocks, n_nib), dtype=np.int32)
+    nib[:, 0::2] = nib_bytes & 0x0F          # low nibble first
+    nib[:, 1::2] = nib_bytes >> 4
+    out = np.empty((n_blocks, n_nib + 1), dtype=np.int16)
+    out[:, 0] = pred
+    for j in range(n_nib):
+        n = nib[:, j]
+        step = IMA_STEP_TABLE[index]
+        vpdiff = (step >> 3)
+        vpdiff = vpdiff + np.where(n & 4, step, 0)
+        vpdiff = vpdiff + np.where(n & 2, step >> 1, 0)
+        vpdiff = vpdiff + np.where(n & 1, step >> 2, 0)
+        pred = np.where(n & 8, pred - vpdiff, pred + vpdiff)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + IMA_INDEX_TABLE[n], 0, 88)
+        out[:, j + 1] = pred
+    return out.reshape(-1)
+
+
+def encode_wav_adpcm(samples: "np.ndarray", rate: int = 8000,
+                     block_samples: int = 65) -> bytes:
+    """Minimal mono IMA ADPCM WAV writer for test/oracle payload
+    synthesis: the standard greedy quantizer (successive step halving
+    against |diff|) with state carried across blocks, each block
+    re-seeding its header from the running (predictor, index). Written
+    from the IMA recommended practices like the decoder — and kept
+    per-sample Python on purpose, so the roundtrip pins the vectorized
+    decoder against an independent construction."""
+    import struct
+
+    assert block_samples % 2 == 1, "header sample + even nibble count"
+    n_nib = block_samples - 1
+    block_align = 4 + n_nib // 2
+    samples = np.asarray(samples, dtype=np.int64)
+    pred, index = 0, 0
+    blocks = []
+    for start in range(0, len(samples), block_samples):
+        chunk = samples[start:start + block_samples]
+        if len(chunk) < block_samples:
+            break  # encoder emits full blocks only
+        pred = int(np.clip(chunk[0], -32768, 32767))
+        body = [struct.pack("<hBB", pred, index, 0)]
+        nibs = []
+        for s in chunk[1:]:
+            step = int(IMA_STEP_TABLE[index])
+            diff = int(s) - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            vpdiff = step >> 3
+            if diff >= step:
+                code |= 4
+                diff -= step
+                vpdiff += step
+            step >>= 1
+            if diff >= step:
+                code |= 2
+                diff -= step
+                vpdiff += step
+            step >>= 1
+            if diff >= step:
+                code |= 1
+                vpdiff += step
+            pred = pred - vpdiff if code & 8 else pred + vpdiff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(IMA_INDEX_TABLE[code])))
+            nibs.append(code)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            body.append(bytes([lo | (hi << 4)]))
+        blocks.append(b"".join(body))
+    data = b"".join(blocks)
+    byte_rate = rate * block_align // block_samples
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate,
+                      block_align, 4, 2, block_samples)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     """Parse a PCM16 WAV (RIFF) payload: returns (sample_rate, n_channels,
     samples-as-int16-ndarray) or None if malformed. REAL decode of the
@@ -866,13 +986,14 @@ def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, rate, channels, bits, fmt = 12, None, None, None, None
+    block_align = None
     samples: np.ndarray | None = None
     while pos + 8 <= len(payload):
         chunk_id = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + size]
         if chunk_id == b"fmt " and len(body) >= 16:
-            fmt, channels, rate, _, _, bits = struct.unpack_from(
+            fmt, channels, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0)
         elif chunk_id == b"data":
             if len(body) < size:
@@ -904,6 +1025,11 @@ def _parse_wav(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
                                ((mant << 4) + 0x108)
                                << np.maximum(seg - 1, 0))
                 samples = np.where(u & 0x80, val, -val).astype(np.int16)
+            elif (fmt == 0x11 and bits == 4 and channels == 1
+                  and block_align and block_align > 4):
+                samples = _ima_adpcm_decode_blocks(body, block_align)
+                if samples is None:
+                    return None
             else:
                 return None
         pos += 8 + size + (size & 1)  # chunks are word-aligned

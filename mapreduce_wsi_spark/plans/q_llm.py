@@ -2627,3 +2627,67 @@ def _bpe_learn_oracle(n_merges: int = 6) -> str:
 def text_bpe_learn(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import bpe_learn
     return bpe_learn(tbl(spark, sf_dir, "documents"), "text", n_merges=6)
+
+
+_ADPCM_HEADER_HEX = (
+    "524946464c00000057415645666d7420"
+    "14000000" "1100" "0100" "401f0000" "4e110000" "2400" "0400"
+    "0200" "4100"
+    "64617461" "24000000" "0000" "10" "00")
+
+# IMA step / index tables as SQL list literals for the recursive twin
+_ADPCM_STEPS_SQL = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+_ADPCM_IDX_SQL = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+
+
+@register(
+    "mm_decode_wav_adpcm",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
+      FROM {_ASCII_DOCS_SQL} documents),
+    nib AS (
+      SELECT doc_id, j,
+             CASE WHEN j % 2 = 1 THEN unicode(px[(j + 1) // 2]) % 16
+                  ELSE unicode(px[j // 2]) // 16 END AS n
+      FROM p, unnest(generate_series(1, 64)) s(j)),
+    st AS (
+      SELECT doc_id, 0 AS j, 0 AS pred, 16 AS idx FROM p
+      UNION ALL
+      SELECT n.doc_id, n.j,
+             GREATEST(-32768, LEAST(32767,
+                 CASE WHEN (n.n & 8) != 0
+                      THEN s.pred - (((([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) >> 3) + CASE WHEN (n.n & 4) != 0 THEN (([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) ELSE 0 END + CASE WHEN (n.n & 2) != 0 THEN ((([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) >> 1) ELSE 0 END + CASE WHEN (n.n & 1) != 0 THEN ((([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) >> 2) ELSE 0 END)
+                      ELSE s.pred + (((([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) >> 3) + CASE WHEN (n.n & 4) != 0 THEN (([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) ELSE 0 END + CASE WHEN (n.n & 2) != 0 THEN ((([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) >> 1) ELSE 0 END + CASE WHEN (n.n & 1) != 0 THEN ((([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[s.idx + 1]) >> 2) ELSE 0 END) END)) AS pred,
+             GREATEST(0, LEAST(88,
+                 s.idx + ({_ADPCM_IDX_SQL})[n.n + 1])) AS idx
+      FROM st s JOIN nib n ON n.doc_id = s.doc_id AND n.j = s.j + 1)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(65 AS INT) AS n_samples,
+           true AS ok,
+           SUM(pred) / 65.0 AS mean_amp,
+           CAST(SUM(CAST(pred AS BIGINT) * pred) AS BIGINT) AS sum_sq
+    FROM st GROUP BY doc_id
+    """,
+    note="REAL IMA/DVI ADPCM audio decode (WAV audio_format=0x11, the "
+         "third compressed-audio codec after G.711 mu/A-law): 32 "
+         "ASCII-projected fixture bytes become one 36-byte block's 64 "
+         "nibbles (low first) behind a pred=0/index=16 header. The "
+         "decoder's sequential (predictor, step-index) recurrence is "
+         "vectorized ACROSS blocks (one numpy lane step per nibble "
+         "position); the DuckDB twin replays the SAME recurrence as a "
+         "65-step recursive CTE over the published step/index tables, "
+         "so every intermediate clamp and table lookup is value-checked "
+         "(operators/multimodal.py::_ima_adpcm_decode_blocks)")
+def mm_decode_wav_adpcm(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import decode_wav_stats
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.unhex(F.lit(_ADPCM_HEADER_HEX)),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        "doc_id", content.alias("content"),
+        F.lit("audio/basic").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    return decode_wav_stats(blobs)
