@@ -104,6 +104,10 @@ HEADLINE = [
     # round-6: DSIR importance resampling — gram explode + (doc, bucket)
     # pre-aggregation, broadcast model join, Gumbel TakeOrdered
     "dsir_importance_select",
+    # round-6: the two new codec kernels — TIFF (IFD walk + PackBits
+    # control-byte loop) and IMA ADPCM (across-block numpy lane steps)
+    "mm_decode_tiff",
+    "mm_decode_wav_adpcm",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

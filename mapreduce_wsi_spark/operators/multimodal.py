@@ -71,12 +71,12 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def _real_decode_features(payload: bytes) -> list[float] | None:
-    """REAL 8-dim feature vector via magic-byte dispatch over the six
-    decodable formats: images (PPM/BMP/PNG/baseline JPEG/GIF) -> [1, w, h,
-    mean_r, mean_g, mean_b, n_pixels, 0]; PCM16 WAV -> [2, rate,
-    channels, n_samples, mean_amp, rms, 0, 0]. Returns None (ok=false
-    downstream) for progressive JPEG / MP3-class / unknown formats —
-    the remaining stub boundary."""
+    """REAL 8-dim feature vector via magic-byte dispatch over the
+    decodable formats: images (PPM/BMP/PNG/JPEG/GIF/TIFF) -> [1, w, h,
+    mean_r, mean_g, mean_b, n_pixels, 0]; WAV (PCM16 / G.711 / IMA
+    ADPCM) -> [2, rate, channels, n_samples, mean_amp, rms, 0, 0].
+    Returns None (ok=false downstream) for MP3-class / unknown formats
+    — the remaining stub boundary."""
     img = None
     if payload[:2] == b"P6":
         parsed = _parse_ppm(payload)
@@ -103,6 +103,11 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
         if parsed is not None:
             w, h, px = parsed
             img = (w, h, px.reshape(-1))
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        parsed = _parse_tiff(payload)
+        if parsed is not None:
+            w, h, px = parsed
+            img = (w, h, np.ascontiguousarray(px).reshape(-1))
     elif payload[:4] == b"RIFF":
         parsed = _parse_wav(payload)
         if parsed is not None:
@@ -2281,6 +2286,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         return _parse_jpeg(payload)
     if payload[:4] == b"GIF8":
         return _parse_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff(payload)
     return None
 
 
@@ -2735,3 +2742,243 @@ def decode_gif_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, GIF_STATS_SCHEMA)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes | None:
+    """Apple PackBits (TIFF compression 32773): control byte n in
+    0..127 copies n+1 literals, 129..255 repeats the next byte 257-n
+    times, 128 is a no-op. Control-byte-granular loop (not per output
+    byte); truncated streams return None."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                return None
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                return None
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Real PackBits encoder (test/oracle twin): runs of >= 3 equal
+    bytes become repeat packets, everything else literal packets, both
+    capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while (i + run < n and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while (i + run < n and run < 128
+                   and data[i + run] == data[i]):
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        i = min(i, lit_start + 128)
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+_TIFF_TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+
+
+def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """REAL baseline-TIFF decode (TIFF 6.0 §3-4, Baseline Bilevel/
+    Grayscale/RGB subset at 8 bits): either byte order ('II'
+    little / 'MM' big), first IFD walk with inline-vs-offset value
+    resolution, strip assembly across RowsPerStrip boundaries,
+    Compression 1 (none) or 32773 (PackBits), PhotometricInterpretation
+    0/1 (gray, 0 = WhiteIsZero inverted) or 2 (RGB). Anything outside
+    — other depths, tiles, LZW/JPEG-in-TIFF, planar config 2 — returns
+    None (ok=false downstream)."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    if len(payload) < 8:
+        return None
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, ...]] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(payload):
+            return None
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in _TIFF_TYPE:
+            continue
+        ch, width = _TIFF_TYPE[typ]
+        size = width * cnt
+        if size <= 4:
+            vals_off = off + 8
+        else:
+            (vals_off,) = struct.unpack_from(bo + "I", payload, off + 8)
+        if vals_off + size > len(payload):
+            return None
+        tags[tag] = struct.unpack_from(bo + str(cnt) + ch, payload,
+                                       vals_off)
+    w = tags.get(256, (0,))[0]
+    h = tags.get(257, (0,))[0]
+    comp = tags.get(259, (1,))[0]
+    photo = tags.get(262, (1,))[0]
+    spp = tags.get(277, (1,))[0]
+    bps = tags.get(258, (8,) * spp)
+    offsets, counts = tags.get(273), tags.get(279)
+    rps = tags.get(278, (h,))[0]
+    if (not w or not h or offsets is None or counts is None
+            or len(offsets) != len(counts) or not rps
+            or spp not in (1, 3) or any(b != 8 for b in bps)
+            or len(bps) != spp
+            or (photo == 2) != (spp == 3) or photo not in (0, 1, 2)
+            or comp not in (1, 32773)):
+        return None
+    raw = bytearray()
+    row = 0
+    for so, sc in zip(offsets, counts):
+        nrows = min(rps, h - row)
+        if nrows <= 0:
+            return None
+        row += nrows
+        exp = nrows * w * spp
+        seg = payload[so:so + sc]
+        if len(seg) < sc:
+            return None
+        if comp == 1:
+            if len(seg) < exp:
+                return None
+            raw += seg[:exp]
+        else:
+            dec = _packbits_decode(seg, exp)
+            if dec is None:
+                return None
+            raw += dec
+    if row < h or len(raw) != w * h * spp:
+        return None
+    a = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if spp == 1:
+        g = a.reshape(h, w)
+        if photo == 0:
+            g = 255 - g
+        return w, h, np.repeat(g[:, :, None], 3, axis=2)
+    return w, h, a.reshape(h, w, 3)
+
+
+def encode_tiff(img: "np.ndarray", endian: str = "<",
+                compression: int = 1,
+                rows_per_strip: int | None = None) -> bytes:
+    """Minimal baseline-TIFF writer for test/oracle payload synthesis:
+    either byte order, gray (h, w) or RGB (h, w, 3) uint8, uncompressed
+    or real PackBits, multi-strip via ``rows_per_strip``. Layout:
+    header, strip data, out-of-line value arrays, IFD last (tags
+    ascending as the spec requires) — so the parser's inline-vs-offset
+    resolution and strip reassembly both get exercised."""
+    import struct
+
+    assert endian in ("<", ">")
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = img[r0:r0 + rps].tobytes()
+        strips.append(_packbits_encode(raw)
+                      if compression == 32773 else raw)
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (259, 3, [compression]), (262, 3, [1 if gray else 2]),
+        (273, 4, strip_offs), (277, 3, [spp]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    extra = bytearray()
+    ifd = bytearray(struct.pack(endian + "H", len(entries)))
+    extra_base = pos
+    # first pass: compute where out-of-line arrays land
+    ext_offs = {}
+    for tag, typ, vals in entries:
+        ch, width = _TIFF_TYPE[typ]
+        if width * len(vals) > 4:
+            ext_offs[tag] = extra_base + len(extra)
+            extra += struct.pack(endian + str(len(vals)) + ch, *vals)
+    ifd_off = extra_base + len(extra)
+    for tag, typ, vals in entries:
+        ch, width = _TIFF_TYPE[typ]
+        ent = struct.pack(endian + "HHI", tag, typ, len(vals))
+        if width * len(vals) <= 4:
+            packed = struct.pack(endian + str(len(vals)) + ch, *vals)
+            ent += packed + b"\x00" * (4 - len(packed))
+        else:
+            ent += struct.pack(endian + "I", ext_offs[tag])
+        ifd += ent
+    ifd += struct.pack(endian + "I", 0)  # no next IFD
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    return (magic + struct.pack(endian + "I", ifd_off)
+            + b"".join(strips) + bytes(extra) + bytes(ifd))
+
+
+TIFF_STATS_SCHEMA = PPM_STATS_SCHEMA
+
+
+def decode_tiff_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of baseline TIFF payloads (both byte
+    orders, none/PackBits, gray/RGB): per-image width, height and
+    per-channel means; malformed / out-of-subset payloads yield
+    ok=false rows."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_tiff(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, px = parsed
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                means = _channel_means(np.ascontiguousarray(px)
+                                       .reshape(-1))
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(means[ch])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, TIFF_STATS_SCHEMA)

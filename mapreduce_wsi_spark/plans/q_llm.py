@@ -2691,3 +2691,67 @@ def mm_decode_wav_adpcm(spark, sf_dir):
         F.lit("audio/basic").alias("mime"),
         F.octet_length(content).cast("int").alias("n_bytes"))
     return decode_wav_stats(blobs)
+
+
+@register(
+    "mm_decode_tiff",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL baseline-TIFF decode (TIFF 6.0): 4x4 RGB images are "
+         "containerized per doc in a ROTATING variant — byte order "
+         "little ('II') vs big ('MM') by doc_id%2, Compression none vs "
+         "real PackBits by (doc_id//2)%2, ALWAYS two-row strips — so "
+         "one entry exercises IFD walk under both endians, "
+         "inline-vs-offset value resolution, multi-strip reassembly "
+         "and the PackBits control-byte loop. The DuckDB twin "
+         "recomputes channel means from the source ASCII bytes; any "
+         "mis-decoded byte anywhere shifts a mean "
+         "(operators/multimodal.py::_parse_tiff)")
+def mm_decode_tiff(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_tiff_stats, encode_tiff)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["raw"]):
+                img = (np.frombuffer(bytes(b), dtype=np.uint8)
+                       .reshape(4, 4, 3))
+                endian = "<" if doc_id % 2 == 0 else ">"
+                comp = 32773 if (doc_id // 2) % 2 else 1
+                content.append(encode_tiff(img, endian, comp,
+                                           rows_per_strip=2))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/tiff"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    stats = decode_tiff_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))

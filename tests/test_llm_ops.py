@@ -1921,3 +1921,67 @@ def test_ima_adpcm_decode_matches_per_sample_reference():
     assert _ima_adpcm_decode_blocks(bytes(bad), 36) is None
     two = bytes(blk) + bytes(blk[:20])
     assert len(_ima_adpcm_decode_blocks(two, 36)) == 65
+
+
+def test_tiff_roundtrip_variants_and_boundaries():
+    """Baseline TIFF: pixel-exact roundtrips across byte order x
+    compression x gray/RGB x strip layout; WhiteIsZero inversion;
+    PackBits edge packets; out-of-subset and malformed payloads
+    reject."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _decode_image, _packbits_decode, _packbits_encode, _parse_tiff,
+        encode_tiff)
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    gray = (rng.integers(0, 4, (6, 9)).astype(np.uint8) * 80)
+    for endian in ("<", ">"):
+        for comp in (1, 32773):
+            for img in (rgb, gray):
+                for rps in (None, 2):
+                    got = _parse_tiff(encode_tiff(img, endian, comp, rps))
+                    assert got is not None, (endian, comp, rps)
+                    w, h, px = got
+                    want = (img if img.ndim == 3
+                            else np.repeat(img[:, :, None], 3, axis=2))
+                    assert (h, w) == img.shape[:2]
+                    assert np.array_equal(px, want), (endian, comp, rps)
+
+    # WhiteIsZero (photometric 0) inverts gray values
+    t = bytearray(encode_tiff(gray, "<", 1))
+    (ifd_off,) = struct.unpack_from("<I", t, 4)
+    (n,) = struct.unpack_from("<H", t, ifd_off)
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", t, off)
+        if tag == 262:
+            struct.pack_into("<H", t, off + 8, 0)
+    got = _parse_tiff(bytes(t))
+    assert got is not None
+    assert np.array_equal(got[2][:, :, 0], 255 - gray)
+
+    # PackBits: repeat / literal / -128 no-op / truncation
+    for _ in range(100):
+        size = int(rng.integers(1, 300))
+        data = bytes(rng.integers(0, 3, size, dtype=np.uint8))
+        assert _packbits_decode(_packbits_encode(data), size) == data
+    assert _packbits_decode(b"\x80\x00A", 1) == b"A"
+    assert _packbits_decode(b"\x05AB", 6) is None
+
+    # rejects: 16-bit depth, LZW compression, truncated header
+    t16 = bytearray(encode_tiff(rgb, "<", 1))
+    (ifd_off,) = struct.unpack_from("<I", t16, 4)
+    (n,) = struct.unpack_from("<H", t16, ifd_off)
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", t16, off)
+        if tag == 259:
+            struct.pack_into("<H", t16, off + 8, 5)  # LZW
+    assert _parse_tiff(bytes(t16)) is None
+    assert _parse_tiff(b"II*\x00") is None
+    assert _parse_tiff(b"nope") is None
+    assert _decode_image(encode_tiff(rgb, ">")) is not None
