@@ -108,6 +108,10 @@ HEADLINE = [
     # control-byte loop) and IMA ADPCM (across-block numpy lane steps)
     "mm_decode_tiff",
     "mm_decode_wav_adpcm",
+    # round-6: PCA power iteration — one Arrow moment pass (the
+    # data-sized cost; eager localCheckpoint puts it in build) + 6
+    # broadcast matrix-vector rounds
+    "embedding_pca_power",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -116,7 +120,8 @@ HEADLINE = [
 # everything else builds once and times execution only.
 BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "sim_ann_ivf_build", "graph_bfs_hops", "triangle_count",
-                   "dedup_semdedup", "graph_pagerank", "text_bpe_learn"}
+                   "dedup_semdedup", "graph_pagerank", "text_bpe_learn",
+                   "embedding_pca_power"}
 
 
 def _bench_overrides():

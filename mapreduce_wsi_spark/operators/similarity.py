@@ -464,23 +464,15 @@ def label_coherence(df: DataFrame, id_col: str = "vec_id",
                  .alias("mean_cos")))
 
 
-def covariance_topk(df: DataFrame, vec_col: str = "embedding",
-                    dim: int = 64, k: int = 20) -> DataFrame:
-    """Top-k embedding-dimension covariances by |cov| (off-diagonal):
-    the redundancy/feature-correlation profile of an embedding corpus —
-    strongly covarying dimensions mean wasted representation capacity
-    (and predict how well random projection / int8 quantization will
-    hold up).
-
-    Distributed moment accumulation: an Arrow-batched partition kernel
-    accumulates E^T E (numpy, float64), per-dimension sums and the row
-    count, emitting ONE (dim*(dim+1)/2 + dim + 1)-row partial per
-    partition; a grouped sum merges partials, so the shuffle carries
-    O(dim^2) rows per partition regardless of corpus size. cov(i,j) =
-    (S_ij - S_i S_j / n) / n, rounded to 9dp BEFORE the top-k order
-    (with (i, j) tie-breaks) so the cutoff is engine-stable; float32
-    inputs make each product exact in float64, leaving only summation-
-    order noise (~1e-12) far below the rounding grain."""
+def _embedding_moments(df: DataFrame, vec_col: str,
+                       dim: int) -> DataFrame:
+    """Shared moment accumulator for covariance-based profiles: one
+    Arrow-batched partition kernel accumulates E^T E (float64),
+    per-dimension sums and the row count, emitting ONE
+    (dim*(dim+1)/2 + dim + 1)-row partial per partition; a grouped sum
+    merges partials — the corpus never crosses the shuffle. Rows:
+    (i, j, s) with j=-1 marking the dimension sums and (-1,-1) the
+    count."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -504,9 +496,29 @@ def covariance_topk(df: DataFrame, vec_col: str = "embedding",
                "s": list(acc[ii, jj]) + list(sums) + [float(n)]}
         yield pd.DataFrame(out)
 
-    moments = (df.select(vec_col).mapInPandas(partials,
-                                              "i int, j int, s double")
-               .groupBy("i", "j").agg(F.sum("s").alias("s")))
+    return (df.select(vec_col).mapInPandas(partials,
+                                           "i int, j int, s double")
+            .groupBy("i", "j").agg(F.sum("s").alias("s")))
+
+
+def covariance_topk(df: DataFrame, vec_col: str = "embedding",
+                    dim: int = 64, k: int = 20) -> DataFrame:
+    """Top-k embedding-dimension covariances by |cov| (off-diagonal):
+    the redundancy/feature-correlation profile of an embedding corpus —
+    strongly covarying dimensions mean wasted representation capacity
+    (and predict how well random projection / int8 quantization will
+    hold up).
+
+    Distributed moment accumulation: an Arrow-batched partition kernel
+    accumulates E^T E (numpy, float64), per-dimension sums and the row
+    count, emitting ONE (dim*(dim+1)/2 + dim + 1)-row partial per
+    partition; a grouped sum merges partials, so the shuffle carries
+    O(dim^2) rows per partition regardless of corpus size. cov(i,j) =
+    (S_ij - S_i S_j / n) / n, rounded to 9dp BEFORE the top-k order
+    (with (i, j) tie-breaks) so the cutoff is engine-stable; float32
+    inputs make each product exact in float64, leaving only summation-
+    order noise (~1e-12) far below the rounding grain."""
+    moments = _embedding_moments(df, vec_col, dim)
     n_row = (moments.where((F.col("i") == -1) & (F.col("j") == -1))
              .select(F.col("s").alias("n")))
     dims = (moments.where((F.col("j") == -1) & (F.col("i") >= 0))
@@ -524,3 +536,83 @@ def covariance_topk(df: DataFrame, vec_col: str = "embedding",
                    .alias("cov")))
     return (cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j")
             .limit(k).select("i", "j", "cov"))
+
+
+def pca_power_component(df: DataFrame, vec_col: str = "embedding",
+                        dim: int = 64, n_iter: int = 6) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION on the covariance matrix — the first step of a
+    distributed PCA (whitening, dimensionality reduction, dominant-
+    direction removal a la all-but-the-top). Returns one row per
+    dimension: (dim_idx, component, eigenvalue) with eigenvalue the
+    Rayleigh quotient v^T C v of the final iterate (||v|| = 1 up to
+    the 9dp rounding grain).
+
+    Scale split: the data-sized work is ONE pass — the shared
+    ``_embedding_moments`` Arrow kernel reduces the corpus to
+    O(dim^2) moment partials (the corpus never crosses the shuffle).
+    The covariance matrix (dim^2 rows, 9dp-rounded like
+    ``covariance_topk``) is localCheckpointed once, and each of the
+    ``n_iter`` matrix-vector rounds is a broadcast join + dim-row
+    aggregate — microscopic next to the moment pass at any corpus
+    size.
+
+    Determinism contract (engine-portable trajectory): every
+    matrix-vector term cov*v is an IEEE product of already-identical
+    doubles cast to DECIMAL(28,9) before the order-free decimal sum;
+    the norm squares each component the same way; sqrt and the final
+    division are single correctly-rounded IEEE ops; components re-round
+    to 9dp each iteration. So both engines walk bit-identical iterates
+    — the DuckDB twin unrolls the same ``n_iter`` rounds as CTEs. The
+    sign of the returned component follows the all-positive start
+    vector (1/sqrt(dim) per entry), as power iteration converges to
+    a deterministic sign for a fixed start."""
+    import math
+
+    spark = df.sparkSession
+    moments = _embedding_moments(df, vec_col, dim)
+    n_row = (moments.where((F.col("i") == -1) & (F.col("j") == -1))
+             .select(F.col("s").alias("n")))
+    dims = (moments.where((F.col("j") == -1) & (F.col("i") >= 0))
+            .select(F.col("i").alias("d"), F.col("s").alias("sd")))
+    upper = (moments.where((F.col("i") >= 0) & (F.col("j") >= 0))
+             .join(F.broadcast(dims.select(F.col("d").alias("i"),
+                                           F.col("sd").alias("si"))), "i")
+             .join(F.broadcast(dims.select(F.col("d").alias("j"),
+                                           F.col("sd").alias("sj"))), "j")
+             .crossJoin(F.broadcast(n_row))
+             .select("i", "j",
+                     F.round((F.col("s") - F.col("si") * F.col("sj")
+                              / F.col("n")) / F.col("n"), 9)
+                     .alias("cov")))
+    mat = upper.union(
+        upper.where(F.col("i") < F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "cov"))
+    mat = mat.localCheckpoint()  # one corpus pass, reused every round
+
+    v = spark.createDataFrame(
+        [(i, round(1.0 / math.sqrt(dim), 9)) for i in range(dim)],
+        "i int, x double")
+    for _ in range(n_iter):
+        w = (mat.join(F.broadcast(v.select(F.col("i").alias("j"),
+                                           F.col("x").alias("vx"))), "j")
+             .groupBy("i")
+             .agg(F.sum((F.col("cov") * F.col("vx"))
+                        .cast("decimal(28,9)")).alias("w")))
+        nrm = w.agg(F.sqrt(
+            F.sum((F.col("w").cast("double") * F.col("w").cast("double"))
+                  .cast("decimal(28,9)")).cast("double")).alias("nrm"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select("i", F.round(F.col("w").cast("double")
+                                  / F.col("nrm"), 9).alias("x")))
+    lam = (mat
+           .join(F.broadcast(v.select(F.col("i"),
+                                      F.col("x").alias("xi"))), "i")
+           .join(F.broadcast(v.select(F.col("i").alias("j"),
+                                      F.col("x").alias("xj"))), "j")
+           .agg(F.sum((F.col("cov") * F.col("xi") * F.col("xj"))
+                      .cast("decimal(28,9)"))
+                .cast("double").alias("eigenvalue")))
+    return (v.crossJoin(F.broadcast(lam))
+            .select(F.col("i").alias("dim_idx"),
+                    F.col("x").alias("component"), "eigenvalue"))

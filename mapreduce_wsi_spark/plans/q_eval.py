@@ -724,3 +724,88 @@ def embedding_covariance_topk(spark, sf_dir):
 
     emb = tbl(spark, sf_dir, "embeddings")
     return covariance_topk(emb, "embedding", dim=64, k=20)
+
+
+@register(
+    "embedding_pca_power",
+    oracle="""
+    WITH e AS (SELECT embedding FROM embeddings),
+    pr AS (SELECT g1.i, g2.j
+           FROM generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
+           WHERE g1.i <= g2.j),
+    s AS (SELECT p.i, p.j,
+                 sum(CAST(e.embedding[p.i] AS DOUBLE)
+                     * CAST(e.embedding[p.j] AS DOUBLE)) AS sij
+          FROM e, pr p GROUP BY 1, 2),
+    m AS (SELECT g.i, sum(CAST(e.embedding[g.i] AS DOUBLE)) AS si
+          FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    up AS (SELECT s.i - 1 AS i, s.j - 1 AS j,
+                  round((s.sij - m1.si * m2.si / n.n) / n.n, 9) AS cov
+           FROM s JOIN m m1 ON m1.i = s.i JOIN m m2 ON m2.i = s.j
+           CROSS JOIN n),
+    cov AS (SELECT i, j, cov FROM up
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM up WHERE i < j),
+    v0 AS (SELECT g.i - 1 AS i, 0.125 AS x
+           FROM generate_series(1, 64) g(i)),
+    w1 AS (SELECT c.i, SUM(CAST(c.cov * v.x AS DECIMAL(28,9))) AS w
+             FROM cov c JOIN v0 v ON v.i = c.j GROUP BY c.i),
+    n1 AS (SELECT sqrt(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                 AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w1),
+    v1 AS (SELECT i, round(CAST(w AS DOUBLE) / nrm, 9) AS x
+             FROM w1, n1),
+    w2 AS (SELECT c.i, SUM(CAST(c.cov * v.x AS DECIMAL(28,9))) AS w
+             FROM cov c JOIN v1 v ON v.i = c.j GROUP BY c.i),
+    n2 AS (SELECT sqrt(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                 AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w2),
+    v2 AS (SELECT i, round(CAST(w AS DOUBLE) / nrm, 9) AS x
+             FROM w2, n2),
+    w3 AS (SELECT c.i, SUM(CAST(c.cov * v.x AS DECIMAL(28,9))) AS w
+             FROM cov c JOIN v2 v ON v.i = c.j GROUP BY c.i),
+    n3 AS (SELECT sqrt(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                 AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w3),
+    v3 AS (SELECT i, round(CAST(w AS DOUBLE) / nrm, 9) AS x
+             FROM w3, n3),
+    w4 AS (SELECT c.i, SUM(CAST(c.cov * v.x AS DECIMAL(28,9))) AS w
+             FROM cov c JOIN v3 v ON v.i = c.j GROUP BY c.i),
+    n4 AS (SELECT sqrt(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                 AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w4),
+    v4 AS (SELECT i, round(CAST(w AS DOUBLE) / nrm, 9) AS x
+             FROM w4, n4),
+    w5 AS (SELECT c.i, SUM(CAST(c.cov * v.x AS DECIMAL(28,9))) AS w
+             FROM cov c JOIN v4 v ON v.i = c.j GROUP BY c.i),
+    n5 AS (SELECT sqrt(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                 AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w5),
+    v5 AS (SELECT i, round(CAST(w AS DOUBLE) / nrm, 9) AS x
+             FROM w5, n5),
+    w6 AS (SELECT c.i, SUM(CAST(c.cov * v.x AS DECIMAL(28,9))) AS w
+             FROM cov c JOIN v5 v ON v.i = c.j GROUP BY c.i),
+    n6 AS (SELECT sqrt(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                 AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w6),
+    v6 AS (SELECT i, round(CAST(w AS DOUBLE) / nrm, 9) AS x
+             FROM w6, n6),
+    lam AS (SELECT CAST(SUM(CAST(c.cov * vi.x * vj.x AS DECIMAL(28,9)))
+                        AS DOUBLE) AS eigenvalue
+            FROM cov c JOIN v6 vi ON vi.i = c.i
+                       JOIN v6 vj ON vj.i = c.j)
+    SELECT v.i AS dim_idx, v.x AS component, lam.eigenvalue
+    FROM v6 v, lam
+    """,
+    note="Top principal component of the embedding corpus by power "
+         "iteration (6 rounds) on the 9dp-rounded covariance matrix — "
+         "distributed PCA step one (whitening / all-but-the-top "
+         "dominant-direction removal). The data-sized work is ONE "
+         "Arrow moment pass (shared _embedding_moments kernel, "
+         "O(dim^2) partials per partition); iterations are broadcast "
+         "matrix-vector rounds with every term cast to DECIMAL(28,9) "
+         "before the order-free sum, norms squared the same way, and "
+         "components re-rounded to 9dp — so Spark and the unrolled-CTE "
+         "DuckDB twin walk bit-identical iterates "
+         "(operators/similarity.py::pca_power_component)")
+def embedding_pca_power(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import (
+        pca_power_component)
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return pca_power_component(emb, "embedding", dim=64, n_iter=6)

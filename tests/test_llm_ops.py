@@ -1985,3 +1985,32 @@ def test_tiff_roundtrip_variants_and_boundaries():
     assert _parse_tiff(b"II*\x00") is None
     assert _parse_tiff(b"nope") is None
     assert _decode_image(encode_tiff(rgb, ">")) is not None
+
+
+def test_pca_power_matches_numpy_on_dominant_direction(spark):
+    """On a corpus with a planted dominant direction, 6 power-iteration
+    rounds recover numpy's top eigenvector (up to sign) and eigenvalue
+    of the sample covariance within the rounding grain's reach."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        pca_power_component)
+
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=16)
+    direction /= np.linalg.norm(direction)
+    x = (rng.normal(size=(300, 1)) * 5.0) @ direction[None, :] \
+        + rng.normal(size=(300, 16)) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<float>")
+    out = (pca_power_component(df, "embedding", dim=16, n_iter=6)
+           .orderBy("dim_idx").collect())
+    v = np.array([r["component"] for r in out])
+    lam = out[0]["eigenvalue"]
+    c = np.cov(x.astype(np.float64).T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top_vec, top_val = evecs[:, -1], evals[-1]
+    assert abs(abs(np.dot(v, top_vec)) - 1.0) < 1e-3
+    assert abs(lam - top_val) / top_val < 1e-3
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
