@@ -651,3 +651,62 @@ def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 6
     wf.unpersist()
     return spark.createDataFrame(
         learned, "rank int, left string, right string, pair_count bigint")
+
+
+def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
+                       discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    Chen & Goodman 1998 interpolated form with a fixed discount D) —
+    the production-grade smoothing rung above ``bigram_logprob``'s
+    add-one:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                 + D * N1+(w1 .) / c(w1 .) * N1+(. w2) / N1+(. .)
+
+    where N1+(w1 .) counts distinct continuations of w1, N1+(. w2)
+    counts distinct left-contexts of w2 (the "how many ways can this
+    word appear" continuation probability that makes KN famous:
+    'francisco' may be frequent but only ever follows 'san', so its
+    continuation mass is tiny), and N1+(. .) is the distinct-bigram
+    total. Scores each doc as the mean log probability over its bigram
+    positions; the LM is the corpus itself (every scored bigram is
+    seen, so the discount term is always positive — the interpolation
+    weight still redistributes mass by context diversity).
+
+    Determinism: the probability is one FIXED double expression shape
+    over exact integer counts (identical IEEE ops in any engine), its
+    ``ln`` rounds to DECIMAL(28,9) before the doc mean. Plan: bigrams
+    row-locally, c(w1 w2) one groupBy(w1, w2), c(w1 .) + N1+(w1 .) in
+    ONE groupBy(w1) aggregate (count + count_distinct), N1+(. w2) one
+    groupBy(w2), the 1-row bigram-total broadcast, then equi-joins back
+    on the bigram keys and one doc rollup — every shuffle keyed by
+    data, nothing driver-side.
+    """
+    arr = words(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+          .select(id_col, F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    left = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.count_distinct("w2").alias("n1fwd"))
+    right = bg.groupBy("w2").agg(
+        F.count_distinct("w1").alias("n1back"))
+    tot = (bg.select("w1", "w2").distinct()
+           .agg(F.count(F.lit(1)).alias("ntot")))
+    d = F.lit(float(discount))
+    prob = (F.greatest(F.col("c2") - d, F.lit(0.0))
+            / F.col("c1")
+            + d * F.col("n1fwd") / F.col("c1")
+            * (F.col("n1back") / F.col("ntot")))
+    scored = (bg.join(c2, ["w1", "w2"]).join(left, "w1")
+              .join(right, "w2").crossJoin(F.broadcast(tot))
+              .withColumn("lp", F.log(prob).cast("decimal(28,9)")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+                 (F.sum("lp").cast("double") / F.count(F.lit(1)))
+                 .cast("double").alias("mean_logp")))

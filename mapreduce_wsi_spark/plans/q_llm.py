@@ -2755,3 +2755,40 @@ def mm_decode_tiff(spark, sf_dir):
                         F.round("mean_r", 9).alias("mean_r"),
                         F.round("mean_g", 9).alias("mean_g"),
                         F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "text_kneser_ney_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM t, unnest(generate_series(1, len(w) - 1)) s(i)
+           WHERE len(w) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    lft AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1fwd
+            FROM bg GROUP BY 1),
+    rgt AS (SELECT w2, count(DISTINCT w1) AS n1back FROM bg GROUP BY 1),
+    tot AS (SELECT count(*) AS ntot
+            FROM (SELECT DISTINCT w1, w2 FROM bg)),
+    scored AS (SELECT doc_id,
+                      CAST(ln(
+                          GREATEST(c2 - 0.75, 0.0) / c1
+                          + 0.75 * n1fwd / c1 * (n1back / CAST(ntot AS DOUBLE))
+                      ) AS DECIMAL(28,9)) AS lp
+               FROM bg JOIN c2 USING (w1, w2) JOIN lft USING (w1)
+               JOIN rgt USING (w2) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DOUBLE) AS mean_logp
+    FROM scored GROUP BY doc_id
+    """,
+    note="interpolated Kneser-Ney bigram scoring (D=0.75): discounted "
+         "bigram mass backed off to the CONTINUATION unigram "
+         "N1+(. w2)/N1+(. .) — context-diversity smoothing, the "
+         "production rung above text_bigram_logprob's add-one. One "
+         "fixed double expression shape over exact integer counts, "
+         "per-term DECIMAL(28,9) rounding before the doc mean "
+         "(operators/text.py::kneser_ney_logprob)")
+def text_kneser_ney_logprob(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import kneser_ney_logprob
+    return kneser_ney_logprob(tbl(spark, sf_dir, "documents"),
+                              "text", "doc_id")

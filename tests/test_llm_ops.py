@@ -2014,3 +2014,60 @@ def test_pca_power_matches_numpy_on_dominant_direction(spark):
     assert abs(abs(np.dot(v, top_vec)) - 1.0) < 1e-3
     assert abs(lam - top_val) / top_val < 1e-3
     assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+
+def test_kneser_ney_matches_hand_computation_and_continuation_effect(
+        spark):
+    """KN scores equal a from-scratch Python computation, and the
+    signature continuation effect holds: with matched bigram and
+    context counts, the bigram whose right word appears after MANY
+    distinct contexts outscores the one whose right word is frequent
+    but context-locked (the 'san francisco' effect add-one smoothing
+    cannot express)."""
+    import math
+    from collections import Counter
+
+    from mapreduce_wsi_spark.operators.text import kneser_ney_logprob
+
+    texts = {
+        1: "p q p q p q",   # q only ever follows p (context-locked)
+        2: "r s r s r s",   # s has the same counts against r ...
+        3: "x s y s",       # ... but also appears after other contexts
+        4: "p q r s",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, text string")
+
+    bgs = {i: list(zip(t.split(" "), t.split(" ")[1:]))
+           for i, t in texts.items()}
+    allb = [b for l in bgs.values() for b in l]
+    c2 = Counter(allb)
+    c1 = Counter(b[0] for b in allb)
+    n1fwd = {w: len({b[1] for b in c2 if b[0] == w}) for w in c1}
+    n1back = {w: len({b[0] for b in c2 if b[1] == w})
+              for w in {b[1] for b in allb}}
+    ntot = len(c2)
+
+    def p(b):
+        return (max(c2[b] - 0.75, 0.0) / c1[b[0]]
+                + 0.75 * n1fwd[b[0]] / c1[b[0]]
+                * (n1back[b[1]] / float(ntot)))
+
+    def mean_lp(i):
+        terms = [round(math.log(p(b)), 9) for b in bgs[i]]
+        return sum(terms) / len(terms)
+
+    out = {r["doc_id"]: r for r in
+           kneser_ney_logprob(df, "text", "doc_id").collect()}
+    for i in texts:
+        assert out[i]["n_bigrams"] == len(bgs[i])
+        assert abs(out[i]["mean_logp"] - mean_lp(i)) < 1e-8, i
+
+    # continuation effect: (r, s) and (p, q) have identical c2, c1 and
+    # n1fwd — but s follows three distinct contexts while q is locked
+    # to p, so KN gives (r, s) strictly more mass. Add-one smoothing
+    # scores the two identically.
+    assert (c2[("r", "s")], c1["r"], n1fwd["r"]) == \
+           (c2[("p", "q")], c1["p"], n1fwd["p"])
+    assert n1back["s"] > n1back["q"]
+    assert p(("r", "s")) > p(("p", "q"))

@@ -81,6 +81,7 @@ ENTRIES = [
     "embedding_label_coherence", # decimal centroid sums + rounded cos
     "text_bpe_learn",            # exact pair counts + lexicographic argmax
     "dsir_importance_select",    # decimal bucket-model deltas + Gumbel top-k
+    "text_kneser_ney_logprob",   # fixed IEEE shape over exact counts
 ]
 
 SMALL_SPLIT_BYTES = 65536
