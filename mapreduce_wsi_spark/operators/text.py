@@ -710,3 +710,39 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
                  (F.sum("lp").cast("double") / F.count(F.lit(1)))
                  .cast("double").alias("mean_logp")))
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon character entropy — the
+    compression-ratio-class quality signal (RefinedWeb/Gopher-style
+    repetition filters): near-zero entropy means the doc is one
+    character stuttered, low entropy flags boilerplate/keyboard-mash,
+    natural prose lands in a narrow band. H = -sum_c p_c ln p_c over
+    the doc's own character distribution.
+
+    Entirely MAP-ONLY: the character histogram is row-local higher-
+    order array math (distinct chars x occurrence counts via
+    filter-size — O(distinct * len) per row, bounded by any corpus
+    length cap), no explode, no shuffle; at 100 TB this fuses into the
+    scan like the other quality gates. Each -p ln p term rounds to
+    DECIMAL(28,9) before the row-local sum, so the value is identical
+    in any engine regardless of the distinct-char enumeration order."""
+    chars = F.split(F.col(text_col), "")
+    n = F.size(chars)
+    # each term rounds to DECIMAL(28,9) then scales to exact integer
+    # NANOS — Spark's array-fold needs a fixed accumulator type and
+    # decimal addition widens (38,9)+(28,9) -> (38,8), silently losing
+    # the 9th digit; long nanos keep the fold exact and portable
+    terms = F.transform(
+        F.array_distinct(chars),
+        lambda c: ((-(F.size(F.filter(chars, lambda x: x == c)) / n)
+                    * F.log(F.size(F.filter(chars, lambda x: x == c)) / n)
+                    ).cast("decimal(28,9)")
+                   * F.lit(1000000000)).cast("long"))
+    total = F.aggregate(terms, F.lit(0).cast("long"),
+                        lambda acc, t: acc + t)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_chars"),
+        F.size(F.array_distinct(chars)).cast("int").alias("n_distinct"),
+        (total / F.lit(1000000000.0)).alias("entropy"))

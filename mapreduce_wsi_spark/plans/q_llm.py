@@ -2792,3 +2792,31 @@ def text_kneser_ney_logprob(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import kneser_ney_logprob
     return kneser_ney_logprob(tbl(spark, sf_dir, "documents"),
                               "text", "doc_id")
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (SELECT doc_id, string_split_regex(text, '') AS ch
+               FROM documents)
+    SELECT doc_id, CAST(len(ch) AS INT) AS n_chars,
+           CAST(len(list_distinct(ch)) AS INT) AS n_distinct,
+           list_sum(list_transform(list_distinct(ch),
+                c -> CAST(CAST(-(len(list_filter(ch, x -> x = c))
+                                 / CAST(len(ch) AS DOUBLE))
+                               * ln(len(list_filter(ch, x -> x = c))
+                                    / CAST(len(ch) AS DOUBLE))
+                               AS DECIMAL(28,9)) * 1000000000
+                          AS BIGINT))) / 1000000000.0 AS entropy
+    FROM c
+    """,
+    note="per-doc Shannon character entropy — the compression-ratio-"
+         "class repetition/quality signal (RefinedWeb/Gopher filters): "
+         "MAP-ONLY row-local histogram via higher-order array math "
+         "(distinct chars x filter-size counts, no explode, no "
+         "shuffle), each -p ln p term DECIMAL(28,9)-rounded before the "
+         "row-local sum so the distinct-enumeration order never shows "
+         "(operators/text.py::char_entropy)")
+def text_char_entropy(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import char_entropy
+    return char_entropy(tbl(spark, sf_dir, "documents"), "text", "doc_id")

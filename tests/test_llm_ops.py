@@ -1893,7 +1893,7 @@ def test_ima_adpcm_decode_matches_per_sample_reference():
                 out.append(pred)
         return np.array(out, dtype=np.int16)
 
-    t = np.arange(653)
+    t = np.arange(1105)  # 17 blocks: exercises the >= 16 LANE path
     sine = (12000 * np.sin(t / 9.0)).astype(np.int16)
     wav = encode_wav_adpcm(sine, 8000, 65)
     rate, ch, smp = _parse_wav(wav)
@@ -1902,6 +1902,12 @@ def test_ima_adpcm_decode_matches_per_sample_reference():
     size = struct.unpack_from("<I", wav, di + 4)[0]
     data = wav[di + 8:di + 8 + size]
     assert np.array_equal(smp, ref_decode(data, 36))
+    # lane path and short-clip scalar path are the same recurrence:
+    # every 1..17-block prefix decodes identically to the reference
+    for nb in (1, 3, 15, 16, 17):
+        prefix = data[:nb * 36]
+        assert np.array_equal(_ima_adpcm_decode_blocks(prefix, 36),
+                              ref_decode(prefix, 36)), nb
     n_full = (len(sine) // 65) * 65
     assert len(smp) == n_full
     err = np.abs(smp.astype(int) - sine[:n_full].astype(int))
@@ -2071,3 +2077,37 @@ def test_kneser_ney_matches_hand_computation_and_continuation_effect(
            (c2[("p", "q")], c1["p"], n1fwd["p"])
     assert n1back["s"] > n1back["q"]
     assert p(("r", "s")) > p(("p", "q"))
+
+
+def test_char_entropy_orders_repetition_below_prose(spark):
+    """Entropy contract: a single stuttered character scores ~0, a
+    two-char alternation scores exactly ln 2, natural-looking prose
+    scores above both; the value matches a pure-Python computation."""
+    import math
+    from collections import Counter
+
+    from mapreduce_wsi_spark.operators.text import char_entropy
+
+    texts = {1: "aaaaaaaaaa", 2: "ababababab",
+             3: "the quick brown fox jumps"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           char_entropy(df, "text", "doc_id").collect()}
+
+    def py_entropy(t):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        c = Counter(t)
+        return sum(
+            int(Decimal(-(k / len(t)) * math.log(k / len(t)))
+                .quantize(Decimal("1e-9"), ROUND_HALF_UP)
+                .scaleb(9))
+            for k in c.values()) / 1e9
+
+    for i, t in texts.items():
+        assert abs(out[i]["entropy"] - py_entropy(t)) < 1e-9, i
+        assert out[i]["n_distinct"] == len(set(t))
+    assert out[1]["entropy"] == 0.0
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-8
+    assert out[3]["entropy"] > out[2]["entropy"] > out[1]["entropy"]
