@@ -413,3 +413,61 @@ def test_privacy_hashed_join_has_no_raw_key_exchange(spark, sf_oracle):
     plan = plan_of(build("join_privacy_hashed", spark, sf_oracle))
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "custkey" not in m.group(1), m.group(0)
+
+
+def test_char_entropy_is_map_only_pruned_scan(spark, sf_oracle):
+    """The entropy gate must stay a pure scan->project: no shuffle, no
+    generator, no Python, and the read schema pruned to the two used
+    columns."""
+    plan = plan_of(build("text_char_entropy", spark, sf_oracle))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "lang" not in plan and "source" not in plan  # pruned
+
+
+def test_dsir_model_joins_are_broadcast(spark, sf_oracle):
+    """DSIR's model tables (256-row delta, 1-row totals) join back
+    broadcast — the corpus-sized (doc, bucket) frame is never
+    sort-merge-joined — and selection lowers to
+    TakeOrderedAndProject."""
+    plan = plan_of(build("dsir_importance_select", spark, sf_oracle))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or \
+        "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kneser_ney_rollup_has_no_python(spark, sf_oracle):
+    """KN scoring stays JVM-side end to end (counts, the fixed IEEE
+    probability expression, decimal rounding) — no Python eval node
+    anywhere in the plan."""
+    plan = plan_of(build("text_kneser_ney_logprob", spark, sf_oracle))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bpe_learn_argmax_is_take_ordered(spark, sf_oracle):
+    """Each BPE round's argmax must lower to TakeOrderedAndProject over
+    the pair counts (per-partition heaps + 1-row merge), never a global
+    sort of the pair table."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.plans.registry import tbl
+    from mapreduce_wsi_spark.operators.text import words
+
+    docs = tbl(spark, sf_oracle, "documents")
+    wf = (docs.select(F.explode(words(F.col("text"))).alias("word"))
+          .where(F.col("word") != "")
+          .groupBy("word").agg(F.count("*").alias("freq"))
+          .select(F.split("word", "").alias("toks"), "freq"))
+    pairs = (wf.where(F.size("toks") >= 2)
+             .select(F.explode(F.arrays_zip(
+                 F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+                 F.slice("toks", 2, F.size("toks") - 1).alias("b")))
+                 .alias("p"), "freq")
+             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .agg(F.sum("freq").alias("cnt")))
+    plan = plan_of(pairs.orderBy(F.desc("cnt"), "a", "b").limit(1))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")

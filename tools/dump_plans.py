@@ -82,6 +82,11 @@ SHOWN = [
     "eval_confusion_f1",
     "mm_decode_jpeg_progressive",
     "mm_decode_ok_rate",
+    # r6 second tranche: DSIR's pre-aggregated broadcast-model scoring,
+    # the KN four-aggregate join-back, and the map-only entropy gate
+    "dsir_importance_select",
+    "text_kneser_ney_logprob",
+    "text_char_entropy",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.
