@@ -869,3 +869,50 @@ def window_moving_median(spark, sf_dir):
     return ev.select("event_id", "user_id",
                      F.row_number().over(w).alias("rn"),
                      med.alias("med_cents"))
+
+
+@register(
+    "sketch_tdigest_quantiles",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS q,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact,
+           true AS within_tol
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.95 AS DOUBLE),
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), true
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE),
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), true
+    FROM lineitem
+    """,
+    note="t-digest quantile sketch (Dunning & Ertl, delta=200): "
+         "per-partition sort + k1 scale-function compression in one "
+         "Arrow pass (only centroid rows move), single-task final "
+         "merge, midpoint-interpolated p50/p95/p99. The sketch "
+         "estimate is build-order-specific, so the driver contract is "
+         "the approx_quantiles convention: the exact percentile "
+         "(cross-engine anchored by quantile_cont_exact) plus a "
+         "Spark-side <=1% relative-error boolean vs the in-plan exact "
+         "(measured rank error ~3e-4 at delta=200) "
+         "(operators/sketch.py::tdigest_quantiles)")
+def sketch_tdigest_quantiles(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.sketch import tdigest_quantiles
+
+    li = tbl(spark, sf_dir, "lineitem")
+    est = tdigest_quantiles(li, "l_extendedprice", (0.5, 0.95, 0.99))
+    exact = li.agg(
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)")
+        .alias("e50"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)")
+        .alias("e95"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.99)")
+        .alias("e99"))
+    joined = est.crossJoin(F.broadcast(exact))
+    pick = (F.when(F.col("q") == 0.5, F.col("e50"))
+            .when(F.col("q") == 0.95, F.col("e95"))
+            .otherwise(F.col("e99")))
+    return joined.select(
+        "q", pick.alias("exact"),
+        (F.abs(F.col("est") - pick) / pick <= 0.01).alias("within_tol"))

@@ -82,6 +82,7 @@ ENTRIES = [
     "text_bpe_learn",            # exact pair counts + lexicographic argmax
     "dsir_importance_select",    # decimal bucket-model deltas + Gumbel top-k
     "text_kneser_ney_logprob",   # fixed IEEE shape over exact counts
+    "sketch_tdigest_quantiles",  # exact anchor + tolerance booleans
 ]
 
 SMALL_SPLIT_BYTES = 65536

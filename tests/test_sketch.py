@@ -140,3 +140,60 @@ def test_kmv_exact_when_unsaturated_and_bounded_when_saturated(spark):
                                kmv_sketch(sb, "k", 128), 128).collect()[0]
     assert est["est_union"] == 60.0
     assert est["est_inter"] == 20.0
+
+
+def test_tdigest_rank_error_and_small_n_exactness(spark):
+    """t-digest contracts: (1) on a heavy-tailed corpus the estimated
+    p50/p95/p99 land within 1% RANK error of the truth; (2) when
+    n << delta every value is its own centroid and the estimate is the
+    exact midpoint interpolation; (3) the estimate is monotone in q;
+    (4) accuracy holds across partition layouts (the merge absorbs
+    build order)."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.sketch import tdigest_quantiles
+
+    rng = np.random.default_rng(2)
+    vals = rng.lognormal(3.0, 1.5, 20000)
+    sv = np.sort(vals)
+    for n_parts in (4, 16):
+        df = (spark.createDataFrame([(float(v),) for v in vals],
+                                    "x double").repartition(n_parts))
+        out = {r["q"]: r for r in
+               tdigest_quantiles(df, "x", (0.5, 0.95, 0.99)).collect()}
+        for q, r in out.items():
+            rank = np.searchsorted(sv, r["est"]) / len(sv)
+            assert abs(rank - q) < 0.01, (n_parts, q, rank)
+            assert r["n_centroids"] < 450
+        assert out[0.5]["est"] < out[0.95]["est"] < out[0.99]["est"]
+
+    small = (spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                   "x double").repartition(4))
+    o2 = {r["q"]: r["est"]
+          for r in tdigest_quantiles(small, "x", (0.5,)).collect()}
+    assert abs(o2[0.5] - 50.5) < 1e-9
+
+
+def test_tdigest_compress_invariants():
+    """The compression kernel: total weight preserved, means sorted,
+    tail centroids stay near-singleton (the k1 scale function's
+    defining property), and a sorted singleton stream of n <= delta/2
+    values stays uncompressed."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.sketch import _tdigest_compress
+
+    rng = np.random.default_rng(5)
+    v = np.sort(rng.normal(0, 1, 50000))
+    m, w = _tdigest_compress(v, np.ones_like(v), 200.0)
+    assert abs(w.sum() - 50000) < 1e-6
+    assert (np.diff(m) >= 0).all()
+    # k1 capacity at the tails is ~n*(pi/delta)^2/2 ~ 6 here, vs fat
+    # belly centroids near n/delta*pi ~ 780: the tail/belly asymmetry
+    # IS the scale function working
+    assert w[0] < 20 and w[-1] < 20
+    assert w.max() > 100
+    assert w[0] < w.max() / 10 and w[-1] < w.max() / 10
+    small = np.arange(50, dtype=np.float64)
+    m2, w2 = _tdigest_compress(small, np.ones_like(small), 200.0)
+    assert len(m2) == 50 and (w2 == 1).all()
