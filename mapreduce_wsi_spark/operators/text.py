@@ -605,25 +605,40 @@ def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 6
     ``n_merges`` winner rows ever reach the driver — the same 1-row
     action budget as the JDBC bounds query (sources/jdbc.py:96).
     """
+    spark = df.sparkSession
+    learned = _bpe_learn_merges(df, text_col, n_merges)
+    return spark.createDataFrame(
+        learned, "rank int, left string, right string, pair_count bigint")
+
+
+def _bpe_merge_fold(toks: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) -> a+b
+    over a token array, as a JVM-side fold (see bpe_learn's docstring
+    for the no-re-merge argument)."""
+    return F.when(F.size(toks) < 2, toks).otherwise(
+        F.aggregate(
+            F.slice(toks, 2, F.size(toks) - 1),
+            F.slice(toks, 1, 1),
+            lambda acc, t: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (t == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b)))
+            ).otherwise(F.concat(acc, F.array(t)))))
+
+
+def _bpe_learn_merges(df: DataFrame, text_col: str, n_merges: int
+                      ) -> list[tuple[int, str, str, int]]:
+    """The bpe_learn training loop, returning the learned merges as
+    Python tuples (rank, left, right, pair_count) — shared by
+    ``bpe_learn`` (table output) and ``bpe_learn_and_apply``
+    (tokenize-with-the-learned-table composition)."""
     from pyspark.storagelevel import StorageLevel
 
-    spark = df.sparkSession
     wf = (df.select(F.explode(words(F.col(text_col))).alias("word"))
             .where(F.col("word") != "")
             .groupBy("word").agg(F.count("*").alias("freq"))
             .select(F.split("word", "").alias("toks"), "freq"))
     wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def merge_fold(toks: Column, a: str, b: str) -> Column:
-        return F.when(F.size(toks) < 2, toks).otherwise(
-            F.aggregate(
-                F.slice(toks, 2, F.size(toks) - 1),
-                F.slice(toks, 1, 1),
-                lambda acc, t: F.when(
-                    (F.element_at(acc, -1) == F.lit(a)) & (t == F.lit(b)),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                             F.array(F.lit(a + b)))
-                ).otherwise(F.concat(acc, F.array(t)))))
 
     cur = wf
     learned: list[tuple[int, str, str, int]] = []
@@ -642,15 +657,63 @@ def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 6
             break
         a, b, cnt = win[0]["a"], win[0]["b"], int(win[0]["cnt"])
         learned.append((rank, a, b, cnt))
-        cur = cur.select(merge_fold(F.col("toks"), a, b).alias("toks"),
-                         "freq")
+        cur = cur.select(_bpe_merge_fold(F.col("toks"), a, b)
+                         .alias("toks"), "freq")
         # k rounds stack k fold expressions; keep the lineage flat so
         # round k's pair scan doesn't re-run rounds 1..k-1 from wf
         if rank % 2 == 0 and rank < n_merges:
             cur = cur.localCheckpoint(eager=False)
     wf.unpersist()
-    return spark.createDataFrame(
-        learned, "rank int, left string, right string, pair_count bigint")
+    return learned
+
+
+def bpe_learn_and_apply(df: DataFrame, text_col: str, id_col: str,
+                        n_merges: int = 6) -> DataFrame:
+    """End-to-end tokenizer TRAIN + APPLY: learn ``n_merges`` BPE
+    merges from the corpus (``bpe_learn``), then tokenize every
+    document with the learned table — the full production loop
+    (sentencepiece train; tokenizers encode) as one composed operator.
+
+    The apply stage replays the learned merges, in rank order, over a
+    \\x1f-BOUNDED string form of the document (every token wrapped in
+    \\x1f, words joined by a space): ``replace(s, sep+a+sep+sep+b+sep,
+    sep+ab+sep)`` is EXACTLY the trainer's left-to-right
+    non-overlapping word-internal merge (the equivalence the oracle
+    already relies on — cross-word pairs can't match because the word
+    joint is 'sep SPACE sep', and literal replace has no regex false
+    matches). One cheap string op per learned merge over the whole doc
+    — NOT a per-word nested array fold, whose interpreted
+    re-evaluation per reference measured ~4^n_merges blowup — and the
+    merges are plan literals, so tokenization fuses into the scan
+    exactly like ``bpe_apply_fixed``. Output per doc: post-merge token
+    count and an order-sensitive md5 over the full segmentation ('|'
+    between tokens, '||' between words)."""
+    learned = _bpe_learn_merges(df, text_col, n_merges)
+    sep = "\x1f"
+
+    wlist = F.filter(words(F.col(text_col)), lambda w: w != "")
+    s = F.array_join(
+        F.transform(wlist, lambda w: F.concat(
+            F.lit(sep),
+            F.array_join(F.split(w, ""), sep + sep),
+            F.lit(sep))),
+        " ")
+    for _, a, b, _cnt in learned:
+        s = F.replace(s, F.lit(sep + a + sep + sep + b + sep),
+                      F.lit(sep + a + b + sep))
+    # tokens = words + inner separators; segmentation string derives
+    # from the merged form by rewriting 'sep sep'->'|' (in-word) then
+    # 'sep SPACE sep'->'||' (word joints) and trimming the edge seps
+    n_inner = F.length(s) - F.length(F.replace(s, F.lit(sep + sep),
+                                               F.lit(sep)))
+    seg = F.btrim(
+        F.replace(F.replace(s, F.lit(sep + sep), F.lit("|")),
+                  F.lit(sep + " " + sep), F.lit("||")),
+        F.lit(sep))
+    return df.select(
+        F.col(id_col),
+        (F.size(wlist) + n_inner).cast("int").alias("n_tokens"),
+        F.md5(seg).alias("tok_md5"))
 
 
 def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,

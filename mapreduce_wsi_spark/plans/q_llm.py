@@ -2820,3 +2820,63 @@ def text_kneser_ney_logprob(spark, sf_dir):
 def text_char_entropy(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import char_entropy
     return char_entropy(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _bpe_learn_apply_oracle(n_merges: int = 6) -> str:
+    """Twin of the train+apply composition: the learn rounds are the
+    same generated CTEs as _bpe_learn_oracle; the apply stage then
+    replays each learned merge IN RANK ORDER over every document
+    word's chr(31)-bounded repr via the literal-replace equivalence,
+    and aggregates the ordered segmentation string per doc."""
+    sep = "chr(31)"
+    learn = _bpe_learn_oracle(n_merges)
+    # reuse everything up to (and including) the last winner CTE
+    prefix = learn[:learn.index("SELECT CAST(1 AS INT)")].rstrip()
+    assert prefix.endswith("LIMIT 1)"), prefix[-40:]
+    parts = [prefix + ","]
+    parts.append(f"""
+    d0 AS (
+      SELECT doc_id, i AS ord,
+             {sep} || array_to_string(
+                 string_split_regex(ws[i], ''), {sep}||{sep}) || {sep}
+             AS repr
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents) t,
+           unnest(generate_series(1, len(ws))) s(i)
+      WHERE ws[i] <> ''),""")
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+    d{r} AS (
+      SELECT doc_id, ord,
+             replace(repr, {sep}||w{r}.a||{sep}||{sep}||w{r}.b||{sep},
+                     {sep}||w{r}.a||w{r}.b||{sep}) AS repr
+      FROM d{r - 1}, w{r}),""")
+    parts.append(f"""
+    tok AS (
+      SELECT doc_id, ord,
+             string_split(trim(repr, chr(31)), {sep}||{sep}) AS t
+      FROM d{n_merges})
+    SELECT doc_id, CAST(SUM(len(t)) AS INT) AS n_tokens,
+           md5(string_agg(array_to_string(t, '|'), '||' ORDER BY ord))
+               AS tok_md5
+    FROM tok GROUP BY doc_id""")
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_learn_apply",
+    oracle=_bpe_learn_apply_oracle(6),
+    note="END-TO-END tokenizer: train 6 BPE merges on the corpus "
+         "(text_bpe_learn's exact trajectory), then tokenize every "
+         "document with the learned table — sentencepiece-train + "
+         "tokenizers-encode as one composed operator. The apply stage "
+         "folds the learned merges as plan literals with the SAME "
+         "boundary-exact word-internal fold the trainer used (no "
+         "regex, no cross-token false matches), map-only over the "
+         "scan; output pins the exact segmentation via an ordered md5 "
+         "('|' in-word, '||' between words) "
+         "(operators/text.py::bpe_learn_and_apply)")
+def text_bpe_learn_apply(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bpe_learn_and_apply
+    return bpe_learn_and_apply(tbl(spark, sf_dir, "documents"),
+                               "text", "doc_id", n_merges=6)

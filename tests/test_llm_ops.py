@@ -2111,3 +2111,76 @@ def test_char_entropy_orders_repetition_below_prose(spark):
     assert out[1]["entropy"] == 0.0
     assert abs(out[2]["entropy"] - math.log(2)) < 1e-8
     assert out[3]["entropy"] > out[2]["entropy"] > out[1]["entropy"]
+
+
+def test_bpe_learn_and_apply_matches_pure_python(spark):
+    """The composed train+apply equals a from-scratch Python trainer
+    AND tokenizer: same merges, same per-doc token counts, same
+    segmentation md5 (word-internal left-to-right application in rank
+    order, incl. an (a,a) self-merge round)."""
+    import hashlib
+    from collections import Counter
+
+    from mapreduce_wsi_spark.operators.text import bpe_learn_and_apply
+
+    texts = {1: "the cat sat on the mat", 2: "the hat of the cat",
+             3: "a bat and a cat", 4: "aaaa aaa the the the",
+             5: "banana bandana"}
+    k = 6
+
+    wf = Counter(w for t in texts.values() for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += wf[w]
+        m = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == m)[0]
+        merges.append((a, b))
+        for w, toks in vocab.items():
+            nt, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a \
+                        and toks[i + 1] == b:
+                    nt.append(a + b)
+                    i += 2
+                else:
+                    nt.append(toks[i])
+                    i += 1
+            vocab[w] = nt
+
+    def py_tokenize(t):
+        out = []
+        for w in t.split(" "):
+            if not w:
+                continue
+            toks = list(w)
+            for a, b in merges:
+                nt, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a \
+                            and toks[i + 1] == b:
+                        nt.append(a + b)
+                        i += 2
+                    else:
+                        nt.append(toks[i])
+                        i += 1
+                toks = nt
+            out.append(toks)
+        return out
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in bpe_learn_and_apply(
+        df, "text", "doc_id", n_merges=k).collect()}
+    for i, t in texts.items():
+        toks = py_tokenize(t)
+        seg = "||".join("|".join(w) for w in toks)
+        assert got[i]["n_tokens"] == sum(len(w) for w in toks), i
+        assert got[i]["tok_md5"] == \
+            hashlib.md5(seg.encode()).hexdigest(), i
+    # the trained-table path genuinely merged something
+    assert got[4]["n_tokens"] < len("aaaa aaa the the the".replace(
+        " ", ""))
