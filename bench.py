@@ -112,6 +112,9 @@ HEADLINE = [
     # data-sized cost; eager localCheckpoint puts it in build) + 6
     # broadcast matrix-vector rounds
     "embedding_pca_power",
+    # round-6: t-digest — per-partition sort+compress Arrow pass over
+    # lineitem prices, single-task centroid merge
+    "sketch_tdigest_quantiles",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

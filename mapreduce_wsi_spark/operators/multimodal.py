@@ -3026,3 +3026,49 @@ def decode_tiff_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, TIFF_STATS_SCHEMA)
+
+
+AREA_RESIZED_SCHEMA = ("doc_id long, out_w int, out_h int, ok boolean, "
+                       "pixels binary")
+
+
+def area_downscale_images(blobs: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL area-average (antialiased) downscale by an integer factor —
+    the resize a training pipeline actually wants (nearest-neighbor
+    aliases hard; box-filter averaging is the standard anti-aliased
+    integer-factor reduction): every ``factor x factor`` input block
+    becomes one output pixel holding the FLOOR of the block mean per
+    channel (exact integer arithmetic — sum >> 2k, no float rounding to
+    disagree across engines). Decodes any supported image format by
+    magic dispatch; images whose dimensions don't divide by ``factor``
+    and undecodable payloads yield ok=false with an empty buffer
+    (poison-safe). Vectorized: one reshape-sum per image, no per-pixel
+    Python."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "out_w", "out_h", "ok", "pixels")}
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(b) if b else b""
+                parsed = _decode_image(payload)
+                rows["doc_id"].append(doc_id)
+                if (parsed is None or parsed[0] % factor
+                        or parsed[1] % factor):
+                    rows["out_w"].append(0)
+                    rows["out_h"].append(0)
+                    rows["ok"].append(False)
+                    rows["pixels"].append(b"")
+                    continue
+                w, h, px = parsed
+                s = (np.ascontiguousarray(px).astype(np.int64)
+                     .reshape(h // factor, factor, w // factor, factor, 3)
+                     .sum(axis=(1, 3)))
+                out = (s // (factor * factor)).astype(np.uint8)
+                rows["out_w"].append(w // factor)
+                rows["out_h"].append(h // factor)
+                rows["ok"].append(True)
+                rows["pixels"].append(out.tobytes())
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(do_resize, AREA_RESIZED_SCHEMA)

@@ -2880,3 +2880,55 @@ def text_bpe_learn_apply(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import bpe_learn_and_apply
     return bpe_learn_and_apply(tbl(spark, sf_dir, "documents"),
                                "text", "doc_id", n_merges=6)
+
+
+@register(
+    "mm_resize_area",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    v AS (SELECT doc_id,
+                 list_transform(generate_series(0, 11), j ->
+                     (unicode(px[((j // 6) * 2 * 4 + ((j // 3) % 2) * 2)
+                                 * 3 + (j % 3) + 1])
+                      + unicode(px[((j // 6) * 2 * 4 + ((j // 3) % 2) * 2
+                                    + 1) * 3 + (j % 3) + 1])
+                      + unicode(px[(((j // 6) * 2 + 1) * 4
+                                    + ((j // 3) % 2) * 2) * 3
+                                   + (j % 3) + 1])
+                      + unicode(px[(((j // 6) * 2 + 1) * 4
+                                    + ((j // 3) % 2) * 2 + 1) * 3
+                                   + (j % 3) + 1])) // 4) AS o
+          FROM p)
+    SELECT doc_id, CAST(2 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+           true AS ok,
+           md5(list_aggregate(
+               list_transform(o, x -> lpad(hex(x), 2, '0')),
+               'string_agg', '')) AS px_md5
+    FROM v
+    """,
+    note="REAL area-average (antialiased) downscale: 4x4 PPM images "
+         "from ASCII-projected fixture bytes reduce 2x — every 2x2 "
+         "block becomes floor(mean) per channel in exact integer "
+         "arithmetic (one reshape-sum per image, no per-pixel Python). "
+         "Output pins ALL 12 output bytes via md5 over the uppercase "
+         "hex string; the DuckDB twin re-derives each output pixel "
+         "from the four source bytes positionally, so a block offset "
+         "or channel swap anywhere hash-mismatches "
+         "(operators/multimodal.py::area_downscale_images)")
+def mm_resize_area(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import (
+        area_downscale_images)
+
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    out = area_downscale_images(blobs, factor=2)
+    return out.select("doc_id", "out_w", "out_h", "ok",
+                      F.md5(F.hex(F.col("pixels"))).alias("px_md5"))

@@ -2184,3 +2184,28 @@ def test_bpe_learn_and_apply_matches_pure_python(spark):
     # the trained-table path genuinely merged something
     assert got[4]["n_tokens"] < len("aaaa aaa the the the".replace(
         " ", ""))
+
+
+def test_area_downscale_matches_numpy_and_rejects_nondivisible(spark):
+    """Area downscale equals numpy block-mean floor on a random PNG,
+    and non-divisible dimensions yield ok=false (poison-safe)."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        area_downscale_images, encode_png)
+
+    rng = np.random.default_rng(3)
+    good = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    odd = rng.integers(0, 256, (5, 8, 3), dtype=np.uint8)
+    rows = [(1, encode_png(good)), (2, encode_png(odd)), (3, b"junk")]
+    df = spark.createDataFrame(
+        [(i, bytearray(c), "image/png", len(c)) for i, c in rows],
+        "doc_id long, content binary, mime string, n_bytes int")
+    out = {r["doc_id"]: r
+           for r in area_downscale_images(df, factor=2).collect()}
+    want = (good.astype(np.int64)
+            .reshape(3, 2, 4, 2, 3).sum(axis=(1, 3)) // 4
+            ).astype(np.uint8)
+    assert out[1]["ok"] and (out[1]["out_w"], out[1]["out_h"]) == (4, 3)
+    assert bytes(out[1]["pixels"]) == want.tobytes()
+    assert not out[2]["ok"] and not out[3]["ok"]
