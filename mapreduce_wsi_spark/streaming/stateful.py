@@ -11,6 +11,17 @@ State is per-key and Arrow-batched: one pandas DataFrame per key per
 microbatch, state encoded as a tuple matching ``state_schema``. Scale
 posture: state lives in the state store partitioned by key hash across
 executors; a 100 TB keyspace shards horizontally like any shuffle.
+
+Documented-out boundary: Spark 4's successor API
+(``transformWithStateInPandas`` — typed value/list/map state, timers,
+TTL, RocksDB-backed) exists in this PySpark build but its
+driver-side worker hard-imports ``google.protobuf``, which is not
+installed here (verified: query start crashes with
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError in
+StateMessage_pb2). The operators below therefore stay on
+``applyInPandasWithState``, which expresses the same per-key state
+machines; porting to the new API when protobuf is available is a
+mechanical init/handleInputRows re-wrap, no semantic change.
 """
 
 from __future__ import annotations
@@ -125,3 +136,4 @@ def inactivity_sessions(events: DataFrame,
                                  "ns array<long>"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+

@@ -357,3 +357,4 @@ def test_custom_python_streaming_source_offsets(spark, tmp_path):
     got = spark.read.parquet(sink)
     ids = sorted(r["doc_id"] for r in got.collect())
     assert ids == list(range(120))  # each row exactly once, 3 microbatches
+
