@@ -471,3 +471,27 @@ def test_bpe_learn_argmax_is_take_ordered(spark, sf_oracle):
     plan = plan_of(pairs.orderBy(F.desc("cnt"), "a", "b").limit(1))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_tdigest_build_is_arrow_pass_plus_single_merge(spark, sf_oracle):
+    """The t-digest plan: corpus-side work is mapInPandas (centroid
+    rows only cross the wire), no sort-merge join anywhere, and the
+    exact-anchor join back is broadcast."""
+    plan = plan_of(build("sketch_tdigest_quantiles", spark, sf_oracle))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_area_resize_has_single_python_stage(spark, sf_oracle):
+    """Area downscale: exactly one Arrow python stage (decode +
+    block-mean fused in one kernel), no shuffle — the md5 projection
+    stays JVM-side."""
+    import re
+
+    plan = plan_of(build("mm_resize_area", spark, sf_oracle))
+    # one distinct MapInPandas node id (the formatted dump names each
+    # node twice: tree + detail section)
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1
+    assert "Exchange" not in plan
