@@ -40,7 +40,12 @@ def group_auc(df: DataFrame, group_col: str, score_col: str,
     distinct score per group, and the heavy count happens map-side.
     Returns (group, n_pos, n_neg, auc) with auc NULL for degenerate
     groups (all-positive / all-negative).
+
+    Rows with a NULL label are dropped up front (ADVICE r6: counting
+    them in c but not in sum(label) would silently score them as
+    negatives) — the binary-label contract is enforced, not assumed.
     """
+    df = df.where(F.col(label_col).isNotNull())
     per_score = df.groupBy(group_col, score_col).agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.col(label_col).cast("long")).alias("p"))
@@ -121,7 +126,12 @@ def retrieval_metrics(scored: DataFrame, query_col: str, id_col: str,
     ideal_agg = ideal.groupBy(query_col).agg(
         F.sum(gain / F.log2(F.col("pos") + 1)).alias("idcg"))
 
-    return sys_agg.join(F.broadcast(ideal_agg), query_col).select(
+    # no broadcast hint: both sides leave a window partitioned by
+    # query_col, so the join is already co-partitioned (no extra
+    # exchange), and ideal_agg is one row PER QUERY — unbounded in the
+    # query set, so pinning it broadcast would contradict the module's
+    # scale posture (ADVICE r6). AQE still broadcasts small cases.
+    return sys_agg.join(ideal_agg, query_col).select(
         query_col, "p_at_k", "mrr", "dcg",
         F.when(F.col("idcg") > 0,
                F.col("dcg") / F.col("idcg")).alias("ndcg"))
@@ -247,10 +257,12 @@ def cms_build(df: DataFrame, key_col: str, depth: int = 4,
     the ``depth`` rescans read one pruned column each — cheap for
     narrow keys. For WIDE keys on a huge corpus, ``materialize=True``
     persists the 1-digest projection so the key bytes are scanned once
-    and the passes re-read 32-hex digests instead (caller unpersists
-    via .unpersist() on the returned frame's lineage or a new build).
-    Deterministic md5 hashing makes the sketch itself oracle-checkable,
-    not just its estimates."""
+    and the passes re-read 32-hex digests instead; in that mode the
+    call returns ``(sketch, digests)`` so the caller has a real handle
+    to ``digests.unpersist()`` after its build action (ADVICE r6 — the
+    unioned frame's lineage gives no such handle). Deterministic md5
+    hashing makes the sketch itself oracle-checkable, not just its
+    estimates."""
     digests = df.select(F.md5(F.col(key_col).cast("string"))
                         .alias("_dig"))
     if materialize:
@@ -265,6 +277,8 @@ def cms_build(df: DataFrame, key_col: str, depth: int = 4,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if materialize:
+        return out, digests
     return out
 
 
@@ -300,8 +314,10 @@ def reservoir_sample_per_key(df: DataFrame, key_col: str, id_col: str,
     equivalent of a per-key reservoir (a uniform random hash induces a
     uniform random k-subset), reproducible across engines and runs
     unlike Algorithm R's RNG state. Top-k-per-group window on the hash;
-    ties impossible (md5 of distinct ids)."""
+    id_col is a final orderBy tie-break so duplicate ids (which md5 to
+    the same digest) still rank deterministically across runs
+    (ADVICE r6 — uniqueness is no longer assumed)."""
     h = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(key_col).orderBy(h)
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
     return (df.withColumn("smp_rank", F.row_number().over(w))
             .where(F.col("smp_rank") <= k))

@@ -414,7 +414,8 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
 
 def dsir_select(df: DataFrame, text_col: str, id_col: str,
                 target_col: str, target_values: tuple[str, ...],
-                n_buckets: int = 256, k: int = 100) -> DataFrame:
+                n_buckets: int = 256, k: int = 100,
+                materialize: bool = False) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169): score every raw document by how much more likely
     its hashed n-gram features are under a TARGET distribution than
@@ -439,10 +440,12 @@ def dsir_select(df: DataFrame, text_col: str, id_col: str,
     model tables are a bucket-sized aggregate of that frame, a 1-row
     total, and a broadcast delta table; scoring is a broadcast join +
     one doc-keyed rollup; selection lowers to TakeOrderedAndProject.
-    The (doc, bucket) frame is consumed twice (model fit + scoring) —
-    at fixture scale recomputing the map-only lineage is cheaper than a
-    persist; a 100 TB run would persist it, mirroring the
-    prefix_filter_jaccard_pairs materialize knob."""
+    The (doc, bucket) frame is consumed twice (model fit + scoring);
+    ``materialize=True`` persists it before either consumer
+    (MEMORY_AND_DISK) — the 100 TB recipe, exactly the
+    prefix_filter_jaccard_pairs knob. Off by default because at fixture
+    scale recomputing the map-only lineage is cheaper than the cache
+    write; results are identical either way (pinned by test)."""
     w = F.split(F.col(text_col), " ")
     big = F.when(
         F.size(w) >= 2,
@@ -457,6 +460,9 @@ def dsir_select(df: DataFrame, text_col: str, id_col: str,
         .withColumn("bk", portable_bucket(F.col("gram"), n_buckets))
         .groupBy(id_col, "tgt", "bk")
         .agg(F.count(F.lit(1)).alias("n")))
+    if materialize:
+        from pyspark import StorageLevel
+        doc_bk = doc_bk.persist(StorageLevel.MEMORY_AND_DISK)
     cnt = doc_bk.groupBy("bk").agg(
         F.sum("n").alias("c_r"),
         F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)).alias("c_t"))

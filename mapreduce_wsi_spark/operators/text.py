@@ -687,7 +687,16 @@ def bpe_learn_and_apply(df: DataFrame, text_col: str, id_col: str,
     merges are plan literals, so tokenization fuses into the scan
     exactly like ``bpe_apply_fixed``. Output per doc: post-merge token
     count and an order-sensitive md5 over the full segmentation ('|'
-    between tokens, '||' between words)."""
+    between tokens, '||' between words).
+
+    The separator-bounded encoding requires the corpus to be free of
+    U+001F; a literal \\x1f inside a word would corrupt separator runs
+    and silently diverge from the trainer's fold semantics. Enforced,
+    not just documented: U+001F is stripped from the text on BOTH the
+    train and apply sides (same char stream to both), so the invariant
+    holds for any input (ADVICE r6)."""
+    clean = F.replace(F.col(text_col), F.lit("\x1f"), F.lit(""))
+    df = df.withColumn(text_col, clean)
     learned = _bpe_learn_merges(df, text_col, n_merges)
     sep = "\x1f"
 

@@ -404,3 +404,21 @@ def test_dsir_upweights_target_like_docs(spark):
     # vocabulary is downweighted below smoothing level
     assert out[20]["log_w"] > 0
     assert out[10]["log_w"] < 0
+
+
+def test_dsir_materialize_identical_output(spark):
+    """The materialize knob (persist the twice-consumed (doc, bucket)
+    frame — the 100 TB recipe from the docstring) must be a pure
+    execution-strategy switch: bit-identical rows either way."""
+    from mapreduce_wsi_spark.operators.pipeline import dsir_select
+
+    rows = [(i, f"alpha beta w{i % 7} gamma w{i % 3}", 
+             "tgt" if i % 4 == 0 else "raw") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "src string")
+    args = dict(text_col="text", id_col="doc_id", target_col="src",
+                target_values=("tgt",), n_buckets=64, k=15)
+    plain = sorted(map(tuple, dsir_select(df, **args).collect()))
+    mat = sorted(map(tuple, dsir_select(df, materialize=True,
+                                        **args).collect()))
+    assert plain == mat
