@@ -702,8 +702,25 @@ _ASCII_DOCS_SQL = ("(SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g')"
                    " AS text FROM documents)")
 
 
+def _spread(df, spark):
+    """Fan a narrow-scan source frame out to the session's cores before
+    a Python media kernel. The fixture's documents table is one parquet
+    row group => ONE input split, so every Arrow encode/decode kernel
+    was running single-task on a 32-core session (measured: the whole
+    mm_* bench family was 1/32nd-parallel). The round-robin exchange
+    moves only the tiny source TEXT rows — blob payloads are
+    synthesized in-plan AFTER it, so the payload-never-shuffles
+    invariant (test_multimodal_payload_never_shuffles) still holds. At
+    production scale a blob corpus has orders of magnitude more input
+    splits than cores and this is a no-op by the guard."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _ascii_docs(spark, sf_dir):
-    return tbl(spark, sf_dir, "documents").withColumn(
+    return _spread(tbl(spark, sf_dir, "documents"), spark).withColumn(
         "text", F.regexp_replace("text", _ASCII_RE, ""))
 
 
@@ -2819,7 +2836,11 @@ def text_kneser_ney_logprob(spark, sf_dir):
          "(operators/text.py::char_entropy)")
 def text_char_entropy(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import char_entropy
-    return char_entropy(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+    # _spread: the interpreted-HOF histogram is the one JVM expression
+    # here heavy enough that the fixture's single input split leaves 31
+    # cores idle (same fan-out rationale as the media kernels)
+    return char_entropy(_spread(tbl(spark, sf_dir, "documents"), spark),
+                        "text", "doc_id")
 
 
 def _bpe_learn_apply_oracle(n_merges: int = 6) -> str:

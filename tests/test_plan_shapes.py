@@ -486,12 +486,18 @@ def test_tdigest_build_is_arrow_pass_plus_single_merge(spark, sf_oracle):
 
 def test_area_resize_has_single_python_stage(spark, sf_oracle):
     """Area downscale: exactly one Arrow python stage (decode +
-    block-mean fused in one kernel), no shuffle — the md5 projection
-    stays JVM-side."""
+    block-mean fused in one kernel); the only allowed exchange is the
+    round-robin _spread of the narrow TEXT rows below the kernel (the
+    single-input-split fan-out) — payload bytes still never shuffle,
+    and the md5 projection stays JVM-side."""
     import re
 
     plan = plan_of(build("mm_resize_area", spark, sf_oracle))
     # one distinct MapInPandas node id (the formatted dump names each
     # node twice: tree + detail section)
     assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1
-    assert "Exchange" not in plan
+    n_ex = len(set(re.findall(r"Exchange \((\d+)\)", plan)))
+    assert n_ex <= 1, "only the pre-kernel round-robin spread"
+    if n_ex:  # the one exchange must be the round-robin text fan-out
+        assert "RoundRobinPartitioning" in plan
+        assert "hashpartitioning" not in plan

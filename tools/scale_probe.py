@@ -43,6 +43,12 @@ DEFAULT_QUERIES = [
     "eval_retrieval_metrics",   # query x corpus scoring fan-out
     "sketch_cms_frequency",     # one-scan sketch build + probes
     "eval_group_auc",           # window over per-score aggregate
+    # late-r6 tranche (VERDICT r6 ask #4)
+    "sketch_tdigest_quantiles",  # per-partition sort+compress Arrow pass
+    "mm_resize_area",           # fused decode + block-mean kernel
+    "text_char_entropy",        # char histogram HOF, zero joins
+    "text_bpe_learn_apply",     # 6 train rounds + literal-replace apply
+    "mm_decode_gif_interlaced",  # LZW walk + 4-pass scatter
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -64,11 +70,21 @@ def main() -> None:
     for d in sf_dirs:
         spark.read.parquet(f"{d}/lineitem.parquet").limit(1).count()
 
+    # same production-path substitutions as the bench (sketch entries
+    # bundle exact anchors for the driver contract; the slope of
+    # interest is the operator's)
+    sys.path.insert(0, REPO)
+    from bench import _bench_overrides
+    overrides = _bench_overrides()
+
     out: dict[str, dict] = {}
     for name in queries:
         entry = catalog.get(name)
         if entry is None:
             continue
+        if name in overrides:
+            from mapreduce_wsi_spark.plans.registry import CatalogEntry
+            entry = CatalogEntry(fn=overrides[name], oracle=None)
         row: dict[str, float] = {}
         for d in sf_dirs:
             sf = d.rsplit("sf", 1)[1]
