@@ -321,3 +321,229 @@ def reservoir_sample_per_key(df: DataFrame, key_col: str, id_col: str,
     w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
     return (df.withColumn("smp_rank", F.row_number().over(w))
             .where(F.col("smp_rank") <= k))
+
+
+def log_loss_brier(df: DataFrame, group_col: str, prob_col: str,
+                   label_col: str) -> DataFrame:
+    """Per-group cross-entropy (log loss) and Brier score for a
+    probabilistic binary classifier — the two proper scoring rules a
+    quality-model gate reports next to AUC (AUC ranks; these two
+    punish miscalibrated confidence).
+
+    Order-free arithmetic: each row's -[y ln p + (1-y) ln(1-p)] term
+    is one double expression rounded to DECIMAL(28,9) before the sum
+    (the char-entropy idiom — identical per-row doubles on any engine,
+    then an exact decimal sum no partial-aggregation order can
+    perturb); the squared error (p - y)^2 is computed in DECIMAL from
+    a 9dp-quantized p, so it is exact by construction. One map-side
+    partial + final aggregation per group; no window, no join —
+    at 100 TB the shuffle carries |groups| rows. Probabilities must be
+    in (0, 1) exclusive; rows violating that (or NULL labels) are the
+    caller's contract to pre-filter, matching group_auc."""
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("long")
+    ll_term = (-(y * F.log(p) + (1 - y) * F.log(1 - p))
+               ).cast("decimal(28,9)")
+    p_dec = F.round(p, 9).cast("decimal(18,9)")
+    sq = (p_dec - y) * (p_dec - y)  # decimal: exact
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ll_term).alias("sum_ll"),
+        F.sum(sq).alias("sum_sq"))
+    return agg.select(
+        group_col, "n",
+        (F.col("sum_ll").cast("double") / F.col("n")).alias("log_loss"),
+        (F.col("sum_sq").cast("double") / F.col("n")).alias("brier"))
+
+
+def spearman_corr(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str) -> DataFrame:
+    """Per-group Spearman rank correlation with average-rank tie
+    handling — the distribution-free association check between two
+    quality signals (does the model score track the heuristic score?).
+
+    EXACT integer arithmetic throughout: the average rank of a tie
+    block is (2*min_rank + ties - 1)/2, so DOUBLED average ranks are
+    integers — every moment (sum, sum of products, sum of squares)
+    aggregates as an exact BIGINT, and Pearson over doubled ranks
+    equals Pearson over ranks (scale invariance). The one float
+    division happens per group at the end. Shuffle shape: two
+    rank windows over the same group partition (one exchange — Spark
+    reuses the partitioning) plus per-(group, value) tie counts;
+    BIGINT moments hold to ~2.6e5 rows per group (doubled-rank^2 * n
+    < 2^63) — past that, widen to DECIMAL(38,0), noted not silent."""
+    gw = Window.partitionBy(group_col)
+    dx = (2 * F.rank().over(gw.orderBy(x_col))
+          + F.count(F.lit(1)).over(Window.partitionBy(group_col, x_col))
+          - 2).alias("dx")  # doubled avg rank, 0-based: 2(r-1)+(t-1)
+    dy = (2 * F.rank().over(gw.orderBy(y_col))
+          + F.count(F.lit(1)).over(Window.partitionBy(group_col, y_col))
+          - 2).alias("dy")
+    ranked = df.select(F.col(group_col), dx, dy)
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy").cast("double") - sx.cast("double") * sy / n
+    vx = F.col("sxx").cast("double") - sx.cast("double") * sx / n
+    vy = F.col("syy").cast("double") - sy.cast("double") * sy / n
+    return agg.select(
+        group_col, "n",
+        F.when((vx > 0) & (vy > 0),
+               cov / F.sqrt(vx * vy)).alias("spearman"))
+
+
+def average_precision(df: DataFrame, group_col: str, id_col: str,
+                      score_col: str, label_col: str) -> DataFrame:
+    """Exact per-group average precision (area under the
+    precision-recall curve, step interpolation): AP = (1/n_pos) *
+    sum over positive ranks i of (cum_pos_i / i), under the total
+    order (score DESC, id) — the id tie-break makes the curve, and
+    hence AP, engine-stable in the presence of score ties (the same
+    convention as retrieval_metrics' cutoffs).
+
+    Each precision@i term is one double division rounded to
+    DECIMAL(28,9) before the per-group sum (order-free exact
+    decimals); the final /n_pos division happens once per group. The
+    ranking window carries the raw scored rows — a per-group sort is
+    the irreducible cost of an exact PR curve; groups are queries/
+    model-versions (bounded cardinality), and each group's rows spill
+    to its own partition, never to one global sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    y = F.col(label_col).cast("long")
+    ranked = df.select(
+        F.col(group_col), y.alias("y"),
+        F.row_number().over(w).alias("i"),
+        F.sum(y).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_pos"))
+    term = F.when(
+        F.col("y") == 1,
+        (F.col("cum_pos") / F.col("i")).cast("decimal(28,9)"))
+    agg = ranked.groupBy(group_col).agg(
+        F.sum("y").alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(term).alias("sum_prec"))
+    return agg.select(
+        group_col, "n", "n_pos",
+        F.when(F.col("n_pos") > 0,
+               F.col("sum_prec").cast("double") / F.col("n_pos"))
+        .alias("avg_precision"))
+
+
+def skew_kurtosis_exact(df: DataFrame, group_col: str,
+                        value_col: str) -> DataFrame:
+    """Per-group population skewness and excess kurtosis from EXACT
+    integer power sums — the 3rd/4th-moment extension of
+    var_std_exact's discipline for integer-valued measures: S1..S4
+    aggregate as BIGINTs (order-free), central moments expand via
+    m_k = E[(x - mu)^k] in double once per group, skew = m3/m2^1.5,
+    kurt = m4/m2^2 - 3. NOT the sample-adjusted estimators some
+    engines build in (DuckDB's skewness() applies n/((n-1)(n-2))):
+    the explicit formula is mirrored in the oracle operation by
+    operation. BIGINT S4 holds for |x| <= ~5500 at 1e6 rows per
+    group; wider measures cast S3/S4 to DECIMAL(38,0), noted not
+    silent. One partial+final aggregation, |groups| output rows."""
+    x = F.col(value_col).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"))
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+    m4 = (s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+          - 3 * mu * mu * mu * mu)
+    return agg.select(
+        group_col, "n",
+        F.when(m2 > 0, m3 / F.pow(m2, 1.5)).alias("skewness"),
+        F.when(m2 > 0, m4 / (m2 * m2) - 3).alias("kurtosis"))
+
+
+def kendall_tau(df: DataFrame, group_col: str, x_col: str,
+                y_col: str) -> DataFrame:
+    """Per-group Kendall tau-b — the concordance coefficient with tie
+    corrections: tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)), n0 =
+    n(n-1)/2, n1/n2 = tied-pair counts in x/y. A genuinely
+    non-relational operator: SQL expresses it only as an O(n^2)
+    within-group pair join (the oracle's formulation), so the engine
+    path is Knight's O(n log n) algorithm (W. R. Knight 1966) inside
+    an Arrow ``applyInPandas`` kernel: sort by (x, y), count
+    discordant pairs as merge-sort inversions of the y sequence
+    (numpy bottom-up merges, searchsorted per run — no Python
+    per-element loop), and C - D = n0 - n1 - n2 + n3 - 2*swaps.
+
+    Group-parallel: each group's rows land in one Arrow batch stream
+    (the groupBy shuffle is the only data movement) and groups run
+    concurrently; the integer C - D and both tie counts are exact, so
+    the one sqrt/division per group is engine-portable. tau_b is NULL
+    when either denominator factor is 0 (a constant x or y)."""
+    import numpy as np
+    import pandas as pd
+
+    def inversions(a: "np.ndarray") -> int:
+        """Bottom-up merge-count of pairs (i < j, a[i] > a[j])."""
+        inv = 0
+        runs = [np.sort(a[i:i + 64], kind="stable")
+                for i in range(0, len(a), 64)]
+        # seed: inversions inside each <=64-run via one vectorized
+        # strict upper-triangle comparison (64^2 bools, negligible)
+        for i in range(0, len(a), 64):
+            blk = a[i:i + 64]
+            gt = blk[:, None] > blk[None, :]  # gt[i, j] = a[i] > a[j]
+            inv += int(np.triu(gt, 1).sum())  # keep i < j pairs
+        while len(runs) > 1:
+            nxt = []
+            for k in range(0, len(runs) - 1, 2):
+                left, right = runs[k], runs[k + 1]
+                inv += int(len(left) * len(right)
+                           - np.searchsorted(left, right,
+                                             side="right").sum())
+                nxt.append(np.concatenate([left, right]))
+                nxt[-1].sort(kind="stable")
+            if len(runs) % 2:
+                nxt.append(runs[-1])
+            runs = nxt
+        return inv
+
+    def tie_pairs(sorted_vals: "np.ndarray") -> int:
+        _, counts = np.unique(sorted_vals, return_counts=True)
+        return int((counts * (counts - 1) // 2).sum())
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy()
+        y = pdf[y_col].to_numpy()
+        n = len(x)
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        n0 = n * (n - 1) // 2
+        n1 = tie_pairs(xs)
+        n2 = tie_pairs(np.sort(y, kind="stable"))
+        # joint ties: runs of equal (x, y) in the lexsorted stream
+        both = (np.diff(xs) == 0) & (np.diff(ys) == 0)
+        runs = np.split(np.arange(n), np.where(~both)[0] + 1)
+        n3 = sum(len(r) * (len(r) - 1) // 2 for r in runs)
+        swaps = inversions(ys)
+        cd = n0 - n1 - n2 + n3 - 2 * swaps
+        denom_x, denom_y = n0 - n1, n0 - n2
+        tau = (cd / np.sqrt(float(denom_x) * float(denom_y))
+               if denom_x > 0 and denom_y > 0 else None)
+        return pd.DataFrame({
+            group_col: [pdf[group_col].iloc[0]],
+            "n": pd.Series([n], dtype="int64"),
+            "cd": pd.Series([cd], dtype="int64"),
+            # nullable Float64: degenerate groups surface as SQL NULL
+            # (a float64 NaN would not hash-match an oracle NULL)
+            "tau_b": pd.array([tau], dtype="Float64"),
+        })
+
+    schema = (f"{group_col} string, n long, cd long, tau_b double")
+    return df.groupBy(group_col).applyInPandas(per_group, schema)

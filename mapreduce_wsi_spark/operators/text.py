@@ -823,3 +823,98 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n.cast("int").alias("n_chars"),
         F.size(F.array_distinct(chars)).cast("int").alias("n_distinct"),
         (total / F.lit(1000000000.0)).alias("entropy"))
+
+
+def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
+                       lang_col: str,
+                       thresholds: tuple[float, float] = (3.40, 3.41)
+                       ) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020): score
+    every document's unigram cross-entropy under the corpus LM, cut
+    the corpus into head / middle / tail quality buckets at FIXED
+    thresholds (in CCNet the cutoffs come from a reference Wikipedia
+    LM and are deployment constants — exactly how they enter here: as
+    plan literals, not a data-dependent global quantile, so the
+    operator stays map-side after the LM join), and report the
+    (lang, bucket) composition — the table a curation run reads to
+    decide per-language sampling rates.
+
+    Exactness: per-token ln rounds to DECIMAL(28,9) before the doc
+    mean (the unigram_logprob idiom); the per-doc cross-entropy then
+    re-rounds to DECIMAL(18,9) before the bucket-level mean, so both
+    aggregation layers are order-free and the bucket boundary compare
+    sees identical doubles on any engine. Shuffles: vocab count, doc
+    rollup, |langs x 3| final agg — all data-keyed."""
+    tok = df.select(F.col(id_col), F.col(lang_col),
+                    F.explode(words(F.col(text_col))).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tok.join(cnt, "w")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("lp",
+                          F.log(F.col("c").cast("double") / F.col("n"))
+                          .cast("decimal(28,9)")))
+    doc = (scored.groupBy(id_col, lang_col)
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                (-(F.sum("lp").cast("double")) / F.count(F.lit(1)))
+                .alias("xent")))
+    t1, t2 = thresholds
+    bucket = (F.when(F.col("xent") < t1, F.lit("head"))
+              .when(F.col("xent") < t2, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (doc.select(F.col(lang_col), bucket.alias("ppl_bucket"),
+                       F.col("n_tokens"),
+                       F.round("xent", 9).cast("decimal(18,9)")
+                       .alias("xent_dec"))
+            .groupBy(lang_col, "ppl_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 (F.sum("xent_dec").cast("double")
+                  / F.count(F.lit(1))).alias("mean_xent")))
+
+
+def hashed_tfidf(df: DataFrame, text_col: str, id_col: str,
+                 n_buckets: int = 64) -> DataFrame:
+    """Hashed TF-IDF feature vectors (the 'hashing trick',
+    Weinberger et al. 2009) — the input representation for linear
+    quality classifiers at corpus scale: words hash into a FIXED
+    ``n_buckets``-dim space (no vocabulary table to build, ship, or
+    join at serving time), tf-idf weights compute per (doc, bucket),
+    and each document's vector L2-normalizes. Output one row per
+    non-zero (doc_id, bucket): (tf, w) with w the normalized weight.
+
+    Exact until the final division: idf = ln((N+1)/(df+1)) + 1 rounds
+    to DECIMAL(18,9) once per bucket; tf * idf is exact decimal; the
+    squared norm sums exact DECIMAL(31,18) terms per doc; only the
+    w = tfidf / sqrt(norm) step is float, mirrored operation by
+    operation in the oracle. Plan: one (doc, bucket) pre-aggregate
+    (THE data-sized shuffle), a <= n_buckets-row df/idf aggregate off
+    it (broadcast back), one doc-keyed norm window — the hashed gram
+    pipeline shape shared with dsir_select."""
+    from pyspark.sql import Window
+
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+
+    tok = df.select(F.col(id_col),
+                    F.explode(words(F.col(text_col))).alias("w"))
+    doc_bk = (tok.withColumn("bk", portable_bucket(F.col("w"), n_buckets))
+              .groupBy(id_col, "bk")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = doc_bk.groupBy("bk").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    idf = (dfreq.crossJoin(F.broadcast(ndocs))
+           .select("bk",
+                   (F.log((F.col("n_docs") + 1).cast("double")
+                          / (F.col("df") + 1)) + 1)
+                   .cast("decimal(18,9)").alias("idf")))
+    weighted = (doc_bk.join(F.broadcast(idf), "bk")
+                .withColumn("tfidf",
+                            (F.col("tf").cast("decimal(9,0)")
+                             * F.col("idf")).cast("decimal(15,9)")))
+    w_norm = Window.partitionBy(id_col)
+    sq = (F.col("tfidf") * F.col("tfidf"))  # (15,9)^2 -> (31,18) exact
+    out = weighted.withColumn("norm_sq", F.sum(sq).over(w_norm))
+    return out.select(
+        F.col(id_col), F.col("bk"), F.col("tf"),
+        (F.col("tfidf").cast("double")
+         / F.sqrt(F.col("norm_sq").cast("double"))).alias("w"))

@@ -809,3 +809,265 @@ def embedding_pca_power(spark, sf_dir):
 
     emb = tbl(spark, sf_dir, "embeddings")
     return pca_power_component(emb, "embedding", dim=64, n_iter=6)
+
+
+@register(
+    "eval_log_loss_brier",
+    oracle="""
+    WITH base AS (SELECT event_type,
+                         (CAST(floor(value) AS BIGINT) % 99 + 0.5) / 100
+                             AS p,
+                         CAST(user_id % 2 AS BIGINT) AS y
+                  FROM events),
+    t AS (SELECT event_type,
+                 CAST(-(y * ln(p) + (1 - y) * ln(1 - p))
+                      AS DECIMAL(28,9)) AS ll,
+                 (CAST(round(p, 9) AS DECIMAL(18,9)) - y)
+                 * (CAST(round(p, 9) AS DECIMAL(18,9)) - y) AS sq
+          FROM base)
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(ll) AS DOUBLE) / count(*), 9) AS log_loss,
+           round(CAST(sum(sq) AS DOUBLE) / count(*), 9) AS brier
+    FROM t GROUP BY event_type
+    """,
+    note="Per-group log loss + Brier score (the two proper scoring "
+         "rules next to AUC): each row's -[y ln p + (1-y) ln(1-p)] "
+         "term rounds to DECIMAL(28,9) before the sum and the squared "
+         "error is exact decimal arithmetic over a 9dp-quantized p, "
+         "so partial-aggregation order never shows. One partial+final "
+         "aggregation; |groups| output rows at any scale. p derives "
+         "from floor(value)%99 + 0.5 — strictly inside (0,1) so both "
+         "logs are finite (operators/evaluation.py::log_loss_brier)")
+def eval_log_loss_brier(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import log_loss_brier
+
+    ev = events_tbl(spark, sf_dir)
+    df = ev.select(
+        "event_type",
+        ((F.floor("value").cast("long") % 99 + 0.5) / 100).alias("p"),
+        (F.col("user_id") % 2).cast("long").alias("y"))
+    out = log_loss_brier(df, "event_type", "p", "y")
+    return out.select("event_type", "n",
+                      F.round("log_loss", 9).alias("log_loss"),
+                      F.round("brier", 9).alias("brier"))
+
+
+@register(
+    "eval_spearman_corr",
+    oracle="""
+    WITH r AS (SELECT l_returnflag AS grp,
+                      2 * rank() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_quantity)
+                      + count(*) OVER (PARTITION BY l_returnflag,
+                                       l_quantity) - 2 AS dx,
+                      2 * rank() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice)
+                      + count(*) OVER (PARTITION BY l_returnflag,
+                                       l_extendedprice) - 2 AS dy
+               FROM lineitem),
+    a AS (SELECT grp, count(*) AS n,
+                 CAST(sum(dx) AS BIGINT) AS sx,
+                 CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                 CAST(sum(dy * dy) AS BIGINT) AS syy
+          FROM r GROUP BY grp)
+    SELECT grp, n,
+           round(CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                            * sx / n) > 0
+                       AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                            * sy / n) > 0 THEN
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * sx / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                           * sy / n)) END, 9) AS spearman
+    FROM a
+    """,
+    note="Per-group Spearman rank correlation (quantity vs price) "
+         "with average-rank ties via EXACT integer doubled ranks: "
+         "2*rank + ties - 2 is an integer, so every moment aggregates "
+         "as an exact BIGINT and Pearson over doubled ranks equals "
+         "Pearson over average ranks (scale invariance). Two rank "
+         "windows share one group exchange; the float math happens "
+         "once per group (operators/evaluation.py::spearman_corr)")
+def eval_spearman_corr(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import spearman_corr
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_quantity",
+        "l_extendedprice")
+    out = spearman_corr(li, "grp", "l_quantity", "l_extendedprice")
+    return out.select("grp", "n",
+                      F.round("spearman", 9).alias("spearman"))
+
+
+@register(
+    "eval_average_precision",
+    oracle="""
+    WITH base AS (SELECT event_type, event_id,
+                         CAST(floor(value) AS BIGINT) AS score,
+                         CAST(user_id % 2 AS BIGINT) AS y
+                  FROM events),
+    rk AS (SELECT event_type, y,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY score DESC, event_id)
+                      AS i,
+                  sum(y) OVER (PARTITION BY event_type
+                               ORDER BY score DESC, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_pos
+           FROM base),
+    a AS (SELECT event_type,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 count(*) AS n,
+                 sum(CASE WHEN y = 1 THEN
+                     CAST(cum_pos / i AS DECIMAL(28,9)) END)
+                     AS sum_prec
+          FROM rk GROUP BY event_type)
+    SELECT event_type, n, n_pos,
+           round(CASE WHEN n_pos > 0 THEN
+                 CAST(sum_prec AS DOUBLE) / n_pos END, 9)
+               AS avg_precision
+    FROM a
+    """,
+    note="Exact per-group average precision (step-interpolated PR "
+         "area): AP = mean over positives of precision@rank under the "
+         "(score DESC, id) total order — the id tie-break pins the "
+         "curve across engines exactly like retrieval_metrics' "
+         "cutoffs; each precision term rounds to DECIMAL(28,9) before "
+         "the order-free sum. The per-group sort is the irreducible "
+         "exact-PR cost; groups are bounded-cardinality model/query "
+         "keys (operators/evaluation.py::average_precision)")
+def eval_average_precision(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import average_precision
+
+    ev = events_tbl(spark, sf_dir)
+    df = ev.select(
+        "event_type", "event_id",
+        F.floor("value").cast("long").alias("score"),
+        (F.col("user_id") % 2).cast("long").alias("y"))
+    out = average_precision(df, "event_type", "event_id", "score", "y")
+    return out.select("event_type", "n", "n_pos",
+                      F.round("avg_precision", 9).alias("avg_precision"))
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH a AS (SELECT l_returnflag AS grp, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                          AS s1,
+                      CAST(sum(CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT))
+                           AS BIGINT) AS s2,
+                      CAST(sum(CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT))
+                           AS BIGINT) AS s3,
+                      CAST(sum(CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT))
+                           AS BIGINT) AS s4
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT grp, n,
+           round(CASE WHEN (CAST(s2 AS DOUBLE) / n
+                            - (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)) > 0 THEN
+                 (CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n)
+                      * CAST(s2 AS DOUBLE) / n
+                  + 2 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+                 / pow(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n), 1.5) END, 9)
+               AS skewness,
+           round(CASE WHEN (CAST(s2 AS DOUBLE) / n
+                            - (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)) > 0 THEN
+                 (CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n)
+                      * CAST(s3 AS DOUBLE) / n
+                  + 6 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)
+                      * CAST(s2 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))) - 3 END, 9)
+               AS kurtosis
+    FROM a
+    """,
+    note="Per-group population skewness / excess kurtosis from exact "
+         "BIGINT power sums S1..S4 (the 3rd/4th-moment extension of "
+         "var_std_exact): the only float math is the closed-form "
+         "central-moment expansion once per group, mirrored operation "
+         "by operation — NOT the sample-adjusted built-ins, whose "
+         "correction factors differ across engines "
+         "(operators/evaluation.py::skew_kurtosis_exact)")
+def agg_skew_kurtosis(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        skew_kurtosis_exact)
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_quantity")
+    out = skew_kurtosis_exact(li, "grp", "l_quantity")
+    return out.select("grp", "n",
+                      F.round("skewness", 9).alias("skewness"),
+                      F.round("kurtosis", 9).alias("kurtosis"))
+
+
+@register(
+    "eval_kendall_tau",
+    oracle="""
+    WITH base AS (SELECT event_type AS grp, event_id AS id,
+                         CAST(floor(value) AS BIGINT) AS x,
+                         CAST(user_id % 97 AS BIGINT) AS y
+                  FROM events),
+    p AS (SELECT a.grp,
+                 CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                      WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1
+                      ELSE 0 END AS s,
+                 CASE WHEN a.x <> b.x THEN 1 ELSE 0 END AS dx,
+                 CASE WHEN a.y <> b.y THEN 1 ELSE 0 END AS dy
+          FROM base a JOIN base b ON a.grp = b.grp AND a.id < b.id),
+    ag AS (SELECT grp, CAST(sum(s) AS BIGINT) AS cd,
+                  CAST(sum(dx) AS BIGINT) AS nx,
+                  CAST(sum(dy) AS BIGINT) AS ny
+           FROM p GROUP BY grp),
+    cnt AS (SELECT event_type AS grp, count(*) AS n
+            FROM events GROUP BY 1)
+    SELECT cnt.grp, cnt.n, ag.cd,
+           round(CASE WHEN nx > 0 AND ny > 0 THEN
+                 cd / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                 END, 9) AS tau_b
+    FROM cnt JOIN ag ON cnt.grp = ag.grp
+    """,
+    note="Per-group Kendall tau-b: SQL can only say it as the O(n^2) "
+         "within-group pair join the oracle runs — the engine path is "
+         "Knight's O(n log n) algorithm (sort by (x,y), discordant "
+         "pairs = merge-sort inversions of y, numpy bottom-up merges) "
+         "in one Arrow applyInPandas kernel, group-parallel. The "
+         "integer C-D and tie counts are exact; one sqrt per group "
+         "(operators/evaluation.py::kendall_tau). The exact same "
+         "number, two algorithmic complexity classes apart")
+def eval_kendall_tau(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import kendall_tau
+
+    ev = events_tbl(spark, sf_dir)
+    df = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor("value").cast("long").alias("x"),
+        (F.col("user_id") % 97).cast("long").alias("y"))
+    out = kendall_tau(df, "grp", "x", "y")
+    return out.select("grp", "n", "cd",
+                      F.round("tau_b", 9).alias("tau_b"))

@@ -2953,3 +2953,95 @@ def mm_resize_area(spark, sf_dir):
     out = area_downscale_images(blobs, factor=2)
     return out.select("doc_id", "out_w", "out_h", "ok",
                       F.md5(F.hex(F.col("pixels"))).alias("px_md5"))
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS n FROM tok),
+    scored AS (SELECT doc_id, lang,
+                      CAST(ln(CAST(c AS DOUBLE) / n) AS DECIMAL(28,9))
+                          AS lp
+               FROM tok JOIN cnt USING (w) CROSS JOIN tot),
+    d AS (SELECT doc_id, lang, count(*) AS n_tokens,
+                 -CAST(sum(lp) AS DOUBLE) / count(*) AS xent
+          FROM scored GROUP BY doc_id, lang),
+    b AS (SELECT lang,
+                 CASE WHEN xent < 3.40 THEN 'head'
+                      WHEN xent < 3.41 THEN 'middle'
+                      ELSE 'tail' END AS ppl_bucket,
+                 n_tokens,
+                 CAST(round(xent, 9) AS DECIMAL(18,9)) AS xent_dec
+          FROM d)
+    SELECT lang, ppl_bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(xent_dec) AS DOUBLE) / count(*), 9)
+               AS mean_xent
+    FROM b GROUP BY lang, ppl_bucket
+    """,
+    note="CCNet-style perplexity partition (Wenzek et al. 2020): "
+         "per-doc unigram cross-entropy under the corpus LM, cut into "
+         "head/middle/tail at FIXED plan-literal thresholds (CCNet's "
+         "cutoffs are deployment constants from a reference LM — not "
+         "a data-dependent global quantile, so the bucketing stays "
+         "map-side after the LM join), rolled up to the (lang, "
+         "bucket) composition a curation run reads to set "
+         "per-language sampling rates. Double-rounding discipline at "
+         "both aggregation layers "
+         "(operators/text.py::perplexity_buckets)")
+def text_perplexity_buckets(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import perplexity_buckets
+
+    out = perplexity_buckets(tbl(spark, sf_dir, "documents"),
+                             "text", "doc_id", "lang")
+    return out.select("lang", "ppl_bucket", "n_docs", "n_tokens",
+                      F.round("mean_xent", 9).alias("mean_xent"))
+
+
+@register(
+    "text_hashed_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    db AS (SELECT doc_id,
+                  CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % 64 AS INT) AS bk,
+                  count(*) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT bk, count(*) AS df FROM db GROUP BY bk),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    idf AS (SELECT bk,
+                   CAST(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1
+                        AS DECIMAL(18,9)) AS idf
+            FROM dfreq CROSS JOIN nd),
+    wtd AS (SELECT doc_id, db.bk, tf,
+                   CAST(CAST(tf AS DECIMAL(9,0)) * idf
+                        AS DECIMAL(15,9)) AS tfidf
+            FROM db JOIN idf ON db.bk = idf.bk),
+    nrm AS (SELECT *, sum(tfidf * tfidf) OVER (PARTITION BY doc_id)
+                          AS norm_sq
+            FROM wtd)
+    SELECT doc_id, bk, tf,
+           round(CAST(tfidf AS DOUBLE)
+                 / sqrt(CAST(norm_sq AS DOUBLE)), 9) AS w
+    FROM nrm
+    """,
+    note="Hashed TF-IDF features (the hashing trick, Weinberger et "
+         "al. 2009): words hash into a fixed 64-dim space via the "
+         "engine-portable md5 bucket, tf-idf weights are exact "
+         "decimal until the one L2-normalization division, and the "
+         "plan is the hashed-gram pipeline shape shared with "
+         "dsir_select — (doc, bucket) pre-aggregate, bucket-sized "
+         "broadcast model, doc-keyed norm window "
+         "(operators/text.py::hashed_tfidf)")
+def text_hashed_tfidf(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import hashed_tfidf
+
+    out = hashed_tfidf(tbl(spark, sf_dir, "documents"),
+                       "text", "doc_id", n_buckets=64)
+    return out.select("doc_id", "bk", "tf",
+                      F.round("w", 9).alias("w"))
