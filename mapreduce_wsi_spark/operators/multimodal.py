@@ -3072,3 +3072,303 @@ def area_downscale_images(blobs: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(do_resize, AREA_RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision TGA 2.0, public spec): 24-bit truecolor, uncompressed
+# (type 2) and RLE (type 10), both row origins. The simplest widely-
+# deployed RLE container — exercises the packet walk (repetition vs raw,
+# 128-pixel cap) without palette/entropy machinery.
+# ---------------------------------------------------------------------------
+
+def _parse_tga(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Parse a 24bpp TGA payload (types 2 and 10, no colormap): header,
+    optional image-ID skip, BGR pixel stream (RLE packets for type 10 —
+    repetition packets replicate one pixel, raw packets carry literals,
+    both capped at 128 pixels), bottom-up row order unless descriptor
+    bit 5 (top-to-bottom) is set. Malformed payloads return None (the
+    poison-safe convention)."""
+    if len(payload) < 18:
+        return None
+    idlen, cmap, itype = payload[0], payload[1], payload[2]
+    if cmap != 0 or itype not in (2, 10):
+        return None
+    w = int.from_bytes(payload[12:14], "little")
+    h = int.from_bytes(payload[14:16], "little")
+    depth, desc = payload[16], payload[17]
+    if w == 0 or h == 0 or depth != 24:
+        return None
+    pos = 18 + idlen
+    npx = w * h
+    if itype == 2:
+        need = npx * 3
+        if pos + need > len(payload):
+            return None
+        flat = np.frombuffer(payload[pos:pos + need], dtype=np.uint8)
+    else:
+        out = np.empty(npx * 3, dtype=np.uint8)
+        filled = 0
+        while filled < npx:
+            if pos >= len(payload):
+                return None
+            c = payload[pos]
+            pos += 1
+            cnt = min((c & 0x7F) + 1, npx - filled)
+            if c & 0x80:          # repetition packet: one pixel, cnt x
+                if pos + 3 > len(payload):
+                    return None
+                px = np.frombuffer(payload[pos:pos + 3], np.uint8)
+                pos += 3
+                out[filled * 3:(filled + cnt) * 3] = np.tile(px, cnt)
+            else:                 # raw packet: cnt literal pixels
+                need = cnt * 3
+                if pos + need > len(payload):
+                    return None
+                out[filled * 3:(filled + cnt) * 3] = np.frombuffer(
+                    payload[pos:pos + need], np.uint8)
+                pos += need
+            filled += cnt
+        flat = out
+    img = flat.reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+    if not (desc & 0x20):                      # bottom-up storage
+        img = img[::-1]
+    return w, h, np.ascontiguousarray(img)
+
+
+def encode_tga(rgb: "np.ndarray", rle: bool = False,
+               top_down: bool = True) -> bytes:
+    """Minimal 24bpp TGA writer for test/oracle payload synthesis:
+    type 2 (raw BGR) or type 10 (real RLE — maximal repetition runs,
+    literal packets broken before the next run, both capped at 128),
+    either row origin. Ships its own encoder so roundtrip tests
+    exercise every decoder branch."""
+    import struct
+
+    h, w, _ = rgb.shape
+    img = rgb if top_down else rgb[::-1]
+    bgr = np.ascontiguousarray(img[:, :, ::-1]).reshape(-1, 3)
+    desc = 0x20 if top_down else 0
+    head = (bytes([0, 0, 10 if rle else 2]) + bytes(5)
+            + struct.pack("<HHHH", 0, 0, w, h) + bytes([24, desc]))
+    if not rle:
+        return head + bgr.tobytes()
+    px = [bytes(p) for p in bgr]
+    out = bytearray(head)
+    i, n = 0, len(px)
+    while i < n:
+        run = 1
+        while i + run < n and px[i + run] == px[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(0x80 | (run - 1))
+            out += px[i]
+            i += run
+        else:
+            j = i + 1
+            while (j < n and (j - i) < 128
+                   and (j + 1 >= n or px[j] != px[j + 1])):
+                j += 1
+            out.append((j - i) - 1)
+            for k in range(i, j):
+                out += px[k]
+            i = j
+    return bytes(out)
+
+
+TGA_STATS_SCHEMA = PPM_STATS_SCHEMA
+
+
+def decode_tga_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of TGA payloads (types 2/10, both row
+    origins): per-image width, height and per-channel means; malformed
+    payloads yield ok=false rows."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_tga(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, px = parsed
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                means = _channel_means(np.ascontiguousarray(px)
+                                       .reshape(-1))
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(means[ch])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, TGA_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org, public domain spec): the modern
+# single-pass byte-oriented codec — 64-entry hash index, delta (DIFF/
+# LUMA) ops, run-length op, literal RGB/RGBA fallbacks. One tight
+# per-op walk; no entropy coder, no filters.
+# ---------------------------------------------------------------------------
+
+_QOI_END = bytes(7) + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _parse_qoi(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Decode a QOI payload (3-channel, linear or sRGB flag accepted):
+    14-byte header, op-chunk walk maintaining the previous pixel, the
+    64-entry seen-pixel index and RUN expansion, terminated by the
+    7x00+01 end marker (verified). Per-op Python like the GIF LZW walk
+    — QOI payloads here are thumbnails; the production seam is the
+    same C-kernel swap note."""
+    if len(payload) < 14 + 8 or payload[:4] != b"qoif":
+        return None
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    channels, cspace = payload[12], payload[13]
+    if w == 0 or h == 0 or channels not in (3, 4) or cspace > 1:
+        return None
+    if payload[-8:] != _QOI_END:
+        return None
+    npx = w * h
+    out = np.empty((npx, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i, end = 14, 0, len(payload) - 8
+    while i < npx:
+        if pos >= end:
+            return None
+        op = payload[pos]
+        pos += 1
+        if op == 0xFE:            # QOI_OP_RGB
+            if pos + 3 > end:
+                return None
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+        elif op == 0xFF:          # QOI_OP_RGBA
+            if pos + 4 > end:
+                return None
+            r, g, b, a = (payload[pos], payload[pos + 1],
+                          payload[pos + 2], payload[pos + 3])
+            pos += 4
+        else:
+            tag = op >> 6
+            if tag == 0:          # QOI_OP_INDEX
+                r, g, b, a = index[op & 0x3F]
+            elif tag == 1:        # QOI_OP_DIFF (bias 2)
+                r = (r + ((op >> 4) & 3) - 2) & 0xFF
+                g = (g + ((op >> 2) & 3) - 2) & 0xFF
+                b = (b + (op & 3) - 2) & 0xFF
+            elif tag == 2:        # QOI_OP_LUMA (bias 32 / 8)
+                if pos >= end:
+                    return None
+                dg = (op & 0x3F) - 32
+                b2 = payload[pos]
+                pos += 1
+                r = (r + dg + ((b2 >> 4) & 0x0F) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (b2 & 0x0F) - 8) & 0xFF
+            else:                 # QOI_OP_RUN (bias -1)
+                run = min((op & 0x3F) + 1, npx - i)
+                out[i:i + run] = (r, g, b)
+                i += run
+                # run repeats the PREVIOUS pixel: index already holds it
+                continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        out[i] = (r, g, b)
+        i += 1
+    return w, h, out.reshape(h, w, 3)
+
+
+def encode_qoi(rgb: "np.ndarray") -> bytes:
+    """Reference-faithful QOI encoder (greedy, per the spec's reference
+    flow): RUN first, then INDEX, then DIFF, then LUMA, else literal
+    RGB. 3-channel header; ships as the roundtrip twin so every decode
+    op is exercised by synthetic payloads."""
+    import struct
+
+    h, w, _ = rgb.shape
+    px = rgb.reshape(-1, 3)
+    out = bytearray(b"qoif" + struct.pack(">II", w, h) + bytes([3, 0]))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for r, g, b in px.tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = _qoi_hash(r, g, b, 255)
+        if index[hidx] == (r, g, b, 255):
+            out.append(hidx)
+        else:
+            index[hidx] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, r, g, b])
+        pr, pg, pb = r, g, b
+        index[_qoi_hash(pr, pg, pb, pa)] = (pr, pg, pb, pa)
+    if run:
+        out.append(0xC0 | (run - 1))
+    return bytes(out) + _QOI_END
+
+
+QOI_STATS_SCHEMA = PPM_STATS_SCHEMA
+
+
+def decode_qoi_stats(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of QOI payloads: per-image width,
+    height and per-channel means; malformed payloads yield ok=false
+    rows."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_qoi(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(0.0)
+                    continue
+                w, h, px = parsed
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                means = _channel_means(np.ascontiguousarray(px)
+                                       .reshape(-1))
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(means[ch])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, QOI_STATS_SCHEMA)

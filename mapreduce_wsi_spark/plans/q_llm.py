@@ -3045,3 +3045,125 @@ def text_hashed_tfidf(spark, sf_dir):
                        "text", "doc_id", n_buckets=64)
     return out.select("doc_id", "bk", "tf",
                       F.round("w", 9).alias("w"))
+
+
+@register(
+    "mm_decode_tga",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL TGA decode (Truevision 2.0): 4x4 RGB images "
+         "containerized per doc in a ROTATING variant — type 2 "
+         "(uncompressed) vs type 10 (real RLE packets) by doc_id%2, "
+         "top-down vs bottom-up row origin by (doc_id//2)%2 — so one "
+         "entry exercises the raw BGR path, the repetition/raw packet "
+         "walk with its 128-pixel cap, and both row orders. The "
+         "DuckDB twin recomputes channel means from the source ASCII "
+         "bytes; any mis-decoded byte anywhere shifts a mean "
+         "(operators/multimodal.py::_parse_tga)")
+def mm_decode_tga(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_tga_stats, encode_tga)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["raw"]):
+                img = (np.frombuffer(bytes(b), dtype=np.uint8)
+                       .reshape(4, 4, 3))
+                content.append(encode_tga(
+                    img, rle=bool(doc_id % 2),
+                    top_down=bool((doc_id // 2) % 2)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/x-tga"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    stats = decode_tga_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "mm_decode_qoi",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="REAL QOI decode (qoiformat.org, public-domain spec): 4x4 "
+         "RGB images per doc through the full op set — 64-entry hash "
+         "INDEX, DIFF/LUMA deltas with wraparound, RUN expansion "
+         "(62-cap), literal RGB, end-marker verification. ASCII text "
+         "bytes make low-entropy pixels, so the delta/index/run ops "
+         "fire organically rather than only the literal fallback; the "
+         "encoder twin is the spec's greedy reference flow. Channel-"
+         "mean oracle as for TIFF/TGA "
+         "(operators/multimodal.py::_parse_qoi)")
+def mm_decode_qoi(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_qoi_stats, encode_qoi)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = []
+            for b in pdf["raw"]:
+                img = (np.frombuffer(bytes(b), dtype=np.uint8)
+                       .reshape(4, 4, 3))
+                content.append(encode_qoi(img))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/qoi"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    stats = decode_qoi_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))
