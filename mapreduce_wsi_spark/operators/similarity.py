@@ -620,3 +620,81 @@ def pca_power_component(df: DataFrame, vec_col: str = "embedding",
     return (v.crossJoin(F.broadcast(lam))
             .select(F.col("i").alias("dim_idx"),
                     F.col("x").alias("component"), "eigenvalue"))
+
+
+def mmr_diversify(corpus: DataFrame, query_id: int, k: int = 6,
+                  pool: int = 16, lam: float = 0.55,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick the candidate maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` — the
+    de-duplicating re-rank every retrieval/data-curation stack runs so
+    the k results aren't k near-copies of the best hit.
+
+    Two-phase plan, matching how MMR deploys at scale: (1) the
+    DISTRIBUTED phase — relevance = cosine to the query over the whole
+    corpus, TakeOrderedAndProject down to a ``pool``-sized candidate
+    frame, then the pool x pool similarity matrix (both
+    localCheckpointed: pool^2 bounded rows, computed once); (2) the
+    greedy loop — k rounds, each one bounded Spark job over the pool
+    frame ending in a 1-row collect (the bpe_learn/BFS-seed
+    precedent: the collected row IS the selection). The corpus is
+    touched exactly once; rounds never rescan it.
+
+    Determinism: rel and sim round to 9dp before any comparison, ties
+    break on id — both engines see identical doubles (dot products
+    accumulate in the same sequential order as DuckDB's
+    list_dot_product). Returns (step, id, mmr_score): selection order
+    with the maximized objective at each step (step 1 has no
+    diversity term: max over an empty selected set is 0)."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col))
+                      .alias("__v"))
+    q = (c.filter(F.col(id_col) == query_id)
+         .select(F.col("__v").alias("__qv")))
+    rel = (c.crossJoin(F.broadcast(q))
+           .filter(F.col(id_col) != query_id)
+           .select(F.col(id_col),
+                   F.round(cosine(F.col("__v"), F.col("__qv")), 9)
+                   .alias("__rel"), "__v"))
+    pool_df = (rel.orderBy(F.col("__rel").desc(), F.col(id_col))
+               .limit(pool).localCheckpoint())
+    a = pool_df.select(F.col(id_col).alias("__ia"),
+                       F.col("__v").alias("__va"))
+    b = pool_df.select(F.col(id_col).alias("__ib"),
+                       F.col("__v").alias("__vb"))
+    sims = (a.crossJoin(b).filter(F.col("__ia") != F.col("__ib"))
+            .select("__ia", "__ib",
+                    F.round(cosine(F.col("__va"), F.col("__vb")), 9)
+                    .alias("__sim")).localCheckpoint())
+
+    cand = pool_df.select(id_col, "__rel")
+    picked: list[tuple[int, int, float]] = []
+    for step in range(1, k + 1):
+        chosen = [p[1] for p in picked]
+        remaining = cand.filter(~F.col(id_col).isin(chosen)) \
+            if chosen else cand
+        if chosen:
+            ms = (sims.filter(F.col("__ib").isin(chosen))
+                  .groupBy("__ia").agg(F.max("__sim").alias("__ms")))
+            scored = (remaining
+                      .join(ms, remaining[id_col] == ms["__ia"], "left")
+                      .select(F.col(id_col),
+                              F.round(F.lit(lam) * F.col("__rel")
+                                      - F.lit(1 - lam)
+                                      * F.coalesce("__ms", F.lit(0.0)),
+                                      9).alias("__score")))
+        else:
+            scored = remaining.select(
+                F.col(id_col),
+                F.round(F.lit(lam) * F.col("__rel"), 9)
+                .alias("__score"))
+        win = (scored.orderBy(F.col("__score").desc(), F.col(id_col))
+               .limit(1).collect())  # 1 row/round: the selection itself
+        if not win:
+            break
+        picked.append((step, win[0][id_col], float(win[0]["__score"])))
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        picked, f"step int, {id_col} long, mmr_score double")

@@ -3167,3 +3167,69 @@ def mm_decode_qoi(spark, sf_dir):
                         F.round("mean_r", 9).alias("mean_r"),
                         F.round("mean_g", 9).alias("mean_g"),
                         F.round("mean_b", 9).alias("mean_b"))
+
+
+def _mmr_oracle(k: int = 6, pool: int = 16, lam: float = 0.55,
+                query_id: int = 0) -> str:
+    """Unrolled-CTE twin of the MMR greedy loop (the bpe_learn oracle
+    pattern: k fixed rounds -> k generated winner CTEs). Each w{i}
+    re-derives round i's argmax from the same pool/sims frames; the
+    diversity weight literal is repr(1 - lam) CAST to DOUBLE so both
+    engines multiply by the exact same IEEE value."""
+    lam_sql = f"CAST({lam!r} AS DOUBLE)"
+    oml_sql = f"CAST({(1 - lam)!r} AS DOUBLE)"
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 9)")
+    parts = [f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM c WHERE vec_id = {query_id}),
+    pool AS (SELECT vec_id, rel, v FROM (
+        SELECT c.vec_id, {cos.format(a='c.v', b='qv')} AS rel, c.v
+        FROM c CROSS JOIN q WHERE c.vec_id <> {query_id})
+        ORDER BY rel DESC, vec_id LIMIT {pool}),
+    sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    {cos.format(a='a.v', b='b.v')} AS sim
+             FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    w1 AS (SELECT vec_id, round({lam_sql} * rel, 9) AS score
+           FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+    s1 AS (SELECT vec_id FROM w1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    w{i} AS (SELECT p.vec_id,
+                  round({lam_sql} * p.rel - {oml_sql} * (
+                      SELECT max(s.sim) FROM sims s
+                      WHERE s.ia = p.vec_id
+                        AND s.ib IN (SELECT vec_id FROM s{i - 1})), 9)
+                      AS score
+           FROM pool p
+           WHERE p.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+           ORDER BY score DESC, vec_id LIMIT 1),
+    s{i} AS (SELECT vec_id FROM s{i - 1}
+             UNION ALL SELECT vec_id FROM w{i})""")
+    selects = [f"SELECT CAST({i} AS INT) AS step, vec_id, "
+               f"score AS mmr_score FROM w{i}" for i in range(1, k + 1)]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register(
+    "sim_mmr_diversify",
+    oracle=_mmr_oracle(),
+    note="Maximal Marginal Relevance diversified top-6 (Carbonell & "
+         "Goldstein 1998) over a 16-candidate pool, lambda=0.55: the "
+         "de-duplicating re-rank between retrieval and consumption. "
+         "Distributed phase touches the corpus ONCE (cosine "
+         "relevance -> TakeOrderedAndProject pool -> pool^2 sim "
+         "matrix, both localCheckpointed); the greedy loop is k "
+         "bounded pool-frame jobs ending in 1-row collects (the "
+         "bpe_learn round pattern). Oracle = k unrolled winner CTEs "
+         "re-deriving each argmax; 9dp rounding + id tie-breaks pin "
+         "every selection cross-engine "
+         "(operators/similarity.py::mmr_diversify)")
+def sim_mmr_diversify(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import mmr_diversify
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return mmr_diversify(emb, query_id=0, k=6, pool=16, lam=0.55)

@@ -2302,3 +2302,43 @@ def test_qoi_roundtrip_all_ops_and_boundaries():
 
     # hash function matches the spec constant set
     assert _qoi_hash(0, 0, 0, 255) == (255 * 11) % 64
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """MMR contract: with a clone of the best candidate in the pool,
+    plain top-2 takes (best, clone) but MMR's second pick must skip
+    the clone (its sim ~1.0 to the selected best wipes out its
+    relevance at a diversity-leaning lambda=0.3) for the relevant
+    orthogonal candidate."""
+    from mapreduce_wsi_spark.operators.similarity import mmr_diversify
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # query
+        (1, [0.99, 0.1, 0.0, 0.0]),   # best hit
+        (2, [0.99, 0.1, 0.001, 0.0]), # near-clone of best
+        (3, [0.8, 0.0, 0.6, 0.0]),    # relevant but diverse
+        (4, [0.0, 1.0, 0.0, 0.0]),    # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["step"]: r["vec_id"]
+           for r in mmr_diversify(df, query_id=0, k=3, pool=4,
+                                  lam=0.3).collect()}
+    assert out[1] in (1, 2)           # highest relevance first
+    assert out[2] == 3                # clone suppressed by diversity
+    assert sorted(out.values()) == sorted(set(out.values()))  # no repeats
+
+
+def test_mmr_lambda_one_reduces_to_relevance_topk(spark):
+    """lambda=1 turns the diversity term off: selection order must be
+    exactly relevance order."""
+    from mapreduce_wsi_spark.operators.similarity import (
+        cosine_topk, mmr_diversify)
+
+    rows = [(i, [float((i * 7 + j * 3) % 11), float((i + j) % 5),
+                 float((i * 2) % 7)]) for i in range(12) for j in [1]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mmr = mmr_diversify(df, query_id=0, k=4, pool=8, lam=1.0)
+    order = [r["vec_id"] for r in mmr.orderBy("step").collect()]
+    top = cosine_topk(df, df.filter("vec_id = 0"), k=4)
+    want = [r["vec_id"] for r in top.orderBy("rn").collect()]
+    assert order == want
