@@ -2320,8 +2320,13 @@ def test_mmr_prefers_diverse_over_redundant(spark):
         (4, [0.0, 1.0, 0.0, 0.0]),    # irrelevant
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # pool=3 keeps the top-3 by relevance {1, 2, 3} — the relevance
+    # gate that precedes MMR (candidate 4 at rel=0 never enters; at a
+    # diversity-leaning lambda an irrelevant-but-novel candidate WOULD
+    # win the marginal objective, which is faithful MMR, so the pool
+    # cut is what keeps junk out — worth pinning)
     out = {r["step"]: r["vec_id"]
-           for r in mmr_diversify(df, query_id=0, k=3, pool=4,
+           for r in mmr_diversify(df, query_id=0, k=3, pool=3,
                                   lam=0.3).collect()}
     assert out[1] in (1, 2)           # highest relevance first
     assert out[2] == 3                # clone suppressed by diversity
