@@ -115,6 +115,21 @@ HEADLINE = [
     # round-6: t-digest — per-partition sort+compress Arrow pass over
     # lineitem prices, single-task centroid merge
     "sketch_tdigest_quantiles",
+    # round-7: the new rows with real data volume — the two codec
+    # kernels (RLE packet walk; QOI op walk), the hashed-gram TF-IDF
+    # shuffle, the LM-join perplexity partition, the two rank-window
+    # correlation stats, the O(n log n) Kendall kernel, and the
+    # MMR pool build + greedy rounds (iterative: timed end-to-end)
+    "mm_decode_tga",
+    "mm_decode_qoi",
+    "text_hashed_tfidf",
+    "text_perplexity_buckets",
+    "eval_spearman_corr",
+    "eval_kendall_tau",
+    "sim_mmr_diversify",
+    # round-7: the r6 verdict's entropy probe found this one 13x off
+    # its fixed form — keep it timed so the fix stays honest
+    "text_char_entropy",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -124,7 +139,7 @@ HEADLINE = [
 BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "sim_ann_ivf_build", "graph_bfs_hops", "triangle_count",
                    "dedup_semdedup", "graph_pagerank", "text_bpe_learn",
-                   "embedding_pca_power"}
+                   "embedding_pca_power", "sim_mmr_diversify"}
 
 
 def _bench_overrides():

@@ -83,59 +83,58 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-5
-# stamped 173 distinct entries green. This round's window = the 5 fixed
-# sentinels (cross-round regression canaries) + ALL 35 remaining
-# never-stamped entries (the full r5 second-tranche backlog) + a
-# 10-slot staleness pad of the oldest-stamped entries (last stamped in
-# round 2). A green round lifts cumulative driver coverage to 208/208
-# of the pre-r6 catalog — every entry driver-stamped at least once.
-# Entries added DURING r6 queue behind the window for the r7 rotation.
-# tests/test_driver_window.py pins the order, asserts the rotation
-# hygiene (non-sentinel, non-pad entries must be never-stamped), and
-# checks family coverage over the CUMULATIVE stamped set.
-ROUND = 6  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-6
+# stamped 208 distinct entries green — every pre-r6 entry. This
+# round's window = the 5 fixed sentinels (cross-round regression
+# canaries) + ALL 30 never-stamped r6 additions + the 10 entries ADDED
+# THIS ROUND (stamped in the same round they ship, so no backlog
+# accrues) + a 5-slot staleness pad of the entries with the OLDEST
+# stamp (round 2, registration order). A green round lifts cumulative
+# driver coverage to 248/248 — the whole catalog, including the r7
+# tranche, driver-stamped. tests/test_driver_window.py pins the order,
+# asserts the rotation hygiene (non-sentinel, non-pad entries must be
+# never-stamped), and checks family coverage over the CUMULATIVE
+# stamped set.
+ROUND = 7  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # exists only when free slots remain after covering never-stamped
-# entries and SHRINKS FIRST. This round the fresh queue is exactly 35,
-# leaving 10 slots; they go to the entries with the OLDEST last stamp
+# entries and SHRINKS FIRST. This round the fresh queue is 30 r6 + 10
+# r7 = 40, leaving 5 slots; they go to the oldest-stamped entries
 # (round 2, in registration order) so long-dormant results get
 # re-verified against regenerated fixtures.
 WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "approx_quantiles", "join_anti", "join_full_outer", "join_cross",
-    "join_theta_range", "window_running_agg", "topk_per_group",
-    "rollup_agg", "cube_agg", "set_intersect",
+    "above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
+    "q10_returned_items", "q12_late_shipment",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # r5 second tranche: joins / geo / dq
-    "join_asof_tolerance", "dq_profile_columns", "geo_radius_join",
-    "url_normalize",
-    # text analysis & retrieval tail
-    "text_unigram_logprob", "text_bigram_logprob", "text_strip_dup_spans",
-    "hybrid_retrieval_rrf", "text_vocab_oov", "text_phrase_match",
-    "text_bpe_apply", "topp_mass_cutoff",
-    # dedup family tail
-    "dedup_semdedup", "dedup_containment", "dedup_keep_longest",
-    "dedup_prefix_filter",
-    # similarity / vectors
-    "knn_label_vote", "embedding_label_coherence", "vector_quantize_int8",
-    # sketches
-    "heavy_hitters_mg", "sketch_kmv_overlap",
-    # corpus-prep composites
-    "pipeline_prepare_media", "pipeline_prepare_web", "split_leakage_safe",
-    "batch_length_buckets",
-    # multimodal decoders (GIF + G.711 audio)
-    "mm_decode_gif", "mm_decode_wav_ulaw", "mm_decode_wav_alaw",
-    # behavioral / window tail
-    "events_ewma_smooth", "theil_sen_user_trend", "funnel_within_window",
-    "streak_longest_per_user", "window_moving_median",
-    # graph tail
-    "graph_pagerank", "graph_label_propagation",
+    # r6 additions: data selection / sketches / tokenizer training
+    "dsir_importance_select", "sketch_tdigest_quantiles",
+    "sketch_cms_frequency", "text_bpe_learn", "text_bpe_learn_apply",
+    # r6 text-statistics tail
+    "text_kneser_ney_logprob", "text_char_entropy", "text_zipf_fit",
+    "text_heaps_law", "text_nfc_normalize", "text_bigram_pmi",
+    # r6 embedding linear algebra
+    "embedding_pca_power", "embedding_covariance_topk",
+    # r6 evaluation family
+    "eval_group_auc", "eval_cohens_kappa", "eval_retrieval_metrics",
+    "eval_calibration_curve", "eval_confusion_f1",
+    "hist_equiwidth_prices", "sample_reservoir_per_key",
+    # r6 sources / joins
+    "source_orc_roundtrip", "join_privacy_hashed",
+    # r6 codecs + media ops
+    "mm_decode_jpeg_progressive", "mm_decode_png_adam7",
+    "mm_decode_bmp_rle8", "mm_decode_tiff", "mm_decode_wav_adpcm",
+    "mm_decode_gif_interlaced", "mm_decode_ok_rate", "mm_resize_area",
+    # r7 additions (stamped the round they ship)
+    "eval_log_loss_brier", "eval_spearman_corr",
+    "eval_average_precision", "eval_kendall_tau", "agg_skew_kurtosis",
+    "text_perplexity_buckets", "text_hashed_tfidf",
+    "mm_decode_tga", "mm_decode_qoi", "sim_mmr_diversify",
 ) + WINDOW_STALENESS_PAD
 
 
