@@ -358,3 +358,51 @@ def test_custom_python_streaming_source_offsets(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in got.collect())
     assert ids == list(range(120))  # each row exactly once, 3 microbatches
 
+
+
+def test_stateful_api_dispatch_and_shared_helpers():
+    """The api= knob: 'auto' falls back to applyInPandasWithState when
+    protobuf is absent, 'tws' raises a clear error instead of crashing
+    at query start; the interval helpers shared by both paths merge and
+    close sessions correctly."""
+    from mapreduce_wsi_spark.streaming import stateful as st
+
+    if st.tws_available():  # this sandbox lacks protobuf; self-skip if not
+        assert st._resolve_api("auto") == "tws"
+    else:
+        assert st._resolve_api("auto") == "apiws"
+        with pytest.raises(RuntimeError, match="protobuf"):
+            st._resolve_api("tws")
+    with pytest.raises(ValueError):
+        st._resolve_api("bogus")
+
+    # gap-merge: 0..10 and 15..20 merge at gap>=5; singleton at 100 stays
+    merged = st._merge_new_events(
+        [[0, 10, 2], [15, 20, 1], [100, 100, 1]], iter(()), gap_ms=5)
+    assert merged == [[0, 20, 3], [100, 100, 1]]
+    # close rule: end + gap <= watermark
+    closed, open_ivs = st._split_closed(merged, wm=26, gap_ms=5)
+    assert closed == [(0, 20, 3)] and open_ivs == [(100, 100, 1)]
+
+
+@pytest.mark.skipif(
+    "not __import__('mapreduce_wsi_spark.streaming.stateful', "
+    "fromlist=['x']).tws_available()",
+    reason="transformWithStateInPandas needs google.protobuf")
+def test_stateful_tws_counts_match_batch(spark, sf_smoke, events_dir):
+    """Where protobuf exists, the transformWithStateInPandas twin must
+    produce the same final per-user stats as the batch groupBy (the same
+    contract the apiws path is pinned to above)."""
+    from mapreduce_wsi_spark.streaming.stateful import running_user_stats
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        running_user_stats(stream, api="tws"), "tws_counts", "update")
+    final = (got.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events"))
+             .collect())
+    batch = (events_tbl(spark, sf_smoke)
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect())
+    assert ({(r["user_id"], r["n_events"]) for r in final} ==
+            {(r["user_id"], r["n"]) for r in batch})
