@@ -2347,3 +2347,193 @@ def test_mmr_lambda_one_reduces_to_relevance_topk(spark):
     top = cosine_topk(df, df.filter("vec_id = 0"), k=4)
     want = [r["vec_id"] for r in top.orderBy("rn").collect()]
     assert order == want
+
+
+def test_jpeg_progressive_fuzz_band_partitions():
+    """Hypothesis sweep beyond the single-split fuzz: the AC spectrum is
+    partitioned into 1-5 random contiguous bands, each band gets its OWN
+    successive-approximation ladder depth, and the refinement scans of
+    different bands (plus DC) are interleaved in a random legal order
+    (per-band Al strictly decreasing; DC scan first). Progressive decode
+    must still be bit-identical to baseline decode of the same
+    coefficients."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        gy = data.draw(st.integers(1, 3))
+        gx = data.draw(st.integers(1, 3))
+        g = _pjpeg_rand_grid(
+            rng, gy, gx, data.draw(st.sampled_from([0.05, 0.3, 0.8])))
+        # random contiguous partition of 1..63 into 1-5 bands
+        n_cuts = data.draw(st.integers(0, 4))
+        cuts = sorted(set(data.draw(
+            st.lists(st.integers(2, 63), min_size=n_cuts,
+                     max_size=n_cuts))))
+        bounds = [1] + cuts + [64]
+        bands = [(bounds[i], bounds[i + 1] - 1)
+                 for i in range(len(bounds) - 1)]
+        al_dc = data.draw(st.integers(0, 2))
+        # per-band ladder queues: first scan at its own al0, then
+        # refinements al -> al-1 down to 0 (legality: decreasing within
+        # a band; arbitrary interleave across bands)
+        queues = []
+        dc_q = [([0], 0, 0, lvl, lvl - 1) for lvl in range(al_dc, 0, -1)]
+        if dc_q:
+            queues.append(dc_q)
+        for lo, hi in bands:
+            al0 = data.draw(st.integers(0, 2))
+            q = [([0], lo, hi, 0, al0)]
+            q += [([0], lo, hi, lvl, lvl - 1)
+                  for lvl in range(al0, 0, -1)]
+            queues.append(q)
+        sc = [([0], 0, 0, 0, al_dc)]  # DC first, always
+        while queues:
+            i = int(rng.integers(len(queues)))
+            sc.append(queues[i].pop(0))
+            if not queues[i]:
+                queues.pop(i)
+        _pjpeg_check(
+            [(g, 1, 1)], 8 * gx, 8 * gy, sc, f"bands={bands}",
+            re_prog=data.draw(st.sampled_from([0, 3])),
+            max_eobrun=data.draw(st.sampled_from([2, 0x7FFF])))
+
+    run()
+
+
+def _tiff_adversarial_write(img, endian, comp, rps, *, order, pads,
+                            photo, inject_unknown, rng):
+    """Test-only TIFF writer that exercises layouts the production
+    encoder never emits: shuffled IFD tag order, IFD-first / data-last
+    section arrangements, pad bytes between sections, WhiteIsZero
+    storage, and unknown tags/types the parser must skip."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _TIFF_TYPE, _packbits_encode)
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    stored = (255 - img) if (gray and photo == 0) else img
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = stored[r0:r0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if comp == 32773 else raw)
+
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (259, 3, [comp]), (262, 3, [photo]),
+        (273, 4, None), (277, 3, [spp]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if inject_unknown:
+        entries.append((59999, 3, [7]))          # unknown tag: ignored
+        entries.append((305, 2, [65, 66, 0]))    # ASCII type: skipped
+    idx = rng.permutation(len(entries))
+    entries = [entries[i] for i in idx]
+
+    def vsize(typ, vals):
+        return (1 if typ == 2 else _TIFF_TYPE[typ][1]) * len(vals)
+
+    n_strip_vals = len(strips)
+    strips_len = sum(len(s) for s in strips)
+    extra_len = sum(vsize(t, v) for _, t, v in entries
+                    if v is not None and vsize(t, v) > 4)
+    if 4 * n_strip_vals > 4:
+        extra_len += 4 * n_strip_vals
+    ifd_len = 2 + 12 * len(entries) + 4
+    lens = {"strips": strips_len, "extra": extra_len, "ifd": ifd_len}
+    starts, pos = {}, 8
+    for name, pad in zip(order, pads):
+        pos += pad
+        starts[name] = pos
+        pos += lens[name]
+
+    strip_offs, off = [], starts["strips"]
+    for s in strips:
+        strip_offs.append(off)
+        off += len(s)
+    entries = [(t, ty, strip_offs if v is None else v)
+               for t, ty, v in entries]
+
+    extra = bytearray()
+    ext_offs = {}
+    for tag, typ, vals in entries:
+        if vsize(typ, vals) > 4:
+            ext_offs[tag] = starts["extra"] + len(extra)
+            if typ == 2:
+                extra += bytes(vals)
+            else:
+                ch = _TIFF_TYPE[typ][0]
+                extra += struct.pack(endian + str(len(vals)) + ch, *vals)
+    ifd = bytearray(struct.pack(endian + "H", len(entries)))
+    for tag, typ, vals in entries:
+        ent = struct.pack(endian + "HHI", tag, typ, len(vals))
+        if vsize(typ, vals) <= 4:
+            if typ == 2:
+                packed = bytes(vals)
+            else:
+                ch = _TIFF_TYPE[typ][0]
+                packed = struct.pack(endian + str(len(vals)) + ch, *vals)
+            ent += packed + b"\x00" * (4 - len(packed))
+        else:
+            ent += struct.pack(endian + "I", ext_offs[tag])
+        ifd += ent
+    ifd += struct.pack(endian + "I", 0)
+    sections = {"strips": b"".join(strips), "extra": bytes(extra),
+                "ifd": bytes(ifd)}
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    out = bytearray(magic + struct.pack(endian + "I", starts["ifd"]))
+    for name, pad in zip(order, pads):
+        out += b"\x00" * pad + sections[name]
+    return bytes(out)
+
+
+def test_tiff_ifd_fuzz_layout_invariance():
+    """Hypothesis sweep over IFD layouts the spec allows but the
+    production encoder never writes: shuffled tag order, IFD before or
+    after pixel data, pad bytes between sections, strip-count arrays
+    crossing the 4-byte inline/offset boundary (1 strip = inline LONG,
+    2+ = out-of-line), WhiteIsZero inversion, and unknown tags/types.
+    The parser must return the same pixels regardless of layout."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import _parse_tiff
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        h = data.draw(st.integers(1, 9))
+        w = data.draw(st.integers(1, 9))
+        gray = data.draw(st.booleans())
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3),
+                           dtype=np.uint8)
+        photo = data.draw(st.sampled_from([0, 1])) if gray else 2
+        payload = _tiff_adversarial_write(
+            img, data.draw(st.sampled_from(["<", ">"])),
+            data.draw(st.sampled_from([1, 32773])),
+            data.draw(st.integers(1, h)),
+            order=data.draw(st.permutations(["strips", "extra", "ifd"])),
+            pads=[data.draw(st.integers(0, 5)) for _ in range(3)],
+            photo=photo, inject_unknown=data.draw(st.booleans()),
+            rng=rng)
+        got = _parse_tiff(payload)
+        assert got is not None
+        gw, gh, px = got
+        assert (gw, gh) == (w, h)
+        expect = (np.repeat(img[:, :, None], 3, axis=2)
+                  if gray else img)
+        assert np.array_equal(px, expect)
+
+    run()
