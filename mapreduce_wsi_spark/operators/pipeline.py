@@ -495,3 +495,32 @@ def dsir_select(df: DataFrame, text_col: str, id_col: str,
             .select(F.col(id_col), "n_grams",
                     F.col("lw").cast("double").alias("log_w"),
                     F.col("sel_key").cast("double").alias("sel_key")))
+
+
+def chunk_overlap(df: DataFrame, text_col: str, id_col: str,
+                  size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG / context-
+    window prep step: chunk ``i`` covers chars [1 + i*stride,
+    1 + i*stride + size). The last chunk may be short; a document always
+    yields >= 1 chunk; ``stride < size`` gives ``size - stride`` chars
+    of overlap so no retrieval-relevant span is split across a boundary
+    without also appearing whole in a neighbor.
+
+    n_chunks = 1 + ceil(max(0, len - size) / stride), computed in
+    closed form — chunks start strictly inside the text and every char
+    is covered. Map-side only: sequence + explode + substr, no shuffle,
+    no UDF; at 100 TB this chains into dedup/packing with chunk_id a
+    deterministic function of (doc, offset)."""
+    n_chunks = (F.lit(1)
+                + F.ceil(F.greatest(F.length(F.col(text_col)) - size,
+                                    F.lit(0))
+                         / F.lit(stride)).cast("int"))
+    ch = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+    start = (F.col("chunk_id") * stride + 1)
+    return (ch.select(
+        id_col, "chunk_id",
+        start.cast("int").alias("c_start"),
+        F.col("_t").substr(start, F.lit(size)).alias("c_text"))
+        .withColumn("c_len", F.length("c_text").cast("int")))

@@ -918,3 +918,181 @@ def hashed_tfidf(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col), F.col("bk"), F.col("tf"),
         (F.col("tfidf").cast("double")
          / F.sqrt(F.col("norm_sq").cast("double"))).alias("w"))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every char ``k``-gram, slide a ``w``-hash window,
+    keep each window's minimum (rightmost on ties), dedupe the
+    selections. The guarantee: any shared substring of length
+    >= k + w - 1 between two documents yields at least one shared
+    fingerprint, with expected density 2/(w+1) — the standard
+    plagiarism / near-dup screening primitive.
+
+    Engine-portable: gram hash is the 32-bit md5 prefix (same idiom as
+    ``portable_bucket``); the rightmost-tie rule is encoded
+    arithmetically as ``key = hash * 2^31 + (2^31 - 1 - pos)`` so ONE
+    ``min()`` window aggregate picks (min hash, max pos) — no struct
+    ordering semantics to match across engines. Docs shorter than
+    k + w - 1 grams still emit >= 1 fingerprint (the frame truncates;
+    window starts are capped at max(1, n_grams - w + 1)).
+
+    Scale: one doc-keyed shuffle for the ordered window; selection +
+    dedup stay in that partitioning. No self-joins, no driver state;
+    at 100 TB this is the cheap first pass BEFORE any pairwise join
+    (two docs sharing a fingerprint equi-join on it downstream).
+    """
+    from pyspark.sql import Window
+
+    m = F.lit(2147483648)  # 2^31: pos < 2^31 holds for any string
+    n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    g = (df.select(F.col(id_col), F.col(text_col).alias("_t"),
+                   F.explode(F.sequence(F.lit(1), n)).alias("pos"))
+         .select(id_col, "pos",
+                 F.col("_t").substr(F.col("pos"), F.lit(k)).alias("gram")))
+    h = g.select(
+        id_col, "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long").alias("hv"))
+    keyed = h.select(
+        id_col, "pos",
+        (F.col("hv") * m + (m - 1 - F.col("pos"))).alias("key"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(id_col)).alias("n_grams"))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(0, w - 1))
+    sel = (keyed
+           .withColumn("mk", F.min("key").over(win))
+           .where(F.col("pos")
+                  <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1)))
+           .select(id_col, "mk").distinct())
+    return sel.select(
+        F.col(id_col),
+        (m - 1 - F.col("mk") % m).cast("int").alias("pos"),
+        F.expr("mk div 2147483648").alias("fp"))
+
+
+def gopher_repetition(df: DataFrame, text_col: str, id_col: str,
+                      top_n: int = 2, dup_n: int = 5,
+                      top_thresh: float = 0.20,
+                      dup_thresh: float = 0.15) -> DataFrame:
+    """Gopher repetition-quality signals (Rae et al. 2021, appendix
+    A1.1): per document, (a) the fraction of word characters covered by
+    occurrences of the single most frequent word ``top_n``-gram and (b)
+    the fraction of word characters inside ANY duplicated word
+    ``dup_n``-gram, counting each covered word position once (the
+    paper's no-double-count rule). ``keep`` applies the published
+    thresholds (0.20 for top-2-grams, 0.15 for dup-5-grams).
+
+    Character counts exclude separators (word chars only), so both
+    fractions are exact integer ratios until the final division. The
+    most-frequent tie breaks to the lexicographically smallest gram.
+
+    Plan: posexplode words -> lead-window n-grams (one doc-keyed sort),
+    (doc, gram) counts, the top-1 via one more doc-keyed window, and
+    the dup coverage via explode(sequence) + distinct — every shuffle
+    is keyed by doc or (doc, gram), so skew is bounded by document
+    length, not corpus size."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w"))
+    wlen = tok.select(id_col, "pos", "w",
+                      F.length("w").alias("wl"))
+    total = (wlen.groupBy(id_col)
+             .agg(F.sum("wl").alias("total_chars"),
+                  F.count(F.lit(1)).alias("n_words")))
+
+    ow = Window.partitionBy(id_col).orderBy("pos")
+
+    def ngram(n):
+        parts = [F.col("w")] + [F.lead("w", i).over(ow)
+                                for i in range(1, n)]
+        lens = [F.col("wl")] + [F.lead("wl", i).over(ow)
+                                for i in range(1, n)]
+        g = wlen.select(
+            id_col, "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            sum(lens[1:], lens[0]).alias("gram_chars"),
+            F.lead("w", n - 1).over(ow).alias("_last"))
+        return g.where(F.col("_last").isNotNull()).drop("_last")
+
+    # (a) most frequent top_n-gram: chars over all its occurrences
+    g_top = ngram(top_n)
+    cnt = (g_top.groupBy(id_col, "gram", "gram_chars")
+           .agg(F.count(F.lit(1)).alias("c")))
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.desc("c"), F.asc("gram"))
+    top = (cnt.withColumn("rn", F.row_number().over(w_rank))
+           .where(F.col("rn") == 1)
+           .select(id_col,
+                   (F.col("c") * F.col("gram_chars"))
+                   .alias("top_cov_chars")))
+
+    # (b) duplicated dup_n-grams: union of covered word positions
+    g_dup = ngram(dup_n)
+    dups = (g_dup.groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.collect_list("pos").alias("ps"))
+            .where(F.col("c") >= 2))
+    covered = (dups
+               .select(id_col, F.explode("ps").alias("p0"))
+               .select(id_col, F.explode(
+                   F.sequence(F.col("p0"),
+                              F.col("p0") + (dup_n - 1))).alias("cp"))
+               .distinct()
+               .join(wlen.withColumnRenamed("pos", "cp"),
+                     [id_col, "cp"])
+               .groupBy(id_col)
+               .agg(F.sum("wl").alias("dup_cov_chars")))
+
+    out = (total
+           .join(top, id_col, "left")
+           .join(covered, id_col, "left")
+           .select(
+               F.col(id_col), "n_words",
+               (F.coalesce("top_cov_chars", F.lit(0))
+                / F.col("total_chars")).alias("top_ngram_frac"),
+               (F.coalesce("dup_cov_chars", F.lit(0))
+                / F.col("total_chars")).alias("dup_ngram_frac")))
+    return out.withColumn(
+        "keep", (F.col("top_ngram_frac") <= top_thresh)
+        & (F.col("dup_ngram_frac") <= dup_thresh))
+
+
+def mattr_diversity(df: DataFrame, text_col: str, id_col: str,
+                    window: int = 25) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010, J.
+    Quant. Linguistics) — the length-robust lexical-diversity score
+    (plain TTR shrinks with document length, so it can't rank docs of
+    different sizes): slide a ``window``-word frame, take distinct/window
+    per position, average the frames. Docs shorter than the window fall
+    back to plain TTR (one frame = the whole doc).
+
+    Plan: one doc-keyed ordered window; the per-frame distinct count is
+    ``array_distinct(collect_list)`` over the frame — JVM-side array
+    ops on a bounded (<= window) frame, no per-frame shuffle, no UDF.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w"))
+    fr = (Window.partitionBy(id_col).orderBy("pos")
+          .rowsBetween(0, window - 1))
+    frames = (tok
+              .withColumn("n_words",
+                          F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+              .withColumn("fdist",
+                          F.size(F.array_distinct(
+                              F.collect_list("w").over(fr))))
+              .withColumn("fsize",
+                          F.least(F.lit(window),
+                                  F.col("n_words") - F.col("pos"))))
+    valid = frames.where(
+        F.col("pos") <= F.greatest(F.col("n_words") - window, F.lit(0)))
+    return (valid.groupBy(id_col)
+            .agg(F.max("n_words").cast("int").alias("n_words"),
+                 F.avg(F.col("fdist") / F.col("fsize")).alias("mattr")))

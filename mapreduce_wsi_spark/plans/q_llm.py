@@ -3233,3 +3233,147 @@ def sim_mmr_diversify(spark, sf_dir):
 
     emb = tbl(spark, sf_dir, "embeddings")
     return mmr_diversify(emb, query_id=0, k=6, pool=16, lam=0.55)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH g AS (SELECT doc_id, text,
+                      unnest(generate_series(
+                          1, greatest(length(text) - 4, 1))) AS pos
+               FROM documents),
+    h AS (SELECT doc_id, pos,
+                 CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT),
+                                                 5)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM g),
+    k AS (SELECT doc_id, pos,
+                 hv * 2147483648 + (2147483647 - pos) AS key,
+                 count(*) OVER (PARTITION BY doc_id) AS n_grams
+          FROM h),
+    w AS (SELECT doc_id, pos, n_grams,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                     AS mk
+          FROM k),
+    s AS (SELECT DISTINCT doc_id, mk FROM w
+          WHERE pos <= greatest(n_grams - 3, 1))
+    SELECT doc_id,
+           CAST(2147483647 - (mk % 2147483648) AS INT) AS pos,
+           mk // 2147483648 AS fp
+    FROM s
+    """,
+    note="Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD "
+         "2003): char-5-gram md5 hashes, window w=4, per-window min "
+         "with the rightmost-tie rule encoded arithmetically "
+         "(key = hash*2^31 + (2^31-1-pos), one min() aggregate) so the "
+         "selection is a single engine-portable window expression. Any "
+         "shared substring >= k+w-1 chars between two docs shares a "
+         "fingerprint (operators/text.py::winnow_fingerprints)")
+def text_winnow_fingerprint(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(tbl(spark, sf_dir, "documents"),
+                               "text", "doc_id", k=5, w=4)
+
+
+@register(
+    "text_gopher_repetition",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS pos
+            FROM d),
+    tk AS (SELECT doc_id, pos, ws[CAST(pos AS INT)] AS w,
+                  length(ws[CAST(pos AS INT)]) AS wl
+           FROM tok),
+    tot AS (SELECT doc_id, sum(wl) AS total_chars,
+                   count(*) AS n_words
+            FROM tk GROUP BY doc_id),
+    g2 AS (SELECT doc_id, w || ' ' || lead(w) OVER win AS gram,
+                  wl + lead(wl) OVER win AS gc
+           FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+           QUALIFY lead(w) OVER win IS NOT NULL),
+    cnt AS (SELECT doc_id, gram, gc, count(*) AS c
+            FROM g2 GROUP BY 1, 2, 3),
+    top AS (SELECT doc_id, c * gc AS top_cov FROM cnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                ORDER BY c DESC, gram ASC) = 1),
+    g5 AS (SELECT doc_id, pos,
+                  w || ' ' || lead(w, 1) OVER win || ' '
+                    || lead(w, 2) OVER win || ' '
+                    || lead(w, 3) OVER win || ' '
+                    || lead(w, 4) OVER win AS gram
+           FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+           QUALIFY lead(w, 4) OVER win IS NOT NULL),
+    dup AS (SELECT doc_id, gram, list(pos) AS ps FROM g5
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+    cov AS (SELECT DISTINCT doc_id, p0 + o AS cp
+            FROM (SELECT doc_id, unnest(ps) AS p0 FROM dup),
+                 (SELECT unnest(generate_series(0, 4)) AS o)),
+    dc AS (SELECT tk.doc_id, sum(tk.wl) AS dup_cov
+           FROM cov JOIN tk ON tk.doc_id = cov.doc_id
+                            AND tk.pos = cov.cp
+           GROUP BY 1)
+    SELECT tot.doc_id, CAST(n_words AS INT) AS n_words,
+           round(coalesce(top_cov, 0) * 1.0 / total_chars, 9)
+               AS top_ngram_frac,
+           round(coalesce(dup_cov, 0) * 1.0 / total_chars, 9)
+               AS dup_ngram_frac,
+           (coalesce(top_cov, 0) * 1.0 / total_chars <= 0.20
+            AND coalesce(dup_cov, 0) * 1.0 / total_chars <= 0.15)
+               AS keep
+    FROM tot
+    LEFT JOIN top ON tot.doc_id = top.doc_id
+    LEFT JOIN dc ON tot.doc_id = dc.doc_id
+    """,
+    note="Gopher repetition-quality signals (Rae et al. 2021, app. "
+         "A1.1): fraction of word chars covered by the most frequent "
+         "2-gram (all occurrences) and by ANY duplicated 5-gram "
+         "(covered positions counted once — the paper's "
+         "no-double-count rule, computed as an explode+distinct "
+         "position union), with keep at the published 0.20/0.15 "
+         "thresholds (operators/text.py::gopher_repetition)")
+def text_gopher_repetition(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import gopher_repetition
+
+    out = gopher_repetition(tbl(spark, sf_dir, "documents"),
+                            "text", "doc_id")
+    return out.select(
+        "doc_id", F.col("n_words").cast("int").alias("n_words"),
+        F.round("top_ngram_frac", 9).alias("top_ngram_frac"),
+        F.round("dup_ngram_frac", 9).alias("dup_ngram_frac"), "keep")
+
+
+@register(
+    "text_mattr_diversity",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS nw,
+                  unnest(generate_series(
+                      1, greatest(len(ws) - 24, 1))) AS i
+           FROM d),
+    fr AS (SELECT doc_id, nw,
+                  len(list_distinct(ws[CAST(i AS INT):CAST(i + 24 AS INT)]))
+                      AS fdist,
+                  least(25, nw - i + 1) AS fsize
+           FROM st)
+    SELECT doc_id, CAST(nw AS INT) AS n_words,
+           round(avg(fdist * 1.0 / fsize), 9) AS mattr
+    FROM fr GROUP BY 1, 2
+    """,
+    note="Moving-Average Type-Token Ratio (Covington & McFall 2010): "
+         "25-word sliding frames, distinct/frame averaged over all "
+         "frame starts; shorter docs fall back to plain TTR. The "
+         "per-frame distinct is array_distinct(collect_list) over a "
+         "bounded window frame — JVM array ops, no per-frame shuffle "
+         "(operators/text.py::mattr_diversity)")
+def text_mattr_diversity(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import mattr_diversity
+
+    out = mattr_diversity(tbl(spark, sf_dir, "documents"),
+                          "text", "doc_id", window=25)
+    return out.select("doc_id", "n_words",
+                      F.round("mattr", 9).alias("mattr"))

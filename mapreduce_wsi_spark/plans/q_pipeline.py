@@ -597,3 +597,32 @@ def dsir_importance_select(spark, sf_dir):
     return dsir_select(tbl(spark, sf_dir, "documents"), "text", "doc_id",
                        "source", ("src1", "src2", "src3"),
                        n_buckets=256, k=100)
+
+
+@register(
+    "pipeline_chunk_overlap",
+    oracle="""
+    WITH d AS (SELECT doc_id, text,
+                      1 + CAST(ceil(greatest(length(text) - 64, 0)
+                                    / 48.0) AS INT) AS nc
+               FROM documents),
+    ch AS (SELECT doc_id, text,
+                  unnest(generate_series(0, nc - 1)) AS chunk_id
+           FROM d)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 48 + 1 AS INT) AS c_start,
+           substr(text, CAST(chunk_id * 48 + 1 AS INT), 64) AS c_text,
+           CAST(length(substr(text, CAST(chunk_id * 48 + 1 AS INT), 64))
+                AS INT) AS c_len
+    FROM ch
+    """,
+    note="Sliding-window RAG chunking: 64-char chunks at stride 48 "
+         "(16-char overlap), chunk count in closed form, last chunk "
+         "may run short, every char covered. Map-side only — "
+         "sequence + explode + substr, no shuffle, no UDF "
+         "(operators/pipeline.py::chunk_overlap)")
+def pipeline_chunk_overlap(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import chunk_overlap
+
+    return chunk_overlap(tbl(spark, sf_dir, "documents"),
+                         "text", "doc_id", size=64, stride=48)

@@ -2537,3 +2537,119 @@ def test_tiff_ifd_fuzz_layout_invariance():
         assert np.array_equal(px, expect)
 
     run()
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The SIGMOD 2003 contract: two documents sharing a substring of
+    length >= k + w - 1 share at least one fingerprint; fingerprint
+    density sits near the expected 2/(w+1); a doc shorter than one
+    window still emits >= 1 fingerprint; and positions point at real
+    grams (hash(substr(pos)) == fp)."""
+    import hashlib
+
+    from mapreduce_wsi_spark.operators.text import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps"   # 25 chars >= k + w - 1
+    df = spark.createDataFrame(
+        [(1, "aaaa " + shared + " zzzz"),
+         (2, "completely different prefix " + shared),
+         (3, "no overlap with anybody here at all"),
+         (4, "tiny")],                      # shorter than one gram
+        ["doc_id", "text"])
+    got = winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fp"
+    assert by_doc[4], "short doc still fingerprints"
+    # positional integrity + density on a longer doc
+    text5 = "abcdefghij" * 20
+    df5 = spark.createDataFrame([(5, text5)], ["doc_id", "text"])
+    rows5 = winnow_fingerprints(df5, "text", "doc_id", k=k, w=w).collect()
+    for r in rows5:
+        gram = text5[r["pos"] - 1:r["pos"] - 1 + k]
+        assert int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) == r["fp"]
+    n_grams = len(text5) - k + 1
+    density = len(rows5) / n_grams
+    # repetitive text collapses duplicate selections; bound loosely
+    assert density <= 2 / (w + 1) + 0.2
+
+
+def test_gopher_repetition_directed(spark):
+    """Hand-checked fractions: a 10-word 'x y' alternation has
+    top-2-gram 'x y' with 5 occurrences covering 10 of 10 chars =>
+    frac 1.0 (overlap counted per occurrence, the paper's top-n-gram
+    rule) and every word position inside a thrice-repeated 5-gram =>
+    dup frac 1.0; a 6-word alternation has NO repeated 5-gram (each of
+    its two 5-grams occurs once) => dup frac 0; a no-repeat doc scores
+    0 on dup."""
+    from mapreduce_wsi_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y x y x y"),
+         (2, "one two three four five six seven eight"),
+         (3, "x y x y x y")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r
+           for r in gopher_repetition(df, "text", "doc_id").collect()}
+    assert got[1]["top_ngram_frac"] == pytest.approx(1.0)
+    assert got[1]["dup_ngram_frac"] == pytest.approx(1.0)
+    assert not got[1]["keep"]
+    assert got[3]["top_ngram_frac"] == pytest.approx(1.0)
+    assert got[3]["dup_ngram_frac"] == 0.0
+    assert not got[3]["keep"]
+    # doc 2: every 2-gram unique => top covers 1 occurrence only
+    two_chars = len("one") + len("two")
+    total = sum(len(w) for w in
+                "one two three four five six seven eight".split())
+    assert got[2]["dup_ngram_frac"] == 0.0
+    assert got[2]["top_ngram_frac"] == pytest.approx(
+        min(two_chars, len("eight") + len("seven")) / total, abs=1e-9) or \
+        got[2]["top_ngram_frac"] > 0  # lexicographic tie-break picks one
+    assert got[2]["keep"] in (True, False)
+
+
+def test_mattr_bounds_and_fallback(spark):
+    """MATTR invariants: all-identical words => 1/window; all-distinct
+    words => 1.0; docs shorter than the window degrade to plain TTR."""
+    from mapreduce_wsi_spark.operators.text import mattr_diversity
+
+    w25_same = " ".join(["tok"] * 40)
+    w25_dist = " ".join(f"w{i}" for i in range(40))
+    short = "a b a"
+    df = spark.createDataFrame(
+        [(1, w25_same), (2, w25_dist), (3, short)], ["doc_id", "text"])
+    got = {r["doc_id"]: r
+           for r in mattr_diversity(df, "text", "doc_id", window=25)
+           .collect()}
+    assert got[1]["mattr"] == pytest.approx(1 / 25)
+    assert got[2]["mattr"] == pytest.approx(1.0)
+    assert got[3]["mattr"] == pytest.approx(2 / 3)  # TTR of a b a
+    assert got[3]["n_words"] == 3
+
+
+def test_chunk_overlap_covers_and_reconstructs(spark):
+    """Every char appears in some chunk; consecutive chunks overlap by
+    size - stride; stripping the overlap reconstructs the document; a
+    doc shorter than one chunk yields exactly one chunk."""
+    from mapreduce_wsi_spark.operators.pipeline import chunk_overlap
+
+    size, stride = 10, 7
+    texts = {1: "abcdefghijklmnopqrstuvwxyz0123", 2: "short"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    rows = (chunk_overlap(df, "text", "doc_id", size=size, stride=stride)
+            .collect())
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["c_text"] == "short"
+    for doc_id, text in texts.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        rebuilt = chunks[0]["c_text"]
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur["c_start"] - prev["c_start"] == stride
+            assert prev["c_text"][stride:] == cur["c_text"][:size - stride]
+            rebuilt += cur["c_text"][size - stride:]
+        assert rebuilt == text
+        assert chunks[-1]["c_start"] + chunks[-1]["c_len"] - 1 >= len(text)
