@@ -3372,3 +3372,246 @@ def decode_qoi_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, QOI_STATS_SCHEMA)
+
+
+def encode_avi_mjpeg(frames: list[bytes], w: int, h: int,
+                     fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI writer around MJPEG frames (Microsoft AVI RIFF
+    spec + OpenDML): RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh
+    'vids'/'MJPG', strf BITMAPINFOHEADER}} -> LIST(movi){'00dc' chunks,
+    word-aligned} -> idx1. Fixture/test synthesis twin of
+    ``_parse_avi`` — a mis-parsed header, chunk bound, or pad byte
+    breaks the roundtrip."""
+    import struct
+
+    n = len(frames)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    bufsize = max((len(f) for f in frames), default=0)
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1,
+                       bufsize, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                          bufsize, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the 'movi' fourcc position
+    idx, off = bytearray(), 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_avi(payload: bytes
+               ) -> tuple[int, int, int, int, list[bytes]] | None:
+    """REAL RIFF/AVI container walk for MJPEG video: validates the RIFF
+    envelope, reads avih (fps, frame count, dims), requires one 'vids'
+    stream with MJPG handler + MJPG biCompression, collects the movi
+    '00dc'/'00db' chunks in order with word-aligned advance, and
+    cross-checks idx1 (when present) and dwTotalFrames against the
+    chunks actually found. Returns (fps, w, h, n_frames, frames) or
+    None — compressed frame payloads come back undecoded so the caller
+    samples BEFORE paying any JPEG decode cost."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        return None
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if payload[8:12] != b"AVI " or 8 + riff_size > len(payload):
+        return None
+    end = 8 + riff_size
+
+    fps = w = h = n_decl = None
+    vids_mjpg = False
+    frames: list[bytes] = []
+    idx1_count = None
+
+    def walk(lo: int, hi: int, depth: int) -> bool:
+        nonlocal fps, w, h, n_decl, vids_mjpg, idx1_count
+        pos = lo
+        stream_fcc = None
+        while pos + 8 <= hi:
+            fourcc = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if body_hi > hi:
+                return False
+            if fourcc == b"LIST":
+                if size < 4:
+                    return False
+                ltype = payload[body_lo:body_lo + 4]
+                if ltype == b"movi":
+                    if not _avi_movi(payload, body_lo + 4, body_hi,
+                                     frames):
+                        return False
+                elif not walk(body_lo + 4, body_hi, depth + 1):
+                    return False
+            elif fourcc == b"avih":
+                if size < 56:
+                    return False
+                vals = struct.unpack_from("<14I", payload, body_lo)
+                if vals[0] == 0:
+                    return False
+                fps = round(1_000_000 / vals[0])
+                n_decl, w, h = vals[4], vals[8], vals[9]
+            elif fourcc == b"strh":
+                if size < 8:
+                    return False
+                stream_fcc = (payload[body_lo:body_lo + 4],
+                              payload[body_lo + 4:body_lo + 8])
+            elif fourcc == b"strf":
+                if stream_fcc and stream_fcc[0] == b"vids":
+                    if size < 40:
+                        return False
+                    comp = payload[body_lo + 16:body_lo + 20]
+                    if stream_fcc[1] == b"MJPG" and comp == b"MJPG":
+                        vids_mjpg = True
+            elif fourcc == b"idx1":
+                idx1_count = size // 16
+            pos = body_hi + (size % 2)
+        return True
+
+    if not walk(12, end, 0):
+        return None
+    if (fps is None or not vids_mjpg or n_decl != len(frames)
+            or (idx1_count is not None and idx1_count != len(frames))):
+        return None
+    return fps, w, h, len(frames), frames
+
+
+def _avi_movi(payload: bytes, lo: int, hi: int,
+              frames: list[bytes]) -> bool:
+    import struct
+
+    pos = lo
+    while pos + 8 <= hi:
+        fourcc = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > hi:
+            return False
+        if fourcc[2:4] in (b"dc", b"db"):
+            frames.append(payload[pos + 8:pos + 8 + size])
+        pos += 8 + size + (size % 2)
+    return pos == hi or pos + 8 > hi
+
+
+VIDEO_FRAMES_SCHEMA = ("doc_id long, frame_idx int, n_frames int, "
+                       "fps int, img_w int, img_h int, ok boolean, "
+                       "mean_r double, mean_g double, mean_b double")
+
+
+def sample_video_frames(blobs: DataFrame, stride: int = 2) -> DataFrame:
+    """Video frame sampling over MJPEG-in-AVI payloads: walk the RIFF
+    container, keep every ``stride``-th frame, JPEG-decode ONLY the
+    sampled frames (the container walk skips chunk-to-chunk without
+    touching skipped entropy data — the whole point of frame sampling
+    at 100 TB), and emit per-sampled-frame channel means. Malformed
+    containers yield one ok=false row with frame_idx=-1; a sampled
+    frame that fails JPEG decode yields its own ok=false row. Arrow
+    mapInPandas; payload bytes never shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "frame_idx", "n_frames", "fps",
+                     "img_w", "img_h", "ok",
+                     "mean_r", "mean_g", "mean_b")}
+
+            def emit(doc_id, fi, nf, fps, w, h, ok, m):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(fi)
+                rows["n_frames"].append(nf)
+                rows["fps"].append(fps)
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(ok)
+                for ch, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[k].append(m[ch] if m is not None else 0.0)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_avi(bytes(payload) if payload else b"")
+                if parsed is None:
+                    emit(doc_id, -1, 0, 0, 0, 0, False, None)
+                    continue
+                fps, w, h, nf, frames = parsed
+                for fi in range(0, nf, stride):
+                    dec = _parse_jpeg(frames[fi])
+                    if dec is None:
+                        emit(doc_id, fi, nf, fps, 0, 0, False, None)
+                        continue
+                    fw, fh, px = dec
+                    means = _channel_means(px.reshape(-1))
+                    emit(doc_id, fi, nf, fps, fw, fh, True, means)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, VIDEO_FRAMES_SCHEMA)
+
+
+SOBEL_STATS_SCHEMA = ("doc_id long, img_w int, img_h int, ok boolean, "
+                      "n_interior int, sum_grad long, mean_grad double")
+
+
+def edge_sobel_stats(blobs: DataFrame) -> DataFrame:
+    """Edge-energy feature extraction over REAL-decoded P6 PPM payloads:
+    integer luminance ((r+g+b) // 3), 3x3 Sobel Gx/Gy over interior
+    pixels, per-image L1 gradient magnitude sum (|gx|+|gy| — exact
+    integers end to end) and its mean. Images with no interior (w or h
+    < 3) report n_interior=0 with a 0 sum; undecodable payloads report
+    ok=false. One Arrow map stage, numpy-vectorized convolution."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok",
+                     "n_interior", "sum_grad", "mean_grad")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_ppm(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["img_w"].append(0)
+                    rows["img_h"].append(0)
+                    rows["ok"].append(False)
+                    rows["n_interior"].append(0)
+                    rows["sum_grad"].append(0)
+                    rows["mean_grad"].append(0.0)
+                    continue
+                w, h, raw = parsed
+                px = (np.frombuffer(raw, dtype=np.uint8)
+                      .reshape(h, w, 3).astype(np.int64))
+                g = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                if w < 3 or h < 3:
+                    rows["n_interior"].append(0)
+                    rows["sum_grad"].append(0)
+                    rows["mean_grad"].append(0.0)
+                    continue
+                gx = (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+                      - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2])
+                gy = (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                      - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:])
+                mag = np.abs(gx) + np.abs(gy)
+                n_int = mag.size
+                s = int(mag.sum())
+                rows["n_interior"].append(n_int)
+                rows["sum_grad"].append(s)
+                rows["mean_grad"].append(s / n_int)
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, SOBEL_STATS_SCHEMA)

@@ -3377,3 +3377,132 @@ def text_mattr_diversity(spark, sf_dir):
                           "text", "doc_id", window=25)
     return out.select("doc_id", "n_words",
                       F.round("mattr", 9).alias("mattr"))
+
+
+@register(
+    "mm_video_frames",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    f AS (SELECT unnest([0, 2, 4]) AS frame_idx)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(6 AS INT) AS n_frames, CAST(10 AS INT) AS fps,
+           CAST(32 AS INT) AS img_w, CAST(16 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[frame_idx * 8 + j]))) / 8.0, 9)
+               AS mean_r,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[frame_idx * 8 + j]))) / 8.0, 9)
+               AS mean_g,
+           round(list_sum(list_transform(generate_series(1, 8),
+                 j -> unicode(px[frame_idx * 8 + j]))) / 8.0, 9)
+               AS mean_b
+    FROM p CROSS JOIN f
+    """,
+    note="Video frame sampling over REAL MJPEG-in-AVI containers: each "
+         "doc's 48 ASCII bytes become SIX 32x16 grayscale MJPEG frames "
+         "(8 uniform DC-only blocks each, the lossless-JPEG "
+         "construction of mm_decode_jpeg) wrapped in a full RIFF/AVI "
+         "envelope (hdrl/avih/strl/strh/strf, word-aligned movi "
+         "chunks, idx1); sample_video_frames walks the container, "
+         "keeps every 2nd frame (0/2/4) and JPEG-decodes ONLY those — "
+         "skipped frames are never entropy-decoded, which is the cost "
+         "model that makes frame sampling worthwhile at 100 TB. The "
+         "DuckDB twin recomputes each sampled frame's means from its "
+         "8-byte text slice (operators/multimodal.py::_parse_avi, "
+         "::sample_video_frames)")
+def mm_video_frames(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, encode_avi_mjpeg, encode_jpeg_dc,
+        sample_video_frames)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = []
+            for b in pdf["raw"]:
+                by = np.frombuffer(bytes(b), dtype=np.uint8)
+                frames = [encode_jpeg_dc(by[f * 8:(f + 1) * 8],
+                                         block_w=4, gray=True)
+                          for f in range(6)]
+                content.append(encode_avi_mjpeg(frames, 32, 16, fps=10))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["video/x-msvideo"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    out = sample_video_frames(blobs, stride=2)
+    return out.select("doc_id", "frame_idx", "n_frames", "fps",
+                      "img_w", "img_h", "ok",
+                      F.round("mean_r", 9).alias("mean_r"),
+                      F.round("mean_g", 9).alias("mean_g"),
+                      F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "mm_edge_sobel",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     i -> (unicode(px[3*i + 1]) + unicode(px[3*i + 2])
+                           + unicode(px[3*i + 3])) // 3) AS gl
+          FROM p),
+    s AS (SELECT doc_id,
+                 list_sum(list_transform(generate_series(0, 3), j ->
+                     abs(  gl[4*((1 + j // 2) - 1) + (1 + j % 2) + 1 + 1]
+                         + 2 * gl[4*(1 + j // 2) + (1 + j % 2) + 1 + 1]
+                         + gl[4*((1 + j // 2) + 1) + (1 + j % 2) + 1 + 1]
+                         - gl[4*((1 + j // 2) - 1) + (1 + j % 2) - 1 + 1]
+                         - 2 * gl[4*(1 + j // 2) + (1 + j % 2) - 1 + 1]
+                         - gl[4*((1 + j // 2) + 1) + (1 + j % 2) - 1 + 1])
+                   + abs(  gl[4*((1 + j // 2) + 1) + (1 + j % 2) - 1 + 1]
+                         + 2 * gl[4*((1 + j // 2) + 1) + (1 + j % 2) + 1]
+                         + gl[4*((1 + j // 2) + 1) + (1 + j % 2) + 1 + 1]
+                         - gl[4*((1 + j // 2) - 1) + (1 + j % 2) - 1 + 1]
+                         - 2 * gl[4*((1 + j // 2) - 1) + (1 + j % 2) + 1]
+                         - gl[4*((1 + j // 2) - 1) + (1 + j % 2) + 1 + 1])
+                 )) AS sum_grad
+          FROM g)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok, CAST(4 AS INT) AS n_interior,
+           CAST(sum_grad AS BIGINT) AS sum_grad,
+           round(sum_grad / 4.0, 9) AS mean_grad
+    FROM s
+    """,
+    note="Sobel edge-energy extraction over REAL-decoded 4x4 P6 PPMs: "
+         "integer luminance (r+g+b)//3, 3x3 Gx/Gy over the 2x2 "
+         "interior, L1 magnitude sum — exact integers end to end, so "
+         "the DuckDB twin can spell out all 12 taps per interior pixel "
+         "from the source ASCII bytes and match bit-for-bit "
+         "(operators/multimodal.py::edge_sobel_stats)")
+def mm_edge_sobel(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import edge_sobel_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    out = edge_sobel_stats(blobs)
+    return out.select("doc_id", "img_w", "img_h", "ok", "n_interior",
+                      "sum_grad",
+                      F.round("mean_grad", 9).alias("mean_grad"))

@@ -2653,3 +2653,128 @@ def test_chunk_overlap_covers_and_reconstructs(spark):
             rebuilt += cur["c_text"][size - stride:]
         assert rebuilt == text
         assert chunks[-1]["c_start"] + chunks[-1]["c_len"] - 1 >= len(text)
+
+
+def test_avi_container_roundtrip_and_rejections():
+    """RIFF/AVI walk: encoder-twin roundtrip returns the exact frame
+    bytes in order (word-aligned odd-length chunks included); truncated
+    envelopes, frame-count mismatches (avih and idx1), and non-MJPG
+    streams all return None."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_avi, encode_avi_mjpeg, encode_jpeg_dc)
+
+    frames = [encode_jpeg_dc(np.arange(8, dtype=np.uint8) + i,
+                             block_w=4) for i in range(5)]
+    odd = [f[:-1] if len(f) % 2 == 0 else f for f in frames]
+    for fs in (frames, odd):
+        avi = encode_avi_mjpeg(fs, 32, 16, fps=25)
+        got = _parse_avi(avi)
+        assert got is not None
+        fps, w, h, n, out = got
+        assert (fps, w, h, n) == (25, 32, 16, len(fs))
+        assert out == fs
+
+    avi = encode_avi_mjpeg(frames, 32, 16, fps=10)
+    assert _parse_avi(b"") is None
+    assert _parse_avi(avi[:11]) is None
+    assert _parse_avi(avi[:-10]) is None
+    # corrupt dwTotalFrames in avih (offset: RIFF(12) + LIST hdr(12)
+    # + avih chunk hdr(8) + 4*4 bytes into avih body)
+    bad = bytearray(avi)
+    i = bad.find(b"avih") + 8 + 16
+    struct.pack_into("<I", bad, i, 99)
+    assert _parse_avi(bytes(bad)) is None
+    # non-MJPG biCompression in strf
+    bad2 = bytearray(avi)
+    j = bad2.find(b"strf") + 8 + 16
+    bad2[j:j + 4] = b"XVID"
+    assert _parse_avi(bytes(bad2)) is None
+    # idx1 count disagreeing with movi chunks
+    bad3 = bytearray(avi)
+    k = bad3.rfind(b"idx1")
+    struct.pack_into("<I", bad3, k + 4, 16 * (len(frames) + 1))
+    bad3 += b"\x00" * 16
+    struct.pack_into("<I", bad3, 4, len(bad3) - 8)
+    assert _parse_avi(bytes(bad3)) is None
+
+
+def test_video_frame_sampling_decodes_only_sampled(spark):
+    """sample_video_frames: stride-2 over 6 frames yields exactly
+    frames 0/2/4 with per-frame means equal to the source block values;
+    a poisoned container yields one ok=false row; a good container
+    with one undecodable sampled frame yields ok=false for that frame
+    only."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        encode_avi_mjpeg, encode_jpeg_dc, sample_video_frames)
+
+    def avi(vals, break_frame=None):
+        frames = [encode_jpeg_dc(np.full(8, v, dtype=np.uint8),
+                                 block_w=4) for v in vals]
+        if break_frame is not None:
+            frames[break_frame] = frames[break_frame][:10]
+        return encode_avi_mjpeg(frames, 32, 16, fps=10)
+
+    rows = [(1, avi([10, 11, 12, 13, 14, 15]), "video/x-msvideo", 0),
+            (2, b"RIFFgarbage", "video/x-msvideo", 0),
+            (3, avi([20, 21, 22, 23, 24, 25], break_frame=2),
+             "video/x-msvideo", 0)]
+    blobs = spark.createDataFrame(
+        rows, "doc_id long, content binary, mime string, n_bytes int")
+    got = sample_video_frames(blobs, stride=2).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    assert sorted(by[1]) == [0, 2, 4]
+    for fi in (0, 2, 4):
+        r = by[1][fi]
+        assert r["ok"] and r["n_frames"] == 6 and r["fps"] == 10
+        assert r["mean_r"] == pytest.approx(10 + fi)
+    assert sorted(by[2]) == [-1] and not by[2][-1]["ok"]
+    assert sorted(by[3]) == [0, 2, 4]
+    assert by[3][0]["ok"] and by[3][4]["ok"] and not by[3][2]["ok"]
+
+
+def test_sobel_matches_hand_convolution(spark):
+    """edge_sobel_stats equals a hand-rolled integer Sobel on a known
+    ramp image; flat images have zero gradient; sub-3x3 images report
+    n_interior=0; garbage payloads ok=false."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import edge_sobel_stats
+
+    w = h = 4
+    img = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    g = (img[:, :, 0].astype(int) + img[:, :, 1] + img[:, :, 2]) // 3
+    exp = 0
+    for r in (1, 2):
+        for c in (1, 2):
+            gx = (g[r - 1][c + 1] + 2 * g[r][c + 1] + g[r + 1][c + 1]
+                  - g[r - 1][c - 1] - 2 * g[r][c - 1] - g[r + 1][c - 1])
+            gy = (g[r + 1][c - 1] + 2 * g[r + 1][c] + g[r + 1][c + 1]
+                  - g[r - 1][c - 1] - 2 * g[r - 1][c] - g[r - 1][c + 1])
+            exp += abs(gx) + abs(gy)
+
+    def ppm(img):
+        h_, w_ = img.shape[:2]
+        return (f"P6\n{w_} {h_}\n255\n".encode() + img.tobytes())
+
+    flat = np.full((4, 4, 3), 7, dtype=np.uint8)
+    tiny = np.full((2, 2, 3), 9, dtype=np.uint8)
+    blobs = spark.createDataFrame(
+        [(1, ppm(img), "image/x-portable-pixmap", 0),
+         (2, ppm(flat), "image/x-portable-pixmap", 0),
+         (3, ppm(tiny), "image/x-portable-pixmap", 0),
+         (4, b"nope", "image/x-portable-pixmap", 0)],
+        "doc_id long, content binary, mime string, n_bytes int")
+    got = {r["doc_id"]: r for r in edge_sobel_stats(blobs).collect()}
+    assert got[1]["ok"] and got[1]["sum_grad"] == exp
+    assert got[1]["mean_grad"] == pytest.approx(exp / 4)
+    assert got[2]["sum_grad"] == 0
+    assert got[3]["ok"] and got[3]["n_interior"] == 0
+    assert not got[4]["ok"]
