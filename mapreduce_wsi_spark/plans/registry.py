@@ -86,27 +86,25 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver evidence grows instead of re-stamping the same 50. Rounds 1-6
 # stamped 208 distinct entries green — every pre-r6 entry. This
 # round's window = the 5 fixed sentinels (cross-round regression
-# canaries) + ALL 30 never-stamped r6 additions + the 10 entries ADDED
-# THIS ROUND (stamped in the same round they ship, so no backlog
-# accrues) + a 5-slot staleness pad of the entries with the OLDEST
-# stamp (round 2, registration order). A green round lifts cumulative
-# driver coverage to 248/248 — the whole catalog, including the r7
-# tranche, driver-stamped. tests/test_driver_window.py pins the order,
-# asserts the rotation hygiene (non-sentinel, non-pad entries must be
-# never-stamped), and checks family coverage over the CUMULATIVE
-# stamped set.
+# canaries) + ALL 30 never-stamped r6 additions + 15 of the 16 entries
+# ADDED THIS ROUND (stamped in the same round they ship, so no backlog
+# accrues). The fresh queue (46) exceeds the 45 non-sentinel slots by
+# one, so the staleness pad SHRINKS TO ZERO per its own rule and one
+# r7 entry (mm_edge_sobel, the last registered) heads the r8 queue. A
+# green round lifts cumulative driver coverage to 253/254.
+# tests/test_driver_window.py pins the order, asserts the rotation
+# hygiene (non-sentinel, non-pad entries must be never-stamped), and
+# checks family coverage over the CUMULATIVE stamped set.
 ROUND = 7  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # exists only when free slots remain after covering never-stamped
-# entries and SHRINKS FIRST. This round the fresh queue is 30 r6 + 10
-# r7 = 40, leaving 5 slots; they go to the oldest-stamped entries
-# (round 2, in registration order) so long-dormant results get
-# re-verified against regenerated fixtures.
-WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
-    "q10_returned_items", "q12_late_shipment",
-)
+# entries and SHRINKS FIRST. This round the fresh queue is 30 r6 + 16
+# r7 = 46 for 45 slots, so the pad is empty; the round-2-vintage
+# re-checks it carried earlier in r7 move to the r8 pad candidates
+# ("above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
+# "q10_returned_items", "q12_late_shipment" — still the oldest stamps).
+WINDOW_STALENESS_PAD: tuple[str, ...] = ()
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
@@ -135,6 +133,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "eval_average_precision", "eval_kendall_tau", "agg_skew_kurtosis",
     "text_perplexity_buckets", "text_hashed_tfidf",
     "mm_decode_tga", "mm_decode_qoi", "sim_mmr_diversify",
+    "text_winnow_fingerprint", "text_gopher_repetition",
+    "text_mattr_diversity", "pipeline_chunk_overlap", "mm_video_frames",
 ) + WINDOW_STALENESS_PAD
 
 
