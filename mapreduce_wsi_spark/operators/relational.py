@@ -299,3 +299,57 @@ def constraint_violations(df: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bloom_prune_join(big: DataFrame, small: DataFrame, big_key: str,
+                     small_key: str, m_bits: int = 4096,
+                     k_hashes: int = 2) -> DataFrame:
+    """Explicit Bloom-filter semi-join reduction: build a ``m_bits``-bit
+    filter over the small side's DISTINCT keys (``k_hashes`` md5-window
+    hashes per key, the engine-portable `_md5_bucket` convention), pack
+    it into 64-bit words with a ``bit_or`` aggregate, pivot the <=
+    m_bits/64 words into ONE map row, and broadcast that row so the big
+    side tests membership MAP-SIDE — rows that cannot join never reach
+    the shuffle. Returns the pruned big frame (false positives possible
+    at the Bloom's rate, false negatives impossible — the caller's real
+    join removes the former and the filter never drops the latter).
+
+    Scale shape: this is the semi-join runtime filter Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter` injects, surfaced as a
+    composable operator so pipelines can prune BEFORE an expensive
+    downstream stage (decode, shuffle, UDF) rather than only inside one
+    join. The filter costs one pass over the small side's distinct keys
+    and a fixed m_bits/8-byte broadcast (512 B at the default) no
+    matter how large the big side is; the probe is whole-stage-codegen
+    arithmetic on each big row. With |small| distinct keys n, the false
+    positive rate is ~(1 - e^(-k*n/m))^k; size m_bits ~ 10 bits/key for
+    ~1% FP.
+    """
+    from mapreduce_wsi_spark.operators.evaluation import _md5_bucket
+
+    assert m_bits % 64 == 0
+    keys = small.select(
+        F.col(small_key).cast("string").alias("__bf_k")).distinct()
+    pos = keys.select(F.explode(F.array(
+        *[_md5_bucket(F.col("__bf_k"), s, m_bits)
+          for s in range(k_hashes)])).alias("pos"))
+    words = pos.groupBy(F.expr("pos DIV 64").cast("int").alias("word")) \
+        .agg(F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+            .alias("bits"))
+    bloom = words.agg(F.map_from_entries(
+        F.collect_list(F.struct("word", "bits"))).alias("__bf_map"))
+
+    probed = big.crossJoin(F.broadcast(bloom))
+    tmp = []
+    for s in range(k_hashes):
+        c = f"__bf_p{s}"
+        tmp.append(c)
+        probed = probed.withColumn(
+            c, _md5_bucket(F.col(big_key), s, m_bits))
+    cond = " AND ".join(
+        f"(coalesce(try_element_at(__bf_map, CAST({c} DIV 64 AS INT)), "
+        f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({c} % 64 AS INT))) != 0"
+        for c in tmp)
+    return probed.filter(F.expr(cond)).drop("__bf_map", *tmp)

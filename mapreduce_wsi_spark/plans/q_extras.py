@@ -893,3 +893,64 @@ def geo_radius_join(spark, sf_dir):
         (F.lit(-74.0) + portable_bucket(F.col("c_custkey") + 1000000, 1000)
          / F.lit(1000.0) * F.lit(0.2)).alias("lon"))
     return grid_radius_join(pts, radius_km=2.0, ref_lat_deg=40.1)
+
+
+@register(
+    "join_bloom_prune",
+    oracle="""
+    WITH sk AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k
+                FROM part WHERE p_brand = 'Brand#23' AND p_size <= 10),
+    pos AS (SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)
+                   % 4096 AS p FROM sk
+            UNION
+            SELECT CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT)
+                   % 4096 FROM sk),
+    cand AS (SELECT l_partkey, l_quantity, l_extendedprice
+             FROM lineitem
+             WHERE CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 4096
+                       IN (SELECT p FROM pos)
+               AND CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                        9, 8)) AS BIGINT) % 4096
+                       IN (SELECT p FROM pos)),
+    mt AS (SELECT c.* FROM cand c
+           JOIN (SELECT p_partkey FROM part
+                 WHERE p_brand = 'Brand#23' AND p_size <= 10) p
+             ON c.l_partkey = p.p_partkey)
+    SELECT (SELECT count(*) FROM lineitem) AS n_big,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM mt) AS n_matched,
+           (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) FROM mt) AS sum_qty,
+           (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) FROM mt) AS sum_price
+    """,
+    note="Explicit Bloom-filter semi-join reduction: a 4096-bit / "
+         "2-hash filter over the ~10 selected part keys broadcasts as "
+         "ONE map row (512 bytes) and prunes lineitem MAP-SIDE before "
+         "the join shuffle — the runtime-filter pattern surfaced as a "
+         "composable operator so a pipeline can prune before decode/"
+         "UDF stages too. n_candidates is the filter's EXACT behavior "
+         "(bit-for-bit: the oracle replays the same md5-window bit "
+         "positions), n_matched/sums come from the real join that "
+         "clears false positives; false negatives are impossible by "
+         "construction (operators/relational.py::bloom_prune_join)")
+def join_bloom_prune(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import bloom_prune_join
+
+    part = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+    li = tbl(spark, sf_dir, "lineitem")
+    pruned = bloom_prune_join(li, part, "l_partkey", "p_partkey")
+    matched = pruned.join(F.broadcast(part.select("p_partkey")),
+                          pruned["l_partkey"] == F.col("p_partkey"))
+
+    n_big = li.agg(F.count(F.lit(1)).alias("n_big"))
+    n_cand = pruned.agg(F.count(F.lit(1)).alias("n_candidates"))
+    stats = matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_price"))
+    return n_big.crossJoin(n_cand).crossJoin(stats)

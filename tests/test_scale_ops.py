@@ -266,3 +266,49 @@ def test_grid_radius_join_equals_bruteforce(spark):
                 if d <= 1.5:
                     want.add((i, j))
     assert got == want and len(want) > 100
+
+
+# --- Bloom-filter semi-join reduction -------------------------------------
+
+def test_bloom_prune_never_drops_matches_and_clears_with_real_join(spark):
+    """No false negatives at ANY filter size: the pruned big side always
+    contains every row whose key exists on the small side — even with an
+    adversarially tiny 64-bit filter that is mostly false positives. At a
+    comfortable size the candidate set collapses to near the true
+    matches, and (pruned ⋉ small) == (big ⋉ small) exactly."""
+    from mapreduce_wsi_spark.operators.relational import bloom_prune_join
+
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [(i * 37,) for i in range(8)], "k long")  # 8 keys in [0, 259+]
+
+    true_rows = sorted(tuple(r) for r in
+                       big.join(small.hint("broadcast"), "k").select(
+                           "k", "v").collect())
+
+    for m_bits in (64, 4096):
+        pruned = bloom_prune_join(big, small, "k", "k", m_bits=m_bits)
+        got = set(tuple(r) for r in pruned.select("k", "v").collect())
+        assert set(true_rows) <= got, f"false negative at m={m_bits}"
+        cleared = sorted(tuple(r) for r in
+                         pruned.join(small.hint("broadcast"), "k")
+                         .select("k", "v").collect())
+        assert cleared == true_rows
+    # the honest filter prunes: most of the 500 keys miss both hashes
+    pruned = bloom_prune_join(big, small, "k", "k", m_bits=4096)
+    assert pruned.count() < big.count() / 10
+
+
+def test_bloom_prune_probe_is_broadcast_no_shuffle(spark):
+    """The probe side must see only a BroadcastExchange (the 1-row map),
+    never a shuffle of the big side: pruning that costs a shuffle would
+    defeat its own purpose."""
+    from mapreduce_wsi_spark.operators.relational import bloom_prune_join
+
+    big = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    small = spark.range(0, 10).select((F.col("id") * 7).alias("k"))
+    pruned = bloom_prune_join(big, small, "k", "k")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side
