@@ -562,3 +562,52 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                             (F.col("n_a") + F.col("n_b") - F.col("__i")))
                 .filter(F.col("jaccard") >= min_jaccard))
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
+                              sort_exprs: list[Column], window: int = 4,
+                              block_col: str | None = None) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking (Hernandez & Stolfo,
+    SIGMOD 1995): for each pass's sort key, order the records (within
+    ``block_col`` when given) and emit each record paired with its next
+    ``window - 1`` neighbors in that order; the union of passes is the
+    candidate set. Emits (doc_a, doc_b) with doc_a < doc_b, distinct
+    across passes.
+
+    Scale shape: candidates are O(n * (window-1) * passes) — LINEAR in
+    the corpus, never the O(n^2) cross join, and unlike hash blocking a
+    sorted neighborhood catches near-keys that differ in a low-order
+    character (hash blocks would separate them). Each pass costs one
+    window exchange on ``block_col`` (or one range sort when None —
+    fine up to the sort's own scalability); the lead() walk is
+    frame-local. Dirty sort keys are why MULTI-pass exists: a typo in
+    one pass's key prefix is usually absent from another pass's key
+    (the paper's multi-pass + transitive-closure result), and the
+    union feeds `connected_components` downstream."""
+    assert window >= 2
+    outs = []
+    for key in sort_exprs:
+        if block_col is not None:
+            w = Window.partitionBy(block_col).orderBy(
+                F.col("__sn_k"), F.col("__sn_id"))
+        else:
+            w = Window.orderBy(F.col("__sn_k"), F.col("__sn_id"))
+        base = df.select(F.col(id_col).alias("__sn_id"),
+                         *( [F.col(block_col)] if block_col else [] ),
+                         key.alias("__sn_k"))
+        leads = [F.lead("__sn_id", j).over(w) for j in
+                 range(1, window)]
+        # windows must resolve in their own Project before the Generate
+        pairs = (base
+                 .select(F.col("__sn_id"),
+                         F.array(*leads).alias("__sn_nbs"))
+                 .select(F.col("__sn_id"),
+                         F.explode("__sn_nbs").alias("__sn_nb"))
+                 .filter(F.col("__sn_nb").isNotNull()))
+        outs.append(pairs.select(
+            F.least("__sn_id", "__sn_nb").alias("doc_a"),
+            F.greatest("__sn_id", "__sn_nb").alias("doc_b")))
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -3506,3 +3506,77 @@ def mm_edge_sobel(spark, sf_dir):
     return out.select("doc_id", "img_w", "img_h", "ok", "n_interior",
                       "sum_grad",
                       F.round("mean_grad", 9).alias("mean_grad"))
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, lang,
+                      lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                          AS nt
+               FROM documents),
+    r1 AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY substr(nt, 1, 16), doc_id)
+                      AS rn
+           FROM d),
+    c1 AS (SELECT a.doc_id AS x, b.doc_id AS y
+           FROM r1 a JOIN r1 b
+             ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3),
+    r2 AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY substr(reverse(nt), 1, 16),
+                                              doc_id) AS rn
+           FROM d),
+    c2 AS (SELECT a.doc_id AS x, b.doc_id AS y
+           FROM r2 a JOIN r2 b
+             ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3),
+    cand AS (SELECT DISTINCT least(x, y) AS doc_a,
+                    greatest(x, y) AS doc_b
+             FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+    t AS (SELECT doc_id, list_distinct(string_split(nt, ' ')) AS tk
+          FROM d)
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / (len(ta.tk) + len(tb.tk)
+                    - len(list_intersect(ta.tk, tb.tk))), 9) AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = doc_a
+    JOIN t tb ON tb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+          / (len(ta.tk) + len(tb.tk)
+             - len(list_intersect(ta.tk, tb.tk))) >= 0.2
+    """,
+    note="Multi-pass sorted-neighborhood blocking (Hernandez & Stolfo "
+         "1995): two passes — 16-char normalized prefix and 16-char "
+         "REVERSED prefix (head-typos and tail-typos each survive one "
+         "pass) — window 4 within lang blocks, candidates O(n*3*2) "
+         "LINEAR vs the O(n^2) cross join; exact token-Jaccard verify "
+         "on candidates only, >= 0.2 kept. The sort is one window "
+         "exchange per pass on the block key; lead() pairing is "
+         "frame-local (operators/dedup.py::sorted_neighborhood_pairs)")
+def dedup_sorted_neighborhood(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        normalize_text, sorted_neighborhood_pairs)
+
+    docs = tbl(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    base = docs.select("doc_id", "lang", nt.alias("nt"))
+    pairs = sorted_neighborhood_pairs(
+        base, "doc_id",
+        [F.substring(F.col("nt"), 1, 16),
+         F.substring(F.reverse(F.col("nt")), 1, 16)],
+        window=4, block_col="lang")
+    toks = base.select(
+        F.col("doc_id"),
+        F.array_distinct(F.split(F.col("nt"), " ")).alias("tk"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    jac = (inter.cast("double")
+           / (F.size("ta") + F.size("tb") - inter))
+    return (pairs
+            .join(toks.withColumnRenamed("tk", "ta"),
+                  pairs["doc_a"] == toks["doc_id"]).drop("doc_id")
+            .join(toks.withColumnRenamed("tk", "tb"),
+                  pairs["doc_b"] == toks["doc_id"]).drop("doc_id")
+            .filter(jac >= 0.2)
+            .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard")))

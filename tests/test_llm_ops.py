@@ -2778,3 +2778,45 @@ def test_sobel_matches_hand_convolution(spark):
     assert got[2]["sum_grad"] == 0
     assert got[3]["ok"] and got[3]["n_interior"] == 0
     assert not got[4]["ok"]
+
+
+def test_sorted_neighborhood_multipass_catches_head_and_tail_typos(spark):
+    """The two-pass design's whole point: a HEAD typo breaks the prefix
+    sort key but survives the reversed-prefix pass; a TAIL typo breaks
+    the reversed key but survives the prefix pass. Both pairs must come
+    out; candidate volume stays <= n*(w-1)*passes (linear, never n^2)."""
+    from mapreduce_wsi_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, "X" + base[1:]),          # head typo of 1
+            (3, base[:-1] + "X"),                    # tail typo of 1
+            (4, "completely different words entirely here now"),
+            (5, "zzz unrelated filler text about nothing much at all"),
+            (6, "more unrelated padding sentences to widen the sort")]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en"))
+    pairs = sorted_neighborhood_pairs(
+        df, "doc_id",
+        [F.substring("text", 1, 16),
+         F.substring(F.reverse(F.col("text")), 1, 16)],
+        window=3, block_col="lang")
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got, "head typo must survive the reversed pass"
+    assert (1, 3) in got, "tail typo must survive the prefix pass"
+    n, w, passes = df.count(), 3, 2
+    assert len(got) <= n * (w - 1) * passes
+
+    # single-pass prefix alone misses the head typo when the sort
+    # separates the pair by more than the window
+    wide = df.union(spark.createDataFrame(
+        [(10 + i, f"the {chr(97 + i)} filler row number {i}", "en")
+         for i in range(8)], "doc_id long, text string, lang string"))
+    one_pass = sorted_neighborhood_pairs(
+        wide, "doc_id", [F.substring("text", 1, 16)],
+        window=3, block_col="lang")
+    got1 = {(r["doc_a"], r["doc_b"]) for r in one_pass.collect()}
+    assert (1, 2) not in got1, (
+        "with enough rows between the sort positions, the prefix pass "
+        "alone must NOT find the head-typo pair — that separation is "
+        "what motivates the second pass")
