@@ -698,3 +698,147 @@ def mmr_diversify(corpus: DataFrame, query_id: int, k: int = 6,
     spark = corpus.sparkSession
     return spark.createDataFrame(
         picked, f"step int, {id_col} long, mmr_score double")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance between two double arrays (one
+    zip_with + aggregate fold, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def build_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
+                       m_subspaces: int = 8, n_codes: int = 16,
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jegou, Douze & Schmid,
+    TPAMI 2011): split the L2-NORMALIZED vector into ``m_subspaces``
+    contiguous slices and k-means each slice independently to
+    ``n_codes`` centroids. Returns the M x K x (dim/M) centroid tensor
+    as plain Python floats — M*K*(dim/M) = dim*K values, small enough
+    to ride into every downstream plan as LITERALS (the learned-BPE-
+    table pattern: train distributed, then replay the tiny model
+    map-side with zero joins).
+
+    One-time build cost amortized over every encode/query batch; the
+    normalized training frame is materialized once and each of the M
+    fits reads only its own dim/M slice of it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m_subspaces == 0
+    d_sub = dim // m_subspaces
+    sc = corpus.sparkSession.sparkContext
+    raw = (corpus.repartition(min(8, sc.defaultParallelism))
+           .select(_as_double(F.col(vec_col)).alias("__cv"))
+           .withColumn("__rawfeat", array_to_vector(F.col("__cv"))))
+    normed = iter_checkpoint(
+        Normalizer(inputCol="__rawfeat", outputCol="__nf", p=2.0)
+        .transform(raw)
+        .select(vector_to_array(F.col("__nf")).alias("__nv")))
+    books: list[list[list[float]]] = []
+    for m in range(m_subspaces):
+        sl = normed.select(array_to_vector(
+            F.slice("__nv", m * d_sub + 1, d_sub)).alias("__feat"))
+        km = KMeans(k=n_codes, seed=seed + m, featuresCol="__feat",
+                    predictionCol="__code", maxIter=5)
+        model = km.fit(sl)
+        books.append([[float(x) for x in c]
+                      for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector as M small codes (nearest centroid per
+    subspace, L2 over the normalized slice; ties -> lowest code via
+    array_position's first match). MAP-ONLY: the codebooks are plan
+    literals, so encoding is one whole-stage-codegen projection — no
+    join, no shuffle, and the output is id + M bytes-worth of codes
+    (dim*4 -> M bytes storage: 32x at the 64d/8sub default), which is
+    the entire point — downstream ADC scans read the code table, not
+    the vectors."""
+    m_subspaces = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    # norm into its own column first: folding l2_norm into the transform
+    # lambda would inline the O(dim) fold into EVERY element's division
+    # (the O(dim^2) projection-collapse trap documented at
+    # build_ivf_index)
+    out = (corpus
+           .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+           .withColumn("__n", l2_norm(F.col("__v")))
+           .select(id_col,
+                   F.transform(F.col("__v"),
+                               lambda e: e / F.col("__n")).alias("__nv")))
+    codes = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice("__nv", m * d_sub + 1, d_sub)
+        dists = F.array(*[
+            _sq_l2(sub, F.array(*[F.lit(x) for x in cent]))
+            for cent in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return out.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   m_subspaces: int = 8, n_codes: int = 16,
+                   shortlist: int = 50, seed: int = 42) -> DataFrame:
+    """ADC product-quantization ANN with exact re-rank (the IVFADC+R
+    serving shape): each query precomputes its M x K distance table
+    ONCE (a broadcastable |queries|-row frame), the code table is
+    scored by M O(1) table lookups per row — never a dot product over
+    the raw vector — and only the ``shortlist`` best codes per query
+    fetch their true vectors for an exact-cosine re-rank to top-k.
+
+    100 TB shape: the heavy scan touches M-byte codes (32x less I/O
+    than raw vectors), per-row cost is M array lookups in codegen, and
+    raw vectors are read back by id for shortlist*|queries| rows only."""
+    books = build_pq_codebooks(corpus, vec_col, m_subspaces, n_codes,
+                               seed)
+    d_sub = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    qtab = F.array(*[
+        F.array(*[_sq_l2(F.slice("__qnv", m * d_sub + 1, d_sub),
+                         F.array(*[F.lit(x) for x in cent]))
+                  for cent in book])
+        for m, book in enumerate(books)])
+    q = (queries
+         .select(F.col(id_col).alias(query_id_col),
+                 _as_double(F.col(vec_col)).alias("__qv0"))
+         .withColumn("__qn", l2_norm(F.col("__qv0")))
+         .select(query_id_col,
+                 F.transform(F.col("__qv0"),
+                             lambda e: e / F.col("__qn")).alias("__qnv"))
+         .select(query_id_col, qtab.alias("__qtab")))
+
+    adc = sum((F.element_at(F.element_at("__qtab", m + 1),
+                            F.element_at("codes", m + 1) + 1)
+               for m in range(m_subspaces)), F.lit(0.0))
+    scored = (codes.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(query_id_col, id_col, adc.alias("__adc")))
+    w_s = Window.partitionBy(query_id_col).orderBy(
+        F.col("__adc").asc(), F.col(id_col).asc())
+    short = (scored.withColumn("__rn", F.row_number().over(w_s))
+             .filter(F.col("__rn") <= shortlist)
+             .select(query_id_col, id_col))
+
+    c = corpus.select(F.col(id_col),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    qn = queries.select(F.col(id_col).alias(query_id_col),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+    rer = (short.join(c, on=id_col)
+           .join(F.broadcast(qn), on=query_id_col)
+           .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc())
+    return (rer.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos", "rn"))

@@ -3580,3 +3580,26 @@ def dedup_sorted_neighborhood(spark, sf_dir):
                   pairs["doc_b"] == toks["doc_id"]).drop("doc_id")
             .filter(jac >= 0.2)
             .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard")))
+
+
+@register(
+    "sim_ann_pq",
+    oracle=_ANN_ORACLE,
+    note="Product-quantization ANN (Jegou et al. TPAMI 2011), ADC + "
+         "exact re-rank: 8 subspaces x 16 codes trained per-slice by "
+         "k-means, codebooks replayed as plan LITERALS (the learned-"
+         "BPE-table pattern) so encoding is one map-only projection and "
+         "the heavy scan reads M-byte codes — 32x less I/O than raw "
+         "64d vectors; each query precomputes its 8x16 distance table "
+         "once, ADC is 8 O(1) lookups/row in codegen, and only the "
+         "50-row shortlist per query fetches true vectors for the "
+         "exact-cosine re-rank. Driver contract: 10 results per query, "
+         "recall@10 >= 0.3 vs exact in the same plan (measured >= 0.6; "
+         "margin absorbs k-means float-accumulation sensitivity, same "
+         "caveat as sim_ann_ivf) "
+         "(operators/similarity.py::pq_cosine_topk)")
+def sim_ann_pq(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import pq_cosine_topk
+    return _ann_recall_contract(
+        spark, sf_dir,
+        lambda emb, q: pq_cosine_topk(emb, q, k=10), min_recall=0.3)

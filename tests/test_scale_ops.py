@@ -312,3 +312,31 @@ def test_bloom_prune_probe_is_broadcast_no_shuffle(spark):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     probe_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in probe_side
+
+
+# --- product quantization ANN ---------------------------------------------
+
+def test_pq_recall_and_code_structure(spark, sf_oracle):
+    """ADC+re-rank recall@10 must clear the entry's contract with margin;
+    codes are M ints in [0, K); encoding is map-only (codebooks are plan
+    literals — any Exchange or Join in the encode plan means the
+    codebook leaked into a join)."""
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_pq_codebooks, cosine_topk, pq_cosine_topk, pq_encode)
+
+    emb = tbl(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    ann = pq_cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"]).count()
+    assert hits / (5 * 10) >= 0.5, f"mean recall {hits / 50}"
+
+    books = build_pq_codebooks(emb)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    codes = pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
