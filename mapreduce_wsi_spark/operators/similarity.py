@@ -842,3 +842,35 @@ def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (rer.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(query_id_col, id_col, "cos", "rn"))
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   anchor_id_col: str = "anchor_id") -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most cosine-similar corpus vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss, vs easy
+    negatives random sampling returns.
+
+    Plan: broadcast the (small) anchor batch against one corpus scan
+    with the label-mismatch predicate fused into the scan filter, then
+    window top-k — only n_anchors*k rows move after the scan. At 100 TB
+    the corpus scan is the cost; swap the exact scan for an ANN
+    shortlist (pq_cosine_topk / ivf_query with k ~ 10x) and apply the
+    same label filter + re-rank on the shortlist — the contract below
+    stays identical, which is why the mining step is its own operator."""
+    a = anchors.select(F.col(id_col).alias(anchor_id_col),
+                       F.col(label_col).alias("__alab"),
+                       _as_double(F.col(vec_col)).alias("__av"))
+    c = corpus.select(F.col(id_col), F.col(label_col),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(a))
+              .filter(F.col(label_col) != F.col("__alab"))
+              .withColumn("cos", cosine(F.col("__av"), F.col("__cv"))))
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(anchor_id_col, id_col, F.col(label_col), "cos",
+                    "rn"))

@@ -3603,3 +3603,36 @@ def sim_ann_pq(spark, sf_dir):
     return _ann_recall_contract(
         spark, sf_dir,
         lambda emb, q: pq_cosine_topk(emb, q, k=10), min_recall=0.3)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS alab, cv AS av
+          FROM c WHERE vec_id < 6),
+    scored AS (
+        SELECT anchor_id, vec_id, label,
+               list_dot_product(av, cv) /
+               (sqrt(list_dot_product(av, av))
+                * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM c CROSS JOIN a WHERE label != alab)
+    SELECT anchor_id, vec_id, label, cos, CAST(rn AS INT) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= 3
+    """,
+    note="Hard-negative mining for contrastive training: per anchor, "
+         "the 3 most cosine-similar vectors with a DIFFERENT label — "
+         "the negatives that actually move an InfoNCE/triplet loss. "
+         "Broadcast anchor batch x one corpus scan with the label-"
+         "mismatch predicate fused into the scan, window top-k; at "
+         "100 TB swap the exact scan for a pq/ivf ANN shortlist and "
+         "keep the same label filter + re-rank "
+         "(operators/similarity.py::hard_negatives)")
+def sim_hard_negatives(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import hard_negatives
+    emb = tbl(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 6), k=3)

@@ -2820,3 +2820,27 @@ def test_sorted_neighborhood_multipass_catches_head_and_tail_typos(spark):
         "with enough rows between the sort positions, the prefix pass "
         "alone must NOT find the head-typo pair — that separation is "
         "what motivates the second pass")
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_by_cos(spark):
+    """Every mined negative has a different label than its anchor; the
+    planted near-identical same-label vector is excluded even though it
+    is the global nearest neighbor; ranks follow cosine descending."""
+    from mapreduce_wsi_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [0.999, 0.01, 0.0, 0.0], "a"),   # nearest, but same label
+        (2, [0.9, 0.1, 0.0, 0.0], "b"),
+        (3, [0.5, 0.5, 0.0, 0.0], "b"),
+        (4, [0.0, 1.0, 0.0, 0.0], "c"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    got = hard_negatives(emb, emb.filter(F.col("vec_id") == 0),
+                         k=3).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rn"])]
+    assert ids == [2, 3, 4]
+    assert all(r["label"] != "a" for r in got)
+    cs = [r["cos"] for r in sorted(got, key=lambda r: r["rn"])]
+    assert cs == sorted(cs, reverse=True)
