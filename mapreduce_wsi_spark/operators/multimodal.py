@@ -3615,3 +3615,55 @@ def edge_sobel_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, SOBEL_STATS_SCHEMA)
+
+
+DOMINANT_COLOR_SCHEMA = ("doc_id long, img_w int, img_h int, ok boolean, "
+                         "dom_bin int, dom_count int, "
+                         "dom_r double, dom_g double, dom_b double")
+
+
+def dominant_color_stats(blobs: DataFrame) -> DataFrame:
+    """Dominant-color extraction over REAL-decoded P6 PPMs: quantize
+    every pixel into the fixed 4x4x4 RGB cube (bin = (r>>6)<<4 |
+    (g>>6)<<2 | (b>>6) — no training, engine-portable), take the modal
+    bin (ties -> lowest bin id) and the exact mean color of the pixels
+    inside it. The content-based shard key / thumbnail descriptor next
+    to dHash: dHash answers "same image?", the dominant cube answers
+    "what does it look like?". One Arrow map stage, numpy bincount;
+    undecodable payloads report ok=false."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "img_w", "img_h", "ok", "dom_bin",
+                     "dom_count", "dom_r", "dom_g", "dom_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_ppm(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    for k, v in (("img_w", 0), ("img_h", 0),
+                                 ("ok", False), ("dom_bin", -1),
+                                 ("dom_count", 0), ("dom_r", 0.0),
+                                 ("dom_g", 0.0), ("dom_b", 0.0)):
+                        rows[k].append(v)
+                    continue
+                w, h, raw = parsed
+                px = (np.frombuffer(raw, dtype=np.uint8)
+                      .reshape(-1, 3).astype(np.int64))
+                bins = ((px[:, 0] >> 6) << 4 | (px[:, 1] >> 6) << 2
+                        | (px[:, 2] >> 6))
+                counts = np.bincount(bins, minlength=64)
+                dom = int(counts.argmax())  # argmax -> first (lowest) max
+                sel = px[bins == dom]
+                rows["img_w"].append(w)
+                rows["img_h"].append(h)
+                rows["ok"].append(True)
+                rows["dom_bin"].append(dom)
+                rows["dom_count"].append(int(counts[dom]))
+                rows["dom_r"].append(float(sel[:, 0].sum()) / len(sel))
+                rows["dom_g"].append(float(sel[:, 1].sum()) / len(sel))
+                rows["dom_b"].append(float(sel[:, 2].sum()) / len(sel))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, DOMINANT_COLOR_SCHEMA)

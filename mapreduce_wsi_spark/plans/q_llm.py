@@ -3636,3 +3636,55 @@ def sim_hard_negatives(spark, sf_dir):
     from mapreduce_wsi_spark.operators.similarity import hard_negatives
     emb = tbl(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 6), k=3)
+
+
+@register(
+    "mm_dominant_color",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    pix AS (SELECT doc_id,
+                   unicode(px[3*i + 1]) AS r,
+                   unicode(px[3*i + 2]) AS g,
+                   unicode(px[3*i + 3]) AS b
+            FROM p, (SELECT unnest(generate_series(0, 15)) AS i)),
+    q AS (SELECT doc_id, (r // 64) * 16 + (g // 64) * 4 + (b // 64)
+                     AS bin, r, g, b FROM pix),
+    agg AS (SELECT doc_id, bin, count(*) AS cnt,
+                   sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+            FROM q GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, bin) AS rn
+           FROM agg)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok, CAST(bin AS INT) AS dom_bin,
+           CAST(cnt AS INT) AS dom_count,
+           CAST(sr AS DOUBLE) / cnt AS dom_r,
+           CAST(sg AS DOUBLE) / cnt AS dom_g,
+           CAST(sb AS DOUBLE) / cnt AS dom_b
+    FROM rk WHERE rn = 1
+    """,
+    note="Dominant-color descriptor over REAL-decoded 4x4 P6 PPMs: "
+         "every pixel quantized into the fixed 4x4x4 RGB cube "
+         "((r>>6)<<4 | (g>>6)<<2 | (b>>6) — training-free, engine-"
+         "portable), modal bin with lowest-bin ties, exact mean color "
+         "inside the bin (integer sums, one IEEE division both "
+         "engines). The what-does-it-look-like companion to dHash's "
+         "same-image fingerprint "
+         "(operators/multimodal.py::dominant_color_stats)")
+def mm_dominant_color(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import (
+        dominant_color_stats)
+
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    return dominant_color_stats(blobs).select(
+        "doc_id", "img_w", "img_h", "ok", "dom_bin", "dom_count",
+        "dom_r", "dom_g", "dom_b")

@@ -2844,3 +2844,35 @@ def test_hard_negatives_excludes_same_label_and_ranks_by_cos(spark):
     assert all(r["label"] != "a" for r in got)
     cs = [r["cos"] for r in sorted(got, key=lambda r: r["rn"])]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_dominant_color_mode_ties_and_mean(spark):
+    """Dominant bin = modal cube cell with lowest-bin ties; mean color is
+    the exact average of the pixels INSIDE the winning bin only; garbage
+    payloads report ok=false."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        dominant_color_stats)
+
+    def ppm(img):
+        h, w = img.shape[:2]
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    # 3 pixels in bin (0,0,0)=0 with values 10/20/30; 1 pixel elsewhere
+    a = np.zeros((2, 2, 3), dtype=np.uint8)
+    a[0, 0] = (10, 10, 10); a[0, 1] = (20, 20, 20)
+    a[1, 0] = (30, 30, 30); a[1, 1] = (200, 200, 200)
+    # exact 2-2 tie between bin 0 (dark) and bin 63 (bright): lowest wins
+    b = np.zeros((2, 2, 3), dtype=np.uint8)
+    b[1, 0] = (255, 255, 255); b[1, 1] = (255, 255, 255)
+    blobs = spark.createDataFrame(
+        [(1, ppm(a), "image/x-portable-pixmap", 0),
+         (2, ppm(b), "image/x-portable-pixmap", 0),
+         (3, b"bad", "image/x-portable-pixmap", 0)],
+        "doc_id long, content binary, mime string, n_bytes int")
+    got = {r["doc_id"]: r for r in dominant_color_stats(blobs).collect()}
+    assert got[1]["dom_bin"] == 0 and got[1]["dom_count"] == 3
+    assert got[1]["dom_r"] == pytest.approx(20.0)
+    assert got[2]["dom_bin"] == 0, "tie must break to the lowest bin"
+    assert not got[3]["ok"] and got[3]["dom_bin"] == -1
