@@ -3667,3 +3667,64 @@ def dominant_color_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, DOMINANT_COLOR_SCHEMA)
+
+
+GOERTZEL_SCHEMA = ("doc_id long, n_samples int, ok boolean, "
+                   "e_dc decimal(38,0), e_k2 decimal(38,0)")
+
+# 2*cos(2*pi*k/N) in integer nanos for N=16: k=0 -> 2.0 exactly,
+# k=2 -> sqrt(2) = 1.414213562... (truncated, a shared plan constant
+# both engines spell identically)
+_GOERTZEL_COEFFS = ((("e_dc"), 2_000_000_000), (("e_k2"), 1_414_213_562))
+
+
+def goertzel_energy(blobs: DataFrame) -> DataFrame:
+    """Single-bin DFT energy (Goertzel, 1958) over REAL-decoded PCM16
+    WAV clips — the tone-detection / spectral-peak primitive that needs
+    no FFT: s[n] = x[n] + coeff*s[n-1] - s[n-2], then
+    E = s1^2 + s2^2 - coeff*s1*s2. Evaluated in EXACT integer nanos
+    (x scaled by 1e9; each coeff*s product divided back by 1e9 with
+    TRUNCATION toward zero — SQL integer-division semantics, NOT
+    Python floor: s goes negative mid-recurrence and DuckDB's // is a
+    truncating divide) so the 16-step recurrence walks bit-identical
+    values in any engine — the DuckDB twin replays it as a recursive
+    CTE over HUGEINTs, the same scheme as the ADPCM predictor. Two
+    bins ship: DC (coeff exactly 2.0 — a pure-integer sanity anchor)
+    and k=2 of N=16 (coeff = sqrt 2 in nanos). Energies emitted as
+    DECIMAL(38,0) in nanos^2 units: no float conversion anywhere,
+    nothing to get ulp-wrong. Arrow map stage; payloads never
+    shuffle."""
+    from decimal import Decimal
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero, matching SQL integer division
+        return -((-a) // b) if a < 0 else a // b
+
+    def run(samples, coeff: int) -> int:
+        s1 = s2 = 0
+        for x in samples:
+            s = int(x) * 10**9 + tdiv(coeff * s1, 10**9) - s2
+            s2, s1 = s1, s
+        return s1 * s1 + s2 * s2 - tdiv(coeff * s1, 10**9) * s2
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "n_samples", "ok", "e_dc", "e_k2")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = _parse_wav(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if parsed is None:
+                    rows["n_samples"].append(0)
+                    rows["ok"].append(False)
+                    rows["e_dc"].append(Decimal(0))
+                    rows["e_k2"].append(Decimal(0))
+                    continue
+                _, _, smp = parsed
+                rows["n_samples"].append(len(smp))
+                rows["ok"].append(True)
+                for name, coeff in _GOERTZEL_COEFFS:
+                    rows[name].append(Decimal(run(smp, coeff)))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(stats, GOERTZEL_SCHEMA)

@@ -3688,3 +3688,61 @@ def mm_dominant_color(spark, sf_dir):
     return dominant_color_stats(blobs).select(
         "doc_id", "img_w", "img_h", "ok", "dom_bin", "dom_count",
         "dom_r", "dom_g", "dom_b")
+
+
+@register(
+    "mm_audio_goertzel",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
+        FROM {_ASCII_DOCS_SQL} documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     j -> unicode(px[2*j + 1]) + 256 * unicode(px[2*j + 2]))
+                     AS smp
+          FROM p),
+    g AS (
+        SELECT doc_id, c.coeff, 0 AS i,
+               CAST(0 AS HUGEINT) AS s1, CAST(0 AS HUGEINT) AS s2
+        FROM s, (VALUES (CAST(2000000000 AS HUGEINT)),
+                        (CAST(1414213562 AS HUGEINT))) c(coeff)
+        UNION ALL
+        SELECT g.doc_id, g.coeff, g.i + 1,
+               CAST(s.smp[g.i + 1] AS HUGEINT) * 1000000000
+                   + (g.coeff * g.s1) // 1000000000 - g.s2,
+               g.s1
+        FROM g JOIN s ON s.doc_id = g.doc_id WHERE g.i < 16),
+    e AS (SELECT doc_id, coeff,
+                 s1*s1 + s2*s2 - ((coeff * s1) // 1000000000) * s2
+                     AS energy
+          FROM g WHERE i = 16)
+    SELECT doc_id, CAST(16 AS INT) AS n_samples, true AS ok,
+           CAST(max(CASE WHEN coeff = 2000000000 THEN energy END)
+                AS DECIMAL(38,0)) AS e_dc,
+           CAST(max(CASE WHEN coeff = 1414213562 THEN energy END)
+                AS DECIMAL(38,0)) AS e_k2
+    FROM e GROUP BY doc_id
+    """,
+    note="Goertzel single-bin DFT energy over REAL-decoded PCM16 WAV "
+         "(the FFT-free tone-detection primitive): 16-step recurrence "
+         "in exact integer nanos with TRUNCATING /1e9 rescale (SQL "
+         "integer-division semantics — s goes negative mid-walk), "
+         "energies in nanos^2 as DECIMAL(38,0), zero float ops. Bins: "
+         "DC (coeff exactly 2) + k=2/N=16 (coeff sqrt2-nanos). DuckDB "
+         "twin replays the recurrence as a 16-step recursive CTE over "
+         "HUGEINTs, the ADPCM-predictor scheme "
+         "(operators/multimodal.py::goertzel_energy)")
+def mm_audio_goertzel(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import goertzel_energy
+
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.unhex(F.lit(_WAV_HEADER_HEX)),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    return goertzel_energy(blobs).select(
+        "doc_id", "n_samples", "ok", "e_dc", "e_k2")

@@ -2876,3 +2876,36 @@ def test_dominant_color_mode_ties_and_mean(spark):
     assert got[1]["dom_r"] == pytest.approx(20.0)
     assert got[2]["dom_bin"] == 0, "tie must break to the lowest bin"
     assert not got[3]["ok"] and got[3]["dom_bin"] == -1
+
+
+def test_goertzel_is_frequency_selective(spark):
+    """A flat (DC) clip concentrates energy in the DC bin with ~zero at
+    k=2; a period-8 alternating clip (exactly bin k=2 of N=16) does the
+    reverse. Both energies are exact integers; garbage payloads report
+    ok=false."""
+    from mapreduce_wsi_spark.operators.multimodal import goertzel_energy
+    from mapreduce_wsi_spark.plans.q_llm import _WAV_HEADER_HEX
+
+    header = bytes.fromhex(_WAV_HEADER_HEX)
+
+    def wav(samples16):
+        assert len(samples16) == 16
+        body = b"".join(s.to_bytes(2, "little") for s in samples16)
+        return header + body
+
+    flat = wav([1000] * 16)
+    # period-8 square wave: 4 high, 4 low, repeated — dominant k=2
+    tone = wav(([2000] * 4 + [0] * 4) * 2)
+    blobs = spark.createDataFrame(
+        [(1, flat, "audio/wav", 0), (2, tone, "audio/wav", 0),
+         (3, b"RIFFnope", "audio/wav", 0)],
+        "doc_id long, content binary, mime string, n_bytes int")
+    got = {r["doc_id"]: r for r in goertzel_energy(blobs).collect()}
+    f, t = got[1], got[2]
+    assert f["ok"] and t["ok"] and not got[3]["ok"]
+    # flat: DC dominates k=2 by orders of magnitude
+    assert f["e_dc"] > 100 * max(f["e_k2"], 1)
+    # on-bin tone: k=2 energy rises to the same order as its DC part
+    # and dwarfs the flat clip's k=2 leakage
+    assert t["e_k2"] > 100 * max(f["e_k2"], 1)
+    assert t["e_k2"] > t["e_dc"] / 10
