@@ -611,3 +611,51 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
     for p in outs[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def fellegi_sunter_score(pairs: DataFrame,
+                         field_mu: dict[str, tuple[float, float]],
+                         upper_nanos: int = 2_000_000_000,
+                         lower_nanos: int = 0) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969): given
+    candidate pairs with one BOOLEAN agreement column per comparison
+    field and per-field (m, u) probabilities (m = P(agree | match),
+    u = P(agree | non-match)), score each pair with the log-likelihood
+    ratio  sum_j [ gamma_j ? ln(m_j/u_j) : ln((1-m_j)/(1-u_j)) ]  and
+    classify against the two thresholds: match / possible / non_match.
+
+    Exactness: the ln() weights are computed ONCE here (driver-side)
+    and truncated to integer NANOS — the per-pair score is then a pure
+    BIGINT sum of plan literals, so any engine reproduces it bit-for-
+    bit from the same (m, u) table; no transcendental function runs
+    per row. m/u are deployment constants estimated offline (EM or a
+    labeled sample), the same posture as the CCNet perplexity cutoffs.
+    Map-only over the candidate frame: blocking (sorted-neighborhood /
+    fuzzy join) bounds the pair count upstream, scoring adds no
+    shuffle."""
+    import math
+
+    score = F.lit(0).cast("long")
+    for col_name, (m, u) in field_mu.items():
+        wa = int(math.log(m / u) * 1e9)
+        wd = int(math.log((1 - m) / (1 - u)) * 1e9)
+        score = score + F.when(F.col(col_name), F.lit(wa)) \
+                         .otherwise(F.lit(wd)).cast("long")
+    out = pairs.withColumn("score_nanos", score)
+    return out.withColumn(
+        "cls",
+        F.when(F.col("score_nanos") >= upper_nanos, "match")
+        .when(F.col("score_nanos") >= lower_nanos, "possible")
+        .otherwise("non_match"))
+
+
+def fs_weights_nanos(field_mu: dict[str, tuple[float, float]]
+                     ) -> dict[str, tuple[int, int]]:
+    """The exact integer-nanos (agree, disagree) weights
+    ``fellegi_sunter_score`` will use — exposed so an oracle twin (or a
+    serving system) can spell the identical literals."""
+    import math
+
+    return {name: (int(math.log(m / u) * 1e9),
+                   int(math.log((1 - m) / (1 - u)) * 1e9))
+            for name, (m, u) in field_mu.items()}

@@ -3746,3 +3746,99 @@ def mm_audio_goertzel(spark, sf_dir):
         F.octet_length(content).cast("int").alias("n_bytes"))
     return goertzel_energy(blobs).select(
         "doc_id", "n_samples", "ok", "e_dc", "e_k2")
+
+
+from mapreduce_wsi_spark.operators.dedup import fs_weights_nanos as _fsw
+
+_FS_MU = {"same_source": (0.9, 0.25), "same_len_bucket": (0.8, 0.1),
+          "tok_sim": (0.95, 0.01)}
+_FSN = _fsw(_FS_MU)
+
+
+@register(
+    "er_fellegi_sunter",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, lang, source, n_chars,
+                      lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                          AS nt
+               FROM documents),
+    r1 AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY substr(nt, 1, 16), doc_id)
+                      AS rn
+           FROM d),
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                    greatest(a.doc_id, b.doc_id) AS doc_b
+             FROM r1 a JOIN r1 b
+               ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3),
+    t AS (SELECT doc_id, source, n_chars // 100 AS lb,
+                 list_distinct(string_split(nt, ' ')) AS tk
+          FROM d),
+    flags AS (SELECT doc_a, doc_b,
+                     ta.source = tb.source AS same_source,
+                     ta.lb = tb.lb AS same_len_bucket,
+                     CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                     / (len(ta.tk) + len(tb.tk)
+                        - len(list_intersect(ta.tk, tb.tk))) >= 0.3
+                         AS tok_sim
+              FROM cand
+              JOIN t ta ON ta.doc_id = doc_a
+              JOIN t tb ON tb.doc_id = doc_b),
+    sc AS (SELECT *,
+              CAST(CASE WHEN same_source THEN {_FSN['same_source'][0]}
+                    ELSE {_FSN['same_source'][1]} END AS BIGINT)
+            + (CASE WHEN same_len_bucket THEN {_FSN['same_len_bucket'][0]}
+                    ELSE {_FSN['same_len_bucket'][1]} END)
+            + (CASE WHEN tok_sim THEN {_FSN['tok_sim'][0]}
+                    ELSE {_FSN['tok_sim'][1]} END) AS score_nanos
+           FROM flags)
+    SELECT doc_a, doc_b, same_source, same_len_bucket, tok_sim,
+           CAST(score_nanos AS BIGINT) AS score_nanos,
+           CASE WHEN score_nanos >= 2000000000 THEN 'match'
+                WHEN score_nanos >= 0 THEN 'possible'
+                ELSE 'non_match' END AS cls
+    FROM sc
+    """,
+    note="Fellegi-Sunter probabilistic record linkage (JASA 1969) over "
+         "sorted-neighborhood candidates: per-field log-likelihood "
+         "weights ln(m/u) / ln((1-m)/(1-u)) truncated ONCE to integer "
+         "nanos driver-side, so the per-pair score is a pure BIGINT "
+         "sum of plan literals — no transcendental per row, bit-exact "
+         "in any engine. Fields: source agreement, 100-char length "
+         "bucket, token-Jaccard>=0.3; thresholds 2.0/0.0 nanos -> "
+         "match/possible/non_match "
+         "(operators/dedup.py::fellegi_sunter_score)")
+def er_fellegi_sunter(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        fellegi_sunter_score, normalize_text, sorted_neighborhood_pairs)
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source",
+        F.expr("n_chars DIV 100").alias("lb"),
+        normalize_text(F.col("text")).alias("nt"))
+    pairs = sorted_neighborhood_pairs(
+        base, "doc_id", [F.substring(F.col("nt"), 1, 16)],
+        window=4, block_col="lang")
+    t = base.select(
+        "doc_id", "source", "lb",
+        F.array_distinct(F.split(F.col("nt"), " ")).alias("tk"))
+    ta = t.select(F.col("doc_id").alias("doc_a"),
+                  F.col("source").alias("src_a"),
+                  F.col("lb").alias("lb_a"), F.col("tk").alias("tk_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"),
+                  F.col("source").alias("src_b"),
+                  F.col("lb").alias("lb_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect(F.col("tk_a"), F.col("tk_b")))
+    jac = (inter.cast("double")
+           / (F.size("tk_a") + F.size("tk_b") - inter))
+    flags = (pairs.join(ta, "doc_a").join(tb, "doc_b")
+             .select("doc_a", "doc_b",
+                     (F.col("src_a") == F.col("src_b"))
+                     .alias("same_source"),
+                     (F.col("lb_a") == F.col("lb_b"))
+                     .alias("same_len_bucket"),
+                     (jac >= 0.3).alias("tok_sim")))
+    return fellegi_sunter_score(flags, _FS_MU).select(
+        "doc_a", "doc_b", "same_source", "same_len_bucket", "tok_sim",
+        "score_nanos", "cls")

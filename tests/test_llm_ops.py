@@ -2909,3 +2909,39 @@ def test_goertzel_is_frequency_selective(spark):
     # and dwarfs the flat clip's k=2 leakage
     assert t["e_k2"] > 100 * max(f["e_k2"], 1)
     assert t["e_k2"] > t["e_dc"] / 10
+
+
+def test_fellegi_sunter_weights_and_classification(spark):
+    """Score equals the hand-summed nanos weights for every agreement
+    combination; all-agree classifies match, all-disagree non_match;
+    adding an agreement never lowers the score (monotonicity, since
+    every field has m > u)."""
+    from itertools import product
+
+    from mapreduce_wsi_spark.operators.dedup import (
+        fellegi_sunter_score, fs_weights_nanos)
+
+    mu = {"f1": (0.9, 0.25), "f2": (0.8, 0.1), "f3": (0.95, 0.01)}
+    w = fs_weights_nanos(mu)
+    rows = [(i, a, b, c) for i, (a, b, c) in
+            enumerate(product([False, True], repeat=3))]
+    df = spark.createDataFrame(
+        rows, "pair_id long, f1 boolean, f2 boolean, f3 boolean")
+    got = {r["pair_id"]: r
+           for r in fellegi_sunter_score(df, mu).collect()}
+    for pid, a, b, c in rows:
+        exp = (w["f1"][0] if a else w["f1"][1]) \
+            + (w["f2"][0] if b else w["f2"][1]) \
+            + (w["f3"][0] if c else w["f3"][1])
+        assert got[pid]["score_nanos"] == exp
+    assert got[7]["cls"] == "match" and got[0]["cls"] == "non_match"
+    scores = [got[pid]["score_nanos"] for pid, *_ in rows]
+    # flipping any single field False->True raises the score
+    for i in range(3):
+        for pid, a, b, c in rows:
+            flags = [a, b, c]
+            if not flags[i]:
+                flags2 = list(flags); flags2[i] = True
+                pid2 = next(p for p, x, y, z in rows
+                            if [x, y, z] == flags2)
+                assert got[pid2]["score_nanos"] > got[pid]["score_nanos"]
