@@ -218,3 +218,61 @@ def label_propagation_communities(edges: DataFrame, n_rounds: int = 2,
             lab.join(relabel, "id", "left")
             .select("id", F.coalesce("__new", "lbl").alias("lbl")))
     return lab.select("id", F.col("lbl").alias("community"))
+
+
+HITS_SCALE = 1_000_000  # fixed-point: 1.0 == 10^6 (see overflow note)
+
+
+def hits_fixed(edges: DataFrame, n_iter: int = 2,
+               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) in fixed-point
+    integer arithmetic on a DIRECTED edge list: per round,
+    auth(v) = sum of hub over in-edges, renormalized so max(auth) ==
+    SCALE, then hub(u) = sum of auth over out-edges, renormalized the
+    same way. Max-normalization (not L2) keeps every step in integers:
+    x_norm = (x * SCALE) div max(x) — bit-identical on any engine and
+    any partitioning, the pagerank_fixed determinism scheme.
+
+    SCALE is 10^6 (not PageRank's 10^12) by overflow arithmetic: a raw
+    score is <= max_degree * SCALE and the renormalizing product is
+    raw * SCALE <= max_degree * SCALE^2 — at 10^6 that stays inside
+    BIGINT for degrees up to ~9e6; 10^12 would overflow at degree 1.
+    Scale shape per half-round: one rank-vs-edges equi-join + one
+    partial-agg sum + a 1-row max broadcast; rounds are a constant.
+    Returns (id, auth, hub, auth_norm, hub_norm)."""
+    e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
+                                     F.col(dst_col).alias("dst")))
+    nodes = iter_checkpoint(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    cur = nodes.withColumn("hub", F.lit(HITS_SCALE).cast("long"))
+
+    def normalize(df, col):
+        mx = df.agg(F.max(col).alias("__mx"))
+        return (df.crossJoin(F.broadcast(mx))
+                .select("id", F.expr(f"({col} * cast({HITS_SCALE} as "
+                                     f"bigint)) div __mx").alias(col)))
+
+    auth = None
+    for _ in range(n_iter):
+        raw_a = (e.join(cur.select(F.col("id").alias("src"), "hub"),
+                        "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("hub").alias("auth")))
+        auth = iter_checkpoint(normalize(
+            nodes.join(raw_a, "id", "left")
+            .select("id", F.coalesce("auth", F.lit(0)).alias("auth")),
+            "auth"))
+        raw_h = (e.join(auth.select(F.col("id").alias("dst"), "auth"),
+                        "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.sum("auth").alias("hub")))
+        cur = iter_checkpoint(normalize(
+            nodes.join(raw_h, "id", "left")
+            .select("id", F.coalesce("hub", F.lit(0)).alias("hub")),
+            "hub"))
+    s = float(HITS_SCALE)
+    return (nodes.join(auth, "id").join(cur, "id")
+            .select("id", "auth", "hub",
+                    (F.col("auth").cast("double") / s).alias("auth_norm"),
+                    (F.col("hub").cast("double") / s).alias("hub_norm")))

@@ -298,3 +298,52 @@ def graph_label_propagation(spark, sf_dir):
             .unionByName(
                 e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))))
     return label_propagation_communities(both, n_rounds=2)
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_CTE}),
+    e AS (SELECT lo AS src, hi AS dst FROM e0),
+    n AS (SELECT DISTINCT src AS id FROM e
+          UNION SELECT DISTINCT dst FROM e),
+    a1r AS (SELECT n.id, coalesce(s.v, 0) AS v FROM n LEFT JOIN (
+              SELECT dst AS id, sum(CAST(1000000 AS BIGINT)) AS v
+              FROM e GROUP BY 1) s USING (id)),
+    a1m AS (SELECT max(v) AS mx FROM a1r),
+    a1 AS (SELECT id, CAST((v * 1000000) // mx AS BIGINT) AS v FROM a1r, a1m),
+    h1r AS (SELECT n.id, coalesce(s.v, 0) AS v FROM n LEFT JOIN (
+              SELECT e.src AS id, sum(a1.v) AS v
+              FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1) s USING (id)),
+    h1m AS (SELECT max(v) AS mx FROM h1r),
+    h1 AS (SELECT id, CAST((v * 1000000) // mx AS BIGINT) AS v FROM h1r, h1m),
+    a2r AS (SELECT n.id, coalesce(s.v, 0) AS v FROM n LEFT JOIN (
+              SELECT e.dst AS id, sum(h1.v) AS v
+              FROM e JOIN h1 ON h1.id = e.src GROUP BY 1) s USING (id)),
+    a2m AS (SELECT max(v) AS mx FROM a2r),
+    a2 AS (SELECT id, CAST((v * 1000000) // mx AS BIGINT) AS v FROM a2r, a2m),
+    h2r AS (SELECT n.id, coalesce(s.v, 0) AS v FROM n LEFT JOIN (
+              SELECT e.src AS id, sum(a2.v) AS v
+              FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1) s USING (id)),
+    h2m AS (SELECT max(v) AS mx FROM h2r),
+    h2 AS (SELECT id, CAST((v * 1000000) // mx AS BIGINT) AS v FROM h2r, h2m)
+    SELECT n.id, a2.v AS auth, h2.v AS hub,
+           CAST(a2.v AS DOUBLE) / 1000000 AS auth_norm,
+           CAST(h2.v AS DOUBLE) / 1000000 AS hub_norm
+    FROM n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
+    """,
+    note="HITS hubs & authorities (Kleinberg 1999, 2 rounds) on the "
+         "DIRECTED lo->hi co-purchase graph: fixed-point 10^6-scaled "
+         "BIGINTs with max-normalization per half-round ((x*SCALE) div "
+         "max — L2 would need a sqrt and floats), so scores are "
+         "bit-identical across engines and partitionings like "
+         "pagerank_fixed; 10^6 not 10^12 because the renormalizing "
+         "product must fit BIGINT. One equi-join + partial-agg sum + "
+         "1-row max broadcast per half-round; DuckDB twin unrolls all "
+         "four half-rounds (operators/graph.py::hits_fixed)")
+def graph_hits(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.graph import hits_fixed
+    li = tbl(spark, sf_dir, "lineitem")
+    e = part_edges(li).select(F.col("lo").alias("src"),
+                              F.col("hi").alias("dst"))
+    return hits_fixed(e, n_iter=2)

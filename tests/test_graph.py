@@ -172,3 +172,22 @@ def test_lpa_directed_keeps_nodes_without_incoming_edges(spark):
     assert set(lpa) == {1, 2, 3, 9}      # nobody dropped
     assert lpa[9] == 9                   # no incoming -> keeps own label
     assert lpa[1] == lpa[2] == lpa[3]
+
+
+def test_hits_ranks_hubs_and_authorities(spark):
+    """On 1->{10,11,12}, 2->{10,11}, 3->{10}: node 10 is the top
+    authority (in-degree 3, fed by the best hub), node 1 the top hub;
+    max-normalization pins both maxima at exactly SCALE; pure
+    authorities have hub 0 and vice versa."""
+    from mapreduce_wsi_spark.operators.graph import HITS_SCALE, hits_fixed
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10)],
+        "src long, dst long")
+    got = {r["id"]: r for r in hits_fixed(e, n_iter=2).collect()}
+    assert got[10]["auth"] == HITS_SCALE
+    assert got[1]["hub"] == HITS_SCALE
+    assert got[10]["auth"] > got[11]["auth"] > got[12]["auth"] > 0
+    assert got[1]["hub"] > got[2]["hub"] > got[3]["hub"] > 0
+    assert all(got[i]["hub"] == 0 for i in (10, 11, 12))
+    assert all(got[i]["auth"] == 0 for i in (1, 2, 3))
