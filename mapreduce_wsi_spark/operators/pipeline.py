@@ -524,3 +524,50 @@ def chunk_overlap(df: DataFrame, text_col: str, id_col: str,
         start.cast("int").alias("c_start"),
         F.col("_t").substr(start, F.lit(size)).alias("c_text"))
         .withColumn("c_len", F.length("c_text").cast("int")))
+
+
+def token_budget_mix(df: DataFrame, domain_col: str, tokens_col: str,
+                     weights_ppm: dict[str, int], default_ppm: int,
+                     budget_tokens: int,
+                     max_epochs_ppm: int = 4_000_000) -> DataFrame:
+    """Token-budget mixture planning — the "how many epochs of each
+    domain" solver a curation run executes before sampling: given
+    per-row token counts, target mixture weights in parts-per-million
+    (deployment constants, like the CCNet cutoffs) and a total token
+    budget, emit per domain the available tokens, the target share of
+    the budget, the repeat factor epochs = target/available in ppm, a
+    cap at ``max_epochs_ppm`` (repeating a small domain past ~4 epochs
+    measurably hurts, Muennighoff et al. 2023), and the planned tokens
+    + shortfall after the cap. All integer arithmetic (ppm fixed-point,
+    floor division) — exact on any engine.
+
+    ONE aggregation pass over the corpus; output is |domains| rows. The
+    plan feeds `weighted_sample` / `mix_sources` downstream — this
+    operator decides the quotas, those execute them."""
+    w = F.lit(default_ppm).cast("long")
+    for k, v in sorted(weights_ppm.items()):
+        w = F.when(F.col(domain_col) == k, F.lit(v).cast("long")) \
+             .otherwise(w)
+    agg = (df.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(tokens_col)).cast("long")
+                .alias("avail_tokens"),
+                F.max(w).alias("weight_ppm")))
+    out = agg.withColumn(
+        "target_tokens",
+        F.expr("(weight_ppm * cast({} as bigint)) div 1000000"
+               .format(int(budget_tokens))))
+    out = out.withColumn(
+        "epochs_ppm",
+        F.expr("(target_tokens * cast(1000000 as bigint)) "
+               "div avail_tokens"))
+    out = out.withColumn("capped",
+                         F.col("epochs_ppm") > max_epochs_ppm)
+    out = out.withColumn(
+        "planned_tokens",
+        F.expr(f"(avail_tokens * least(epochs_ppm, "
+               f"cast({int(max_epochs_ppm)} as bigint))) div 1000000"))
+    return out.withColumn(
+        "shortfall",
+        F.greatest(F.col("target_tokens") - F.col("planned_tokens"),
+                   F.lit(0).cast("long")))

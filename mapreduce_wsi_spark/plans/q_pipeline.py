@@ -626,3 +626,58 @@ def pipeline_chunk_overlap(spark, sf_dir):
 
     return chunk_overlap(tbl(spark, sf_dir, "documents"),
                          "text", "doc_id", size=64, stride=48)
+
+
+@register(
+    "pipeline_token_budget_mix",
+    oracle="""
+    WITH t AS (SELECT source AS domain,
+                      count(*) AS n_docs,
+                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                          AS avail_tokens,
+                      CAST(CASE WHEN source = 'src0' THEN 400000
+                                WHEN source = 'src1' THEN 150000
+                                ELSE 25000 END AS BIGINT) AS weight_ppm
+               FROM documents GROUP BY source),
+    p AS (SELECT *,
+                 (weight_ppm * CAST(20000 AS BIGINT)) // 1000000
+                     AS target_tokens
+          FROM t),
+    e AS (SELECT *,
+                 (target_tokens * CAST(1000000 AS BIGINT))
+                     // avail_tokens AS epochs_ppm
+          FROM p),
+    c AS (SELECT *, epochs_ppm > 4000000 AS capped,
+                 CAST((avail_tokens * least(epochs_ppm,
+                       CAST(4000000 AS BIGINT))) // 1000000 AS BIGINT)
+                     AS planned_tokens
+          FROM e)
+    SELECT domain, n_docs, avail_tokens, weight_ppm, target_tokens,
+           CAST(epochs_ppm AS BIGINT) AS epochs_ppm, capped,
+           planned_tokens,
+           greatest(target_tokens - planned_tokens,
+                    CAST(0 AS BIGINT)) AS shortfall
+    FROM c
+    """,
+    note="Token-budget mixture planner (the epochs-per-domain solver a "
+         "curation run executes before sampling): per-domain available "
+         "tokens vs target share of a 20k-token budget (weights in ppm "
+         "as plan literals: src0 40%, src1 15%, rest 2.5% each), "
+         "repeat factor in ppm fixed-point with a 4-epoch cap "
+         "(Muennighoff et al. 2023) and the post-cap shortfall. One "
+         "aggregation pass; pure integer floor arithmetic; quotas feed "
+         "weighted_sample/mix_sources downstream "
+         "(operators/pipeline.py::token_budget_mix)")
+def pipeline_token_budget_mix(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import token_budget_mix
+
+    docs = tbl(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")))
+    return token_budget_mix(
+        docs, "source", "n_tokens",
+        weights_ppm={"src0": 400000, "src1": 150000},
+        default_ppm=25000, budget_tokens=20000,
+        max_epochs_ppm=4_000_000).select(
+            "domain", "n_docs", "avail_tokens", "weight_ppm",
+            "target_tokens", "epochs_ppm", "capped", "planned_tokens",
+            "shortfall")

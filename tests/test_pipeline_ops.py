@@ -422,3 +422,27 @@ def test_dsir_materialize_identical_output(spark):
     mat = sorted(map(tuple, dsir_select(df, materialize=True,
                                         **args).collect()))
     assert plain == mat
+
+
+def test_token_budget_mix_cap_and_exact_quotas(spark):
+    """Hand-checked quotas: a domain whose target exceeds 4x its supply
+    is capped with the exact shortfall; an undersubscribed domain plans
+    (avail*epochs)//1e6 tokens; weights fall back to the default."""
+    from mapreduce_wsi_spark.operators.pipeline import token_budget_mix
+
+    rows = [("a", 100)] * 10 + [("b", 50)] * 10 + [("c", 200)] * 10
+    df = spark.createDataFrame(rows, "domain string, n_tokens long")
+    got = {r["domain"]: r for r in token_budget_mix(
+        df, "domain", "n_tokens",
+        weights_ppm={"a": 700000, "b": 200000}, default_ppm=100000,
+        budget_tokens=10000, max_epochs_ppm=4_000_000).collect()}
+    # a: avail 1000, target 7000 -> epochs 7.0 -> capped at 4.0
+    assert got["a"]["epochs_ppm"] == 7_000_000 and got["a"]["capped"]
+    assert got["a"]["planned_tokens"] == 4000
+    assert got["a"]["shortfall"] == 3000
+    # b: avail 500, target 2000 -> epochs 4.0 exactly: NOT capped
+    assert got["b"]["epochs_ppm"] == 4_000_000 and not got["b"]["capped"]
+    assert got["b"]["planned_tokens"] == 2000 and got["b"]["shortfall"] == 0
+    # c: default weight 10% -> target 1000 over avail 2000 -> 0.5 epochs
+    assert got["c"]["epochs_ppm"] == 500_000
+    assert got["c"]["planned_tokens"] == 1000
