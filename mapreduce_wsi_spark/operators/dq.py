@@ -58,3 +58,46 @@ def profile_columns(df: DataFrame, spec: ProfileSpec) -> DataFrame:
         "__n AS n_rows",
     ).select("col_name", "n_rows", "n_null", "n_distinct",
              "min_str", "max_str")
+
+
+# log10(1 + 1/d) for d = 1..9 in integer nanos — Benford's-law first-
+# digit probabilities as engine-portable plan constants (truncated, the
+# FS-weights convention)
+BENFORD_P_NANOS = (301029995, 176091259, 124938736, 96910013, 79181246,
+                   66946789, 57991946, 51152522, 45757490)
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive
+    numeric column — the classic fabricated-data / unit-mixing smell
+    test for financial columns: observed count per leading digit vs
+    the log10(1 + 1/d) expectation, with the chi-square contribution
+    per digit. First digit extracted EXACTLY as the first character of
+    the integer part's decimal string (no float log10 — values must be
+    >= 1). exp_nanos = n * p_nanos stays a BIGINT product; the chi2
+    term is derived from those exact integers by one fixed IEEE
+    expression, 9dp-rounded, so engines agree bit-for-bit. One
+    aggregation pass; 9 output rows."""
+    d = F.substring(F.floor(F.col(value_col)).cast("string"), 1, 1) \
+         .cast("int")
+    obs = (df.filter(F.col(value_col) >= 1)
+           .groupBy(d.alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    total = obs.agg(F.sum("n_obs").alias("__n"))
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(F.array(*[F.lit(p) for p in BENFORD_P_NANOS]),
+                     F.col("id").cast("int")).cast("long")
+        .alias("p_nanos"))
+    out = (digits.join(obs, "digit", "left")
+           .select("digit",
+                   F.coalesce("n_obs", F.lit(0)).cast("long")
+                   .alias("n_obs"), "p_nanos")
+           .crossJoin(F.broadcast(total)))
+    exp_nanos = (F.col("__n") * F.col("p_nanos")).cast("long")
+    diff = (F.col("n_obs") * F.lit(1_000_000_000).cast("long")
+            - exp_nanos).cast("double") / 1e9
+    chi2 = diff * diff / (exp_nanos.cast("double") / 1e9)
+    return out.select(
+        "digit", "n_obs", exp_nanos.alias("exp_nanos"),
+        F.round(chi2, 9).alias("chi2_term")).orderBy("digit")

@@ -954,3 +954,43 @@ def join_bloom_prune(spark, sf_dir):
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double").alias("sum_price"))
     return n_big.crossJoin(n_cand).crossJoin(stats)
+
+
+@register(
+    "dq_benford_prices",
+    oracle="""
+    WITH obs AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+                              AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                            AS digit,
+                        count(*) AS n_obs
+                 FROM lineitem WHERE l_extendedprice >= 1
+                 GROUP BY 1),
+    tot AS (SELECT sum(n_obs) AS n FROM obs),
+    p AS (SELECT unnest(generate_series(1, 9)) AS digit,
+                 unnest([301029995, 176091259, 124938736, 96910013,
+                         79181246, 66946789, 57991946, 51152522,
+                         45757490]) AS p_nanos),
+    j AS (SELECT p.digit,
+                 CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+                 CAST(tot.n * p.p_nanos AS BIGINT) AS exp_nanos
+          FROM p LEFT JOIN obs ON obs.digit = p.digit, tot)
+    SELECT digit, n_obs, exp_nanos,
+           round(power(CAST(n_obs * 1000000000 - exp_nanos AS DOUBLE)
+                       / 1e9, 2)
+                 / (CAST(exp_nanos AS DOUBLE) / 1e9), 9) AS chi2_term
+    FROM j ORDER BY digit
+    """,
+    note="Benford's-law first-digit audit of lineitem prices (the "
+         "fabricated-data / unit-mixing smell test for financial "
+         "columns): exact string-extracted leading digit, expectation "
+         "n*log10(1+1/d) as a BIGINT nanos product (probabilities are "
+         "truncated plan constants shared verbatim with the twin), "
+         "chi-square contribution per digit from one fixed IEEE "
+         "expression. TPC-H prices are ~uniform on a wide range, so "
+         "the audit FAILS loudly here — which is the demonstration: "
+         "the op detects non-Benford data, it does not assume it "
+         "(operators/dq.py::benford_first_digit)")
+def dq_benford_prices(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dq import benford_first_digit
+    li = tbl(spark, sf_dir, "lineitem")
+    return benford_first_digit(li, "l_extendedprice")

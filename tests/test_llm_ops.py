@@ -2945,3 +2945,27 @@ def test_fellegi_sunter_weights_and_classification(spark):
                 pid2 = next(p for p, x, y, z in rows
                             if [x, y, z] == flags2)
                 assert got[pid2]["score_nanos"] > got[pid]["score_nanos"]
+
+
+def test_benford_detects_conforming_and_flat_data(spark):
+    """A synthetic log-uniform sample conforms (small chi2 total); a
+    flat 1..9-leading sample fails loudly; counts and expectations are
+    exact integers and sum(p_nanos) ~ 1e9."""
+    from mapreduce_wsi_spark.operators.dq import (
+        BENFORD_P_NANOS, benford_first_digit)
+
+    assert sum(BENFORD_P_NANOS) == 999_999_996  # truncation remainder
+
+    # log-uniform over [1, 10^4): value = 10^(i/n * 4), i dense — the
+    # canonical Benford-conforming construction
+    n = 4000
+    logu = spark.range(n).selectExpr(
+        "CAST(pow(10.0, (id / {n}) * 4) AS DOUBLE) AS v".format(n=n))
+    good = benford_first_digit(logu, "v").collect()
+    assert sum(r["chi2_term"] for r in good) < 20.1  # chi2_8@.01 crit
+    assert sum(r["n_obs"] for r in good) == n
+
+    flat = spark.range(9000).selectExpr(
+        "CAST(1 + (id % 9) * 111 AS DOUBLE) AS v")  # digits 1..9 evenly
+    bad = benford_first_digit(flat, "v").collect()
+    assert sum(r["chi2_term"] for r in bad) > 1000
