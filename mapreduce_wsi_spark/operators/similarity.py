@@ -710,7 +710,9 @@ def _sq_l2(a: Column, b: Column) -> Column:
 
 def build_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
                        m_subspaces: int = 8, n_codes: int = 16,
-                       seed: int = 42) -> list[list[list[float]]]:
+                       id_col: str = "vec_id",
+                       train_sample: int = 2048,
+                       n_iter: int = 5) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jegou, Douze & Schmid,
     TPAMI 2011): split the L2-NORMALIZED vector into ``m_subspaces``
     contiguous slices and k-means each slice independently to
@@ -720,33 +722,50 @@ def build_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
     table pattern: train distributed, then replay the tiny model
     map-side with zero joins).
 
-    One-time build cost amortized over every encode/query batch; the
-    normalized training frame is materialized once and each of the M
-    fits reads only its own dim/M slice of it."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    Training runs driver-side over a BOUNDED deterministic sample —
+    the ``train_sample`` rows with the lowest md5(id), fetched via
+    TakeOrderedAndProject (a documented bounded collect, like the
+    learned BPE table): this is faiss's own posture (codebooks train
+    on a learning subset, never the full corpus) and it replaces what
+    was 8 separate ml.KMeans fits — measured 9.9 s of pure scheduler
+    latency at sf0.01 (~80 sub-second jobs) vs ~0.3 s for one sample
+    job + numpy Lloyd's. Determinism: md5-ordered sample + first-K
+    init + argmin-lowest-centroid ties makes the tensor a pure
+    function of the data — no partition-order float caveat, unlike
+    the ml.KMeans-based IVF build."""
+    import hashlib
 
-    dim = len(corpus.select(vec_col).first()[0])
+    import numpy as np
+
+    rows = (corpus.select(F.col(id_col).cast("string").alias("__id"),
+                          _as_double(F.col(vec_col)).alias("__v"))
+            .orderBy(F.md5(F.col("__id")), F.col("__id"))
+            .limit(train_sample).collect())
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
     assert dim % m_subspaces == 0
     d_sub = dim // m_subspaces
-    sc = corpus.sparkSession.sparkContext
-    raw = (corpus.repartition(min(8, sc.defaultParallelism))
-           .select(_as_double(F.col(vec_col)).alias("__cv"))
-           .withColumn("__rawfeat", array_to_vector(F.col("__cv"))))
-    normed = iter_checkpoint(
-        Normalizer(inputCol="__rawfeat", outputCol="__nf", p=2.0)
-        .transform(raw)
-        .select(vector_to_array(F.col("__nf")).alias("__nv")))
+
     books: list[list[list[float]]] = []
     for m in range(m_subspaces):
-        sl = normed.select(array_to_vector(
-            F.slice("__nv", m * d_sub + 1, d_sub)).alias("__feat"))
-        km = KMeans(k=n_codes, seed=seed + m, featuresCol="__feat",
-                    predictionCol="__code", maxIter=5)
-        model = km.fit(sl)
-        books.append([[float(x) for x in c]
-                      for c in model.clusterCenters()])
+        sub = x[:, m * d_sub:(m + 1) * d_sub]
+        # first-K-distinct init in sample order (deterministic)
+        seen: list = []
+        for row in sub:
+            if not any(np.array_equal(row, s) for s in seen):
+                seen.append(row.copy())
+            if len(seen) == n_codes:
+                break
+        cent = np.array(seen + [seen[-1]] * (n_codes - len(seen)))
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest centroid
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cent])
     return books
 
 
@@ -760,8 +779,13 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
     join, no shuffle, and the output is id + M bytes-worth of codes
     (dim*4 -> M bytes storage: 32x at the 64d/8sub default), which is
     the entire point — downstream ADC scans read the code table, not
-    the vectors."""
-    m_subspaces = len(codebooks)
+    the vectors.
+
+    The M*K distance expressions are emitted as ONE generated SQL
+    string per subspace (F.expr), not nested Column objects — building
+    128 zip_with/aggregate trees through py4j measured ~5 s of pure
+    driver-side call overhead per plan; a string parses JVM-side in
+    milliseconds."""
     d_sub = len(codebooks[0][0])
     # norm into its own column first: folding l2_norm into the transform
     # lambda would inline the O(dim) fold into EVERY element's division
@@ -773,22 +797,37 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
            .select(id_col,
                    F.transform(F.col("__v"),
                                lambda e: e / F.col("__n")).alias("__nv")))
-    codes = []
-    for m, book in enumerate(codebooks):
-        sub = F.slice("__nv", m * d_sub + 1, d_sub)
-        dists = F.array(*[
-            _sq_l2(sub, F.array(*[F.lit(x) for x in cent]))
-            for cent in book])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int"))
-    return out.select(id_col, F.array(*codes).alias("codes"))
+    dist_cols = [
+        F.expr(_pq_dists_sql("__nv", m, d_sub, book)).alias(f"__d{m}")
+        for m, book in enumerate(codebooks)]
+    tmp = out.select(id_col, *dist_cols)
+    codes = [F.expr(f"CAST(array_position(__d{m}, array_min(__d{m}))"
+                    f" - 1 AS INT)")
+             for m in range(len(codebooks))]
+    return tmp.select(id_col, F.array(*codes).alias("codes"))
+
+
+def _pq_dists_sql(vec_sql: str, m: int, d_sub: int,
+                  book: list[list[float]]) -> str:
+    """SQL for the K squared-L2 distances of subspace ``m``'s slice of
+    ``vec_sql`` against its codebook — all literals inlined (repr
+    round-trips doubles exactly)."""
+    lo = m * d_sub + 1
+    terms = []
+    for cent in book:
+        lits = ", ".join(f"{x!r}D" for x in cent)
+        terms.append(
+            f"aggregate(zip_with(slice({vec_sql}, {lo}, {d_sub}), "
+            f"array({lits}), (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (a, v) -> a + v)")
+    return "array(" + ", ".join(terms) + ")"
 
 
 def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id",
                    m_subspaces: int = 8, n_codes: int = 16,
-                   shortlist: int = 50, seed: int = 42) -> DataFrame:
+                   shortlist: int = 50) -> DataFrame:
     """ADC product-quantization ANN with exact re-rank (the IVFADC+R
     serving shape): each query precomputes its M x K distance table
     ONCE (a broadcastable |queries|-row frame), the code table is
@@ -798,17 +837,33 @@ def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     100 TB shape: the heavy scan touches M-byte codes (32x less I/O
     than raw vectors), per-row cost is M array lookups in codegen, and
-    raw vectors are read back by id for shortlist*|queries| rows only."""
-    books = build_pq_codebooks(corpus, vec_col, m_subspaces, n_codes,
-                               seed)
-    d_sub = len(books[0][0])
-    codes = pq_encode(corpus, books, id_col, vec_col)
+    raw vectors are read back by id for shortlist*|queries| rows only.
 
-    qtab = F.array(*[
-        F.array(*[_sq_l2(F.slice("__qnv", m * d_sub + 1, d_sub),
-                         F.array(*[F.lit(x) for x in cent]))
-                  for cent in book])
-        for m, book in enumerate(books)])
+    Build (codebooks + encode) is the one-time amortized phase; call
+    ``pq_query`` directly to serve repeated batches from a prebuilt
+    code table (bench.py times the phases separately, the IVF split)."""
+    books = build_pq_codebooks(corpus, vec_col, m_subspaces, n_codes,
+                               id_col=id_col)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    return pq_query(codes, books, corpus, queries, k, id_col, vec_col,
+                    query_id_col, shortlist)
+
+
+def pq_query(codes: DataFrame, books: list[list[list[float]]],
+             corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             shortlist: int = 50) -> DataFrame:
+    """Serve ADC + exact re-rank from a prebuilt PQ code table (see
+    ``pq_cosine_topk`` for the plan shape)."""
+    m_subspaces = len(books)
+    d_sub = len(books[0][0])
+
+    # one generated SQL string, not M*K py4j Column trees (see
+    # pq_encode)
+    qtab = F.expr("array(" + ", ".join(
+        _pq_dists_sql("__qnv", m, d_sub, book)
+        for m, book in enumerate(books)) + ")")
     q = (queries
          .select(F.col(id_col).alias(query_id_col),
                  _as_double(F.col(vec_col)).alias("__qv0"))

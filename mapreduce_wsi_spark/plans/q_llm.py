@@ -3593,10 +3593,12 @@ def dedup_sorted_neighborhood(spark, sf_dir):
          "64d vectors; each query precomputes its 8x16 distance table "
          "once, ADC is 8 O(1) lookups/row in codegen, and only the "
          "50-row shortlist per query fetches true vectors for the "
-         "exact-cosine re-rank. Driver contract: 10 results per query, "
-         "recall@10 >= 0.3 vs exact in the same plan (measured >= 0.6; "
-         "margin absorbs k-means float-accumulation sensitivity, same "
-         "caveat as sim_ann_ivf) "
+         "exact-cosine re-rank. Codebooks train driver-side on a "
+         "bounded md5-ordered sample (the faiss posture) with "
+         "deterministic first-K init, so the tensor is a pure function "
+         "of the data — no partition-order caveat. Driver contract: 10 "
+         "results per query, recall@10 >= 0.3 vs exact in the same "
+         "plan (measured >= 0.6) "
          "(operators/similarity.py::pq_cosine_topk)")
 def sim_ann_pq(spark, sf_dir):
     from mapreduce_wsi_spark.operators.similarity import pq_cosine_topk
