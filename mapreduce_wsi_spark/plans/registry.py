@@ -86,12 +86,13 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver evidence grows instead of re-stamping the same 50. Rounds 1-6
 # stamped 208 distinct entries green — every pre-r6 entry. This
 # round's window = the 5 fixed sentinels (cross-round regression
-# canaries) + ALL 30 never-stamped r6 additions + 15 of the 16 entries
-# ADDED THIS ROUND (stamped in the same round they ship, so no backlog
-# accrues). The fresh queue (46) exceeds the 45 non-sentinel slots by
-# one, so the staleness pad SHRINKS TO ZERO per its own rule and one
-# r7 entry (mm_edge_sobel, the last registered) heads the r8 queue. A
-# green round lifts cumulative driver coverage to 253/254.
+# canaries) + ALL 30 never-stamped r6 additions + 15 entries ADDED
+# THIS ROUND (stamped in the same round they ship, so no backlog
+# accrues). The fresh queue exceeds the 45 non-sentinel slots, so the
+# staleness pad SHRINKS TO ZERO per its own rule; r7 entries
+# registered after the rotation (mm_edge_sobel onward — see
+# COVERAGE.md) head the r8 queue. A green round lifts cumulative
+# driver coverage to 253 of the catalog.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
