@@ -353,3 +353,70 @@ def bloom_prune_join(big: DataFrame, small: DataFrame, big_key: str,
         f"CAST({c} % 64 AS INT))) != 0"
         for c in tmp)
     return probed.filter(F.expr(cond)).drop("__bf_map", *tmp)
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str,
+               id_col: str) -> DataFrame:
+    """2D skyline / Pareto front: rows not STRICTLY dominated by any
+    other (q dominates p iff q.min_col <= p.min_col AND q.max_col >=
+    p.max_col with at least one strict inequality). Classic two-phase
+    distributed plan:
+
+    phase 1 — batch-local skyline in one Arrow mapInPandas pass (numpy
+    sort + running max). Correct as a prefilter by domination
+    transitivity: if a dropped row dominated p, the batch survivor
+    that dominated IT still dominates p, so the union of local
+    skylines is a superset of the global one. The corpus is never
+    shuffled; typical survivor counts are tiny (O(sqrt n) for
+    independent dims).
+    phase 2 — exact sweep over the survivors: order by (min_col asc,
+    max_col desc, id), keep rows beating the running max of max_col
+    over STRICTLY smaller min_col (range frame) and not beaten
+    strictly within their own min_col group. One global window over
+    the bounded survivor set only — the full corpus never sees a
+    single-partition sort. Worst case (data forming one huge
+    anti-chain) every row IS skyline and phase 2 degrades to the
+    output size — inherent to the problem, not the plan.
+
+    ``min_col`` must be integer-typed (scale prices to cents first):
+    the strictly-smaller frame is RANGE .. 1 PRECEDING."""
+    import numpy as np
+
+    out_schema = df.select(id_col, min_col, max_col).schema
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            order = np.lexsort(
+                (-pdf[max_col].to_numpy(), pdf[min_col].to_numpy()))
+            mn = pdf[min_col].to_numpy()[order]
+            mx = pdf[max_col].to_numpy()[order]
+            keep = np.zeros(len(order), dtype=bool)
+            best = -np.inf  # running max of max_col
+            best_mn = None
+            for i in range(len(order)):
+                # sorted by (mn asc, mx desc): dominated iff an earlier
+                # row has mx >= ours with a strict edge somewhere
+                if mx[i] > best or (mx[i] == best and mn[i] == best_mn):
+                    keep[i] = True
+                    if mx[i] > best:
+                        best, best_mn = mx[i], mn[i]
+            yield pdf.iloc[order[keep]]
+
+    survivors = (df.select(id_col, min_col, max_col)
+                 .mapInPandas(local_skyline, out_schema))
+
+    w_lt = (Window.orderBy(F.col(min_col).cast("long"))
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_grp = Window.partitionBy(min_col)
+    cummax_lt = F.max(max_col).over(w_lt)
+    grp_max = F.max(max_col).over(w_grp)
+    return (survivors
+            .withColumn("__lt", cummax_lt)
+            .withColumn("__gm", grp_max)
+            .filter((F.col("__lt").isNull()
+                     | (F.col(max_col) > F.col("__lt")))
+                    & (F.col(max_col) == F.col("__gm")))
+            .drop("__lt", "__gm"))

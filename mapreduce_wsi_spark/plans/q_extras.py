@@ -994,3 +994,31 @@ def dq_benford_prices(spark, sf_dir):
     from mapreduce_wsi_spark.operators.dq import benford_first_digit
     li = tbl(spark, sf_dir, "lineitem")
     return benford_first_digit(li, "l_extendedprice")
+
+
+@register(
+    "agg_skyline_pareto",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_size <= p.p_size
+          AND q.p_retailprice >= p.p_retailprice
+          AND (q.p_size < p.p_size
+               OR q.p_retailprice > p.p_retailprice))
+    """,
+    note="2D skyline / Pareto front (smallest size, highest price — "
+         "no part strictly dominated in both): two-phase distributed "
+         "plan — batch-local numpy skyline in one Arrow pass (a "
+         "correct prefilter by domination transitivity; the corpus "
+         "never shuffles), then an exact range-frame window sweep over "
+         "the BOUNDED survivor union only. The oracle is the honest "
+         "O(n^2) NOT EXISTS the sweep replaces "
+         "(operators/relational.py::skyline_2d)")
+def agg_skyline_pareto(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import skyline_2d
+    part = tbl(spark, sf_dir, "part")
+    return skyline_2d(part, "p_size", "p_retailprice",
+                      "p_partkey").select(
+        "p_partkey", "p_size", "p_retailprice")

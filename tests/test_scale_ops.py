@@ -340,3 +340,39 @@ def test_pq_recall_and_code_structure(spark, sf_oracle):
     assert all(0 <= c < 16 for c in row["codes"])
     plan = codes._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# --- 2D skyline -----------------------------------------------------------
+
+def test_skyline_matches_bruteforce_with_ties_and_partitions(spark):
+    """Exact skyline on a hand-built set with same-min ties, duplicate
+    points, and a dominated chain — identical under any partitioning
+    (phase-1 is per-batch, phase-2 repairs)."""
+    import itertools
+
+    from mapreduce_wsi_spark.operators.relational import skyline_2d
+
+    pts = [(1, 1, 9.0), (2, 1, 9.0),   # duplicate skyline points
+           (3, 1, 5.0),                # same min, smaller max: dominated
+           (4, 2, 9.5), (5, 2, 9.5),   # next step up
+           (6, 3, 9.5),                # dominated by 4/5 (strict min)
+           (7, 4, 11.0),               # skyline
+           (8, 5, 10.0), (9, 9, 1.0)]  # dominated by 7
+    df = spark.createDataFrame(pts, "id long, mn int, mx double")
+
+    def brute(rows):
+        keep = []
+        for p in rows:
+            dom = any(q[1] <= p[1] and q[2] >= p[2]
+                      and (q[1] < p[1] or q[2] > p[2]) for q in rows)
+            if not dom:
+                keep.append(p[0])
+        return sorted(keep)
+
+    exp = brute(pts)
+    for parts in (1, 3, 7):
+        got = sorted(r["id"] for r in
+                     skyline_2d(df.repartition(parts), "mn", "mx",
+                                "id").collect())
+        assert got == exp, f"parts={parts}: {got} != {exp}"
+    assert exp == [1, 2, 4, 5, 7]
