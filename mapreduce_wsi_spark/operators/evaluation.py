@@ -547,3 +547,38 @@ def kendall_tau(df: DataFrame, group_col: str, x_col: str,
 
     schema = (f"{group_col} string, n long, cd long, tau_b double")
     return df.groupBy(group_col).applyInPandas(per_group, schema)
+
+
+def expected_calibration_error(df: DataFrame, prob_col: str,
+                               label_col: str,
+                               n_bins: int = 10) -> DataFrame:
+    """Expected Calibration Error (Naeini et al. 2015; the headline
+    number a reliability diagram summarizes): ECE = sum_b (n_b/N) *
+    |mean_p_b - rate_b|. Computed EXACTLY before the one final
+    division: the per-bin gap (n_b/N)|mean_p - rate| telescopes to
+    |sum_p_b - n_pos_b| / N, where sum_p_b is the 9dp-DECIMAL
+    probability sum and n_pos_b an integer — so the whole statistic is
+    an exact decimal divided once by N. Also reports MCE (max per-bin
+    |gap|, one identical IEEE division per bin then max). One group-by
+    to <= n_bins rows; 1-row output."""
+    p = F.col(prob_col)
+    binned = df.select(
+        F.least(F.lit(n_bins - 1), F.floor(p * n_bins))
+        .cast("int").alias("bin"),
+        F.round(p, 9).cast("decimal(18,9)").alias("p_dec"),
+        F.col(label_col).cast("long").alias("y"))
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_dec").alias("sum_p"),
+        F.sum("y").alias("n_pos"))
+    gap = F.abs(F.col("sum_p") - F.col("n_pos").cast("decimal(18,9)"))
+    return agg.agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins_used"),
+        F.sum("n").alias("n_total"),
+        F.sum(gap).alias("__gapsum"),
+        F.max(gap.cast("double") / F.col("n")).alias("mce")
+    ).select(
+        "n_bins_used", "n_total",
+        F.round(F.col("__gapsum").cast("double") / F.col("n_total"), 9)
+        .alias("ece"),
+        F.round("mce", 9).alias("mce"))

@@ -571,3 +571,25 @@ def token_budget_mix(df: DataFrame, domain_col: str, tokens_col: str,
         "shortfall",
         F.greatest(F.col("target_tokens") - F.col("planned_tokens"),
                    F.lit(0).cast("long")))
+
+
+def rendezvous_assign(df: DataFrame, key_col: str, shards: list[str],
+                      out_col: str = "shard") -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998): each key goes to argmax over shards of md5(key || ':' ||
+    shard) — the assignment every consistent-serving layer wants,
+    because adding or removing ONE shard moves only ~1/(n+1) of the
+    keys (each key re-rolls only against the new shard) instead of
+    mod-N's wholesale reshuffle. MAP-ONLY: |shards| md5s per row inside
+    one array_max over (hash, shard) structs (lexicographic struct
+    compare picks the winning hash; md5 ties are cryptographically
+    negligible and would break to the larger shard name). The hex-
+    string convention keeps it engine-portable — any system re-derives
+    the same placement from the key and the shard list alone."""
+    structs = [
+        F.struct(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                           F.lit(s))).alias("h"),
+            F.lit(s).alias("s"))
+        for s in shards]
+    return df.withColumn(out_col, F.array_max(F.array(*structs))["s"])

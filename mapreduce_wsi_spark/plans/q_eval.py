@@ -1071,3 +1071,44 @@ def eval_kendall_tau(spark, sf_dir):
     out = kendall_tau(df, "grp", "x", "y")
     return out.select("grp", "n", "cd",
                       F.round("tau_b", 9).alias("tau_b"))
+
+
+@register(
+    "eval_ece",
+    oracle="""
+    WITH base AS (SELECT (value % 100) / 100 AS p,
+        CASE WHEN user_id % 100 < CAST(floor(value % 100) AS BIGINT)
+             THEN 1 ELSE 0 END AS y
+        FROM events),
+    b2 AS (SELECT CAST(least(9, CAST(floor(p * 10) AS BIGINT)) AS INT)
+                      AS bin,
+                  CAST(round(p, 9) AS DECIMAL(18,9)) AS p_dec, y
+           FROM base),
+    ag AS (SELECT bin, count(*) AS n, sum(p_dec) AS sum_p,
+                  CAST(sum(y) AS BIGINT) AS n_pos
+           FROM b2 GROUP BY 1),
+    g AS (SELECT n, abs(sum_p - CAST(n_pos AS DECIMAL(18,9))) AS gap
+          FROM ag)
+    SELECT CAST(count(*) AS INT) AS n_bins_used,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           round(CAST(sum(gap) AS DOUBLE) / sum(n), 9) AS ece,
+           round(max(CAST(gap AS DOUBLE) / n), 9) AS mce
+    FROM g
+    """,
+    note="Expected Calibration Error over the same synthetic "
+         "well-calibrated model as eval_calibration_curve: the "
+         "(n_b/N)|mean_p - rate| gap telescopes to |sum_p - n_pos|/N, "
+         "so ECE is an EXACT decimal divided once — no per-bin float "
+         "accumulation to drift; MCE via one identical IEEE division "
+         "per bin then max "
+         "(operators/evaluation.py::expected_calibration_error)")
+def eval_ece(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        expected_calibration_error)
+
+    ev = events_tbl(spark, sf_dir)
+    p = (F.col("value") % 100) / 100
+    y = (F.col("user_id") % 100
+         < F.floor(F.col("value") % 100).cast("long")).cast("int")
+    df = ev.select(p.alias("p"), y.alias("y"))
+    return expected_calibration_error(df, "p", "y", n_bins=10)

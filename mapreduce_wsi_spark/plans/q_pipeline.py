@@ -681,3 +681,48 @@ def pipeline_token_budget_mix(spark, sf_dir):
             "domain", "n_docs", "avail_tokens", "weight_ppm",
             "target_tokens", "epochs_ppm", "capped", "planned_tokens",
             "shortfall")
+
+
+@register(
+    "pipeline_shard_rendezvous",
+    oracle="""
+    WITH s8 AS (SELECT unnest(['s0','s1','s2','s3','s4','s5','s6','s7'])
+                    AS s),
+    s9 AS (SELECT s FROM s8 UNION ALL SELECT 's8'),
+    a8 AS (SELECT doc_id, s AS shard8 FROM (
+               SELECT d.doc_id, s8.s,
+                      row_number() OVER (PARTITION BY d.doc_id
+                          ORDER BY md5(CAST(d.doc_id AS VARCHAR)
+                                       || ':' || s8.s) DESC, s8.s DESC)
+                          AS rn
+               FROM documents d, s8) t WHERE rn = 1),
+    a9 AS (SELECT doc_id, s AS shard9 FROM (
+               SELECT d.doc_id, s9.s,
+                      row_number() OVER (PARTITION BY d.doc_id
+                          ORDER BY md5(CAST(d.doc_id AS VARCHAR)
+                                       || ':' || s9.s) DESC, s9.s DESC)
+                          AS rn
+               FROM documents d, s9) t WHERE rn = 1)
+    SELECT a8.doc_id, shard8, shard9,
+           shard8 != shard9 AS moved
+    FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+    """,
+    note="Rendezvous/HRW sharding (Thaler & Ravishankar 1998): key -> "
+         "argmax over shards of md5(key:shard), map-only via one "
+         "array_max over (hash, shard) structs. The entry assigns "
+         "every doc under 8 AND 9 shards and emits the moved flag — "
+         "the minimal-disruption property (only keys whose new-shard "
+         "roll wins relocate, ~1/9 of them) is the whole point vs "
+         "mod-N. Engine-portable hex convention; moved keys all land "
+         "on the NEW shard by construction "
+         "(operators/pipeline.py::rendezvous_assign)")
+def pipeline_shard_rendezvous(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import rendezvous_assign
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    s8 = [f"s{i}" for i in range(8)]
+    a8 = rendezvous_assign(docs, "doc_id", s8, "shard8")
+    a9 = rendezvous_assign(a8, "doc_id", s8 + ["s8"], "shard9")
+    return a9.select(
+        "doc_id", "shard8", "shard9",
+        (F.col("shard8") != F.col("shard9")).alias("moved"))

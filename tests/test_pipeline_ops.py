@@ -446,3 +446,25 @@ def test_token_budget_mix_cap_and_exact_quotas(spark):
     # c: default weight 10% -> target 1000 over avail 2000 -> 0.5 epochs
     assert got["c"]["epochs_ppm"] == 500_000
     assert got["c"]["planned_tokens"] == 1000
+
+
+def test_rendezvous_minimal_disruption_and_balance(spark):
+    """Adding one shard to 8 moves only ~1/9 of keys, every moved key
+    lands ON the new shard (HRW's defining property — untouched keys
+    keep their argmax), and the 8-shard assignment is roughly
+    balanced."""
+    from mapreduce_wsi_spark.operators.pipeline import rendezvous_assign
+
+    keys = spark.range(0, 3000).withColumnRenamed("id", "k")
+    s8 = [f"s{i}" for i in range(8)]
+    a = rendezvous_assign(keys, "k", s8, "shard8")
+    a = rendezvous_assign(a, "k", s8 + ["s8"], "shard9").collect()
+    moved = [r for r in a if r["shard8"] != r["shard9"]]
+    assert all(r["shard9"] == "s8" for r in moved), \
+        "every relocated key must land on the NEW shard"
+    frac = len(moved) / len(a)
+    assert 0.05 < frac < 0.20, frac  # ~1/9 expected
+    from collections import Counter
+    sizes = Counter(r["shard8"] for r in a)
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2.0 * min(sizes.values())
