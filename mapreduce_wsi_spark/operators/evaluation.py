@@ -582,3 +582,47 @@ def expected_calibration_error(df: DataFrame, prob_col: str,
         F.round(F.col("__gapsum").cast("double") / F.col("n_total"), 9)
         .alias("ece"),
         F.round("mce", 9).alias("mce"))
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                group_a: str, group_b: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the A/B
+    significance primitive: t = (m_a - m_b) / sqrt(s_a^2/n_a +
+    s_b^2/n_b) with Welch-Satterthwaite degrees of freedom. Moments
+    accumulate EXACTLY (values as DECIMAL(18,2); sums and
+    sums-of-squares as wide decimals, so partial-aggregation order
+    cannot perturb them); every float op afterwards is one fixed IEEE
+    expression over those exact moments, mirrored in the twin. One
+    aggregation pass, 1-row output."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    agg = (df.filter(F.col(group_col).isin([group_a, group_b]))
+           .groupBy(F.col(group_col).alias("g"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(v).alias("s"),
+                F.sum((v * v).cast("decimal(38,4)")).alias("ss")))
+    a = agg.filter(F.col("g") == group_a).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"))
+    b = agg.filter(F.col("g") == group_b).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"))
+    j = a.crossJoin(b)
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = ((F.col("ssa").cast("double")
+           - F.col("sa").cast("double") * F.col("sa").cast("double")
+           / F.col("na")) / (F.col("na") - 1))
+    vb = ((F.col("ssb").cast("double")
+           - F.col("sb").cast("double") * F.col("sb").cast("double")
+           / F.col("nb")) / (F.col("nb") - 1))
+    se2a = va / F.col("na")
+    se2b = vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    dof = ((se2a + se2b) * (se2a + se2b)
+           / (se2a * se2a / (F.col("na") - 1)
+              + se2b * se2b / (F.col("nb") - 1)))
+    return j.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.round(ma, 9).alias("mean_a"), F.round(mb, 9).alias("mean_b"),
+        F.round(t, 9).alias("t_stat"),
+        F.round(dof, 9).alias("df_welch"))

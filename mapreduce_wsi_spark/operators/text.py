@@ -1096,3 +1096,32 @@ def mattr_diversity(df: DataFrame, text_col: str, id_col: str,
     return (valid.groupBy(id_col)
             .agg(F.max("n_words").cast("int").alias("n_words"),
                  F.avg(F.col("fdist") / F.col("fsize")).alias("mattr")))
+
+
+def readability_fk(df: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    """Flesch-Kincaid grade level (Kincaid et al. 1975) — the classic
+    readability gate in text-quality filtering: 0.39*(words/sentences)
+    + 11.8*(syllables/words) - 15.59. Counts are exact integers from
+    one map-only projection: words by whitespace split, sentences as
+    [.!?]+ runs (floor 1), syllables as [aeiouy]+ vowel groups per
+    word with a per-word floor of 1 (the standard heuristic — no
+    dictionary). The grade is one fixed IEEE expression over the three
+    integers, 9dp-rounded; no shuffle, no UDF."""
+    t = F.lower(F.col(text_col))
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), "
+                      f"'[.!?]+', 0)")))
+    n_syl = F.expr(
+        "aggregate(transform(split(lower({c}), ' '), "
+        "w -> greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0)))), "
+        "0, (a, v) -> a + v)".format(c=text_col))
+    grade = (0.39 * (n_words.cast("double") / n_sent)
+             + 11.8 * (n_syl.cast("double") / n_words) - 15.59)
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"),
+        n_sent.alias("n_sentences"), n_syl.alias("n_syllables"),
+        F.round(grade, 9).alias("fk_grade"))

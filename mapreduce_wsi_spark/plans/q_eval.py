@@ -1112,3 +1112,44 @@ def eval_ece(spark, sf_dir):
          < F.floor(F.col("value") % 100).cast("long")).cast("int")
     df = ev.select(p.alias("p"), y.alias("y"))
     return expected_calibration_error(df, "p", "y", n_bins=10)
+
+
+@register(
+    "eval_welch_ttest",
+    oracle="""
+    WITH g AS (SELECT l_returnflag AS grp,
+                      CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+    ag AS (SELECT grp, count(*) AS n, sum(v) AS s,
+                  sum(CAST(v * v AS DECIMAL(38,4))) AS ss
+           FROM g GROUP BY 1),
+    a AS (SELECT n AS na, s AS sa, ss AS ssa FROM ag WHERE grp = 'R'),
+    b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM ag WHERE grp = 'A'),
+    m AS (SELECT na, nb,
+                 CAST(sa AS DOUBLE) / na AS ma,
+                 CAST(sb AS DOUBLE) / nb AS mb,
+                 (CAST(ssa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+                     / (na - 1) / na AS se2a,
+                 (CAST(ssb AS DOUBLE)
+                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+                     / (nb - 1) / nb AS se2b
+          FROM a, b)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 9) AS mean_a, round(mb, 9) AS mean_b,
+           round((ma - mb) / sqrt(se2a + se2b), 9) AS t_stat,
+           round((se2a + se2b) * (se2a + se2b)
+                 / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 9)
+               AS df_welch
+    FROM m
+    """,
+    note="Welch's unequal-variance t-test (returned vs in-transit "
+         "lineitem prices): exact decimal moments (sum, sum-of-squares "
+         "wide decimals — partial-agg order cannot perturb them), then "
+         "one fixed IEEE expression for t and the Welch-Satterthwaite "
+         "df, mirrored op-by-op in the twin. One aggregation pass, "
+         "1-row output (operators/evaluation.py::welch_ttest)")
+def eval_welch_ttest(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import welch_ttest
+    li = tbl(spark, sf_dir, "lineitem")
+    return welch_ttest(li, "l_returnflag", "l_extendedprice", "R", "A")

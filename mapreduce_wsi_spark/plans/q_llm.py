@@ -3844,3 +3844,34 @@ def er_fellegi_sunter(spark, sf_dir):
     return fellegi_sunter_score(flags, _FS_MU).select(
         "doc_a", "doc_b", "same_source", "same_len_bucket", "tok_sim",
         "score_nanos", "cls")
+
+
+@register(
+    "text_readability_fk",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    c AS (SELECT doc_id,
+                 CAST(len(string_split(t, ' ')) AS INT) AS n_words,
+                 CAST(greatest(1, len(regexp_extract_all(t, '[.!?]+')))
+                     AS INT) AS n_sentences,
+                 CAST(list_sum(list_transform(string_split(t, ' '),
+                      w -> greatest(1, len(regexp_extract_all(w,
+                                           '[aeiouy]+')))))
+                     AS INT) AS n_syllables
+          FROM d)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 9) AS fk_grade
+    FROM c
+    """,
+    note="Flesch-Kincaid grade level (Kincaid et al. 1975), the "
+         "classic readability gate: exact integer word / sentence "
+         "([.!?]+ runs, floor 1) / syllable ([aeiouy]+ vowel groups, "
+         "per-word floor 1) counts in one map-only projection, grade "
+         "as one fixed IEEE expression over the integers "
+         "(operators/text.py::readability_fk)")
+def text_readability_fk(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import readability_fk
+    docs = tbl(spark, sf_dir, "documents")
+    return readability_fk(docs, "text", "doc_id")

@@ -2969,3 +2969,39 @@ def test_benford_detects_conforming_and_flat_data(spark):
         "CAST(1 + (id % 9) * 111 AS DOUBLE) AS v")  # digits 1..9 evenly
     bad = benford_first_digit(flat, "v").collect()
     assert sum(r["chi2_term"] for r in bad) > 1000
+
+
+def test_welch_and_readability_hand_checks(spark):
+    """Welch t on two tiny known samples matches the textbook formula;
+    FK grade orders simple prose below polysyllabic prose and pins a
+    hand-counted example."""
+    import math
+
+    from mapreduce_wsi_spark.operators.evaluation import welch_ttest
+    from mapreduce_wsi_spark.operators.text import readability_fk
+
+    rows = [("x", v) for v in (1.0, 2.0, 3.0, 4.0)] \
+         + [("y", v) for v in (2.0, 4.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = welch_ttest(df, "g", "v", "x", "y").first()
+    xa, ya = [1, 2, 3, 4], [2, 4, 6]
+    ma, mb = sum(xa) / 4, sum(ya) / 3
+    va = sum((x - ma) ** 2 for x in xa) / 3
+    vb = sum((y - mb) ** 2 for y in ya) / 2
+    t = (ma - mb) / math.sqrt(va / 4 + vb / 3)
+    assert got["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert got["n_a"] == 4 and got["n_b"] == 3
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."),
+         (2, "Extraordinary complicated vocabulary overwhelms "
+             "understanding repeatedly.")],
+        "doc_id long, text string")
+    fk = {r["doc_id"]: r for r in
+          readability_fk(docs, "text", "doc_id").collect()}
+    # doc 1: 6 words, 2 sentences, 6 one-syllable words
+    assert fk[1]["n_words"] == 6 and fk[1]["n_sentences"] == 2
+    assert fk[1]["n_syllables"] == 6
+    assert fk[1]["fk_grade"] == pytest.approx(
+        0.39 * 3 + 11.8 * 1 - 15.59, abs=1e-6)
+    assert fk[2]["fk_grade"] > fk[1]["fk_grade"] + 5
