@@ -203,3 +203,26 @@ def vacuum_snapshots(spark, path: str, keep_last: int = 2) -> list[int]:
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}")
         p.getFileSystem(conf).delete(p, True)
     return drop
+
+
+def join_view_delta(a_old: DataFrame, delta_a: DataFrame,
+                    b_old: DataFrame, delta_b: DataFrame,
+                    on: list[str]) -> DataFrame:
+    """Incremental JOIN-view maintenance for append-only sources: the
+    delta of V = A JOIN B after appending dA and dB is exactly
+
+        dV  =  dA JOIN (B_old UNION dB)   UNION   A_old JOIN dB
+
+    (dA x dB lands in the first term; nothing is counted twice because
+    the second term joins only the OLD A). The maintenance cost is two
+    joins whose small side is a DELTA — broadcast here — instead of
+    re-running the full A JOIN B: at 100 TB a daily refresh touches
+    day-sized deltas plus one pass over each base table, and the base
+    view V_old is never rescanned at all (callers append dV to it, the
+    merge_aggregates posture applied to joins). Append-only contract:
+    updates/deletes need the MERGE path (merge_upsert), not this."""
+    b_new = b_old.unionByName(delta_b)
+    d1 = b_new.join(F.broadcast(delta_a), on=on)
+    d2 = a_old.join(F.broadcast(delta_b), on=on)
+    cols = sorted(set(d1.columns) & set(d2.columns))
+    return d1.select(*cols).unionByName(d2.select(*cols))

@@ -192,3 +192,45 @@ def table_diff_keyed(spark, sf_dir):
     new = merge_upsert(orders, _cdc_batch(tbl(spark, sf_dir, "orders")),
                        keys=["o_orderkey"], delete_col="is_delete")
     return table_diff(orders, new, keys=["o_orderkey"])
+
+
+@register(
+    "incremental_join_view",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    note="Incremental join-view maintenance (append-only): V = orders "
+         "JOIN lineitem is refreshed from date-cutoff deltas as "
+         "V_old UNION [dA JOIN B_new UNION A_old JOIN dB] — the delta "
+         "sides broadcast, V_old is never rescanned, and the full join "
+         "never re-runs. The oracle IS the full recompute, so the "
+         "incremental algebra must agree with it exactly, row counts "
+         "and sums (operators/lakehouse.py::join_view_delta)")
+def incremental_join_view(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.lakehouse import join_view_delta
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate",
+        "l_quantity")
+    co = F.lit("1997-01-01").cast("timestamp")
+    cl = F.lit("1997-06-01").cast("timestamp")
+    a_old = orders.filter(F.col("o_orderdate") < co)
+    d_a = orders.filter(F.col("o_orderdate") >= co)
+    b_old = li.filter(F.col("l_shipdate") < cl)
+    d_b = li.filter(F.col("l_shipdate") >= cl)
+
+    v_old = a_old.join(b_old, on=["o_orderkey"])
+    cols = ["o_orderkey", "o_orderpriority", "l_quantity"]
+    delta = join_view_delta(a_old, d_a, b_old, d_b, ["o_orderkey"])
+    v = v_old.select(*cols).unionByName(delta.select(*cols))
+    return v.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"))

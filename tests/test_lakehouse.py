@@ -184,3 +184,29 @@ def test_snapshot_time_travel_roundtrip(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         read_snapshot(spark, path, 1)
+
+
+def test_join_view_delta_equals_full_recompute_any_cutoff(spark):
+    """V_old + dV == full A JOIN B exactly (set semantics with
+    multiplicity), for several delta cutoffs including empty and
+    everything-delta; no row counted twice (the dA x dB overlap trap)."""
+    from mapreduce_wsi_spark.operators.lakehouse import join_view_delta
+
+    a = spark.createDataFrame(
+        [(k, t, f"a{k}") for t in range(4) for k in range(6)],
+        "k long, ta int, av string")
+    b = spark.createDataFrame(
+        [(k, t, f"b{k}") for t in range(4) for k in range(0, 12, 2)],
+        "k long, tb int, bv string")
+    full = sorted(tuple(r) for r in
+                  a.join(b, "k").select("k", "av", "bv").collect())
+    for ca in (0, 2, 4):
+        for cb in (0, 1, 4):
+            a_old, d_a = a.filter(f"ta < {ca}"), a.filter(f"ta >= {ca}")
+            b_old, d_b = b.filter(f"tb < {cb}"), b.filter(f"tb >= {cb}")
+            v_old = a_old.join(b_old, "k").select("k", "av", "bv")
+            dv = join_view_delta(a_old, d_a, b_old, d_b, ["k"]) \
+                .select("k", "av", "bv")
+            got = sorted(tuple(r) for r in
+                         v_old.unionByName(dv).collect())
+            assert got == full, f"cutoffs ({ca},{cb})"
