@@ -83,6 +83,22 @@ ENTRIES = [
     "dsir_importance_select",    # decimal bucket-model deltas + Gumbel top-k
     "text_kneser_ney_logprob",   # fixed IEEE shape over exact counts
     "sketch_tdigest_quantiles",  # exact anchor + tolerance booleans
+    # r7: Bloom words bit_or-aggregate across splits, SNM windows over
+    # split blocks, FS scoring atop SNM, integer HITS half-rounds,
+    # domain token sums, leading-digit counts, the two-phase skyline
+    # (phase-1 batch boundaries MOVE with partitioning — phase 2 must
+    # erase that), telescoped decimal ECE, Welch decimal moments, and
+    # the join-view delta union
+    "join_bloom_prune",
+    "dedup_sorted_neighborhood",
+    "er_fellegi_sunter",
+    "graph_hits",
+    "pipeline_token_budget_mix",
+    "dq_benford_prices",
+    "agg_skyline_pareto",
+    "eval_ece",
+    "eval_welch_ttest",
+    "incremental_join_view",
 ]
 
 SMALL_SPLIT_BYTES = 65536
