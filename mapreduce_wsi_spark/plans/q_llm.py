@@ -3875,3 +3875,118 @@ def text_readability_fk(spark, sf_dir):
     from mapreduce_wsi_spark.operators.text import readability_fk
     docs = tbl(spark, sf_dir, "documents")
     return readability_fk(docs, "text", "doc_id")
+
+
+@register(
+    "pipeline_prepare_er",
+    oracle=rf"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, lang, source, n_chars,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+          FROM documents),
+    r1 AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY substr(nt, 1, 16), doc_id)
+                      AS rn
+           FROM d),
+    c1 AS (SELECT a.doc_id AS x, b.doc_id AS y FROM r1 a JOIN r1 b
+             ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3),
+    r2 AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY substr(reverse(nt), 1, 16),
+                                              doc_id) AS rn
+           FROM d),
+    c2 AS (SELECT a.doc_id AS x, b.doc_id AS y FROM r2 a JOIN r2 b
+             ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3),
+    cand AS (SELECT DISTINCT least(x, y) AS doc_a,
+                    greatest(x, y) AS doc_b
+             FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+    t AS (SELECT doc_id, source, n_chars // 100 AS lb,
+                 list_distinct(string_split(nt, ' ')) AS tk
+          FROM d),
+    flags AS (SELECT doc_a, doc_b,
+                     ta.source = tb.source AS f_src,
+                     ta.lb = tb.lb AS f_lb,
+                     CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                     / (len(ta.tk) + len(tb.tk)
+                        - len(list_intersect(ta.tk, tb.tk))) >= 0.3
+                         AS f_tok
+              FROM cand
+              JOIN t ta ON ta.doc_id = doc_a
+              JOIN t tb ON tb.doc_id = doc_b),
+    m AS (SELECT doc_a, doc_b FROM flags
+          WHERE CAST(CASE WHEN f_src THEN {_FSN['same_source'][0]}
+                          ELSE {_FSN['same_source'][1]} END AS BIGINT)
+              + (CASE WHEN f_lb THEN {_FSN['same_len_bucket'][0]}
+                      ELSE {_FSN['same_len_bucket'][1]} END)
+              + (CASE WHEN f_tok THEN {_FSN['tok_sim'][0]}
+                      ELSE {_FSN['tok_sim'][1]} END)
+                >= 2000000000),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM m
+              UNION SELECT doc_b, doc_a FROM m),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.src = reach.id),
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+    ranked AS (SELECT c.id AS doc_id, c.comp,
+                      row_number() OVER (PARTITION BY c.comp
+                          ORDER BY d.n_chars DESC, c.id) AS rn
+               FROM comp c JOIN d ON d.doc_id = c.id)
+    SELECT doc_id, comp, rn = 1 AS keep FROM ranked
+    UNION ALL
+    SELECT doc_id, doc_id AS comp, true AS keep
+    FROM d WHERE doc_id NOT IN (SELECT id FROM comp)
+    """,
+    note="END-TO-END entity-resolution pipeline composed from this "
+         "round's stamped operators: sorted-neighborhood blocking (two "
+         "passes) -> Fellegi-Sunter scoring (integer-nanos weights) -> "
+         "match-class pairs -> connected components (min-label) -> "
+         "keep-longest survivor per cluster, singletons keep "
+         "themselves. Every stage is individually oracle-checked; this "
+         "entry pins their COMPOSITION against one recursive-CTE "
+         "replay of the whole chain")
+def pipeline_prepare_er(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components, fellegi_sunter_score,
+        keep_best_in_components, normalize_text,
+        sorted_neighborhood_pairs)
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.expr("n_chars DIV 100").alias("lb"),
+        normalize_text(F.col("text")).alias("nt"))
+    pairs = sorted_neighborhood_pairs(
+        base, "doc_id",
+        [F.substring(F.col("nt"), 1, 16),
+         F.substring(F.reverse(F.col("nt")), 1, 16)],
+        window=4, block_col="lang")
+    t = base.select(
+        "doc_id", "source", "lb",
+        F.array_distinct(F.split(F.col("nt"), " ")).alias("tk"))
+    ta = t.select(F.col("doc_id").alias("doc_a"),
+                  F.col("source").alias("src_a"),
+                  F.col("lb").alias("lb_a"), F.col("tk").alias("tk_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"),
+                  F.col("source").alias("src_b"),
+                  F.col("lb").alias("lb_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect(F.col("tk_a"), F.col("tk_b")))
+    jac = (inter.cast("double")
+           / (F.size("tk_a") + F.size("tk_b") - inter))
+    flags = (pairs.join(ta, "doc_a").join(tb, "doc_b")
+             .select("doc_a", "doc_b",
+                     (F.col("src_a") == F.col("src_b"))
+                     .alias("same_source"),
+                     (F.col("lb_a") == F.col("lb_b"))
+                     .alias("same_len_bucket"),
+                     (jac >= 0.3).alias("tok_sim")))
+    matches = (fellegi_sunter_score(flags, _FS_MU)
+               .filter(F.col("cls") == "match")
+               .select("doc_a", "doc_b"))
+    comp = connected_components(matches)
+    out = keep_best_in_components(
+        base.select("doc_id", "n_chars"), comp, "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    return out.select("doc_id", "comp", "keep")
