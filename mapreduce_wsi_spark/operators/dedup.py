@@ -659,3 +659,57 @@ def fs_weights_nanos(field_mu: dict[str, tuple[float, float]]
     return {name: (int(math.log(m / u) * 1e9),
                    int(math.log((1 - m) / (1 - u)) * 1e9))
             for name, (m, u) in field_mu.items()}
+
+
+def weighted_minhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                           k: int = 64, bands: int = 16,
+                           min_jw: float = 0.4,
+                           tf_cap: int = 32) -> DataFrame:
+    """WEIGHTED-Jaccard near-dup pairs — J_w(a,b) = sum min(tf_a,tf_b)
+    / sum max(tf_a,tf_b) over token frequencies, the repetition-aware
+    similarity plain set-Jaccard is blind to (a doc saying X once and a
+    doc saying X fifty times are identical as SETS). MinHash handles
+    integer weights by the replication trick (Gollapudi & Panigrahy
+    2006): element (token, i) for i = 1..tf — plain MinHash over the
+    expanded multiset estimates exactly J_w. ``tf_cap`` clips
+    frequencies (default 32) so a pathological token can't explode a
+    row; the exact verify applies the same clip, so the emitted values
+    are exactly the clipped-J_w both here and in any twin.
+
+    Plan shape: the expansion is corpus-token-count-sized (the same
+    order as the shingle tables), signatures are k aggregate mins (no
+    row blowup past the explode), candidates ride the banded equi-join,
+    and the exact verify joins token tables for CANDIDATES only with
+    sum-max recovered as S_a + S_b - sum-min (one join, no max side)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("token"))
+            .groupBy("id", "token")
+            .agg(F.least(F.count(F.lit(1)), F.lit(tf_cap)).alias("tf")))
+    elems = toks.select(
+        "id",
+        F.explode(F.expr(
+            "transform(sequence(1, tf), i -> concat(token, '#', i))"))
+        .alias("el"))
+    mins = [F.min(F.xxhash64(F.col("el"), F.lit(i))).alias(f"h{i}")
+            for i in range(k)]
+    sigs = (elems.groupBy("id").agg(*mins)
+            .select("id", F.array(*[f"h{i}" for i in range(k)])
+                    .alias("signature")))
+    cands = lsh_candidate_pairs(sigs, bands, k // bands)
+
+    tot = toks.groupBy("id").agg(F.sum("tf").alias("s"))
+    a = toks.select(F.col("id").alias("doc_a"), "token",
+                    F.col("tf").alias("tf_a"))
+    b = toks.select(F.col("id").alias("doc_b"), "token",
+                    F.col("tf").alias("tf_b"))
+    inter = (cands.join(a, "doc_a").join(b, ["doc_b", "token"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.sum(F.least("tf_a", "tf_b")).alias("mn")))
+    sa = tot.select(F.col("id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = tot.select(F.col("id").alias("doc_b"), F.col("s").alias("s_b"))
+    jw = (F.col("mn").cast("double")
+          / (F.col("s_a") + F.col("s_b") - F.col("mn")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jw >= min_jw)
+            .select("doc_a", "doc_b", F.round(jw, 9).alias("jw")))

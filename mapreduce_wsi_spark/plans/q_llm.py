@@ -3990,3 +3990,42 @@ def pipeline_prepare_er(spark, sf_dir):
         base.select("doc_id", "n_chars"), comp, "doc_id",
         [F.col("n_chars").desc(), F.col("doc_id").asc()])
     return out.select("doc_id", "comp", "keep")
+
+
+@register(
+    "dedup_weighted_minhash",
+    oracle="""
+    WITH tk AS (SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    tf AS (SELECT doc_id, token, least(count(*), 32) AS tf
+           FROM tk GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(tf) AS s FROM tf GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(least(a.tf, b.tf)) AS mn
+              FROM tf a JOIN tf b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(mn AS DOUBLE) / (ta.s + tb.s - mn), 9) AS jw
+    FROM inter
+    JOIN tot ta ON ta.doc_id = doc_a
+    JOIN tot tb ON tb.doc_id = doc_b
+    WHERE CAST(mn AS DOUBLE) / (ta.s + tb.s - mn) >= 0.7
+    """,
+    note="WEIGHTED-Jaccard near-dup (sum-min / sum-max of token "
+         "frequencies — repetition-aware where set-Jaccard is blind): "
+         "MinHash via the integer-replication trick (Gollapudi & "
+         "Panigrahy 2006; element (token,i) per count, tf clipped at "
+         "32 on BOTH sides), 128 hashes / 32 bands (per-pair recall "
+         "0.9998 at the 0.7 threshold), exact clipped-J_w "
+         "verify of candidates only with sum-max recovered as "
+         "S_a+S_b-sum-min. Oracle is the exact all-pairs J_w >= 0.4 "
+         "set — the banding must surface every qualifying pair at this "
+         "SF (the dedup_minhash_lsh recall convention) "
+         "(operators/dedup.py::weighted_minhash_pairs)")
+def dedup_weighted_minhash(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import weighted_minhash_pairs
+    return weighted_minhash_pairs(
+        tbl(spark, sf_dir, "documents"), "text", "doc_id",
+        k=128, bands=32, min_jw=0.7)

@@ -3005,3 +3005,32 @@ def test_welch_and_readability_hand_checks(spark):
     assert fk[1]["fk_grade"] == pytest.approx(
         0.39 * 3 + 11.8 * 1 - 15.59, abs=1e-6)
     assert fk[2]["fk_grade"] > fk[1]["fk_grade"] + 5
+
+
+def test_weighted_minhash_sees_repetition_set_jaccard_misses(spark):
+    """Two docs with identical token SETS but wildly different counts
+    score low on weighted Jaccard (set-Jaccard would say 1.0); a pair
+    with matching counts scores ~1 and is found through the banding."""
+    from mapreduce_wsi_spark.operators.dedup import weighted_minhash_pairs
+
+    burst = ("spam " * 60 + "ham").strip()
+    flat = "spam ham"
+    twin_a = ("alpha beta gamma delta " * 10).strip()
+    twin_b = twin_a
+    docs = spark.createDataFrame(
+        [(1, burst), (2, flat), (3, twin_a), (4, twin_b),
+         (5, "unrelated words entirely here")],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jw"]
+           for r in weighted_minhash_pairs(
+               docs, "text", "doc_id", k=128, bands=32,
+               min_jw=0.7).collect()}
+    assert (3, 4) in got and got[(3, 4)] == 1.0
+    assert (1, 2) not in got, (
+        "identical sets with disjoint counts must NOT pass the "
+        "weighted threshold — that distinction is the operator")
+    # sanity: J_w(burst, flat) = (1+1)/(33+2-2) -- tf capped at 32
+    direct = weighted_minhash_pairs(docs, "text", "doc_id", k=128,
+                                    bands=32, min_jw=0.0).collect()
+    jw12 = {(r["doc_a"], r["doc_b"]): r["jw"] for r in direct}.get((1, 2))
+    assert jw12 is not None and jw12 < 0.1
