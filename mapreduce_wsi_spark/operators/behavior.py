@@ -246,3 +246,48 @@ def theil_sen_trend(events: DataFrame, key_col: str = "user_id",
             .agg(F.count(F.lit(1)).cast("int").alias("n_pairs"),
                  F.min(F.when(F.col("cd") >= 0.5, F.col("s")))
                  .alias("ts_slope")))
+
+
+def linear_interpolate(df: DataFrame, key_col: str, ts_col: str,
+                       value_col: str) -> DataFrame:
+    """Linear interpolation of missing values over each key's time
+    series — the gap-fill a forward-fill (time_spine_gapfill) only
+    approximates: a NULL at time t between anchors (t0, v0) and
+    (t1, v1) becomes v0 + (v1 - v0) * (t - t0) / (t1 - t0); leading /
+    trailing gaps fall back to the single available anchor
+    (coalesce — interpolation needs two sides, extrapolation is a
+    different decision).
+
+    Exactness posture: anchors enter as integer cents and epoch
+    MICROS (micros, not seconds: second-truncated timestamps tie under
+    sub-second event spacing and ties make the ignore-nulls frames
+    order-dependent; ts must be unique per key), so the one
+    interpolation expression computes from exact
+    integers identically on any engine. Shape: TWO frames over ONE
+    ordering — last(...ignoreNulls) unbounded-preceding and
+    first(...ignoreNulls) unbounded-following share the (key, ts)
+    window exchange; no self-join, no spine table."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    es = F.unix_micros(F.col(ts_col))
+    base = df.withColumn("__c", cents).withColumn("__t", es)
+    w_prev = (Window.partitionBy(key_col).orderBy("__t")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(key_col).orderBy("__t")
+              .rowsBetween(0, Window.unboundedFollowing))
+    pv = F.last("__c", ignorenulls=True).over(w_prev)
+    pt = F.last(F.when(F.col("__c").isNotNull(), F.col("__t")),
+                ignorenulls=True).over(w_prev)
+    nv = F.first("__c", ignorenulls=True).over(w_next)
+    nt = F.first(F.when(F.col("__c").isNotNull(), F.col("__t")),
+                 ignorenulls=True).over(w_next)
+    interp = (pv.cast("double")
+              + (nv - pv).cast("double") * (F.col("__t") - pt)
+              / (nt - pt))
+    filled = (F.when(F.col("__c").isNotNull(),
+                     F.col("__c").cast("double"))
+              .when(pv.isNotNull() & nv.isNotNull() & (nt != pt),
+                    interp)
+              .otherwise(F.coalesce(pv, nv).cast("double")))
+    return (base.withColumn("filled_cents", F.round(filled, 9))
+            .withColumn("was_gap", F.col("__c").isNull())
+            .drop("__c", "__t"))

@@ -916,3 +916,63 @@ def sketch_tdigest_quantiles(spark, sf_dir):
     return joined.select(
         "q", pick.alias("exact"),
         (F.abs(F.col("est") - pick) / pick <= 0.01).alias("within_tol"))
+
+
+@register(
+    "time_linear_interpolate",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS c
+        FROM events),
+    w AS (SELECT event_id, user_id, c,
+                 t,
+                 last_value(c IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                 last_value(CASE WHEN c IS NOT NULL THEN t END
+                            IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pt,
+                 first_value(c IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv,
+                 first_value(CASE WHEN c IS NOT NULL THEN t END
+                             IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nt
+          FROM base)
+    SELECT event_id, user_id,
+           round(CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                           AND nt != pt
+                      THEN CAST(pv AS DOUBLE)
+                           + CAST(nv - pv AS DOUBLE) * (t - pt)
+                             / (nt - pt)
+                      ELSE CAST(coalesce(pv, nv) AS DOUBLE) END, 9)
+               AS filled_cents,
+           c IS NULL AS was_gap
+    FROM w
+    """,
+    note="Linear interpolation gap-fill per user (every 5th event's "
+         "value nulled deterministically, then reconstructed from its "
+         "time-weighted neighbors; leading/trailing gaps fall back to "
+         "the single anchor): integer cents + epoch-micros anchors -> "
+         "one identical IEEE interpolation expression per engine. TWO "
+         "ignore-nulls frames share ONE (user, ts) window exchange — "
+         "no self-join, no spine "
+         "(operators/behavior.py::linear_interpolate)")
+def time_linear_interpolate(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.behavior import linear_interpolate
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value")).alias("value"))
+    out = linear_interpolate(ev, "user_id", "ts", "value")
+    return out.select("event_id", "user_id", "filled_cents", "was_gap")

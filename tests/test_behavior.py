@@ -253,3 +253,36 @@ def test_streaks_and_moving_median_semantics(spark, sf_oracle):
     med = cat["window_moving_median"].fn(spark, sf_oracle)
     row = med.orderBy("user_id", "rn").first()
     assert row["rn"] == 1  # first frame = own value
+
+
+def test_linear_interpolate_known_series(spark):
+    """Hand-checked interpolation: a gap exactly between anchors gets
+    their midpoint; an off-center gap gets the time-weighted value;
+    leading/trailing gaps take the single anchor; non-gaps unchanged."""
+    from datetime import datetime
+
+    from mapreduce_wsi_spark.operators.behavior import linear_interpolate
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, 1, t(0), None),    # leading gap -> first anchor (200)
+        (2, 1, t(10), 2.00),
+        (3, 1, t(15), None),   # midpoint of 200 and 400 -> 300
+        (4, 1, t(20), 4.00),
+        (5, 1, t(21), None),   # 1/10 of the way 400 -> 900 = 450
+        (6, 1, t(30), 9.00),
+        (7, 1, t(40), None),   # trailing gap -> last anchor (900)
+        (8, 2, t(5), None),    # all-null key: no anchors at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r for r in
+           linear_interpolate(df, "user_id", "ts", "value").collect()}
+    assert got[1]["filled_cents"] == 200.0 and got[1]["was_gap"]
+    assert got[2]["filled_cents"] == 200.0 and not got[2]["was_gap"]
+    assert got[3]["filled_cents"] == 300.0
+    assert got[5]["filled_cents"] == 450.0
+    assert got[7]["filled_cents"] == 900.0
+    assert got[8]["filled_cents"] is None
