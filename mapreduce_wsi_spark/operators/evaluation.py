@@ -626,3 +626,39 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
         F.round(ma, 9).alias("mean_a"), F.round(mb, 9).alias("mean_b"),
         F.round(t, 9).alias("t_stat"),
         F.round(dof, 9).alias("df_welch"))
+
+
+def chi2_independence(df: DataFrame, col_a: str,
+                      col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the are-these-correlated DQ/analysis primitive next to
+    the Benford audit: observed cell counts vs E = row_margin *
+    col_margin / N, with the per-cell chi-square contribution. One
+    aggregation to the |A|x|B| cell table; margins and N are window
+    sums over THAT tiny table (never the corpus); E and the term
+    derive from exact BIGINT counts through one fixed IEEE expression,
+    9dp-rounded. Output: one row per cell of the FULL level grid —
+    zero cells included via a cross join of the observed level sets
+    (an observed-cells-only chi-square silently halves the statistic
+    under perfect dependence, the exact case it must flag)."""
+    obs = (df.groupBy(F.col(col_a).alias("a"),
+                      F.col(col_b).alias("b"))
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    grid = (obs.select("a").distinct()
+            .crossJoin(obs.select("b").distinct()))
+    cells = (grid.join(obs, ["a", "b"], "left")
+             .select("a", "b",
+                     F.coalesce("n_obs", F.lit(0)).cast("long")
+                     .alias("n_obs")))
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    w_all = Window.partitionBy()
+    rm = F.sum("n_obs").over(w_a)
+    cm = F.sum("n_obs").over(w_b)
+    n = F.sum("n_obs").over(w_all)
+    e = (rm * cm).cast("double") / n
+    term = (F.col("n_obs") - e) * (F.col("n_obs") - e) / e
+    return cells.select(
+        "a", "b", "n_obs",
+        F.round(e, 9).alias("expected"),
+        F.round(term, 9).alias("chi2_term"))

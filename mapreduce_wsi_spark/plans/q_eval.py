@@ -1153,3 +1153,43 @@ def eval_welch_ttest(spark, sf_dir):
     from mapreduce_wsi_spark.operators.evaluation import welch_ttest
     li = tbl(spark, sf_dir, "lineitem")
     return welch_ttest(li, "l_returnflag", "l_extendedprice", "R", "A")
+
+
+@register(
+    "eval_chi2_independence",
+    oracle="""
+    WITH obs AS (SELECT l_returnflag AS a, l_linestatus AS b,
+                        count(*) AS n_obs
+                 FROM lineitem GROUP BY 1, 2),
+    cells AS (SELECT g.a, g.b, CAST(coalesce(o.n_obs, 0) AS BIGINT)
+                  AS n_obs
+              FROM (SELECT DISTINCT a FROM obs) ga(a),
+                   (SELECT DISTINCT b FROM obs) gb(b),
+                   LATERAL (SELECT ga.a AS a, gb.b AS b) g
+              LEFT JOIN obs o ON o.a = g.a AND o.b = g.b),
+    m AS (SELECT a, b, n_obs,
+                 sum(n_obs) OVER (PARTITION BY a) AS rm,
+                 sum(n_obs) OVER (PARTITION BY b) AS cm,
+                 sum(n_obs) OVER () AS n
+          FROM cells)
+    SELECT a, b, n_obs,
+           round(CAST(rm * cm AS DOUBLE) / n, 9) AS expected,
+           round((n_obs - CAST(rm * cm AS DOUBLE) / n)
+                 * (n_obs - CAST(rm * cm AS DOUBLE) / n)
+                 / (CAST(rm * cm AS DOUBLE) / n), 9) AS chi2_term
+    FROM m
+    """,
+    note="Pearson chi-square independence test (returnflag x "
+         "linestatus): one aggregation to the tiny cell table, margin "
+         "window sums over that table only, E and the per-cell "
+         "contribution from exact BIGINT counts through one fixed IEEE "
+         "expression. The synthetic fixture draws flag and status "
+         "independently, so the terms are correctly TINY (total chi2 "
+         "~0.1 << the chi2_2 5% critical 5.99) — reporting "
+         "independence where it holds; the planted-dependence case "
+         "fires in tests (operators/evaluation.py::chi2_independence)")
+def eval_chi2_independence(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        chi2_independence)
+    li = tbl(spark, sf_dir, "lineitem")
+    return chi2_independence(li, "l_returnflag", "l_linestatus")

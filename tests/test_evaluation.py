@@ -243,3 +243,27 @@ def test_covariance_topk_matches_numpy(spark):
     assert [(r["i"], r["j"]) for r in got] == [(i, j) for _, i, j in exp]
     for r, (v, _i, _j) in zip(got, exp):
         assert abs(r["cov"] - v) < 1e-9
+
+
+def test_chi2_independence_fires_on_planted_dependence(spark):
+    """A perfectly dependent pair (b == a) produces large chi-square
+    terms; an independent 50/50 grid with exactly proportional cells
+    produces all-zero terms; expectations are the textbook
+    margin-product values."""
+    from mapreduce_wsi_spark.operators.evaluation import (
+        chi2_independence)
+
+    dep = spark.createDataFrame(
+        [(x, x) for x in ("u", "v") for _ in range(50)],
+        "a string, b string")
+    got = chi2_independence(dep, "a", "b").collect()
+    assert sum(r["chi2_term"] for r in got) > 50  # n * 1 for 2x2 exact
+    for r in got:
+        assert r["expected"] == 25.0  # 50*50/100
+
+    ind = spark.createDataFrame(
+        [(x, y) for x in ("u", "v") for y in ("p", "q")
+         for _ in range(25)],
+        "a string, b string")
+    got2 = chi2_independence(ind, "a", "b").collect()
+    assert all(r["chi2_term"] == 0.0 for r in got2)
