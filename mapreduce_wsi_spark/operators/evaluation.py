@@ -662,3 +662,55 @@ def chi2_independence(df: DataFrame, col_a: str,
         "a", "b", "n_obs",
         F.round(e, 9).alias("expected"),
         F.round(term, 9).alias("chi2_term"))
+
+
+def gini_coefficient(df: DataFrame, value_col: str, key_col: str,
+                     n_buckets: int = 16) -> DataFrame:
+    """Gini concentration coefficient over a keyed value frame (e.g.
+    per-customer revenue): G = (2*sum(r_i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) with r_i the 1..n rank in ascending value order — the
+    inequality/concentration number a revenue or token-distribution
+    audit reports. Values enter as integer cents so every aggregate is
+    an exact BIGINT; the single closing expression is float.
+
+    The global rank uses the assign_global_ids two-phase prefix-sum,
+    adapted to VALUE order: range-bucket by approximate quantile
+    boundaries (any contiguous split is CORRECT — balance only affects
+    parallelism; boundaries are a bounded n_buckets-value driver
+    fetch), rank within buckets in parallel windows, then add the
+    prefix-summed bucket offsets (an n_buckets-row driver action).
+    A naive row_number() OVER (ORDER BY value) would funnel the corpus
+    through one task; ties are safe in either plan because tied values
+    contribute the same x at any within-tie rank order."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(F.col(key_col).alias("__k"),
+                     cents.alias("__v"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.stat.approxQuantile("__v", probs, 0.001)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("__v") > int(b), 1).otherwise(0)
+    bk = base.withColumn("__b", bucket.cast("int"))
+
+    counts = {r["__b"]: r["n"] for r in
+              bk.groupBy("__b").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = [], 0
+    for s in range(n_buckets):
+        offsets.append((s, acc))
+        acc += counts.get(s, 0)
+    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+
+    rank = F.row_number().over(
+        Window.partitionBy("__b").orderBy("__v", "__k"))
+    ranked = (bk.join(F.broadcast(off), on="__b")
+              .select("__v", (F.col("__off") + rank).alias("__r")))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("sx"),
+        F.sum(F.col("__r") * F.col("__v")).alias("srx"))
+    g = ((2.0 * F.col("srx").cast("double")
+          - (F.col("n") + 1).cast("double") * F.col("sx"))
+         / (F.col("n").cast("double") * F.col("sx")))
+    return agg.select("n", F.col("sx").alias("total_cents"),
+                      F.round(g, 9).alias("gini"))

@@ -1193,3 +1193,36 @@ def eval_chi2_independence(spark, sf_dir):
         chi2_independence)
     li = tbl(spark, sf_dir, "lineitem")
     return chi2_independence(li, "l_returnflag", "l_linestatus")
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+    WITH rev AS (SELECT o_custkey,
+                        CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+                            AS v
+                 FROM orders GROUP BY 1),
+    rk AS (SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS r
+           FROM rev),
+    ag AS (SELECT count(*) AS n, sum(v) AS sx, sum(r * v) AS srx
+           FROM rk)
+    SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total_cents,
+           round((2.0 * srx - (n + 1) * CAST(sx AS DOUBLE))
+                 / (n * CAST(sx AS DOUBLE)), 9) AS gini
+    FROM ag
+    """,
+    note="Gini concentration of per-customer revenue: exact integer "
+         "cents, global ascending-value ranks via the two-phase "
+         "range-bucket prefix-sum (parallel per-bucket windows + a "
+         "16-row offset broadcast — never a single-task global "
+         "window), closing formula one IEEE expression over exact "
+         "BIGINTs. The oracle ranks with a plain global row_number — "
+         "same statistic, single-node plan "
+         "(operators/evaluation.py::gini_coefficient)")
+def agg_gini_revenue(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import gini_coefficient
+
+    rev = (tbl(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum("o_totalprice").alias("revenue")))
+    return gini_coefficient(rev, "revenue", "o_custkey")

@@ -267,3 +267,37 @@ def test_chi2_independence_fires_on_planted_dependence(spark):
         "a string, b string")
     got2 = chi2_independence(ind, "a", "b").collect()
     assert all(r["chi2_term"] == 0.0 for r in got2)
+
+
+def test_gini_known_distributions(spark):
+    """Gini = 0 for perfectly equal values; approaches (n-1)/n when one
+    key holds everything; matches a hand-computed mixed case; invariant
+    across partition layouts (the two-phase rank must reproduce the
+    global order)."""
+    from mapreduce_wsi_spark.operators.evaluation import gini_coefficient
+
+    equal = spark.createDataFrame(
+        [(i, 5.0) for i in range(100)], "k long, v double")
+    assert gini_coefficient(equal, "v", "k").first()["gini"] == 0.0
+
+    concentrated = spark.createDataFrame(
+        [(i, 0.01) for i in range(99)] + [(99, 10000.0)],
+        "k long, v double")
+    g = gini_coefficient(concentrated, "v", "k").first()["gini"]
+    assert g > 0.95
+
+    vals = [1.0, 2.0, 3.0, 4.0]  # hand: G = 0.25 for 1..4
+    mixed = spark.createDataFrame(
+        list(enumerate(vals)), "k long, v double")
+    n, s = len(vals), sum(vals)
+    exp = (2 * sum((i + 1) * v for i, v in enumerate(sorted(vals)))
+           - (n + 1) * s) / (n * s)
+    got = gini_coefficient(mixed, "v", "k").first()["gini"]
+    assert abs(got - exp) < 1e-9
+
+    base = spark.createDataFrame(
+        [(i, float((i * 37) % 101) + 1) for i in range(500)],
+        "k long, v double")
+    g1 = gini_coefficient(base.repartition(1), "v", "k").first()["gini"]
+    g7 = gini_coefficient(base.repartition(7), "v", "k").first()["gini"]
+    assert g1 == g7
