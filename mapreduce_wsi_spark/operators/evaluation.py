@@ -714,3 +714,72 @@ def gini_coefficient(df: DataFrame, value_col: str, key_col: str,
          / (F.col("n").cast("double") * F.col("sx")))
     return agg.select("n", F.col("sx").alias("total_cents"),
                       F.round(g, 9).alias("gini"))
+
+
+def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
+                  label_a, label_b, n_buckets: int = 16) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic: the max vertical gap
+    between the two empirical CDFs — the standard distribution-shift
+    test between two cohorts (train vs eval split, this week vs last).
+
+    Exactness: values enter as integer cents; rows first collapse to
+    the DISTINCT-value table (v, ca, cb), so every downstream step runs
+    over distinct values, not raw rows. The gap at each value is the
+    exact BIGINT |cum_a*n_b - cum_b*n_a| (cross-multiplied to avoid
+    float CDFs); only the final max/(n_a*n_b) division is IEEE, so
+    partial-agg order cannot perturb the statistic.
+
+    Scale posture: the cumulative counts use the same two-phase
+    range-bucket prefix-sum as gini_coefficient — per-bucket windows in
+    parallel plus an n_buckets-row broadcast of bucket offsets — never
+    a single-task global ORDER BY window. The (n_a, n_b) totals ride a
+    1-row broadcast cross join.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    g = (df.filter(F.col(group_col).isin([label_a, label_b]))
+         .select(cents.alias("__v"),
+                 F.when(F.col(group_col) == label_a, F.lit(1))
+                  .otherwise(F.lit(0)).alias("__ia"),
+                 F.when(F.col(group_col) == label_b, F.lit(1))
+                  .otherwise(F.lit(0)).alias("__ib")))
+    dv = g.groupBy("__v").agg(F.sum("__ia").alias("__ca"),
+                              F.sum("__ib").alias("__cb"))
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = dv.stat.approxQuantile("__v", probs, 0.001)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("__v") > int(b), 1).otherwise(0)
+    bk = dv.withColumn("__b", bucket.cast("int"))
+
+    sums = {r["__b"]: (r["sa"], r["sb"]) for r in
+            bk.groupBy("__b").agg(F.sum("__ca").alias("sa"),
+                                  F.sum("__cb").alias("sb")).collect()}
+    offsets, acc_a, acc_b = [], 0, 0
+    for s in range(n_buckets):
+        offsets.append((s, acc_a, acc_b))
+        sa, sb = sums.get(s, (0, 0))
+        acc_a += int(sa)
+        acc_b += int(sb)
+    off = df.sparkSession.createDataFrame(
+        offsets, "__b int, __offa long, __offb long")
+
+    w = (Window.partitionBy("__b").orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (bk.join(F.broadcast(off), on="__b")
+           .select((F.col("__offa") + F.sum("__ca").over(w))
+                   .alias("__cca"),
+                   (F.col("__offb") + F.sum("__cb").over(w))
+                   .alias("__ccb")))
+    totals = dv.agg(F.sum("__ca").alias("n_a"),
+                    F.sum("__cb").alias("n_b"))
+    gap = (cum.crossJoin(F.broadcast(totals))
+           .select("n_a", "n_b",
+                   F.abs(F.col("__cca") * F.col("n_b")
+                         - F.col("__ccb") * F.col("n_a")).alias("__g")))
+    agg = gap.groupBy("n_a", "n_b").agg(F.max("__g").alias("__d"))
+    d = (F.col("__d").cast("double")
+         / (F.col("n_a").cast("double") * F.col("n_b")))
+    return agg.select(F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      F.round(d, 9).alias("d_stat"))

@@ -244,3 +244,47 @@ def tdigest_quantiles(df: DataFrame, value_col: str,
     return (parts.repartition(1)
             .mapInPandas(merge_all,
                          schema="q double, est double, n_centroids int"))
+
+
+def bitmap_distinct_rollup(df: DataFrame, grain_col: str,
+                           id_col: str) -> DataFrame:
+    """EXACT distinct counts via OR-mergeable 64-bit word bitmaps —
+    the exact-count sibling of the HLL rollup (hll_sketch_rollup): a
+    per-(grain, word) bitmap summary that re-aggregates to any coarser
+    grain with plain BIT_OR, never re-touching the raw rows.
+
+    Encoding: word = id div 64, mask = 1 << (id mod 64). Per grain the
+    summary is one BIGINT per occupied word — groupBy(grain, word)
+    BIT_OR(mask), so partial aggregation combines masks map-side and
+    the shuffle moves O(occupied words), not O(rows). The distinct
+    count is then sum(bit_count(bits)) per grain, and the ALL-grain
+    row below is computed by merging the per-grain word bitmaps
+    (BIT_OR again, grouped by word only) — demonstrating the rollup
+    property the way a 100 TB daily/weekly/monthly distinct-users
+    pipeline uses it: store the word bitmaps once, re-aggregate
+    upward for free.
+
+    Scale posture: the shuffle key is (grain, word) — a dense id space
+    of N ids occupies N/64 words spread uniformly across partitions,
+    so no single reducer holds a grain's whole bitmap. bit_count is a
+    JVM intrinsic (two's-complement popcount, exact for bit 63).
+    Negative ids would need an offset shift; callers assert ids >= 0.
+    """
+    word = (F.col(id_col) / 64).cast("bigint")
+    # F.shiftleft only accepts a literal shift; the SQL form takes a
+    # column shift amount (still a JVM intrinsic, no Python involved)
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                  f"CAST({id_col} % 64 AS INT))")
+    words = (df.select(F.col(grain_col).alias("__g"),
+                       word.alias("__w"), mask.alias("__m"))
+             .groupBy("__g", "__w")
+             .agg(F.bit_or("__m").alias("__bits")))
+    per_grain = (words.groupBy("__g")
+                 .agg(F.sum(F.bit_count("__bits")).alias("n_distinct")))
+    merged = (words.groupBy("__w")
+              .agg(F.bit_or("__bits").alias("__bits"))
+              .agg(F.sum(F.bit_count("__bits")).alias("n_distinct"))
+              .select(F.lit("__all__").alias("__g"), "n_distinct"))
+    return (per_grain.unionByName(merged)
+            .select(F.col("__g").alias(grain_col),
+                    F.col("n_distinct").cast("long").alias("n_distinct")))

@@ -1226,3 +1226,64 @@ def agg_gini_revenue(spark, sf_dir):
            .groupBy("o_custkey")
            .agg(F.sum("o_totalprice").alias("revenue")))
     return gini_coefficient(rev, "revenue", "o_custkey")
+
+
+@register(
+    "eval_ks_test",
+    oracle="""
+    WITH g AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                          AS ia,
+                      CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
+                          AS ib
+               FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+    dv AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM g GROUP BY 1),
+    c AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
+                 sum(cb) OVER (ORDER BY v) AS ccb
+          FROM dv),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b
+          FROM dv)
+    SELECT n_a, n_b,
+           round(CAST(max(abs(cca * n_b - ccb * n_a)) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * n_b), 9) AS d_stat
+    FROM c, t GROUP BY n_a, n_b
+    """,
+    note="Two-sample Kolmogorov-Smirnov D (returned vs never-shipped "
+         "lineitem prices): rows collapse to the distinct-value table "
+         "first, CDF gaps are exact cross-multiplied BIGINTs, and the "
+         "cumulative counts ride the gini two-phase range-bucket "
+         "prefix-sum — parallel per-bucket windows, never a one-task "
+         "global ORDER BY. The oracle's plain window is the same "
+         "statistic single-node "
+         "(operators/evaluation.py::ks_two_sample)")
+def eval_ks_test(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import ks_two_sample
+    li = tbl(spark, sf_dir, "lineitem")
+    return ks_two_sample(li, "l_returnflag", "l_extendedprice",
+                         "R", "N")
+
+
+@register(
+    "distinct_bitmap_rollup",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS n_distinct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    """,
+    note="EXACT distinct users per event type AND overall via "
+         "OR-mergeable 64-bit word bitmaps — the exact sibling of "
+         "hll_sketch_rollup: the ALL row is computed by BIT_OR-merging "
+         "the per-type word bitmaps, never re-reading raw events. "
+         "Shuffle key (type, word) spreads each bitmap across "
+         "partitions; bit_count is a JVM intrinsic "
+         "(operators/sketch.py::bitmap_distinct_rollup)")
+def distinct_bitmap_rollup(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.sketch import (
+        bitmap_distinct_rollup)
+    ev = events_tbl(spark, sf_dir)
+    return bitmap_distinct_rollup(ev, "event_type", "user_id")

@@ -301,3 +301,27 @@ def test_gini_known_distributions(spark):
     g1 = gini_coefficient(base.repartition(1), "v", "k").first()["gini"]
     g7 = gini_coefficient(base.repartition(7), "v", "k").first()["gini"]
     assert g1 == g7
+
+
+def test_ks_two_sample_planted_shift(spark):
+    """KS D: identical samples give D=0; a planted disjoint shift gives
+    D=1; a half-overlap gives the hand-computable gap."""
+    from mapreduce_wsi_spark.operators.evaluation import ks_two_sample
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v)) for v in range(10)], "g string, v double")
+    assert ks_two_sample(same, "g", "v", "a", "b").collect()[0][
+        "d_stat"] == 0.0
+    disjoint = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v + 100)) for v in range(10)],
+        "g string, v double")
+    assert ks_two_sample(disjoint, "g", "v", "a", "b").collect()[0][
+        "d_stat"] == 1.0
+    # a = {0..9}, b = {5..14}: max gap at v=4 -> F_a=0.5, F_b=0 -> 0.5
+    half = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v + 5)) for v in range(10)],
+        "g string, v double").repartition(5)
+    assert ks_two_sample(half, "g", "v", "a", "b").collect()[0][
+        "d_stat"] == 0.5

@@ -197,3 +197,19 @@ def test_tdigest_compress_invariants():
     small = np.arange(50, dtype=np.float64)
     m2, w2 = _tdigest_compress(small, np.ones_like(small), 200.0)
     assert len(m2) == 50 and (w2 == 1).all()
+
+
+def test_bitmap_distinct_exact_incl_bit63(spark):
+    """Word-bitmap distinct is EXACT: duplicates collapse, ids landing
+    on bit 63 (two's-complement sign bit) count correctly, and the
+    merged __all__ row equals the true global distinct — not the sum
+    of per-grain counts (overlapping ids across grains dedupe)."""
+    from mapreduce_wsi_spark.operators.sketch import (
+        bitmap_distinct_rollup)
+    rows = ([("a", i) for i in [0, 63, 63, 64, 127, 128, 5000]]
+            + [("b", i) for i in [63, 64, 1, 5000, 9999]])
+    df = spark.createDataFrame(rows, "g string, uid long").repartition(7)
+    got = {r["g"]: r["n_distinct"]
+           for r in bitmap_distinct_rollup(df, "g", "uid").collect()}
+    # union = {0, 1, 63, 64, 127, 128, 5000, 9999}
+    assert got == {"a": 6, "b": 5, "__all__": 8}
