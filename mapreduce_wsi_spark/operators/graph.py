@@ -276,3 +276,87 @@ def hits_fixed(edges: DataFrame, n_iter: int = 2,
             .select("id", "auth", "hub",
                     (F.col("auth").cast("double") / s).alias("auth_norm"),
                     (F.col("hub").cast("double") / s).alias("hub_norm")))
+
+
+def kcore_nodes(edges: DataFrame, k: int,
+                max_rounds: int = 50) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k — the standard density filter before community mining
+    or embedding training (peels off the long tail of weakly-connected
+    nodes that dominate a co-occurrence graph's size but carry no
+    structure).
+
+    Synchronous peel: each round recomputes degrees over the surviving
+    edge set and drops EVERY node below k at once (the fixpoint is the
+    same as sequential peeling — the k-core is unique). Work per round
+    is one degree aggregation + two semi-join filters over the current
+    edges, O(E_t); the surviving set only shrinks, so a stable node
+    count is the fixpoint. localCheckpoint per round truncates lineage
+    (the BFS/pagerank discipline); the per-round count() is the only
+    driver-side value. Raises on non-convergence within max_rounds —
+    never returns a half-peeled set.
+
+    edges: (lo, hi) undirected, lo < hi, deduplicated.
+    """
+    e = iter_checkpoint(edges.select("lo", "hi"))
+    prev = None
+    for _ in range(max_rounds):
+        und = (e.select(F.col("lo").alias("id"))
+               .unionByName(e.select(F.col("hi").alias("id"))))
+        keep = iter_checkpoint(
+            und.groupBy("id").agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k).select("id"))
+        n = keep.count()
+        if prev is not None and n == prev:
+            return keep
+        prev = n
+        e = iter_checkpoint(
+            e.join(keep.select(F.col("id").alias("lo")), "lo")
+            .join(keep.select(F.col("id").alias("hi")), "hi")
+            .select("lo", "hi"))
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_rounds} rounds")
+
+
+def link_prediction_topk(edges: DataFrame, top_k: int = 20) -> DataFrame:
+    """Common-neighbor link prediction with EXACT neighborhood Jaccard:
+    for non-adjacent pairs (u, v), score = |N(u) n N(v)| and
+    jaccard = common / (deg(u) + deg(v) - common) — the classic
+    related-items / you-may-also-like candidate generator.
+
+    Plan: wedges from the doubled adjacency (one equi-join on the
+    shared neighbor, u < v orientation so each pair counts once),
+    partial-agg counts, LEFT ANTI against the existing edge list, two
+    broadcastable degree joins, then a total-ordered top-k that lowers
+    to TakeOrderedAndProject. Wedge count is sum(deg(w)^2) — bounded
+    upstream by the same support/basket pruning that keeps the graph
+    sparse (see plans/q_graph.py). Jaccard divides two exact BIGINTs
+    in one IEEE op, so agg order cannot perturb it.
+    """
+    e = iter_checkpoint(edges.select("lo", "hi"))
+    und = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+           .unionByName(
+               e.select(F.col("hi").alias("src"),
+                        F.col("lo").alias("dst"))))
+    deg = (und.groupBy(F.col("src").alias("id"))
+           .agg(F.count(F.lit(1)).alias("d")))
+    a = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = (a.join(b, "w").filter(F.col("u") < F.col("v"))
+              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("common")))
+    nonedge = wedges.join(
+        e, (wedges["u"] == e["lo"]) & (wedges["v"] == e["hi"]),
+        "left_anti")
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("__du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("__dv"))
+    scored = (nonedge.join(du, "u").join(dv, "v")
+              .withColumn("union_size",
+                          F.col("__du") + F.col("__dv")
+                          - F.col("common")))
+    jac = F.round(F.col("common").cast("double") / F.col("union_size"), 9)
+    return (scored.select("u", "v",
+                          F.col("common").cast("long").alias("common"),
+                          F.col("union_size").cast("long")
+                          .alias("union_size"),
+                          jac.alias("jaccard"))
+            .orderBy(F.col("common").desc(), "u", "v").limit(top_k))

@@ -347,3 +347,83 @@ def graph_hits(spark, sf_dir):
     e = part_edges(li).select(F.col("lo").alias("src"),
                               F.col("hi").alias("dst"))
     return hits_fixed(e, n_iter=2)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous-peel twin: round i recomputes degrees over
+    the round i-1 edge set and keeps ids with degree >= k. The k-core
+    is a shrinking fixpoint, so extra rounds past convergence are
+    no-ops — the unroll depth (16) carries >1.5x headroom over the
+    measured sf0.01 convergence (10 rounds at k=3); the Spark side
+    loops to the true fixpoint regardless of scale and raises if it
+    ever needs more than max_rounds."""
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous CTE ~5 times, so DuckDB's default inlining would expand
+    # the chain exponentially (observed as fd exhaustion on the
+    # parquet scan); materializing keeps the unroll linear.
+    parts = [f"WITH e0 AS MATERIALIZED ({_EDGES_CTE})"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    n{i} AS MATERIALIZED (SELECT id FROM (
+                 SELECT id, count(*) AS d FROM (
+                     SELECT lo AS id FROM {prev}
+                     UNION ALL SELECT hi FROM {prev}) u{i}
+                 GROUP BY id) d{i}
+             WHERE d >= {k}),
+    e{i} AS MATERIALIZED (SELECT lo, hi FROM {prev}
+             WHERE lo IN (SELECT id FROM n{i})
+               AND hi IN (SELECT id FROM n{i}))""")
+        prev = f"e{i}"
+    parts_sql = ",".join(parts)
+    return (f"{parts_sql}\n"
+            f"    SELECT CAST(id AS BIGINT) AS id FROM n{rounds}")
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(3, 16),
+    note="3-core of the support>=2 co-purchase graph (935 of 1,880 "
+         "nodes at sf0.01): synchronous peel, one degree agg + two "
+         "semi-join filters per round over the SURVIVING edges only, "
+         "localCheckpoint lineage truncation, raises on "
+         "non-convergence (operators/graph.py::kcore_nodes)")
+def graph_kcore(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.graph import kcore_nodes
+    li = tbl(spark, sf_dir, "lineitem")
+    return (kcore_nodes(part_edges(li).select("lo", "hi"), k=3)
+            .select(F.col("id").cast("long").alias("id")))
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH e AS ({_EDGES_CTE}),
+    und AS (SELECT lo AS src, hi AS dst FROM e
+            UNION ALL SELECT hi, lo FROM e),
+    deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY 1),
+    w AS (SELECT a.dst AS u, b.dst AS v, count(*) AS common
+          FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+          GROUP BY 1, 2),
+    ne AS (SELECT w.u, w.v, w.common FROM w
+           LEFT JOIN e ON e.lo = w.u AND e.hi = w.v
+           WHERE e.lo IS NULL)
+    SELECT ne.u, ne.v, CAST(common AS BIGINT) AS common,
+           CAST(du.d + dv.d - common AS BIGINT) AS union_size,
+           round(CAST(common AS DOUBLE) / (du.d + dv.d - common), 9)
+               AS jaccard
+    FROM ne JOIN deg du ON du.id = ne.u JOIN deg dv ON dv.id = ne.v
+    ORDER BY common DESC, ne.u, ne.v LIMIT 20
+    """,
+    note="common-neighbor link prediction with exact neighborhood "
+         "Jaccard over non-adjacent part pairs: wedge equi-join on the "
+         "shared neighbor (u < v, each pair once), LEFT ANTI vs the "
+         "edge list, two degree joins, top-20 by the total order "
+         "(common DESC, u, v) -> TakeOrderedAndProject; jaccard is one "
+         "IEEE division of exact BIGINTs "
+         "(operators/graph.py::link_prediction_topk)")
+def graph_link_prediction(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.graph import link_prediction_topk
+    li = tbl(spark, sf_dir, "lineitem")
+    return link_prediction_topk(part_edges(li).select("lo", "hi"),
+                                top_k=20)

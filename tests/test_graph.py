@@ -191,3 +191,34 @@ def test_hits_ranks_hubs_and_authorities(spark):
     assert got[1]["hub"] > got[2]["hub"] > got[3]["hub"] > 0
     assert all(got[i]["hub"] == 0 for i in (10, 11, 12))
     assert all(got[i]["auth"] == 0 for i in (1, 2, 3))
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """Triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly
+    the triangle — removing 5 (degree 1) exposes 4, so the peel needs
+    a second round; a 1-round cap must raise, not return the
+    half-peeled set."""
+    import pytest as _pytest
+    from mapreduce_wsi_spark.operators.graph import kcore_nodes
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "lo int, hi int")
+    got = sorted(r["id"] for r in kcore_nodes(e, k=2).collect())
+    assert got == [1, 2, 3]
+    with _pytest.raises(RuntimeError, match="converge"):
+        kcore_nodes(e, k=2, max_rounds=2)
+
+
+def test_link_prediction_square_and_path(spark):
+    """Square 1-2-3-4-1: both diagonals score common=2 with Jaccard 1.0
+    (neighborhoods identical); adjacent pairs never appear (anti-join);
+    an attached path 4-5 predicts (3,5) and (1,5) with common=1."""
+    from mapreduce_wsi_spark.operators.graph import link_prediction_topk
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5)], "lo int, hi int")
+    rows = {(r["u"], r["v"]): (r["common"], r["union_size"], r["jaccard"])
+            for r in link_prediction_topk(e, top_k=10).collect()}
+    assert rows[(1, 3)] == (2, 2, 1.0)
+    assert rows[(2, 4)][0] == 2
+    assert (1, 2) not in rows and (4, 5) not in rows
+    # N(3) = {2,4}, N(5) = {4}: common 1, union 2
+    assert rows[(3, 5)] == (1, 2, 0.5)
