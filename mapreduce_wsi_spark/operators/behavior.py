@@ -291,3 +291,94 @@ def linear_interpolate(df: DataFrame, key_col: str, ts_col: str,
     return (base.withColumn("filled_cents", F.round(filled, 9))
             .withColumn("was_gap", F.col("__c").isNull())
             .drop("__c", "__t"))
+
+
+def cusum_max_excursion(events: DataFrame, key_col: str, ts_col: str,
+                        order_col: str, value_col: str) -> DataFrame:
+    """Per-key CUSUM mean-shift score: the maximum excursion of the
+    cumulative sum of deviations from the key's own mean — the
+    standard drift detector for a metric stream (a key whose values
+    shift mid-history scores high; a stationary key scores near 0).
+
+    The textbook recurrence S_i = max(0, S_{i-1} + dev_i) is not a
+    window expression, but its closed form is: S_i = P_i - min_{j<=i}
+    P_j with P the plain prefix sum of deviations. So the whole
+    detector is two stacked windows over ONE key exchange (prefix sum,
+    running min) plus a max.
+
+    Exactness: values enter as integer cents; deviation from the key
+    mean (v - S/n, rational) is scaled by n to n*v - S, an exact
+    BIGINT, so every prefix sum, running min, and the max are exact —
+    only the final unscaling divide (by 100*n, back to value units) is
+    IEEE. Ordering ties break on order_col (unique event id).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = events.select(F.col(key_col).alias("__k"),
+                         F.col(ts_col).alias("__ts"),
+                         F.col(order_col).alias("__o"),
+                         cents.alias("__v"))
+    tot = base.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"),
+                                  F.sum("__v").alias("__s"))
+    w = Window.partitionBy("__k").orderBy("__ts", "__o")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = F.col("__v") * F.col("__n") - F.col("__s")
+    curs = (base.join(tot, "__k")
+            .withColumn("__p", F.sum(dev).over(run))
+            .withColumn("__m", F.min(F.col("__p")).over(run))
+            .withColumn("__e", F.col("__p") - F.col("__m")))
+    return (curs.groupBy("__k")
+            .agg(F.first("__n").cast("long").alias("n_events"),
+                 F.round(F.max("__e").cast("double")
+                         / (100.0 * F.first("__n").cast("double")), 9)
+                 .alias("max_excursion"))
+            .select(F.col("__k").alias(key_col), "n_events",
+                    "max_excursion"))
+
+
+def autocorr_lags(series: DataFrame, key_col: str, ord_col: str,
+                  value_col: str, lags: tuple[int, ...] = (1, 2)
+                  ) -> DataFrame:
+    """Lag-k Pearson autocorrelation of a keyed, ordered series (e.g.
+    the daily-revenue series per segment) — the seasonality /
+    persistence probe a forecasting pipeline runs before model choice.
+
+    For each lag the (x, y) = (value, lag-k value) pairs come from one
+    window lag over the key exchange; the five moments (n, sx, sy,
+    sxx, syy, sxy) are exact DECIMAL(38,0) sums of integer cents (and
+    their products), so partial-agg order cannot perturb them; r is
+    one fixed IEEE expression over the exact moments. All requested
+    lags reuse the SAME window partitioning (one exchange).
+
+    series must already be aggregated to one row per (key, ord) — the
+    caller owns that reduction (keeps this operator O(series), not
+    O(raw rows)).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = series.select(F.col(key_col).alias("__k"),
+                         F.col(ord_col).alias("__t"),
+                         cents.alias("__y"))
+    w = Window.partitionBy("__k").orderBy("__t")
+    out = None
+    for lag in lags:
+        paired = (base.withColumn("__x", F.lag("__y", lag).over(w))
+                  .filter(F.col("__x").isNotNull()))
+        d = "decimal(38,0)"
+        m = paired.groupBy("__k").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("__x").cast(d)).alias("sx"),
+            F.sum(F.col("__y").cast(d)).alias("sy"),
+            F.sum((F.col("__x") * F.col("__x")).cast(d)).alias("sxx"),
+            F.sum((F.col("__y") * F.col("__y")).cast(d)).alias("syy"),
+            F.sum((F.col("__x") * F.col("__y")).cast(d)).alias("sxy"))
+        n = F.col("n_pairs").cast("double")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        r = ((n * sxy - sx * sy)
+             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        row = m.select(F.col("__k").alias(key_col),
+                       F.lit(lag).cast("int").alias("lag"),
+                       F.col("n_pairs").cast("long").alias("n_pairs"),
+                       F.round(r, 9).alias("acf"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -976,3 +976,163 @@ def time_linear_interpolate(spark, sf_dir):
         .otherwise(F.col("value")).alias("value"))
     out = linear_interpolate(ev, "user_id", "ts", "value")
     return out.select("event_id", "user_id", "filled_cents", "was_gap")
+
+
+@register(
+    "events_cusum_shift",
+    oracle="""
+    WITH base AS (SELECT user_id, ts, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    tot AS (SELECT user_id, count(*) AS n, sum(v) AS s
+            FROM base GROUP BY 1),
+    p AS (SELECT b.user_id, t.n, b.ts, b.event_id,
+                 sum(b.v * t.n - t.s) OVER w AS pp
+          FROM base b JOIN tot t USING (user_id)
+          WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+                       ROWS UNBOUNDED PRECEDING)),
+    e AS (SELECT user_id, n,
+                 pp - min(pp) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS exc
+          FROM p)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(CAST(max(exc) AS DOUBLE) / (100.0 * n), 9)
+               AS max_excursion
+    FROM e GROUP BY user_id, n
+    """,
+    note="per-user CUSUM mean-shift score via the closed form "
+         "S_i = P_i - running_min(P): two stacked windows on ONE "
+         "user_id exchange; deviations are mean-scaled to exact "
+         "BIGINTs (n*v - sum), only the final unscaling divide is "
+         "IEEE (operators/behavior.py::cusum_max_excursion)")
+def events_cusum_shift(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.behavior import (
+        cusum_max_excursion)
+    ev = tbl(spark, sf_dir, "events")
+    return cusum_max_excursion(ev, "user_id", "ts", "event_id", "value")
+
+
+@register(
+    "ts_autocorr_lag",
+    oracle="""
+    WITH daily AS (SELECT event_type,
+                          CAST(ts AS DATE) AS d,
+                          CAST(round(sum(CAST(value AS DECIMAL(18,2)))
+                                     * 100) AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, 1 AS lag, cents AS y,
+                      lag(cents, 1) OVER w AS x
+               FROM daily WINDOW w AS (PARTITION BY event_type
+                                       ORDER BY d)
+               UNION ALL
+               SELECT event_type, 2 AS lag, cents AS y,
+                      lag(cents, 2) OVER w2 AS x
+               FROM daily WINDOW w2 AS (PARTITION BY event_type
+                                        ORDER BY d)),
+    mm AS (SELECT event_type, lag, count(*) AS n,
+                  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
+                      AS sxx,
+                  CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
+                      AS syy,
+                  CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)
+                      AS sxy
+           FROM lagged WHERE x IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx)
+                    * sqrt(n * syy - sy * sy)), 9) AS acf
+    FROM mm
+    """,
+    note="lag-1/lag-2 autocorrelation of the per-type daily-revenue "
+         "series: the series pre-aggregates to (type, day) cents "
+         "first, both lags reuse one window exchange, the five "
+         "moments are exact DECIMAL(38,0) sums, r is one fixed IEEE "
+         "expression (operators/behavior.py::autocorr_lags)")
+def ts_autocorr_lag(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.behavior import autocorr_lags
+    ev = tbl(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                  .alias("rev")))
+    return autocorr_lags(daily, "event_type", "d", "rev", lags=(1, 2))
+
+
+@register(
+    "events_pattern_regex",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts)
+                            >= 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ), j AS (
+        SELECT user_id, sess_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS journey
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT 'v.*c.*p' AS pattern,
+           CAST(sum(CASE WHEN regexp_matches(journey, 'v.*c.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM j
+    UNION ALL
+    SELECT 's.*p',
+           CAST(sum(CASE WHEN regexp_matches(journey, 's.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j
+    UNION ALL
+    SELECT 'e.*e.*e',
+           CAST(sum(CASE WHEN regexp_matches(journey, 'e.*e.*e')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j
+    """,
+    note="MATCH_RECOGNIZE-style sequence detection: 30-min "
+         "sessionization (the session_path_trigrams pairing), each "
+         "session folded to an ordered initial-letter journey string "
+         "(array_sort over (ts, event_id, code) structs — "
+         "deterministic without a second window), then unanchored "
+         "regex per pattern (view->click->purchase, signup->purchase, "
+         "3+ errors). The journey fold and both windows ride one "
+         "user_id exchange; patterns are subsequence-safe because "
+         "event-type initials are distinct in the fixture")
+def events_pattern_regex(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    sess = (ev
+            .withColumn("new_sess",
+                        F.when(F.lag("ts").over(w).isNull()
+                               | (gap >= 1800), 1).otherwise(0))
+            .withColumn("sess_id", F.sum("new_sess").over(run)))
+    j = (sess.groupBy("user_id", "sess_id")
+         .agg(F.expr(
+             "concat_ws('', transform("
+             "array_sort(collect_list(struct(ts, event_id, "
+             "substr(event_type, 1, 1) AS code))), x -> x.code))")
+              .alias("journey")))
+    pats = ["v.*c.*p", "s.*p", "e.*e.*e"]
+    out = None
+    for p in pats:
+        row = j.agg(
+            F.sum(F.when(F.col("journey").rlike(p), 1).otherwise(0))
+            .cast("long").alias("n_sessions")).select(
+                F.lit(p).alias("pattern"), "n_sessions")
+        out = row if out is None else out.unionByName(row)
+    return out

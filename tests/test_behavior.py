@@ -286,3 +286,39 @@ def test_linear_interpolate_known_series(spark):
     assert got[5]["filled_cents"] == 450.0
     assert got[7]["filled_cents"] == 900.0
     assert got[8]["filled_cents"] is None
+
+
+def test_cusum_scores_shift_above_stationary(spark):
+    """A mean-shifted series (four 1.00s then four 9.00s) must
+    out-score a perfectly alternating one with the same values: the
+    shift accumulates deviation (excursion 16.0 = 12800 cents / n=8
+    unscaled), the alternation self-cancels (excursion 4.0)."""
+    from mapreduce_wsi_spark.operators.behavior import (
+        cusum_max_excursion)
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate([1.0] * 4 + [9.0] * 4):
+        rows.append((1, t0 + dt.timedelta(seconds=i), i, v))
+    for i, v in enumerate([1.0, 9.0] * 4):
+        rows.append((2, t0 + dt.timedelta(seconds=i), 100 + i, v))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double")
+    got = {r["user_id"]: r["max_excursion"]
+           for r in cusum_max_excursion(
+               df, "user_id", "ts", "event_id", "value").collect()}
+    assert got[1] == 16.0
+    assert got[2] == 4.0
+
+
+def test_autocorr_alternating_series(spark):
+    """Perfectly alternating two-level series: every lag-1 pair is
+    (1,2) or (2,1) — collinear with negative slope, so acf = -1;
+    every lag-2 pair repeats the same point's level, so acf = +1."""
+    from mapreduce_wsi_spark.operators.behavior import autocorr_lags
+    rows = [("a", i, [1.0, 2.0][i % 2]) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["lag"]: r["acf"]
+           for r in autocorr_lags(df, "k", "t", "v", (1, 2)).collect()}
+    assert abs(got[1] + 1.0) < 1e-9
+    assert abs(got[2] - 1.0) < 1e-9
