@@ -1287,3 +1287,97 @@ def distinct_bitmap_rollup(spark, sf_dir):
         bitmap_distinct_rollup)
     ev = events_tbl(spark, sf_dir)
     return bitmap_distinct_rollup(ev, "event_type", "user_id")
+
+
+@register(
+    "source_fixed_width",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer GROUP BY 1
+    """,
+    note="fixed-width text source: customers serialize to 38-char "
+         "records (zero-padded keys, space-padded signed cents and "
+         "segment), land as a text file, and the read-back parses "
+         "with pure substring/trim column carving — the COBOL-era "
+         "mainframe-extract format ETL still ingests. The aggregate "
+         "runs over the parsed frame while the twin reads the "
+         "original parquet, so pad/parse fidelity (incl. negative "
+         "balances) is the verified surface. Scale: text lines split "
+         "by byte ranges like any text source; parsing is "
+         "whole-stage-codegen substring, no Python")
+def source_fixed_width(spark, sf_dir):
+    import os
+    import tempfile
+
+    cust = tbl(spark, sf_dir, "customer")
+    line = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0"),
+        F.lpad(F.round(F.col("c_acctbal") * 100).cast("bigint")
+               .cast("string"), 12, " "),
+        F.rpad(F.col("c_mktsegment"), 12, " "))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"fixed_width_{tag}")
+    cust.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.substring("value", 1, 10).cast("long").alias("c_custkey"),
+        F.substring("value", 11, 4).cast("int").alias("c_nationkey"),
+        F.trim(F.substring("value", 15, 12)).cast("long")
+        .alias("balance_cents"),
+        F.rtrim(F.substring("value", 27, 12)).alias("c_mktsegment"))
+    return (parsed.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("c_nationkey").cast("long")
+                 .alias("n_nations"),
+                 F.sum("balance_cents").alias("balance_cents")))
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM m
+    """,
+    note="parquet schema evolution: an old-schema batch (2 columns) "
+         "and a widened batch (+o_orderpriority) land as separate "
+         "parquet writes; the read uses mergeSchema=true so the "
+         "unified scan back-fills NULL for the missing column — the "
+         "lakehouse reality where producers add columns over time and "
+         "readers must union old and new files without a rewrite. "
+         "The twin models the same union in SQL. Footer-merge cost is "
+         "per-file metadata only; data pages are never rewritten")
+def source_schema_evolution(spark, sf_dir):
+    import os
+    import tempfile
+
+    orders = tbl(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice")
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    old.write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(base, "v1"),
+                       os.path.join(base, "v2")))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.sum(cents).alias("total_cents"))
