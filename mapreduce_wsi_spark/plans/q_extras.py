@@ -1022,3 +1022,58 @@ def agg_skyline_pareto(spark, sf_dir):
     return skyline_2d(part, "p_size", "p_retailprice",
                       "p_partkey").select(
         "p_partkey", "p_size", "p_retailprice")
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH ver AS (
+        SELECT o_custkey, o_orderdate AS vfrom, o_orderstatus AS status,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderkey % 2 = 0),
+    v AS (SELECT o_custkey, vfrom, status FROM ver WHERE rn = 1),
+    f AS (SELECT o_custkey, o_orderdate, o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 1),
+    pit AS (SELECT f.o_totalprice,
+                   (SELECT v.status FROM v
+                    WHERE v.o_custkey = f.o_custkey
+                      AND v.vfrom <= f.o_orderdate
+                    ORDER BY v.vfrom DESC LIMIT 1) AS status
+            FROM f)
+    SELECT coalesce(status, '<none>') AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM pit GROUP BY 1
+    """,
+    note="point-in-time dimension lookup: facts (odd orders) resolve "
+         "the customer-status version (from even orders, last-writer-"
+         "wins deduped per (key, date)) valid AT each fact's date — "
+         "the SCD2 read path. Runs as a backward as-of join (union + "
+         "carried-value window, ONE shuffle on the business key — "
+         "operators/relational.py::asof_join), never the exploding "
+         "theta-join; facts preceding any version surface as '<none>' "
+         "instead of silently dropping. Oracle is the correlated "
+         "latest-version subquery, single-node")
+def join_point_in_time(spark, sf_dir):
+    from pyspark.sql import Window
+    from mapreduce_wsi_spark.operators.relational import asof_join
+
+    o = tbl(spark, sf_dir, "orders")
+    wv = (Window.partitionBy("o_custkey", "o_orderdate")
+          .orderBy(F.col("o_orderkey").desc()))
+    v = (o.filter(F.col("o_orderkey") % 2 == 0)
+         .withColumn("__rn", F.row_number().over(wv))
+         .filter(F.col("__rn") == 1)
+         .select("o_custkey", F.col("o_orderdate").alias("vfrom"),
+                 F.col("o_orderstatus").alias("status")))
+    f = (o.filter(F.col("o_orderkey") % 2 == 1)
+         .select("o_custkey", "o_orderdate", "o_totalprice"))
+    pit = asof_join(f, v, on=["o_custkey"], left_ts="o_orderdate",
+                    right_ts="vfrom", right_values=["status"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (pit.groupBy(F.coalesce("status_asof", F.lit("<none>"))
+                        .alias("status"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(cents).alias("total_cents")))
