@@ -101,6 +101,20 @@ ENTRIES = [
     "incremental_join_view",
     "dedup_weighted_minhash",    # capped tf mins + banded join across splits
     "pipeline_prepare_er",       # SNM + FS + components composition
+    # r7 session 2: word-bitmap bit_or across splits, bucketed KS
+    # prefix-sums, peel rounds over split edges, wedge joins, CUSUM
+    # stacked windows, decimal autocorr moments, array_sort journey
+    # fold (collect_list order MOVES with partitioning — the sort must
+    # erase it), as-of carry, fixed-width pad/parse roundtrip
+    "distinct_bitmap_rollup",
+    "eval_ks_test",
+    "graph_kcore",
+    "graph_link_prediction",
+    "events_cusum_shift",
+    "ts_autocorr_lag",
+    "events_pattern_regex",
+    "join_point_in_time",
+    "source_fixed_width",
 ]
 
 SMALL_SPLIT_BYTES = 65536
