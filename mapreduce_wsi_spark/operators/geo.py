@@ -82,3 +82,79 @@ def grid_radius_join(points: DataFrame, radius_km: float,
     return (cand.withColumn("dist_km", dist)
             .filter(F.col("dist_km") <= F.lit(radius_km))
             .select("id_a", "id_b", "dist_km"))
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_column(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Standard geohash cell id (Niemeyer encoding: interleaved
+    lon/lat bisection bits, base32 alphabet) — the spatial shuffle and
+    rollup key: prefix truncation coarsens the grid, equal prefixes
+    co-locate neighbors, so `groupBy(geohash)` or `repartition` by it
+    is how a 100 TB point table clusters spatially.
+
+    Implementation is pure integer arithmetic on the quantized cell
+    indices (floor((lat+90)/180 * 2^lat_bits)), bit-interleaved with
+    shift/mask terms generated per bit and mapped through the base32
+    alphabet with substring — identical IEEE/bit ops on both engines,
+    no libm, no UDF (geohash_sql below emits the same expression for
+    the DuckDB twin).
+    """
+    lon_bits, lat_bits = _geohash_bits(precision)
+    total = 5 * precision
+    lat_i = F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                    * F.lit(float(1 << lat_bits))).cast("bigint")
+    lon_i = F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                    * F.lit(float(1 << lon_bits))).cast("bigint")
+    val = F.lit(0).cast("bigint")
+    # bit b (0 = LSB of the interleaved value): even offsets from the
+    # MSB are longitude bits. MSB index total-1 is lon bit lon_bits-1.
+    for b in range(total):
+        pos_from_msb = total - 1 - b
+        src, src_bit = ((lon_i, lon_bits - 1 - pos_from_msb // 2)
+                        if pos_from_msb % 2 == 0
+                        else (lat_i, lat_bits - 1 - pos_from_msb // 2))
+        bit = F.shiftright(src, src_bit).bitwiseAND(F.lit(1))
+        val = val + F.shiftleft(bit.cast("bigint"), b)
+    parts = []
+    for i in range(precision):
+        idx = (F.shiftright(val, 5 * (precision - 1 - i))
+               .bitwiseAND(F.lit(31)).cast("int"))
+        parts.append(F.substring(F.lit(GEOHASH_BASE32), idx + F.lit(1),
+                                 F.lit(1)))
+    return F.concat(*parts)
+
+
+def _geohash_bits(precision: int) -> tuple[int, int]:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    return lon_bits, lat_bits
+
+
+def geohash_sql(lat_sql: str, lon_sql: str, precision: int = 6) -> str:
+    """The DuckDB-twin SQL expression for geohash_column — generated
+    from the same bit layout so both engines compute the identical
+    string (convention-is-the-spec, like the planar distance
+    literals)."""
+    lon_bits, lat_bits = _geohash_bits(precision)
+    total = 5 * precision
+    lat_i = (f"CAST(floor((({lat_sql}) + 90.0) / 180.0 "
+             f"* {float(1 << lat_bits)!r}) AS BIGINT)")
+    lon_i = (f"CAST(floor((({lon_sql}) + 180.0) / 360.0 "
+             f"* {float(1 << lon_bits)!r}) AS BIGINT)")
+    terms = []
+    for b in range(total):
+        pos_from_msb = total - 1 - b
+        if pos_from_msb % 2 == 0:
+            src, src_bit = lon_i, lon_bits - 1 - pos_from_msb // 2
+        else:
+            src, src_bit = lat_i, lat_bits - 1 - pos_from_msb // 2
+        terms.append(f"((({src} >> {src_bit}) & 1) << {b})")
+    val = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH_BASE32}', "
+        f"CAST((({val} >> {5 * (precision - 1 - i)}) & 31) AS INT) + 1, 1)"
+        for i in range(precision)]
+    return " || ".join(chars)

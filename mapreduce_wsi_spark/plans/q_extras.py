@@ -1077,3 +1077,48 @@ def join_point_in_time(spark, sf_dir):
                         .alias("status"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(cents).alias("total_cents")))
+
+
+def _geohash_oracle() -> str:
+    from mapreduce_wsi_spark.operators.geo import geohash_sql
+    bucket = ("CAST(CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8)) "
+              "AS BIGINT) % 1000 AS INT)")
+    blat = bucket.format(k="c_custkey")
+    blon = bucket.format(k="c_custkey + 1000000")
+    lat = f"40.0 + {blat} / 1000.0 * 0.2"
+    lon = f"-74.0 + {blon} / 1000.0 * 0.2"
+    gh = geohash_sql(lat, lon, precision=6)
+    return f"""
+    SELECT {gh} AS cell, count(*) AS n_customers,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer GROUP BY 1
+    """
+
+
+@register(
+    "geo_geohash_cells",
+    oracle=_geohash_oracle(),
+    note="standard geohash cell rollup (Niemeyer base32, precision 6 "
+         "~= 1.2x0.6 km): quantized lat/lon indices bit-interleaved "
+         "with generated shift/mask terms — pure integer ops, no "
+         "libm, no UDF; the DuckDB twin is emitted from the SAME bit "
+         "layout (operators/geo.py::geohash_sql). The cell id is the "
+         "spatial shuffle/rollup key: prefix truncation coarsens the "
+         "grid, equal prefixes co-locate neighbors — how a 100 TB "
+         "point table partitions spatially "
+         "(operators/geo.py::geohash_column)")
+def geo_geohash_cells(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.geo import geohash_column
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    cust = tbl(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_nationkey",
+        (F.lit(40.0) + portable_bucket(F.col("c_custkey"), 1000)
+         / F.lit(1000.0) * F.lit(0.2)).alias("lat"),
+        (F.lit(-74.0) + portable_bucket(F.col("c_custkey") + 1000000, 1000)
+         / F.lit(1000.0) * F.lit(0.2)).alias("lon"))
+    return (pts.groupBy(geohash_column(F.col("lat"), F.col("lon"), 6)
+                        .alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.countDistinct("c_nationkey").cast("long")
+                 .alias("n_nations")))

@@ -376,3 +376,51 @@ def test_skyline_matches_bruteforce_with_ties_and_partitions(spark):
                                 "id").collect())
         assert got == exp, f"parts={parts}: {got} != {exp}"
     assert exp == [1, 2, 4, 5, 7]
+
+
+def test_geohash_matches_bisection_reference(spark):
+    """geohash_column vs a from-the-spec iterative-bisection encoder
+    (Niemeyer): known city cell (Statue of Liberty -> dr5r7p) plus a
+    seeded random sweep including southern/western hemispheres. The
+    direct floor-quantization and the bisection walk agree everywhere
+    except exact dyadic boundaries (measure zero; the random draw
+    avoids them)."""
+    import random
+    from pyspark.sql import functions as F
+    from mapreduce_wsi_spark.operators.geo import geohash_column
+
+    def ref_geohash(lat, lon, precision):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even, ch = 0, "", True, 0
+        while len(out) < precision:
+            if even:
+                mid = (lon_rng[0] + lon_rng[1]) / 2
+                if lon >= mid:
+                    ch, lon_rng[0] = (ch << 1) | 1, mid
+                else:
+                    ch, lon_rng[1] = ch << 1, mid
+            else:
+                mid = (lat_rng[0] + lat_rng[1]) / 2
+                if lat >= mid:
+                    ch, lat_rng[0] = (ch << 1) | 1, mid
+                else:
+                    ch, lat_rng[1] = ch << 1, mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += b32[ch]
+                bits, ch = 0, 0
+        return out
+
+    rng = random.Random(42)
+    pts = [(40.689247, -74.044502)] + [
+        (rng.uniform(-89.9, 89.9), rng.uniform(-179.9, 179.9))
+        for _ in range(200)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = [r["gh"] for r in
+           df.select(geohash_column(F.col("lat"), F.col("lon"), 6)
+                     .alias("gh")).collect()]
+    assert got[0] == "dr5r7p"
+    want = [ref_geohash(la, lo, 6) for la, lo in pts]
+    assert got == want
