@@ -101,3 +101,35 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
     return out.select(
         "digit", "n_obs", exp_nanos.alias("exp_nanos"),
         F.round(chi2, 9).alias("chi2_term")).orderBy("digit")
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: every record
+    must share its quasi-identifier combination with >= k-1 others or
+    it is re-identifiable — the release gate a privacy review runs
+    before a dataset leaves the trust boundary.
+
+    One aggregation to the equivalence-class table (quasi tuple ->
+    size), then a 1-row summary: class counts, the minimum class size
+    (the dataset's actual k), how many RECORDS sit in sub-k classes
+    (the suppression set a k-anonymizer would drop or generalize),
+    and the suppression rate in exact ppm (integer division — no
+    float ratios to disagree on). Scale: the only shuffle is the
+    quasi-key groupBy; the summary aggregates the class table, which
+    is bounded by the quasi-key cardinality, not the row count.
+    """
+    classes = (df.groupBy(*quasi_cols)
+               .agg(F.count(F.lit(1)).alias("__n")))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__n").alias("min_class_size"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .alias("n_suppressed_rows"),
+        F.sum("__n").alias("n_rows")).select(
+        "n_classes", "min_class_size",
+        F.col("n_suppressed_rows").cast("long")
+        .alias("n_suppressed_rows"),
+        F.expr("n_suppressed_rows * 1000000L div n_rows")
+        .alias("suppression_ppm"),
+        (F.col("min_class_size") >= k).alias("is_k_anonymous"))

@@ -1122,3 +1122,37 @@ def geo_geohash_cells(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.countDistinct("c_nationkey").cast("long")
                  .alias("n_nations")))
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS n
+        FROM customer GROUP BY 1, 2, 3),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(min(n) AS BIGINT) AS min_class_size,
+                 CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS n_suppressed_rows,
+                 CAST(sum(n) AS BIGINT) AS n_rows
+          FROM classes)
+    SELECT n_classes, min_class_size, n_suppressed_rows,
+           n_suppressed_rows * 1000000 // n_rows AS suppression_ppm,
+           min_class_size >= 5 AS is_k_anonymous
+    FROM s
+    """,
+    note="k-anonymity release gate (k=5) over the quasi-identifier "
+         "tuple (nation, segment, $1000 balance band): one groupBy to "
+         "the equivalence-class table, then a 1-row summary — actual "
+         "k, records in sub-k classes (the suppression set), exact "
+         "integer-ppm rate. The class table is bounded by quasi-key "
+         "cardinality, not rows "
+         "(operators/dq.py::k_anonymity_audit)")
+def dq_k_anonymity(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dq import k_anonymity_audit
+    cust = tbl(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("bigint"))
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
