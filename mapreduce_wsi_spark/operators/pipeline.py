@@ -593,3 +593,65 @@ def rendezvous_assign(df: DataFrame, key_col: str, shards: list[str],
             F.lit(s).alias("s"))
         for s in shards]
     return df.withColumn(out_col, F.array_max(F.array(*structs))["s"])
+
+
+def neyman_stratified_sample(df: DataFrame, stratum_col: str,
+                             value_col: str, id_col: str,
+                             n_total: int) -> DataFrame:
+    """Neyman-allocation stratified sampling: stratum h gets
+    n_h = n_total * N_h*S_h / sum(N*S) draws — variance-proportional
+    allocation, the survey-sampling optimum for estimating the overall
+    mean (high-variance strata get more budget than proportional
+    allocation would give). The eval-set designer's upgrade over plain
+    stratified sampling.
+
+    Determinism discipline: S_h comes from exact DECIMAL moments, is
+    rounded to 6 decimals, and scales to the exact BIGINT weight
+    w_h = N_h * round(S_h * 1e6) — so the allocation is pure integer
+    arithmetic (n_total * w_h div sum(w)), immune to float summation
+    order across strata (a raw double sum(N*S) could flip a floor at
+    the last ulp). Selection within each stratum is the md5-rank
+    window (portable, seedless, auditable outside the engine), capped
+    at N_h. One groupBy for moments (broadcast back), one window for
+    selection.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(F.col(stratum_col).alias("__h"),
+                     F.col(id_col).alias("__id"),
+                     cents.alias("__v"))
+    d = "decimal(38,0)"
+    mo = base.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast(d)).alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast(d)).alias("__ss"))
+    n, s, ss = (F.col("__n").cast("double"),
+                F.col("__s").cast("double"), F.col("__ss").cast("double"))
+    sd = F.sqrt((ss - s * s / n) / (n - 1))
+    wt = mo.select(
+        "__h", "__n",
+        (F.col("__n") * F.round(sd * 1e6).cast("bigint")).alias("__w"))
+    tot = wt.agg(F.sum("__w").alias("__wsum"))
+    alloc = (wt.crossJoin(F.broadcast(tot))
+             .select("__h", "__n",
+                     F.least(
+                         F.expr(f"CAST({n_total} AS BIGINT) * __w "
+                                f"div __wsum"),
+                         F.col("__n").cast("bigint")).alias("__alloc")))
+    w = Window.partitionBy("__h").orderBy(
+        F.md5(F.col("__id").cast("string")), F.col("__id"))
+    ranked = (base.join(F.broadcast(alloc), "__h")
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= F.col("__alloc")))
+    return (ranked.groupBy("__h")
+            .agg(F.first("__n").alias("stratum_rows"),
+                 F.first("__alloc").alias("n_alloc"),
+                 F.count(F.lit(1)).alias("n_sampled"),
+                 F.round(F.sum("__v").cast("double")
+                         / (100.0 * F.count(F.lit(1))), 9)
+                 .alias("sample_mean"))
+            .select(F.col("__h").alias(stratum_col),
+                    F.col("stratum_rows").cast("long")
+                    .alias("stratum_rows"),
+                    F.col("n_alloc").cast("long").alias("n_alloc"),
+                    F.col("n_sampled").cast("long").alias("n_sampled"),
+                    "sample_mean"))

@@ -420,3 +420,38 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str,
                      | (F.col(max_col) > F.col("__lt")))
                     & (F.col(max_col) == F.col("__gm")))
             .drop("__lt", "__gm"))
+
+
+def join_size_preflight(left: DataFrame, right: DataFrame,
+                        left_key: str, right_key: str) -> DataFrame:
+    """EXACT output-size forecast for an equi-join, computed without
+    running it: |A join B| = sum_k cA(k) * cB(k) over the per-key
+    count tables — the planner pre-flight that catches a key-explosion
+    join (the classic many-to-many accident) BEFORE it materializes
+    100 TB of output. Also reports the worst single key (the row the
+    skew/salting decision reads) and both distinct-key counts.
+
+    Cost: two partial-aggregated groupBys + one join on the (much
+    smaller) key tables + a 1-row summary — orders of magnitude
+    cheaper than the join it predicts. The max-key row rides the same
+    aggregation (argmax via struct max), no extra pass.
+    """
+    ca = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__ca"))
+    cb = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cb"))
+    prod = (ca.join(cb, "__k")
+            .select("__k", (F.col("__ca") * F.col("__cb")).alias("__p")))
+    tot_a = ca.agg(F.count(F.lit(1)).alias("n_keys_left"))
+    tot_b = cb.agg(F.count(F.lit(1)).alias("n_keys_right"))
+    est = prod.agg(
+        F.count(F.lit(1)).alias("n_keys_matched"),
+        F.sum("__p").alias("join_rows"),
+        F.max(F.struct(F.col("__p"), F.col("__k"))).alias("__mx"))
+    return (est.crossJoin(F.broadcast(tot_a))
+            .crossJoin(F.broadcast(tot_b))
+            .select("n_keys_left", "n_keys_right", "n_keys_matched",
+                    F.col("join_rows").cast("long").alias("join_rows"),
+                    F.col("__mx.__k").cast("long").alias("heaviest_key"),
+                    F.col("__mx.__p").cast("long")
+                    .alias("heaviest_key_rows")))

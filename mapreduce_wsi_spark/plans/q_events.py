@@ -1136,3 +1136,53 @@ def events_pattern_regex(spark, sf_dir):
                 F.lit(p).alias("pattern"), "n_sessions")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "ts_seasonality_dow",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(round(sum(CAST(value AS DECIMAL(18,2)))
+                                     * 100) AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+    dw AS (SELECT event_type, isodow(d) - 1 AS dow,
+                  count(*) AS n_days, sum(cents) AS s
+           FROM daily GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(cents) AS st, count(*) AS nt
+            FROM daily GROUP BY 1)
+    SELECT dw.event_type, CAST(dow AS INT) AS dow,
+           CAST(n_days AS BIGINT) AS n_days,
+           round(CAST(s AS DOUBLE) / (100.0 * n_days), 9) AS dow_mean,
+           round(CAST(s AS DOUBLE) * nt
+                 / (CAST(n_days AS DOUBLE) * st), 9) AS seasonal_ratio
+    FROM dw JOIN tot USING (event_type)
+    """,
+    note="day-of-week seasonality profile per event type: daily cents "
+         "pre-aggregate (exact DECIMAL), per-(type, dow) and per-type "
+         "totals as exact BIGINTs, seasonal ratio = dow mean / type "
+         "mean as ONE fixed IEEE expression over the exact counts. "
+         "Monday=0 via Spark weekday() == DuckDB isodow()-1 (the "
+         "dayofweek builtins disagree on week origin across engines)")
+def ts_seasonality_dow(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("d"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                          * 100).cast("bigint").alias("cents")))
+    dw = (daily.groupBy("event_type",
+                        F.weekday("d").cast("int").alias("dow"))
+          .agg(F.count(F.lit(1)).alias("n_days"),
+               F.sum("cents").alias("s")))
+    tot = (daily.groupBy("event_type")
+           .agg(F.sum("cents").alias("st"),
+                F.count(F.lit(1)).alias("nt")))
+    return (dw.join(tot, "event_type")
+            .select("event_type", "dow",
+                    F.col("n_days").cast("long").alias("n_days"),
+                    F.round(F.col("s").cast("double")
+                            / (100.0 * F.col("n_days")), 9)
+                    .alias("dow_mean"),
+                    F.round(F.col("s").cast("double") * F.col("nt")
+                            / (F.col("n_days").cast("double")
+                               * F.col("st")), 9)
+                    .alias("seasonal_ratio")))

@@ -1156,3 +1156,36 @@ def dq_k_anonymity(spark, sf_dir):
         "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("bigint"))
     return k_anonymity_audit(
         cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+@register(
+    "join_size_preflight",
+    oracle="""
+    WITH ca AS (SELECT o_custkey AS k, count(*) AS c
+                FROM orders GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, count(*) AS c
+           FROM customer GROUP BY 1),
+    prod AS (SELECT ca.k, ca.c * cb.c AS p
+             FROM ca JOIN cb USING (k)),
+    mx AS (SELECT k, p FROM prod ORDER BY p DESC, k DESC LIMIT 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_keys_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_keys_right,
+           CAST(count(*) AS BIGINT) AS n_keys_matched,
+           CAST(sum(p) AS BIGINT) AS join_rows,
+           (SELECT CAST(k AS BIGINT) FROM mx) AS heaviest_key,
+           (SELECT CAST(p AS BIGINT) FROM mx) AS heaviest_key_rows
+    FROM prod
+    """,
+    note="exact equi-join size forecast WITHOUT running the join: "
+         "sum of per-key count products over the key tables plus the "
+         "heaviest key (struct-max argmax, same pass) — the planner "
+         "pre-flight that catches many-to-many explosions and feeds "
+         "the salting decision. Struct max ties break toward the "
+         "larger key, mirrored by the oracle's (p DESC, k DESC) "
+         "(operators/relational.py::join_size_preflight)")
+def join_size_preflight_entry(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.relational import (
+        join_size_preflight)
+    return join_size_preflight(tbl(spark, sf_dir, "orders"),
+                               tbl(spark, sf_dir, "customer"),
+                               "o_custkey", "c_custkey")

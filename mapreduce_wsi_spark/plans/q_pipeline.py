@@ -726,3 +726,54 @@ def pipeline_shard_rendezvous(spark, sf_dir):
     return a9.select(
         "doc_id", "shard8", "shard9",
         (F.col("shard8") != F.col("shard9")).alias("moved"))
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH base AS (SELECT c_mktsegment AS h, c_custkey AS id,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+                  FROM customer),
+    mo AS (SELECT h, count(*) AS n,
+                  sum(CAST(v AS DECIMAL(38,0))) AS s,
+                  sum(CAST(v AS DECIMAL(38,0)) * v) AS ss
+           FROM base GROUP BY 1),
+    wt AS (SELECT h, n,
+                  n * CAST(round(sqrt((CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1)) * 1e6)
+                           AS BIGINT) AS w
+           FROM mo),
+    tot AS (SELECT sum(w) AS wsum FROM wt),
+    alloc AS (SELECT h, n,
+                     least(CAST(500 AS BIGINT) * w // wsum,
+                           CAST(n AS BIGINT)) AS a
+              FROM wt, tot),
+    ranked AS (SELECT b.h, b.v, a.n, a.a,
+                      row_number() OVER (
+                          PARTITION BY b.h
+                          ORDER BY md5(CAST(b.id AS VARCHAR)), b.id)
+                          AS rn
+               FROM base b JOIN alloc a USING (h))
+    SELECT h AS c_mktsegment,
+           CAST(max(n) AS BIGINT) AS stratum_rows,
+           CAST(max(a) AS BIGINT) AS n_alloc,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           round(CAST(sum(v) AS DOUBLE) / (100.0 * count(*)), 9)
+               AS sample_mean
+    FROM ranked WHERE rn <= a GROUP BY h
+    """,
+    note="Neyman-allocation stratified sample (n=500 of customers by "
+         "segment, allocated by N_h*S_h): stddevs from exact DECIMAL "
+         "moments round to 6 decimals and scale to exact BIGINT "
+         "weights, so the floor allocation is pure integer arithmetic "
+         "— immune to cross-strata float summation order; selection "
+         "is the portable md5-rank window per stratum "
+         "(operators/pipeline.py::neyman_stratified_sample)")
+def sample_neyman_allocation(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import (
+        neyman_stratified_sample)
+    cust = tbl(spark, sf_dir, "customer")
+    return neyman_stratified_sample(cust, "c_mktsegment", "c_acctbal",
+                                    "c_custkey", n_total=500)
