@@ -783,3 +783,76 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
     return agg.select(F.col("n_a").cast("long").alias("n_a"),
                       F.col("n_b").cast("long").alias("n_b"),
                       F.round(d, 9).alias("d_stat"))
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information I(A;B) in nats between two categorical
+    columns — the feature-selection / leakage-detection companion to
+    chi2_independence (chi2 tests *whether* dependence exists; MI
+    measures *how much*).
+
+    One aggregation to the (a, b) cell table, margins via window sums
+    over that tiny table, then per-cell terms
+    p_ij * ln(p_ij / (p_i p_j)) = (n_ij/n) * ln(n_ij*n / (n_i*n_j)).
+    The ln argument is a ratio of exact BIGINTs; each term is rounded
+    to 15 decimals and summed as exact DECIMAL — the repo's
+    decimal-rounded-ln-terms pattern (text_bigram_logprob), so the
+    cross-cell summation order cannot perturb the total.
+    """
+    cells = (df.groupBy(F.col(col_a).alias("__a"),
+                        F.col(col_b).alias("__b"))
+             .agg(F.count(F.lit(1)).alias("__nij")))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wn = Window.partitionBy()
+    m = (cells
+         .withColumn("__ni", F.sum("__nij").over(wa))
+         .withColumn("__nj", F.sum("__nij").over(wb))
+         .withColumn("__n", F.sum("__nij").over(wn)))
+    term = (F.col("__nij").cast("double") / F.col("__n")
+            * F.log(F.col("__nij").cast("double") * F.col("__n")
+                    / (F.col("__ni").cast("double") * F.col("__nj"))))
+    return (m.select(F.round(term, 15).cast("decimal(38,15)")
+                     .alias("__t"),
+                     F.col("__n").alias("__n"))
+            .groupBy("__n")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("__t").alias("__mi"))
+            .select(F.col("__n").cast("long").alias("n_rows"),
+                    F.col("n_cells").cast("long").alias("n_cells"),
+                    F.round(F.col("__mi").cast("double"), 9)
+                    .alias("mi_nats")))
+
+
+def two_proportion_ztest(df: DataFrame, group_col: str, success,
+                         label_a, label_b) -> DataFrame:
+    """Two-proportion z-test (pooled variance): the A/B-test readout
+    for conversion-style metrics. ``success`` is a boolean Column
+    evaluated per row. Counts are one aggregation; p1, p2, the pooled
+    p and z ride one fixed IEEE expression over the exact BIGINTs, so
+    the statistic is bit-stable across engines and partitionings.
+    """
+    g = (df.filter(F.col(group_col).isin([label_a, label_b]))
+         .select(F.col(group_col).alias("__g"),
+                 F.when(success, 1).otherwise(0).alias("__s")))
+    agg = g.groupBy().agg(
+        F.sum(F.when(F.col("__g") == label_a, 1).otherwise(0))
+        .alias("n_a"),
+        F.sum(F.when(F.col("__g") == label_a, F.col("__s"))
+              .otherwise(0)).alias("s_a"),
+        F.sum(F.when(F.col("__g") == label_b, 1).otherwise(0))
+        .alias("n_b"),
+        F.sum(F.when(F.col("__g") == label_b, F.col("__s"))
+              .otherwise(0)).alias("s_b"))
+    na, sa = F.col("n_a").cast("double"), F.col("s_a").cast("double")
+    nb, sb = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    p1, p2 = sa / na, sb / nb
+    pp = (sa + sb) / (na + nb)
+    z = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        F.round(p1, 9).alias("rate_a"), F.round(p2, 9).alias("rate_b"),
+        F.round(z, 9).alias("z_stat"))

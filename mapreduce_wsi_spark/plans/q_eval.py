@@ -1381,3 +1381,82 @@ def source_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.count("o_orderpriority").alias("n_with_priority"),
         F.sum(cents).alias("total_cents"))
+
+
+@register(
+    "eval_mutual_information",
+    oracle="""
+    WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+                          count(*) AS nij
+                   FROM lineitem GROUP BY 1, 2),
+    m AS (SELECT nij,
+                 sum(nij) OVER (PARTITION BY a) AS ni,
+                 sum(nij) OVER (PARTITION BY b) AS nj,
+                 sum(nij) OVER () AS n
+          FROM cells),
+    t AS (SELECT n,
+                 CAST(round(CAST(nij AS DOUBLE) / n
+                            * ln(CAST(nij AS DOUBLE) * n
+                                 / (CAST(ni AS DOUBLE) * nj)), 15)
+                      AS DECIMAL(38,15)) AS term
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(term) AS DOUBLE), 9) AS mi_nats
+    FROM t GROUP BY n
+    """,
+    note="mutual information I(returnflag; linestatus) in nats — the "
+         "how-much companion to eval_chi2_independence: one agg to "
+         "the cell table, margin windows over that tiny table only, "
+         "per-cell p*ln terms rounded to 15 decimals and summed as "
+         "exact DECIMAL (the text_bigram_logprob pattern — cross-cell "
+         "float order cannot move the total) "
+         "(operators/evaluation.py::mutual_information)")
+def eval_mutual_information(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        mutual_information)
+    li = tbl(spark, sf_dir, "lineitem")
+    return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
+@register(
+    "eval_ab_proportion_ztest",
+    oracle="""
+    WITH g AS (SELECT c_mktsegment AS grp,
+                      CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END
+                          AS s
+               FROM customer
+               WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    a AS (SELECT CAST(sum(CASE WHEN grp = 'BUILDING' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN grp = 'BUILDING' THEN s ELSE 0 END)
+                      AS BIGINT) AS s_a,
+                 CAST(sum(CASE WHEN grp = 'MACHINERY' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN grp = 'MACHINERY' THEN s ELSE 0 END)
+                      AS BIGINT) AS s_b
+          FROM g)
+    SELECT n_a, s_a, n_b, s_b,
+           round(CAST(s_a AS DOUBLE) / n_a, 9) AS rate_a,
+           round(CAST(s_b AS DOUBLE) / n_b, 9) AS rate_b,
+           round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(s_a AS DOUBLE) + s_b)
+                        / (CAST(n_a AS DOUBLE) + n_b)
+                        * (1 - (CAST(s_a AS DOUBLE) + s_b)
+                               / (CAST(n_a AS DOUBLE) + n_b))
+                        * (1 / CAST(n_a AS DOUBLE)
+                           + 1 / CAST(n_b AS DOUBLE))), 9) AS z_stat
+    FROM a
+    """,
+    note="two-proportion z-test (pooled variance), the A/B conversion "
+         "readout: positive-balance rate BUILDING vs MACHINERY "
+         "customers; one aggregation to four exact BIGINTs, p1/p2/"
+         "pooled-p/z in one fixed IEEE expression mirrored op-by-op "
+         "(operators/evaluation.py::two_proportion_ztest)")
+def eval_ab_proportion_ztest(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        two_proportion_ztest)
+    cust = tbl(spark, sf_dir, "customer")
+    return two_proportion_ztest(cust, "c_mktsegment",
+                                F.col("c_acctbal") > 5000,
+                                "BUILDING", "MACHINERY")

@@ -1189,3 +1189,80 @@ def join_size_preflight_entry(spark, sf_dir):
     return join_size_preflight(tbl(spark, sf_dir, "orders"),
                                tbl(spark, sf_dir, "customer"),
                                "o_custkey", "c_custkey")
+
+
+@register(
+    "dedup_time_window",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                   ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM w GROUP BY 1
+    """,
+    note="batch twin of rolling dedup: keep the FIRST event per "
+         "(user, type) inside each 1h tumbling window — the "
+         "at-most-once-per-hour throttle a notification/feature "
+         "pipeline applies. One composite-key window ((user, type, "
+         "hour-bucket) partitioning spreads hot users across hours), "
+         "total (ts, event_id) order; the streaming sibling is "
+         "dropDuplicates-within-watermark "
+         "(streaming tests: stream_dedup_within_watermark)")
+def dedup_time_window(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("long") / 3600).cast("bigint")
+    w = (Window.partitionBy("user_id", "event_type", hour)
+         .orderBy("ts", "event_id"))
+    r = ev.withColumn("__rn", F.row_number().over(w))
+    return (r.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_kept")))
+
+
+@register(
+    "seq_gap_audit",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(min(k) AS BIGINT) AS min_key,
+                 CAST(max(k) AS BIGINT) AS max_key
+          FROM k),
+    gaps AS (SELECT a.k FROM k a LEFT JOIN k b2 ON b2.k = a.k + 1
+             WHERE b2.k IS NULL AND a.k < (SELECT max_key FROM b))
+    SELECT n_keys, min_key, max_key,
+           (SELECT CAST(count(*) AS BIGINT) FROM gaps) AS n_gaps,
+           max_key - min_key + 1 - n_keys AS n_missing
+    FROM b
+    """,
+    note="sequence-gap audit over a surrogate-key column: gap starts "
+         "via the shifted self anti-join (k+1 absent — an equi-join, "
+         "parallel on the key, never a global sort), missing total "
+         "from range arithmetic — the ingestion-completeness check "
+         "run after every backfill. At sf0.01 orders keys are dense "
+         "(0 gaps), so the zero must be PROVEN by the same plan that "
+         "finds real gaps (planted-gap pytest)")
+def seq_gap_audit(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")).distinct()
+    b = o.agg(F.count(F.lit(1)).alias("n_keys"),
+              F.min("k").cast("long").alias("min_key"),
+              F.max("k").cast("long").alias("max_key"))
+    gap_starts = (o.join(o.select(F.col("k").alias("__k2")),
+                         F.col("k") + 1 == F.col("__k2"), "left_anti"))
+    n_gaps = (gap_starts.crossJoin(F.broadcast(b.select("max_key")))
+              .filter(F.col("k") < F.col("max_key"))
+              .agg(F.count(F.lit(1)).alias("n_gaps")))
+    return (b.crossJoin(F.broadcast(n_gaps))
+            .select("n_keys", "min_key", "max_key",
+                    F.col("n_gaps").cast("long").alias("n_gaps"),
+                    (F.col("max_key") - F.col("min_key") + 1
+                     - F.col("n_keys")).alias("n_missing")))

@@ -372,3 +372,22 @@ def test_ewma_matches_python_reference(spark):
         for uid, vals in series.items():
             for i, nd in enumerate(ref(vals), start=1):
                 assert got[(uid, i)] == nd, (parts, uid, i)
+
+
+def test_seq_gap_audit_finds_planted_gaps(spark, tmp_path):
+    """seq_gap_audit on a keyspace with two planted holes: keys
+    0..9 minus {3,4,7} -> 2 gap runs, 3 missing. Guards against the
+    vacuous-zero trap (fixture orderkeys are dense, so the catalog
+    parity alone cannot distinguish 'no gaps' from 'gap finder
+    broken')."""
+    import os
+    from pyspark.sql import functions as F
+    from mapreduce_wsi_spark.plans.registry import CATALOG, load_catalog
+    load_catalog()
+    keys = [k for k in range(10) if k not in (3, 4, 7)]
+    d = os.path.join(str(tmp_path), "orders.parquet")
+    spark.createDataFrame([(k,) for k in keys], "o_orderkey long") \
+        .write.parquet(d)
+    out = CATALOG["seq_gap_audit"].fn(spark, str(tmp_path)).collect()[0]
+    assert (out["n_keys"], out["min_key"], out["max_key"]) == (7, 0, 9)
+    assert out["n_gaps"] == 2 and out["n_missing"] == 3
