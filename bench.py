@@ -148,6 +148,13 @@ HEADLINE = [
     # (SNM -> FS gate -> components -> survivors)
     "dedup_weighted_minhash",
     "pipeline_prepare_er",
+    # round-7 session 2: the iterative k-core peel (degree agg + two
+    # semi-joins per round, timed end-to-end incl. the per-round
+    # counts), the bucketed-prefix-sum KS statistic over lineitem
+    # prices, and the word-bitmap exact-distinct rollup over events
+    "graph_kcore",
+    "eval_ks_test",
+    "distinct_bitmap_rollup",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -159,7 +166,7 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "dedup_semdedup", "graph_pagerank", "text_bpe_learn",
                    "embedding_pca_power", "sim_mmr_diversify",
                    "graph_hits", "sim_ann_pq_build",
-                   "pipeline_prepare_er"}
+                   "pipeline_prepare_er", "graph_kcore"}
 
 
 def _bench_overrides():

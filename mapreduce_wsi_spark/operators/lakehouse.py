@@ -226,3 +226,22 @@ def join_view_delta(a_old: DataFrame, delta_a: DataFrame,
     d2 = a_old.join(F.broadcast(delta_b), on=on)
     cols = sorted(set(d1.columns) & set(d2.columns))
     return d1.select(*cols).unionByName(d2.select(*cols))
+
+
+def incremental_new_files(spark, base_path: str,
+                          processed_files: list[str]) -> DataFrame:
+    """File-level incremental processing: read a growing parquet
+    directory but keep only rows from files NOT in the processed
+    manifest — the manifest-driven ingest pattern (Auto Loader /
+    Iceberg snapshot-diff style) that lets a 100 TB daily pipeline
+    touch only the new files instead of rescanning the table.
+
+    The filter is on ``input_file_name()`` — file-path metadata, so
+    with parquet it prunes at the scan (whole files skip, no row-level
+    work for already-processed files) and the incremental cost is
+    O(new data). The manifest is a driver-side list (file PATHS, not
+    data — bounded by file count; a production variant keeps it in a
+    table and broadcast-joins it).
+    """
+    df = spark.read.parquet(base_path)
+    return df.filter(~F.input_file_name().isin(processed_files))

@@ -234,3 +234,49 @@ def incremental_join_view(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .cast("double").alias("sum_qty"))
+
+
+@register(
+    "lakehouse_incremental_files",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_new_rows,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS new_cents
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    note="manifest-driven incremental ingest: batch 1 (even orders) "
+         "lands and is recorded in the processed-file manifest; batch "
+         "2 (odd orders) appends to the same directory; the "
+         "incremental read filters input_file_name() against the "
+         "manifest, so only the NEW files' rows flow — the oracle "
+         "over the odd half proves no old row leaks through and no "
+         "new row is lost. File-path filtering prunes whole files at "
+         "the scan; cost is O(new data) "
+         "(operators/lakehouse.py::incremental_new_files)")
+def lakehouse_incremental_files(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mapreduce_wsi_spark.operators.lakehouse import (
+        incremental_new_files)
+
+    orders = tbl(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"incr_files_{tag}")
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+        base, mode="overwrite")
+    manifest = spark.read.parquet(base).select(
+        F.input_file_name().alias("f")).distinct()
+    processed = [r["f"] for r in manifest.collect()]
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.parquet(
+        base, mode="append")
+    new = incremental_new_files(spark, base, processed)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return new.agg(
+        F.count(F.lit(1)).alias("n_new_rows"),
+        F.countDistinct("o_orderstatus").cast("long")
+        .alias("n_statuses"),
+        F.sum(cents).alias("new_cents"))
