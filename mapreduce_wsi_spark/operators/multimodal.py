@@ -3728,3 +3728,68 @@ def goertzel_energy(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(stats, GOERTZEL_SCHEMA)
+
+
+# Fixed-point DCT-II basis for N=4, scale 2^14: CQ[u][x] =
+# round(cos(pi*(2x+1)*u/8) * 16384). Plan-literal integers shared with
+# the DuckDB twin (phash_cq_sql_list), so the transform is EXACT
+# integer arithmetic on both engines — no libm cos in any data path.
+PHASH_CQ: tuple[tuple[int, ...], ...] = (
+    (16384, 16384, 16384, 16384),
+    (15137, 6270, -6270, -15137),
+    (11585, -11585, -11585, 11585),
+    (6270, -15137, 15137, -6270),
+)
+
+PHASH_SCHEMA = "doc_id long, ok boolean, phash long"
+
+
+def phash_cq_sql_list() -> str:
+    """The CQ table as a flat 16-element SQL list literal (row-major
+    cq[u*4 + x + 1]) for the oracle twin."""
+    flat = [str(v) for row in PHASH_CQ for v in row]
+    return "[" + ", ".join(flat) + "]"
+
+
+def _phash_value(px: "np.ndarray") -> int:
+    """DCT perceptual hash over a 4x4 decoded image: fixed-point luma
+    (the dhash weights), exact integer 2D DCT-II via the scaled CQ
+    basis (T = CQ @ L @ CQ^T — every coefficient an exact int64), then
+    one bit per AC coefficient (row-major over (v, u), DC skipped):
+    1 iff coef > median of the 15 ACs (the 8th smallest — exact
+    integer order statistic). MSB-first, 15 bits. Unlike dHash
+    (adjacent-pixel gradients), pHash keys on the low-frequency
+    spectrum, so it survives brightness scaling and high-frequency
+    noise — the second standard perceptual fingerprint."""
+    cq = np.array(PHASH_CQ, dtype=np.int64)
+    luma = (px.astype(np.int64) @ _LUMA_WEIGHTS) >> 8
+    t = cq @ luma @ cq.T
+    acs = t.reshape(-1)[1:]
+    med = np.sort(acs)[7]
+    bits = (acs > med).astype(np.int64)
+    weights = np.int64(1) << np.arange(14, -1, -1, dtype=np.int64)
+    return int((bits * weights).sum())
+
+
+def image_phash(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched DCT perceptual hash over REAL-decoded 4x4 image
+    payloads (magic dispatch, same decoder as image_dhash). Non-4x4 or
+    undecodable payloads yield ok=false, phash 0 (poison-safe) — the
+    production shape resizes to the hash grid first (compose with
+    resize_images)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "ok", "phash")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                img = _decode_image(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if img is None or img[0] != 4 or img[1] != 4:
+                    rows["ok"].append(False)
+                    rows["phash"].append(0)
+                    continue
+                rows["ok"].append(True)
+                rows["phash"].append(_phash_value(img[2]))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(hashes, PHASH_SCHEMA)

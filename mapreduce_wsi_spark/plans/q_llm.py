@@ -4034,3 +4034,51 @@ def dedup_weighted_minhash(spark, sf_dir):
     return weighted_minhash_pairs(
         tbl(spark, sf_dir, "documents"), "text", "doc_id",
         k=64, bands=16, min_jw=0.5)
+
+
+def _phash_oracle() -> str:
+    from mapreduce_wsi_spark.operators.multimodal import (
+        phash_cq_sql_list)
+    cq = phash_cq_sql_list()
+    return f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    l AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     j -> (77 * unicode(px[3*j + 1])
+                           + 151 * unicode(px[3*j + 2])
+                           + 28 * unicode(px[3*j + 3])) // 256) AS luma
+          FROM p),
+    t AS (SELECT doc_id,
+                 list_transform(generate_series(1, 15), i ->
+                     list_sum(list_transform(generate_series(0, 15),
+                         j -> CAST(luma[j + 1] AS BIGINT)
+                              * ({cq})[(i // 4) * 4 + (j // 4) + 1]
+                              * ({cq})[(i % 4) * 4 + (j % 4) + 1])))
+                     AS acs
+          FROM l),
+    m AS (SELECT doc_id, acs, list_sort(acs)[8] AS med FROM t)
+    SELECT doc_id, true AS ok,
+           CAST(list_sum(list_transform(generate_series(1, 15),
+                i -> CASE WHEN acs[i] > med THEN 1 << (15 - i)
+                     ELSE 0 END)) AS BIGINT) AS phash
+    FROM m
+    """
+
+
+@register(
+    "mm_image_phash",
+    oracle=_phash_oracle(),
+    note="DCT perceptual hash over REAL-decoded 4x4 PPMs "
+         "(operators/multimodal.py::image_phash): fixed-point luma, "
+         "EXACT integer 2D DCT-II via the plan-literal CQ basis "
+         "(round(cos * 2^14) — no libm cos in any data path), one bit "
+         "per AC coefficient vs the exact median order statistic, "
+         "15 bits MSB-first. Keys on the low-frequency spectrum where "
+         "dHash keys on gradients — the second standard perceptual "
+         "fingerprint; the DuckDB twin replays every coefficient from "
+         "the same ASCII bytes and the same CQ literals")
+def mm_image_phash(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import image_phash
+    return image_phash(_ppm_blobs(spark, sf_dir)).select(
+        "doc_id", "ok", "phash")

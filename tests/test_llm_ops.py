@@ -3032,3 +3032,33 @@ def test_weighted_minhash_sees_repetition_set_jaccard_misses(spark):
         "over bigrams the burst doc is almost all 'spam spam' "
         "(capped at 32) vs flat's single 'spam ham', J_w ~ 0.03, "
         "and the banding rightly never surfaces it")
+
+
+def test_phash_constant_brightness_and_poison(spark):
+    """pHash invariants: a constant image has all-zero ACs -> phash 0;
+    doubling brightness (no clipping) preserves every comparison
+    against the (doubled) median -> identical hash; non-4x4 and
+    garbage payloads poison to ok=false."""
+    from mapreduce_wsi_spark.operators.multimodal import image_phash
+
+    def ppm(pixel_bytes, w=4, h=4):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes(pixel_bytes)
+
+    # bright top-left block: mixed-sign spectrum -> nonzero hash (a
+    # monotone ramp's first-order ACs are all negative, hashing to 0)
+    grad = [100 if (x < 2 and y < 2) else 10
+            for y in range(4) for x in range(4) for _ in range(3)]
+    rows = [
+        (1, bytearray(ppm([20] * 48))),          # constant
+        (2, bytearray(ppm(grad))),               # gradient
+        (3, bytearray(ppm([2 * v for v in grad]))),  # 2x brightness
+        (4, bytearray(ppm([20] * 192, w=8, h=8))),   # wrong size
+        (5, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: (r["ok"], r["phash"])
+           for r in image_phash(df).collect()}
+    assert got[1] == (True, 0)
+    assert got[2][0] and got[2][1] != 0
+    assert got[3] == got[2]
+    assert got[4] == (False, 0) and got[5] == (False, 0)
