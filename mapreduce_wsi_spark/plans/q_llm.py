@@ -4082,3 +4082,62 @@ def mm_image_phash(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import image_phash
     return image_phash(_ppm_blobs(spark, sf_dir)).select(
         "doc_id", "ok", "phash")
+
+
+@register(
+    "sim_truncation_overlap",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    full_rn AS (
+        SELECT query_id, vec_id, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))) DESC,
+                         vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id != query_id),
+    trunc_rn AS (
+        SELECT query_id, vec_id, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv[1:16], cv[1:16])
+                         / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                            * sqrt(list_dot_product(cv[1:16],
+                                                    cv[1:16]))) DESC,
+                         vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id != query_id),
+    f AS (SELECT query_id, vec_id FROM full_rn WHERE rn <= 10),
+    t AS (SELECT query_id, vec_id FROM trunc_rn WHERE rn <= 10)
+    SELECT f.query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap
+    FROM f LEFT JOIN t USING (query_id, vec_id)
+    GROUP BY f.query_id
+    """,
+    note="Matryoshka-style truncation audit: per query, the overlap "
+         "between the exact cosine top-10 under FULL 64-dim embeddings "
+         "and under the FIRST 16 dims (renormalized) — the measurement "
+         "that decides whether truncated vectors are good enough to "
+         "serve (and how much recall re-ranking must recover). Both "
+         "rankings are one broadcast-queries corpus scan; only "
+         "(queries x k) rows move. Slice-then-cast == cast-then-slice, "
+         "and double accumulation is bit-identical to "
+         "list_dot_product, so ranks match the twin exactly")
+def sim_truncation_overlap(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import cosine_topk
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    full = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    emb16 = emb.select("vec_id",
+                       F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = q.select("vec_id",
+                   F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = cosine_topk(emb16, q16, k=10).select(
+        "query_id", F.col("vec_id").alias("__tv"))
+    return (full.join(trunc,
+                      (full["query_id"] == trunc["query_id"])
+                      & (full["vec_id"] == trunc["__tv"]), "left")
+            .groupBy(full["query_id"].alias("query_id"))
+            .agg(F.count("__tv").alias("n_overlap")))
