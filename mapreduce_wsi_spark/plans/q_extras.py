@@ -1266,3 +1266,43 @@ def seq_gap_audit(spark, sf_dir):
                     F.col("n_gaps").cast("long").alias("n_gaps"),
                     (F.col("max_key") - F.col("min_key") + 1
                      - F.col("n_keys")).alias("n_missing")))
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      epoch(ts)::BIGINT AS sec
+               FROM events)
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w - 1 AS BIGINT) AS n_prev_1h,
+           CAST(sum(cents) OVER w - cents AS BIGINT)
+               AS prev_1h_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    note="time-interval RANGE frame (the rate-limiter / velocity "
+         "feature): per event, how many prior same-user events and "
+         "cents landed in the trailing hour — frame membership by "
+         "TIME distance on the epoch second, not row offset, so "
+         "bursts and quiet periods produce different frame widths. "
+         "Same-timestamp peers share a frame (RANGE semantics); the "
+         "current row is subtracted out in-plan, keeping the output "
+         "deterministic without an exclusion clause (Spark lacks "
+         "EXCLUDE CURRENT ROW). One user_id exchange")
+def window_time_range_frame(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id",
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents"),
+                  F.col("ts").cast("long").alias("sec"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "user_id", "event_id",
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_prev_1h"),
+        (F.sum("cents").over(w) - F.col("cents")).cast("long")
+        .alias("prev_1h_cents"))

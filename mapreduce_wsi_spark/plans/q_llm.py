@@ -4141,3 +4141,59 @@ def sim_truncation_overlap(spark, sf_dir):
                       & (full["vec_id"] == trunc["__tv"]), "left")
             .groupBy(full["query_id"].alias("query_id"))
             .agg(F.count("__tv").alias("n_overlap")))
+
+
+@register(
+    "pipeline_quality_funnel",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','and','of','to','a','in','is')))
+                    AS INT) AS n_stop,
+               length(text)
+                 - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit
+        FROM documents),
+    staged AS (
+        SELECT CASE
+                 WHEN n_words < 10 THEN 'reject_too_short'
+                 WHEN 10 * n_digit > n_chars THEN 'reject_digit_heavy'
+                 WHEN 5 * n_stop < n_words THEN 'reject_low_stopword'
+                 ELSE 'pass'
+               END AS stage, n_chars
+        FROM t)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM staged GROUP BY 1
+    """,
+    note="quality-funnel report: every doc attributed to its FIRST "
+         "failing gate in a fixed order (too short -> digit-heavy "
+         "(ratio > 0.1) -> low-stopword (ratio < 0.2) -> pass), with "
+         "doc and char counts per stage — the per-reason rejection "
+         "accounting a corpus-curation run publishes so gate "
+         "regressions are attributable. All gates are "
+         "multiplied-through integer comparisons (10*n_digit > "
+         "n_chars — no float ratios), one scan, one tiny groupBy; "
+         "signals shared with text_quality "
+         "(operators/text.py::quality_scores)")
+def pipeline_quality_funnel(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import (
+        LANG_STOPWORDS, stopword_hits, words)
+    docs = tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = F.size(words(t)).cast("int")
+    n_chars = F.length(t).cast("int")
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    n_digit = (F.length(t)
+               - F.length(F.regexp_replace(t, r"[0-9]", "")))
+    stage = (F.when(n_words < 10, "reject_too_short")
+             .when(10 * n_digit > n_chars, "reject_digit_heavy")
+             .when(5 * n_stop < n_words, "reject_low_stopword")
+             .otherwise("pass"))
+    return (docs.select(stage.alias("stage"), n_chars.alias("n_chars"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))
