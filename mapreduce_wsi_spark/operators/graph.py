@@ -360,3 +360,58 @@ def link_prediction_topk(edges: DataFrame, top_k: int = 20) -> DataFrame:
                           .alias("union_size"),
                           jac.alias("jaccard"))
             .orderBy(F.col("common").desc(), "u", "v").limit(top_k))
+
+
+def personalized_pagerank_fixed(edges: DataFrame, seed_pred,
+                                n_iter: int = 3,
+                                src_col: str = "src",
+                                dst_col: str = "dst") -> DataFrame:
+    """Personalized PageRank (fixed-point integers, damping 0.85):
+    teleport mass returns to a SEED SET instead of the uniform vector,
+    so ranks measure proximity to the seeds — the
+    related-to-these-items recommender / seed-expansion primitive
+    (topic-sensitive PageRank, Haveliwala 2002).
+
+    ``seed_pred`` is a callable Column builder: seed_pred(id_col) ->
+    boolean Column, evaluated in-plan (no driver-side seed list; a
+    literal id list works too via isin). Seeds each start with
+    SCALE div n_seeds mass; non-seeds start at 0. Update per node:
+
+        pr'(v) = (15 * s0(v)) div 100 + (85 * sum_in(pr(u) div deg(u))) div 100
+
+    Same exactness argument as pagerank_fixed: every step is BIGINT
+    floor division, bit-identical across engines and partitionings.
+    Same plan shape: one equi-join + one partial-agg sum per round,
+    eager checkpoint per round, n_seeds rides a 1-row broadcast.
+    """
+    e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
+                                     F.col(dst_col).alias("dst")))
+    deg = iter_checkpoint(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("id"), "deg"))
+    seeded = deg.withColumn("__is_seed",
+                            seed_pred(F.col("id")).cast("int"))
+    ns = seeded.agg(F.sum("__is_seed").alias("__ns"))
+    base = (seeded.crossJoin(F.broadcast(ns))
+            .select("id", "deg",
+                    F.expr(f"CASE WHEN __is_seed = 1 THEN "
+                           f"cast({PAGERANK_SCALE} as bigint) div __ns "
+                           f"ELSE cast(0 as bigint) END").alias("__s0")))
+    cur = iter_checkpoint(base.withColumn("pr", F.col("__s0")))
+    for _ in range(n_iter):
+        contrib = cur.select(F.col("id").alias("src"),
+                             F.expr("pr div deg").alias("__c"))
+        incoming = (e.join(contrib, "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum("__c").alias("__in")))
+        cur = iter_checkpoint(
+            cur.select("id", "deg", "__s0")
+            .join(incoming, "id", "left")
+            .select("id", "deg", "__s0",
+                    F.expr("(15 * __s0) div 100 "
+                           "+ (85 * coalesce(__in, 0)) div 100")
+                    .alias("pr")))
+    return cur.select(
+        "id", "pr",
+        (F.col("pr").cast("double") / F.lit(float(PAGERANK_SCALE)))
+        .alias("pr_norm"))

@@ -427,3 +427,60 @@ def graph_link_prediction(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     return link_prediction_topk(part_edges(li).select("lo", "hi"),
                                 top_k=20)
+
+
+def _ppr_oracle(n_iter: int = 3) -> str:
+    """Unrolled personalized-PageRank twin: pagerank's recurrence with
+    the teleport vector restricted to the seed set (id % 97 == 0) —
+    every step BIGINT floor division (see _pagerank_oracle)."""
+    s = 1_000_000_000_000
+    parts = [f"""
+    e0 AS ({_EDGES_CTE}),
+    e AS (SELECT lo AS src, hi AS dst FROM e0
+          UNION ALL SELECT hi AS src, lo AS dst FROM e0),
+    deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+    ns AS (SELECT count(*) AS n_seeds FROM deg WHERE id % 97 = 0),
+    p0 AS (SELECT id, deg,
+                  CASE WHEN id % 97 = 0
+                       THEN CAST({s} AS BIGINT) // n_seeds
+                       ELSE CAST(0 AS BIGINT) END AS s0,
+                  CASE WHEN id % 97 = 0
+                       THEN CAST({s} AS BIGINT) // n_seeds
+                       ELSE CAST(0 AS BIGINT) END AS pr
+           FROM deg, ns)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    s{i} AS (SELECT e.dst AS id, CAST(sum(p.pr // p.deg) AS BIGINT) AS m
+             FROM e JOIN p{i - 1} p ON p.id = e.src GROUP BY 1),
+    p{i} AS (SELECT p.id, p.deg, p.s0,
+                    CAST((15 * p.s0) // 100
+                         + (85 * coalesce(s.m, 0)) // 100 AS BIGINT)
+                        AS pr
+             FROM p{i - 1} p LEFT JOIN s{i} s ON s.id = p.id)""")
+    return ("WITH" + ",".join(parts) + f"""
+    SELECT id, pr, CAST(pr AS DOUBLE) / {s} AS pr_norm FROM p{n_iter}
+    """)
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(3),
+    note="personalized PageRank (topic-sensitive, Haveliwala 2002) "
+         "from the in-plan seed set id % 97 == 0: teleport mass "
+         "returns to seeds only, so fixed-point ranks measure "
+         "proximity to the seeds — the related-items/seed-expansion "
+         "primitive. Same BIGINT floor-division exactness and "
+         "join+agg-per-round shape as graph_pagerank; non-seeds far "
+         "from any seed correctly decay to 0 "
+         "(operators/graph.py::personalized_pagerank_fixed)")
+def graph_personalized_pagerank(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.graph import (
+        personalized_pagerank_fixed)
+    li = tbl(spark, sf_dir, "lineitem")
+    e = part_edges(li).select("lo", "hi")
+    both = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+            .unionByName(
+                e.select(F.col("hi").alias("src"),
+                         F.col("lo").alias("dst"))))
+    return personalized_pagerank_fixed(
+        both, lambda c: c % 97 == 0, n_iter=3)

@@ -222,3 +222,24 @@ def test_link_prediction_square_and_path(spark):
     assert (1, 2) not in rows and (4, 5) not in rows
     # N(3) = {2,4}, N(5) = {4}: common 1, union 2
     assert rows[(3, 5)] == (1, 2, 0.5)
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    """Two disconnected triangles; seed set = {1}. All rank mass must
+    stay in triangle {1,2,3}: the other component's nodes get exactly
+    0 (integer arithmetic — no epsilon), the seed outranks its
+    neighbors, and neighbors of the seed split the rest equally."""
+    from pyspark.sql import functions as F
+    from mapreduce_wsi_spark.operators.graph import (
+        personalized_pagerank_fixed)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "lo int, hi int")
+    both = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+            .unionByName(e.select(F.col("hi").alias("src"),
+                                  F.col("lo").alias("dst"))))
+    got = {r["id"]: r["pr"]
+           for r in personalized_pagerank_fixed(
+               both, lambda c: c == 1, n_iter=3).collect()}
+    assert got[10] == 0 and got[11] == 0 and got[12] == 0
+    assert got[1] > got[2] == got[3] > 0
