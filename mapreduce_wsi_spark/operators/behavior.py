@@ -382,3 +382,63 @@ def autocorr_lags(series: DataFrame, key_col: str, ord_col: str,
                        F.round(r, 9).alias("acf"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def holt_forecast(events: DataFrame, key_col: str, ts_col: str,
+                  order_col: str, value_col: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    key, in EXACT fixed-point integer arithmetic — the 1-step-ahead
+    forecaster a metrics pipeline runs per segment/tenant. alpha=0.2,
+    beta=0.3 as integer ratios with floor division:
+
+        l_i = (2*y_i + 8*(l + b)) // 10
+        b_i = (3*(l_i - l) + 7*b) // 10        (i = 2..n)
+
+    init l = y_1, b = y_2 - y_1; keys with < 2 points are dropped
+    (no trend is defined). Returns (key, n, level_cents, trend_cents,
+    forecast_cents = l_n + b_n).
+
+    The recurrence is inherently sequential per key, so it runs as an
+    Arrow applyInPandas fold (keys parallelize; the per-key walk is a
+    C-speed loop over ints) — the same shape as stateful_user_stats,
+    and the same recurrence the streaming sibling would fold
+    incrementally. Truncating integer division (SQL // semantics —
+    toward zero, see tdiv below) keeps every state integer, so the
+    DuckDB WITH RECURSIVE twin replays the walk bit-for-bit — float
+    smoothing would diverge in the last ulp and never hash-match.
+    """
+    import pandas as pd
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = events.select(F.col(key_col).alias("__k"),
+                         F.col(ts_col).alias("__ts"),
+                         F.col(order_col).alias("__o"),
+                         cents.alias("__y"))
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["__ts", "__o"])
+        ys = [int(v) for v in pdf["__y"]]
+        if len(ys) < 2:
+            return pd.DataFrame({"__k": [], "n": [], "level_cents": [],
+                                 "trend_cents": [], "forecast_cents": []})
+        # truncating division (toward zero), NOT Python floor: the
+        # state can go negative and DuckDB's integer // truncates
+        # (-7 // 2 = -3 there, -4 in Python) — the twin's semantics
+        # are the spec
+        def tdiv(a: int) -> int:
+            return a // 10 if a >= 0 else -((-a) // 10)
+
+        level, trend = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            new_level = tdiv(2 * y + 8 * (level + trend))
+            trend = tdiv(3 * (new_level - level) + 7 * trend)
+            level = new_level
+        return pd.DataFrame({
+            "__k": [pdf["__k"].iloc[0]], "n": [len(ys)],
+            "level_cents": [level], "trend_cents": [trend],
+            "forecast_cents": [level + trend]})
+
+    out = base.groupBy("__k").applyInPandas(
+        fold, "__k long, n long, level_cents long, trend_cents long, "
+              "forecast_cents long")
+    return out.withColumnRenamed("__k", key_col)

@@ -1186,3 +1186,47 @@ def ts_seasonality_dow(spark, sf_dir):
                             / (F.col("n_days").cast("double")
                                * F.col("st")), 9)
                     .alias("seasonal_ratio")))
+
+
+@register(
+    "ts_holt_forecast",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+    init AS (
+        SELECT a1.user_id, a1.n, 1 AS i,
+               a1.y AS l, a2.y - a1.y AS b
+        FROM s a1 JOIN s a2 ON a2.user_id = a1.user_id AND a2.rn = 2
+        WHERE a1.rn = 1 AND a1.n >= 2),
+    rec AS (
+        SELECT user_id, n, i, l, b FROM init
+        UNION ALL
+        SELECT user_id, n, i, lnew AS l,
+               (3 * (lnew - l) + 7 * b) // 10 AS b
+        FROM (SELECT r.user_id, r.n, r.i + 1 AS i, r.l, r.b,
+                     (2 * sy.y + 8 * (r.l + r.b)) // 10 AS lnew
+              FROM rec r
+              JOIN s sy ON sy.user_id = r.user_id AND sy.rn = r.i + 1
+              WHERE r.i < r.n) t)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + b AS BIGINT) AS forecast_cents
+    FROM rec WHERE i = n
+    """,
+    note="Holt double exponential smoothing per user (alpha=0.2, "
+         "beta=0.3 as integer ratios, floor division — every state "
+         "integer, so the walk is bit-exact cross-engine where float "
+         "smoothing never hash-matches): 1-step-ahead forecast = "
+         "level + trend. Sequential per key, parallel across keys as "
+         "an Arrow applyInPandas fold (the stateful_user_stats "
+         "shape); the twin replays the recurrence with WITH RECURSIVE "
+         "(operators/behavior.py::holt_forecast)")
+def ts_holt_forecast(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.behavior import holt_forecast
+    ev = tbl(spark, sf_dir, "events")
+    return holt_forecast(ev, "user_id", "ts", "event_id", "value")
