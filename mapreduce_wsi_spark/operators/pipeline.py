@@ -655,3 +655,57 @@ def neyman_stratified_sample(df: DataFrame, stratum_col: str,
                     F.col("n_alloc").cast("long").alias("n_alloc"),
                     F.col("n_sampled").cast("long").alias("n_sampled"),
                     "sample_mean"))
+
+
+def negative_sample_unigram(docs: DataFrame, text_col: str,
+                            n_draws: int = 1000) -> DataFrame:
+    """Deterministic draws from the smoothed unigram distribution
+    p(w) ∝ count(w)^0.75 — the word2vec negative-sampling / smoothed
+    mixing distribution. Replaces the usual alias-table RNG with the
+    repo's portable-hash discipline: draw i maps to the md5-uniform
+    point u_i = md5(i) mod W and selects the token whose cumulative
+    weight range [lo, hi) contains u_i — inverse-CDF sampling as a
+    range join, reproducible in any engine.
+
+    Exactness: count^0.75 = sqrt(c * sqrt(c)) uses only IEEE
+    correctly-rounded ops (sqrt/multiply — no libm pow), rounded to a
+    1e6-scaled BIGINT weight, so the cumulative ranges are exact
+    integers. The cumulative window runs over the VOCABULARY (ordered
+    count DESC, token — deterministic), never raw tokens; the draw
+    table is n_draws rows, broadcast against it (at larger vocabularies
+    the range join buckets by weight-range prefix, same two-phase
+    shape as the gini ranks). Returns (token, weight, n_drawn > 0).
+    """
+    from mapreduce_wsi_spark.operators.text import words
+
+    tok = docs.select(F.explode(words(F.col(text_col))).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("double")
+    wt = cnt.select(
+        "w", "c",
+        F.round(F.sqrt(c * F.sqrt(c)) * 1e6).cast("bigint").alias("__wt"))
+    win = Window.orderBy(F.col("c").desc(), "w")
+    ranges = (wt
+              .withColumn("__hi", F.sum("__wt").over(
+                  win.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+              .withColumn("__lo", F.col("__hi") - F.col("__wt")))
+    total = ranges.agg(F.max("__hi").alias("__tot"))
+    # 64-bit uniform point from two 32-bit md5 chunks, composed in
+    # DECIMAL so h1 * 2^32 cannot overflow BIGINT (the join_bloom_prune
+    # two-chunk convention)
+    h = F.md5(F.col("__i").cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    u64 = (h1.cast("decimal(38,0)") * F.lit(4294967296).cast("long")
+           + h2)
+    draws = (docs.sparkSession.range(1, n_draws + 1)
+             .select(F.col("id").alias("__i"))
+             .crossJoin(F.broadcast(total))
+             .select((u64 % F.col("__tot")).cast("bigint").alias("__u")))
+    hit = ranges.join(F.broadcast(draws),
+                      (F.col("__u") >= F.col("__lo"))
+                      & (F.col("__u") < F.col("__hi")))
+    return (hit.groupBy("w", F.col("__wt").alias("weight"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
+            .select(F.col("w").alias("token"), "weight", "n_drawn"))

@@ -777,3 +777,47 @@ def sample_neyman_allocation(spark, sf_dir):
     cust = tbl(spark, sf_dir, "customer")
     return neyman_stratified_sample(cust, "c_mktsegment", "c_acctbal",
                                     "c_custkey", n_total=500)
+
+
+@register(
+    "sample_negative_unigram",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    wt AS (SELECT w, c,
+                  CAST(round(sqrt(CAST(c AS DOUBLE)
+                                  * sqrt(CAST(c AS DOUBLE))) * 1e6)
+                       AS BIGINT) AS wgt
+           FROM cnt),
+    rng AS (SELECT w, c, wgt,
+                   sum(wgt) OVER (ORDER BY c DESC, w
+                                  ROWS UNBOUNDED PRECEDING) AS hi
+            FROM wt),
+    rng2 AS (SELECT w, wgt, hi - wgt AS lo, hi FROM rng),
+    tot AS (SELECT max(hi) AS t FROM rng2),
+    draws AS (SELECT CAST((CAST(CAST(('0x' || substr(
+                       md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                       AS HUGEINT) * 4294967296
+                     + CAST(('0x' || substr(md5(CAST(i AS VARCHAR)),
+                                            9, 8)) AS BIGINT))
+                     % (SELECT t FROM tot) AS BIGINT) AS u
+              FROM generate_series(1, 1000) g(i))
+    SELECT r.w AS token, CAST(r.wgt AS BIGINT) AS weight,
+           CAST(count(*) AS BIGINT) AS n_drawn
+    FROM rng2 r JOIN draws d ON d.u >= r.lo AND d.u < r.hi
+    GROUP BY 1, 2
+    """,
+    note="word2vec-style negative sampling from the smoothed unigram "
+         "distribution p(w) ∝ count^0.75: the exponent computes as "
+         "sqrt(c*sqrt(c)) — correctly-rounded IEEE ops only, no libm "
+         "pow — scaled to exact BIGINT cumulative ranges, and each of "
+         "1000 deterministic md5 points inverts the CDF via a range "
+         "join (draws broadcast). Reproducible sampling as a row "
+         "property, the repo's no-rand() discipline "
+         "(operators/pipeline.py::negative_sample_unigram)")
+def sample_negative_unigram(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import (
+        negative_sample_unigram)
+    docs = tbl(spark, sf_dir, "documents")
+    return negative_sample_unigram(docs, "text", n_draws=1000)
