@@ -1230,3 +1230,33 @@ def ts_holt_forecast(spark, sf_dir):
     from mapreduce_wsi_spark.operators.behavior import holt_forecast
     ev = tbl(spark, sf_dir, "events")
     return holt_forecast(ev, "user_id", "ts", "event_id", "value")
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH m AS (SELECT event_type, max(ts) AS max_ts FROM events
+               GROUP BY 1),
+    g AS (SELECT max(max_ts) AS global_max FROM m)
+    SELECT event_type, max_ts,
+           CAST(date_diff('second', max_ts, global_max) AS BIGINT)
+               AS lag_seconds,
+           date_diff('second', max_ts, global_max) > 3600 AS is_stale
+    FROM m, g
+    """,
+    note="per-source freshness audit: each event type's high-water "
+         "timestamp vs the global high-water mark, lag in whole "
+         "seconds (date_diff boundary-count == Spark cast-to-long "
+         "difference on microsecond timestamps), stale flag at 1h — "
+         "the ingestion-monitoring check a pipeline pages on. Two "
+         "tiny aggregations, the global row broadcast")
+def dq_freshness_lag(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+    g = m.agg(F.max("max_ts").alias("global_max"))
+    lag = (F.col("global_max").cast("long")
+           - F.col("max_ts").cast("long"))
+    return (m.crossJoin(F.broadcast(g))
+            .select("event_type", "max_ts",
+                    lag.alias("lag_seconds"),
+                    (lag > 3600).alias("is_stale")))

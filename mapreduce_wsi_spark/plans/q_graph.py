@@ -484,3 +484,52 @@ def graph_personalized_pagerank(spark, sf_dir):
                          F.col("lo").alias("dst"))))
     return personalized_pagerank_fixed(
         both, lambda c: c % 97 == 0, n_iter=3)
+
+
+@register(
+    "copurchase_lift_rules",
+    oracle=f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    np AS (SELECT l_partkey AS p, count(*) AS n_p FROM pp GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pp),
+    e AS (SELECT a.l_partkey AS lo, b.l_partkey AS hi, count(*) AS n_ab
+          FROM pp a JOIN pp b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT lo, hi, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(na.n_p AS BIGINT) AS n_a,
+           CAST(nb.n_p AS BIGINT) AS n_b,
+           round(CAST(n_ab AS DOUBLE) * n_orders
+                 / (CAST(na.n_p AS DOUBLE) * nb.n_p), 9) AS lift,
+           round(CAST(n_ab AS DOUBLE) / na.n_p, 9) AS confidence
+    FROM e JOIN np na ON na.p = e.lo JOIN np nb ON nb.p = e.hi, tot
+    ORDER BY lift DESC, lo, hi LIMIT 20
+    """,
+    note="association rules over co-purchase pairs: lift = "
+         "P(ab)/(P(a)P(b)) and confidence a->b from exact distinct-"
+         "order counts, one IEEE expression each; top-20 by (lift "
+         "DESC, lo, hi) lowers to TakeOrderedAndProject. Support "
+         "pruning (n_ab >= 2) bounds the rule space before the "
+         "degree joins — the market-basket readout on the same "
+         "edge builder as the graph family")
+def copurchase_lift_rules(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    np_ = pp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p"))
+    tot = pp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    e = part_edges(li, min_support=2).select(
+        "lo", "hi", F.col("n").alias("n_ab"))
+    na = np_.select(F.col("p").alias("lo"), F.col("n_p").alias("n_a"))
+    nb = np_.select(F.col("p").alias("hi"), F.col("n_p").alias("n_b"))
+    lift = F.round(F.col("n_ab").cast("double") * F.col("n_orders")
+                   / (F.col("n_a").cast("double") * F.col("n_b")), 9)
+    conf = F.round(F.col("n_ab").cast("double") / F.col("n_a"), 9)
+    return (e.join(na, "lo").join(nb, "hi")
+            .crossJoin(F.broadcast(tot))
+            .select("lo", "hi", F.col("n_ab").cast("long").alias("n_ab"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    lift.alias("lift"), conf.alias("confidence"))
+            .orderBy(F.col("lift").desc(), "lo", "hi").limit(20))

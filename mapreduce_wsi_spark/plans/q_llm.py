@@ -4197,3 +4197,54 @@ def pipeline_quality_funnel(spark, sf_dir):
             .groupBy("stage")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+@register(
+    "eval_langid_confusion",
+    oracle="""
+    WITH pred AS (
+        SELECT d.lang AS true_lang,
+               CASE WHEN score_zh > greatest(score_en, score_de,
+                                             score_es, score_fr)
+                        THEN 'zh'
+                    WHEN score_fr > greatest(score_en, score_de,
+                                             score_es) THEN 'fr'
+                    WHEN score_es > greatest(score_en, score_de)
+                        THEN 'es'
+                    WHEN score_de > score_en THEN 'de'
+                    ELSE 'en' END AS pred_lang
+        FROM (
+            SELECT doc_id, lang,
+                CAST(len(list_filter(string_split(text,' '),
+                    w -> w IN ('the','and','of','to','a','in','is')))
+                    AS INT) AS score_en,
+                CAST(len(list_filter(string_split(text,' '),
+                    w -> w IN ('der','die','das','und','ist','nicht')))
+                    AS INT) AS score_de,
+                CAST(len(list_filter(string_split(text,' '),
+                    w -> w IN ('el','la','de','los','y','que')))
+                    AS INT) AS score_es,
+                CAST(len(list_filter(string_split(text,' '),
+                    w -> w IN ('le','les','des','et','une','dans')))
+                    AS INT) AS score_fr,
+                CAST(len(list_filter(string_split(text,' '),
+                    w -> w IN ('de','shi','bu','le','wo')))
+                    AS INT) AS score_zh
+            FROM documents) t
+        JOIN documents d USING (doc_id))
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    note="language-ID confusion matrix: the text_langid heuristic's "
+         "predictions crossed with the fixture's ground-truth lang "
+         "column — the accuracy audit that turns a heuristic into a "
+         "measured classifier (per-cell counts feed precision/recall "
+         "per language). One scan + one tiny groupBy")
+def eval_langid_confusion(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    pred = lang_id(docs, "text", "doc_id").select(
+        "doc_id", "pred_lang")
+    return (docs.select("doc_id", F.col("lang").alias("true_lang"))
+            .join(pred, "doc_id")
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
