@@ -856,3 +856,67 @@ def two_proportion_ztest(df: DataFrame, group_col: str, success,
         F.col("s_b").cast("long").alias("s_b"),
         F.round(p1, 9).alias("rate_a"), F.round(p2, 9).alias("rate_b"),
         F.round(z, 9).alias("z_stat"))
+
+
+def pareto_concentration(df: DataFrame, key_col: str, value_col: str,
+                         share_pct: int = 80,
+                         n_buckets: int = 16) -> DataFrame:
+    """Pareto / 80-20 concentration over a keyed value frame: the
+    smallest number of keys whose descending-value prefix covers
+    ``share_pct`` percent of the total — plus the share held by the
+    top decile of keys. The concentration readout next to
+    gini_coefficient's single index.
+
+    Same two-phase scaffolding as the gini ranks, in DESCENDING value
+    order: range-bucket by approximate quantiles (correct for any
+    split — balance only affects parallelism), per-bucket windows for
+    the running sum and rank, bucket offsets (rows + value sums)
+    broadcast back. The threshold test is multiplied through to exact
+    integers (100 * cum >= share_pct * total), so the cut row is
+    bit-deterministic; only the reported top-decile share divides.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(F.col(key_col).alias("__k"), cents.alias("__v"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.stat.approxQuantile("__v", probs, 0.001)
+    bucket = F.lit(0)
+    for b in bounds:
+        # descending order: bucket 0 holds the LARGEST values
+        bucket = bucket + F.when(F.col("__v") <= int(b), 1).otherwise(0)
+    bk = base.withColumn("__b", bucket.cast("int"))
+
+    sums = {r["__b"]: (r["n"], int(r["s"])) for r in
+            bk.groupBy("__b").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("__v").alias("s")).collect()}
+    offsets, acc_n, acc_s = [], 0, 0
+    for s in range(n_buckets):
+        offsets.append((s, acc_n, acc_s))
+        n, sv = sums.get(s, (0, 0))
+        acc_n += int(n)
+        acc_s += sv
+    off = df.sparkSession.createDataFrame(
+        offsets, "__b int, __offn long, __offs long")
+    total_n, total_s = acc_n, acc_s
+
+    w = (Window.partitionBy("__b")
+         .orderBy(F.col("__v").desc(), "__k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (bk.join(F.broadcast(off), "__b")
+              .select((F.col("__offn") + F.count(F.lit(1)).over(w))
+                      .alias("__r"),
+                      (F.col("__offs") + F.sum("__v").over(w))
+                      .alias("__cum")))
+    k80 = (ranked
+           .filter(100 * F.col("__cum") >= share_pct * F.lit(total_s))
+           .agg(F.min("__r").alias("k_for_share")))
+    decile_n = max(1, total_n // 10)
+    top_dec = (ranked.filter(F.col("__r") <= decile_n)
+               .agg(F.max("__cum").alias("__dec_s")))
+    return (k80.crossJoin(F.broadcast(top_dec))
+            .select(F.lit(total_n).cast("long").alias("n_keys"),
+                    F.lit(total_s).cast("long").alias("total_cents"),
+                    F.col("k_for_share").cast("long")
+                    .alias("k_for_share"),
+                    F.round(F.col("__dec_s").cast("double")
+                            / F.lit(float(total_s)), 9)
+                    .alias("top_decile_share")))

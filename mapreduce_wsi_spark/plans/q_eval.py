@@ -1460,3 +1460,46 @@ def eval_ab_proportion_ztest(spark, sf_dir):
     return two_proportion_ztest(cust, "c_mktsegment",
                                 F.col("c_acctbal") > 5000,
                                 "BUILDING", "MACHINERY")
+
+
+@register(
+    "agg_pareto_8020",
+    oracle="""
+    WITH rev AS (SELECT o_custkey AS k,
+                        CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+                            AS v
+                 FROM orders GROUP BY 1),
+    rk AS (SELECT v,
+                  row_number() OVER (ORDER BY v DESC, k) AS r,
+                  sum(v) OVER (ORDER BY v DESC, k
+                               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM rev),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(v) AS BIGINT) AS total_cents
+          FROM rev),
+    dec AS (SELECT max(cum) AS dec_s FROM rk, t
+            WHERE r <= greatest(1, n_keys // 10))
+    SELECT t.n_keys, t.total_cents,
+           (SELECT CAST(min(r) AS BIGINT) FROM rk, t
+            WHERE 100 * cum >= 80 * total_cents) AS k_for_share,
+           round(CAST(dec.dec_s AS DOUBLE) / t.total_cents, 9)
+               AS top_decile_share
+    FROM t, dec
+    """,
+    note="Pareto 80/20 concentration of per-customer revenue: fewest "
+         "customers covering 80% of revenue + the top decile's share. "
+         "Descending two-phase range-bucket prefix sums (per-bucket "
+         "windows + a 16-row offsets broadcast — never a one-task "
+         "global window); the 80% cut is the multiplied-through "
+         "integer test 100*cum >= 80*total, so the cut row is "
+         "bit-deterministic. Oracle ranks with the plain global "
+         "window single-node "
+         "(operators/evaluation.py::pareto_concentration)")
+def agg_pareto_8020(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        pareto_concentration)
+    rev = (tbl(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum("o_totalprice").alias("revenue")))
+    return pareto_concentration(rev, "o_custkey", "revenue",
+                                share_pct=80)

@@ -1260,3 +1260,74 @@ def dq_freshness_lag(spark, sf_dir):
             .select("event_type", "max_ts",
                     lag.alias("lag_seconds"),
                     (lag > 3600).alias("is_stale")))
+
+
+@register(
+    "session_duration_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts)
+                            >= 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ), d AS (
+        SELECT user_id, sess_id,
+               date_diff('second', min(ts), max(ts)) AS dur,
+               count(*) AS n_events
+        FROM sess GROUP BY 1, 2
+    ), cd AS (
+        SELECT dur, n_events,
+               cume_dist() OVER (ORDER BY dur) AS cd
+        FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(CAST(sum(dur) AS DOUBLE) / count(*), 9)
+               AS mean_duration_s,
+           CAST(min(CASE WHEN cd >= 0.5 THEN dur END) AS BIGINT)
+               AS p50_duration_s,
+           CAST(min(CASE WHEN cd >= 0.9 THEN dur END) AS BIGINT)
+               AS p90_duration_s
+    FROM cd
+    """,
+    note="session-duration distribution: 30-min-gap sessionization "
+         "(the session_path_trigrams pairing), per-session duration "
+         "in whole seconds (min/max boundary-count == cast-to-long "
+         "difference), then exact PERCENTILE_DISC p50/p90 over the "
+         "SESSION table (orders of magnitude smaller than events) "
+         "and a mean from exact integer sums — the engagement "
+         "readout product analytics publishes")
+def session_duration_stats(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    sess = (ev
+            .withColumn("new_sess",
+                        F.when(F.lag("ts").over(w).isNull()
+                               | (gap >= 1800), 1).otherwise(0))
+            .withColumn("sess_id", F.sum("new_sess").over(run)))
+    d = (sess.groupBy("user_id", "sess_id")
+         .agg((F.max(F.col("ts").cast("long"))
+               - F.min(F.col("ts").cast("long"))).alias("dur"),
+              F.count(F.lit(1)).alias("n_events")))
+    cd = d.select("dur", "n_events",
+                  F.cume_dist().over(Window.orderBy("dur")).alias("cd"))
+    return cd.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("dur").cast("double") / F.count(F.lit(1)), 9)
+        .alias("mean_duration_s"),
+        F.min(F.when(F.col("cd") >= 0.5, F.col("dur"))).cast("long")
+        .alias("p50_duration_s"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("dur"))).cast("long")
+        .alias("p90_duration_s"))
