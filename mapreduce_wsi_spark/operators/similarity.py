@@ -929,3 +929,90 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3,
             .filter(F.col("rn") <= k)
             .select(anchor_id_col, id_col, F.col(label_col), "cos",
                     "rn"))
+
+
+def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 8, dim: int = 64,
+                 n_rounds: int = 3) -> DataFrame:
+    """Distributed Lloyd k-means with BIT-EXACT iterates — the
+    clustering step itself (vs build_ivf_index, which delegates to
+    MLlib's seeded-but-engine-private KMeans): deterministic init
+    (the k smallest ids), every distance term and every centroid-mean
+    numerator cast to DECIMAL before its order-free sum, centroid
+    components re-rounded to 9dp between rounds — the
+    pca_power_component discipline, so an unrolled-CTE DuckDB twin
+    walks the identical centroid trajectory.
+
+    Per round: one corpus scan x k broadcast centroids (argmin by
+    (dist, cell) — ties deterministic), one (cell, dim)-keyed
+    partial-agg mean, reassembled to a k-row centroid table
+    (localCheckpoint: tiny, but cutting lineage stops the
+    round-over-round plan doubling). Empty cells keep their previous
+    centroid. Returns per cell: n_assigned, inertia (exact decimal
+    sum of final distances), centroid_l1 (exact sum of |component|).
+
+    100 TB: the corpus never shuffles — assignment is map-side
+    against broadcast centroids; the only exchange is the
+    (cell, dim)-keyed mean (k*dim groups). Rounds are a constant.
+    """
+    v9 = F.transform(_as_double(F.col(vec_col)),
+                     lambda x: F.round(x, 9))
+    vecs = iter_checkpoint(
+        emb.select(F.col(id_col).alias("__id"),
+                   _as_double(F.col(vec_col)).alias("__cv")))
+    cent = iter_checkpoint(
+        emb.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("long").alias("cell"),
+                v9.alias("__c")))
+
+    d_t = "decimal(28,18)"
+
+    def dist(cv, c):
+        # re-cast each merge: Spark widens DECIMAL on add, which
+        # breaks aggregate()'s fixed accumulator type; scale 18 with
+        # precision 28 has headroom for any 64-term sum here
+        return F.aggregate(
+            F.zip_with(cv, c,
+                       lambda a, b: ((a - b) * (a - b)).cast(d_t)),
+            F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))
+
+    asg = None
+    for _ in range(n_rounds):
+        scored = (vecs.crossJoin(F.broadcast(cent))
+                  .withColumn("__d", dist(F.col("__cv"), F.col("__c"))))
+        w = Window.partitionBy("__id").orderBy("__d", "cell")
+        asg = (scored.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1)
+               .select("__id", "__cv", "cell", "__d"))
+        upd = (asg.select("cell", F.posexplode("__cv")
+                          .alias("__i", "__x"))
+               .groupBy("cell", "__i")
+               .agg(F.sum(F.col("__x").cast("decimal(38,20)"))
+                    .alias("__s"),
+                    F.count(F.lit(1)).alias("__n"))
+               .select("cell", "__i",
+                       F.round(F.col("__s").cast("double")
+                               / F.col("__n"), 9).alias("__x")))
+        new_c = (upd.groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("__i", "__x"))),
+                     lambda s: s["__x"]).alias("__c")))
+        cent = iter_checkpoint(
+            cent.select("cell", F.col("__c").alias("__prev"))
+            .join(new_c, "cell", "left")
+            .select("cell",
+                    F.coalesce("__c", "__prev").alias("__c")))
+    l1 = F.aggregate(
+        F.transform(F.col("__c"), lambda x: F.abs(x).cast(d_t)),
+        F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))
+    stats = (asg.groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n_assigned"),
+                  F.round(F.sum("__d").cast("double"), 9)
+                  .alias("inertia")))
+    return (cent.join(stats, "cell", "left")
+            .select(F.col("cell").cast("long").alias("cell"),
+                    F.coalesce("n_assigned", F.lit(0)).cast("long")
+                    .alias("n_assigned"),
+                    F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+                    F.round(l1.cast("double"), 9).alias("centroid_l1")))

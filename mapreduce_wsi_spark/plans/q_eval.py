@@ -1503,3 +1503,79 @@ def agg_pareto_8020(spark, sf_dir):
            .agg(F.sum("o_totalprice").alias("revenue")))
     return pareto_concentration(rev, "o_custkey", "revenue",
                                 share_pct=80)
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
+    """Unrolled Lloyd twin: every distance term and mean numerator is
+    cast to DECIMAL before its (order-free, exact) sum, centroid
+    components re-round to 9dp per round — the same discipline as the
+    PCA power-iteration twin, so both engines walk identical centroid
+    trajectories. AS MATERIALIZED keeps the unroll linear (each round
+    references the previous CTE several times — the graph_kcore
+    lesson)."""
+    dist = (f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+            f"CAST((v.cv[i] - c.c[i]) * (v.cv[i] - c.c[i]) "
+            f"AS DECIMAL(28,18))))")
+    parts = [f"""
+    vecs AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings),
+    c0 AS MATERIALIZED (
+        SELECT CAST(vec_id AS BIGINT) AS cell,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> round(x, 9)) AS c
+        FROM embeddings WHERE vec_id < {k})"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    a{r} AS (SELECT v.vec_id, v.cv, c.cell, {dist} AS d
+             FROM vecs v, c{r - 1} c),
+    s{r} AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cell) AS rn
+             FROM a{r}),
+    g{r} AS MATERIALIZED (
+        SELECT vec_id, cv, cell, d FROM s{r} WHERE rn = 1),
+    u{r} AS (SELECT cell, g.i AS i,
+                    round(CAST(sum(CAST(cv[g.i] AS DECIMAL(38,20)))
+                               AS DOUBLE) / count(*), 9) AS x
+             FROM g{r}, generate_series(1, {dim}) g(i) GROUP BY 1, 2),
+    n{r} AS (SELECT cell, list(x ORDER BY i) AS c FROM u{r}
+             GROUP BY 1),
+    c{r} AS MATERIALIZED (
+        SELECT p.cell, coalesce(n.c, p.c) AS c
+        FROM c{r - 1} p LEFT JOIN n{r} n USING (cell))""")
+    return ("WITH" + ",".join(parts) + f"""
+    , stats AS (SELECT cell, count(*) AS n_assigned,
+                       round(CAST(sum(d) AS DOUBLE), 9) AS inertia
+                FROM g{rounds} GROUP BY 1),
+    l1 AS (SELECT cell,
+                  round(CAST(list_sum(list_transform(c,
+                        x -> CAST(abs(x) AS DECIMAL(28,18))))
+                        AS DOUBLE), 9) AS centroid_l1
+           FROM c{rounds})
+    SELECT c.cell,
+           CAST(coalesce(s.n_assigned, 0) AS BIGINT) AS n_assigned,
+           coalesce(s.inertia, 0.0) AS inertia, l1.centroid_l1
+    FROM c{rounds} c LEFT JOIN stats s USING (cell)
+    JOIN l1 USING (cell)
+    """)
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    oracle=_kmeans_oracle(8, 64, 3),
+    note="distributed Lloyd k-means (k=8, 3 rounds) with BIT-EXACT "
+         "iterates: deterministic smallest-id init, DECIMAL-cast "
+         "distance terms and mean numerators (order-free sums), "
+         "9dp-re-rounded centroids per round — the PCA-twin "
+         "discipline, replayed by the unrolled MATERIALIZED-CTE "
+         "DuckDB twin. Corpus never shuffles: assignment is map-side "
+         "vs broadcast centroids; the only exchange is the "
+         "(cell, dim)-keyed mean. The engine-private alternative "
+         "(MLlib KMeans) backs build_ivf_index; this is the "
+         "reproducible-across-engines form "
+         "(operators/similarity.py::kmeans_lloyd)")
+def cluster_kmeans_lloyd(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import kmeans_lloyd
+    emb = tbl(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=8, dim=64,
+                        n_rounds=3)

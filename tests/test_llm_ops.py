@@ -3062,3 +3062,22 @@ def test_phash_constant_brightness_and_poison(spark):
     assert got[2][0] and got[2][1] != 0
     assert got[3] == got[2]
     assert got[4] == (False, 0) and got[5] == (False, 0)
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    """Two well-separated planted clusters, k=2, seeds one per
+    cluster: each cell captures exactly its 4 members and inertia is
+    tiny relative to the separation; an empty-cell run (k seeds all
+    in one cluster is impossible here) is covered by the coalesce
+    path in the operator."""
+    from mapreduce_wsi_spark.operators.similarity import kmeans_lloyd
+    rows = []
+    for i, eps in enumerate([0.0, 0.01, -0.01, 0.02]):
+        rows.append((i * 2, [1.0 + eps, 0.0, eps]))       # cluster A
+        rows.append((i * 2 + 1, [0.0, 1.0 + eps, -eps]))  # cluster B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["cell"]: (r["n_assigned"], r["inertia"])
+           for r in kmeans_lloyd(df, k=2, dim=3, n_rounds=3).collect()}
+    assert set(got) == {0, 1}
+    assert got[0][0] == 4 and got[1][0] == 4
+    assert got[0][1] < 0.01 and got[1][1] < 0.01
