@@ -155,6 +155,11 @@ HEADLINE = [
     "graph_kcore",
     "eval_ks_test",
     "distinct_bitmap_rollup",
+    # round-7 session 2b: the bit-exact Lloyd rounds (iterative,
+    # timed end-to-end) and the per-key sequential Holt fold (the
+    # tranche's one honest Python loop — keep it timed)
+    "cluster_kmeans_lloyd",
+    "ts_holt_forecast",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -166,7 +171,8 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "dedup_semdedup", "graph_pagerank", "text_bpe_learn",
                    "embedding_pca_power", "sim_mmr_diversify",
                    "graph_hits", "sim_ann_pq_build",
-                   "pipeline_prepare_er", "graph_kcore"}
+                   "pipeline_prepare_er", "graph_kcore",
+                   "cluster_kmeans_lloyd"}
 
 
 def _bench_overrides():
