@@ -391,3 +391,111 @@ def test_seq_gap_audit_finds_planted_gaps(spark, tmp_path):
     out = CATALOG["seq_gap_audit"].fn(spark, str(tmp_path)).collect()[0]
     assert (out["n_keys"], out["min_key"], out["max_key"]) == (7, 0, 9)
     assert out["n_gaps"] == 2 and out["n_missing"] == 3
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)),
+                min_size=2, max_size=60))
+def test_ks_two_sample_matches_bruteforce(spark, rows):
+    """Bucketed two-phase KS D equals the brute-force ECDF max-gap on
+    random two-group integer data (exact rational comparison)."""
+    from fractions import Fraction
+    from mapreduce_wsi_spark.operators.evaluation import ks_two_sample
+    labeled = [("a" if g % 2 == 0 else "b", float(v)) for g, v in rows]
+    a = sorted(v for g, v in labeled if g == "a")
+    b = sorted(v for g, v in labeled if g == "b")
+    if not a or not b:
+        return
+    df = spark.createDataFrame(labeled, "g string, v double") \
+        .repartition(5)
+    got = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    vs = sorted(set(a) | set(b))
+    want = max(Fraction(sum(1 for x in a if x <= v), len(a))
+               - Fraction(sum(1 for x in b if x <= v), len(b))
+               for v in vs)
+    want = max(want, max(
+        Fraction(sum(1 for x in b if x <= v), len(b))
+        - Fraction(sum(1 for x in a if x <= v), len(a)) for v in vs))
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["d_stat"] == round(float(want), 9)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300)),
+                min_size=1, max_size=80))
+def test_bitmap_distinct_matches_set_semantics(spark, rows):
+    """Word-bitmap distinct equals Python set cardinality per grain
+    and globally, for any id pattern (dense, sparse, duplicated)."""
+    from mapreduce_wsi_spark.operators.sketch import (
+        bitmap_distinct_rollup)
+    df = spark.createDataFrame(
+        [(f"g{g}", i) for g, i in rows], "g string, uid long") \
+        .repartition(7)
+    got = {r["g"]: r["n_distinct"]
+           for r in bitmap_distinct_rollup(df, "g", "uid").collect()}
+    per = {}
+    for g, i in rows:
+        per.setdefault(f"g{g}", set()).add(i)
+    for g, ids in per.items():
+        assert got[g] == len(ids)
+    assert got["__all__"] == len({i for _, i in rows})
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=40),
+       st.integers(2, 4))
+def test_kcore_matches_sequential_peel(spark, pairs, k):
+    """Synchronous distributed peel reaches the same k-core as the
+    classic sequential peel (the k-core is unique, so any peel order
+    converges to it)."""
+    from mapreduce_wsi_spark.operators.graph import kcore_nodes
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    adj = {}
+    for lo, hi in edges:
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    while True:
+        bad = [n for n, nb in adj.items() if len(nb) < k]
+        if not bad:
+            break
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    df = spark.createDataFrame(edges, "lo int, hi int").repartition(3)
+    got = sorted(r["id"] for r in kcore_nodes(df, k=k).collect())
+    assert got == sorted(adj)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(-10**6, 10**6), min_size=2, max_size=30))
+def test_holt_matches_pure_recurrence(spark, cents):
+    """The Arrow Holt fold equals the pure-Python truncating-division
+    recurrence on random series including negative values (where
+    floor vs truncate differ — the cross-engine trap)."""
+    import datetime as dt
+    from mapreduce_wsi_spark.operators.behavior import holt_forecast
+
+    def tdiv(a):
+        return a // 10 if a >= 0 else -((-a) // 10)
+
+    level, trend = cents[0], cents[1] - cents[0]
+    for y in cents[1:]:
+        nl = tdiv(2 * y + 8 * (level + trend))
+        trend = tdiv(3 * (nl - level) + 7 * trend)
+        level = nl
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), i, c / 100.0)
+            for i, c in enumerate(cents)]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, o int, v double").repartition(4)
+    got = holt_forecast(df, "k", "ts", "o", "v").collect()[0]
+    assert (got["level_cents"], got["trend_cents"]) == (level, trend)
+    assert got["forecast_cents"] == level + trend
