@@ -1010,7 +1010,7 @@ def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
              .agg(F.count(F.lit(1)).alias("n_assigned"),
                   F.round(F.sum("__d").cast("double"), 9)
                   .alias("inertia")))
-    return (cent.join(stats, "cell", "left")
+    return (cent.join(F.broadcast(stats), "cell", "left")
             .select(F.col("cell").cast("long").alias("cell"),
                     F.coalesce("n_assigned", F.lit(0)).cast("long")
                     .alias("n_assigned"),

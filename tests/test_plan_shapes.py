@@ -510,3 +510,58 @@ def test_area_resize_has_single_python_stage(spark, sf_oracle):
     if n_ex:  # the one exchange must be the round-robin text fan-out
         assert "RoundRobinPartitioning" in plan
         assert "hashpartitioning" not in plan
+
+
+def test_link_prediction_topk_is_take_ordered(spark, sf_oracle):
+    """graph_link_prediction's top-20 lowers to TakeOrderedAndProject
+    (per-partition heap), never a global Sort+Limit over the wedge
+    output."""
+    plan = plan_of(build("graph_link_prediction", spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bitmap_rollup_is_two_level_bitor(spark, sf_oracle):
+    """distinct_bitmap_rollup: the word bitmaps aggregate map-side
+    (partial bit_or) and no Python stage exists anywhere — the rollup
+    must be pure JVM intrinsics."""
+    plan = plan_of(build("distinct_bitmap_rollup", spark, sf_oracle))
+    assert "bit_or" in plan
+    assert "bit_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_time_range_frame_single_exchange(spark, sf_oracle):
+    """window_time_range_frame: both frame aggregates ride ONE user_id
+    exchange (exchange reuse), and the frame is RANGE, not ROWS."""
+    plan = plan_of(build("window_time_range_frame", spark, sf_oracle))
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "RangeFrame" in plan
+
+
+def test_point_in_time_is_single_key_exchange_no_theta(spark, sf_oracle):
+    """join_point_in_time must run as the union-carry window (shuffles
+    keyed on the business key), never a nested-loop/theta join that
+    explodes fact x versions."""
+    plan = plan_of(build("join_point_in_time", spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geohash_is_map_only_no_python(spark, sf_oracle):
+    """geo_geohash_cells: the 30-term bit-interleave is pure codegen
+    expression work — one scan, one small groupBy, zero Python."""
+    plan = plan_of(build("geo_geohash_cells", spark, sf_oracle))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_oracle):
+    """cluster_kmeans_lloyd: the corpus is never shuffled by content —
+    assignment joins against broadcast centroids only (the k-row side
+    broadcasts; any SortMergeJoin of the corpus would mean a content
+    shuffle)."""
+    plan = plan_of(build("cluster_kmeans_lloyd", spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
