@@ -1331,3 +1331,52 @@ def session_duration_stats(spark, sf_dir):
         .alias("p50_duration_s"),
         F.min(F.when(F.col("cd") >= 0.9, F.col("dur"))).cast("long")
         .alias("p90_duration_s"))
+
+
+@register(
+    "stream_lateness_audit",
+    oracle="""
+    WITH o AS (SELECT event_id, epoch(ts)::BIGINT AS sec FROM events),
+    r AS (SELECT sec,
+                 max(sec) OVER (ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS high
+          FROM o)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN high - sec > 1800 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_over_30min,
+           CAST(max(high - sec) AS BIGINT) AS max_lateness_s,
+           round(CAST(sum(high - sec) AS DOUBLE) / count(*), 9)
+               AS mean_lateness_s
+    FROM r
+    """,
+    note="watermark-sizing audit: per event, lateness = (running max "
+         "event-time in ARRIVAL order, event_id) minus own event time "
+         "— how out-of-order the stream really is, and what a 30-min "
+         "watermark would drop. The running max is the two-phase "
+         "prefix (per-1000-id bucket windows + an exclusive "
+         "bucket-max broadcast — never one global window task; "
+         "max is associative so bucket prefixes compose exactly). "
+         "All integer seconds; the oracle is the single-window twin")
+def stream_lateness_audit(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    o = ev.select("event_id", F.col("ts").cast("long").alias("sec"),
+                  (F.col("event_id") / 1000).cast("bigint").alias("__b"))
+    wb = (Window.partitionBy("__b").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = o.withColumn("__bmax", F.max("sec").over(wb))
+    btab = o.groupBy("__b").agg(F.max("sec").alias("__bm"))
+    woff = (Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = btab.select("__b", F.max("__bm").over(woff).alias("__prior"))
+    late = (within.join(F.broadcast(offs), "__b")
+            .select((F.greatest(F.coalesce("__prior", F.lit(0)),
+                                F.col("__bmax"))
+                     - F.col("sec")).alias("__l")))
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("__l") > 1800, 1).otherwise(0)).cast("long")
+        .alias("n_late_over_30min"),
+        F.max("__l").cast("long").alias("max_lateness_s"),
+        F.round(F.sum("__l").cast("double") / F.count(F.lit(1)), 9)
+        .alias("mean_lateness_s"))

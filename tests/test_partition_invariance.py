@@ -115,6 +115,11 @@ ENTRIES = [
     "events_pattern_regex",
     "join_point_in_time",
     "source_fixed_width",
+    # late session 2: bit-exact Lloyd rounds, truncating Holt fold,
+    # two-phase arrival-order prefix max
+    "cluster_kmeans_lloyd",
+    "ts_holt_forecast",
+    "stream_lateness_audit",
 ]
 
 SMALL_SPLIT_BYTES = 65536
