@@ -280,3 +280,54 @@ def lakehouse_incremental_files(spark, sf_dir):
         F.countDistinct("o_orderstatus").cast("long")
         .alias("n_statuses"),
         F.sum(cents).alias("new_cents"))
+
+
+@register(
+    "lakehouse_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT count(*) AS n1,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                AS BIGINT)) AS BIGINT) AS cents1
+                FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (SELECT count(*) AS n2,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents2
+           FROM orders)
+    SELECT CAST(n1 AS BIGINT) AS v1_rows, cents1 AS v1_cents,
+           CAST(n2 AS BIGINT) AS v2_rows, cents2 AS v2_cents,
+           CAST(n2 - n1 AS BIGINT) AS rows_added
+    FROM v1, v2
+    """,
+    note="snapshot time travel on the ORACLE path: v1 commits the "
+         "even orders, v2 commits all; the query reads BOTH versions "
+         "through read_snapshot and aggregates each — v1's numbers "
+         "must match the even half even though v2 exists (immutable "
+         "versioned directories; writers only create v=k+1, readers "
+         "of v=k are isolated). The pytest suite covers the "
+         "mechanism; this entry puts version isolation itself under "
+         "the driver hash (operators/lakehouse.py::write_snapshot/"
+         "read_snapshot)")
+def lakehouse_time_travel(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduce_wsi_spark.operators.lakehouse import (
+        read_snapshot, write_snapshot)
+
+    orders = tbl(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"time_travel_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), base)
+    write_snapshot(orders, base)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = read_snapshot(spark, base, 1).agg(
+        F.count(F.lit(1)).alias("v1_rows"),
+        F.sum(cents).alias("v1_cents"))
+    v2 = read_snapshot(spark, base, 2).agg(
+        F.count(F.lit(1)).alias("v2_rows"),
+        F.sum(cents).alias("v2_cents"))
+    return (v1.crossJoin(v2)
+            .withColumn("rows_added",
+                        F.col("v2_rows") - F.col("v1_rows")))

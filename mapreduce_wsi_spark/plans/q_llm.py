@@ -4248,3 +4248,80 @@ def eval_langid_confusion(spark, sf_dir):
             .join(pred, "doc_id")
             .groupBy("true_lang", "pred_lang")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 32), 32, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     j -> unicode(px[2*j + 1]) + 256 * unicode(px[2*j + 2]))
+                     AS smp
+          FROM p),
+    f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS fi, smp
+          FROM s),
+    e AS (SELECT doc_id, fi,
+                 list_sum(list_transform(smp[4*fi + 1 : 4*fi + 4],
+                                         v -> v * v)) AS esq
+          FROM f),
+    t AS (SELECT doc_id, fi, esq,
+                 sum(esq) OVER (PARTITION BY doc_id) AS tot
+          FROM e),
+    act AS (SELECT doc_id, fi,
+                   fi - row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY fi) AS isl
+            FROM t WHERE 4 * esq > tot),
+    seg AS (SELECT doc_id, isl, count(*) AS run FROM act
+            GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(coalesce(sum(run), 0) AS BIGINT) AS n_active,
+           CAST(count(run) AS BIGINT) AS n_segments,
+           CAST(coalesce(max(run), 0) AS BIGINT) AS longest_run
+    FROM (SELECT doc_id FROM p) d LEFT JOIN seg USING (doc_id)
+    GROUP BY doc_id
+    """,
+    note="energy-threshold voice-activity detection over REAL-decoded "
+         "PCM16 clips: a frame is active iff its energy exceeds the "
+         "clip's mean frame energy (4*e > total — multiplied-through "
+         "integers), active runs become segments via gaps-and-islands "
+         "(fi - row_number), and docs with no active frame still "
+         "report zeros (left join). Composes audio_frame_stats "
+         "(Arrow decode) with pure-JVM windowing; the twin replays "
+         "both from the ASCII bytes "
+         "(operators/multimodal.py::audio_frame_stats)")
+def mm_audio_vad(spark, sf_dir):
+    from pyspark.sql import Window
+    from mapreduce_wsi_spark.operators.multimodal import (
+        audio_frame_stats)
+
+    docs = _ascii_docs(spark, sf_dir)
+    content = F.concat(
+        F.unhex(F.lit(_WAV_HEADER_HEX)),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),
+                 "UTF-8"))
+    blobs = docs.select(
+        F.col("doc_id"), content.alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.octet_length(content).cast("int").alias("n_bytes"))
+    fr = audio_frame_stats(blobs, frame_len=4).select(
+        "doc_id", "frame_idx", "sum_sq")
+    tot = fr.withColumn(
+        "tot", F.sum("sum_sq").over(Window.partitionBy("doc_id")))
+    act = (tot.filter(4 * F.col("sum_sq") > F.col("tot"))
+           .withColumn("isl",
+                       F.col("frame_idx")
+                       - F.row_number().over(
+                           Window.partitionBy("doc_id")
+                           .orderBy("frame_idx"))))
+    seg = (act.groupBy("doc_id", "isl")
+           .agg(F.count(F.lit(1)).alias("run")))
+    base = docs.select("doc_id")
+    return (base.join(seg, "doc_id", "left")
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.sum("run"), F.lit(0)).cast("long")
+                 .alias("n_active"),
+                 F.count("run").cast("long").alias("n_segments"),
+                 F.coalesce(F.max("run"), F.lit(0)).cast("long")
+                 .alias("longest_run")))
