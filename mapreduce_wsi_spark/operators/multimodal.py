@@ -3793,3 +3793,38 @@ def image_phash(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(hashes, PHASH_SCHEMA)
+
+
+LUMA_HIST_SCHEMA = "doc_id long, bin int, n int"
+
+
+def image_luma_histogram(blobs: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Arrow-batched per-image luma histogram over REAL-decoded
+    payloads (same decoder/dispatch as image_dhash): fixed-point luma
+    (the dhash weights), bins of width 256/n_bins, one (doc_id, bin,
+    count) row per occupied bin — the pixel-statistics base for
+    exposure audits and the entropy feature (plans/q_llm.py::
+    mm_image_entropy computes Shannon entropy from these counts
+    JVM-side). Undecodable payloads emit no rows (poison-safe:
+    downstream left-joins decide the default)."""
+    width = 256 // n_bins
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "bin": [], "n": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                img = _decode_image(bytes(payload) if payload else b"")
+                if img is None:
+                    continue
+                luma = ((img[2].astype(np.int64) @ _LUMA_WEIGHTS)
+                        >> 8)
+                binned = np.clip(luma.reshape(-1) // width, 0,
+                                 n_bins - 1)
+                vals, counts = np.unique(binned, return_counts=True)
+                for b, c in zip(vals, counts):
+                    rows["doc_id"].append(doc_id)
+                    rows["bin"].append(int(b))
+                    rows["n"].append(int(c))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(hist, LUMA_HIST_SCHEMA)

@@ -4325,3 +4325,48 @@ def mm_audio_vad(spark, sf_dir):
                  F.count("run").cast("long").alias("n_segments"),
                  F.coalesce(F.max("run"), F.lit(0)).cast("long")
                  .alias("longest_run")))
+
+
+@register(
+    "mm_image_entropy",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents),
+    l AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(0, 15),
+                     j -> (77 * unicode(px[3*j + 1])
+                           + 151 * unicode(px[3*j + 2])
+                           + 28 * unicode(px[3*j + 3])) // 256))
+                     AS luma
+          FROM p),
+    h AS (SELECT doc_id, least(luma // 16, 15) AS bin, count(*) AS n
+          FROM l GROUP BY 1, 2),
+    t AS (SELECT doc_id, bin, n,
+                 CAST(round(-(CAST(n AS DOUBLE) / 16.0)
+                            * ln(CAST(n AS DOUBLE) / 16.0), 15)
+                      AS DECIMAL(38,15)) AS term
+          FROM h)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bins_occupied,
+           round(CAST(sum(term) AS DOUBLE), 9) AS entropy_nats
+    FROM t GROUP BY doc_id
+    """,
+    note="Shannon entropy of the luma histogram over REAL-decoded 4x4 "
+         "PPMs — the exposure/information audit (flat histogram = "
+         "high entropy, blown-out or constant images = low): Arrow "
+         "histogram kernel (operators/multimodal.py::"
+         "image_luma_histogram), then JVM-side p*ln(p) terms rounded "
+         "to 15 decimals and summed as exact DECIMAL (the MI "
+         "order-immunity pattern). The twin replays luma, bins and "
+         "every term from the ASCII bytes")
+def mm_image_entropy(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import (
+        image_luma_histogram)
+    h = image_luma_histogram(_ppm_blobs(spark, sf_dir), n_bins=16)
+    term = (F.round(-(F.col("n").cast("double") / 16.0)
+                    * F.log(F.col("n").cast("double") / 16.0), 15)
+            .cast("decimal(38,15)"))
+    return (h.select("doc_id", term.alias("term"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins_occupied"),
+                 F.round(F.sum("term").cast("double"), 9)
+                 .alias("entropy_nats")))

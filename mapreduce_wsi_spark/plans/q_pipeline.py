@@ -821,3 +821,67 @@ def sample_negative_unigram(spark, sf_dir):
         negative_sample_unigram)
     docs = tbl(spark, sf_dir, "documents")
     return negative_sample_unigram(docs, "text", n_draws=1000)
+
+
+@register(
+    "pipeline_data_card",
+    oracle="""
+    WITH base AS (SELECT doc_id, lang, source, n_chars,
+                         len(string_split(text, ' ')) AS n_words,
+                         md5(text) AS h
+                  FROM documents),
+    dup AS (SELECT count(*) AS n_docs,
+                   count(DISTINCT h) AS n_unique,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM base)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_unique AS BIGINT) AS n_unique_texts,
+           CAST(n_docs - n_unique AS BIGINT) AS n_exact_dups,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           total_chars, total_words, min_chars, max_chars,
+           round(CAST(total_words AS DOUBLE) / n_docs, 9)
+               AS mean_words_per_doc,
+           (n_docs - n_unique) * 1000000 // n_docs AS dup_ppm
+    FROM dup
+    """,
+    note="the data card: the one-row corpus summary a training-data "
+         "release ships — doc/unique/dup counts (md5 content "
+         "identity), language and source cardinalities, exact char/"
+         "word totals and bounds, integer-ppm dup rate. ONE "
+         "aggregation pass (count-distincts share the scan via "
+         "partial aggregation); every number exact except the single "
+         "mean division")
+def pipeline_data_card(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import words
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", "source", "n_chars",
+        F.size(words(F.col("text"))).alias("n_words"),
+        F.md5("text").alias("h"))
+    d = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"))
+    return d.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unique").cast("long").alias("n_unique_texts"),
+        (F.col("n_docs") - F.col("n_unique")).cast("long")
+        .alias("n_exact_dups"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "total_chars", "total_words", "min_chars", "max_chars",
+        F.round(F.col("total_words").cast("double") / F.col("n_docs"),
+                9).alias("mean_words_per_doc"),
+        F.expr("(n_docs - n_unique) * 1000000L div n_docs")
+        .alias("dup_ppm"))
