@@ -1579,3 +1579,57 @@ def cluster_kmeans_lloyd(spark, sf_dir):
     emb = tbl(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, "vec_id", "embedding", k=8, dim=64,
                         n_rounds=3)
+
+
+@register(
+    "eval_mcc",
+    oracle="""
+    WITH base AS (SELECT
+        CAST(floor(value) AS BIGINT) % 2 AS truth,
+        (CAST(floor(value) AS BIGINT) + user_id) % 2 AS pred
+        FROM events),
+    c AS (SELECT
+        CAST(sum(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+        FROM base)
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt((CAST(tp AS DOUBLE) + fp)
+                        * (CAST(tp AS DOUBLE) + fn)
+                        * (CAST(tn AS DOUBLE) + fp)
+                        * (CAST(tn AS DOUBLE) + fn)), 9) AS mcc
+    FROM c
+    """,
+    note="Matthews correlation coefficient (binary, derived labels as "
+         "in eval_confusion_f1's convention): four exact BIGINT "
+         "confusion cells from one aggregation, MCC in one fixed IEEE "
+         "expression (double products — counts < 2^53 convert "
+         "exactly; BIGINT products would overflow at large SF). "
+         "Completes the classification set (F1, kappa, AUC, log "
+         "loss, calibration, MCC)")
+def eval_mcc(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    truth = (F.floor("value").cast("bigint") % 2)
+    pred = ((F.floor("value").cast("bigint") + F.col("user_id")) % 2)
+    base = ev.select(truth.alias("t"), pred.alias("p"))
+    c = base.agg(
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 1), 1)
+              .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 1), 1)
+              .otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 0), 1)
+              .otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 0), 1)
+              .otherwise(0)).cast("long").alias("tn"))
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    mcc = ((tp * tn - fp * fn)
+           / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+    return c.select("tp", "fp", "fn", "tn",
+                    F.round(mcc, 9).alias("mcc"))
