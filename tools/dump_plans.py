@@ -87,6 +87,15 @@ SHOWN = [
     "dsir_importance_select",
     "text_kneser_ney_logprob",
     "text_char_entropy",
+    # r7 session 2: the two-level bit_or rollup, the bucketed KS
+    # prefix-sums, one Lloyd assignment round (broadcast centroids,
+    # corpus never shuffles), the single-exchange time-range frame,
+    # and the geohash map-only interleave
+    "distinct_bitmap_rollup",
+    "eval_ks_test",
+    "cluster_kmeans_lloyd",
+    "window_time_range_frame",
+    "geo_geohash_cells",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.
