@@ -1306,3 +1306,65 @@ def window_time_range_frame(spark, sf_dir):
         (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_prev_1h"),
         (F.sum("cents").over(w) - F.col("cents")).cast("long")
         .alias("prev_1h_cents"))
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH cd AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               cume_dist() OVER (PARTITION BY event_type
+                                 ORDER BY round(value * 100)) AS cd
+        FROM events),
+    q AS (SELECT event_type,
+                 min(CASE WHEN cd >= 0.25 THEN c END) AS p25,
+                 min(CASE WHEN cd >= 0.75 THEN c END) AS p75
+          FROM cd GROUP BY 1),
+    f AS (SELECT event_type, p25, p75,
+                 4 * p25 - 3 * (p75 - p25) AS lo4,
+                 4 * p75 + 3 * (p75 - p25) AS hi4
+          FROM q)
+    SELECT e.event_type,
+           CAST(f.p25 AS BIGINT) AS p25_cents,
+           CAST(f.p75 AS BIGINT) AS p75_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN 4 * CAST(round(e.value * 100) AS BIGINT)
+                              < f.lo4
+                          OR 4 * CAST(round(e.value * 100) AS BIGINT)
+                              > f.hi4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN f USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    note="Tukey IQR-fence outlier audit per type: exact "
+         "PERCENTILE_DISC quartiles (cume_dist recipe), fences "
+         "multiplied through by 4 so the 1.5*IQR test is pure integer "
+         "(4v < 4*p25 - 3*IQR) — no float quartile arithmetic to "
+         "disagree on; quartile table broadcast back over one more "
+         "scan. The boxplot sibling of robust_mad_stats")
+def dq_outlier_iqr(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    cd = ev.select("event_type", c.alias("c")).withColumn(
+        "cd", F.cume_dist().over(
+            Window.partitionBy("event_type").orderBy("c")))
+    q = (cd.groupBy("event_type")
+         .agg(F.min(F.when(F.col("cd") >= 0.25, F.col("c")))
+              .alias("p25"),
+              F.min(F.when(F.col("cd") >= 0.75, F.col("c")))
+              .alias("p75")))
+    f = q.select("event_type", "p25", "p75",
+                 (4 * F.col("p25") - 3 * (F.col("p75") - F.col("p25")))
+                 .alias("lo4"),
+                 (4 * F.col("p75") + 3 * (F.col("p75") - F.col("p25")))
+                 .alias("hi4"))
+    j = ev.select("event_type", c.alias("c")).join(F.broadcast(f),
+                                                   "event_type")
+    return (j.groupBy("event_type", F.col("p25").alias("p25_cents"),
+                      F.col("p75").alias("p75_cents"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when((4 * F.col("c") < F.col("lo4"))
+                              | (4 * F.col("c") > F.col("hi4")), 1)
+                       .otherwise(0)).cast("long").alias("n_outliers")))

@@ -338,3 +338,84 @@ def json_typed_struct(spark, sf_dir):
         F.col("p.k").alias("k"),
         F.col("p.k").isNull().alias("k_missing"),
         (F.col("p.k") * 2).alias("k_doubled"))
+
+
+@register(
+    "scalar_datetime_funcs3",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(o_orderdate) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)
+               AS qtr_start,
+           CAST(o_orderdate AS DATE)
+               + CAST(8 - isodow(o_orderdate) AS INTEGER)
+               AS next_monday,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-01') AS BIGINT) AS days_to_ref
+    FROM orders
+    """,
+    note="datetime functions III: end-of-month, quarter + quarter "
+         "truncation, strictly-next Monday computed ARITHMETICALLY on "
+         "both sides (Spark weekday() == isodow()-1 — the builtins' "
+         "week-origin disagreement bridged once, same as "
+         "ts_seasonality_dow), and day distance to a reference date")
+def scalar_datetime_funcs3(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("quarter", "o_orderdate").cast("date")
+        .alias("qtr_start"),
+        F.date_add(d, 7 - F.weekday(d)).alias("next_monday"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).cast("long")
+        .alias("days_to_ref"))
+
+
+@register(
+    "array_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           generate_series(1, CAST(o_orderkey % 4 + 2 AS BIGINT))
+               AS seq,
+           list_reverse(generate_series(1,
+               CAST(o_orderkey % 4 + 2 AS BIGINT))) AS rev,
+           generate_series(1, CAST(o_orderkey % 4 + 2 AS BIGINT))[2:3]
+               AS sl,
+           flatten([generate_series(1, 2),
+                    generate_series(1, CAST(o_orderkey % 2 + 1
+                                            AS BIGINT))]) AS flat,
+           CAST(list_position(generate_series(1,
+               CAST(o_orderkey % 4 + 2 AS BIGINT)), 2) AS INT) AS pos2,
+           list_contains(generate_series(1,
+               CAST(o_orderkey % 4 + 2 AS BIGINT)),
+               CAST(4 AS BIGINT)) AS has4,
+           list_filter(generate_series(1,
+               CAST(o_orderkey % 4 + 2 AS BIGINT)), x -> x != 2)
+               AS no2
+    FROM orders
+    """,
+    note="array functions II: sequence construction, reverse, 1-based "
+         "inclusive slice (Spark slice(start,len) == DuckDB [2:3]), "
+         "flatten of nested arrays, element position, membership, and "
+         "filter-removal — the array-surface breadth pass over "
+         "deterministic per-key lengths")
+def array_funcs2(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 4 + 2).cast("long")
+    seq = F.sequence(F.lit(1).cast("long"), n)
+    return o.select(
+        "o_orderkey",
+        seq.alias("seq"),
+        F.reverse(seq).alias("rev"),
+        F.slice(seq, 2, 2).alias("sl"),
+        F.flatten(F.array(
+            F.sequence(F.lit(1).cast("long"), F.lit(2).cast("long")),
+            F.sequence(F.lit(1).cast("long"),
+                       (F.col("o_orderkey") % 2 + 1).cast("long"))))
+        .alias("flat"),
+        F.array_position(seq, 2).cast("int").alias("pos2"),
+        F.array_contains(seq, F.lit(4).cast("long")).alias("has4"),
+        F.filter(seq, lambda x: x != 2).alias("no2"))
