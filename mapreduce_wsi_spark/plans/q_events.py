@@ -1380,3 +1380,135 @@ def stream_lateness_audit(spark, sf_dir):
         F.max("__l").cast("long").alias("max_lateness_s"),
         F.round(F.sum("__l").cast("double") / F.count(F.lit(1)), 9)
         .alias("mean_lateness_s"))
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t0
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM w1
+    ), per AS (
+        SELECT user_id, max(t0) AS t0, max(t1) AS t1
+        FROM w2 GROUP BY user_id
+    ), conv AS (
+        SELECT date_diff('second', t0, t1) AS ttc
+        FROM per WHERE t1 IS NOT NULL
+    ), cd AS (
+        SELECT ttc, cume_dist() OVER (ORDER BY ttc) AS cd FROM conv)
+    SELECT CAST((SELECT count(*) FROM per) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN cd >= 0.5 THEN ttc END) AS BIGINT)
+               AS p50_ttc_s,
+           CAST(min(CASE WHEN cd >= 0.9 THEN ttc END) AS BIGINT)
+               AS p90_ttc_s,
+           round(CAST(sum(ttc) AS DOUBLE) / count(*), 9) AS mean_ttc_s
+    FROM cd
+    """,
+    note="funnel time-to-convert: first view -> first subsequent "
+         "purchase per user (the funnel_steps window chain), whole-"
+         "second deltas for converters, exact disc p50/p90 over the "
+         "CONVERTER table (users-sized, not events-sized) and a mean "
+         "from exact integer sums — the latency view of the funnel "
+         "(operators/behavior.py::funnel_first_touch)")
+def funnel_time_to_convert(spark, sf_dir):
+    from pyspark.sql import Window
+    from mapreduce_wsi_spark.operators.behavior import (
+        funnel_first_touch)
+    ev = tbl(spark, sf_dir, "events")
+    per = funnel_first_touch(ev, ("view", "purchase"))
+    n_users = per.agg(F.count(F.lit(1)).alias("n_users"))
+    conv = (per.filter(F.col("t1").isNotNull())
+            .select((F.col("t1").cast("long")
+                     - F.col("t0").cast("long")).alias("ttc")))
+    cd = conv.withColumn(
+        "cd", F.cume_dist().over(Window.orderBy("ttc")))
+    agg = cd.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min(F.when(F.col("cd") >= 0.5, F.col("ttc"))).cast("long")
+        .alias("p50_ttc_s"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("ttc"))).cast("long")
+        .alias("p90_ttc_s"),
+        F.round(F.sum("ttc").cast("double") / F.count(F.lit(1)), 9)
+        .alias("mean_ttc_s"))
+    return (n_users.crossJoin(agg)
+            .select(F.col("n_users").cast("long").alias("n_users"),
+                    F.col("n_converted").cast("long")
+                    .alias("n_converted"),
+                    "p50_ttc_s", "p90_ttc_s", "mean_ttc_s"))
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value, ts,
+               CAST(min(date_trunc('week', ts))
+                        OVER (PARTITION BY user_id) AS DATE)
+                   AS cohort_week
+        FROM events
+    ), sz AS (
+        SELECT cohort_week, count(DISTINCT user_id) AS cohort_users
+        FROM base GROUP BY 1
+    ), rev AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week,
+                              CAST(date_trunc('week', ts) AS DATE))
+                    // 7 AS BIGINT) AS week_offset,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM base GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_week, week_offset,
+               sum(cents) OVER (PARTITION BY cohort_week
+                                ORDER BY week_offset
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM rev)
+    SELECT c.cohort_week, c.week_offset,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+           CAST(c.cum_cents AS BIGINT) // s.cohort_users
+               AS ltv_cents_per_user
+    FROM cum c JOIN sz s USING (cohort_week)
+    """,
+    note="cohort LTV curve: per (first-activity week, week offset) "
+         "the CUMULATIVE revenue and integer cents-per-user — the "
+         "lifetime-value readout stacked on the cohort grid "
+         "(cohort_retention_weekly's pairing). Exact cents; the "
+         "cumsum window runs over the tiny (cohort x offset) grid, "
+         "never raw events")
+def cohort_ltv_curve(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    base = ev.withColumn(
+        "cohort_week",
+        F.min(wk).over(Window.partitionBy("user_id")).cast("date"))
+    sz = (base.groupBy("cohort_week")
+          .agg(F.countDistinct("user_id").alias("cohort_users")))
+    rev = (base.groupBy(
+        "cohort_week",
+        F.expr("datediff(cast(date_trunc('week', ts) as date), "
+               "cohort_week) div 7").cast("long").alias("week_offset"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("long").alias("cents")))
+    cum = rev.withColumn(
+        "cum_cents",
+        F.sum("cents").over(
+            Window.partitionBy("cohort_week").orderBy("week_offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (cum.join(sz, "cohort_week")
+            .select("cohort_week", "week_offset",
+                    F.col("cohort_users").cast("long")
+                    .alias("cohort_users"),
+                    F.col("cum_cents").cast("long")
+                    .alias("cum_revenue_cents"),
+                    F.expr("cum_cents div cohort_users").cast("long")
+                    .alias("ltv_cents_per_user")))

@@ -419,3 +419,37 @@ def array_funcs2(spark, sf_dir):
         F.array_position(seq, 2).cast("int").alias("pos2"),
         F.array_contains(seq, F.lit(4).cast("long")).alias("has4"),
         F.filter(seq, lambda x: x != 2).alias("no2"))
+
+
+@register(
+    "scalar_string_funcs3",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           split_part(c_name, '#', 2) AS name_num,
+           repeat(substr(c_mktsegment, 1, 2), 3) AS rep,
+           reverse(c_mktsegment) AS rev,
+           CAST(strpos(c_mktsegment, 'I') AS INT) AS pos_i,
+           CAST(ascii(c_mktsegment) AS INT) AS first_code,
+           right(c_name, 4) AS last4
+    FROM customer
+    """,
+    note="string functions III: character translation, delimiter "
+         "field extraction (split_part), repetition, reversal, "
+         "1-based substring position (0 = absent on both engines), "
+         "leading code point, right-anchored slice — rounding out "
+         "the string surface with pairs whose semantics agree "
+         "cross-engine without shimming")
+def scalar_string_funcs3(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.translate("c_mktsegment", "AEIOU", "aeiou")
+        .alias("translated"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2))
+        .alias("name_num"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.instr("c_mktsegment", "I").cast("int").alias("pos_i"),
+        F.ascii("c_mktsegment").alias("first_code"),
+        F.substring(F.col("c_name"), -4, 4).alias("last4"))
