@@ -1368,3 +1368,49 @@ def dq_outlier_iqr(spark, sf_dir):
                  F.sum(F.when((4 * F.col("c") < F.col("lo4"))
                               | (4 * F.col("c") > F.col("hi4")), 1)
                        .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+@register(
+    "dp_noisy_counts",
+    oracle="""
+    WITH c AS (SELECT event_type, count(*) AS n FROM events
+               GROUP BY 1),
+    u AS (SELECT event_type, n,
+                 (CAST(CAST(('0x' || substr(md5('dp:' || event_type),
+                                            1, 8)) AS BIGINT) % 1000000
+                       AS DOUBLE) + 0.5) / 1000000.0 AS uu
+          FROM c),
+    z AS (SELECT event_type, n,
+                 round(CASE WHEN uu >= 0.5
+                            THEN -ln(1.0 - 2.0 * (uu - 0.5))
+                            ELSE  ln(1.0 - 2.0 * (0.5 - uu)) END, 9)
+                     AS noise
+          FROM u)
+    SELECT event_type,
+           CAST(n + round(noise) AS BIGINT) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM z
+    """,
+    note="differential-privacy release shape (Laplace mechanism, "
+         "eps=1, sensitivity 1): per-group noise drawn by INVERSE-CDF "
+         "from the portable md5-uniform of the group key — seeded and "
+         "reproducible (the repo's no-rand() discipline), so the "
+         "released table is a pure function of the data and the twin "
+         "replays it; a production release rotates the seed per "
+         "publication. Noise is rounded to 9dp before integerizing "
+         "(the rounded-ln convention); true counts never appear in "
+         "the output columns")
+def dp_noisy_counts(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("dp:"),
+                                          F.col("event_type"))), 1, 8),
+               16, 10).cast("long")
+    uu = ((h % 1000000).cast("double") + 0.5) / 1000000.0
+    noise = F.round(
+        F.when(uu >= 0.5, -F.log(1.0 - 2.0 * (uu - 0.5)))
+        .otherwise(F.log(1.0 - 2.0 * (0.5 - uu))), 9)
+    return c.select(
+        "event_type",
+        (F.col("n") + F.round(noise)).cast("long").alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"))
