@@ -1414,3 +1414,91 @@ def dp_noisy_counts(spark, sf_dir):
         "event_type",
         (F.col("n") + F.round(noise)).cast("long").alias("noisy_count"),
         F.lit(1.0).alias("epsilon"))
+
+
+@register(
+    "sketch_bloom_fpr",
+    oracle="""
+    WITH sk AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k
+                FROM part WHERE p_partkey % 2 = 0),
+    pos AS (SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)
+                   % 4096 AS p FROM sk
+            UNION
+            SELECT CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT)
+                   % 4096 FROM sk),
+    probe AS (SELECT CAST(p_partkey AS VARCHAR) AS k FROM part
+              WHERE p_partkey % 2 = 1),
+    hits AS (SELECT k FROM probe
+             WHERE CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)
+                       % 4096 IN (SELECT p FROM pos)
+               AND CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT)
+                       % 4096 IN (SELECT p FROM pos))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sk) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_false_positives,
+           (SELECT count(*) FROM hits) * 1000000
+               // (SELECT count(*) FROM probe) AS fpr_ppm
+    FROM hits
+    """,
+    note="measured Bloom false-positive rate: build the 4096-bit "
+         "2-hash md5 filter (the join_bloom_prune convention) on the "
+         "EVEN part keys, probe the disjoint ODD keys — every hit is "
+         "a false positive by construction, so the entry reports the "
+         "filter's actual FPR in exact integer ppm (vs the (1-e^-kn/m)^k "
+         "theory a sizing decision starts from). Deterministic: the "
+         "filter is a pure function of the member set")
+def sketch_bloom_fpr(spark, sf_dir):
+    part = tbl(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("string")
+    h1 = F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("long") % 4096
+    h2 = F.conv(F.substring(F.md5(k), 9, 8), 16, 10).cast("long") % 4096
+    members = part.filter(F.col("p_partkey") % 2 == 0)
+    pos = (members.select(h1.alias("p"))
+           .unionByName(members.select(h2.alias("p"))).distinct())
+    probes = part.filter(F.col("p_partkey") % 2 == 1)
+    hits = (probes
+            .join(pos.withColumnRenamed("p", "__p1"),
+                  h1 == F.col("__p1"), "left_semi")
+            .join(pos.withColumnRenamed("p", "__p2"),
+                  h2 == F.col("__p2"), "left_semi"))
+    nm = members.select(k.alias("k")).distinct().agg(
+        F.count(F.lit(1)).alias("n_members"))
+    nb = pos.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    np_ = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    nf = hits.agg(F.count(F.lit(1)).alias("n_false_positives"))
+    return (nm.crossJoin(nb).crossJoin(np_).crossJoin(nf)
+            .select("n_members", "n_bits_set", "n_probes",
+                    "n_false_positives",
+                    F.expr("n_false_positives * 1000000L div n_probes")
+                    .alias("fpr_ppm")))
+
+
+from mapreduce_wsi_spark.plans.q_graph import _EDGES_CTE  # noqa: E402
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH e AS ({_EDGES_CTE}),
+    und AS (SELECT lo AS src FROM e UNION ALL SELECT hi FROM e),
+    deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+    note="degree distribution of the co-purchase graph — the "
+         "skew/power-law diagnostic read before choosing graph "
+         "partitioning (a heavy-tail histogram argues for the "
+         "star-contraction components and salting paths the repo "
+         "already ships). Two partial-agg groupBys, output bounded "
+         "by the max degree")
+def graph_degree_distribution(spark, sf_dir):
+    from mapreduce_wsi_spark.plans.q_graph import part_edges
+    li = tbl(spark, sf_dir, "lineitem")
+    e = part_edges(li).select("lo", "hi")
+    und = (e.select(F.col("lo").alias("src"))
+           .unionByName(e.select(F.col("hi").alias("src"))))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (deg.groupBy(F.col("d").cast("long").alias("degree"))
+            .agg(F.count(F.lit(1)).alias("n_nodes")))
