@@ -406,3 +406,52 @@ def test_stateful_tws_counts_match_batch(spark, sf_smoke, events_dir):
              .collect())
     assert ({(r["user_id"], r["n_events"]) for r in final} ==
             {(r["user_id"], r["n"]) for r in batch})
+
+
+def test_stream_stream_full_outer_emits_both_unmatched(spark, tmp_path):
+    """FULL-outer stream-stream join: unmatched rows on BOTH sides
+    emit with NULLs once the watermark passes their join windows —
+    the third outer mode (inner and left_outer are covered above),
+    completing the stream-stream join surface."""
+    import datetime as dt
+    import time
+
+    from mapreduce_wsi_spark.streaming.windows import correlate_streams
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(path_dir, rows, schema):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(path_dir)
+        time.sleep(1.1)
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lsch = "user_id long, ts timestamp, eid_l long"
+    rsch = "user_id_r long, ts_r timestamp, eid_r long"
+    # left: user 1 (matches), user 2 (never matches)
+    write(lsrc, [(1, t0, 101), (2, t0, 102)], lsch)
+    # right: match for user 1 + an unmatched RIGHT row for user 3
+    write(rsrc, [(1, t0 + dt.timedelta(minutes=10), 201),
+                 (3, t0 + dt.timedelta(minutes=5), 203)], rsch)
+    # far-future rows on both sides push the min-across-sources watermark
+    write(rsrc, [(99, t0 + dt.timedelta(hours=12), 299)], rsch)
+    write(lsrc, [(98, t0 + dt.timedelta(hours=12), 198)], lsch)
+
+    sl = (spark.readStream.schema(lsch)
+          .option("maxFilesPerTrigger", 1).parquet(lsrc))
+    sr = (spark.readStream.schema(rsch)
+          .option("maxFilesPerTrigger", 1).parquet(rsrc))
+    joined = correlate_streams(sl, sr, watermark="30 minutes",
+                               how="full_outer").select("eid_l", "eid_r")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ss_full").start())
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["eid_l"], r["eid_r"])
+           for r in spark.sql("SELECT * FROM ss_full").collect()}
+    assert (101, 201) in got            # matched pair
+    assert (102, None) in got           # unmatched left
+    assert (None, 203) in got           # unmatched right
