@@ -920,3 +920,70 @@ def pareto_concentration(df: DataFrame, key_col: str, value_col: str,
                     F.round(F.col("__dec_s").cast("double")
                             / F.lit(float(total_s)), 9)
                     .alias("top_decile_share")))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str, n_buckets: int = 16) -> DataFrame:
+    """Quantile normalization: remap each group's values onto the
+    POOLED distribution (each row's within-group quantile position is
+    looked up in the pooled ranked values) — the batch-effect
+    correction that makes per-source score distributions comparable
+    before mixing corpora or fusing quality models.
+
+    All-integer plan: within-group rank r (per-group window, ties
+    broken by id), target pooled rank = ceil(r * N / n_g) computed as
+    (r*N + n_g - 1) div n_g, and the pooled (rank -> value) table
+    built with the gini two-phase range-bucket prefix-sum (parallel
+    per-bucket windows + bucket-offset broadcast — never one global
+    window task). The final lookup is an EQUI join on the computed
+    rank. Tied pooled values make value(rank) well-defined under any
+    tie order; per-group summaries of the normalized cents are exact
+    BIGINTs.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(F.col(group_col).alias("__g"),
+                     F.col(id_col).alias("__id"),
+                     cents.alias("__v"))
+    sizes = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__ng"))
+    tot = base.agg(F.count(F.lit(1)).alias("__n"))
+    wg = Window.partitionBy("__g").orderBy("__v", "__id")
+    ranked_in = (base.withColumn("__r", F.row_number().over(wg))
+                 .join(F.broadcast(sizes), "__g")
+                 .crossJoin(F.broadcast(tot))
+                 .withColumn("__tr",
+                             F.expr("(__r * __n + __ng - 1) div __ng")))
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.stat.approxQuantile("__v", probs, 0.001)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("__v") > int(b), 1).otherwise(0)
+    bk = base.withColumn("__b", bucket.cast("int"))
+    counts = {r["__b"]: r["n"] for r in
+              bk.groupBy("__b").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = [], 0
+    for s in range(n_buckets):
+        offsets.append((s, acc))
+        acc += counts.get(s, 0)
+    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+    wp = Window.partitionBy("__b").orderBy("__v", "__g", "__id")
+    pool = (bk.join(F.broadcast(off), "__b")
+            .select((F.col("__off") + F.row_number().over(wp))
+                    .alias("__tr"),
+                    F.col("__v").alias("__nv")))
+
+    out = ranked_in.join(pool, "__tr")
+    return (out.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("__nv").alias("min_norm_cents"),
+                 F.max("__nv").alias("max_norm_cents"),
+                 F.sum("__nv").alias("sum_norm_cents"))
+            .select(F.col("__g").alias(group_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("min_norm_cents").cast("long")
+                    .alias("min_norm_cents"),
+                    F.col("max_norm_cents").cast("long")
+                    .alias("max_norm_cents"),
+                    F.col("sum_norm_cents").cast("long")
+                    .alias("sum_norm_cents")))

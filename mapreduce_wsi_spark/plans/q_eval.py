@@ -1633,3 +1633,44 @@ def eval_mcc(spark, sf_dir):
            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
     return c.select("tp", "fp", "fn", "tn",
                     F.round(mcc, 9).alias("mcc"))
+
+
+@register(
+    "quantile_normalize_groups",
+    oracle="""
+    WITH base AS (SELECT event_type AS g, event_id AS id,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+    sz AS (SELECT g, count(*) AS ng FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM base),
+    ri AS (SELECT b.g, b.v,
+                  row_number() OVER (PARTITION BY b.g
+                                     ORDER BY b.v, b.id) AS r,
+                  s.ng, t.n
+           FROM base b JOIN sz s USING (g), tot t),
+    tr AS (SELECT g, (r * n + ng - 1) // ng AS tr FROM ri),
+    pool AS (SELECT v AS nv,
+                    row_number() OVER (ORDER BY v, g, id) AS pr
+             FROM base)
+    SELECT t.g AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(p.nv) AS BIGINT) AS min_norm_cents,
+           CAST(max(p.nv) AS BIGINT) AS max_norm_cents,
+           CAST(sum(p.nv) AS BIGINT) AS sum_norm_cents
+    FROM tr t JOIN pool p ON p.pr = t.tr
+    GROUP BY 1
+    """,
+    note="quantile normalization of per-type value distributions onto "
+         "the pooled distribution — batch-effect correction before "
+         "mixing sources: within-group ranks remap through "
+         "ceil(r*N/n_g) (pure integers) into the pooled rank->value "
+         "table built with the gini two-phase prefix-sum; the lookup "
+         "is an EQUI join on the computed rank. Per-type summaries "
+         "of normalized cents are exact BIGINTs; the oracle uses the "
+         "plain global-window pool single-node "
+         "(operators/evaluation.py::quantile_normalize)")
+def quantile_normalize_groups(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.evaluation import (
+        quantile_normalize)
+    ev = events_tbl(spark, sf_dir)
+    return quantile_normalize(ev, "event_type", "value", "event_id")
