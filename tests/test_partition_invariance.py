@@ -120,6 +120,11 @@ ENTRIES = [
     "cluster_kmeans_lloyd",
     "ts_holt_forecast",
     "stream_lateness_audit",
+    # final tranche: two-phase pooled ranks, descending prefix sums,
+    # md5 CDF-inversion draws
+    "quantile_normalize_groups",
+    "agg_pareto_8020",
+    "sample_negative_unigram",
 ]
 
 SMALL_SPLIT_BYTES = 65536
