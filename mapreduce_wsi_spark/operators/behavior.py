@@ -442,3 +442,48 @@ def holt_forecast(events: DataFrame, key_col: str, ts_col: str,
         fold, "__k long, n long, level_cents long, trend_cents long, "
               "forecast_cents long")
     return out.withColumnRenamed("__k", key_col)
+
+
+def markov_stationary(events: DataFrame, n_iter: int = 8) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: power
+    iteration pi' = pi P over the transition matrix estimated from
+    per-user event sequences — where user behavior settles long-run,
+    the summary a session-simulation or retention model starts from.
+
+    Exactness discipline (the pca_power_component pattern): transition
+    COUNTS are exact BIGINTs; each update term
+    pi_i * c_ij / r_i is one fixed IEEE expression rounded to 12dp
+    and cast to DECIMAL before the (order-free) sum over i; pi
+    re-rounds to 12dp each round, so the DuckDB unrolled twin walks
+    identical iterates. Everything after the one lag-window pass over
+    events operates on the K x K matrix (K = event types) — the
+    iterate joins are broadcasts over tables of a few dozen rows.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .withColumn("__prev", F.lag("event_type").over(w))
+             .filter(F.col("__prev").isNotNull())
+             .groupBy(F.col("__prev").alias("i"),
+                      F.col("event_type").alias("j"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    pairs = pairs.localCheckpoint()
+    rows = pairs.groupBy("i").agg(F.sum("c").alias("r"))
+    m = pairs.join(rows, "i")
+    states = rows.select("i")
+    k = states.count()
+    d_t = "decimal(38,12)"
+    pi = states.select(
+        F.col("i"), F.round(F.lit(1.0) / k, 12).cast(d_t).alias("p"))
+    for _ in range(n_iter):
+        term = (m.join(F.broadcast(pi), "i")
+                .select("j",
+                        F.round(F.col("p").cast("double") * F.col("c")
+                                / F.col("r"), 12).cast(d_t)
+                        .alias("__t")))
+        pi = (term.groupBy(F.col("j").alias("i"))
+              .agg(F.round(F.sum("__t").cast("double"), 12).cast(d_t)
+                   .alias("p")))
+        pi = pi.localCheckpoint()
+    return pi.select(F.col("i").alias("event_type"),
+                     F.round(F.col("p").cast("double"), 9)
+                     .alias("stationary_p"))

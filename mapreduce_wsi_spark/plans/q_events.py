@@ -1512,3 +1512,55 @@ def cohort_ltv_curve(spark, sf_dir):
                     .alias("cum_revenue_cents"),
                     F.expr("cum_cents div cohort_users").cast("long")
                     .alias("ltv_cents_per_user")))
+
+
+def _markov_stationary_oracle(n_iter: int = 8) -> str:
+    """Unrolled power-iteration twin over the tiny transition matrix
+    (the pca/kmeans decimal-rounded-iterates discipline)."""
+    parts = ["""
+    lagged AS (SELECT event_type AS j,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS i
+               FROM events),
+    m0 AS (SELECT i, j, count(*) AS c FROM lagged
+           WHERE i IS NOT NULL GROUP BY 1, 2),
+    rws AS (SELECT i, sum(c) AS r FROM m0 GROUP BY 1),
+    m AS (SELECT m0.i, m0.j, m0.c, rws.r FROM m0 JOIN rws USING (i)),
+    st AS (SELECT i FROM rws),
+    kk AS (SELECT count(*) AS k FROM st),
+    p0 AS (SELECT i, CAST(round(CAST(1.0 AS DOUBLE) / k, 12)
+                          AS DECIMAL(38,12)) AS p
+           FROM st, kk)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+    t{t} AS (SELECT m.j,
+                    CAST(round(CAST(p.p AS DOUBLE) * m.c / m.r, 12)
+                         AS DECIMAL(38,12)) AS tt
+             FROM m JOIN p{t - 1} p ON p.i = m.i),
+    p{t} AS (SELECT j AS i,
+                    CAST(round(CAST(sum(tt) AS DOUBLE), 12)
+                         AS DECIMAL(38,12)) AS p
+             FROM t{t} GROUP BY 1)""")
+    return ("WITH" + ",".join(parts) + f"""
+    SELECT i AS event_type,
+           round(CAST(p AS DOUBLE), 9) AS stationary_p
+    FROM p{n_iter}
+    """)
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_stationary_oracle(8),
+    note="stationary distribution of the event-type Markov chain "
+         "(power iteration pi' = pi P, 8 rounds): where user behavior "
+         "settles long-run. Transition counts are exact BIGINTs from "
+         "ONE lag-window pass; every iterate term rounds to 12dp and "
+         "sums as DECIMAL (order-free), so the unrolled twin walks "
+         "identical iterates — the PCA/kmeans discipline applied to "
+         "the K x K behavioral matrix; rounds are broadcast joins "
+         "over a few dozen rows "
+         "(operators/behavior.py::markov_stationary)")
+def events_markov_stationary(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.behavior import markov_stationary
+    ev = tbl(spark, sf_dir, "events")
+    return markov_stationary(ev, n_iter=8)
