@@ -1564,3 +1564,57 @@ def events_markov_stationary(spark, sf_dir):
     from mapreduce_wsi_spark.operators.behavior import markov_stationary
     ev = tbl(spark, sf_dir, "events")
     return markov_stationary(ev, n_iter=8)
+
+
+@register(
+    "window_rolling_slope",
+    oracle="""
+    WITH b AS (SELECT user_id, event_id,
+                      epoch(ts)::BIGINT AS x,
+                      CAST(round(value * 100) AS BIGINT) AS y,
+                      count(*) OVER w AS n,
+                      sum(epoch(ts)::BIGINT) OVER w AS sx,
+                      sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                          AS sy,
+                      sum(epoch(ts)::BIGINT
+                          * CAST(round(value * 100) AS BIGINT)) OVER w
+                          AS sxy
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id,
+           CAST(sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored,
+           CAST(sum(CASE WHEN n >= 20 AND n * sxy - sx * sy > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rising
+    FROM b GROUP BY user_id
+    """,
+    note="rolling OLS trend sign over a 20-event frame per user: the "
+         "slope's sign is decided by the exact BIGINT numerator "
+         "n*sxy - sx*sy alone (the denominator n*sxx - sx^2 is "
+         "positive whenever times differ) — zero floats, "
+         "bit-identical in any engine; counts of rising windows per "
+         "user are the momentum feature. One user_id exchange, "
+         "O(frame) per row (epoch-seconds x cents products stay "
+         "far under BIGINT range at any frame length)")
+def window_rolling_slope(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    x = F.col("ts").cast("long")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    b = (ev.select("user_id", "ts", "event_id",
+                   x.alias("x"), y.alias("y"))
+         .withColumn("n", F.count(F.lit(1)).over(w))
+         .withColumn("sx", F.sum("x").over(w))
+         .withColumn("sy", F.sum("y").over(w))
+         .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w)))
+    rising = ((F.col("n") >= 20)
+              & (F.col("n") * F.col("sxy")
+                 - F.col("sx") * F.col("sy") > 0))
+    return (b.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("n") >= 20, 1).otherwise(0))
+                 .cast("long").alias("n_scored"),
+                 F.sum(F.when(rising, 1).otherwise(0)).cast("long")
+                 .alias("n_rising")))
