@@ -453,3 +453,39 @@ def scalar_string_funcs3(spark, sf_dir):
         F.instr("c_mktsegment", "I").cast("int").alias("pos_i"),
         F.ascii("c_mktsegment").alias("first_code"),
         F.substring(F.col("c_name"), -4, 4).alias("last4"))
+
+
+@register(
+    "scalar_regex_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT)
+               AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '\b[st][a-z]*')) AS INT)
+               AS n_st_words,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long,
+           regexp_matches(text, 'table') AS mentions_table,
+           CAST(len(string_split_regex(text, '[aeiou]+')) AS INT)
+               AS n_vowel_splits
+    FROM documents
+    """,
+    note="regex function surface: match-run counting, anchored class "
+         "extraction, first capture group, boolean containment, and "
+         "regex splitting — restricted to the regex subset with "
+         "identical Java/RE2 semantics (char classes + word "
+         "boundaries, no lookaround/backrefs — the PII_PATTERNS "
+         "discipline)")
+def scalar_regex_funcs(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+"), F.lit(0)))
+        .cast("int").alias("n_word_runs"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\b[st][a-z]*"),
+                                    F.lit(0)))
+        .cast("int").alias("n_st_words"),
+        F.regexp_extract(t, "([a-z]{6,})", 1).alias("first_long"),
+        t.rlike("table").alias("mentions_table"),
+        F.size(F.split(t, "[aeiou]+")).cast("int")
+        .alias("n_vowel_splits"))
