@@ -885,3 +885,87 @@ def pipeline_data_card(spark, sf_dir):
                 9).alias("mean_words_per_doc"),
         F.expr("(n_docs - n_unique) * 1000000L div n_docs")
         .alias("dup_ppm"))
+
+
+@register(
+    "pack_utilization_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS tok,
+                      CAST(CAST(('0x' || substr(md5(CAST(doc_id
+                               AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+                           AS INT) AS shard,
+                      md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    o AS (SELECT shard, tok,
+                 COALESCE(sum(tok) OVER (PARTITION BY shard
+                                         ORDER BY h, doc_id
+                                         ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND 1 PRECEDING),
+                          0) AS off
+          FROM t),
+    w AS (SELECT shard, CAST(off // 512 AS BIGINT) AS window_id,
+                 sum(tok) AS toks
+          FROM o GROUP BY 1, 2),
+    lastw AS (SELECT shard, max(window_id) AS last_w FROM w
+              GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(w.toks) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN w.window_id < l.last_w
+                         THEN w.toks ELSE 0 END) AS BIGINT)
+               AS full_window_tokens,
+           CAST(sum(CASE WHEN w.window_id < l.last_w THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_full_windows,
+           CAST(CASE WHEN sum(CASE WHEN w.window_id < l.last_w
+                                   THEN 1 ELSE 0 END) > 0 THEN
+               sum(CASE WHEN w.window_id < l.last_w THEN w.toks
+                        ELSE 0 END) * 1000000
+               // (512 * sum(CASE WHEN w.window_id < l.last_w
+                                  THEN 1 ELSE 0 END))
+           END AS BIGINT) AS utilization_ppm
+    FROM w JOIN lastw l USING (shard)
+    """,
+    note="packing-efficiency report over pack_context_windows' shard-"
+         "parallel scheme (budget 512, 8 shards): window token loads, "
+         "and the mean fill of CLOSED windows (each shard's trailing "
+         "window is legitimately partial and excluded) in exact "
+         "integer ppm — the waste metric that decides whether the "
+         "boundary-straddle trade needs sequence-splitting. Same "
+         "md5-ordered shard-local running sums as the packer "
+         "(operators/pipeline.py::pack_context_windows)")
+def pack_utilization_stats(spark, sf_dir):
+    from pyspark.sql import Window
+    from mapreduce_wsi_spark.operators.text import words
+    docs = tbl(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    t = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("tok"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8)
+        .cast("int").alias("shard"),
+        h.alias("h"))
+    w_ord = (Window.partitionBy("shard").orderBy("h", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    o = t.withColumn("off", F.coalesce(F.sum("tok").over(w_ord),
+                                       F.lit(0)))
+    w = (o.groupBy("shard",
+                   F.expr("off div 512").cast("long")
+                   .alias("window_id"))
+         .agg(F.sum("tok").alias("toks")))
+    lastw = w.groupBy("shard").agg(F.max("window_id").alias("last_w"))
+    j = w.join(lastw, "shard")
+    closed = F.col("window_id") < F.col("last_w")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(F.when(closed, F.col("toks")).otherwise(0)).cast("long")
+        .alias("full_window_tokens"),
+        F.sum(F.when(closed, 1).otherwise(0)).cast("long")
+        .alias("n_full_windows"))
+    return agg.select(
+        "n_windows", "total_tokens", "full_window_tokens",
+        "n_full_windows",
+        F.when(F.col("n_full_windows") > 0,
+               F.expr("full_window_tokens * 1000000L "
+                      "div (512 * n_full_windows)"))
+        .alias("utilization_ppm"))
