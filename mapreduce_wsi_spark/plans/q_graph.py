@@ -533,3 +533,65 @@ def copurchase_lift_rules(spark, sf_dir):
                     F.col("n_b").cast("long").alias("n_b"),
                     lift.alias("lift"), conf.alias("confidence"))
             .orderBy(F.col("lift").desc(), "lo", "hi").limit(20))
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH e AS ({_EDGES_CTE}),
+    und AS (SELECT lo AS src, hi AS dst FROM e
+            UNION ALL SELECT hi, lo FROM e),
+    deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY 1),
+    p AS (SELECT da.d AS x, db.d AS y
+          FROM und u JOIN deg da ON da.id = u.src
+                     JOIN deg db ON db.id = u.dst),
+    m AS (SELECT count(*) AS n,
+                 sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                 sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                 sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                 sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+          FROM p)
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 9) AS assortativity
+    FROM m
+    """,
+    note="degree assortativity (Newman): Pearson r of endpoint "
+         "degrees over directed edge instances — do hubs attach to "
+         "hubs (r>0) or to leaves (r<0)? Decides whether hub-salting "
+         "or star-contraction wins. Two degree joins over the edge "
+         "list, exact DECIMAL moments, one fixed IEEE closing "
+         "expression")
+def graph_assortativity(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    e = iter_checkpoint(part_edges(li).select("lo", "hi"))
+    und = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+           .unionByName(e.select(F.col("hi").alias("src"),
+                                 F.col("lo").alias("dst"))))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    p = (und.join(deg.select(F.col("id").alias("src"),
+                             F.col("d").alias("x")), "src")
+         .join(deg.select(F.col("id").alias("dst"),
+                          F.col("d").alias("y")), "dst"))
+    dd = "decimal(38,0)"
+    m = p.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("x").cast(dd)).alias("sx"),
+              F.sum(F.col("y").cast(dd)).alias("sy"),
+              F.sum((F.col("x").cast(dd) * F.col("x"))).alias("sxx"),
+              F.sum((F.col("y").cast(dd) * F.col("y"))).alias("syy"),
+              F.sum((F.col("x").cast(dd) * F.col("y"))).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    return m.select(F.col("n").cast("long").alias("n_directed_edges"),
+                    F.round(r, 9).alias("assortativity"))

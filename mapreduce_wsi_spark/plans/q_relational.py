@@ -716,3 +716,84 @@ def join_asof_tolerance(spark, sf_dir):
                     tolerance_seconds=1800)
     return out.select("event_id", "user_id", "ts",
                       F.col("ts_asof").alias("last_error_ts"))
+
+
+@register(
+    "rollup_rank_within_parent",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS qty,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus))
+    SELECT l_returnflag, l_linestatus,
+           CAST(qty AS DOUBLE) AS qty,
+           CAST(g_flag * 2 + g_status AS INT) AS lvl,
+           CAST(rank() OVER (PARTITION BY g_flag, g_status,
+                                          l_returnflag
+                             ORDER BY qty DESC, l_linestatus)
+                AS INT) AS rank_in_parent
+    FROM r
+    """,
+    note="rank-within-hierarchy over a rollup (the TPC-DS Q36 shape): "
+         "one Expand pass produces every rollup level, then each "
+         "row ranks against its SIBLINGS (partition by grouping "
+         "level + parent key) — how a hierarchy report orders "
+         "children under each parent without re-aggregating per "
+         "level. Exact DECIMAL quantity sums; grouping() bits "
+         "disambiguate NULL-as-total from NULL data on both engines")
+def rollup_rank_within_parent(spark, sf_dir):
+    from pyspark.sql import Window
+    li = tbl(spark, sf_dir, "lineitem")
+    r = (li.rollup("l_returnflag", "l_linestatus")
+         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").alias("qty"),
+              F.grouping("l_returnflag").alias("g_flag"),
+              F.grouping("l_linestatus").alias("g_status")))
+    w = (Window.partitionBy("g_flag", "g_status", "l_returnflag")
+         .orderBy(F.col("qty").desc(), "l_linestatus"))
+    return r.select(
+        "l_returnflag", "l_linestatus",
+        F.col("qty").cast("double").alias("qty"),
+        (F.col("g_flag") * 2 + F.col("g_status")).cast("int")
+        .alias("lvl"),
+        F.rank().over(w).cast("int").alias("rank_in_parent"))
+
+
+@register(
+    "percentile_of_point",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c_acctbal < 5000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN c_acctbal = 5000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_equal,
+           round((CAST(sum(CASE WHEN c_acctbal < 5000.0 THEN 1
+                           ELSE 0 END) AS DOUBLE)
+                  + 0.5 * sum(CASE WHEN c_acctbal = 5000.0 THEN 1
+                              ELSE 0 END))
+                 / count(*), 9) AS pctile_of_5000
+    FROM customer GROUP BY 1
+    """,
+    note="inverse-percentile lookup (where does $5000 sit per "
+         "segment): the mid-rank convention (below + ties/2) / n "
+         "from exact BIGINT counts in ONE aggregation — the question "
+         "a threshold-setting analysis asks, answered without any "
+         "sort or window (the dual of quantile_disc)")
+def percentile_of_point(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    below = F.sum(F.when(F.col("c_acctbal") < 5000.0, 1).otherwise(0))
+    equal = F.sum(F.when(F.col("c_acctbal") == 5000.0, 1).otherwise(0))
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 below.cast("long").alias("n_below"),
+                 equal.cast("long").alias("n_equal"))
+            .select("c_mktsegment", "n", "n_below", "n_equal",
+                    F.round((F.col("n_below").cast("double")
+                             + 0.5 * F.col("n_equal"))
+                            / F.col("n"), 9)
+                    .alias("pctile_of_5000")))
