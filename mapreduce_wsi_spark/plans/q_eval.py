@@ -1674,3 +1674,72 @@ def quantile_normalize_groups(spark, sf_dir):
         quantile_normalize)
     ev = events_tbl(spark, sf_dir)
     return quantile_normalize(ev, "event_type", "value", "event_id")
+
+
+@register(
+    "eval_krippendorff_alpha",
+    oracle="""
+    WITH r AS (SELECT event_id,
+                      CAST(floor(value) AS BIGINT) % 3 AS r1,
+                      (CAST(floor(value) AS BIGINT) + user_id) % 3
+                          AS r2,
+                      (CAST(floor(value) AS BIGINT) + 2 * user_id) % 3
+                          AS r3
+               FROM events),
+    pairs AS (
+        SELECT r1 AS c, r2 AS k FROM r UNION ALL
+        SELECT r2, r1 FROM r UNION ALL
+        SELECT r1, r3 FROM r UNION ALL
+        SELECT r3, r1 FROM r UNION ALL
+        SELECT r2, r3 FROM r UNION ALL
+        SELECT r3, r2 FROM r),
+    o AS (SELECT c, k, count(*) AS occ FROM pairs GROUP BY 1, 2),
+    marg AS (SELECT c, CAST(sum(occ) AS BIGINT) AS nc FROM o
+             GROUP BY 1),
+    tot AS (SELECT CAST(sum(occ) AS BIGINT) AS n FROM o),
+    do_ AS (SELECT CAST(sum(occ) AS BIGINT) AS d FROM o WHERE c != k),
+    de_ AS (SELECT CAST(sum(CAST(a.nc AS DECIMAL(38,0)) * b.nc)
+                        AS BIGINT) AS e
+            FROM marg a, marg b WHERE a.c != b.c)
+    SELECT tot.n AS n_coincidences,
+           do_.d AS n_disagreements,
+           round(1.0 - CAST(do_.d AS DOUBLE) * (tot.n - 1)
+                 / CAST(de_.e AS DOUBLE), 9) AS alpha
+    FROM tot, do_, de_
+    """,
+    note="Krippendorff's alpha (nominal, 3 complete raters — the "
+         "multi-annotator generalization of Cohen's kappa): with "
+         "m-1 = 2 the coincidence matrix is pure integer ordered-pair "
+         "counts (the 1/(m-1) weights scale through), Do and De are "
+         "exact BIGINTs and alpha = 1 - Do(n-1)/De is one IEEE "
+         "expression. Derived raters follow the eval_cohens_kappa "
+         "convention; one explode + two tiny aggregations")
+def eval_krippendorff_alpha(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    fv = F.floor("value").cast("bigint")
+    r = ev.select((fv % 3).alias("r1"),
+                  ((fv + F.col("user_id")) % 3).alias("r2"),
+                  ((fv + 2 * F.col("user_id")) % 3).alias("r3"))
+    pairs = None
+    for a, b in [("r1", "r2"), ("r2", "r1"), ("r1", "r3"),
+                 ("r3", "r1"), ("r2", "r3"), ("r3", "r2")]:
+        pp = r.select(F.col(a).alias("c"), F.col(b).alias("k"))
+        pairs = pp if pairs is None else pairs.unionByName(pp)
+    o = pairs.groupBy("c", "k").agg(F.count(F.lit(1)).alias("occ"))
+    o = o.localCheckpoint()
+    marg = o.groupBy("c").agg(F.sum("occ").alias("nc"))
+    tot = o.agg(F.sum("occ").alias("n"))
+    do_ = o.filter(F.col("c") != F.col("k")).agg(
+        F.sum("occ").alias("d"))
+    de_ = (marg.alias("a")
+           .crossJoin(marg.select(F.col("c").alias("c2"),
+                                  F.col("nc").alias("nc2")))
+           .filter(F.col("c") != F.col("c2"))
+           .agg(F.sum(F.col("nc").cast("decimal(38,0)")
+                      * F.col("nc2")).cast("long").alias("e")))
+    alpha = (1.0 - F.col("d").cast("double") * (F.col("n") - 1)
+             / F.col("e").cast("double"))
+    return (tot.crossJoin(do_).crossJoin(de_)
+            .select(F.col("n").cast("long").alias("n_coincidences"),
+                    F.col("d").cast("long").alias("n_disagreements"),
+                    F.round(alpha, 9).alias("alpha")))
