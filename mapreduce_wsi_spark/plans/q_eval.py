@@ -1743,3 +1743,66 @@ def eval_krippendorff_alpha(spark, sf_dir):
             .select(F.col("n").cast("long").alias("n_coincidences"),
                     F.col("d").cast("long").alias("n_disagreements"),
                     F.round(alpha, 9).alias("alpha")))
+
+
+@register(
+    "dq_psi_drift",
+    oracle="""
+    WITH b AS (SELECT CAST(l_orderkey % 2 AS INT) AS grp,
+                      least(CAST(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT) * 10
+                                 // 11000000 AS INT), 9) AS bin
+               FROM lineitem),
+    c AS (SELECT bin,
+                 sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb
+          FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                 CAST(sum(nb) AS BIGINT) AS tb
+          FROM c),
+    terms AS (SELECT c.bin, c.na, c.nb,
+                     CAST(round((CAST(c.na AS DOUBLE) / t.ta
+                                 - CAST(c.nb AS DOUBLE) / t.tb)
+                                * ln(CAST(c.na AS DOUBLE) * t.tb
+                                     / (CAST(c.nb AS DOUBLE) * t.ta)),
+                                15) AS DECIMAL(38,15)) AS term
+              FROM c, t WHERE c.na > 0 AND c.nb > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(CAST(sum(term) AS DOUBLE), 9) AS psi
+    FROM terms
+    """,
+    note="population stability index between the even- and odd-key "
+         "halves of lineitem prices (10 fixed-width bins over the "
+         "[0, 110k) price range via pure integer bucketing): the "
+         "industry drift score a model monitor pages on (PSI > 0.2 "
+         "= retrain). Per-bin (p-q)*ln(p/q) terms round to 15dp and "
+         "sum as DECIMAL (the MI order-immunity pattern); bins empty "
+         "on either side are excluded on both engines. The halves "
+         "are i.i.d. so the reported PSI is correctly ~0 — the "
+         "planted-drift case fires in pytest")
+def dq_psi_drift(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    b = li.select(
+        (F.col("l_orderkey") % 2).cast("int").alias("grp"),
+        F.least(F.expr(
+            f"CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 10 "
+            f"div 11000000 AS INT)"), F.lit(9)).alias("bin"))
+    c = (b.groupBy("bin")
+         .agg(F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+              .alias("na"),
+              F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+              .alias("nb")))
+    t = c.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    terms = (c.crossJoin(F.broadcast(t))
+             .filter((F.col("na") > 0) & (F.col("nb") > 0))
+             .select(F.round(
+                 (F.col("na").cast("double") / F.col("ta")
+                  - F.col("nb").cast("double") / F.col("tb"))
+                 * F.log(F.col("na").cast("double") * F.col("tb")
+                         / (F.col("nb").cast("double")
+                            * F.col("ta"))), 15)
+                 .cast("decimal(38,15)").alias("term")))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum("term").cast("double"), 9).alias("psi"))

@@ -499,3 +499,38 @@ def test_holt_matches_pure_recurrence(spark, cents):
     got = holt_forecast(df, "k", "ts", "o", "v").collect()[0]
     assert (got["level_cents"], got["trend_cents"]) == (level, trend)
     assert got["forecast_cents"] == level + trend
+
+
+def test_psi_drift_fires_on_planted_shift(spark, tmp_path):
+    """dq_psi_drift on planted data: identical halves score ~0 (the
+    fixture case), a shifted odd half scores far above the 0.2
+    retrain threshold — the entry's zero must be a measured zero."""
+    import os
+    from mapreduce_wsi_spark.plans.registry import CATALOG, load_catalog
+    load_catalog()
+    d = os.path.join(str(tmp_path), "lineitem.parquet")
+    rows = ([(2 * i, 5000.0) for i in range(200)]
+            + [(2 * i + 1, 50000.0) for i in range(200)])
+    spark.createDataFrame(rows, "l_orderkey long, l_extendedprice double") \
+        .write.parquet(d)
+    out = CATALOG["dq_psi_drift"].fn(spark, str(tmp_path)).collect()[0]
+    # fully disjoint bins -> every bin empty on one side -> excluded;
+    # use a partial overlap instead to get a finite large PSI
+    import shutil
+    shutil.rmtree(d)
+    rows = ([(2 * i, 5000.0) for i in range(190)]
+            + [(2 * i, 50000.0) for i in range(10)]
+            + [(2 * i + 1, 50000.0) for i in range(190)]
+            + [(2 * i + 1, 5000.0) for i in range(10)])
+    spark.createDataFrame(rows, "l_orderkey long, l_extendedprice double") \
+        .write.parquet(d)
+    out = CATALOG["dq_psi_drift"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["psi"] > 0.2
+    # identical halves: PSI exactly ~0
+    shutil.rmtree(d)
+    rows = ([(2 * i, float(1000 + i)) for i in range(200)]
+            + [(2 * i + 1, float(1000 + i)) for i in range(200)])
+    spark.createDataFrame(rows, "l_orderkey long, l_extendedprice double") \
+        .write.parquet(d)
+    out = CATALOG["dq_psi_drift"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(out["psi"]) < 1e-9
