@@ -1016,3 +1016,53 @@ def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
                     .alias("n_assigned"),
                     F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
                     F.round(l1.cast("double"), 9).alias("centroid_l1")))
+
+
+def nearest_centroid_accuracy(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label",
+                              dim: int = 64) -> DataFrame:
+    """Rocchio / nearest-centroid classification audit: assign every
+    vector to its nearest label centroid (cosine) and report per-label
+    accuracy — how linearly separable the labels are, the quick read
+    before spending on a classifier (and the diagnosis behind a low
+    label_coherence score).
+
+    Determinism: centroids use label_coherence's DECIMAL(20,10)
+    order-free component sums, re-rounded to 9dp; assignment scores
+    round to DECIMAL(28,9) BEFORE the argmax and ties break on label
+    (row_number over (score DESC, label)), so the predicted label is
+    a pure function of the data. Plan: (label, dim) aggregation,
+    centroid broadcast (k rows), one corpus scan for the k scores per
+    vector, one label rollup.
+    """
+    v = _as_double(F.col(vec_col))
+    exploded = df.select(F.col(label_col).alias("lbl"),
+                         F.posexplode(v).alias("dim", "x"))
+    sums = (exploded.groupBy("lbl", "dim")
+            .agg(F.sum(F.col("x").cast("decimal(20,10)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    cent = (sums.withColumn(
+        "c", F.round(F.col("s").cast("double") / F.col("n"), 9))
+        .groupBy("lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+             .alias("__sc"))
+        .select(F.col("lbl").alias("__cl"),
+                F.transform(F.col("__sc"), lambda s: s["c"])
+                .alias("centroid")))
+    scored = (df.select(F.col(id_col).alias("__id"),
+                        F.col(label_col).alias("__true"), v.alias("__v"))
+              .crossJoin(F.broadcast(cent))
+              .withColumn("__cos",
+                          cosine(F.col("__v"), F.col("centroid"))
+                          .cast("decimal(28,9)")))
+    w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(),
+                                           F.col("__cl"))
+    pred = (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    return (pred.groupBy(F.col("__true").alias(label_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.sum(F.when(F.col("__cl") == F.col("__true"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct"))
+            .withColumn("accuracy_ppm",
+                        F.expr("n_correct * 1000000L div n_members")))

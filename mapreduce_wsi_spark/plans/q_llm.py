@@ -4370,3 +4370,49 @@ def mm_image_entropy(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_bins_occupied"),
                  F.round(F.sum("term").cast("double"), 9)
                  .alias("entropy_nats")))
+
+
+@register(
+    "eval_nearest_centroid",
+    oracle="""
+    WITH v AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    ex AS (SELECT label AS lbl, g.i AS dim,
+                  sum(CAST(cv[g.i] AS DECIMAL(20,10))) AS s,
+                  count(*) AS n
+           FROM v, generate_series(1, 64) g(i) GROUP BY 1, 2),
+    cent AS (SELECT lbl AS cl,
+                    list(round(CAST(s AS DOUBLE) / n, 9)
+                         ORDER BY dim) AS c
+             FROM ex GROUP BY 1),
+    sc AS (SELECT v.vec_id, v.label AS tru, cent.cl,
+                  CAST(list_dot_product(v.cv, cent.c)
+                       / (sqrt(list_dot_product(v.cv, v.cv))
+                          * sqrt(list_dot_product(cent.c, cent.c)))
+                       AS DECIMAL(28,9)) AS cos
+           FROM v, cent),
+    pred AS (SELECT vec_id, tru, cl,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cl) AS rn
+             FROM sc)
+    SELECT tru AS label, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN cl = tru THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(sum(CASE WHEN cl = tru THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accuracy_ppm
+    FROM pred WHERE rn = 1 GROUP BY 1
+    """,
+    note="nearest-centroid (Rocchio) classification audit: per-label "
+         "accuracy of cosine-nearest label centroids — the linear-"
+         "separability read behind a low label_coherence score. "
+         "Centroid components are order-free DECIMAL sums re-rounded "
+         "to 9dp, scores round to DECIMAL(28,9) BEFORE the argmax, "
+         "ties break on label — the prediction is a pure function of "
+         "the data, replayed by the twin "
+         "(operators/similarity.py::nearest_centroid_accuracy)")
+def eval_nearest_centroid(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import (
+        nearest_centroid_accuracy)
+    emb = tbl(spark, sf_dir, "embeddings")
+    return nearest_centroid_accuracy(emb)
