@@ -1618,3 +1618,87 @@ def window_rolling_slope(spark, sf_dir):
                  .cast("long").alias("n_scored"),
                  F.sum(F.when(rising, 1).otherwise(0)).cast("long")
                  .alias("n_rising")))
+
+
+@register(
+    "events_kaplan_meier",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      min(CAST(ts AS DATE)) AS first_d,
+                      max(CAST(ts AS DATE)) AS last_d
+               FROM events GROUP BY 1),
+    g AS (SELECT max(last_d) AS corpus_end FROM u),
+    lt AS (SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT)
+                      AS t,
+                  CASE WHEN date_diff('day', last_d,
+                                      (SELECT corpus_end FROM g)) < 7
+                       THEN 1 ELSE 0 END AS censored
+           FROM u),
+    bytime AS (SELECT t,
+                      sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END)
+                          AS d,
+                      sum(censored) AS c,
+                      count(*) AS n_at
+               FROM lt GROUP BY 1),
+    risk AS (SELECT t, d, c,
+                    sum(n_at) OVER (ORDER BY t DESC
+                                    ROWS UNBOUNDED PRECEDING)
+                        AS n_risk
+             FROM bytime),
+    terms AS (SELECT t, d, c, n_risk,
+                     CASE WHEN d > 0 THEN
+                         CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                             / n_risk), 15)
+                              AS DECIMAL(38,15))
+                     ELSE CAST(0 AS DECIMAL(38,15)) END AS term
+              FROM risk)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(c AS BIGINT) AS n_censored,
+           round(CAST(sum(term) OVER (ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE), 9) AS ln_survival
+    FROM terms
+    """,
+    note="Kaplan-Meier churn curve with right-censoring: per-user "
+         "observed lifetime (first to last activity day; censored if "
+         "still active within 7 days of corpus end), risk sets via a "
+         "DESCENDING cumulative count over the tiny distinct-lifetime "
+         "table, and the survival curve reported as ln S(t) — the "
+         "cumulative DECIMAL sum of 15dp-rounded ln(1 - d/n) terms, "
+         "sidestepping the cross-engine exp(); consumers exponentiate "
+         "client-side. Survival analysis: the retention family's "
+         "censoring-aware upgrade over raw cohort curves")
+def events_kaplan_meier(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.min(F.col("ts").cast("date")).alias("first_d"),
+              F.max(F.col("ts").cast("date")).alias("last_d")))
+    g = u.agg(F.max("last_d").alias("corpus_end"))
+    lt = (u.crossJoin(F.broadcast(g))
+          .select(F.datediff("last_d", "first_d").cast("long")
+                  .alias("t"),
+                  F.when(F.datediff("corpus_end", "last_d") < 7, 1)
+                  .otherwise(0).alias("censored")))
+    bytime = (lt.groupBy("t")
+              .agg(F.sum(F.when(F.col("censored") == 0, 1)
+                         .otherwise(0)).alias("d"),
+                   F.sum("censored").alias("c"),
+                   F.count(F.lit(1)).alias("n_at")))
+    wdesc = (Window.orderBy(F.col("t").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = bytime.withColumn("n_risk", F.sum("n_at").over(wdesc))
+    term = (F.when(F.col("d") > 0,
+                   F.round(F.log(1.0 - F.col("d").cast("double")
+                                 / F.col("n_risk")), 15)
+                   .cast("decimal(38,15)"))
+            .otherwise(F.lit(0).cast("decimal(38,15)")))
+    wasc = (Window.orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (risk.withColumn("term", term)
+            .select("t", F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("d").cast("long").alias("n_churned"),
+                    F.col("c").cast("long").alias("n_censored"),
+                    F.round(F.sum("term").over(wasc).cast("double"), 9)
+                    .alias("ln_survival")))
