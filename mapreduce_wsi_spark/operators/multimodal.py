@@ -3828,3 +3828,31 @@ def image_luma_histogram(blobs: DataFrame, n_bins: int = 16) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(hist, LUMA_HIST_SCHEMA)
+
+
+LUMA_VEC_SCHEMA = "doc_id long, ok boolean, luma array<long>"
+
+
+def image_luma_vector(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched per-pixel luma vector over REAL-decoded payloads
+    (row-major int64 list; the dhash fixed-point weights) — the
+    pixel-level handle for pairwise metrics computed JVM-side (SSIM in
+    plans/q_llm.py::mm_image_ssim). Undecodable payloads yield
+    ok=false with an empty list."""
+
+    def vecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "ok": [], "luma": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                img = _decode_image(bytes(payload) if payload else b"")
+                rows["doc_id"].append(doc_id)
+                if img is None:
+                    rows["ok"].append(False)
+                    rows["luma"].append([])
+                    continue
+                luma = ((img[2].astype(np.int64) @ _LUMA_WEIGHTS) >> 8)
+                rows["ok"].append(True)
+                rows["luma"].append([int(v) for v in luma.reshape(-1)])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(vecs, LUMA_VEC_SCHEMA)

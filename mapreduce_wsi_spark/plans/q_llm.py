@@ -4416,3 +4416,93 @@ def eval_nearest_centroid(spark, sf_dir):
         nearest_centroid_accuracy)
     emb = tbl(spark, sf_dir, "embeddings")
     return nearest_centroid_accuracy(emb)
+
+
+@register(
+    "mm_image_ssim",
+    oracle=f"""
+    WITH h AS ({_DHASH_SQL}),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM h a JOIN h b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+    p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+          FROM {_ASCII_DOCS_SQL} documents),
+    l AS (SELECT doc_id,
+                 list_transform(generate_series(0, 15),
+                     j -> (77 * unicode(px[3*j + 1])
+                           + 151 * unicode(px[3*j + 2])
+                           + 28 * unicode(px[3*j + 3])) // 256) AS lm
+          FROM p),
+    m AS (SELECT pr.id_a, pr.id_b,
+                 CAST(list_sum(la.lm) AS BIGINT) AS sx,
+                 CAST(list_sum(lb.lm) AS BIGINT) AS sy,
+                 CAST(list_sum(list_transform(la.lm, v -> v * v))
+                      AS BIGINT) AS sxx,
+                 CAST(list_sum(list_transform(lb.lm, v -> v * v))
+                      AS BIGINT) AS syy,
+                 CAST(list_sum(list_transform(generate_series(1, 16),
+                      i -> la.lm[i] * lb.lm[i])) AS BIGINT) AS sxy
+          FROM pairs pr
+          JOIN l la ON la.doc_id = pr.id_a
+          JOIN l lb ON lb.doc_id = pr.id_b)
+    SELECT id_a, id_b,
+           round(((2.0 * sx / 16 * sy / 16 + 6.5025)
+                  * (2.0 * (CAST(sxy AS DOUBLE) / 16
+                            - CAST(sx AS DOUBLE) / 16 * sy / 16)
+                     + 58.5225))
+                 / ((CAST(sx AS DOUBLE) / 16 * sx / 16
+                     + CAST(sy AS DOUBLE) / 16 * sy / 16 + 6.5025)
+                    * ((CAST(sxx AS DOUBLE) / 16
+                        - CAST(sx AS DOUBLE) / 16 * sx / 16)
+                       + (CAST(syy AS DOUBLE) / 16
+                          - CAST(sy AS DOUBLE) / 16 * sy / 16)
+                       + 58.5225)), 9) AS ssim
+    FROM m
+    """,
+    note="full-reference SSIM over the dHash near-dup candidate pairs "
+         "(global form, C1/C2 plan literals): all five moments are "
+         "exact BIGINT sums over REAL-decoded luma (Arrow "
+         "image_luma_vector kernel), the SSIM closing formula is one "
+         "fixed IEEE expression mirrored op-by-op — banding proposes, "
+         "SSIM scores, never pixelwise all-pairs "
+         "(operators/multimodal.py::image_luma_vector)")
+def mm_image_ssim(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import (
+        dhash_near_dup_pairs, image_dhash, image_luma_vector)
+    blobs = _ppm_blobs(spark, sf_dir)
+    hashes = image_dhash(blobs)
+    pairs = dhash_near_dup_pairs(hashes, n_bits=12, max_hamming=2) \
+        .select("id_a", "id_b")
+    luma = image_luma_vector(blobs).filter(F.col("ok")).select(
+        "doc_id", "luma")
+    dd = "decimal(38,0)"
+
+    def s(col):
+        return F.aggregate(col, F.lit(0).cast(dd),
+                           lambda a, x: (a + x.cast(dd)).cast(dd))
+
+    la = luma.select(F.col("doc_id").alias("id_a"),
+                     F.col("luma").alias("__la"))
+    lb = luma.select(F.col("doc_id").alias("id_b"),
+                     F.col("luma").alias("__lb"))
+    m = (pairs.join(la, "id_a").join(lb, "id_b")
+         .select("id_a", "id_b",
+                 s(F.col("__la")).cast("long").alias("sx"),
+                 s(F.col("__lb")).cast("long").alias("sy"),
+                 s(F.transform(F.col("__la"), lambda v: v * v))
+                 .cast("long").alias("sxx"),
+                 s(F.transform(F.col("__lb"), lambda v: v * v))
+                 .cast("long").alias("syy"),
+                 s(F.zip_with(F.col("__la"), F.col("__lb"),
+                              lambda a, b: a * b))
+                 .cast("long").alias("sxy")))
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = ((2.0 * sx / 16 * sy / 16 + 6.5025)
+           * (2.0 * (sxy / 16 - sx / 16 * sy / 16) + 58.5225))
+    den = ((sx / 16 * sx / 16 + sy / 16 * sy / 16 + 6.5025)
+           * ((sxx / 16 - sx / 16 * sx / 16)
+              + (syy / 16 - sy / 16 * sy / 16) + 58.5225))
+    return m.select("id_a", "id_b",
+                    F.round(num / den, 9).alias("ssim"))
