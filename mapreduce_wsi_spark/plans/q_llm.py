@@ -4506,3 +4506,72 @@ def mm_image_ssim(spark, sf_dir):
               + (syy / 16 - sy / 16 * sy / 16) + 58.5225))
     return m.select("id_a", "id_b",
                     F.round(num / den, 9).alias("ssim"))
+
+
+@register(
+    "text_skipgram_pmi",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, w[i] AS w, CAST(i AS BIGINT) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents) t,
+             unnest(generate_series(1, len(w))) s(i)),
+    pairs AS (SELECT a.w AS w1, b.w AS w2
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id
+               AND b.pos - a.pos BETWEEN 1 AND 3),
+    pc AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT w1 AS w, sum(c) AS cl FROM pc GROUP BY 1),
+    uni2 AS (SELECT w2 AS w, sum(c) AS cr FROM pc GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM pc),
+    scored AS (SELECT pc.w1, pc.w2, pc.c,
+                      round(ln(CAST(pc.c AS DOUBLE) * t.n
+                               / (CAST(u1.cl AS DOUBLE) * u2.cr)), 9)
+                          AS pmi
+               FROM pc JOIN uni u1 ON u1.w = pc.w1
+                       JOIN uni2 u2 ON u2.w = pc.w2, tot t
+               WHERE pc.c >= 50)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+    note="skip-gram PMI collocations (window +1..+3, the word2vec "
+         "co-occurrence statistic — vs text_bigram_pmi's strict "
+         "adjacency): positions from ONE tokenize pass, the windowed "
+         "self-join is an equi-join on doc plus a 3-wide position "
+         "band (candidate volume = 3x tokens, never quadratic), "
+         "margins from the pair table itself, PMI one IEEE ln over "
+         "exact counts, support floor 50, top-30 total order -> "
+         "TakeOrderedAndProject")
+def text_skipgram_pmi(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import words
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(words(F.col("text"))).alias("i", "w")).select(
+        "doc_id", "w", (F.col("i") + 1).cast("long").alias("pos"))
+    a = tok.select("doc_id", F.col("w").alias("w1"),
+                   F.col("pos").alias("p1"))
+    pairs = None
+    for d in (1, 2, 3):
+        b = tok.select("doc_id", F.col("w").alias("w2"),
+                       (F.col("pos") - d).alias("p1"))
+        pp = a.join(b, ["doc_id", "p1"]).select("w1", "w2")
+        pairs = pp if pairs is None else pairs.unionByName(pp)
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    pc = pc.localCheckpoint()
+    uni = pc.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c").alias("cl"))
+    uni2 = pc.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("c").alias("cr"))
+    tot = pc.agg(F.sum("c").alias("n"))
+    scored = (pc.filter(F.col("c") >= 50)
+              .join(uni.withColumnRenamed("w", "w1"), "w1")
+              .join(uni2.withColumnRenamed("w", "w2"), "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("w1", "w2", F.col("c").cast("long").alias("c"),
+                      F.round(F.log(F.col("c").cast("double")
+                                    * F.col("n")
+                                    / (F.col("cl").cast("double")
+                                       * F.col("cr"))), 9)
+                      .alias("pmi")))
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(30)
