@@ -125,6 +125,14 @@ ENTRIES = [
     "quantile_normalize_groups",
     "agg_pareto_8020",
     "sample_negative_unigram",
+    # closing tranche: descending risk-set cumsum + decimal ln terms,
+    # exact SSIM moments over banded pairs, banded skip-gram position
+    # joins, decimal centroid argmax, matrix power rounds
+    "events_kaplan_meier",
+    "mm_image_ssim",
+    "text_skipgram_pmi",
+    "eval_nearest_centroid",
+    "events_markov_stationary",
 ]
 
 SMALL_SPLIT_BYTES = 65536
