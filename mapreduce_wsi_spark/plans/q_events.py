@@ -1336,7 +1336,9 @@ def session_duration_stats(spark, sf_dir):
 @register(
     "stream_lateness_audit",
     oracle="""
-    WITH o AS (SELECT event_id, epoch(ts)::BIGINT AS sec FROM events),
+    WITH o AS (SELECT event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
     r AS (SELECT sec,
                  max(sec) OVER (ORDER BY event_id
                                 ROWS UNBOUNDED PRECEDING) AS high
@@ -1570,13 +1572,14 @@ def events_markov_stationary(spark, sf_dir):
     "window_rolling_slope",
     oracle="""
     WITH b AS (SELECT user_id, event_id,
-                      epoch(ts)::BIGINT AS x,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS x,
                       CAST(round(value * 100) AS BIGINT) AS y,
                       count(*) OVER w AS n,
-                      sum(epoch(ts)::BIGINT) OVER w AS sx,
+                      sum(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                          AS sx,
                       sum(CAST(round(value * 100) AS BIGINT)) OVER w
                           AS sy,
-                      sum(epoch(ts)::BIGINT
+                      sum(CAST(floor(epoch(ts)) AS BIGINT)
                           * CAST(round(value * 100) AS BIGINT)) OVER w
                           AS sxy
                FROM events
@@ -1702,3 +1705,67 @@ def events_kaplan_meier(spark, sf_dir):
                     F.col("c").cast("long").alias("n_censored"),
                     F.round(F.sum("term").over(wasc).cast("double"), 9)
                     .alias("ln_survival")))
+
+
+@register(
+    "interval_union_time",
+    oracle="""
+    WITH iv AS (SELECT user_id,
+                       -- floor, not ::BIGINT: DuckDB casts DOUBLE to
+                       -- int by rounding; Spark's timestamp->long
+                       -- truncates sub-second parts
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e,
+                       event_id
+                FROM events),
+    m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id
+                              ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+          FROM iv),
+    isl AS (SELECT user_id, s, e,
+                   sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM m),
+    seg AS (SELECT user_id, island,
+                   max(e) - min(s) AS span
+            FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(span) AS BIGINT) AS active_seconds
+    FROM seg GROUP BY 1
+    """,
+    note="union of overlapping intervals per user ([ts, ts+5min) "
+         "activity windows): the merged-coverage / billable-time "
+         "computation — islands start where an interval's start "
+         "clears the running max end (the gaps-and-islands running-"
+         "max form; a plain lag(e) would WRONGLY split islands when "
+         "an earlier interval outspans a later one), island spans "
+         "sum exactly in integer seconds. Two stacked windows on one "
+         "user_id exchange — the measure dual of "
+         "interval_peak_concurrency's count sweep")
+def interval_union_time(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    iv = ev.select("user_id", "event_id",
+                   F.col("ts").cast("long").alias("s"),
+                   (F.col("ts").cast("long") + 300).alias("e"))
+    wprev = (Window.partitionBy("user_id").orderBy("s", "event_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    m = iv.withColumn("prev_max", F.max("e").over(wprev))
+    wrun = (Window.partitionBy("user_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    isl = m.withColumn(
+        "island",
+        F.sum(F.when(F.col("prev_max").isNull()
+                     | (F.col("s") > F.col("prev_max")), 1)
+              .otherwise(0)).over(wrun))
+    seg = (isl.groupBy("user_id", "island")
+           .agg((F.max("e") - F.min("s")).alias("span")))
+    return (seg.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.sum("span").cast("long").alias("active_seconds")))
