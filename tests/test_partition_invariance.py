@@ -133,6 +133,7 @@ ENTRIES = [
     "text_skipgram_pmi",
     "eval_nearest_centroid",
     "events_markov_stationary",
+    "interval_union_time",   # running-max islands across splits
 ]
 
 SMALL_SPLIT_BYTES = 65536
