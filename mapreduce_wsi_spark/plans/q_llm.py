@@ -4575,3 +4575,100 @@ def text_skipgram_pmi(spark, sf_dir):
                                        * F.col("cr"))), 9)
                       .alias("pmi")))
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(30)
+
+
+@register(
+    "text_burrows_delta",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c) AS tot FROM cnt GROUP BY 1),
+    topw AS (SELECT w FROM (
+                 SELECT w, sum(c) AS gc FROM cnt GROUP BY 1
+                 ORDER BY gc DESC, w LIMIT 20) t),
+    cells AS (SELECT s.source, tw.w,
+                     CAST(round(CAST(coalesce(c.c, 0) AS DOUBLE)
+                                / s.tot, 15) AS DECIMAL(38,15)) AS f
+              FROM stot s CROSS JOIN topw tw
+              LEFT JOIN cnt c ON c.source = s.source AND c.w = tw.w),
+    mo AS (SELECT w, count(*) AS n,
+                  sum(f) AS sf,
+                  -- square in DOUBLE then round: a DECIMAL(38,15)
+                  -- product overflows 38 digits and the engines
+                  -- degrade differently
+                  sum(CAST(round(CAST(f AS DOUBLE) * CAST(f AS DOUBLE),
+                                 18) AS DECIMAL(38,18))) AS sff
+           FROM cells GROUP BY 1),
+    z AS (SELECT c.source, c.w,
+                 CAST(round((CAST(c.f AS DOUBLE)
+                             - CAST(m.sf AS DOUBLE) / m.n)
+                            / sqrt((CAST(m.sff AS DOUBLE)
+                                    - CAST(m.sf AS DOUBLE)
+                                      * CAST(m.sf AS DOUBLE) / m.n)
+                                   / m.n), 9) AS DECIMAL(28,9)) AS z
+          FROM cells c JOIN mo m USING (w)),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(round(abs(CAST(a.z AS DOUBLE)
+                                    - CAST(b.z AS DOUBLE)), 9)
+                          AS DECIMAL(28,9)) AS term
+              FROM z a JOIN z b
+                ON a.w = b.w AND a.source < b.source)
+    SELECT src_a, src_b,
+           round(CAST(sum(term) AS DOUBLE) / 20, 9) AS delta
+    FROM pairs GROUP BY 1, 2
+    ORDER BY delta, src_a, src_b LIMIT 10
+    """,
+    note="Burrows' Delta stylometry (authorship / source attribution, "
+         "the contamination-forensics classic): z-scored relative "
+         "frequencies of the corpus's 20 most frequent words per "
+         "source (zero cells materialized — a source that never uses "
+         "a marker word is signal), Delta = mean |z_a - z_b| over "
+         "source pairs, top-10 most similar. Every sum that crosses "
+         "rows is an exact DECIMAL of rounded terms (the repo's "
+         "order-immunity pattern); the pair join runs over the tiny "
+         "sources x 20 z-table, never documents")
+def text_burrows_delta(spark, sf_dir):
+    from pyspark.sql import Window
+    from mapreduce_wsi_spark.operators.text import words
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(words(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    cnt = cnt.localCheckpoint()
+    stot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    topw = (cnt.groupBy("w").agg(F.sum("c").alias("gc"))
+            .orderBy(F.col("gc").desc(), "w").limit(20).select("w"))
+    cells = (stot.crossJoin(F.broadcast(topw))
+             .join(cnt, ["source", "w"], "left")
+             .select("source", "w",
+                     F.round(F.coalesce(F.col("c"), F.lit(0))
+                             .cast("double") / F.col("tot"), 15)
+                     .cast("decimal(38,15)").alias("f")))
+    mo = (cells.groupBy("w")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("f").alias("sf"),
+               F.sum(F.round(F.col("f").cast("double")
+                             * F.col("f").cast("double"), 18)
+                     .cast("decimal(38,18)")).alias("sff")))
+    sf, sff = F.col("sf").cast("double"), F.col("sff").cast("double")
+    n = F.col("n")
+    z = (cells.join(mo, "w")
+         .select("source", "w",
+                 F.round((F.col("f").cast("double") - sf / n)
+                         / F.sqrt((sff - sf * sf / n) / n), 9)
+                 .cast("decimal(28,9)").alias("z")))
+    a = z.select(F.col("source").alias("src_a"), "w",
+                 F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("src_b"), "w",
+                 F.col("z").alias("zb"))
+    pairs = (a.join(b, "w")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .select("src_a", "src_b",
+                     F.round(F.abs(F.col("za").cast("double")
+                                   - F.col("zb").cast("double")), 9)
+                     .cast("decimal(28,9)").alias("term")))
+    return (pairs.groupBy("src_a", "src_b")
+            .agg(F.round(F.sum("term").cast("double") / 20, 9)
+                 .alias("delta"))
+            .orderBy("delta", "src_a", "src_b").limit(10))
