@@ -1769,3 +1769,46 @@ def interval_union_time(spark, sf_dir):
     return (seg.groupBy("user_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_islands"),
                  F.sum("span").cast("long").alias("active_seconds")))
+
+
+@register(
+    "events_protocol_conformance",
+    oracle="""
+    WITH w AS (SELECT user_id, event_type,
+                      min(CASE WHEN event_type = 'view' THEN ts END)
+                          OVER (PARTITION BY user_id) AS first_view,
+                      ts
+               FROM events)
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                          AND (first_view IS NULL OR ts < first_view)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                           AND (first_view IS NULL OR ts < first_view)
+                          THEN user_id END) AS BIGINT)
+               AS n_violating_users
+    FROM w
+    """,
+    note="protocol-conformance audit (a purchase must be preceded by "
+         "at least one view): violations found with ONE conditional "
+         "window-min per user — no sequence materialization, no "
+         "regex; the funnel machinery's validation dual. The "
+         "violation count is the data-contract check an event "
+         "pipeline alerts on")
+def events_protocol_conformance(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = tbl(spark, sf_dir, "events")
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))).over(
+        Window.partitionBy("user_id"))
+    w = ev.withColumn("first_view", first_view)
+    viol = ((F.col("event_type") == "purchase")
+            & (F.col("first_view").isNull()
+               | (F.col("ts") < F.col("first_view"))))
+    return w.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+        .alias("n_violations"),
+        F.countDistinct(F.when(viol, F.col("user_id"))).cast("long")
+        .alias("n_violating_users"))

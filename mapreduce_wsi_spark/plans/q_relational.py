@@ -797,3 +797,49 @@ def percentile_of_point(spark, sf_dir):
                              + 0.5 * F.col("n_equal"))
                             / F.col("n"), 9)
                     .alias("pctile_of_5000")))
+
+
+@register(
+    "agg_herfindahl_index",
+    oracle="""
+    WITH rev AS (SELECT c.c_nationkey, o.o_custkey,
+                        CAST(sum(CAST(round(o.o_totalprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS cents
+                 FROM orders o JOIN customer c
+                   ON c.c_custkey = o.o_custkey
+                 GROUP BY 1, 2),
+    n AS (SELECT c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 sum(CAST(cents AS DECIMAL(38,0)) * cents) AS sq
+          FROM rev GROUP BY 1)
+    SELECT c_nationkey, n_customers, total_cents,
+           round(CAST(sq AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE) * total_cents), 9)
+               AS hhi
+    FROM n
+    """,
+    note="Herfindahl-Hirschman concentration index per nation (market "
+         "concentration of customer revenue): HHI = sum(share^2) "
+         "computed as sum(cents^2)/total^2 — the squared sum is an "
+         "exact DECIMAL of exact BIGINTs, one IEEE division closes; "
+         "1/n = perfectly competitive, 1 = monopoly. The antitrust "
+         "cousin of the gini/Pareto concentration pair")
+def agg_herfindahl_index(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rev = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  o["o_custkey"] == F.col("c_custkey"))
+           .groupBy("c_nationkey", "o_custkey")
+           .agg(F.sum(cents).alias("cents")))
+    n = (rev.groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+              F.sum("cents").cast("long").alias("total_cents"),
+              F.sum(F.col("cents").cast("decimal(38,0)")
+                    * F.col("cents")).alias("sq")))
+    return n.select(
+        "c_nationkey", "n_customers", "total_cents",
+        F.round(F.col("sq").cast("double")
+                / (F.col("total_cents").cast("double")
+                   * F.col("total_cents")), 9).alias("hhi"))
