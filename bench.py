@@ -255,6 +255,35 @@ def _bench_overrides():
             "sim_ann_pq_build": pq_build, "sim_ann_pq": pq_serve}
 
 
+# stdout-line families: the driver's artifact capture keeps only the LAST
+# 2000 chars of stdout, and by r7 the 71-entry per-query map outgrew it
+# (BENCH_r07.json "parsed": null — the headline total fell out of the
+# permanent record). The contract line therefore carries per-FAMILY
+# subtotals (~500 chars, 4x headroom) and the full-precision per-query
+# map is written to BENCH_DETAIL.json in the repo root the same run
+# (committed at round end, so the judge keeps per-query history).
+FAMILY_PREFIXES = (
+    ("tpch", ("q1_", "q3_", "q5_", "q7_", "q18_")),
+    ("media", ("mm_",)),
+    ("dedup", ("dedup_", "decontam_", "er_")),
+    ("text", ("text_",)),
+    ("sim", ("sim_", "embedding_", "cluster_")),
+    ("graph", ("graph_", "triangle_")),
+    ("sketch", ("sketch_", "heavy_", "distinct_", "agg_distinct")),
+    ("eval", ("eval_",)),
+    ("events", ("funnel_", "interval_", "events_", "ts_")),
+    ("pipeline", ("pipeline_", "dsir_",)),
+    ("core", ("window_", "flagship_", "join_")),
+)
+
+
+def _family(name: str) -> str:
+    for fam, prefixes in FAMILY_PREFIXES:
+        if any(name.startswith(p) for p in prefixes):
+            return fam
+    return "core"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -301,13 +330,33 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": int(cpus),
+        }, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + t, 2)
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": families,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
         "sf": sf,
-    }))
+    }, separators=(",", ":"))
+    assert len(line) <= 1500, f"stdout contract line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

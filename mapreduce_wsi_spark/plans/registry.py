@@ -83,59 +83,55 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-6
-# stamped 208 distinct entries green — every pre-r6 entry. This
-# round's window = the 5 fixed sentinels (cross-round regression
-# canaries) + ALL 30 never-stamped r6 additions + 15 entries ADDED
-# THIS ROUND (stamped in the same round they ship, so no backlog
-# accrues). The fresh queue exceeds the 45 non-sentinel slots, so the
-# staleness pad SHRINKS TO ZERO per its own rule; r7 entries
-# registered after the rotation (mm_edge_sobel onward — see
-# COVERAGE.md) head the r8 queue. A green round lifts cumulative
-# driver coverage to 253 of the catalog.
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-7
+# stamped 253 distinct entries green. This round's window = the 5 fixed
+# sentinels (cross-round regression canaries) + the 45 OLDEST-REGISTERED
+# of the 88 never-stamped entries (tools/window_audit.py order) — the
+# r7 additions that landed after the r7 rotation. Catalog growth is
+# FROZEN this round (VERDICT r7 ask #3): 341 entries stays 341, so the
+# r9 queue is exactly the remaining 43 never-stamped entries and the
+# backlog clears in one more rotation. A green round lifts cumulative
+# driver coverage to 298 of 341.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
-ROUND = 7  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+ROUND = 8  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # exists only when free slots remain after covering never-stamped
-# entries and SHRINKS FIRST. This round the fresh queue is 30 r6 + 16
-# r7 = 46 for 45 slots, so the pad is empty; the round-2-vintage
-# re-checks it carried earlier in r7 move to the r8 pad candidates
-# ("above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
-# "q10_returned_items", "q12_late_shipment" — still the oldest stamps).
+# entries and SHRINKS FIRST. The fresh queue (88) exceeds the 45
+# non-sentinel slots again, so the pad stays empty; the round-2-vintage
+# re-check candidates ("above_avg_balance", "distinct_rows",
+# "histogram_fixed_buckets", "q10_returned_items", "q12_late_shipment")
+# roll forward to the first round with free slots (r10 at the earliest).
 WINDOW_STALENESS_PAD: tuple[str, ...] = ()
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # r6 additions: data selection / sketches / tokenizer training
-    "dsir_importance_select", "sketch_tdigest_quantiles",
-    "sketch_cms_frequency", "text_bpe_learn", "text_bpe_learn_apply",
-    # r6 text-statistics tail
-    "text_kneser_ney_logprob", "text_char_entropy", "text_zipf_fit",
-    "text_heaps_law", "text_nfc_normalize", "text_bigram_pmi",
-    # r6 embedding linear algebra
-    "embedding_pca_power", "embedding_covariance_topk",
-    # r6 evaluation family
-    "eval_group_auc", "eval_cohens_kappa", "eval_retrieval_metrics",
-    "eval_calibration_curve", "eval_confusion_f1",
-    "hist_equiwidth_prices", "sample_reservoir_per_key",
-    # r6 sources / joins
-    "source_orc_roundtrip", "join_privacy_hashed",
-    # r6 codecs + media ops
-    "mm_decode_jpeg_progressive", "mm_decode_png_adam7",
-    "mm_decode_bmp_rle8", "mm_decode_tiff", "mm_decode_wav_adpcm",
-    "mm_decode_gif_interlaced", "mm_decode_ok_rate", "mm_resize_area",
-    # r7 additions (stamped the round they ship)
-    "eval_log_loss_brier", "eval_spearman_corr",
-    "eval_average_precision", "eval_kendall_tau", "agg_skew_kurtosis",
-    "text_perplexity_buckets", "text_hashed_tfidf",
-    "mm_decode_tga", "mm_decode_qoi", "sim_mmr_diversify",
-    "text_winnow_fingerprint", "text_gopher_repetition",
-    "text_mattr_diversity", "pipeline_chunk_overlap", "mm_video_frames",
+    # r7 backlog, oldest-registered first (window_audit.py order):
+    # relational / data-quality / join tail
+    "rollup_rank_within_parent", "percentile_of_point",
+    "agg_herfindahl_index", "join_bloom_prune", "dq_benford_prices",
+    "agg_skyline_pareto", "join_point_in_time", "geo_geohash_cells",
+    "dq_k_anonymity", "join_size_preflight", "dedup_time_window",
+    "seq_gap_audit", "window_time_range_frame", "dq_outlier_iqr",
+    "dp_noisy_counts", "sketch_bloom_fpr",
+    # graph tranche
+    "graph_hits", "graph_kcore", "graph_link_prediction",
+    "graph_personalized_pagerank", "copurchase_lift_rules",
+    "graph_assortativity", "graph_degree_distribution",
+    # scalar-function packs
+    "scalar_datetime_funcs3", "array_funcs2", "scalar_string_funcs3",
+    "scalar_regex_funcs",
+    # media / similarity / ER / text tranche
+    "mm_edge_sobel", "dedup_sorted_neighborhood", "sim_ann_pq",
+    "sim_hard_negatives", "mm_dominant_color", "mm_audio_goertzel",
+    "er_fellegi_sunter", "text_readability_fk", "pipeline_prepare_er",
+    "dedup_weighted_minhash", "mm_image_phash", "sim_truncation_overlap",
+    "pipeline_quality_funnel", "eval_langid_confusion", "mm_audio_vad",
+    "mm_image_entropy", "eval_nearest_centroid", "mm_image_ssim",
 ) + WINDOW_STALENESS_PAD
 
 
