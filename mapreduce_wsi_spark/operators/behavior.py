@@ -301,10 +301,14 @@ def cusum_max_excursion(events: DataFrame, key_col: str, ts_col: str,
     shift mid-history scores high; a stationary key scores near 0).
 
     The textbook recurrence S_i = max(0, S_{i-1} + dev_i) is not a
-    window expression, but its closed form is: S_i = P_i - min_{j<=i}
-    P_j with P the plain prefix sum of deviations. So the whole
-    detector is two stacked windows over ONE key exchange (prefix sum,
-    running min) plus a max.
+    window expression, but its closed form is: S_i = P_i - min_{0<=j<=i}
+    P_j with P the plain prefix sum of deviations AND P_0 = 0 in the
+    running min (the recurrence's max-with-0 floor: a series that
+    shifts UP from the very first rows has an all-positive prefix sum,
+    and its excursion is P_i itself, not P_i - min of later P).
+    Hence least(0, running_min) below. So the whole detector is two
+    stacked windows over ONE key exchange (prefix sum, running min)
+    plus a max.
 
     Exactness: values enter as integer cents; deviation from the key
     mean (v - S/n, rational) is scaled by n to n*v - S, an exact
@@ -325,7 +329,8 @@ def cusum_max_excursion(events: DataFrame, key_col: str, ts_col: str,
     curs = (base.join(tot, "__k")
             .withColumn("__p", F.sum(dev).over(run))
             .withColumn("__m", F.min(F.col("__p")).over(run))
-            .withColumn("__e", F.col("__p") - F.col("__m")))
+            .withColumn("__e",
+                        F.col("__p") - F.least(F.lit(0), F.col("__m"))))
     return (curs.groupBy("__k")
             .agg(F.first("__n").cast("long").alias("n_events"),
                  F.round(F.max("__e").cast("double")

@@ -931,59 +931,88 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3,
                     "rn"))
 
 
+def _kmeans_assign(vecs: DataFrame,
+                   centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-side Lloyd assignment against LITERAL centroids: for each
+    corpus row, argmin over the k embedded (cell, vector) literals by
+    (distance, cell) — expressed as ``least()`` over DECIMAL-distance
+    structs, whose lexicographic struct ordering IS the deterministic
+    tie-break. Zero joins, zero windows, zero exchanges: the corpus
+    never moves. Split out of kmeans_lloyd so the plan test can pin
+    exchange-freeness on the in-loop shape directly."""
+    d_t = "decimal(28,18)"
+
+    def dist(cv, c_lit):
+        # re-cast each merge: Spark widens DECIMAL on add, which
+        # breaks aggregate()'s fixed accumulator type; scale 18 with
+        # precision 28 has headroom for any 64-term sum here
+        return F.aggregate(
+            F.zip_with(cv, c_lit,
+                       lambda a, b: ((a - b) * (a - b)).cast(d_t)),
+            F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))
+
+    cands = [F.struct(dist(F.col("__cv"), F.lit(c)).alias("d"),
+                      F.lit(int(cell)).cast("long").alias("c"))
+             for cell, c in centroids]
+    best = cands[0] if len(cands) == 1 else F.least(*cands)
+    return (vecs.withColumn("__b", best)
+            .select("__id", "__cv", F.col("__b.c").alias("cell"),
+                    F.col("__b.d").alias("__d")))
+
+
 def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 8, dim: int = 64,
                  n_rounds: int = 3) -> DataFrame:
     """Distributed Lloyd k-means with BIT-EXACT iterates — the
     clustering step itself (vs build_ivf_index, which delegates to
     MLlib's seeded-but-engine-private KMeans): deterministic init
-    (the k smallest ids), every distance term and every centroid-mean
-    numerator cast to DECIMAL before its order-free sum, centroid
-    components re-rounded to 9dp between rounds — the
-    pca_power_component discipline, so an unrolled-CTE DuckDB twin
-    walks the identical centroid trajectory.
+    (the k SMALLEST ids — selected by orderBy/limit, so sparse or
+    non-zero-based id spaces still yield exactly k seeds, asserted),
+    every distance term and every centroid-mean numerator cast to
+    DECIMAL before its order-free sum, centroid components re-rounded
+    to 9dp between rounds — the pca_power_component discipline, so an
+    unrolled-CTE DuckDB twin walks the identical centroid trajectory.
 
-    Per round: one corpus scan x k broadcast centroids (argmin by
-    (dist, cell) — ties deterministic), one (cell, dim)-keyed
-    partial-agg mean, reassembled to a k-row centroid table
-    (localCheckpoint: tiny, but cutting lineage stops the
-    round-over-round plan doubling). Empty cells keep their previous
-    centroid. Returns per cell: n_assigned, inertia (exact decimal
-    sum of final distances), centroid_l1 (exact sum of |component|).
+    Per round: the k x dim centroid table (8x64 doubles here) is
+    COLLECTED to the driver — the same bounded driver-action class as
+    the BPE merge argmax and the MMR selection rows — and embedded as
+    literals, so assignment is a pure map-side expression: argmin via
+    ``least()`` over (DECIMAL distance, cell) structs, whose struct
+    ordering is exactly the (dist, cell) tie-break. The mean update is
+    a (cell, dim)-keyed partial agg whose map-side combine reduces
+    each partition to <= k*dim rows before the exchange; its k*dim-row
+    result is the next round's collect. Empty cells keep their
+    previous centroid. Returns per cell: n_assigned, inertia (exact
+    decimal sum of final distances), centroid_l1 (exact sum of
+    |component|).
 
-    100 TB: the corpus never shuffles — assignment is map-side
-    against broadcast centroids; the only exchange is the
-    (cell, dim)-keyed mean (k*dim groups). Rounds are a constant.
+    100 TB: the corpus NEVER crosses an exchange — not for assignment
+    (literal argmin; the r7 form's row_number-over-__id window
+    shuffled the full corpus with its vectors every round) and not for
+    the mean (only combined (cell, dim, sum, count) partials move).
+    Driver traffic is k*dim doubles per round — constant. Rounds are
+    a constant.
     """
-    v9 = F.transform(_as_double(F.col(vec_col)),
-                     lambda x: F.round(x, 9))
     vecs = iter_checkpoint(
         emb.select(F.col(id_col).alias("__id"),
                    _as_double(F.col(vec_col)).alias("__cv")))
-    cent = iter_checkpoint(
-        emb.filter(F.col(id_col) < k)
-        .select(F.col(id_col).cast("long").alias("cell"),
-                v9.alias("__c")))
-
-    d_t = "decimal(28,18)"
-
-    def dist(cv, c):
-        # re-cast each merge: Spark widens DECIMAL on add, which
-        # breaks aggregate()'s fixed accumulator type; scale 18 with
-        # precision 28 has headroom for any 64-term sum here
-        return F.aggregate(
-            F.zip_with(cv, c,
-                       lambda a, b: ((a - b) * (a - b)).cast(d_t)),
-            F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))
+    v9 = F.transform(_as_double(F.col(vec_col)),
+                     lambda x: F.round(x, 9))
+    init = (emb.select(F.col(id_col).cast("long").alias("cell"),
+                       v9.alias("__c"))
+            .orderBy("cell").limit(k).collect())
+    if len(init) != k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} centroids requested but the corpus "
+            f"has only {len(init)} distinct rows to seed from")
+    # cell -> 9dp-rounded component list; Python floats round-trip the
+    # collected doubles bit-exactly, so the trajectory stays replayable
+    centroids: dict[int, list[float]] = {
+        int(r["cell"]): list(r["__c"]) for r in init}
 
     asg = None
     for _ in range(n_rounds):
-        scored = (vecs.crossJoin(F.broadcast(cent))
-                  .withColumn("__d", dist(F.col("__cv"), F.col("__c"))))
-        w = Window.partitionBy("__id").orderBy("__d", "cell")
-        asg = (scored.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") == 1)
-               .select("__id", "__cv", "cell", "__d"))
+        asg = _kmeans_assign(vecs, sorted(centroids.items()))
         upd = (asg.select("cell", F.posexplode("__cv")
                           .alias("__i", "__x"))
                .groupBy("cell", "__i")
@@ -993,16 +1022,18 @@ def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
                .select("cell", "__i",
                        F.round(F.col("__s").cast("double")
                                / F.col("__n"), 9).alias("__x")))
-        new_c = (upd.groupBy("cell")
-                 .agg(F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct("__i", "__x"))),
-                     lambda s: s["__x"]).alias("__c")))
-        cent = iter_checkpoint(
-            cent.select("cell", F.col("__c").alias("__prev"))
-            .join(new_c, "cell", "left")
-            .select("cell",
-                    F.coalesce("__c", "__prev").alias("__c")))
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd.collect():  # <= k*dim rows — bounded
+            by_cell.setdefault(int(r["cell"]), {})[int(r["__i"])] = \
+                r["__x"]
+        for cell, comps in by_cell.items():
+            centroids[cell] = [comps[i] for i in sorted(comps)]
+
+    d_t = "decimal(28,18)"
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(cell, c) for cell, c in sorted(centroids.items())],
+        f"cell long, __c array<double>")
     l1 = F.aggregate(
         F.transform(F.col("__c"), lambda x: F.abs(x).cast(d_t)),
         F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))

@@ -268,9 +268,20 @@ def bitmap_distinct_rollup(df: DataFrame, grain_col: str,
     of N ids occupies N/64 words spread uniformly across partitions,
     so no single reducer holds a grain's whole bitmap. bit_count is a
     JVM intrinsic (two's-complement popcount, exact for bit 63).
-    Negative ids would need an offset shift; callers assert ids >= 0.
+    Negative ids would need an offset shift; the ids >= 0 contract is
+    asserted in-plan (raise_error on the first negative id) rather
+    than trusted: a silent mis-bucket would produce plausible wrong
+    counts. The word index uses integer `div` — float division would
+    lose bit 53+ of large ids (two ids landing in one word / one id
+    splitting across words) exactly where a 100 TB id space lives.
     """
-    word = (F.col(id_col) / 64).cast("bigint")
+    # The contract check lives INSIDE the word expression (not a
+    # separate projected-then-dropped column, which Catalyst would
+    # prune away along with the raise_error).
+    word = F.expr(
+        f"CASE WHEN {id_col} < 0 THEN "
+        f"raise_error('bitmap_distinct_rollup: negative id in {id_col}') "
+        f"ELSE {id_col} div 64 END").cast("bigint")
     # F.shiftleft only accepts a literal shift; the SQL form takes a
     # column shift amount (still a JVM intrinsic, no Python involved)
     mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "

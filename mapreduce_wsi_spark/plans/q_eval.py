@@ -1524,7 +1524,7 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
         SELECT CAST(vec_id AS BIGINT) AS cell,
                list_transform(CAST(embedding AS DOUBLE[]),
                               x -> round(x, 9)) AS c
-        FROM embeddings WHERE vec_id < {k})"""]
+        FROM embeddings ORDER BY vec_id LIMIT {k})"""]
     for r in range(1, rounds + 1):
         parts.append(f"""
     a{r} AS (SELECT v.vec_id, v.cv, c.cell, {dist} AS d
@@ -1564,13 +1564,16 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
     "cluster_kmeans_lloyd",
     oracle=_kmeans_oracle(8, 64, 3),
     note="distributed Lloyd k-means (k=8, 3 rounds) with BIT-EXACT "
-         "iterates: deterministic smallest-id init, DECIMAL-cast "
-         "distance terms and mean numerators (order-free sums), "
-         "9dp-re-rounded centroids per round — the PCA-twin "
-         "discipline, replayed by the unrolled MATERIALIZED-CTE "
-         "DuckDB twin. Corpus never shuffles: assignment is map-side "
-         "vs broadcast centroids; the only exchange is the "
-         "(cell, dim)-keyed mean. The engine-private alternative "
+         "iterates: deterministic k-smallest-id init (orderBy/limit, "
+         "exact-k asserted), DECIMAL-cast distance terms and mean "
+         "numerators (order-free sums), 9dp-re-rounded centroids per "
+         "round — the PCA-twin discipline, replayed by the unrolled "
+         "MATERIALIZED-CTE DuckDB twin. Corpus NEVER crosses an "
+         "exchange: per round the k*dim centroid table collects to "
+         "the driver (bounded, the BPE-argmax action class) and "
+         "assignment is a literal least()-over-(dist,cell)-structs "
+         "argmin — no window, no join; only combined (cell, dim) "
+         "mean partials move. The engine-private alternative "
          "(MLlib KMeans) backs build_ivf_index; this is the "
          "reproducible-across-engines form "
          "(operators/similarity.py::kmeans_lloyd)")

@@ -992,9 +992,10 @@ def time_linear_interpolate(spark, sf_dir):
           WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
                        ROWS UNBOUNDED PRECEDING)),
     e AS (SELECT user_id, n,
-                 pp - min(pp) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS exc
+                 pp - least(0, min(pp) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING))
+                     AS exc
           FROM p)
     SELECT user_id, CAST(n AS BIGINT) AS n_events,
            round(CAST(max(exc) AS DOUBLE) / (100.0 * n), 9)
@@ -1002,7 +1003,9 @@ def time_linear_interpolate(spark, sf_dir):
     FROM e GROUP BY user_id, n
     """,
     note="per-user CUSUM mean-shift score via the closed form "
-         "S_i = P_i - running_min(P): two stacked windows on ONE "
+         "S_i = P_i - least(0, running_min(P)) (P_0=0 baseline, so "
+         "shift-up-first series score their full excursion): two "
+         "stacked windows on ONE "
          "user_id exchange; deviations are mean-scaled to exact "
          "BIGINTs (n*v - sum), only the final unscaling divide is "
          "IEEE (operators/behavior.py::cusum_max_excursion)")

@@ -1371,7 +1371,7 @@ def dq_outlier_iqr(spark, sf_dir):
 
 
 @register(
-    "dp_noisy_counts",
+    "laplace_mechanism_demo",
     oracle="""
     WITH c AS (SELECT event_type, count(*) AS n FROM events
                GROUP BY 1),
@@ -1387,20 +1387,22 @@ def dq_outlier_iqr(spark, sf_dir):
                      AS noise
           FROM u)
     SELECT event_type,
-           CAST(n + round(noise) AS BIGINT) AS noisy_count,
-           CAST(1.0 AS DOUBLE) AS epsilon
+           CAST(n + round(noise) AS BIGINT) AS noisy_count
     FROM z
     """,
-    note="differential-privacy release shape (Laplace mechanism, "
-         "eps=1, sensitivity 1): per-group noise drawn by INVERSE-CDF "
-         "from the portable md5-uniform of the group key — seeded and "
-         "reproducible (the repo's no-rand() discipline), so the "
-         "released table is a pure function of the data and the twin "
-         "replays it; a production release rotates the seed per "
-         "publication. Noise is rounded to 9dp before integerizing "
-         "(the rounded-ln convention); true counts never appear in "
-         "the output columns")
-def dp_noisy_counts(spark, sf_dir):
+    note="Laplace-mechanism SHAPE demo — NOT a differential-privacy "
+         "release (ADVICE r7): the noise is an inverse-CDF transform "
+         "of the md5-uniform of the PUBLIC group key, so anyone can "
+         "recompute and subtract it — zero privacy by design, which "
+         "is exactly what makes the twin replayable under the repo's "
+         "no-rand() discipline. The entry demonstrates the "
+         "distributed mechanics a real release would use (per-group "
+         "sensitivity-1 counts, inverse-CDF b=1/eps noise, "
+         "integerized post-rounding at 9dp); a REAL release must draw "
+         "the uniform from a secret per-publication seed held outside "
+         "the published plan, and would then not be oracle-twinnable. "
+         "No epsilon column — this table grants no privacy budget")
+def laplace_mechanism_demo(spark, sf_dir):
     ev = tbl(spark, sf_dir, "events")
     c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     h = F.conv(F.substring(F.md5(F.concat(F.lit("dp:"),
@@ -1412,8 +1414,7 @@ def dp_noisy_counts(spark, sf_dir):
         .otherwise(F.log(1.0 - 2.0 * (0.5 - uu))), 9)
     return c.select(
         "event_type",
-        (F.col("n") + F.round(noise)).cast("long").alias("noisy_count"),
-        F.lit(1.0).alias("epsilon"))
+        (F.col("n") + F.round(noise)).cast("long").alias("noisy_count"))
 
 
 @register(

@@ -117,7 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_skyline_pareto", "join_point_in_time", "geo_geohash_cells",
     "dq_k_anonymity", "join_size_preflight", "dedup_time_window",
     "seq_gap_audit", "window_time_range_frame", "dq_outlier_iqr",
-    "dp_noisy_counts", "sketch_bloom_fpr",
+    "laplace_mechanism_demo", "sketch_bloom_fpr",
     # graph tranche
     "graph_hits", "graph_kcore", "graph_link_prediction",
     "graph_personalized_pagerank", "copurchase_lift_rules",

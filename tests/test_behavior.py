@@ -311,6 +311,26 @@ def test_cusum_scores_shift_above_stationary(spark):
     assert got[2] == 4.0
 
 
+def test_cusum_shift_up_first_keeps_p0_baseline(spark):
+    """The running min must include P_0 = 0 (the recurrence's
+    max-with-0 floor): a series that shifts UP at the start
+    ([9.0]*4 + [1.0]*4) has an all-positive prefix sum, so without
+    the baseline the excursion would be understated (12.0 instead of
+    16.0 — S_1 forced to 0). By symmetry it must equal the
+    shift-down-first mirror's score."""
+    from mapreduce_wsi_spark.operators.behavior import (
+        cusum_max_excursion)
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), i, v)
+            for i, v in enumerate([9.0] * 4 + [1.0] * 4)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double")
+    [r] = cusum_max_excursion(
+        df, "user_id", "ts", "event_id", "value").collect()
+    assert r["max_excursion"] == 16.0
+
+
 def test_autocorr_alternating_series(spark):
     """Perfectly alternating two-level series: every lag-1 pair is
     (1,2) or (2,1) — collinear with negative slope, so acf = -1;

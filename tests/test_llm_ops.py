@@ -3081,3 +3081,28 @@ def test_kmeans_lloyd_separates_planted_clusters(spark):
     assert set(got) == {0, 1}
     assert got[0][0] == 4 and got[1][0] == 4
     assert got[0][1] < 0.01 and got[1][1] < 0.01
+
+
+def test_kmeans_lloyd_sparse_nonzero_ids_still_seed_k(spark):
+    """Init must select the k SMALLEST ids, not filter(id < k): a
+    sparse, non-zero-based id space (1000, 2000, ...) yields exactly
+    k seeds (ADVICE r7 — the old filter found zero and degenerated
+    silently). Cells are labeled by the seed ids themselves."""
+    from mapreduce_wsi_spark.operators.similarity import kmeans_lloyd
+    rows = []
+    for i, eps in enumerate([0.0, 0.01, -0.01, 0.02]):
+        rows.append((1000 + i * 20, [1.0 + eps, 0.0, eps]))
+        rows.append((2000 + i * 20, [0.0, 1.0 + eps, -eps]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["cell"]: r["n_assigned"]
+           for r in kmeans_lloyd(df, k=2, dim=3, n_rounds=2).collect()}
+    # two smallest ids are 1000 and 1020 — both cluster-A seeds; after
+    # reassignment one cell absorbs all of B
+    assert set(got) == {1000, 1020}
+    assert sorted(got.values()) == [4, 4]
+
+    import pytest
+    tiny = spark.createDataFrame(rows[:3],
+                                 "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="only 3"):
+        kmeans_lloyd(tiny, k=8, dim=3, n_rounds=1)

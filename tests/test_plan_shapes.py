@@ -557,11 +557,29 @@ def test_geohash_is_map_only_no_python(spark, sf_oracle):
     assert "ArrowEvalPython" not in plan
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark, sf_oracle):
-    """cluster_kmeans_lloyd: the corpus is never shuffled by content —
-    assignment joins against broadcast centroids only (the k-row side
-    broadcasts; any SortMergeJoin of the corpus would mean a content
-    shuffle)."""
+def test_kmeans_assignment_is_exchange_free(spark, sf_oracle):
+    """cluster_kmeans_lloyd (VERDICT r7 #1): the in-loop assignment is
+    a pure map-side expression — argmin via least() over literal
+    (dist, cell) structs — so its plan has ZERO exchanges, no window,
+    no join (the r7 form's row_number-over-__id window shuffled the
+    full corpus, vectors and all, every round). The returned plan's
+    only exchanges are the k-row stats aggregate's hash partition and
+    its broadcast — combined partials, never corpus rows."""
+    from pyspark.sql import functions as F
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, _kmeans_assign)
+    from mapreduce_wsi_spark.plans.registry import tbl
+
+    emb = tbl(spark, sf_oracle, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("__id"),
+                      _as_double(F.col("embedding")).alias("__cv"))
+    asg = plan_of(_kmeans_assign(vecs, [(i, [0.1] * 64)
+                                        for i in range(8)]))
+    assert asg.count("Exchange") == 0
+    assert "Window" not in asg and "Join" not in asg
+
     plan = plan_of(build("cluster_kmeans_lloyd", spark, sf_oracle))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    # the one shuffle: the k-row stats aggregate (combined partials);
+    # formatted mode prints each node in tree + detail, hence <= 2
+    assert plan.count("Exchange hashpartitioning") <= 2

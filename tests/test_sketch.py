@@ -213,3 +213,23 @@ def test_bitmap_distinct_exact_incl_bit63(spark):
            for r in bitmap_distinct_rollup(df, "g", "uid").collect()}
     # union = {0, 1, 63, 64, 127, 128, 5000, 9999}
     assert got == {"a": 6, "b": 5, "__all__": 8}
+
+
+def test_bitmap_distinct_large_ids_and_negative_contract(spark):
+    """Word index must be integer `div`: at ids >= 2^53 float division
+    loses the low bits and merges/splits words (ADVICE r7). Two ids 64
+    apart up there must land in DIFFERENT words (distinct=3 with their
+    shared neighbor), and a negative id must raise, not mis-bucket."""
+    import pytest
+    from mapreduce_wsi_spark.operators.sketch import (
+        bitmap_distinct_rollup)
+    big = 2**60 + 64  # float64 spacing at 2^60 is 256: /64.0 collides
+    rows = [("a", big), ("a", big + 64), ("a", big + 65)]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    got = {r["g"]: r["n_distinct"]
+           for r in bitmap_distinct_rollup(df, "g", "uid").collect()}
+    assert got == {"a": 3, "__all__": 3}
+
+    bad = spark.createDataFrame([("a", -1)], "g string, uid long")
+    with pytest.raises(Exception, match="negative id"):
+        bitmap_distinct_rollup(bad, "g", "uid").collect()
