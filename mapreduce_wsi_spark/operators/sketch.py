@@ -2,7 +2,7 @@
 heavy hitters as a distributed, partition-parallel summary.
 
 The reference engine has no sketch surface (its only aggregation is the
-per-key integer mean, src/HadoopInterface.java's test workload); this
+per-key integer mean, test/.../mapreduce/TestReducer.java's workload); this
 module adds the standard streaming-frequency summary a 100 TB token
 pipeline needs: per-partition O(k) state, k rows shuffled per partition
 instead of one row per token occurrence, and a provable error bound.

@@ -702,7 +702,7 @@ _ASCII_DOCS_SQL = ("(SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g')"
                    " AS text FROM documents)")
 
 
-def _spread(df, spark):
+def _spread(df, spark, light=False):
     """Fan a narrow-scan source frame out to the session's cores before
     a Python media kernel. The fixture's documents table is one parquet
     row group => ONE input split, so every Arrow encode/decode kernel
@@ -712,15 +712,27 @@ def _spread(df, spark):
     synthesized in-plan AFTER it, so the payload-never-shuffles
     invariant (test_multimodal_payload_never_shuffles) still holds. At
     production scale a blob corpus has orders of magnitude more input
-    splits than cores and this is a no-op by the guard."""
+    splits than cores and this is a no-op by the guard.
+
+    ``light=True`` opts a kernel out of the exchange: for kernels whose
+    whole-fixture serial cost sits at the Arrow python-runner floor,
+    the repartition stage costs more than the parallelism recovers
+    (r7->r8 drift adjudication, n=7 medians at sf0.1: mm_decode_ppm
+    1.03 s spread vs 0.49 s serial, mm_decode_wav 0.67 vs 0.47;
+    contrast mm_decode_jpeg 0.97 vs 2.40 — heavy kernels keep the
+    fan-out). Production unaffected either way: the splits>=cores
+    guard already no-ops there."""
+    if light:
+        return df
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
 
 
-def _ascii_docs(spark, sf_dir):
-    return _spread(tbl(spark, sf_dir, "documents"), spark).withColumn(
+def _ascii_docs(spark, sf_dir, light=False):
+    return _spread(tbl(spark, sf_dir, "documents"), spark,
+                   light=light).withColumn(
         "text", F.regexp_replace("text", _ASCII_RE, ""))
 
 
@@ -791,7 +803,9 @@ def mm_decode_features(spark, sf_dir):
          "stub remains documented in operators/multimodal.py")
 def mm_decode_ppm(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import decode_ppm_stats
-    docs = _ascii_docs(spark, sf_dir)
+    # light: 60-byte P6 parses; serial cost ~0.49 s at sf0.1 — under
+    # the fan-out's exchange+stage cost (see _spread docstring A/B)
+    docs = _ascii_docs(spark, sf_dir, light=True)
     content = F.concat(
         F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
         F.encode(F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
@@ -1349,7 +1363,9 @@ _WAV_HEADER_HEX = ("52494646" "44000000" "57415645"
          "are <128 so samples stay positive (no sign wrap on either side)")
 def mm_decode_wav(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import decode_wav_stats
-    docs = _ascii_docs(spark, sf_dir)
+    # light: 48-byte PCM16 parses; serial ~0.47 s at sf0.1 — under the
+    # fan-out's exchange+stage cost (see _spread docstring A/B)
+    docs = _ascii_docs(spark, sf_dir, light=True)
     content = F.concat(
         F.unhex(F.lit(_WAV_HEADER_HEX)),
         F.encode(F.rpad(F.substring(F.col("text"), 1, 32), 32, "x"),

@@ -2304,6 +2304,112 @@ def test_qoi_roundtrip_all_ops_and_boundaries():
     assert _qoi_hash(0, 0, 0, 255) == (255 * 11) % 64
 
 
+def test_tga_fuzz_roundtrip_and_truncation():
+    """Hypothesis sweep over the TGA decoder (VERDICT r7 ask #8):
+    random dims x palette cardinalities (1-color images force >128-px
+    runs through the RLE packet cap; 256-color kill runs entirely),
+    both compression types, both row-origin bits, random image-ID
+    fields — every roundtrip must be pixel-exact, and every STRICT
+    prefix of the payload must reject (the encoder emits no slack
+    bytes, so any truncation starves the pixel walk)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_tga, encode_tga)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        w = data.draw(st.integers(1, 24))
+        h = data.draw(st.integers(1, 24))
+        ncolors = data.draw(st.sampled_from([1, 2, 4, 256]))
+        palette = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, ncolors, (h, w))]
+        rle = data.draw(st.booleans())
+        td = data.draw(st.booleans())
+        payload = bytearray(encode_tga(img, rle=rle, top_down=td))
+        idlen = data.draw(st.integers(0, 5))
+        if idlen:
+            payload[0] = idlen
+            payload[18:18] = bytes(
+                rng.integers(0, 256, idlen, dtype=np.uint8))
+        got = _parse_tga(bytes(payload))
+        assert got is not None
+        gw, gh, px = got
+        assert (gh, gw) == (h, w)
+        assert np.array_equal(px, img), (rle, td, idlen)
+        cut = data.draw(st.integers(0, len(payload) - 1))
+        assert _parse_tga(bytes(payload[:cut])) is None
+
+    run()
+
+
+def test_qoi_fuzz_roundtrip_and_truncation():
+    """Hypothesis sweep over the QOI decoder (VERDICT r7 ask #8):
+    image generators engineered per op family — tiny palettes (INDEX
+    hits + 64-bucket hash collisions), +/-1 channel walks (DIFF),
+    +/-larger green-led walks (LUMA), constant stretches (RUN,
+    including the 62-run wrap) and full-random (literal RGB) — every
+    roundtrip pixel-exact; any strict prefix of the op stream
+    (end marker re-attached, so the walk itself starves) rejects."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _QOI_END, _parse_qoi, encode_qoi)
+
+    def gen_img(kind, rng, h, w):
+        if kind == "palette":
+            pal = rng.integers(0, 256, (rng.integers(1, 9), 3),
+                               dtype=np.uint8)
+            return pal[rng.integers(0, len(pal), (h, w))]
+        if kind == "diff_walk":
+            steps = rng.integers(-2, 2, (h * w, 3))
+        elif kind == "luma_walk":
+            dg = rng.integers(-32, 32, (h * w, 1))
+            steps = np.concatenate(
+                [dg + rng.integers(-8, 8, (h * w, 1)), dg,
+                 dg + rng.integers(-8, 8, (h * w, 1))], axis=1)
+        elif kind == "runs":
+            vals = rng.integers(0, 256, (max(1, h * w // 70), 3))
+            reps = np.repeat(vals, 70, axis=0)[:h * w]
+            pad = np.zeros((h * w - len(reps), 3), dtype=np.int64)
+            steps = None
+            return np.concatenate([reps, pad])[:h * w].astype(
+                np.uint8).reshape(h, w, 3)
+        else:
+            return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        return (steps.cumsum(axis=0) % 256).astype(
+            np.uint8).reshape(h, w, 3)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        h = data.draw(st.integers(1, 16))
+        w = data.draw(st.integers(1, 16))
+        kind = data.draw(st.sampled_from(
+            ["palette", "diff_walk", "luma_walk", "runs", "random"]))
+        img = gen_img(kind, rng, h, w)
+        payload = encode_qoi(img)
+        got = _parse_qoi(payload)
+        assert got is not None
+        gw, gh, px = got
+        assert (gh, gw) == (h, w)
+        assert np.array_equal(px, img), kind
+        body = payload[14:-8]
+        if body:
+            cut = data.draw(st.integers(0, len(body) - 1))
+            assert _parse_qoi(payload[:14] + body[:cut]
+                              + _QOI_END) is None
+
+    run()
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     """MMR contract: with a clone of the best candidate in the pool,
     plain top-2 takes (best, clone) but MMR's second pick must skip

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Build higher-SF probe fixtures for the knee probe (VERDICT r7 ask #6).
+
+SCALE.md's own reading of the slope table is that every curve is still
+scheduler-dominated at sf0.1 — the slopes prove absence of
+super-linearity only below the data-bound regime. This tool
+manufactures sf1 / sf10 fixtures for the two tables the heaviest
+catalog rows consume (documents, embeddings) by deterministic key-space
+replication of the driver's sf0.1 fixture:
+
+  * documents: copy k prefixes every text with "v{k} " (shifts the
+    sorted-neighborhood sort keys so each copy behaves like the
+    original corpus — match structure scales LINEARLY in rows instead
+    of degenerating into K-cliques of identical texts), offsets doc_id
+    by k * 10**7, and keeps lang/source verbatim (dsir_select's
+    source-stratified buckets keep their shape). n_chars is updated to
+    the real new length.
+  * embeddings: copy k offsets vec_id by k * 10**7 and adds 1e-4 * k
+    to dimension (k mod 64) — norms and cluster geometry are preserved
+    to ~1e-4 so the kmeans workload scales in rows, not in iteration
+    behavior.
+
+No RNG anywhere: byte-identical output on every run. All other tables
+are symlinked from sf0.1 so any catalog entry can run against the
+probe dir. Output goes to /root/repo/.probe/sf{1,10} (gitignored;
+~6 MB + ~60 MB) and is consumed by tools/scale_probe.py, which
+appends the probe dirs to its SF ladder when they exist.
+
+Usage: python3 tools/make_probe_fixture.py [mult ...]   (default 10 100)
+mult 10 -> .probe/sf1, mult 100 -> .probe/sf10 (sf0.1 x mult).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events")
+OFFSET = 10**7
+
+
+def build(mult: int) -> str:
+    sf = 0.1 * mult
+    name = f"sf{sf:g}"
+    out = os.path.join(REPO, ".probe", name)
+    os.makedirs(out, exist_ok=True)
+
+    con = duckdb.connect()
+    copies = " UNION ALL ".join(
+        f"SELECT doc_id + {k * OFFSET} AS doc_id, "
+        f"'v{k} ' || text AS text, lang, source, "
+        f"n_chars + {len(f'v{k} ')} AS n_chars "
+        f"FROM read_parquet('{SRC}/documents.parquet')"
+        for k in range(mult))
+    con.execute(
+        f"COPY ({copies}) TO '{out}/documents.parquet' (FORMAT PARQUET, "
+        f"ROW_GROUP_SIZE 65536)")
+
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec = np.asarray(t["embedding"].combine_chunks().flatten(),
+                     dtype=np.float32).reshape(len(t), -1)
+    dim = vec.shape[1]
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    labels = np.asarray(t["label"], dtype=np.int32)
+    parts = []
+    for k in range(mult):
+        v = vec.copy()
+        v[:, k % dim] += 1e-4 * k
+        parts.append(pa.table({
+            "vec_id": pa.array(ids + k * OFFSET, type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(v.ravel(), type=pa.float32()), dim).cast(
+                    pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }))
+    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet",
+                   row_group_size=65536)
+
+    for tbl in TABLES:
+        link = f"{out}/{tbl}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{tbl}.parquet", link)
+    return out
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [10, 100]
+    for m in mults:
+        print(build(m))
+
+
+if __name__ == "__main__":
+    main()

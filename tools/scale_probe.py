@@ -54,6 +54,24 @@ DEFAULT_QUERIES = [
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1"]
 
+# Knee-probe decades (VERDICT r7 ask #6): .probe/sf1 and .probe/sf10
+# scale ONLY the documents + embeddings tables (deterministic key-space
+# replication of sf0.1 — tools/make_probe_fixture.py); every other
+# table in those dirs is a symlink to sf0.1, so the extra decades are
+# meaningful ONLY for queries whose entire input is documents and/or
+# embeddings. Restricting by whitelist keeps a lineitem-bound query
+# from "running at sf10" against sf0.1 data and faking a flat slope.
+PROBE_DIRS = [os.path.join(REPO, ".probe", "sf1"),
+              os.path.join(REPO, ".probe", "sf10")]
+PROBE_QUERIES = {
+    "pipeline_prepare_er",      # documents only
+    "cluster_kmeans_lloyd",     # embeddings only
+    "dsir_importance_select",   # documents only
+    "dedup_minhash_lsh",        # documents only
+    "dedup_components_star",    # documents only
+    "sim_cosine_topk",          # embeddings only
+}
+
 
 def main() -> None:
     queries = sys.argv[1:] or DEFAULT_QUERIES
@@ -66,8 +84,9 @@ def main() -> None:
     catalog = load_catalog()
 
     sf_dirs = [d for d in SF_DIRS if os.path.isdir(d)]
+    probe_dirs = [d for d in PROBE_DIRS if os.path.isdir(d)]
     # one full warm pass (codegen + parquet footers) — excluded
-    for d in sf_dirs:
+    for d in sf_dirs + probe_dirs:
         spark.read.parquet(f"{d}/lineitem.parquet").limit(1).count()
 
     # same production-path substitutions as the bench (sketch entries
@@ -86,7 +105,8 @@ def main() -> None:
             from mapreduce_wsi_spark.plans.registry import CatalogEntry
             entry = CatalogEntry(fn=overrides[name], oracle=None)
         row: dict[str, float] = {}
-        for d in sf_dirs:
+        dirs = sf_dirs + (probe_dirs if name in PROBE_QUERIES else [])
+        for d in dirs:
             sf = d.rsplit("sf", 1)[1]
             # warm once (first-run codegen), then best-of-2 timed
             entry.fn(spark, d).write.format("noop").mode("overwrite").save()
