@@ -512,6 +512,25 @@ def test_area_resize_has_single_python_stage(spark, sf_oracle):
         assert "hashpartitioning" not in plan
 
 
+def test_light_media_kernels_skip_the_spread_exchange(spark, sf_oracle):
+    """mm_decode_ppm / mm_decode_wav opted out of the _spread fan-out
+    (r8 drift adjudication, SCALE.md: their whole-fixture serial cost
+    sits at the Arrow floor, so the round-robin exchange costs more
+    than the parallelism recovers) — their plans must be map-only:
+    scan -> project -> one Arrow kernel, ZERO exchanges. The heavy
+    control (mm_decode_jpeg) must still carry the fan-out at fixture
+    split counts."""
+    import re
+
+    for name in ("mm_decode_ppm", "mm_decode_wav"):
+        plan = plan_of(build(name, spark, sf_oracle))
+        assert "Exchange" not in plan, name
+        assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1
+
+    plan = plan_of(build("mm_decode_jpeg", spark, sf_oracle))
+    assert "RoundRobinPartitioning" in plan
+
+
 def test_link_prediction_topk_is_take_ordered(spark, sf_oracle):
     """graph_link_prediction's top-20 lowers to TakeOrderedAndProject
     (per-partition heap), never a global Sort+Limit over the wedge

@@ -53,16 +53,22 @@ def build(mult: int) -> str:
     out = os.path.join(REPO, ".probe", name)
     os.makedirs(out, exist_ok=True)
 
+    # ONE FILE PER COPY, not one big file: Spark parallelizes a parquet
+    # scan by byte ranges, so a single ~6 MB file is ONE input split no
+    # matter how many row groups it holds — a single-file sf1 fixture
+    # would time the operators 1/32nd-parallel and report a fake knee
+    # (the exact single-split trap _spread exists for). A production
+    # corpus is many files; the probe fixture mirrors that.
     con = duckdb.connect()
-    copies = " UNION ALL ".join(
-        f"SELECT doc_id + {k * OFFSET} AS doc_id, "
-        f"'v{k} ' || text AS text, lang, source, "
-        f"n_chars + {len(f'v{k} ')} AS n_chars "
-        f"FROM read_parquet('{SRC}/documents.parquet')"
-        for k in range(mult))
-    con.execute(
-        f"COPY ({copies}) TO '{out}/documents.parquet' (FORMAT PARQUET, "
-        f"ROW_GROUP_SIZE 65536)")
+    ddir = f"{out}/documents.parquet"
+    os.makedirs(ddir, exist_ok=True)
+    for k in range(mult):
+        q = (f"SELECT doc_id + {k * OFFSET} AS doc_id, "
+             f"'v{k} ' || text AS text, lang, source, "
+             f"n_chars + {len(f'v{k} ')} AS n_chars "
+             f"FROM read_parquet('{SRC}/documents.parquet')")
+        con.execute(f"COPY ({q}) TO '{ddir}/part-{k:05d}.parquet' "
+                    f"(FORMAT PARQUET)")
 
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     vec = np.asarray(t["embedding"].combine_chunks().flatten(),
@@ -70,19 +76,19 @@ def build(mult: int) -> str:
     dim = vec.shape[1]
     ids = np.asarray(t["vec_id"], dtype=np.int64)
     labels = np.asarray(t["label"], dtype=np.int32)
-    parts = []
+    edir = f"{out}/embeddings.parquet"
+    os.makedirs(edir, exist_ok=True)
     for k in range(mult):
         v = vec.copy()
         v[:, k % dim] += 1e-4 * k
-        parts.append(pa.table({
+        part = pa.table({
             "vec_id": pa.array(ids + k * OFFSET, type=pa.int64()),
             "embedding": pa.FixedSizeListArray.from_arrays(
                 pa.array(v.ravel(), type=pa.float32()), dim).cast(
                     pa.list_(pa.float32())),
             "label": pa.array(labels, type=pa.int32()),
-        }))
-    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet",
-                   row_group_size=65536)
+        })
+        pq.write_table(part, f"{edir}/part-{k:05d}.parquet")
 
     for tbl in TABLES:
         link = f"{out}/{tbl}.parquet"

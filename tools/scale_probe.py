@@ -78,7 +78,14 @@ def main() -> None:
     from mapreduce_wsi_spark.session import get_spark
     spark = get_spark(app_name="scale_probe",
                       master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={"spark.ui.enabled": "false",
+                                  # the probe decades (sf10 = 500k docs
+                                  # x ~200 grams) OOM the 1g JVM
+                                  # default; size the local-mode heap
+                                  # for the 128 GiB box. Bench keeps
+                                  # the plain session — its rows are
+                                  # compared round-over-round.
+                                  "spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
     from mapreduce_wsi_spark.plans.registry import load_catalog
     catalog = load_catalog()
@@ -116,6 +123,8 @@ def main() -> None:
                 entry.fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             row[sf] = round(best, 4)
+            print(f"# {name} sf{sf}: {best:.2f}s", file=sys.stderr,
+                  flush=True)
         xs = [math.log10(float(sf)) for sf in row]
         ys = [math.log10(v) for v in row.values()]
         n = len(xs)
