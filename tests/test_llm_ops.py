@@ -405,6 +405,92 @@ def test_bmp_pal8_and_rle8_decode():
         assert _parse_bmp(_bmp8_wrap(4, 3, pal, bad, 1)) is None
 
 
+def test_bmp_rle8_fuzz_ops_truncation_and_poison():
+    """Hypothesis sweep over the BI_RLE8 walk (the TGA/QOI fuzz
+    pattern, r8): (1) encoder roundtrips over palette images with
+    mixed run structure, both encoder modes; (2) GENERATIVE op
+    streams — encoded runs, absolute ops, EOL, delta skips, early
+    EOB — checked against an independent test-side interpreter
+    (deltas are exercised nowhere else: no mainstream encoder emits
+    them); (3) every strict prefix of a valid stream rejects (the
+    walk can only finish at an EOB escape); (4) random byte soup
+    never raises."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _bmp8_wrap, _parse_bmp, encode_bmp_rle8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        h = data.draw(st.integers(1, 12))
+        w = data.draw(st.integers(1, 24))
+
+        # (1) roundtrip, run-mix controlled by palette cardinality
+        ncolors = data.draw(st.sampled_from([1, 2, 4, 256]))
+        idx = rng.integers(0, ncolors, (h, w)).astype(np.uint8)
+        absolute = data.draw(st.booleans())
+        enc = encode_bmp_rle8(idx, pal, absolute_mode=absolute)
+        got = _parse_bmp(enc)
+        assert got is not None and np.array_equal(got[2], pal[idx])
+
+        # (2) generative op stream + independent reference interpreter
+        ref = np.zeros((h, w), dtype=np.uint8)
+        stream = bytearray()
+        x, y = 0, 0
+        for _ in range(data.draw(st.integers(0, 30))):
+            if y >= h:
+                break
+            op = data.draw(st.sampled_from(
+                ["run", "abs", "eol", "delta"]))
+            room = w - x
+            if op == "run" and room:
+                c = data.draw(st.integers(1, min(room, 255)))
+                v = data.draw(st.integers(0, 255))
+                stream += bytes([c, v])
+                ref[y, x:x + c] = v
+                x += c
+            elif op == "abs" and room >= 3:
+                c = data.draw(st.integers(3, min(room, 255)))
+                lit = rng.integers(0, 256, c).astype(np.uint8)
+                stream += bytes([0, c]) + lit.tobytes()
+                if c & 1:
+                    stream += b"\x00"
+                ref[y, x:x + c] = lit
+                x += c
+            elif op == "eol":
+                stream += b"\x00\x00"
+                x, y = 0, y + 1
+            elif op == "delta":
+                dx = data.draw(st.integers(0, w - x))
+                dy = data.draw(st.integers(0, h - y))
+                stream += bytes([0, 2, dx, dy])
+                x, y = x + dx, y + dy
+        stream += b"\x00\x01"  # EOB
+        got = _parse_bmp(_bmp8_wrap(w, h, pal, bytes(stream), 1))
+        assert got is not None
+        # stream rows are bottom-up; _parse_bmp returns top-down
+        assert np.array_equal(got[2], pal[ref[::-1]])
+
+        # (3) strict prefixes of the op stream starve the walk
+        cut = data.draw(st.integers(0, len(stream) - 1))
+        assert _parse_bmp(
+            _bmp8_wrap(w, h, pal, bytes(stream[:cut]), 1)) is None
+
+        # (4) byte soup: None or a valid image, never an exception
+        soup = bytes(rng.integers(0, 256,
+                                  data.draw(st.integers(0, 40)),
+                                  dtype=np.uint8))
+        r = _parse_bmp(_bmp8_wrap(w, h, pal, soup, 1))
+        assert r is None or r[2].shape == (h, w, 3)
+
+    run()
+
+
 def test_bmp_decode_stats_end_to_end(spark, sf_smoke):
     """decode_bmp_stats over a synthesized image: channel means are over
     pixel bytes only (padding excluded), malformed rows flagged not

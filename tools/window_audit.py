@@ -5,9 +5,17 @@ ever-stamped count, and the remaining never-stamped queue — the same set
 arithmetic tests/test_driver_window.py asserts, surfaced for humans (and
 future verdicts) instead of re-derived by hand each round.
 
-Usage: python3 tools/window_audit.py [--list]
-  --list  also print the never-stamped entry names (the next rotation's
-          fresh tier) and any red rows in the newest correctness file.
+Usage: python3 tools/window_audit.py [--list] [--emit-next]
+  --list       also print the never-stamped entry names (the next
+               rotation's fresh tier) and any red rows in the newest
+               correctness file.
+  --emit-next  print a ready-to-paste DRIVER_WINDOW tuple for the NEXT
+               round: the 5 sentinels + the queued never-stamped
+               entries (oldest-registered first, up to 45) + stamped
+               staleness-pad entries to fill any spare slots. Run this
+               only AFTER the driver has recorded the current round's
+               CORRECTNESS file — rotating earlier would re-point the
+               window before the pending entries get stamped.
 """
 
 from __future__ import annotations
@@ -57,6 +65,33 @@ def main() -> None:
         for n in never:
             mark = "window" if n in DRIVER_WINDOW else "queued"
             print(f"  {mark}  {n}")
+
+    if "--emit-next" in sys.argv[1:]:
+        sentinels = list(DRIVER_WINDOW[:5])
+        queued = [n for n in never if n not in DRIVER_WINDOW][:45]
+        # spare slots refill the staleness pad: oldest-stamped entries
+        # (earliest round first) get re-verified against drift
+        pad: list[str] = []
+        taken = set(sentinels) | set(queued)
+        for _, path in files:
+            if len(pad) >= 45 - len(queued):
+                break
+            with open(path) as fh:
+                for n in json.load(fh):
+                    if (len(pad) < 45 - len(queued) and n in catalog
+                            and n not in taken):
+                        pad.append(n)
+                        taken.add(n)
+        print(f"\n# DRIVER_WINDOW for round {ROUND + 1}: 5 sentinels + "
+              f"{len(queued)} queued + {len(pad)} staleness pad")
+        print("WINDOW_STALENESS_PAD: tuple[str, ...] = (")
+        for n in pad:
+            print(f'    "{n}",')
+        print(")")
+        print("\nDRIVER_WINDOW: tuple[str, ...] = (")
+        for n in sentinels + queued:
+            print(f'    "{n}",')
+        print(") + WINDOW_STALENESS_PAD")
 
 
 if __name__ == "__main__":
