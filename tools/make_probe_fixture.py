@@ -8,13 +8,20 @@ manufactures sf1 / sf10 fixtures for the two tables the heaviest
 catalog rows consume (documents, embeddings) by deterministic key-space
 replication of the driver's sf0.1 fixture:
 
-  * documents: copy k prefixes every text with "v{k} " (shifts the
-    sorted-neighborhood sort keys so each copy behaves like the
-    original corpus — match structure scales LINEARLY in rows instead
-    of degenerating into K-cliques of identical texts), offsets doc_id
-    by k * 10**7, and keeps lang/source verbatim (dsir_select's
-    source-stratified buckets keep their shape). n_chars is updated to
-    the real new length.
+  * documents: copy k prefixes EVERY WORD with "v{k}x" — word-level
+    tagging, not a text prefix, because a prefix alone leaves the text
+    BODY identical across copies: every shingle/MinHash/Jaccard
+    operator would then see the K copies of each doc as one K-clique
+    of near-dups and the probe would time a quadratically-degenerate
+    workload that looks like operator super-linearity but is really
+    output size. Word tagging gives each copy a disjoint vocabulary
+    (no cross-copy candidates anywhere: shingles, n-grams,
+    sorted-neighborhood keys and DSIR buckets all separate) while
+    preserving the ORIGINAL dup/near-dup structure within each copy —
+    the workload scales linearly in rows with realistic match
+    structure. doc_id offsets by k * 10**7; lang/source stay verbatim
+    (dsir_select's source-stratified buckets keep their shape);
+    n_chars is recomputed from the tagged text.
   * embeddings: copy k offsets vec_id by k * 10**7 and adds 1e-4 * k
     to dimension (k mod 64) — norms and cluster geometry are preserved
     to ~1e-4 so the kmeans workload scales in rows, not in iteration
@@ -63,9 +70,12 @@ def build(mult: int) -> str:
     ddir = f"{out}/documents.parquet"
     os.makedirs(ddir, exist_ok=True)
     for k in range(mult):
+        tag = f"v{k}x"
         q = (f"SELECT doc_id + {k * OFFSET} AS doc_id, "
-             f"'v{k} ' || text AS text, lang, source, "
-             f"n_chars + {len(f'v{k} ')} AS n_chars "
+             f"'{tag}' || replace(text, ' ', ' {tag}') AS text, "
+             f"lang, source, "
+             f"CAST(length('{tag}' || replace(text, ' ', ' {tag}')) "
+             f"AS BIGINT) AS n_chars "
              f"FROM read_parquet('{SRC}/documents.parquet')")
         con.execute(f"COPY ({q}) TO '{ddir}/part-{k:05d}.parquet' "
                     f"(FORMAT PARQUET)")
