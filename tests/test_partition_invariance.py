@@ -11,10 +11,13 @@ partition, and assert results are IDENTICAL to the single-partition
 baseline — the property that lets the same plan run on one executor or a
 thousand.
 
-Entries chosen are exact-arithmetic paths (decimal/integer/hash/rank):
-bitwise invariance is their contract. Float-summing entries keep their
-sums in decimal through the shuffle for exactly this reason
-(see FIXTURES.md §B / the share_of_total note).
+The curated ENTRIES list names exact-arithmetic paths
+(decimal/integer/hash/rank) chosen per round for per-test visibility;
+since r8 `test_full_catalog_invariant_under_input_splitting` sweeps
+EVERY remaining catalog entry in one bulk test, so the whole 341-entry
+surface is invariance-pinned. Float-summing entries keep their sums in
+decimal through the shuffle for exactly this reason (see FIXTURES.md
+§B / the share_of_total note).
 """
 
 from __future__ import annotations
@@ -175,3 +178,31 @@ def test_result_invariant_under_input_splitting(name, spark, sf_oracle,
         assert _canon(entry.fn(spark, split_sf_dir)) == baseline
     finally:
         conf.set("spark.sql.files.maxPartitionBytes", default)
+
+
+def test_full_catalog_invariant_under_input_splitting(spark, sf_oracle,
+                                                      split_sf_dir):
+    """FULL-CATALOG partition invariance (r8): every catalog entry not
+    in the curated ENTRIES list above, swept in ONE test (a 341-way
+    parametrize would add minutes of per-test fixture overhead). The
+    r8 exploratory sweep found 260/260 bitwise-invariant — including
+    every sketch-convention entry, whose emitted contract booleans and
+    exact anchors must not move with partitioning even though their
+    internal estimates may. This pins that: a future entry whose
+    result depends on input splitting fails here with its name."""
+    conf = spark.conf
+    default = conf.get("spark.sql.files.maxPartitionBytes")
+    rest = [n for n in CATALOG if n not in ENTRIES]
+    failures = []
+    try:
+        for name in rest:
+            entry = CATALOG[name]
+            conf.set("spark.sql.files.maxPartitionBytes", default)
+            baseline = _canon(entry.fn(spark, sf_oracle))
+            conf.set("spark.sql.files.maxPartitionBytes",
+                     str(SMALL_SPLIT_BYTES))
+            if _canon(entry.fn(spark, split_sf_dir)) != baseline:
+                failures.append(name)
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", default)
+    assert not failures, f"partition-dependent results: {failures}"
