@@ -185,24 +185,32 @@ def test_full_catalog_invariant_under_input_splitting(spark, sf_oracle,
     """FULL-CATALOG partition invariance (r8): every catalog entry not
     in the curated ENTRIES list above, swept in ONE test (a 341-way
     parametrize would add minutes of per-test fixture overhead). The
-    r8 exploratory sweep found 260/260 bitwise-invariant — including
-    every sketch-convention entry, whose emitted contract booleans and
-    exact anchors must not move with partitioning even though their
-    internal estimates may. This pins that: a future entry whose
-    result depends on input splitting fails here with its name."""
+    perturbed run flips BOTH partitioning axes at once — 16-file
+    64 KiB-split input layout AND spark.sql.shuffle.partitions 32 -> 7
+    (the driver's plain session runs 200; results must not care). The
+    r8 exploratory sweeps found 260/260 (input splitting) and 341/341
+    (shuffle count) bitwise-invariant — including every
+    sketch-convention entry, whose emitted contract booleans and exact
+    anchors must not move with partitioning even though their internal
+    estimates may. A future entry whose result depends on either axis
+    fails here with its name."""
     conf = spark.conf
     default = conf.get("spark.sql.files.maxPartitionBytes")
+    default_shuf = conf.get("spark.sql.shuffle.partitions")
     rest = [n for n in CATALOG if n not in ENTRIES]
     failures = []
     try:
         for name in rest:
             entry = CATALOG[name]
             conf.set("spark.sql.files.maxPartitionBytes", default)
+            conf.set("spark.sql.shuffle.partitions", default_shuf)
             baseline = _canon(entry.fn(spark, sf_oracle))
             conf.set("spark.sql.files.maxPartitionBytes",
                      str(SMALL_SPLIT_BYTES))
+            conf.set("spark.sql.shuffle.partitions", "7")
             if _canon(entry.fn(spark, split_sf_dir)) != baseline:
                 failures.append(name)
     finally:
         conf.set("spark.sql.files.maxPartitionBytes", default)
+        conf.set("spark.sql.shuffle.partitions", default_shuf)
     assert not failures, f"partition-dependent results: {failures}"
