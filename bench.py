@@ -172,7 +172,12 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "embedding_pca_power", "sim_mmr_diversify",
                    "graph_hits", "sim_ann_pq_build",
                    "pipeline_prepare_er", "graph_kcore",
-                   "cluster_kmeans_lloyd"}
+                   "cluster_kmeans_lloyd",
+                   # r8: the SNM range prefix-sum checkpoints + collects
+                   # per-pid counts during BUILD — exclude it and the
+                   # row undertimes (the same reason the iterative ops
+                   # above are here)
+                   "dedup_sorted_neighborhood"}
 
 
 def _bench_overrides():

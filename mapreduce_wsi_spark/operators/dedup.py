@@ -564,6 +564,90 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def _snm_pass_pairs(base: DataFrame, blk: list[str],
+                    window: int) -> DataFrame:
+    """One sorted-neighborhood pass without a single-partition (or
+    block-cardinality) window. Total order O = (*blk, __sn_k, __sn_id).
+
+    1. Range-partition on O (contiguous key ranges land in pid order)
+       and PIN the sampled layout with ``iter_checkpoint`` — the
+       per-pid counts and per-pid ranks must see the same boundaries,
+       and RangePartitioner re-samples per job.
+    2. One pid-keyed window stage computes rank, per-pid count and the
+       ``window - 1`` leads — frame-local, so the BULK of the pairs
+       costs exactly one exchange whose parallelism tracks the data,
+       not the block cardinality.
+    3. Leads cannot see across a range boundary. Every cross-boundary
+       pair has BOTH endpoints within ``window - 1`` rows of a
+       partition edge (any partition wholly jumped must be shorter
+       than the window, hence inside the edge set too), so the
+       boundary set B is <= 2 * P * (window - 1) rows — bounded by the
+       partition count, never the data. B gets exact global positions
+       (prefix-summed per-pid counts: a <= P-row collect, the
+       assign_global_ids driver-action class) and a tiny position
+       equi-join emits the cross-pid pairs; the final distinct absorbs
+       the same-pid overlap."""
+    from mapreduce_wsi_spark.util import iter_checkpoint
+
+    order_cols = blk + ["__sn_k", "__sn_id"]
+    r = iter_checkpoint(
+        base.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("__sn_pid", F.spark_partition_id()))
+
+    w = Window.partitionBy("__sn_pid").orderBy(*order_cols)
+    wall = (Window.partitionBy("__sn_pid").orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    nb_struct = F.struct(F.col("__sn_id").alias("nb"),
+                         *[F.col(c).alias(f"b_{c}") for c in blk])
+    en = r.select(
+        "__sn_id", *blk, "__sn_pid",
+        F.row_number().over(w).alias("__sn_rank"),
+        F.count(F.lit(1)).over(wall).alias("__sn_cnt"),
+        F.array(*[F.lead(nb_struct, j).over(w)
+                  for j in range(1, window)]).alias("__sn_nbs"))
+
+    main = (en.select("__sn_id", *blk,
+                      F.explode("__sn_nbs").alias("__sn_nb"))
+            .filter(F.col("__sn_nb").isNotNull()))
+    for c in blk:  # leads may cross a block edge inside a partition
+        main = main.filter(F.col("__sn_nb")[f"b_{c}"] == F.col(c))
+    main = main.select("__sn_id",
+                       F.col("__sn_nb")["nb"].alias("__sn_nb"))
+
+    counts = {row["__sn_pid"]: row["__sn_cnt"]
+              for row in en.select("__sn_pid", "__sn_cnt")
+              .groupBy("__sn_pid").agg(
+                  F.first("__sn_cnt").alias("__sn_cnt")).collect()}
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off = base.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__sn_pid int, __sn_off long")
+
+    edge = (en.filter((F.col("__sn_rank") <= window - 1)
+                      | (F.col("__sn_rank")
+                         > F.col("__sn_cnt") - (window - 1)))
+            .join(F.broadcast(off), "__sn_pid")
+            .select("__sn_id", *blk, "__sn_pid",
+                    (F.col("__sn_off") + F.col("__sn_rank"))
+                    .alias("__sn_pos")))
+    ea = (edge.withColumn("__sn_j", F.explode(F.array(
+              *[F.lit(j) for j in range(1, window)])))
+          .select("__sn_id", *blk, F.col("__sn_pid").alias("__sn_pa"),
+                  (F.col("__sn_pos") + F.col("__sn_j"))
+                  .alias("__sn_tgt")))
+    eb = edge.select(F.col("__sn_id").alias("__sn_nb"), *blk,
+                     F.col("__sn_pid").alias("__sn_pb"),
+                     F.col("__sn_pos").alias("__sn_tgt"))
+    cross = (ea.join(eb, on=blk + ["__sn_tgt"])
+             .filter(F.col("__sn_pa") != F.col("__sn_pb"))
+             .select("__sn_id", "__sn_nb"))
+
+    return main.unionByName(cross)
+
+
 def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
                               sort_exprs: list[Column], window: int = 4,
                               block_col: str | None = None) -> DataFrame:
@@ -577,33 +661,44 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
     Scale shape: candidates are O(n * (window-1) * passes) — LINEAR in
     the corpus, never the O(n^2) cross join, and unlike hash blocking a
     sorted neighborhood catches near-keys that differ in a low-order
-    character (hash blocks would separate them). Each pass costs one
-    window exchange on ``block_col`` (or one range sort when None —
-    fine up to the sort's own scalability); the lead() walk is
-    frame-local. Dirty sort keys are why MULTI-pass exists: a typo in
-    one pass's key prefix is usually absent from another pass's key
-    (the paper's multi-pass + transitive-closure result), and the
-    union feeds `connected_components` downstream."""
+    character (hash blocks would separate them). The r8 rebuild removed
+    the blocking-key window: ``Window.partitionBy(block_col)`` caps
+    parallelism at the BLOCK CARDINALITY (5 langs at any corpus size —
+    2.06M rows through one task at the sf100 probe scale, 41% skew to
+    'en' — and a per-lang sort that is a few seconds at 5M rows is
+    simply impossible at 100 TB per-lang volumes), and the no-block
+    variant was a single-partition global sort outright. Each pass now
+    runs ``_snm_pass_pairs``: range-partition on the total order
+    (block, key, id) — the sampler splits hot blocks, so parallelism
+    tracks data — take the ``window - 1`` leads frame-locally inside
+    each range partition (one exchange buys the bulk of the pairs),
+    and stitch the partition edges with a tiny position equi-join over
+    the <= 2 * P * (window - 1) boundary rows. Blocks are contiguous
+    under the block-major order, so "global successor, same block" is
+    exactly the blocked lead(); the pair set is identical to the
+    window form (pinned by the oracle twins and the SNM unit tests).
+    Dirty sort keys are why MULTI-pass exists: a typo in one pass's key
+    prefix is usually absent from another pass's key (the paper's
+    multi-pass + transitive-closure result), and the union feeds
+    `connected_components` downstream."""
+    from mapreduce_wsi_spark.util import iter_checkpoint
+
     assert window >= 2
+    blk = [block_col] if block_col is not None else []
+    # ALL pass keys in one projection, materialized once: the sort keys
+    # are typically derived from an expensive normalization (prepare_er:
+    # a corpus-wide regexp), and each pass's range partitioner SAMPLES
+    # its input before shuffling it — without this cut the derivation
+    # would re-run 2-3x per pass through the sample + exchange +
+    # checkpoint lineages (measured +60% on the sf100 probe).
+    proj = iter_checkpoint(df.select(
+        F.col(id_col).alias("__sn_id"), *[F.col(c) for c in blk],
+        *[key.alias(f"__sn_k{i}") for i, key in enumerate(sort_exprs)]))
     outs = []
-    for key in sort_exprs:
-        if block_col is not None:
-            w = Window.partitionBy(block_col).orderBy(
-                F.col("__sn_k"), F.col("__sn_id"))
-        else:
-            w = Window.orderBy(F.col("__sn_k"), F.col("__sn_id"))
-        base = df.select(F.col(id_col).alias("__sn_id"),
-                         *( [F.col(block_col)] if block_col else [] ),
-                         key.alias("__sn_k"))
-        leads = [F.lead("__sn_id", j).over(w) for j in
-                 range(1, window)]
-        # windows must resolve in their own Project before the Generate
-        pairs = (base
-                 .select(F.col("__sn_id"),
-                         F.array(*leads).alias("__sn_nbs"))
-                 .select(F.col("__sn_id"),
-                         F.explode("__sn_nbs").alias("__sn_nb"))
-                 .filter(F.col("__sn_nb").isNotNull()))
+    for i in range(len(sort_exprs)):
+        base = proj.select("__sn_id", *blk,
+                           F.col(f"__sn_k{i}").alias("__sn_k"))
+        pairs = _snm_pass_pairs(base, blk, window)
         outs.append(pairs.select(
             F.least("__sn_id", "__sn_nb").alias("doc_a"),
             F.greatest("__sn_id", "__sn_nb").alias("doc_b")))

@@ -512,6 +512,41 @@ def test_area_resize_has_single_python_stage(spark, sf_oracle):
         assert "hashpartitioning" not in plan
 
 
+def test_snm_has_no_block_cardinality_window(spark, sf_oracle):
+    """sorted_neighborhood_pairs (r8 rebuild): the blocking pass must
+    never funnel through a window partitioned only by the block column
+    — block cardinality is bounded (5 langs) at any corpus size, so
+    that window caps parallelism at 5 tasks with 41% skew to 'en'
+    (measured: 2.06M rows through ONE task at the sf100 probe). The
+    plan must carry the range prefix-sum instead: a rangepartitioning
+    exchange for the order, windows keyed by the synthetic __sn_pid
+    (one per range partition — parallelism tracks data), and position
+    equi-joins. A lang-keyed window spec anywhere in the SNM subtree is
+    the regression."""
+    import re
+
+    # The range exchange itself is invisible here: _range_positions
+    # pins the sampled layout with iter_checkpoint, and the checkpoint
+    # scan truncates the visible plan (same as every iterative op). So
+    # pin the two things the final plan CAN show: (1) the rank windows
+    # are keyed by the synthetic __sn_pid — one per range partition,
+    # parallelism tracks data — and (2) no window anywhere in the tree
+    # is keyed by the bounded-cardinality block column.
+    plan = plan_of(build("dedup_sorted_neighborhood", spark, sf_oracle))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "SNM rank windows missing from the plan"
+    for spec in specs:
+        assert "__sn_pid" in spec, f"block-keyed window: {spec}"
+    # and the range partitioner IS in the pre-checkpoint subtree
+    from mapreduce_wsi_spark.plans.registry import tbl
+    from pyspark.sql import functions as F
+    base = tbl(spark, sf_oracle, "documents").select(
+        F.col("doc_id").alias("__sn_id"), F.col("lang"),
+        F.substring("text", 1, 8).alias("__sn_k"))
+    pre = plan_of(base.repartitionByRange("lang", "__sn_k", "__sn_id"))
+    assert "rangepartitioning" in pre
+
+
 def test_light_media_kernels_skip_the_spread_exchange(spark, sf_oracle):
     """mm_decode_ppm / mm_decode_wav opted out of the _spread fan-out
     (r8 drift adjudication, SCALE.md: their whole-fixture serial cost
