@@ -289,6 +289,28 @@ def _family(name: str) -> str:
     return "core"
 
 
+def _calibrate(spark) -> float:
+    """Fixed-cost probe: median of 5 timed 32-task no-op jobs (one
+    stage, no data — pure scheduler + codegen-cache + noop-commit
+    latency). Recorded as ``calib_sec`` in the stdout line and
+    BENCH_DETAIL.json so cross-round drift adjudication is
+    self-contained: the r8 forensics (SCALE.md bench-hygiene note)
+    established this sandbox's per-job latency swings 2-3x across
+    generations, and rederiving that by hand each round left the
+    judge's runs and the builder's 10%+ apart. The SCALE.md drift rule
+    normalizes by this constant (drift = (row/calib) vs prior round's
+    (row/calib)) for multi-job/iterative rows."""
+    samples = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        spark.range(0, 32, 1, 32).write.mode("overwrite") \
+            .format("noop").save()
+        if i:  # first run is codegen warm-up, untimed
+            samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[len(samples) // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -306,6 +328,7 @@ def main() -> None:
 
     # Warm-up: JVM + parquet footer reads, excluded from timings.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
+    calib = _calibrate(spark)
 
     overrides = _bench_overrides()
     timings: dict[str, float] = {}
@@ -344,6 +367,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "cpus": int(cpus),
+            "calib_sec": calib,
         }, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -354,16 +378,20 @@ def main() -> None:
     # The three r01-baseline sentinels ride the stdout line individually —
     # the permanent driver record compares them round-over-round (VERDICT
     # r7: the r7 record lost the total and q1/q3/q5 to the tail-capture
-    # overflow). ~90 chars; the full map lives in BENCH_DETAIL.json.
-    for name in ("q1_pricing_summary", "q3_shipping_priority",
-                 "q5_local_supplier_volume"):
-        if name in timings:
-            families[name] = round(timings[name], 2)
+    # overflow). Under their OWN key, not merged into the families map:
+    # a consumer summing families must not double-count them (ADVICE r8).
+    # ~90 chars; the full map lives in BENCH_DETAIL.json.
+    sentinels = {name: round(timings[name], 2)
+                 for name in ("q1_pricing_summary", "q3_shipping_priority",
+                              "q5_local_supplier_volume")
+                 if name in timings}
     line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": families,
+        "sentinels": sentinels,
+        "calib_sec": calib,
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,

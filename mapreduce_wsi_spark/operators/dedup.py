@@ -610,8 +610,11 @@ def _snm_pass_pairs(base: DataFrame, blk: list[str],
     main = (en.select("__sn_id", *blk,
                       F.explode("__sn_nbs").alias("__sn_nb"))
             .filter(F.col("__sn_nb").isNotNull()))
-    for c in blk:  # leads may cross a block edge inside a partition
-        main = main.filter(F.col("__sn_nb")[f"b_{c}"] == F.col(c))
+    for c in blk:  # leads may cross a block edge inside a partition;
+        # eqNullSafe: NULL block values form ONE block (the pre-rebuild
+        # Window.partitionBy semantics) instead of silently pairing
+        # nothing under null-unsafe equality (ADVICE r8)
+        main = main.filter(F.col("__sn_nb")[f"b_{c}"].eqNullSafe(F.col(c)))
     main = main.select("__sn_id",
                        F.col("__sn_nb")["nb"].alias("__sn_nb"))
 
@@ -641,9 +644,16 @@ def _snm_pass_pairs(base: DataFrame, blk: list[str],
     eb = edge.select(F.col("__sn_id").alias("__sn_nb"), *blk,
                      F.col("__sn_pid").alias("__sn_pb"),
                      F.col("__sn_pos").alias("__sn_tgt"))
-    cross = (ea.join(eb, on=blk + ["__sn_tgt"])
+    # eqNullSafe on the block keys for the same NULL-block reason as the
+    # in-partition filter above; __sn_tgt is never null (rank + offset)
+    ea, eb = ea.alias("__sn_ea"), eb.alias("__sn_eb")
+    cond = [F.col(f"__sn_ea.{c}").eqNullSafe(F.col(f"__sn_eb.{c}"))
+            for c in blk]
+    cond.append(F.col("__sn_ea.__sn_tgt") == F.col("__sn_eb.__sn_tgt"))
+    cross = (ea.join(eb, on=cond)
              .filter(F.col("__sn_pa") != F.col("__sn_pb"))
-             .select("__sn_id", "__sn_nb"))
+             .select(F.col("__sn_ea.__sn_id").alias("__sn_id"),
+                     F.col("__sn_eb.__sn_nb").alias("__sn_nb")))
 
     return main.unionByName(cross)
 

@@ -31,6 +31,53 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# The driver's canon is pandas-based: it sorts cells with sort_values
+# (raw list/map/struct cells raise TypeError: unhashable type) and
+# carries numerics through float64 on at least one fetch path (exact
+# only below 2^53 — DECIMAL(38,0) energies ~1e29 hash-diverged in r8
+# while the rows were bit-identical). The local canon below is MORE
+# permissive (recursive lists, symbolic Decimals), which is how both
+# r8 reds sailed through 1089 local tests: so compare() additionally
+# enforces the ENVELOPE — no container-typed output columns, and no
+# int/Decimal cell whose magnitude exceeds float64's exact range.
+# Floats are exempt (they are float64 end-to-end on both sides);
+# strings/md5 are the sanctioned carrier for wider values.
+_EXACT_F64_MAX = 2 ** 53
+
+
+def envelope_violations(spark_schema, s_rows, d_rows,
+                        max_shown: int = 3) -> list[str]:
+    """Driver-canon envelope: return violation descriptions (empty =
+    inside the envelope). Checked on BOTH result sets — a DuckDB
+    HUGEINT beyond 2^53 is as fatal to the driver's hash as a Spark
+    decimal."""
+    from pyspark.sql import types as T
+
+    out: list[str] = []
+    for f in spark_schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            out.append(f"column {f.name!r} is container-typed "
+                       f"({f.dataType.simpleString()}) — the driver's "
+                       f"pandas sort dies on unhashable cells; emit a "
+                       f"joined string instead")
+    for side, rows in (("spark", s_rows), ("duckdb", d_rows)):
+        for r in rows:
+            for i, v in enumerate(r):
+                if isinstance(v, (list, tuple, dict)):
+                    out.append(f"{side} row cell {i} is a container "
+                               f"({type(v).__name__})")
+                elif (isinstance(v, (int, _decimal.Decimal))
+                      and not isinstance(v, bool)
+                      and abs(v) >= _EXACT_F64_MAX):
+                    out.append(f"{side} cell {i} magnitude {v} exceeds "
+                               f"float64's exact range (2^53) — the "
+                               f"driver canon cannot carry it; emit a "
+                               f"digit string or div/mod limbs")
+                if len(out) >= max_shown:
+                    return out
+    return out
+
+
 def canon_value(v):
     """Canonicalize one cell for order-insensitive comparison."""
     if v is None:
@@ -94,6 +141,10 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection,
     if len(s_rows) != len(d_rows):
         return ParityResult(name, False,
                             f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+    env = envelope_violations(spark_df.schema, s_rows, d_rows)
+    if env:
+        return ParityResult(name, False,
+                            "driver-envelope violation: " + "; ".join(env))
     s_canon = canon_rows(s_cols, s_rows)
     d_canon = canon_rows(d_cols, d_rows)
     if s_canon != d_canon:

@@ -3736,9 +3736,9 @@ def mm_dominant_color(spark, sf_dir):
           FROM g WHERE i = 16)
     SELECT doc_id, CAST(16 AS INT) AS n_samples, true AS ok,
            CAST(max(CASE WHEN coeff = 2000000000 THEN energy END)
-                AS DECIMAL(38,0)) AS e_dc,
+                AS VARCHAR) AS e_dc_str,
            CAST(max(CASE WHEN coeff = 1414213562 THEN energy END)
-                AS DECIMAL(38,0)) AS e_k2
+                AS VARCHAR) AS e_k2_str
     FROM e GROUP BY doc_id
     """,
     note="Goertzel single-bin DFT energy over REAL-decoded PCM16 WAV "
@@ -3749,7 +3749,14 @@ def mm_dominant_color(spark, sf_dir):
          "DC (coeff exactly 2) + k=2/N=16 (coeff sqrt2-nanos). DuckDB "
          "twin replays the recurrence as a 16-step recursive CTE over "
          "HUGEINTs, the ADPCM-predictor scheme "
-         "(operators/multimodal.py::goertzel_energy)")
+         "(operators/multimodal.py::goertzel_energy). The ~1e29 "
+         "energies ship as DIGIT STRINGS (decimal->string both sides): "
+         "the r8 driver stamp proved rows+schema match but the driver's "
+         "pandas canon cannot carry DECIMAL(38,0) magnitudes past "
+         "float64's exact 2^53 range, so hashes diverged on "
+         "bit-identical values; the string form is range-safe and keeps "
+         "the recurrence untouched (parity.py envelope check pins the "
+         "class)")
 def mm_audio_goertzel(spark, sf_dir):
     from mapreduce_wsi_spark.operators.multimodal import goertzel_energy
 
@@ -3763,7 +3770,9 @@ def mm_audio_goertzel(spark, sf_dir):
         F.lit("audio/wav").alias("mime"),
         F.octet_length(content).cast("int").alias("n_bytes"))
     return goertzel_energy(blobs).select(
-        "doc_id", "n_samples", "ok", "e_dc", "e_k2")
+        "doc_id", "n_samples", "ok",
+        F.col("e_dc").cast("string").alias("e_dc_str"),
+        F.col("e_k2").cast("string").alias("e_k2_str"))
 
 
 from mapreduce_wsi_spark.operators.dedup import fs_weights_nanos as _fsw

@@ -33,11 +33,19 @@ def _round_of(path: Path) -> int:
     return int(m.group(1))
 
 
-# stamped green by the driver in any completed prior round
+# stamped green by the driver in any completed prior round. GREEN only:
+# a red row (r8 had two — the driver-canon envelope defects) is not a
+# stamp, and counting it would both block its re-queue here and
+# undercount the remaining backlog (same defect class as the ADVICE r8
+# window_audit pad fix — keep the predicate in sync with
+# tools/window_audit.py).
 EVER_STAMPED: set[str] = set()
 for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
     if _round_of(f) < ROUND:
-        EVER_STAMPED |= set(json.loads(f.read_text()))
+        rows = json.loads(f.read_text())
+        EVER_STAMPED |= {n for n, r in rows.items()
+                         if r.get("rows_match") and r.get("schema_match")
+                         and r.get("hash_match", True) and not r.get("err")}
 
 # regression canaries: driver-stamped every round by design
 SENTINELS = {"q1_pricing_summary", "flagship_integer_mean",

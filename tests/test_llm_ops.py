@@ -2496,6 +2496,165 @@ def test_qoi_fuzz_roundtrip_and_truncation():
     run()
 
 
+def _riff(chunks, pad_alignment=True):
+    """Assemble a RIFF/WAVE payload from (chunk_id, body) pairs, with
+    spec word-alignment pad bytes after odd-sized bodies (the walker
+    advances ``8 + size + (size & 1)``)."""
+    import struct
+
+    out = bytearray(b"WAVE")
+    for cid, body in chunks:
+        out += cid + struct.pack("<I", len(body)) + body
+        if pad_alignment and len(body) & 1:
+            out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + bytes(out)
+
+
+def test_wav_fuzz_chunk_walker(spark=None):
+    """Hypothesis sweep over the WAV chunk walker (VERDICT r8 ask #8 —
+    the branchiest parser without a generative suite): random PCM16
+    signals wrapped in RIFF layouts with random STRAY chunks (unknown
+    ids, odd sizes — exercising the word-alignment advance) before and
+    after fmt/data must decode sample-exact; a truncated fmt body, a
+    data chunk whose declared size overruns the payload, and every
+    strict prefix of the canonical layout must reject; an odd-sized
+    PCM16 data chunk decodes floor(size/2) samples (trailing byte
+    dropped, poison-safe)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import _parse_wav
+
+    def fmt_body(audio_fmt=1, ch=1, rate=8000, block=2, bits=16):
+        return struct.pack("<HHIIHH", audio_fmt, ch, rate,
+                           rate * block, block, bits)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        n = data.draw(st.integers(1, 64))
+        samples = rng.integers(-32768, 32768, n).astype("<i2")
+        pcm = samples.tobytes()
+
+        # stray chunks: ids the walker must skip, sizes incl. odd
+        def stray():
+            cid = bytes(data.draw(st.sampled_from(
+                [b"LIST", b"fact", b"cue ", b"junk", b"ZZ99"])))
+            size = data.draw(st.integers(0, 9))
+            return (cid, bytes(rng.integers(0, 256, size,
+                                            dtype=np.uint8)))
+
+        chunks = [stray() for _ in range(data.draw(st.integers(0, 2)))]
+        chunks.append((b"fmt ", fmt_body()))
+        chunks += [stray() for _ in range(data.draw(st.integers(0, 2)))]
+        chunks.append((b"data", pcm))
+        chunks += [stray() for _ in range(data.draw(st.integers(0, 2)))]
+        payload = _riff(chunks)
+        parsed = _parse_wav(payload)
+        assert parsed is not None
+        rate, ch, got = parsed
+        assert (rate, ch) == (8000, 1)
+        assert np.array_equal(got, samples)
+
+        # odd data size: trailing byte dropped, floor(size/2) samples
+        odd = _riff([(b"fmt ", fmt_body()), (b"data", pcm + b"\x7f")])
+        p_odd = _parse_wav(odd)
+        assert p_odd is not None and np.array_equal(p_odd[2], samples)
+
+        # truncated fmt body (declared 16, shipped shorter): the fmt
+        # never registers, so the data chunk has no decode branch
+        cut_fmt = data.draw(st.integers(0, 15))
+        trunc_fmt = _riff([(b"fmt ", fmt_body()[:cut_fmt]),
+                           (b"data", pcm)])
+        assert _parse_wav(trunc_fmt) is None
+
+        # data chunk declaring more bytes than shipped must reject,
+        # not decode a short read
+        lying = _riff([(b"fmt ", fmt_body()), (b"data", pcm)])
+        lying = bytearray(lying)
+        dpos = lying.index(b"data")
+        struct.pack_into("<I", lying, dpos + 4, len(pcm) + 8)
+        assert _parse_wav(bytes(lying)) is None
+
+        # every strict prefix of the canonical (no-trailing-chunk)
+        # layout rejects: cuts land in the RIFF header, mid-fmt,
+        # between chunks, or mid-data — all must starve, never
+        # mis-decode
+        canon = _riff([(b"fmt ", fmt_body()), (b"data", pcm)])
+        cut = data.draw(st.integers(0, len(canon) - 1))
+        assert _parse_wav(canon[:cut]) is None
+
+    run()
+
+
+def test_wav_fuzz_adpcm_block_edges():
+    """ADPCM-specific edge cases (VERDICT r8 ask #8): the lane decoder
+    and its scalar twin must agree on ARBITRARY nibble content (not
+    just encoder output) for any odd block geometry; block_align <= 4
+    (no nibble room) and a header step index > 88 reject; a trailing
+    partial block is dropped without shifting the decoded prefix."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _ima_adpcm_decode_blocks, _ima_adpcm_decode_scalar, _parse_wav)
+
+    def adpcm_fmt(block_align, block_samples):
+        return struct.pack("<HHIIHHHH", 0x11, 1, 8000,
+                           8000 * block_align // block_samples,
+                           block_align, 4, 2, block_samples)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        nib_bytes = data.draw(st.integers(1, 8))
+        block_align = 4 + nib_bytes
+        # >= 16 blocks forces the numpy lane path; the scalar twin is
+        # called directly — two independent walks over the same bytes
+        n_blocks = data.draw(st.integers(16, 24))
+        blocks = []
+        for _ in range(n_blocks):
+            pred = int(rng.integers(-32768, 32768))
+            idx = int(rng.integers(0, 89))
+            body = bytes(rng.integers(0, 256, nib_bytes, dtype=np.uint8))
+            blocks.append(struct.pack("<hBB", pred, idx, 0) + body)
+        raw = b"".join(blocks)
+        lane = _ima_adpcm_decode_blocks(raw, block_align)
+        scalar = _ima_adpcm_decode_scalar(raw, block_align, n_blocks)
+        assert lane is not None and np.array_equal(lane, scalar)
+
+        # trailing partial block: decoded prefix identical
+        part = raw + raw[: data.draw(st.integers(1, block_align - 1))]
+        lane_part = _ima_adpcm_decode_blocks(part, block_align)
+        assert np.array_equal(lane_part, lane)
+
+        # malformed header index rejects on both paths
+        bad = bytearray(raw)
+        bad[2] = data.draw(st.integers(89, 255))
+        assert _ima_adpcm_decode_blocks(bytes(bad), block_align) is None
+
+        # end-to-end: block_align <= 4 leaves no nibble room — the
+        # walker must reject at the fmt gate, not divide by zero
+        block_samples = 2 * nib_bytes + 1
+        tiny = _riff([(b"fmt ", adpcm_fmt(4, 1)), (b"data", raw)])
+        assert _parse_wav(tiny) is None
+        ok = _riff([(b"fmt ", adpcm_fmt(block_align, block_samples)),
+                    (b"data", raw)])
+        parsed = _parse_wav(ok)
+        assert parsed is not None
+        assert np.array_equal(parsed[2], lane)
+
+    run()
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     """MMR contract: with a clone of the best candidate in the pool,
     plain top-2 takes (best, clone) but MMR's second pick must skip
@@ -3012,6 +3171,31 @@ def test_sorted_neighborhood_multipass_catches_head_and_tail_typos(spark):
         "with enough rows between the sort positions, the prefix pass "
         "alone must NOT find the head-typo pair — that separation is "
         "what motivates the second pass")
+
+
+def test_sorted_neighborhood_null_block_rows_still_pair(spark):
+    """NULL block values form ONE block — the pre-r8 Window.partitionBy
+    semantics. The r8 range-partition rebuild's in-partition filter and
+    cross-boundary equi-join both compared blocks with null-UNSAFE
+    equality, silently dropping every pair whose block_col is NULL
+    (ADVICE r8); eqNullSafe restores the public contract. Latent with
+    the fixture (lang is always populated), so this synthetic pins it."""
+    from mapreduce_wsi_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base, None), (2, base[:-1] + "X", None),  # typo of 1
+            (3, "completely different words entirely here now", None),
+            (4, base, "en"), (5, base[:-1] + "Y", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = sorted_neighborhood_pairs(
+        df, "doc_id", [F.substring("text", 1, 16)],
+        window=2, block_col="lang")
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got, "NULL-block rows must pair within the NULL block"
+    assert (4, 5) in got, "non-null blocks unaffected"
+    assert not any((a in (1, 2, 3)) != (b in (1, 2, 3)) for a, b in got), \
+        "no pair may straddle the NULL/'en' block boundary"
 
 
 def test_hard_negatives_excludes_same_label_and_ranks_by_cos(spark):

@@ -525,7 +525,7 @@ def test_snm_has_no_block_cardinality_window(spark, sf_oracle):
     the regression."""
     import re
 
-    # The range exchange itself is invisible here: _range_positions
+    # The range exchange itself is invisible here: _snm_pass_pairs
     # pins the sampled layout with iter_checkpoint, and the checkpoint
     # scan truncates the visible plan (same as every iterative op). So
     # pin the two things the final plan CAN show: (1) the rank windows

@@ -70,6 +70,8 @@ PROBE_QUERIES = {
     "dedup_minhash_lsh",        # documents only
     "dedup_components_star",    # documents only
     "sim_cosine_topk",          # embeddings only
+    "dedup_sorted_neighborhood",  # documents only (r9: slope re-measure
+                                  # on the r8 _snm_pass_pairs rebuild)
 }
 
 

@@ -68,20 +68,32 @@ def main() -> None:
 
     if "--emit-next" in sys.argv[1:]:
         sentinels = list(DRIVER_WINDOW[:5])
-        queued = [n for n in never if n not in DRIVER_WINDOW][:45]
+        # never-stamped entries INSIDE the current window stay in the
+        # queue: emit-next runs after the round is recorded, so those
+        # are exactly the red rows — they must be re-stamped, not
+        # dropped (r8 had two; excluding current-window names would
+        # have silently parked them)
+        queued = [n for n in never][:45]
         # spare slots refill the staleness pad: oldest-stamped entries
-        # (earliest round first) get re-verified against drift
+        # (earliest round first) get re-verified against drift. Only
+        # entries GREEN in the scanned file qualify — a red row is not
+        # "stamped", and padding it would trip the never-stamped-pad
+        # warning next round instead of queueing it fresh (ADVICE r8)
         pad: list[str] = []
         taken = set(sentinels) | set(queued)
         for _, path in files:
             if len(pad) >= 45 - len(queued):
                 break
             with open(path) as fh:
-                for n in json.load(fh):
-                    if (len(pad) < 45 - len(queued) and n in catalog
-                            and n not in taken):
-                        pad.append(n)
-                        taken.add(n)
+                rows = json.load(fh)
+            green = [n for n, r in rows.items()
+                     if r.get("rows_match") and r.get("schema_match")
+                     and r.get("hash_match", True) and not r.get("err")]
+            for n in green:
+                if (len(pad) < 45 - len(queued) and n in catalog
+                        and n not in taken):
+                    pad.append(n)
+                    taken.add(n)
         print(f"\n# DRIVER_WINDOW for round {ROUND + 1}: 5 sentinels + "
               f"{len(queued)} queued + {len(pad)} staleness pad")
         print("WINDOW_STALENESS_PAD: tuple[str, ...] = (")
