@@ -2655,6 +2655,79 @@ def test_wav_fuzz_adpcm_block_edges():
     run()
 
 
+def test_avi_fuzz_container_walk():
+    """Hypothesis sweep over the AVI container walker (the branchiest
+    remaining parser after the r9 WAV suite): random frame counts and
+    sizes (odd lengths exercise the word-aligned advance) roundtrip
+    byte-exact through encode_avi_mjpeg; interleaved non-video chunks
+    ('01wb' audio) inside movi are skipped without disturbing frame
+    order; a dwTotalFrames/idx1 count that disagrees with the chunks
+    actually present rejects; every strict prefix rejects (the RIFF
+    size field overruns any truncation)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_avi, encode_avi_mjpeg)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        n = data.draw(st.integers(1, 6))
+        frames = [bytes(rng.integers(0, 256,
+                                     data.draw(st.integers(1, 33)),
+                                     dtype=np.uint8))
+                  for _ in range(n)]
+        w = data.draw(st.integers(1, 64))
+        h = data.draw(st.integers(1, 64))
+        fps = data.draw(st.integers(1, 60))
+        payload = encode_avi_mjpeg(frames, w, h, fps=fps)
+        parsed = _parse_avi(payload)
+        assert parsed is not None
+        gfps, gw, gh, gn, gframes = parsed
+        assert (gfps, gw, gh, gn) == (fps, w, h, n)
+        assert gframes == frames
+
+        # splice a non-video ('01wb' audio) chunk into movi: the walker
+        # must skip it and keep the frame sequence intact. Sizes are
+        # recomputed (movi LIST + RIFF) so the envelope stays valid.
+        movi_at = payload.index(b"LIST", 12)
+        while payload[movi_at + 8:movi_at + 12] != b"movi":
+            movi_at = payload.index(b"LIST", movi_at + 1)
+        (movi_size,) = struct.unpack_from("<I", payload, movi_at + 4)
+        audio = bytes(rng.integers(0, 256, data.draw(st.integers(0, 9)),
+                                   dtype=np.uint8))
+        wb = b"01wb" + struct.pack("<I", len(audio)) + audio
+        if len(audio) & 1:
+            wb += b"\x00"
+        insert_at = movi_at + 12  # right after the 'movi' list type
+        spliced = bytearray(payload)
+        spliced[insert_at:insert_at] = wb
+        struct.pack_into("<I", spliced, movi_at + 4,
+                         movi_size + len(wb))
+        struct.pack_into("<I", spliced, 4,
+                         struct.unpack_from("<I", spliced, 4)[0]
+                         + len(wb))
+        got = _parse_avi(bytes(spliced))
+        assert got is not None and got[4] == frames
+
+        # a dwTotalFrames that disagrees with the movi chunks rejects
+        lying = bytearray(payload)
+        avih_at = lying.index(b"avih")
+        struct.pack_into("<I", lying, avih_at + 8 + 16, n + 1)
+        assert _parse_avi(bytes(lying)) is None
+
+        # every strict prefix rejects — the RIFF size field overruns
+        cut = data.draw(st.integers(0, len(payload) - 1))
+        assert _parse_avi(payload[:cut]) is None
+
+    run()
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     """MMR contract: with a clone of the best candidate in the pool,
     plain top-2 takes (best, clone) but MMR's second pick must skip
