@@ -2728,6 +2728,71 @@ def test_avi_fuzz_container_walk():
     run()
 
 
+def test_tiff_fuzz_ifd_walk_roundtrip_and_truncation():
+    """Hypothesis sweep over the TIFF IFD walker: random dims x
+    gray/RGB x byte order x compression (none/PackBits) x strip
+    geometry roundtrip pixel-exact (inline vs out-of-line tag values
+    and multi-strip reassembly both covered — strip-offset arrays go
+    out-of-line as soon as there are >1 strips); patching the
+    PhotometricInterpretation tag of a gray image to WhiteIsZero
+    inverts the decode; any strict prefix that removes IFD bytes
+    rejects (the final 4-byte next-IFD pointer is exempt — baseline
+    readers never follow it)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_tiff, encode_tiff)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        h = data.draw(st.integers(1, 24))
+        w = data.draw(st.integers(1, 24))
+        gray = data.draw(st.booleans())
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        endian = data.draw(st.sampled_from(["<", ">"]))
+        comp = data.draw(st.sampled_from([1, 32773]))
+        rps = data.draw(st.integers(1, h))
+        payload = encode_tiff(img, endian=endian, compression=comp,
+                              rows_per_strip=rps)
+        got = _parse_tiff(payload)
+        assert got is not None
+        gw, gh, px = got
+        assert (gw, gh) == (w, h)
+        exp = np.repeat(img[:, :, None], 3, axis=2) if gray else img
+        assert np.array_equal(px, exp), (endian, comp, rps)
+
+        if gray:
+            # flip PhotometricInterpretation (262) to 0 = WhiteIsZero:
+            # the decoded gray plane must come back inverted
+            buf = bytearray(payload)
+            (ifd_off,) = struct.unpack_from(endian + "I", buf, 4)
+            (n,) = struct.unpack_from(endian + "H", buf, ifd_off)
+            for k in range(n):
+                off = ifd_off + 2 + 12 * k
+                tag, typ, cnt = struct.unpack_from(endian + "HHI",
+                                                   buf, off)
+                if tag == 262:
+                    struct.pack_into(endian + "H", buf, off + 8, 0)
+            inv = _parse_tiff(bytes(buf))
+            assert inv is not None
+            assert np.array_equal(
+                inv[2], np.repeat((255 - img)[:, :, None], 3, axis=2))
+
+        # strict prefixes reject up to the unvalidated trailing
+        # next-IFD pointer (cutting there leaves a complete image)
+        cut = data.draw(st.integers(0, len(payload) - 5))
+        assert _parse_tiff(payload[:cut]) is None
+
+    run()
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     """MMR contract: with a clone of the best candidate in the pool,
     plain top-2 takes (best, clone) but MMR's second pick must skip
