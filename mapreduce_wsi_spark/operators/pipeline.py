@@ -637,9 +637,22 @@ def neyman_stratified_sample(df: DataFrame, stratum_col: str,
                          F.expr(f"CAST({n_total} AS BIGINT) * __w "
                                 f"div __wsum"),
                          F.col("__n").cast("bigint")).alias("__alloc")))
-    w = Window.partitionBy("__h").orderBy(
-        F.md5(F.col("__id").cast("string")), F.col("__id"))
+    # Two-phase exact top-alloc (r9 scale audit): a single
+    # Window.partitionBy(__h) sorts every stratum's full population
+    # through one task — the bounded-cardinality window ceiling when
+    # strata are few. Phase 1 ranks within (__h, salt) and keeps
+    # alloc per salt cell (the true top-alloc under the md5 total
+    # order is a subset of the per-salt unions); phase 2 re-ranks
+    # the <= 64 * alloc survivors. Identical output; the budget
+    # n_total << N_h keeps the phase-2 sort bounded.
+    hkey = F.md5(F.col("__id").cast("string"))
+    salt = F.pmod(F.xxhash64(F.col("__id")), F.lit(64))
+    w1 = Window.partitionBy("__h", "__salt").orderBy(hkey, "__id")
+    w = Window.partitionBy("__h").orderBy(hkey, "__id")
     ranked = (base.join(F.broadcast(alloc), "__h")
+              .withColumn("__salt", salt)
+              .withColumn("__rn1", F.row_number().over(w1))
+              .filter(F.col("__rn1") <= F.col("__alloc"))
               .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= F.col("__alloc")))
     return (ranked.groupBy("__h")

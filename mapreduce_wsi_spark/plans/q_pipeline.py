@@ -483,9 +483,22 @@ def pack_context_windows_q(spark, sf_dir):
 def sample_k_per_group(spark, sf_dir):
     from pyspark.sql import Window
     d = tbl(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return (d.withColumn("rn", F.row_number().over(w))
+    h = F.md5(F.col("doc_id").cast("string"))
+    # Two-phase exact top-k (r9 scale audit): a single
+    # Window.partitionBy(lang) would sort the WHOLE corpus through
+    # |langs| tasks — the same bounded-cardinality ceiling the SNM
+    # rebuild removed. Phase 1 ranks within (lang, salt) and keeps k
+    # per salt cell (the global top-k per lang is a subset of the
+    # union of per-salt top-ks under the same total order); phase 2
+    # re-ranks the <= 64*k survivors per lang. Output is identical to
+    # the single-window form — the oracle stays the one-window twin.
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64))
+    w1 = Window.partitionBy("lang", "__s").orderBy(h, "doc_id")
+    w2 = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (d.withColumn("__s", salt)
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= 10)
+            .withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= 10)
             .select("doc_id", "lang", "rn"))
 

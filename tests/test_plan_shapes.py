@@ -547,7 +547,25 @@ def test_snm_has_no_block_cardinality_window(spark, sf_oracle):
     assert "rangepartitioning" in pre
 
 
-def test_light_media_kernels_skip_the_spread_exchange(spark, sf_oracle):
+def test_per_group_samplers_use_salted_two_phase_rank(spark, sf_oracle):
+    """sample_k_per_group / sample_neyman_allocation (r9 scale audit):
+    a rank window partitioned ONLY by the stratum column sorts the
+    whole population through |strata| tasks — the bounded-cardinality
+    ceiling the SNM rebuild removed (5 langs at any corpus size). Both
+    samplers must carry the two-phase form: a phase-1 window keyed by
+    (stratum, salt) that prunes to <= salt_count * k survivors before
+    the stratum-keyed re-rank. The regression is a plan whose ONLY
+    rank window is stratum-keyed."""
+    import re
+
+    for name, salt_col in (("sample_k_per_group", "__s"),
+                           ("sample_neyman_allocation", "__salt")):
+        plan = plan_of(build(name, spark, sf_oracle))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        assert specs, f"{name}: no window specs in plan"
+        assert any(salt_col in s for s in specs), (
+            f"{name}: phase-1 salted window missing — plan regressed "
+            f"to the single stratum-keyed rank: {specs}")
     """mm_decode_ppm / mm_decode_wav opted out of the _spread fan-out
     (r8 drift adjudication, SCALE.md: their whole-fixture serial cost
     sits at the Arrow floor, so the round-robin exchange costs more
