@@ -356,15 +356,30 @@ def inverted_index(df: DataFrame, text_col: str, id_col: str,
     frequency ``cf``, and the sorted posting list (comma-joined string —
     portable across engines; production consumers keep the array).
 
-    One shuffle: explode tokens, then a single groupBy(term) whose
-    collect_set/count aggregates partial-combine map-side. Posting-list
-    skew (stopword-grade terms appearing in every document) is the same
-    hot-key story as shingle dedup: the ``max_df`` guard drops terms whose
-    postings would be unboundedly long — at 100 TB an every-doc term's
-    posting list is useless for retrieval anyway (idf ~ 0).
+    One shuffle in the default form: explode tokens, then a single
+    groupBy(term) whose collect_set/count aggregates partial-combine
+    map-side. Posting-list skew (stopword-grade terms appearing in
+    every document) is the same hot-key story as shingle dedup: the
+    ``max_df`` guard drops terms whose postings would be unboundedly
+    long — at 100 TB an every-doc term's posting list is useless for
+    retrieval anyway (idf ~ 0). When a real ``max_df`` is given, the
+    guard is applied BEFORE the posting aggregation (r9 audit: the
+    original post-filter form still MATERIALIZED the every-doc term's
+    posting array in one aggregation buffer and only then dropped it —
+    the exact OOM the guard exists to prevent): a distinct-pair df
+    count finds the hot terms (a tiny, stopword-sized set) and a
+    broadcast anti-join removes their tokens, so no aggregation state
+    ever exceeds max_df ids. Costs one extra token-stream shuffle —
+    only on the guarded path; the unguarded default keeps the
+    single-shuffle plan.
     """
     toks = df.select(F.col(id_col).alias("_id"),
                      F.explode(words(F.col(text_col))).alias("term"))
+    if max_df < (1 << 31):
+        hot = (toks.distinct().groupBy("term")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_df).select("term"))
+        toks = toks.join(F.broadcast(hot), "term", "left_anti")
     inv = (toks.groupBy("term")
            .agg(F.count(F.lit(1)).alias("cf"),
                 F.sort_array(F.collect_set("_id")).alias("post_arr")))

@@ -604,6 +604,28 @@ def test_inverted_index_postings_and_df_guard(spark):
     assert guarded == {"a", "c"}
 
 
+def test_inverted_index_max_df_prefilters_before_aggregation(spark):
+    """The max_df guard must bound the AGGREGATION STATE, not just the
+    output (r9 audit): the original post-filter form still built the
+    every-doc term's posting array in one buffer before dropping it —
+    the exact hot-key OOM the guard exists to prevent. The guarded
+    plan must carry the broadcast anti-join (hot-term removal BEFORE
+    the collect_set); the unguarded default must NOT pay the extra
+    token-stream shuffle."""
+    from mapreduce_wsi_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], ["doc_id", "text"])
+    guarded_plan = inverted_index(
+        docs, "text", "doc_id", max_df=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftAnti" in guarded_plan
+    default_plan = inverted_index(
+        docs, "text", "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftAnti" not in default_plan
+
+
 def test_ascii_projection_agrees_across_engines(spark):
     """The multimodal payload entries synthesize bytes from fixture text
     and need 1 char == 1 byte; q_llm projects text onto printable ASCII
