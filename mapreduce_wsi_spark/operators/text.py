@@ -70,17 +70,23 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
 
     Plan: per-position spans via transform-over-sequence (no UDF, no
     per-span row until the single explode), corpus-wide occurrence
-    counts via a count window partitioned by span — ONE shuffle, no
-    join-back — then the doc-level rollup. At 100 TB the span string
-    would be xxhash64-compressed before that shuffle (8-byte keys,
+    counts via groupBy(span) + join-back. The r5 form used a count
+    WINDOW partitioned by span ("one shuffle, no join-back") — wrong
+    at scale (r9 audit): a window partition is unsplittable, so a
+    boilerplate-grade hot span (the EXPECTED input of substring dedup
+    — a license header at 100 TB is ~1e9 occurrences) buffers its
+    whole group through one task. The groupBy's map-side combine
+    parallelizes the hot span's counting (one partial row per map
+    task), and the join-back is an equi-join AQE's skew handling CAN
+    split — the shape that survives the skewed corpus the operator
+    exists for. At 100 TB the span string would additionally be
+    xxhash64-compressed before the shuffles (8-byte keys,
     collision-negligible); the string form is kept here so external
     engines can audit the spans themselves.
 
     Returns (id_col, n_spans, n_dup_spans, dup_frac); documents with
     fewer than ``n`` words have no spans and are excluded (the shingle
     convention)."""
-    from pyspark.sql import Window
-
     w = words(F.col(text_col))
     pos = (df.select(F.col(id_col), w.alias("__w"))
            .filter(F.size("__w") >= n)
@@ -88,9 +94,12 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
                lambda i: F.concat_ws(" ", F.slice("__w", i, n))))
                .alias("span")))
-    c = pos.withColumn(
-        "__c", F.count(F.lit(1)).over(Window.partitionBy("span")))
-    dup = F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+    dup_spans = (pos.groupBy("span")
+                 .agg(F.count(F.lit(1)).alias("__c"))
+                 .filter(F.col("__c") > 1).select("span"))
+    c = (pos.join(dup_spans.withColumn("__dup", F.lit(1)),
+                  "span", "left"))
+    dup = F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
     return (c.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("int").alias("n_spans"),
                  dup.cast("int").alias("n_dup_spans"))
@@ -105,16 +114,19 @@ def strip_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     and return the cleaned text. ``duplicate_spans`` profiles; this one
     edits.
 
-    Plan: the same one-shuffle span-count window as ``duplicate_spans``
-    (positions kept through it), then each doc's duplicated START
-    positions aggregate to one small array and the removal mask is pure
-    array arithmetic — token ``j`` goes iff some start ``s`` satisfies
-    ``s <= j < s + n`` — so the edit itself is map-side with no
-    token-level join. Per-token cost is O(|dup starts|); pathological
-    docs that are all duplicates stay O(tokens^2 / n) row-locally,
-    bounded by the doc length cap any corpus pipeline carries. Returns
-    (id, n_tokens, n_removed, text_clean); docs shorter than ``n``
-    words pass through unedited."""
+    Plan: the same skew-splittable groupBy(span) + join-back as
+    ``duplicate_spans`` (positions kept through the join; the r5
+    count-window form funneled every occurrence of a hot span through
+    one unsplittable window partition — see duplicate_spans), then
+    each doc's duplicated START positions aggregate to one small array
+    and the removal mask is pure array arithmetic — token ``j`` goes
+    iff some start ``s`` satisfies ``s <= j < s + n`` — so the edit
+    itself is map-side with no token-level join. Per-token cost is
+    O(|dup starts|); pathological docs that are all duplicates stay
+    O(tokens^2 / n) row-locally, bounded by the doc length cap any
+    corpus pipeline carries. Returns (id, n_tokens, n_removed,
+    text_clean); docs shorter than ``n`` words pass through
+    unedited."""
     w = words(F.col(text_col))
     base = df.select(F.col(id_col), w.alias("__w"))
     spans = (base.filter(F.size("__w") >= n)
@@ -122,11 +134,10 @@ def strip_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                  F.sequence(F.lit(1), F.size("__w") - (n - 1)),
                  lambda i: F.concat_ws(" ", F.slice("__w", i, n))))
                  .alias("__p", "span")))
-    from pyspark.sql import Window
-
-    counted = spans.withColumn(
-        "__c", F.count(F.lit(1)).over(Window.partitionBy("span")))
-    dup_starts = (counted.filter(F.col("__c") > 1)
+    dup_spans = (spans.groupBy("span")
+                 .agg(F.count(F.lit(1)).alias("__c"))
+                 .filter(F.col("__c") > 1).select("span"))
+    dup_starts = (spans.join(dup_spans, "span")
                   .groupBy(id_col)
                   .agg(F.collect_list(F.col("__p") + 1).alias("__starts")))
     joined = (base.join(dup_starts, on=id_col, how="left")

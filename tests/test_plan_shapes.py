@@ -547,6 +547,23 @@ def test_snm_has_no_block_cardinality_window(spark, sf_oracle):
     assert "rangepartitioning" in pre
 
 
+def test_dup_span_counting_has_no_span_keyed_window(spark, sf_oracle):
+    """text_dup_spans / text_strip_dup_spans (r9 audit): corpus-wide
+    span counting must be groupBy(span) + join-back, never a count
+    window partitioned by span — a window partition is unsplittable,
+    so a boilerplate-grade hot span (substring dedup's EXPECTED input)
+    buffers every occurrence through one task, while the groupBy
+    partial-combines map-side and the join-back is AQE-skew-splittable.
+    The regression is any span-keyed windowspecdefinition in either
+    plan."""
+    import re
+
+    for name in ("text_dup_spans", "text_strip_dup_spans"):
+        plan = plan_of(build(name, spark, sf_oracle))
+        specs = re.findall(r"windowspecdefinition\(span[^)]*", plan)
+        assert not specs, f"{name}: span-keyed window returned: {specs}"
+
+
 def test_per_group_samplers_use_salted_two_phase_rank(spark, sf_oracle):
     """sample_k_per_group / sample_neyman_allocation (r9 scale audit):
     a rank window partitioned ONLY by the stratum column sorts the
