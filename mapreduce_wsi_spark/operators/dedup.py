@@ -131,21 +131,52 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a candidate
-    pair. Equi-join on (band_idx, band_hash) — bucket-bounded shuffle."""
+    pair. Equi-join on (band_idx, band_hash) — bucket-bounded shuffle.
+
+    ``max_bucket`` (r9 audit, default None = exact clique semantics):
+    the per-bucket self-join emits m*(m-1)/2 pairs, so ONE degenerate
+    bucket — a million-copy boilerplate cluster sharing a signature at
+    corpus scale — emits ~10^12 rows and kills the job. The shingle
+    doc-freq filter defends against stopword-shingle degeneracy but not
+    signature-level clustering. With a cap, buckets larger than
+    ``max_bucket`` switch from clique to STAR pairs (min-id hub to
+    every member): O(m) rows, connectivity within the bucket preserved
+    exactly, so downstream connected components sees the same clusters.
+    Recall caveat, stated not hidden: when candidates are later pruned
+    by exact-Jaccard verification, a star edge hub-x can fail where
+    some member-member edge x-y would have survived — acceptable for
+    near-exact-duplicate buckets (that is what an oversized bucket IS),
+    which is why the cap is opt-in and production-sized (~1000), never
+    a silent default."""
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> named_struct('band_idx', b, 'band_hash', "
         f"xxhash64(b, slice(signature, b * {rows_per_band} + 1, {rows_per_band}))))")
     buckets = (signatures.select("id", F.explode(band_arr).alias("b"))
                .select("id", "b.band_idx", "b.band_hash"))
+    if max_bucket is not None:
+        sizes = (buckets.groupBy("band_idx", "band_hash")
+                 .agg(F.count(F.lit(1)).alias("__bs"),
+                      F.min("id").alias("__hub")))
+        sized = buckets.join(sizes, ["band_idx", "band_hash"])
+        buckets = (sized.filter(F.col("__bs") <= max_bucket)
+                   .select("id", "band_idx", "band_hash"))
+        star = (sized.filter((F.col("__bs") > max_bucket)
+                             & (F.col("id") != F.col("__hub")))
+                .select(F.col("__hub").alias("doc_a"),
+                        F.col("id").alias("doc_b")))
     x, y = buckets.alias("x"), buckets.alias("y")
-    return (x.join(y, (F.col("x.band_idx") == F.col("y.band_idx")) &
-                   (F.col("x.band_hash") == F.col("y.band_hash")) &
-                   (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
-            .distinct())
+    pairs = (x.join(y, (F.col("x.band_idx") == F.col("y.band_idx")) &
+                    (F.col("x.band_hash") == F.col("y.band_hash")) &
+                    (F.col("x.id") < F.col("y.id")))
+             .select(F.col("x.id").alias("doc_a"),
+                     F.col("y.id").alias("doc_b")))
+    if max_bucket is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -3333,6 +3333,68 @@ def test_sorted_neighborhood_multipass_catches_head_and_tail_typos(spark):
         "what motivates the second pass")
 
 
+def test_lsh_max_bucket_star_caps_degenerate_buckets(spark):
+    """lsh_candidate_pairs(max_bucket=...) (r9 audit): an oversized
+    bucket — a boilerplate cluster sharing a signature — must emit
+    O(m) star pairs instead of the m*(m-1)/2 clique, with identical
+    connectivity (same connected components as the clique form);
+    buckets at or under the cap are byte-identical to the default
+    clique semantics."""
+    from mapreduce_wsi_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    # 6 identical docs -> every band bucket has all 6; plus one
+    # distinct pair and one singleton
+    rows = [(i, "the same boilerplate license header text repeated "
+                "verbatim in every single copy") for i in range(6)]
+    rows += [(10, "a rather different document about fish and chips"),
+             (11, "a rather different document about fish and chipz"),
+             (20, "nothing like anything else in this tiny corpus")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id", n=3, k=16)
+
+    clique = {(r["doc_a"], r["doc_b"]) for r in
+              lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+              .collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                                  max_bucket=3).collect()}
+    # the 6-clique (15 pairs) collapses to the 5-edge star on hub 0
+    big_clique = {(a, b) for a, b in clique if a < 6 and b < 6}
+    big_star = {(a, b) for a, b in capped if a < 6 and b < 6}
+    assert len(big_clique) == 15
+    assert big_star == {(0, i) for i in range(1, 6)}
+    # small buckets unaffected
+    assert {(a, b) for a, b in clique if a >= 6} == \
+        {(a, b) for a, b in capped if a >= 6}
+
+    # identical connectivity: union-find over both pair sets
+    def comps(pairs):
+        parent = {}
+
+        def find(v):
+            parent.setdefault(v, v)
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        out = {}
+        for v in list(parent):
+            out.setdefault(find(v), set()).add(v)
+        return {frozenset(s) for s in out.values()}
+
+    assert comps(clique) == comps(capped)
+
+    # a generous cap (>= every bucket) reproduces the default exactly
+    uncapped_eq = {(r["doc_a"], r["doc_b"]) for r in
+                   lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                                       max_bucket=100).collect()}
+    assert uncapped_eq == clique
+
+
 def test_sorted_neighborhood_null_block_rows_still_pair(spark):
     """NULL block values form ONE block — the pre-r8 Window.partitionBy
     semantics. The r8 range-partition rebuild's in-partition filter and
