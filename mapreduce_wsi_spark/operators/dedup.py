@@ -228,25 +228,53 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 6) -> DataFrame:
+                       max_hamming: int = 6,
+                       max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 16-bit chunks (pigeonhole: any
     pair within hamming<=3 shares a chunk; wider radii trade recall), then
-    verify hamming distance exactly with bit_count(xor)."""
+    verify hamming distance exactly with bit_count(xor).
+
+    ``max_bucket`` (r9 audit, default None = exact clique semantics):
+    the same degenerate-bucket valve as ``lsh_candidate_pairs`` — a
+    chunk bucket larger than the cap (an identical-simhash boilerplate
+    cluster at corpus scale) emits min-id-hub STAR pairs instead of
+    its m^2/2 clique; star edges still pass the exact hamming verify.
+    Connectivity within an identical-hash bucket is preserved exactly
+    (hamming 0 edges); a MIXED oversized bucket can lose member-member
+    edges the hub fails — stated, opt-in, never a silent default."""
     sigs = simhash_signatures(df, text_col, id_col)
     chunk = F.expr("transform(sequence(0, 3), "
                    "c -> named_struct('c', c, 'v', "
                    "shiftright(simhash, c * 16) & 65535))")
     buckets = (sigs.select("id", "simhash", F.explode(chunk).alias("ch"))
                .select("id", "simhash", "ch.c", "ch.v"))
+    if max_bucket is not None:
+        sizes = (buckets.groupBy("c", "v")
+                 .agg(F.count(F.lit(1)).alias("__bs"),
+                      F.min("id").alias("__hub"),
+                      F.min_by("simhash", "id").alias("__hub_sh")))
+        sized = buckets.join(sizes, ["c", "v"])
+        buckets = (sized.filter(F.col("__bs") <= max_bucket)
+                   .select("id", "simhash", "c", "v"))
+        star = (sized.filter((F.col("__bs") > max_bucket)
+                             & (F.col("id") != F.col("__hub")))
+                .select(F.col("__hub").alias("doc_a"),
+                        F.col("id").alias("doc_b"),
+                        F.bit_count(F.col("__hub_sh")
+                                    .bitwiseXOR(F.col("simhash")))
+                        .alias("hamming")))
     x, y = buckets.alias("x"), buckets.alias("y")
-    return (x.join(y, (F.col("x.c") == F.col("y.c")) &
-                   (F.col("x.v") == F.col("y.v")) &
-                   (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"),
-                    F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
-                    .alias("hamming"))
-            .distinct()
-            .filter(F.col("hamming") <= max_hamming))
+    pairs = (x.join(y, (F.col("x.c") == F.col("y.c")) &
+                    (F.col("x.v") == F.col("y.v")) &
+                    (F.col("x.id") < F.col("y.id")))
+             .select(F.col("x.id").alias("doc_a"),
+                     F.col("y.id").alias("doc_b"),
+                     F.bit_count(F.col("x.simhash")
+                                 .bitwiseXOR(F.col("y.simhash")))
+                     .alias("hamming")))
+    if max_bucket is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)
 
 
 def _min_label_components(edges: DataFrame,

@@ -2387,7 +2387,8 @@ def image_dhash(blobs: DataFrame) -> DataFrame:
 def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
                          max_hamming: int = 2,
                          id_col: str = "doc_id",
-                         hash_col: str = "dhash") -> DataFrame:
+                         hash_col: str = "dhash",
+                         max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate image pairs by hamming distance over dHash values,
     WITHOUT the all-pairs cross product: split the n_bits hash into
     ``max_hamming + 1`` bit-bands — two hashes within hamming r must
@@ -2396,7 +2397,17 @@ def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
     popcount(xor), all JVM-side. The same banding that MinHash-LSH uses
     for text, applied to perceptual hashes: candidate count scales with
     bucket occupancy, not corpus^2. Returns (id_a, id_b, hamming) with
-    id_a < id_b, exact and deduplicated."""
+    id_a < id_b, exact and deduplicated.
+
+    ``max_bucket`` (r9 audit, default None = exact clique semantics):
+    the degenerate-bucket valve shared with ``lsh_candidate_pairs`` /
+    ``simhash_near_pairs`` — an identical-hash image cluster (resized
+    logo spam at corpus scale) makes one band bucket of m rows emit
+    m^2/2 join rows BEFORE the popcount filter can drop anything.
+    Oversized buckets switch to min-id-hub star pairs (still exactly
+    hamming-verified); connectivity within an identical-hash bucket is
+    preserved exactly, a mixed oversized bucket may lose member-member
+    edges the hub fails — stated, opt-in."""
     n_bands = max_hamming + 1
     band_size = -(-n_bits // n_bands)
     mask = (1 << band_size) - 1
@@ -2407,6 +2418,22 @@ def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
     keyed = (hashes.select(F.col(id_col).alias("id"),
                            F.col(hash_col).alias("h"),
                            F.posexplode(bands).alias("band_idx", "band_val")))
+    star = None
+    if max_bucket is not None:
+        sizes = (keyed.groupBy("band_idx", "band_val")
+                 .agg(F.count(F.lit(1)).alias("__bs"),
+                      F.min("id").alias("__hub"),
+                      F.min_by("h", "id").alias("__hub_h")))
+        sized = keyed.join(sizes, ["band_idx", "band_val"])
+        keyed = (sized.filter(F.col("__bs") <= max_bucket)
+                 .select("id", "h", "band_idx", "band_val"))
+        star = (sized.filter((F.col("__bs") > max_bucket)
+                             & (F.col("id") != F.col("__hub")))
+                .select(F.col("__hub").alias("id_a"),
+                        F.col("id").alias("id_b"),
+                        F.bit_count(F.col("__hub_h").bitwiseXOR(F.col("h")))
+                        .cast("int").alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))
     left = keyed.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
                         "band_idx", "band_val")
     right = keyed.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
@@ -2416,11 +2443,14 @@ def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
     # shuffle), so the distinct only moves surviving pairs — and a pair
     # within hamming r collides on <= r+1 bands, so the dedup input is
     # at most (r+1) x the output, independent of bucket density
-    return (left.join(right, ["band_idx", "band_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming").distinct())
+    pairs = (left.join(right, ["band_idx", "band_val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("hamming", ham.cast("int"))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, ok boolean, pixels binary"

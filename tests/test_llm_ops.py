@@ -3395,6 +3395,57 @@ def test_lsh_max_bucket_star_caps_degenerate_buckets(spark):
     assert uncapped_eq == clique
 
 
+def test_simhash_and_dhash_max_bucket_star_valves(spark):
+    """The same degenerate-bucket valve as LSH, on the other two banded
+    pairers (r9 audit): identical-hash clusters collapse to min-id-hub
+    stars under the cap, star edges stay exactly hamming-verified,
+    small buckets and the default (None) are byte-identical to the
+    clique form."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.dedup import simhash_near_pairs
+    from mapreduce_wsi_spark.operators.multimodal import (
+        dhash_near_dup_pairs)
+
+    # --- simhash: 5 identical docs + one distinct near pair
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(5)]
+    rows += [(10, "totally different words entirely over here now"),
+             (11, "totally different words entirely over there now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clique = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+              simhash_near_pairs(df, "text", "doc_id",
+                                 max_hamming=10).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+              simhash_near_pairs(df, "text", "doc_id", max_hamming=10,
+                                 max_bucket=3).collect()}
+    big_c = {(a, b, h) for a, b, h in clique if a < 5 and b < 5}
+    big_s = {(a, b, h) for a, b, h in capped if a < 5 and b < 5}
+    assert len(big_c) == 10 and all(h == 0 for _, _, h in big_c)
+    assert big_s == {(0, i, 0) for i in range(1, 5)}
+    assert {t for t in clique if t[0] >= 5} == \
+        {t for t in capped if t[0] >= 5}
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+            simhash_near_pairs(df, "text", "doc_id", max_hamming=10,
+                               max_bucket=100).collect()} == clique
+
+    # --- dhash: 6 identical hashes + one near pair + one far hash
+    hs = [(i, 0x0F0F) for i in range(6)]
+    hs += [(10, 0x00FF), (11, 0x00FE), (20, 0x5A33)]
+    hdf = spark.createDataFrame(hs, "doc_id long, dhash long")
+    dcl = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           dhash_near_dup_pairs(hdf, 16, max_hamming=2).collect()}
+    dcap = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+            dhash_near_dup_pairs(hdf, 16, max_hamming=2,
+                                 max_bucket=3).collect()}
+    big_c = {(a, b, h) for a, b, h in dcl if a < 6 and b < 6}
+    big_s = {(a, b, h) for a, b, h in dcap if a < 6 and b < 6}
+    assert len(big_c) == 15 and all(h == 0 for _, _, h in big_c)
+    assert big_s == {(0, i, 0) for i in range(1, 6)}
+    assert {t for t in dcl if t[0] >= 6} == {t for t in dcap if t[0] >= 6}
+    assert (10, 11, 1) in dcap, "near pair must survive the cap"
+
+
 def test_sorted_neighborhood_null_block_rows_still_pair(spark):
     """NULL block values form ONE block — the pre-r8 Window.partitionBy
     semantics. The r8 range-partition rebuild's in-partition filter and
