@@ -1323,13 +1323,28 @@ def session_duration_stats(spark, sf_dir):
          .agg((F.max(F.col("ts").cast("long"))
                - F.min(F.col("ts").cast("long"))).alias("dur"),
               F.count(F.lit(1)).alias("n_events")))
-    cd = d.select("dur", "n_events",
-                  F.cume_dist().over(Window.orderBy("dur")).alias("cd"))
+    # cume_dist over the PER-VALUE aggregate, not per-session rows
+    # (r9 audit): a global Window.orderBy over the session table is a
+    # single unsplittable task at corpus scale, while distinct integer
+    # durations are domain-bounded (seconds within the 30-min-gap
+    # session cap). cume_dist of a row equals cum(count)/n of its
+    # value — same operands, same one double division, identical
+    # p50/p90 picks.
+    vals = d.groupBy("dur").agg(F.count(F.lit(1)).alias("__cnt"),
+                                F.sum("n_events").alias("__ne"))
+    wv = (Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cd = vals.select(
+        "dur", "__cnt", "__ne",
+        (F.sum("__cnt").over(wv).cast("double")
+         / F.sum("__cnt").over(Window.partitionBy())).alias("cd"))
     return cd.agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").cast("long").alias("n_events"),
-        F.round(F.sum("dur").cast("double") / F.count(F.lit(1)), 9)
-        .alias("mean_duration_s"),
+        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long")
+        .alias("n_sessions"),
+        F.coalesce(F.sum("__ne"), F.lit(0)).cast("long")
+        .alias("n_events"),
+        F.round(F.sum(F.col("dur") * F.col("__cnt")).cast("double")
+                / F.sum("__cnt"), 9).alias("mean_duration_s"),
         F.min(F.when(F.col("cd") >= 0.5, F.col("dur"))).cast("long")
         .alias("p50_duration_s"),
         F.min(F.when(F.col("cd") >= 0.9, F.col("dur"))).cast("long")
@@ -1433,16 +1448,25 @@ def funnel_time_to_convert(spark, sf_dir):
     conv = (per.filter(F.col("t1").isNotNull())
             .select((F.col("t1").cast("long")
                      - F.col("t0").cast("long")).alias("ttc")))
-    cd = conv.withColumn(
-        "cd", F.cume_dist().over(Window.orderBy("ttc")))
+    # per-value cume_dist, same rewrite as session_duration_stats
+    # (r9 audit): the global window runs over distinct integer ttc
+    # values, never the converter rows
+    vals = conv.groupBy("ttc").agg(F.count(F.lit(1)).alias("__cnt"))
+    wv = (Window.orderBy("ttc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cd = vals.select(
+        "ttc", "__cnt",
+        (F.sum("__cnt").over(wv).cast("double")
+         / F.sum("__cnt").over(Window.partitionBy())).alias("cd"))
     agg = cd.agg(
-        F.count(F.lit(1)).alias("n_converted"),
+        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long")
+        .alias("n_converted"),
         F.min(F.when(F.col("cd") >= 0.5, F.col("ttc"))).cast("long")
         .alias("p50_ttc_s"),
         F.min(F.when(F.col("cd") >= 0.9, F.col("ttc"))).cast("long")
         .alias("p90_ttc_s"),
-        F.round(F.sum("ttc").cast("double") / F.count(F.lit(1)), 9)
-        .alias("mean_ttc_s"))
+        F.round(F.sum(F.col("ttc") * F.col("__cnt")).cast("double")
+                / F.sum("__cnt"), 9).alias("mean_ttc_s"))
     return (n_users.crossJoin(agg)
             .select(F.col("n_users").cast("long").alias("n_users"),
                     F.col("n_converted").cast("long")

@@ -1347,9 +1347,21 @@ def dq_outlier_iqr(spark, sf_dir):
     from pyspark.sql import Window
     ev = tbl(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("bigint")
-    cd = ev.select("event_type", c.alias("c")).withColumn(
-        "cd", F.cume_dist().over(
-            Window.partitionBy("event_type").orderBy("c")))
+    # cume_dist over the PER-VALUE aggregate (r9 audit): the raw-row
+    # form pushed every event of a type through one unsplittable
+    # window partition; distinct (type, cents) pairs are value-domain
+    # bounded. cume_dist of a row equals cum(count)/n of its value —
+    # same operands, same division, identical quartile picks.
+    vals = (ev.select("event_type", c.alias("c"))
+            .groupBy("event_type", "c")
+            .agg(F.count(F.lit(1)).alias("__cnt")))
+    wv = (Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("event_type")
+    cd = vals.select(
+        "event_type", "c",
+        (F.sum("__cnt").over(wv).cast("double")
+         / F.sum("__cnt").over(wt)).alias("cd"))
     q = (cd.groupBy("event_type")
          .agg(F.min(F.when(F.col("cd") >= 0.25, F.col("c")))
               .alias("p25"),

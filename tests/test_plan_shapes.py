@@ -547,6 +547,22 @@ def test_snm_has_no_block_cardinality_window(spark, sf_oracle):
     assert "rangepartitioning" in pre
 
 
+def test_percentile_entries_window_over_per_value_aggregates(spark,
+                                                             sf_oracle):
+    """session_duration_stats / funnel_time_to_convert /
+    dq_outlier_iqr (r9 audit): their exact-percentile extraction runs
+    a cumsum over the PER-VALUE count aggregate (distinct integer
+    seconds/cents — value-domain bounded), never cume_dist over raw
+    session/converter/event rows (a single unsplittable window task at
+    corpus scale). The per-value form needs no cume_dist at all, so
+    its reappearance in these plans IS the regression."""
+    for name in ("session_duration_stats", "funnel_time_to_convert",
+                 "dq_outlier_iqr"):
+        plan = plan_of(build(name, spark, sf_oracle))
+        assert "cume_dist" not in plan, (
+            f"{name}: cume_dist over raw rows returned")
+
+
 def test_dup_span_counting_has_no_span_keyed_window(spark, sf_oracle):
     """text_dup_spans / text_strip_dup_spans (r9 audit): corpus-wide
     span counting must be groupBy(span) + join-back, never a count
