@@ -2,24 +2,28 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched pandas stages over ``mapInPandas``. Five formats decode
-FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6),
-uncompressed 24/32bpp BMP (row padding, bottom-up scanlines, BGR(A) order),
-PNG (all five color types incl. palette and gray+alpha at 8-bit,
-16-bit for the non-palette types, non-interlaced — zlib inflate +
-per-row Sub/Up/Average/Paeth defilter), JPEG — both baseline sequential
-(SOF0) and progressive (SOF2: spectral selection + successive
-approximation, T.81 Annex G) — with Huffman entropy decode, dequant +
-IDCT, chroma upsampling, YCbCr->RGB, and PCM16
-WAV — powering real per-format stats (``decode_ppm_stats`` /
-``decode_bmp_stats`` / ``decode_png_stats`` / ``decode_jpeg_stats`` /
-``decode_wav_stats``), real typed feature vectors
-(``decode_features(real_decode=True)``), and real nearest-neighbor
-pixel resize (``resize_images(real_decode=True)``). The stub boundary
-is now narrow: arithmetic-coded/12-bit JPEG, sub-byte-depth and Adam7
-PNG, RLE-BMP, and MP3-class audio codecs yield
-ok=false rows — never a failed stage — and the byte-level fake kernels
-remain the default for plumbing tests over arbitrary payloads.
+Arrow-batched pandas stages over ``mapInPandas``. Nine formats decode
+FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6);
+BMP (uncompressed 24/32bpp with row padding, bottom-up scanlines,
+BGR(A) order, plus 8bpp palette and RLE8); PNG (all five color types,
+bit depths 1/2/4/8/16 incl. sub-byte palette/gray packing, both
+non-interlaced and Adam7 interlaced — zlib inflate + per-row
+Sub/Up/Average/Paeth defilter per pass); JPEG — both baseline
+sequential (SOF0) and progressive (SOF2: spectral selection +
+successive approximation, T.81 Annex G) — with Huffman entropy decode,
+dequant + IDCT, chroma upsampling, YCbCr->RGB; GIF (LZW, palette,
+interlaced); TIFF (IFD walk, strips, PackBits); TGA (RLE + raw);
+QOI (run/index/diff ops); and WAV audio across PCM16, mu-law/A-law
+companding, and IMA-ADPCM block decode — powering real per-format
+stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
+``decode_png_stats`` / ``decode_jpeg_stats`` / ``decode_wav_stats``),
+real typed feature vectors (``decode_features(real_decode=True)``),
+and real nearest-neighbor pixel resize
+(``resize_images(real_decode=True)``). The residual stub boundary:
+arithmetic-coded/12-bit/lossless JPEG, RLE4 BMP, LZW/Deflate TIFF
+strips, and MP3-class perceptual audio codecs yield ok=false rows —
+never a failed stage — and the byte-level fake kernels remain the
+default for plumbing tests over arbitrary payloads.
 
 Scale notes: payload bytes never pass through a shuffle (featurize before
 aggregating); batch size is bounded by

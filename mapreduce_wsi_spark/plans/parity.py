@@ -46,11 +46,15 @@ _EXACT_F64_MAX = 2 ** 53
 
 
 def envelope_violations(spark_schema, s_rows, d_rows,
-                        max_shown: int = 3) -> list[str]:
+                        max_shown: int = 3,
+                        duck_schema=None) -> list[str]:
     """Driver-canon envelope: return violation descriptions (empty =
     inside the envelope). Checked on BOTH result sets — a DuckDB
     HUGEINT beyond 2^53 is as fatal to the driver's hash as a Spark
-    decimal."""
+    decimal. ``duck_schema`` (the oracle result's Arrow schema) makes
+    the container check TYPE-level on the DuckDB side too: a zero-row
+    oracle with a LIST column must fail here just like a populated one
+    (cell inspection alone can't see it — ADVICE r9)."""
     from pyspark.sql import types as T
 
     out: list[str] = []
@@ -60,6 +64,17 @@ def envelope_violations(spark_schema, s_rows, d_rows,
                        f"({f.dataType.simpleString()}) — the driver's "
                        f"pandas sort dies on unhashable cells; emit a "
                        f"joined string instead")
+    if duck_schema is not None:
+        import pyarrow as pa
+
+        for field in duck_schema:
+            t = field.type
+            if (pa.types.is_list(t) or pa.types.is_large_list(t)
+                    or pa.types.is_fixed_size_list(t)
+                    or pa.types.is_struct(t) or pa.types.is_map(t)):
+                out.append(f"duckdb column {field.name!r} is "
+                           f"container-typed ({t}) — emit a joined "
+                           f"string instead")
     for side, rows in (("spark", s_rows), ("duckdb", d_rows)):
         for r in rows:
             for i, v in enumerate(r):
@@ -133,15 +148,17 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection,
     # int32 vs int64 and timestamp-unit variants still unify to the same
     # Python values on both paths — matching the driver, which scored
     # row_number() int-vs-bigint entries green.
+    d_tbl = rel.arrow()
     d_rows = [tuple(row[c] for c in d_cols)
-              for row in rel.arrow().to_pylist()]
+              for row in d_tbl.to_pylist()]
     if sorted(s_cols) != sorted(d_cols):
         return ParityResult(name, False,
                             f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):
         return ParityResult(name, False,
                             f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
-    env = envelope_violations(spark_df.schema, s_rows, d_rows)
+    env = envelope_violations(spark_df.schema, s_rows, d_rows,
+                              duck_schema=d_tbl.schema)
     if env:
         return ParityResult(name, False,
                             "driver-envelope violation: " + "; ".join(env))

@@ -120,6 +120,28 @@ def test_floats_are_exempt_from_magnitude_rule(spark, duck):
     assert res.ok, res.detail
 
 
+def test_zero_row_duckdb_container_fails_envelope(spark, duck):
+    """ADVICE r9: the DuckDB-side container check must be TYPE-level,
+    not cell-level — a zero-row oracle result with a LIST column has no
+    cells to inspect, but the driver's pandas canon still dies on the
+    dtype. Both sides are empty and column-compatible here; only the
+    Arrow-schema check can reject it."""
+    df = (spark.range(1).filter(F.lit(False))
+          .select(F.array(F.lit(1)).alias("seq")))
+    res = compare("synthetic_empty_duck_list", df, duck,
+                  "SELECT [1] AS seq WHERE FALSE")
+    assert not res.ok
+    assert "container-typed" in res.detail
+    # and specifically the DuckDB side must be named even though the
+    # Spark side (also container-typed here) fires first in the list
+    df2 = (spark.range(1).filter(F.lit(False))
+           .select(F.lit("x").alias("seq")))
+    res2 = compare("synthetic_empty_duck_list_only", df2, duck,
+                   "SELECT [1] AS seq WHERE FALSE")
+    assert not res2.ok
+    assert "duckdb column 'seq' is container-typed" in res2.detail
+
+
 def test_fixed_catalog_entries_pass_the_gate(spark, sf_oracle, duck):
     """The two r8 reds, in their fixed shipped forms, pass the
     now-stricter local gate end-to-end at the oracle scale."""

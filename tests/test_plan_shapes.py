@@ -599,6 +599,9 @@ def test_per_group_samplers_use_salted_two_phase_rank(spark, sf_oracle):
         assert any(salt_col in s for s in specs), (
             f"{name}: phase-1 salted window missing — plan regressed "
             f"to the single stratum-keyed rank: {specs}")
+
+
+def test_light_media_kernels_skip_the_spread_exchange(spark, sf_oracle):
     """mm_decode_ppm / mm_decode_wav opted out of the _spread fan-out
     (r8 drift adjudication, SCALE.md: their whole-fixture serial cost
     sits at the Arrow floor, so the round-robin exchange costs more
