@@ -713,3 +713,704 @@ def sample_pps_systematic(spark, sf_dir):
                         .cast("int"))
             .filter(F.col("n_hits") >= 1))
     return hits.select("doc_id", "w", "cum", "n_hits")
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 quality gates
+# ---------------------------------------------------------------------------
+
+# Deterministic badness synthesis: every 11th doc gains four non-alpha
+# "words" so the symbol/alpha gates have real failures to catch (the
+# text_scrub_pii synthesis convention — same expression on both engines).
+_GOPHER_SYNTH_SQL = """
+        text || CASE WHEN doc_id % 11 = 0
+                     THEN ' ### 123 456 %%%' ELSE '' END
+"""
+
+_GOPHER_FLAGS_CTE = f"""
+    t AS (SELECT doc_id, {_GOPHER_SYNTH_SQL} AS tx FROM documents),
+    f0 AS (SELECT doc_id, string_split(tx, ' ') AS w, length(tx) AS nc
+           FROM t),
+    f1 AS (SELECT doc_id, len(w) AS n_words,
+                  nc - (len(w) - 1) AS sum_wl,
+                  len(list_filter(w,
+                      x -> NOT regexp_matches(x, '[a-zA-Z]')))
+                      AS n_nonalpha,
+                  len(list_filter(w, x -> x IN
+                      ('the','and','of','to','a','in','is'))) AS n_stop
+           FROM f0),
+    flags AS (SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                     n_words >= 40 AND n_words <= 90 AS wc_ok,
+                     sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words
+                         AS mwl_ok,
+                     n_nonalpha * 10 <= n_words AS symbol_ok,
+                     (n_words - n_nonalpha) * 5 >= n_words * 4
+                         AS alpha_ok,
+                     n_stop >= 2 AS stop_ok
+              FROM f1)
+"""
+
+
+def _gopher_flagged(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import LANG_STOPWORDS
+    docs = tbl(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 11 == 0,
+                        F.lit(" ### 123 456 %%%"))
+                 .otherwise(F.lit(""))).alias("text"))
+    return gopher_quality_flags(synth, "text", "doc_id",
+                                LANG_STOPWORDS["en"],
+                                min_words=40, max_words=90)
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTE}
+    SELECT doc_id, n_words, wc_ok, mwl_ok, symbol_ok, alpha_ok, stop_ok,
+           wc_ok AND mwl_ok AND symbol_ok AND alpha_ok AND stop_ok
+               AS keep
+    FROM flags
+    """,
+    note="Gopher document-quality gates (Rae et al. 2021 app. A1.1, the "
+         "non-repetition rules; repetition is text_gopher_repetition): "
+         "word count in [40,90] (paper 50..100k, fixture-scaled), mean "
+         "word length in [3,10], symbol-word ratio <= 0.1, >= 80% "
+         "alpha-bearing words, >= 2 en stopword hits — all multiplied-"
+         "through integer comparisons on one map-only scan "
+         "(operators/curation.py::gopher_quality_flags). Badness "
+         "synthesized deterministically on every 11th doc")
+def text_gopher_quality_rules(spark, sf_dir):
+    return _gopher_flagged(spark, sf_dir)
+
+
+@register(
+    "quality_rejection_reasons",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTE},
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN wc_ok AND mwl_ok AND symbol_ok
+                                      AND alpha_ok AND stop_ok
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+            FROM flags),
+    per AS (
+        SELECT 'wc' AS rule,
+               CAST(sum(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail,
+               CAST(sum(CASE WHEN NOT wc_ok AND mwl_ok AND symbol_ok
+                                  AND alpha_ok AND stop_ok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique_fail
+        FROM flags
+        UNION ALL
+        SELECT 'mwl',
+               CAST(sum(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(sum(CASE WHEN NOT mwl_ok AND wc_ok AND symbol_ok
+                                  AND alpha_ok AND stop_ok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'symbol',
+               CAST(sum(CASE WHEN NOT symbol_ok THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(sum(CASE WHEN NOT symbol_ok AND wc_ok AND mwl_ok
+                                  AND alpha_ok AND stop_ok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'alpha',
+               CAST(sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(sum(CASE WHEN NOT alpha_ok AND wc_ok AND mwl_ok
+                                  AND symbol_ok AND stop_ok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'stop',
+               CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(sum(CASE WHEN NOT stop_ok AND wc_ok AND mwl_ok
+                                  AND symbol_ok AND alpha_ok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags)
+    SELECT rule, n_fail, n_unique_fail, n_docs, n_keep
+    FROM per CROSS JOIN tot
+    """,
+    note="per-gate rejection attribution over the Gopher rules: for "
+         "each rule both the marginal fail count and the UNIQUE fail "
+         "count (docs only that rule rejects — the rule's true marginal "
+         "value; a rule with zero unique fails is dead weight). "
+         "Complements pipeline_quality_funnel's first-failing-gate "
+         "attribution. One scan, flags computed once, 5-way rollup of "
+         "an already-tiny aggregate")
+def quality_rejection_reasons(spark, sf_dir):
+    flags = _gopher_flagged(spark, sf_dir)
+    keep = (F.col("wc_ok") & F.col("mwl_ok") & F.col("symbol_ok")
+            & F.col("alpha_ok") & F.col("stop_ok"))
+    base = flags.withColumn("__keep", keep)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_keep"))
+    rules = ["wc", "mwl", "symbol", "alpha", "stop"]
+    rows = []
+    for r in rules:
+        ok = F.col(f"{r}_ok")
+        others = [F.col(f"{o}_ok") for o in rules if o != r]
+        all_others = others[0] & others[1] & others[2] & others[3]
+        rows.append(base.agg(
+            F.lit(r).alias("rule"),
+            F.sum((~ok).cast("int")).cast("bigint").alias("n_fail"),
+            F.sum((~ok & all_others).cast("int")).cast("bigint")
+            .alias("n_unique_fail")))
+    per = rows[0]
+    for r in rows[1:]:
+        per = per.unionByName(r)
+    return per.crossJoin(F.broadcast(tot))
+
+
+@register(
+    "text_c4_heuristics",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               text || CASE WHEN doc_id % 13 = 0 THEN ' { code }'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+                   AS tx
+        FROM documents),
+    f AS (SELECT source,
+                 CASE WHEN contains(tx, '{') THEN 1 ELSE 0 END AS brace,
+                 CASE WHEN contains(tx, 'lorem ipsum') THEN 1 ELSE 0 END
+                     AS lorem,
+                 CASE WHEN NOT regexp_matches(tx, '[.!?]$') THEN 1
+                      ELSE 0 END AS nopunct,
+                 CASE WHEN len(string_split(tx, ' ')) < 5 THEN 1
+                      ELSE 0 END AS short
+          FROM t)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(brace) AS BIGINT) AS n_brace,
+           CAST(sum(lorem) AS BIGINT) AS n_lorem,
+           CAST(sum(nopunct) AS BIGINT) AS n_nopunct,
+           CAST(sum(short) AS BIGINT) AS n_short,
+           CAST(sum(CASE WHEN brace = 0 AND lorem = 0 AND nopunct = 0
+                              AND short = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep
+    FROM f GROUP BY source
+    """,
+    note="C4 cleaning heuristics (Raffel et al. 2020 §2.2): drop docs "
+         "with curly braces (code), the 'lorem ipsum' placeholder, no "
+         "terminal punctuation, or under 5 words — per-source drop "
+         "accounting. Badness synthesized deterministically (every "
+         "13th/17th/odd doc) so each rule has real positives; map-only "
+         "scan + one small groupBy")
+def text_c4_heuristics(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    tx = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" { code }"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" lorem ipsum"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")))
+    f = docs.select(
+        "source",
+        F.col("doc_id"),
+        F.contains(tx, F.lit("{")).cast("int").alias("brace"),
+        F.contains(tx, F.lit("lorem ipsum")).cast("int").alias("lorem"),
+        (~tx.rlike("[.!?]$")).cast("int").alias("nopunct"),
+        (F.size(F.split(tx, " ")) < 5).cast("int").alias("short"))
+    keep = ((F.col("brace") + F.col("lorem") + F.col("nopunct")
+             + F.col("short")) == 0).cast("int")
+    return (f.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("brace").cast("bigint").alias("n_brace"),
+                 F.sum("lorem").cast("bigint").alias("n_lorem"),
+                 F.sum("nopunct").cast("bigint").alias("n_nopunct"),
+                 F.sum("short").cast("bigint").alias("n_short"),
+                 F.sum(keep).cast("bigint").alias("n_keep")))
+
+
+@register(
+    "text_char_ngram_repetition",
+    oracle="""
+    WITH g AS (SELECT doc_id, length(text) AS n_chars, i,
+                      substr(text, CAST(i AS INT), 8) AS gm
+               FROM (SELECT doc_id, text,
+                            unnest(generate_series(1, length(text) - 7))
+                                AS i
+                     FROM documents) t),
+    d AS (SELECT doc_id, gm FROM g GROUP BY doc_id, gm
+          HAVING count(*) >= 2),
+    cov AS (SELECT DISTINCT g.doc_id, g.i + o.o AS cp
+            FROM g JOIN d ON g.doc_id = d.doc_id AND g.gm = d.gm,
+                 (SELECT unnest(generate_series(0, 7)) AS o) o),
+    cc AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1)
+    SELECT d2.doc_id, CAST(d2.n_chars AS INT) AS n_chars,
+           round(coalesce(n_dup, 0) * 1.0 / d2.n_chars, 9)
+               AS dup_char_frac
+    FROM (SELECT doc_id, length(text) AS n_chars FROM documents) d2
+    LEFT JOIN cc ON cc.doc_id = d2.doc_id
+    """,
+    note="character-level duplicated-8-gram coverage — the char half of "
+         "Gopher A1.1 (word half: text_gopher_repetition): fraction of "
+         "a doc's characters inside any char 8-gram repeated within the "
+         "doc, positions counted once. ~1 exploded row per char "
+         "(linear), coverage re-explodes only duplicated grams "
+         "(operators/curation.py::char_ngram_repetition)")
+def text_char_ngram_repetition(spark, sf_dir):
+    return char_ngram_repetition(tbl(spark, sf_dir, "documents"),
+                                 "text", "doc_id", n=8)
+
+
+# ---------------------------------------------------------------------------
+# Dedup reports / audits
+# ---------------------------------------------------------------------------
+
+# Recursive transitive closure over the exact 3-gram-Jaccard >= 0.1
+# edge set (the dedup_components oracle convention) — body only, callers
+# prepend WITH RECURSIVE and append their SELECT.
+_CC_COMP_CTE = """
+    tkc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shc AS (SELECT DISTINCT doc_id,
+                   w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)]
+                   || ' ' || w[CAST(i+2 AS INT)] AS shingle
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - 2)) AS i
+                  FROM tkc) t),
+    sizesc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+    interc AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shc a JOIN shc b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairsc AS (
+        SELECT doc_a, doc_b FROM interc
+        JOIN sizesc sa ON sa.doc_id = doc_a
+        JOIN sizesc sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+    edgesc AS (SELECT doc_a AS src, doc_b AS dst FROM pairsc
+               UNION SELECT doc_b, doc_a FROM pairsc),
+    reachc AS (
+        SELECT DISTINCT src AS id, src AS r FROM edgesc
+        UNION
+        SELECT e.dst AS id, reachc.r AS r
+        FROM reachc JOIN edgesc e ON e.src = reachc.id),
+    compc AS (SELECT id, min(r) AS comp FROM reachc GROUP BY id)
+"""
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+    WITH RECURSIVE {_CC_COMP_CTE},
+    s AS (SELECT comp, count(*) AS sz FROM compc GROUP BY comp),
+    h AS (SELECT CAST(sz AS INT) AS cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(sz) AS BIGINT) AS n_docs
+          FROM s GROUP BY sz)
+    SELECT * FROM h
+    UNION ALL
+    SELECT CAST(1 AS INT),
+           CAST((SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM compc) AS BIGINT),
+           CAST((SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM compc) AS BIGINT)
+    """,
+    note="duplicate-cluster size histogram — the dedup report a corpus "
+         "run publishes (how much mass sits in giant boilerplate "
+         "clusters vs pairs): connected components over the exact "
+         "Jaccard>=0.1 edges, component sizes, histogram + the "
+         "singleton row (docs in no dup pair). Components cost only "
+         "the dup subgraph; the histogram is an aggregate of an "
+         "aggregate — bytes shrink at every step")
+def dedup_cluster_size_hist(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components, jaccard_pairs)
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+    comp = connected_components(pairs)
+    hist = (comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy("sz")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                 F.sum("sz").cast("bigint").alias("n_docs"))
+            .select(F.col("sz").cast("int").alias("cluster_size"),
+                    "n_clusters", "n_docs"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("__t"))
+    n_mem = comp.agg(F.count(F.lit(1)).alias("__m"))
+    singles = (n_tot.crossJoin(n_mem)
+               .select(F.lit(1).cast("int").alias("cluster_size"),
+                       (F.col("__t") - F.col("__m")).cast("bigint")
+                       .alias("n_clusters"),
+                       (F.col("__t") - F.col("__m")).cast("bigint")
+                       .alias("n_docs")))
+    return hist.unionByName(singles)
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)]
+                  || ' ' || w[CAST(i+2 AS INT)] AS shingle
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM tk) t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1)
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           true AS recall_ok, true AS precision_ok
+    FROM truth
+    """,
+    note="LSH banding quality audit: the exact Jaccard>=0.1 pair set "
+         "(portable, the oracle) vs the 16-band/4-row candidate set "
+         "(xxhash64, Spark-side) — recall_ok asserts every true pair "
+         "is a candidate (measured 25/25 at sf0.01, the "
+         "dedup_minhash_lsh recall convention), precision_ok bounds "
+         "candidate waste (>= 2% of candidates are true pairs). The "
+         "booleans make banding-quality regressions driver-visible "
+         "without shipping seed-dependent pair lists")
+def dedup_lsh_recall_audit(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        jaccard_pairs, lsh_candidate_pairs, minhash_signatures)
+    docs = tbl(spark, sf_dir, "documents")
+    truth = (jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+             .select("doc_a", "doc_b"))
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, "text", "doc_id", n=3, k=64),
+        bands=16, rows_per_band=4)
+    found = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    stats = (truth.agg(F.count(F.lit(1)).alias("n_true"))
+             .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+             .crossJoin(cands.agg(F.count(F.lit(1)).alias("n_cand"))))
+    return stats.select(
+        F.col("n_true").cast("bigint").alias("n_true"),
+        (F.col("n_found") == F.col("n_true")).alias("recall_ok"),
+        (F.col("n_true") * 50 >= F.col("n_cand")).alias("precision_ok"))
+
+
+@register(
+    "text_boilerplate_prefix_clusters",
+    oracle="""
+    WITH p AS (SELECT doc_id, source, n_chars,
+                      array_to_string(string_split(text, ' ')[1:4], ' ')
+                          AS prefix
+               FROM documents)
+    SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM p GROUP BY prefix HAVING count(*) >= 2
+    """,
+    note="boilerplate prefix clustering: docs sharing their first 4 "
+         "words (site headers, license banners — the highest-yield "
+         "cheap boilerplate signal) grouped with doc/source/char "
+         "counts, clusters of >= 2 reported. One map-only prefix "
+         "projection + one groupBy; a hot prefix (the point of the "
+         "query) partial-aggregates map-side")
+def text_boilerplate_prefix_clusters(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    p = docs.select(
+        "source", "n_chars",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4))
+        .alias("prefix"))
+    return (p.groupBy("prefix")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("source").cast("bigint")
+                 .alias("n_sources"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"))
+            .filter(F.col("n_docs") >= 2))
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    p AS (SELECT doc_id, j,
+                 md5(array_to_string(
+                     w[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)], ' '))
+                     AS h,
+                 doc_id * 4294967296 + j AS k
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(0, (len(w) - 1) // 8)) AS j
+                FROM w) t),
+    f AS (SELECT h, min(k) AS fk FROM p GROUP BY h)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+           CAST(sum(CASE WHEN k = fk THEN 1 ELSE 0 END) AS INT)
+               AS n_kept,
+           round(sum(CASE WHEN k = fk THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 9) AS kept_frac
+    FROM p JOIN f USING (h) GROUP BY doc_id
+    """,
+    note="paragraph-granular exact dedup (the practical middle ground "
+         "between doc-level dropDuplicates and full substring dedup): "
+         "8-word chunks hashed, each kept only at its global first "
+         "occurrence — min() over an arithmetic (doc, chunk) int64 key, "
+         "never a global window — reported as per-doc surviving-chunk "
+         "fraction (operators/curation.py::paragraph_dedup)")
+def dedup_paragraph_exact(spark, sf_dir):
+    return paragraph_dedup(tbl(spark, sf_dir, "documents"),
+                           "text", "doc_id", para_words=8)
+
+
+# ---------------------------------------------------------------------------
+# LLM-eval metrics
+# ---------------------------------------------------------------------------
+
+@register(
+    "eval_pass_at_k",
+    oracle="""
+    WITH att AS (
+        SELECT doc_id % 50 AS task,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 100 < 35
+                    THEN 1 ELSE 0 END AS ok
+        FROM documents),
+    t AS (SELECT task, count(*) AS n, sum(ok) AS c
+          FROM att GROUP BY task)
+    SELECT CAST(task AS INT) AS task, CAST(n AS INT) AS n,
+           CAST(c AS INT) AS c,
+           round(c * 1.0 / n, 9) AS pass1,
+           round(1.0
+                 - (greatest(0, n-c)   * 1.0 / n)
+                 * (greatest(0, n-c-1) * 1.0 / (n-1))
+                 * (greatest(0, n-c-2) * 1.0 / (n-2))
+                 * (greatest(0, n-c-3) * 1.0 / (n-3))
+                 * (greatest(0, n-c-4) * 1.0 / (n-4)), 9) AS pass5
+    FROM t
+    """,
+    note="pass@k (Chen et al. 2021, HumanEval): the unbiased estimator "
+         "1 - C(n-c,k)/C(n,k) per task, computed as the unrolled "
+         "product of (n-c-i)/(n-i) — no factorials, exact-int "
+         "numerators, IEEE-identical on both engines; greatest(0,.) "
+         "zeroes the product (pass@k = 1) when fewer than k failures "
+         "exist. Attempts synthesized: docs are attempts for task "
+         "doc_id%50, success by portable md5 bucket (35%)")
+def eval_pass_at_k(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    docs = tbl(spark, sf_dir, "documents")
+    att = docs.select(
+        (F.col("doc_id") % 50).alias("task"),
+        (portable_bucket(F.col("doc_id")) < 35).cast("int").alias("ok"))
+    t = att.groupBy("task").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("ok").alias("c"))
+    n, c = F.col("n"), F.col("c")
+    prod = F.lit(1.0)
+    for i in range(5):
+        prod = prod * (F.greatest(F.lit(0), n - c - i) / (n - i))
+    return t.select(F.col("task").cast("int").alias("task"),
+                    n.cast("int").alias("n"), c.cast("int").alias("c"),
+                    F.round(c / n, 9).alias("pass1"),
+                    F.round(F.lit(1.0) - prod, 9).alias("pass5"))
+
+
+@register(
+    "eval_bleu_ngram_precision",
+    oracle="""
+    WITH tok AS (SELECT doc_id, i, w[CAST(i AS INT)] AS w1,
+                        CASE WHEN i < len(w)
+                             THEN w[CAST(i AS INT)] || ' '
+                                  || w[CAST(i+1 AS INT)] END AS w2,
+                        len(w) AS nw
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                              unnest(generate_series(1,
+                                  len(string_split(text, ' ')))) AS i
+                       FROM documents) t),
+    u1 AS (SELECT doc_id, w1 AS g, count(*) AS c FROM tok GROUP BY 1, 2),
+    u2 AS (SELECT doc_id, w2 AS g, count(*) AS c FROM tok
+           WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    lens AS (SELECT doc_id, max(nw) AS nw FROM tok GROUP BY doc_id),
+    p1 AS (SELECT h.doc_id,
+                  CAST(sum(least(h.c, coalesce(r.c, 0))) AS BIGINT)
+                      AS clip,
+                  CAST(sum(h.c) AS BIGINT) AS tot
+           FROM u1 h LEFT JOIN u1 r
+               ON r.doc_id = h.doc_id + 1 AND r.g = h.g
+           GROUP BY 1),
+    p2 AS (SELECT h.doc_id,
+                  CAST(sum(least(h.c, coalesce(r.c, 0))) AS BIGINT)
+                      AS clip,
+                  CAST(sum(h.c) AS BIGINT) AS tot
+           FROM u2 h LEFT JOIN u2 r
+               ON r.doc_id = h.doc_id + 1 AND r.g = h.g
+           GROUP BY 1),
+    m AS (SELECT p1.doc_id,
+                 p1.clip * 1.0 / p1.tot AS pr1,
+                 p2.clip * 1.0 / p2.tot AS pr2,
+                 exp(least(0.0, 1.0 - hr.nw * 1.0 / hl.nw)) AS bp
+          FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+          JOIN lens hl ON hl.doc_id = p1.doc_id
+          JOIN lens hr ON hr.doc_id = p1.doc_id + 1)
+    SELECT doc_id, round(pr1, 9) AS p1, round(pr2, 9) AS p2,
+           round(bp, 9) AS bp,
+           round(CASE WHEN pr1 > 0 AND pr2 > 0
+                      THEN bp * exp(0.5 * (ln(pr1) + ln(pr2)))
+                      ELSE 0.0 END, 9) AS bleu2
+    FROM m
+    """,
+    note="BLEU-2 modified n-gram precision (Papineni et al. 2002): "
+         "clipped unigram/bigram counts against the reference (doc_id+1 "
+         "pairs each doc with its neighbor as hyp/ref), brevity penalty "
+         "exp(min(0, 1-r/h)), geometric mean; zero-precision pairs "
+         "report bleu2=0 (no smoothing — documented). Counts ride "
+         "(doc, gram) groupBys and an equi-join on (ref_id, gram); all "
+         "ratios are exact-int divisions rounded once")
+def eval_bleu_ngram_precision(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("nw"))
+    u1 = (base.select("doc_id", F.explode("w").alias("g"))
+          .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
+    big = F.expr("transform(sequence(1, size(w) - 1), "
+                 "i -> concat_ws(' ', element_at(w, i), "
+                 "element_at(w, i + 1)))")
+    u2 = (base.select("doc_id", F.explode(big).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
+    lens = base.select("doc_id", "nw")
+
+    def clipped(u):
+        h = u.alias("h")
+        r = u.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("g"), F.col("c").alias("rc")).alias("r")
+        return (h.join(r, ["doc_id", "g"], "left")
+                .groupBy("doc_id")
+                .agg(F.sum(F.least(F.col("c"),
+                                   F.coalesce(F.col("rc"), F.lit(0))))
+                     .cast("bigint").alias("clip"),
+                     F.sum("c").cast("bigint").alias("tot")))
+
+    c1 = clipped(u1).select("doc_id", F.col("clip").alias("clip1"),
+                            F.col("tot").alias("tot1"))
+    c2 = clipped(u2).select("doc_id", F.col("clip").alias("clip2"),
+                            F.col("tot").alias("tot2"))
+    hl = lens.select("doc_id", F.col("nw").alias("h_nw"))
+    rl = lens.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("nw").alias("r_nw"))
+    m = (c1.join(c2, "doc_id").join(hl, "doc_id").join(rl, "doc_id")
+         .select("doc_id",
+                 (F.col("clip1") / F.col("tot1")).alias("pr1"),
+                 (F.col("clip2") / F.col("tot2")).alias("pr2"),
+                 F.exp(F.least(F.lit(0.0),
+                               F.lit(1.0) - F.col("r_nw")
+                               / F.col("h_nw"))).alias("bp")))
+    bleu = (F.when((F.col("pr1") > 0) & (F.col("pr2") > 0),
+                   F.col("bp") * F.exp(0.5 * (F.log("pr1")
+                                              + F.log("pr2"))))
+            .otherwise(F.lit(0.0)))
+    return m.select("doc_id", F.round("pr1", 9).alias("p1"),
+                    F.round("pr2", 9).alias("p2"),
+                    F.round("bp", 9).alias("bp"),
+                    F.round(bleu, 9).alias("bleu2"))
+
+
+@register(
+    "eval_pairwise_winrate",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               'm' || CAST(doc_id % 3 AS VARCHAR) AS ma,
+               'm' || CAST((doc_id // 3) % 3 AS VARCHAR) AS mb,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 = 0 AS a_wins
+        FROM documents),
+    n AS (SELECT least(ma, mb) AS model_i, greatest(ma, mb) AS model_j,
+                 CASE WHEN a_wins = (ma = least(ma, mb)) THEN 1 ELSE 0
+                 END AS win_i
+          FROM b WHERE ma <> mb),
+    s AS (SELECT model_i, model_j, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(win_i) AS BIGINT) AS wins_i
+          FROM n GROUP BY 1, 2)
+    SELECT model_i, model_j, n, wins_i,
+           round(wins_i * 1.0 / n, 9) AS winrate,
+           round((wins_i * 1.0 / n - 0.5) * 2 * sqrt(n), 9) AS z,
+           abs((wins_i * 1.0 / n - 0.5) * 2 * sqrt(n)) > 1.96
+               AS significant
+    FROM s
+    """,
+    note="pairwise model win-rate with a two-sided proportion z-test "
+         "(the LLM-arena battle table): battles synthesized from docs "
+         "(models doc_id%3 vs (doc_id//3)%3, winner by portable md5 "
+         "parity), pairs order-normalized so each unordered pair is one "
+         "row; z = (p-0.5)/sqrt(0.25/n) exact in IEEE given integer "
+         "wins/n. One groupBy over battles; the battle table is the "
+         "corpus-scale side, the output is |model pairs| rows")
+def eval_pairwise_winrate(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    b = docs.select(
+        "doc_id",
+        F.concat(F.lit("m"), (F.col("doc_id") % 3).cast("string"))
+        .alias("ma"),
+        F.concat(F.lit("m"),
+                 (F.expr("doc_id div 3") % 3).cast("string")).alias("mb"),
+        (portable_bucket(F.col("doc_id")) % 2 == 0).alias("a_wins"))
+    n = (b.filter(F.col("ma") != F.col("mb"))
+         .select(F.least("ma", "mb").alias("model_i"),
+                 F.greatest("ma", "mb").alias("model_j"),
+                 (F.col("a_wins")
+                  == (F.col("ma") == F.least("ma", "mb"))).cast("int")
+                 .alias("win_i")))
+    s = (n.groupBy("model_i", "model_j")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("win_i").cast("bigint").alias("wins_i")))
+    p = F.col("wins_i") / F.col("n")
+    z = (p - 0.5) * 2 * F.sqrt(F.col("n"))
+    return s.select("model_i", "model_j", "n", "wins_i",
+                    F.round(p, 9).alias("winrate"),
+                    F.round(z, 9).alias("z"),
+                    (F.abs(z) > 1.96).alias("significant"))
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)]
+                  || ' ' || w[CAST(i+2 AS INT)] AS g
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM tk) t),
+    first AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT sh.doc_id, CAST(count(*) AS INT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS INT) AS n_novel,
+           round(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 9) AS novelty
+    FROM sh JOIN first USING (g) GROUP BY sh.doc_id
+    """,
+    note="per-doc n-gram novelty in corpus order (the marginal-"
+         "information signal curriculum/dedup policies read): a doc's "
+         "distinct 3-grams are novel iff their global first occurrence "
+         "(min doc id) is this doc. One gram groupBy for firsts + one "
+         "join-back; no window, no order-dependent state")
+def text_ngram_novelty(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import word_shingles
+    sh = word_shingles(tbl(spark, sf_dir, "documents"),
+                       "text", "doc_id", n=3)
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    return (sh.join(first, "shingle")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_grams"),
+                 F.sum((F.col("first_doc") == F.col("id")).cast("int"))
+                 .cast("int").alias("n_novel"),
+                 F.round(F.sum((F.col("first_doc") == F.col("id"))
+                               .cast("int")) / F.count(F.lit(1)), 9)
+                 .alias("novelty"))
+            .withColumnRenamed("id", "doc_id"))
