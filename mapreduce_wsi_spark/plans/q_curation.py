@@ -1414,3 +1414,783 @@ def text_ngram_novelty(spark, sf_dir):
                                .cast("int")) / F.count(F.lit(1)), 9)
                  .alias("novelty"))
             .withColumnRenamed("id", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling / composition
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_idf_rarity_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    idf AS (SELECT w,
+                   CAST(ln(CAST(n + 1 AS DOUBLE) / (df + 1)) + 1
+                        AS DECIMAL(28,9)) AS idf
+            FROM dfq CROSS JOIN nd)
+    SELECT doc_id, CAST(sum(tf) AS INT) AS n_tokens,
+           round(CAST(sum(CAST(tf AS DECIMAL(9,0)) * idf) AS DOUBLE)
+                 / sum(tf), 9) AS rarity
+    FROM tf JOIN idf USING (w) GROUP BY doc_id
+    """,
+    note="per-doc rarity score: mean smoothed IDF over token "
+         "occurrences — the cheap 'is this doc about rare things' "
+         "quality/curriculum signal. Per-token ln quantizes to "
+         "DECIMAL(28,9) before the doc sum (the unigram_logprob "
+         "order-free-aggregation idiom); (doc, word) pre-aggregate "
+         "keeps the IDF join off raw token rows")
+def text_idf_rarity_score(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
+    idf = (dfq.crossJoin(F.broadcast(nd))
+           .select("w", (F.log((F.col("n") + 1).cast("double")
+                               / (F.col("df") + 1)) + 1)
+                   .cast("decimal(28,9)").alias("idf")))
+    return (tf.join(idf, "w")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("int").alias("n_tokens"),
+                 F.round(F.sum(F.col("tf").cast("decimal(9,0)")
+                               * F.col("idf")).cast("double")
+                         / F.sum("tf"), 9).alias("rarity")))
+
+
+@register(
+    "text_vocab_coverage_topv",
+    oracle="""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM cnt GROUP BY lang),
+    top AS (SELECT lang, c FROM cnt
+            QUALIFY row_number() OVER (PARTITION BY lang
+                ORDER BY c DESC, w ASC) <= 100),
+    cov AS (SELECT lang, CAST(sum(c) AS BIGINT) AS top_tokens
+            FROM top GROUP BY lang)
+    SELECT tot.lang, n_types, n_tokens,
+           round(top_tokens * 1.0 / n_tokens, 9) AS covered_frac
+    FROM tot JOIN cov ON tot.lang = cov.lang
+    """,
+    note="top-V vocabulary coverage per language (the tokenizer-design "
+         "signal: what fraction of running tokens the 100 most frequent "
+         "types cover). Spark side selects the top-100 with the salted "
+         "two-phase rank (phase-1 window keyed (lang, xxhash64(w)%16) "
+         "prunes to <=16*100 survivors before the lang-keyed re-rank — "
+         "the r9 sampler pattern), so no window ever sorts a full "
+         "language's type table through one task; tie-break (count "
+         "desc, word asc) is total, making the top set engine-exact")
+def text_vocab_coverage_topv(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("lang",
+                      F.explode(F.split(F.col("text"), " ")).alias("w"))
+    cnt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = (cnt.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.sum("c").cast("bigint").alias("n_tokens")))
+    salted = cnt.withColumn("__s", F.pmod(F.xxhash64("w"), F.lit(16)))
+    w1 = Window.partitionBy("lang", "__s").orderBy(F.desc("c"), F.asc("w"))
+    survivors = (salted.withColumn("__r1", F.row_number().over(w1))
+                 .filter(F.col("__r1") <= 100))
+    w2 = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    top = (survivors.withColumn("__r2", F.row_number().over(w2))
+           .filter(F.col("__r2") <= 100))
+    cov = top.groupBy("lang").agg(F.sum("c").cast("bigint")
+                                  .alias("top_tokens"))
+    return (tot.join(cov, "lang")
+            .select("lang", "n_types", "n_tokens",
+                    F.round(F.col("top_tokens") / F.col("n_tokens"), 9)
+                    .alias("covered_frac")))
+
+
+@register(
+    "dq_json_key_profile",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+               || CASE WHEN event_id % 3 = 0
+                       THEN ', "device": "d'
+                            || CAST(event_id % 4 AS VARCHAR) || '"'
+                       ELSE '' END
+               || CASE WHEN event_id % 5 = 0
+                       THEN ', "score": '
+                            || CAST(event_id % 7 AS VARCHAR) || '.5'
+                       ELSE '' END
+               || '}' AS js
+        FROM events),
+    kv AS (SELECT event_id, k,
+                  json_extract_string(js, '$.' || k) AS v
+           FROM j, unnest(json_keys(js)) AS u(k)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events)
+    SELECT k AS key, CAST(count(*) AS BIGINT) AS n_present,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           round(count(*) * 1.0 / n_events, 9) AS pct_present
+    FROM kv CROSS JOIN tot GROUP BY k, n_events
+    """,
+    note="semi-structured key profiling over a JSON event-props column "
+         "(schema drift detection for event pipelines): per key its "
+         "presence count/rate and distinct-value cardinality. Spark "
+         "parses once to map<string,string> and explodes entries; "
+         "DuckDB re-derives via json_keys + json_extract_string — "
+         "unquoted scalar extraction matches Spark's map cast on both "
+         "string and numeric values. Key variety synthesized "
+         "deterministically (device on every 3rd event, score on every "
+         "5th) since the fixture ships a single-key props")
+def dq_json_key_profile(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"k": '), (F.col("event_id") % 100).cast("string"),
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit(', "device": "d'),
+                        (F.col("event_id") % 4).cast("string"),
+                        F.lit('"'))).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.lit(', "score": '),
+                        (F.col("event_id") % 7).cast("string"),
+                        F.lit(".5"))).otherwise(F.lit("")),
+        F.lit("}"))
+    kv = (ev.select(F.explode(
+        F.from_json(js, "map<string,string>")).alias("key", "v")))
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return (kv.groupBy("key")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_present"),
+                 F.countDistinct("v").cast("bigint").alias("n_distinct"))
+            .crossJoin(F.broadcast(tot))
+            .select("key", "n_present", "n_distinct",
+                    F.round(F.col("n_present") / F.col("n_events"), 9)
+                    .alias("pct_present")))
+
+
+@register(
+    "text_hash_bucket_balance",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    bk AS (SELECT w,
+                  CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % 64 AS INT) AS bk,
+                  count(*) AS c
+           FROM tok GROUP BY 1, 2),
+    agg AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM bk GROUP BY bk),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM agg)
+    SELECT bk, n_types, n_tokens,
+           round(n_tokens * 1.0 / total, 9) AS token_share
+    FROM agg CROSS JOIN tot
+    """,
+    note="feature-hashing collision audit for the 64-bucket space "
+         "text_hashed_tfidf/dsir share: per bucket the type load and "
+         "token share — a skewed bucket means the hashing trick is "
+         "silently merging a hot word into everything else's feature. "
+         "Same engine-portable md5 bucket as the production ops; one "
+         "(word) pre-aggregate then a 64-row rollup")
+def text_hash_bucket_balance(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    bk = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .select(portable_bucket(F.col("w"), 64).alias("bk"), "c"))
+    agg = (bk.groupBy("bk")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.sum("c").cast("bigint").alias("n_tokens")))
+    tot = agg.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("bk", "n_types", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("total"), 9)
+                    .alias("token_share")))
+
+
+@register(
+    "dq_pii_density",
+    oracle=r"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_words,
+               text || ' reach me user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via https://ex'
+                    || CAST(doc_id AS VARCHAR) || '.org/p 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS tx
+        FROM documents),
+    s0 AS (SELECT doc_id, source, n_words,
+                  lower(trim(regexp_replace(tx, '\s+', ' ', 'g'))) AS c
+           FROM synth),
+    cnt AS (SELECT source, n_words,
+                   len(regexp_extract_all(c, '[a-z0-9.]+@[a-z0-9.]+'))
+                       AS n_email,
+                   len(regexp_extract_all(
+                       regexp_replace(c, '[a-z0-9.]+@[a-z0-9.]+',
+                                      '<EMAIL>', 'g'),
+                       'https?://[^ ]+')) AS n_url,
+                   len(regexp_extract_all(
+                       regexp_replace(
+                           regexp_replace(c, '[a-z0-9.]+@[a-z0-9.]+',
+                                          '<EMAIL>', 'g'),
+                           'https?://[^ ]+', '<URL>', 'g'),
+                       '[0-9]{3}-[0-9]{4}')) AS n_phone
+            FROM s0)
+    SELECT source,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(sum(n_email) * 1000.0 / sum(n_words), 9)
+               AS emails_per_1k,
+           round(sum(n_url) * 1000.0 / sum(n_words), 9) AS urls_per_1k,
+           round(sum(n_phone) * 1000.0 / sum(n_words), 9)
+               AS phones_per_1k
+    FROM cnt GROUP BY source
+    """,
+    note="per-source PII density (matches per 1k words of the original "
+         "text) using scrub_text's staged detection order — email "
+         "redacted before URL before phone, so an address inside a URL "
+         "is counted once under its first matching kind, exactly as "
+         "the scrubber redacts. The observability layer over "
+         "text_scrub_pii: which sources need scrubbing attention. "
+         "Same deterministic PII synthesis as that entry")
+def dq_pii_density(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import scrub_text
+    docs = tbl(spark, sf_dir, "documents")
+    synth = docs.withColumn("tx", F.concat(
+        F.col("text"), F.lit(" reach me user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex"),
+        F.col("doc_id").cast("string"), F.lit(".org/p 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    scrubbed = scrub_text(synth, "tx", "doc_id")
+    joined = scrubbed.join(
+        docs.select("doc_id", "source",
+                    F.size(F.split(F.col("text"), " ")).alias("n_words")),
+        "doc_id")
+    return (joined.groupBy("source")
+            .agg(F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.round(F.sum("n_email") * 1000.0 / F.sum("n_words"), 9)
+                 .alias("emails_per_1k"),
+                 F.round(F.sum("n_url") * 1000.0 / F.sum("n_words"), 9)
+                 .alias("urls_per_1k"),
+                 F.round(F.sum("n_phone") * 1000.0 / F.sum("n_words"), 9)
+                 .alias("phones_per_1k")))
+
+
+@register(
+    "dedup_composition_drift",
+    oracle=r"""
+    WITH before AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+                    FROM documents GROUP BY lang),
+    surv AS (SELECT min(doc_id) AS doc_id
+             FROM (SELECT doc_id,
+                          md5(lower(trim(regexp_replace(
+                              text, '\s+', ' ', 'g')))) AS h
+                   FROM documents) t
+             GROUP BY h),
+    after AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_after
+              FROM documents JOIN surv USING (doc_id) GROUP BY lang),
+    tb AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb FROM before),
+    ta AS (SELECT CAST(sum(n_after) AS BIGINT) AS ta FROM after)
+    SELECT lang, n_before, n_after,
+           round(n_before * 1.0 / tb, 9) AS share_before,
+           round(n_after * 1.0 / ta, 9) AS share_after,
+           round((n_after * 1.0 / ta - n_before * 1.0 / tb)
+                 * ln((n_after * 1.0 / ta) / (n_before * 1.0 / tb)), 9)
+               AS psi_term
+    FROM before JOIN after USING (lang) CROSS JOIN tb CROSS JOIN ta
+    """,
+    note="dedup survivorship drift: language composition before vs "
+         "after exact dedup with the per-lang PSI contribution — dedup "
+         "is not composition-neutral (boilerplate concentrates in some "
+         "languages/sources), and this is the report that catches it. "
+         "Exact-int shares, one ln per lang row; survivors from the "
+         "dedup_exact min-id convention")
+def dedup_composition_drift(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import normalize_text
+    docs = tbl(spark, sf_dir, "documents")
+    before = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    surv = (docs.select("doc_id",
+                        F.md5(normalize_text(F.col("text"))).alias("h"))
+            .groupBy("h").agg(F.min("doc_id").alias("doc_id")))
+    after = (docs.join(surv, "doc_id", "left_semi")
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_after")))
+    tb = before.agg(F.sum("n_before").cast("bigint").alias("tb"))
+    ta = after.agg(F.sum("n_after").cast("bigint").alias("ta"))
+    sb = F.col("n_before") / F.col("tb")
+    sa = F.col("n_after") / F.col("ta")
+    return (before.join(after, "lang")
+            .crossJoin(F.broadcast(tb)).crossJoin(F.broadcast(ta))
+            .select("lang", "n_before", "n_after",
+                    F.round(sb, 9).alias("share_before"),
+                    F.round(sa, 9).alias("share_after"),
+                    F.round((sa - sb) * F.log(sa / sb), 9)
+                    .alias("psi_term")))
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_CC_COMP_CTE},
+    q AS (SELECT doc_id,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      AS INT) AS n_distinct
+          FROM documents),
+    lab AS (SELECT q.doc_id, compc.comp, q.n_distinct
+            FROM q JOIN compc ON compc.id = q.doc_id),
+    rk AS (SELECT doc_id, comp, n_distinct,
+                  row_number() OVER (PARTITION BY comp
+                      ORDER BY n_distinct DESC, doc_id ASC) AS rn
+           FROM lab)
+    SELECT doc_id, comp, n_distinct, rn = 1 AS keep FROM rk
+    UNION ALL
+    SELECT q.doc_id, q.doc_id AS comp, q.n_distinct, true AS keep
+    FROM q LEFT JOIN compc ON compc.id = q.doc_id
+    WHERE compc.id IS NULL
+    """,
+    note="quality-aware near-dup survivor selection: within each "
+         "duplicate cluster keep the doc with the richest vocabulary "
+         "(distinct-word count, integer — no float ordering), tie-break "
+         "min id; singletons keep by default. The production "
+         "alternative to dedup_keep_longest when length is gamed. The "
+         "rank window runs only over clustered rows "
+         "(dedup.keep_best_in_components)")
+def dedup_keep_best_quality(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components, jaccard_pairs, keep_best_in_components)
+    docs = tbl(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("int").alias("n_distinct"))
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+    comp = connected_components(pairs)
+    out = keep_best_in_components(
+        q, comp, "doc_id", [F.desc("n_distinct"), F.asc("doc_id")])
+    return out.join(q, "doc_id").select(
+        "doc_id", F.col("comp").cast("bigint").alias("comp"),
+        "n_distinct", "keep")
+
+
+@register(
+    "pipeline_dedup_funnel",
+    oracle=rf"""
+    WITH RECURSIVE
+    ex AS (SELECT doc_id, n_chars,
+                  doc_id = min(doc_id) OVER (PARTITION BY
+                      md5(lower(trim(regexp_replace(
+                          text, '\s+', ' ', 'g'))))) AS s1
+           FROM documents),
+    {_URL_CANON_CTE},
+    u1 AS (SELECT c.doc_id,
+                  c.doc_id = min(c.doc_id) OVER (PARTITION BY
+                      c.canon_url) AS s2u
+           FROM canon c JOIN ex ON ex.doc_id = c.doc_id AND ex.s1),
+    s2t AS (SELECT ex.doc_id, ex.n_chars, ex.s1,
+                   coalesce(u1.s2u, false) AS s2
+            FROM ex LEFT JOIN u1 ON u1.doc_id = ex.doc_id),
+    {_CC_COMP_CTE.strip().lstrip()},
+    sedges AS (SELECT e.src, e.dst FROM edgesc e
+               JOIN s2t a ON a.doc_id = e.src AND a.s2
+               JOIN s2t b ON b.doc_id = e.dst AND b.s2),
+    sreach AS (
+        SELECT DISTINCT src AS id, src AS r FROM sedges
+        UNION
+        SELECT e.dst AS id, sreach.r AS r
+        FROM sreach JOIN sedges e ON e.src = sreach.id),
+    scomp AS (SELECT id, min(r) AS comp FROM sreach GROUP BY id),
+    s3t AS (SELECT s2t.doc_id, s2t.n_chars, s1, s2,
+                   s2 AND (scomp.id IS NULL OR scomp.comp = s2t.doc_id)
+                       AS s3
+            FROM s2t LEFT JOIN scomp ON scomp.id = s2t.doc_id)
+    SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars FROM s3t
+    UNION ALL
+    SELECT 'exact', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s3t WHERE s1
+    UNION ALL
+    SELECT 'url_canonical', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s3t WHERE s2
+    UNION ALL
+    SELECT 'near_dup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s3t WHERE s3
+    """,
+    note="the composed dedup funnel a corpus release publishes: raw -> "
+         "exact-hash survivors -> canonical-URL survivors -> near-dup "
+         "(Jaccard>=0.1 components, min-id keep) survivors, doc and "
+         "char volumes per stage, each stage applied to the previous "
+         "stage's survivors (near-dup components computed on the "
+         "surviving subgraph only). Composes dedup_exact + "
+         "url_canonical_dedup + connected_components; every stage is "
+         "hash-keyed — the funnel never pairs docs outside the shingle "
+         "equi-join")
+def pipeline_dedup_funnel(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components, jaccard_pairs, normalize_text)
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "n_chars", "source", "text",
+                       _synth_url().alias("u"))
+    ex_g = (base.select("doc_id",
+                        F.md5(normalize_text(F.col("text"))).alias("h"))
+            .groupBy("h").agg(F.min("doc_id").alias("k1")))
+    s1 = (base.join(ex_g.select(F.col("k1").alias("doc_id")), "doc_id",
+                    "left_semi"))
+    url_g = (s1.select("doc_id", canonical_url(F.col("u")).alias("cu"))
+             .groupBy("cu").agg(F.min("doc_id").alias("k2")))
+    s2 = s1.join(url_g.select(F.col("k2").alias("doc_id")), "doc_id",
+                 "left_semi")
+    pairs = jaccard_pairs(s2, "text", "doc_id", n=3, min_jaccard=0.1)
+    comp = connected_components(pairs)
+    s3 = (s2.join(comp.withColumnRenamed("id", "doc_id"), "doc_id",
+                  "left")
+          .filter(F.col("comp").isNull()
+                  | (F.col("comp") == F.col("doc_id"))))
+
+    def stage(df, name):
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                      F.sum("n_chars").cast("bigint")
+                      .alias("total_chars"))
+
+    return (stage(base, "raw")
+            .unionByName(stage(s1, "exact"))
+            .unionByName(stage(s2, "url_canonical"))
+            .unionByName(stage(s3, "near_dup")))
+
+
+@register(
+    "dedup_minhash_error_audit",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)]
+                  || ' ' || w[CAST(i+2 AS INT)] AS shingle
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM tk) t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           true AS max_err_ok, true AS mean_err_ok
+    FROM truth
+    """,
+    note="MinHash estimator-accuracy audit on the true near-dup pairs: "
+         "the 64-function signature's matching fraction vs exact "
+         "Jaccard — max |err| <= 0.25 (5 sigma at j=0.8, sigma = "
+         "sqrt(j(1-j)/64) ~ 0.05) and mean |err| <= 0.10. Booleans "
+         "because the seeded xxhash64 family is Spark-side (the "
+         "dedup_simhash contract form); the pair count is portable. "
+         "Catches a broken hash family or signature truncation the "
+         "moment it skews estimates")
+def dedup_minhash_error_audit(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        jaccard_pairs, minhash_signatures)
+    docs = tbl(spark, sf_dir, "documents")
+    truth = jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.1)
+    sigs = minhash_signatures(docs, "text", "doc_id", n=3, k=64)
+    sa = sigs.select(F.col("id").alias("doc_a"),
+                     F.col("signature").alias("__sa"))
+    sb = sigs.select(F.col("id").alias("doc_b"),
+                     F.col("signature").alias("__sb"))
+    est = (truth.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("est", F.expr(
+               "size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
+               "v -> v)) / 64.0"))
+           .withColumn("err", F.abs(F.col("est") - F.col("jaccard"))))
+    return est.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.max("err") <= 0.25).alias("max_err_ok"),
+        (F.avg("err") <= 0.10).alias("mean_err_ok"))
+
+
+@register(
+    "text_lang_mix_entropy",
+    oracle="""
+    WITH c AS (SELECT source, lang, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+                 CAST(count(*) AS INT) AS n_langs
+          FROM c GROUP BY source),
+    e AS (SELECT c.source,
+                 CAST((c.c * 1.0 / t.tot)
+                      * ln(c.c * 1.0 / t.tot) AS DECIMAL(28,9)) AS term
+          FROM c JOIN t ON c.source = t.source),
+    ent AS (SELECT source, round(-CAST(sum(term) AS DOUBLE), 9)
+                       AS lang_entropy
+            FROM e GROUP BY source),
+    mx AS (SELECT source, max(c) AS mc FROM c GROUP BY source),
+    dom AS (SELECT c.source, min(c.lang) AS dominant_lang, mx.mc
+            FROM c JOIN mx ON c.source = mx.source AND c.c = mx.mc
+            GROUP BY c.source, mx.mc)
+    SELECT t.source, t.n_langs, ent.lang_entropy,
+           dom.dominant_lang,
+           round(dom.mc * 1.0 / t.tot, 9) AS dominant_share
+    FROM t JOIN ent ON ent.source = t.source
+    JOIN dom ON dom.source = t.source
+    """,
+    note="per-source language-mix report: Shannon entropy of the lang "
+         "distribution (per-term DECIMAL(28,9) quantization before the "
+         "sum — order-free aggregation) plus the dominant language "
+         "(mode, tie-break lang asc) and its share — the signal that "
+         "flags a 'monolingual' source drifting multilingual. All over "
+         "a |source x lang| aggregate, never raw docs")
+def text_lang_mix_entropy(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    t = (c.groupBy("source")
+         .agg(F.sum("c").cast("bigint").alias("tot"),
+              F.count(F.lit(1)).cast("int").alias("n_langs")))
+    e = (c.join(t, "source")
+         .select("source",
+                 ((F.col("c") / F.col("tot"))
+                  * F.log(F.col("c") / F.col("tot")))
+                 .cast("decimal(28,9)").alias("term")))
+    ent = (e.groupBy("source")
+           .agg(F.round(-F.sum("term").cast("double"), 9)
+                .alias("lang_entropy")))
+    mx = c.groupBy("source").agg(F.max("c").alias("mc"))
+    dom = (c.join(mx, "source").filter(F.col("c") == F.col("mc"))
+           .groupBy("source", "mc")
+           .agg(F.min("lang").alias("dominant_lang")))
+    return (t.join(ent, "source").join(dom, "source")
+            .select("source", "n_langs", "lang_entropy", "dominant_lang",
+                    F.round(F.col("mc") / F.col("tot"), 9)
+                    .alias("dominant_share")))
+
+
+@register(
+    "text_token_len_hist",
+    oracle="""
+    WITH tok AS (SELECT lang, length(unnest(string_split(text, ' ')))
+                            AS tok_len
+                 FROM documents),
+    h AS (SELECT lang, CAST(tok_len AS INT) AS tok_len,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+          FROM h GROUP BY lang)
+    SELECT h.lang, h.tok_len, h.n_tokens,
+           round(h.n_tokens * 1.0 / t.tot, 9) AS share
+    FROM h JOIN t ON h.lang = t.lang
+    """,
+    note="token-length histogram per language — the ground-truth "
+         "distribution tokenizer byte/char budgets are designed "
+         "against. One explode + (lang, len) groupBy (both bounded); "
+         "shares join against a |langs|-row total, not a window")
+def text_token_len_hist(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    tok = (docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .select("lang", F.length("w").cast("int").alias("tok_len")))
+    h = (tok.groupBy("lang", "tok_len")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+    t = h.groupBy("lang").agg(F.sum("n_tokens").cast("bigint")
+                              .alias("tot"))
+    return (h.join(t, "lang")
+            .select("lang", "tok_len", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("tot"), 9)
+                    .alias("share")))
+
+
+@register(
+    "pipeline_shard_size_audit",
+    oracle="""
+    WITH s8 AS (SELECT unnest(['s0','s1','s2','s3','s4','s5','s6','s7'])
+                    AS s),
+    a AS (SELECT doc_id, n_chars, s AS shard FROM (
+              SELECT d.doc_id, d.n_chars, s8.s,
+                     row_number() OVER (PARTITION BY d.doc_id
+                         ORDER BY md5(CAST(d.doc_id AS VARCHAR)
+                                      || ':' || s8.s) DESC, s8.s DESC)
+                         AS rn
+              FROM documents d, s8) t WHERE rn = 1),
+    agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM a GROUP BY shard),
+    tot AS (SELECT CAST(sum(total_chars) AS BIGINT) AS grand FROM agg)
+    SELECT shard, n_docs, total_chars,
+           round(total_chars * 8.0 / grand, 9) AS balance
+    FROM agg CROSS JOIN tot
+    """,
+    note="shard-balance audit over the rendezvous/HRW assignment "
+         "(pipeline.rendezvous_assign, the pipeline_shard_rendezvous "
+         "placement): per shard doc count, char volume, and load "
+         "relative to perfect balance (1.0) — the check that a hash "
+         "family change or shard-list edit did not skew placement. "
+         "Map-only assignment + 8-row rollup")
+def pipeline_shard_size_audit(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import rendezvous_assign
+    docs = tbl(spark, sf_dir, "documents")
+    shards = [f"s{i}" for i in range(8)]
+    a = rendezvous_assign(docs.select("doc_id", "n_chars"),
+                          "doc_id", shards)
+    agg = (a.groupBy("shard")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars")))
+    tot = agg.agg(F.sum("total_chars").cast("bigint").alias("grand"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("shard", "n_docs", "total_chars",
+                    F.round(F.col("total_chars") * 8.0 / F.col("grand"),
+                            9).alias("balance")))
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH cnt AS (SELECT lang, w, count(*) AS c
+                 FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                       FROM documents) t
+                 GROUP BY 1, 2)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 9) AS hapax_ratio
+    FROM cnt GROUP BY lang
+    """,
+    note="hapax legomena ratio per language (types occurring exactly "
+         "once / all types) — the vocabulary-richness complement to "
+         "text_heaps_law, and the OOV-pressure estimate a tokenizer "
+         "vocab size is sanity-checked against. One (lang, word) "
+         "aggregate then a |langs|-row rollup")
+def text_hapax_ratio(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    cnt = (docs.select("lang",
+                       F.explode(F.split(F.col("text"), " ")).alias("w"))
+           .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c")))
+    return (cnt.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                 F.sum((F.col("c") == 1).cast("int")).cast("bigint")
+                 .alias("n_hapax"),
+                 F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum((F.col("c") == 1).cast("int"))
+                         / F.count(F.lit(1)), 9).alias("hapax_ratio")))
+
+
+@register(
+    "mix_domain_kl_divergence",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot_s
+           FROM sw GROUP BY source),
+    cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM sw GROUP BY w),
+    ct AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM sw),
+    terms AS (
+        SELECT sw.source,
+               CAST((sw.c * 1.0 / st.tot_s)
+                    * ln((CAST(sw.c AS DOUBLE) / st.tot_s)
+                         * (CAST(ct.tot AS DOUBLE) / cw.cc))
+                    AS DECIMAL(28,9)) AS term
+        FROM sw JOIN st ON sw.source = st.source
+        JOIN cw ON sw.w = cw.w CROSS JOIN ct)
+    SELECT st.source, st.tot_s AS n_tokens,
+           round(CAST(sum(term) AS DOUBLE), 9) AS kl_divergence
+    FROM terms JOIN st ON terms.source = st.source
+    GROUP BY st.source, st.tot_s
+    """,
+    note="per-source KL divergence from the corpus unigram "
+         "distribution, KL(P_source || P_corpus) — the domain-shift "
+         "signal DoReMi-style mixture reweighting reads. Corpus "
+         "support covers every source term, so no smoothing is "
+         "needed; per-term DECIMAL(28,9) quantization before the sum, "
+         "ln argument factored as (c_sw/tot_s)*(tot/c_w) with the "
+         "exact same division order on both engines")
+def mix_domain_kl_divergence(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.split(F.col("text"), " ")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").cast("bigint")
+                                  .alias("tot_s"))
+    cw = sw.groupBy("w").agg(F.sum("c").cast("bigint").alias("cc"))
+    ct = sw.agg(F.sum("c").cast("bigint").alias("tot"))
+    terms = (sw.join(st, "source").join(cw, "w")
+             .crossJoin(F.broadcast(ct))
+             .select("source",
+                     ((F.col("c") / F.col("tot_s"))
+                      * F.log((F.col("c").cast("double")
+                               / F.col("tot_s"))
+                              * (F.col("tot").cast("double")
+                                 / F.col("cc"))))
+                     .cast("decimal(28,9)").alias("term")))
+    return (terms.groupBy("source")
+            .agg(F.round(F.sum("term").cast("double"), 9)
+                 .alias("kl_divergence"))
+            .join(st, "source")
+            .select("source", F.col("tot_s").alias("n_tokens"),
+                    "kl_divergence"))
+
+
+@register(
+    "eval_fleiss_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, rater,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(rater AS VARCHAR)), 1, 8)) AS BIGINT) % 3
+                   AS cat
+        FROM documents, (SELECT unnest(generate_series(0, 2)) AS rater)
+                            rr),
+    cell AS (SELECT doc_id, cat, count(*) AS nij
+             FROM r GROUP BY 1, 2),
+    s AS (SELECT CAST(sum(nij * nij) AS BIGINT) AS ss,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items
+          FROM cell),
+    marg AS (SELECT CAST(sum(nij) AS BIGINT) AS cj FROM cell
+             GROUP BY cat),
+    pe AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS cj2 FROM marg)
+    SELECT n_items,
+           round((ss - 3.0 * n_items) / (6.0 * n_items), 9) AS p_bar,
+           round(cj2 * 1.0 / (9.0 * n_items * n_items), 9) AS p_e,
+           round(((ss - 3.0 * n_items) / (6.0 * n_items)
+                  - cj2 * 1.0 / (9.0 * n_items * n_items))
+                 / (1.0 - cj2 * 1.0 / (9.0 * n_items * n_items)), 9)
+               AS kappa
+    FROM s CROSS JOIN pe
+    """,
+    note="Fleiss' kappa (1971) for 3 raters x 3 categories — the "
+         "multi-rater agreement companion to eval_cohens_kappa (2 "
+         "raters) and eval_krippendorff_alpha: P_bar from the exact "
+         "integer sum of squared cell counts, P_e from squared "
+         "marginals, single IEEE divisions at the end. Ratings "
+         "synthesized per (doc, rater) by portable md5 bucket")
+def eval_fleiss_kappa(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    r = (docs.select("doc_id", F.explode(F.sequence(
+        F.lit(0), F.lit(2))).alias("rater"))
+         .select("doc_id", (F.conv(F.substring(F.md5(F.concat(
+             F.col("doc_id").cast("string"), F.lit(":"),
+             F.col("rater").cast("string"))), 1, 8), 16, 10)
+             .cast("long") % 3).alias("cat")))
+    cell = r.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("nij"))
+    s = cell.agg(
+        F.sum(F.col("nij") * F.col("nij")).cast("bigint").alias("ss"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_items"))
+    pe = (cell.groupBy("cat").agg(F.sum("nij").cast("bigint").alias("cj"))
+          .agg(F.sum(F.col("cj") * F.col("cj")).cast("bigint")
+               .alias("cj2")))
+    ss, ni, cj2 = F.col("ss"), F.col("n_items"), F.col("cj2")
+    p_bar = (ss - 3.0 * ni) / (6.0 * ni)
+    p_e = cj2 * 1.0 / (9.0 * ni * ni)
+    return (s.crossJoin(F.broadcast(pe))
+            .select("n_items", F.round(p_bar, 9).alias("p_bar"),
+                    F.round(p_e, 9).alias("p_e"),
+                    F.round((p_bar - p_e) / (1.0 - p_e), 9)
+                    .alias("kappa")))

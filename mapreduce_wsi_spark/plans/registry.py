@@ -83,65 +83,66 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-8
-# stamped 296 distinct entries green (r8: 48/50 — the first reds since
-# r1, both driver-canon ENVELOPE defects with verified-correct values;
-# fixed this round and pinned by tests/test_driver_envelope.py +
-# plans/parity.py::envelope_violations). This round's window = the 5
-# fixed sentinels (cross-round regression canaries) + ALL 45 remaining
-# never-stamped entries: the 2 fixed r8 reds (array_funcs2,
-# mm_audio_goertzel — re-queued for a green stamp on their envelope-safe
-# forms) + the 43-entry tail of the r7 catalog tranche
-# (tools/window_audit.py --emit-next order). Catalog growth stays
-# FROZEN (VERDICT r8 ask #5) until the backlog closes: a green round
-# stamps the WHOLE 341-entry catalog — cumulative 341/341 — after
-# which growth resumes at <=45 net-new entries per round (COVERAGE.md
-# records the policy) so the backlog never re-forms.
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-9
+# stamped the ENTIRE 341-entry r9 catalog green (cumulative 341/341,
+# r9 50/50). With the backlog closed, growth RESUMED this round per the
+# COVERAGE.md policy (<=45 net-new per round, sized to the non-sentinel
+# window slots): the r10 tranche adds exactly 40 web-corpus-curation
+# entries (plans/q_curation.py — URL canonical dedup, cross-snapshot
+# incremental dedup, contamination scoring, quota/PPS sampling,
+# Gopher/C4 gates, dedup audits, LLM-eval metrics), so this window =
+# 5 sentinels + all 40 new entries + the 5-slot staleness pad that the
+# r9 registry already queued for "the first round with free slots":
+# the round-2-vintage stamps. Every new entry is driver-stamped the
+# round it lands; the backlog can never re-form.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
 # checks family coverage over the CUMULATIVE stamped set.
-ROUND = 9  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+ROUND = 10  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # exists only when free slots remain after covering never-stamped
-# entries and SHRINKS FIRST. The fresh queue is exactly 45 this round,
-# so the pad stays empty; the round-2-vintage re-check candidates
-# ("above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
-# "q10_returned_items", "q12_late_shipment") roll forward to the first
-# round with free slots (r10 at the earliest).
-WINDOW_STALENESS_PAD: tuple[str, ...] = ()
+# entries and SHRINKS FIRST. 40 fresh entries leave exactly 5 free
+# slots — the round-2-vintage candidates queued since r9.
+WINDOW_STALENESS_PAD: tuple[str, ...] = (
+    "above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
+    "q10_returned_items", "q12_late_shipment",
+)
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # the two r8 reds, re-queued on their envelope-safe forms: arrays
-    # ship as ','-joined strings; DECIMAL(38,0) energies as digit strings
-    "array_funcs2", "mm_audio_goertzel",
-    # r7 backlog tail, oldest-registered first (window_audit.py order):
-    # text / pipeline / sampling / lakehouse tranche
-    "text_skipgram_pmi", "text_burrows_delta",
-    "pipeline_token_budget_mix", "pipeline_shard_rendezvous",
-    "sample_neyman_allocation", "sample_negative_unigram",
-    "pipeline_data_card", "pack_utilization_stats",
-    "incremental_join_view", "lakehouse_incremental_files",
-    "lakehouse_time_travel",
-    # events / time-series tranche
-    "time_linear_interpolate", "events_cusum_shift", "ts_autocorr_lag",
-    "events_pattern_regex", "ts_seasonality_dow", "ts_holt_forecast",
-    "dq_freshness_lag", "session_duration_stats", "stream_lateness_audit",
-    "funnel_time_to_convert", "cohort_ltv_curve",
-    "events_markov_stationary", "window_rolling_slope",
-    "events_kaplan_meier", "interval_union_time",
-    "events_protocol_conformance",
-    # evaluation / statistics tranche
-    "eval_ece", "eval_welch_ttest", "eval_chi2_independence",
-    "agg_gini_revenue", "eval_ks_test", "distinct_bitmap_rollup",
-    "source_fixed_width", "source_schema_evolution",
-    "eval_mutual_information", "eval_ab_proportion_ztest",
-    "agg_pareto_8020", "cluster_kmeans_lloyd", "eval_mcc",
-    "quantile_normalize_groups", "eval_krippendorff_alpha",
-    "dq_psi_drift",
+    # r10 tranche (plans/q_curation.py), registration order:
+    # URL / web family
+    "url_host_rollup", "dedup_url_canonical", "web_robots_filter",
+    "url_tracking_params_audit",
+    # cross-snapshot incremental dedup
+    "dedup_cross_snapshot_exact", "dedup_cross_snapshot_bloom",
+    "dedup_incremental_minhash", "dedup_snapshot_delta_stats",
+    # contamination scoring
+    "decontam_token_fraction", "decontam_longest_run",
+    # mixing / sampling
+    "mix_perplexity_target", "sample_quota_largest_remainder",
+    "sample_pps_systematic",
+    # Gopher / C4 quality gates
+    "text_gopher_quality_rules", "quality_rejection_reasons",
+    "text_c4_heuristics", "text_char_ngram_repetition",
+    # dedup reports / audits
+    "dedup_cluster_size_hist", "dedup_lsh_recall_audit",
+    "text_boilerplate_prefix_clusters", "dedup_paragraph_exact",
+    # LLM-eval metrics
+    "eval_pass_at_k", "eval_bleu_ngram_precision",
+    "eval_pairwise_winrate",
+    # corpus profiling / composition
+    "text_ngram_novelty", "text_idf_rarity_score",
+    "text_vocab_coverage_topv", "dq_json_key_profile",
+    "text_hash_bucket_balance", "dq_pii_density",
+    "dedup_composition_drift", "dedup_keep_best_quality",
+    "pipeline_dedup_funnel", "dedup_minhash_error_audit",
+    "text_lang_mix_entropy", "text_token_len_hist",
+    "pipeline_shard_size_audit", "text_hapax_ratio",
+    "mix_domain_kl_divergence", "eval_fleiss_kappa",
 ) + WINDOW_STALENESS_PAD
 
 
