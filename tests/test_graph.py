@@ -243,3 +243,64 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
                both, lambda c: c == 1, n_iter=3).collect()}
     assert got[10] == 0 and got[11] == 0 and got[12] == 0
     assert got[1] > got[2] == got[3] > 0
+
+
+def test_degree_orientation_bounds_hub_wedges(spark):
+    """VERDICT r9 ask #3: a power-law hub must not emit ~deg^2 wedge
+    candidates. Planted melt case for the old (lo<hi) chain form: hub
+    id 500 with 100 lower-id and 100 higher-id spokes — the chain join
+    e1=(a,hub) x e2=(hub,c) would emit 100*100 = 10,000 candidates.
+    Degree orientation points every spoke edge INTO the hub (spoke
+    degree 1-2 < hub degree 200), so the hub's out-degree is 0 and the
+    only wedges come from the three planted triangles. Count must be
+    unchanged."""
+    from pyspark.sql import functions as F
+    from mapreduce_wsi_spark.operators.graph import (
+        degree_oriented_edges, oriented_wedges, triangle_count_oriented)
+
+    hub = 500
+    lows = [(i, hub) for i in range(100)]            # lo < hi holds
+    highs = [(hub, 1000 + i) for i in range(100)]
+    tri = [(0, 1), (2, 3), (1000, 1001)]             # close 3 triangles
+    e = spark.createDataFrame(lows + highs + tri, "lo long, hi long")
+
+    # old chain form: wedges a<hub<c through the hub
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    old_wedges = ab.join(bc, "b").count()
+    assert old_wedges >= 10_000  # the melt the orientation removes
+
+    o = degree_oriented_edges(e)
+    new_wedges = oriented_wedges(o).count()
+    assert new_wedges <= 10  # 3 true wedges + nothing hub-quadratic
+
+    # out-degree bound: the hub emits nothing; no node exceeds its
+    # arboricity-grade fan-out
+    outdeg = {r["src"]: r["n"] for r in
+              o.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert hub not in outdeg
+    assert max(outdeg.values()) <= 2
+
+    assert triangle_count_oriented(e).collect()[0]["n_triangles"] == 3
+
+
+def test_oriented_triangles_match_chain_form_on_random_graphs(spark):
+    """Orientation changes candidate volume, never the count: on random
+    graphs the degree-oriented count equals the (lo<hi) chain-join
+    count (the old implementation, inlined here as the reference)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from mapreduce_wsi_spark.operators.graph import triangle_count_oriented
+
+    rng = random.Random(7)
+    for trial in range(3):
+        pairs = sorted({tuple(sorted(rng.sample(range(30), 2)))
+                        for _ in range(80)})
+        e = spark.createDataFrame(pairs, "lo long, hi long")
+        ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+        ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+        chain = ab.join(bc, "b").join(ac, ["a", "c"]).count()
+        got = triangle_count_oriented(e).collect()[0]["n_triangles"]
+        assert got == chain, f"trial {trial}: {got} != {chain}"
