@@ -487,16 +487,49 @@ def share_of_total(spark, sf_dir):
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
     FROM b GROUP BY o_orderpriority, bin
     """,
-    note="equi-depth decile binning via ntile: deterministic because the "
-         "window order carries the unique o_orderkey tie-break; per-bin "
-         "stats re-aggregate on (priority, bin) — exchange on the window "
-         "partition key is reused by the groupBy (same key prefix)")
+    note="equi-depth decile binning, BUCKETED prefix-sum form (r10 — "
+         "the SCALE.md r9 recipe proven on one of the residual "
+         "total-order sites; VERDICT r9 ask #4): rank within (priority, "
+         "price-range bucket) windows, compose with broadcast exclusive "
+         "bucket prefixes, then derive the ntile bin ARITHMETICALLY "
+         "from (rank, n) — bin sizes ceil(n/10) for the first n%10 "
+         "bins, floor after, exactly Spark/DuckDB ntile semantics, so "
+         "output is bit-identical to the old ntile window (the oracle "
+         "still runs ntile). No window ever sees a whole priority "
+         "group: the in-bucket window is bounded by the price-range "
+         "bucket's density (degenerate all-one-price data would refill "
+         "one bucket — the documented residual), the bucket-level "
+         "cumsum runs over |priority x bucket| aggregate rows. "
+         "tests/test_plan_shapes.py pins ntile out of the plan")
 def window_ntile_bins(spark, sf_dir):
     o = tbl(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
+    b = o.select("o_orderpriority", "o_totalprice", "o_orderkey",
+                 F.floor(F.col("o_totalprice") / 4096).cast("long")
+                 .alias("__vb"))
+    w_in = Window.partitionBy("o_orderpriority", "__vb").orderBy(
         "o_totalprice", "o_orderkey")
-    binned = o.select("o_orderpriority", "o_totalprice",
-                      F.ntile(10).over(w).alias("bin"))
+    within = b.withColumn("__r", F.row_number().over(w_in))
+    counts = (b.groupBy("o_orderpriority", "__vb")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    w_b = (Window.partitionBy("o_orderpriority").orderBy("__vb")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = (counts.withColumn("__pre",
+                             F.sum("__c").over(w_b) - F.col("__c"))
+           .select("o_orderpriority", "__vb", "__pre"))
+    tot = (counts.groupBy("o_orderpriority")
+           .agg(F.sum("__c").alias("__n")))
+    ranked = (within
+              .join(F.broadcast(pre), ["o_orderpriority", "__vb"])
+              .join(F.broadcast(tot), "o_orderpriority")
+              .withColumn("__gr", F.col("__r") + F.col("__pre")))
+    # ntile(10): first n%10 bins hold q+1 rows (q = n div 10), the
+    # rest q rows — all integer arithmetic, bit-identical to ntile
+    binned = ranked.withColumn(
+        "bin",
+        F.expr("CAST(CASE WHEN __gr <= (__n % 10) * (__n div 10 + 1) "
+               "THEN (__gr + (__n div 10)) div (__n div 10 + 1) "
+               "ELSE (__n % 10) + (__gr - (__n % 10) * (__n div 10 + 1) "
+               "+ (__n div 10) - 1) div (__n div 10) END AS INT)"))
     return (binned.groupBy("o_orderpriority", "bin")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("o_totalprice").alias("lo"),

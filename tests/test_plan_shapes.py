@@ -691,3 +691,21 @@ def test_kmeans_assignment_is_exchange_free(spark, sf_oracle):
     # the one shuffle: the k-row stats aggregate (combined partials);
     # formatted mode prints each node in tree + detail, hence <= 2
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ntile_bins_is_bucketed_prefix_sum(spark, sf_oracle):
+    """window_ntile_bins (VERDICT r9 ask #4): the decile binning must
+    carry the bucketed prefix-sum composition — rank windows keyed by
+    (priority, price-range bucket), exclusive bucket prefixes broadcast
+    back, bin derived arithmetically — and NO ntile window anywhere
+    (an ntile over the bare priority key funnels each whole priority
+    group through one task). The oracle still runs ntile, so output
+    stays bit-identical; this pins the plan shape only."""
+    import re
+
+    plan = plan_of(build("window_ntile_bins", spark, sf_oracle))
+    assert "ntile" not in plan, "ntile window returned"
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert any("__vb" in s for s in specs), (
+        f"in-bucket rank window missing: {specs}")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
