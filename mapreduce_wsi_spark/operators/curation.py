@@ -179,7 +179,7 @@ def incremental_minhash_pairs(new_df: DataFrame, old_df: DataFrame,
                               text_col: str, id_col: str, n: int = 3,
                               k: int = 64, bands: int = 16,
                               min_jaccard: float = 0.1,
-                              max_bucket: int | None = None) -> DataFrame:
+                              max_bucket: int | None = 1000) -> DataFrame:
     """Cross-snapshot NEAR-dup detection: MinHash signatures on both
     snapshots (same seeded hash family, so signatures computed for the
     standing corpus in a previous run are reusable as-is), LSH banding

@@ -2392,7 +2392,7 @@ def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
                          max_hamming: int = 2,
                          id_col: str = "doc_id",
                          hash_col: str = "dhash",
-                         max_bucket: int | None = None) -> DataFrame:
+                         max_bucket: int | None = 1000) -> DataFrame:
     """Near-duplicate image pairs by hamming distance over dHash values,
     WITHOUT the all-pairs cross product: split the n_bits hash into
     ``max_hamming + 1`` bit-bands — two hashes within hamming r must
@@ -2403,15 +2403,16 @@ def dhash_near_dup_pairs(hashes: DataFrame, n_bits: int,
     bucket occupancy, not corpus^2. Returns (id_a, id_b, hamming) with
     id_a < id_b, exact and deduplicated.
 
-    ``max_bucket`` (r9 audit, default None = exact clique semantics):
-    the degenerate-bucket valve shared with ``lsh_candidate_pairs`` /
-    ``simhash_near_pairs`` — an identical-hash image cluster (resized
-    logo spam at corpus scale) makes one band bucket of m rows emit
-    m^2/2 join rows BEFORE the popcount filter can drop anything.
-    Oversized buckets switch to min-id-hub star pairs (still exactly
-    hamming-verified); connectivity within an identical-hash bucket is
-    preserved exactly, a mixed oversized bucket may lose member-member
-    edges the hub fails — stated, opt-in."""
+    ``max_bucket`` (r9 valve; r10 made 1000 the PRODUCTION default —
+    None restores exact cliques): the degenerate-bucket valve shared
+    with ``lsh_candidate_pairs`` / ``simhash_near_pairs`` — an
+    identical-hash image cluster (resized logo spam at corpus scale)
+    makes one band bucket of m rows emit m^2/2 join rows BEFORE the
+    popcount filter can drop anything. Oversized buckets switch to
+    min-id-hub star pairs (still exactly hamming-verified);
+    connectivity within an identical-hash bucket is preserved exactly,
+    a mixed oversized bucket may lose member-member edges the hub
+    fails — the stated recall trade of the default."""
     n_bands = max_hamming + 1
     band_size = -(-n_bits // n_bands)
     mask = (1 << band_size) - 1

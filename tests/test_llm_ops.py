@@ -3755,3 +3755,69 @@ def test_kmeans_lloyd_sparse_nonzero_ids_still_seed_k(spark):
                                  "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="only 3"):
         kmeans_lloyd(tiny, k=8, dim=3, n_rounds=1)
+
+
+def test_degenerate_bucket_valve_is_production_default(spark):
+    """r10 (VERDICT r9 wrong #3): the star valve is now the DEFAULT on
+    the composed pipelines a user copies — minhash_lsh_dedup_pairs,
+    simhash_near_pairs, dhash_near_dup_pairs, incremental_minhash_pairs
+    — with max_bucket=1000; the primitive lsh_candidate_pairs keeps
+    None (building-block semantics). Pin the signatures so a default
+    regression is loud."""
+    import inspect
+
+    from mapreduce_wsi_spark.operators.curation import (
+        incremental_minhash_pairs, lsh_cross_candidates)
+    from mapreduce_wsi_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_lsh_dedup_pairs, simhash_near_pairs)
+    from mapreduce_wsi_spark.operators.multimodal import (
+        dhash_near_dup_pairs)
+
+    def default_of(fn):
+        return inspect.signature(fn).parameters["max_bucket"].default
+
+    assert default_of(minhash_lsh_dedup_pairs) == 1000
+    assert default_of(simhash_near_pairs) == 1000
+    assert default_of(dhash_near_dup_pairs) == 1000
+    assert default_of(incremental_minhash_pairs) == 1000
+    assert default_of(lsh_candidate_pairs) is None
+    assert default_of(lsh_cross_candidates) is None
+
+
+def test_degenerate_bucket_valve_default_preserves_components(spark):
+    """Planted degenerate bucket THROUGH the production default: 40
+    identical docs (the boilerplate cluster an oversized web bucket IS)
+    + 3 normal docs. With max_bucket=5 (a miniature of the 1000
+    default) the banding emits O(m) star candidates instead of the
+    m(m-1)/2 = 780 clique, every star edge verifies at jaccard 1.0,
+    and connected components are EXACTLY the exact-clique run's. This
+    is the m^2-averted probe the SCALE.md valve entry records."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components, lsh_candidate_pairs, minhash_lsh_dedup_pairs,
+        minhash_signatures)
+
+    boiler = [(i, "the same boilerplate footer text appears here "
+                  "with identical words across every mirror page")
+              for i in range(40)]
+    normal = [(100, "completely unrelated alpha content one"),
+              (101, "entirely different beta content two"),
+              (102, "orthogonal gamma content three here")]
+    df = spark.createDataFrame(boiler + normal, "doc_id long, text string")
+
+    sigs = minhash_signatures(df, "text", "doc_id", n=3, k=64)
+    n_clique = lsh_candidate_pairs(sigs, 16, 4, max_bucket=None).count()
+    n_star = lsh_candidate_pairs(sigs, 16, 4, max_bucket=5).count()
+    assert n_clique == 40 * 39 // 2
+    assert n_star == 39, "star form must emit O(m), not m^2/2"
+
+    comp_star = connected_components(
+        minhash_lsh_dedup_pairs(df, "text", "doc_id", min_jaccard=0.5,
+                                max_bucket=5))
+    comp_exact = connected_components(
+        minhash_lsh_dedup_pairs(df, "text", "doc_id", min_jaccard=0.5,
+                                max_bucket=None))
+    as_sets = lambda c: {(r["id"], r["comp"]) for r in c.collect()}  # noqa: E731
+    assert as_sets(comp_star) == as_sets(comp_exact)
+    assert {r["comp"] for r in comp_star.collect()} == {0}
