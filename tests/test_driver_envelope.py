@@ -13,7 +13,7 @@ permissive than the driver it mirrors, so 1089 green local tests
 over-promised.
 
 These tests pin the fix: ``plans/parity.py::envelope_violations`` now
-runs inside ``compare`` (so the full 341-entry oracle replay in
+runs inside ``compare`` (so the full-catalog oracle replay in
 test_oracle_parity.py enforces the envelope catalog-wide), and the
 r8 forms of both red entries are reproduced here in miniature and
 MUST fail the gate while the shipped (fixed) forms pass.

@@ -3821,3 +3821,49 @@ def test_degenerate_bucket_valve_default_preserves_components(spark):
     as_sets = lambda c: {(r["id"], r["comp"]) for r in c.collect()}  # noqa: E731
     assert as_sets(comp_star) == as_sets(comp_exact)
     assert {r["comp"] for r in comp_star.collect()} == {0}
+
+
+def test_qoi_and_packbits_truncation_fuzz():
+    """r10 hardening (VERDICT r9 ask #8): hypothesis sweep of the two
+    remaining branchy walks under truncation. QOI: random RGB images
+    (run/index/diff/luma ops all reachable) encode, then EVERY parse of
+    a strict prefix must return None without raising — the walk can
+    only finish on the 8-byte end marker — and random soup after a
+    valid header never raises. PackBits: random byte strings roundtrip,
+    every strict prefix of the encoding decodes to None (expected size
+    unmet), soup never raises."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _packbits_decode, _packbits_encode, _parse_qoi, encode_qoi)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        w = data.draw(st.integers(1, 9))
+        h = data.draw(st.integers(1, 9))
+        # low-cardinality palette maximizes run/index interactions
+        pal = rng.integers(0, 256, (3, 3)).astype(np.uint8)
+        img = pal[rng.integers(0, 3, (h, w))]
+        payload = encode_qoi(img)
+        got = _parse_qoi(payload)
+        assert got is not None and np.array_equal(got[2], img)
+        t = data.draw(st.integers(1, len(payload) - 1))
+        assert _parse_qoi(payload[:t]) is None
+        soup = payload[:14] + bytes(rng.integers(0, 256, 16,
+                                                 dtype=np.uint8))
+        _parse_qoi(soup)  # any outcome but an exception
+
+        raw = bytes(rng.integers(0, 4, data.draw(st.integers(1, 64)),
+                                 dtype=np.uint8))
+        enc = _packbits_encode(raw)
+        assert _packbits_decode(enc, len(raw)) == raw
+        tp = data.draw(st.integers(0, len(enc) - 1))
+        assert _packbits_decode(enc[:tp], len(raw)) is None
+        _packbits_decode(bytes(rng.integers(0, 256, 12,
+                                            dtype=np.uint8)), 20)
+
+    run()

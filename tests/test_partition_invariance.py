@@ -14,7 +14,7 @@ thousand.
 The curated ENTRIES list names exact-arithmetic paths
 (decimal/integer/hash/rank) chosen per round for per-test visibility;
 since r8 `test_full_catalog_invariant_under_input_splitting` sweeps
-EVERY remaining catalog entry in one bulk test, so the whole 341-entry
+EVERY remaining catalog entry in one bulk test, so the whole (381-entry as of r10)
 surface is invariance-pinned. Float-summing entries keep their sums in
 decimal through the shuffle for exactly this reason (see FIXTURES.md
 §B / the share_of_total note).
@@ -183,7 +183,7 @@ def test_result_invariant_under_input_splitting(name, spark, sf_oracle,
 def test_full_catalog_invariant_under_input_splitting(spark, sf_oracle,
                                                       split_sf_dir):
     """FULL-CATALOG partition invariance (r8): every catalog entry not
-    in the curated ENTRIES list above, swept in ONE test (a 341-way
+    in the curated ENTRIES list above, swept in ONE test (a catalog-wide
     parametrize would add minutes of per-test fixture overhead). The
     perturbed run flips BOTH partitioning axes at once — 16-file
     64 KiB-split input layout AND spark.sql.shuffle.partitions 32 -> 7

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Mechanical bench-drift table (VERDICT r9 ask #6): compare two
+BENCH_DETAIL-shaped JSON files with per-row times normalized by each
+file's ``calib_sec`` (the median no-op 32-task job time bench.py
+measures), so scheduler-generation swings — the documented 1.4x-3x
+cross-box noise — divide out before any row is called a regression.
+
+For each query present in BOTH files it emits
+    norm_ratio = (t_new / calib_new) / (t_old / calib_old)
+and flags rows with norm_ratio > FLAG (default 1.4) AND an absolute
+delta above ABS_FLOOR (default 0.15 s — sub-second rows swing on
+scheduler noise; the r9 text_quality lesson: 0.18 -> 0.28 s is 1.52x
+and 0.09 s of nothing).
+
+Usage: python3 tools/bench_drift.py OLD.json NEW.json [--flag 1.4]
+                                    [--abs-floor 0.15] [--md]
+Prints one JSON line {summary..., "flagged": {...}}; --md prints a
+markdown table of the flagged rows (plus the 5 biggest movers each
+way) for pasting into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def load(path: str) -> tuple[dict[str, float], float]:
+    with open(path) as f:
+        d = json.load(f)
+    calib = float(d.get("calib_sec") or 0) or 1.0
+    return {k: float(v) for k, v in d["queries"].items()}, calib
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--flag", type=float, default=1.4)
+    ap.add_argument("--abs-floor", type=float, default=0.15)
+    ap.add_argument("--md", action="store_true")
+    args = ap.parse_args()
+
+    old_q, old_c = load(args.old)
+    new_q, new_c = load(args.new)
+    shared = sorted(set(old_q) & set(new_q))
+    rows = []
+    for q in shared:
+        t_old, t_new = old_q[q], new_q[q]
+        norm = (t_new / new_c) / (t_old / old_c) if t_old > 0 else None
+        rows.append({"query": q, "old": t_old, "new": t_new,
+                     "raw_ratio": round(t_new / t_old, 3) if t_old else None,
+                     "norm_ratio": round(norm, 3) if norm else None,
+                     "abs_delta": round(t_new - t_old, 3)})
+    flagged = [r for r in rows
+               if r["norm_ratio"] and r["norm_ratio"] > args.flag
+               and r["abs_delta"] > args.abs_floor]
+    summary = {
+        "n_shared": len(shared),
+        "calib_old": old_c, "calib_new": new_c,
+        "calib_ratio": round(new_c / old_c, 3),
+        "total_old": round(sum(old_q[q] for q in shared), 2),
+        "total_new": round(sum(new_q[q] for q in shared), 2),
+        "flag_threshold": args.flag, "abs_floor": args.abs_floor,
+        "flagged": {r["query"]: r["norm_ratio"] for r in flagged},
+    }
+    print(json.dumps(summary))
+    if args.md:
+        movers = sorted((r for r in rows if r["norm_ratio"]),
+                        key=lambda r: r["norm_ratio"])
+        show = {r["query"]: r for r in flagged}
+        for r in movers[:5] + movers[-5:]:
+            show[r["query"]] = r
+        print("\n| query | old s | new s | raw x | calib-norm x | flag |")
+        print("|---|---|---|---|---|---|")
+        for q in sorted(show):
+            r = show[q]
+            mark = "FLAG" if r in flagged else ""
+            print(f"| {q} | {r['old']:.2f} | {r['new']:.2f} | "
+                  f"{r['raw_ratio']} | {r['norm_ratio']} | {mark} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -107,10 +107,51 @@ def build(mult: int) -> str:
     return out
 
 
+def build_graph(mult: int) -> str:
+    """Graph-probe fixture (r10, VERDICT r9 ask #2): the graph family
+    is lineitem-bound (part co-purchase edges), and the shared probe
+    dirs symlink lineitem from sf0.1 — so the r8/r9 decades never grew
+    the graph. This builds .probe/gsf{1,10}: lineitem replicated by
+    key-space offset on BOTH l_orderkey and l_partkey (copy k offsets
+    by k*1e7), producing k disjoint copies of the sf0.1 co-purchase
+    graph — rows scale linearly with realistic structure and ZERO
+    cross-copy edges (the same no-cross-copy-candidates convention as
+    the word-tagged documents fixture). Only the two columns the graph
+    family reads are written (Catalyst would prune the rest anyway);
+    one file per copy for honest input splits. Other tables symlink
+    from sf0.1."""
+    sf = 0.1 * mult
+    name = f"gsf{sf:g}"
+    out = os.path.join(REPO, ".probe", name)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    ldir = f"{out}/lineitem.parquet"
+    os.makedirs(ldir, exist_ok=True)
+    for k in range(mult):
+        q = (f"SELECT l_orderkey + {k * OFFSET} AS l_orderkey, "
+             f"l_partkey + {k * OFFSET} AS l_partkey "
+             f"FROM read_parquet('{SRC}/lineitem.parquet')")
+        con.execute(f"COPY ({q}) TO '{ldir}/part-{k:05d}.parquet' "
+                    f"(FORMAT PARQUET)")
+    for tbl in TABLES:
+        if tbl == "lineitem":
+            continue
+        link = f"{out}/{tbl}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{tbl}.parquet", link)
+    for tbl in ("documents", "embeddings"):
+        link = f"{out}/{tbl}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{tbl}.parquet", link)
+    return out
+
+
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [10, 100]
+    args = sys.argv[1:]
+    graph = "--graph" in args
+    mults = [int(a) for a in args if a != "--graph"] or [10, 100]
     for m in mults:
-        print(build(m))
+        print(build_graph(m) if graph else build(m))
 
 
 if __name__ == "__main__":
