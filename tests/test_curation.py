@@ -112,7 +112,8 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
 def test_gopher_flags_fire_on_engineered_docs(spark):
     from mapreduce_wsi_spark.operators.curation import gopher_quality_flags
     stop = ("the", "and", "of", "to", "a", "in", "is")
-    good = "the cat and dog walk to a park in town " * 5  # 50 words
+    # 50 words, mean word length exactly 3.0 (the inclusive boundary)
+    good = "the cat and dog walks to a park in town " * 5
     df = spark.createDataFrame(
         [(1, good.strip()),
          (2, "short text only"),                       # wc fails
