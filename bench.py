@@ -160,6 +160,24 @@ HEADLINE = [
     # tranche's one honest Python loop — keep it timed)
     "cluster_kmeans_lloyd",
     "ts_holt_forecast",
+    # round-10 curation tranche — the rows with real data volume: the
+    # cross-snapshot LSH dedup (two signature builds + cross banding +
+    # candidates-only verify), paragraph-chunk explode + global
+    # first-occurrence groupBy, positional-shingle contamination
+    # coverage (distinct position union), the char-8-gram repetition
+    # explode (~1 row/char, the tranche's heaviest map fan-out), URL
+    # canonicalization + keep-first group join, token-explode IDF
+    # join, clipped bigram BLEU joins, and the composed staged dedup
+    # funnel (exact -> canonical URL -> near-dup components; iterative
+    # CC -> build-timed)
+    "dedup_incremental_minhash",
+    "dedup_paragraph_exact",
+    "decontam_token_fraction",
+    "text_char_ngram_repetition",
+    "dedup_url_canonical",
+    "text_idf_rarity_score",
+    "eval_bleu_ngram_precision",
+    "pipeline_dedup_funnel",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -177,7 +195,10 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    # per-pid counts during BUILD — exclude it and the
                    # row undertimes (the same reason the iterative ops
                    # above are here)
-                   "dedup_sorted_neighborhood"}
+                   "dedup_sorted_neighborhood",
+                   # r10: the funnel's near-dup stage runs connected
+                   # components (iterative, checkpointed) at build
+                   "pipeline_dedup_funnel"}
 
 
 def _bench_overrides():
