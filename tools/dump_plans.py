@@ -96,10 +96,43 @@ SHOWN = [
     "cluster_kmeans_lloyd",
     "window_time_range_frame",
     "geo_geohash_cells",
+    # r10: the bucketed-prefix-sum ntile rewrite, degree-oriented
+    # triangles, and the curation tranche's shuffle shapes —
+    # cross-snapshot banding, canonical-URL group join, positional
+    # contamination coverage, char-gram repetition explode, PPS
+    # bucketed cumsum, and the staged dedup funnel
+    "window_ntile_bins",
+    "triangle_count",
+    "dedup_incremental_minhash",
+    "dedup_url_canonical",
+    "decontam_token_fraction",
+    "text_char_ngram_repetition",
+    "sample_pps_systematic",
+    "pipeline_dedup_funnel",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.
 PROSE = {
+    "window_ntile_bins": """\
+r10 rewrite (VERDICT r9 ask #4): the equi-depth decile binning that used
+to be one ntile window per o_orderpriority — a whole priority group
+through one task — is now the bucketed prefix-sum composition: a
+row_number window keyed (priority, price-range bucket), a bucket-count
+aggregate whose exclusive prefix comes from a window over BUCKET rows
+(thousands, not millions), two broadcast joins back, and the ntile bin
+derived arithmetically from (global rank, n). The oracle still runs
+ntile — output is bit-identical — and no window in this plan ever sees
+an unbounded partition. The plan shows both windows and the broadcasts;
+tests/test_plan_shapes.py::test_ntile_bins_is_bucketed_prefix_sum pins
+ntile out.""",
+    "triangle_count": """\
+r10 rewrite (VERDICT r9 ask #3): wedges now come from the DEGREE-ORIENTED
+edge list (low-degree -> high-degree, tie to smaller id) instead of the
+(lo < hi) chain join. The plan gains the degree aggregate + two joins
+that attach endpoint degrees, and in exchange every node's out-degree is
+O(sqrt(m)) — a power-law hub emits O(m) wedge candidates instead of
+#lower x #higher ~ deg^2 (the planted-hub test measures 10,000 -> 3).
+Same count, same oracle.""",
     "funnel_steps": """\
 First-touch funnel (view > click > purchase, strict ts order). The three
 conditional window-mins are sequentially dependent (step k's predicate
