@@ -960,7 +960,10 @@ def text_c4_heuristics(spark, sf_dir):
          "Gopher A1.1 (word half: text_gopher_repetition): fraction of "
          "a doc's characters inside any char 8-gram repeated within the "
          "doc, positions counted once. ~1 exploded row per char "
-         "(linear), coverage re-explodes only duplicated grams "
+         "(linear); coverage via interval-union islands over duplicated "
+         "starts (doc-keyed window), never a x8 position explode — the "
+         "oracle keeps the exploded-union form, so the algebraic "
+         "equivalence is driver-checked "
          "(operators/curation.py::char_ngram_repetition)")
 def text_char_ngram_repetition(spark, sf_dir):
     return char_ngram_repetition(tbl(spark, sf_dir, "documents"),
