@@ -847,28 +847,35 @@ def text_gopher_quality_rules(spark, sf_dir):
          "attribution. One scan, flags computed once, 5-way rollup of "
          "an already-tiny aggregate")
 def quality_rejection_reasons(spark, sf_dir):
+    # ONE corpus scan: all twelve counters are aggregate expressions of
+    # one pass (a per-rule agg loop would scan the corpus 5x), unpivoted
+    # to rule rows afterwards via a 1-row explode.
     flags = _gopher_flagged(spark, sf_dir)
     keep = (F.col("wc_ok") & F.col("mwl_ok") & F.col("symbol_ok")
             & F.col("alpha_ok") & F.col("stop_ok"))
     base = flags.withColumn("__keep", keep)
-    tot = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_keep"))
     rules = ["wc", "mwl", "symbol", "alpha", "stop"]
-    rows = []
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint")
+            .alias("n_keep")]
     for r in rules:
         ok = F.col(f"{r}_ok")
         others = [F.col(f"{o}_ok") for o in rules if o != r]
         all_others = others[0] & others[1] & others[2] & others[3]
-        rows.append(base.agg(
-            F.lit(r).alias("rule"),
-            F.sum((~ok).cast("int")).cast("bigint").alias("n_fail"),
-            F.sum((~ok & all_others).cast("int")).cast("bigint")
-            .alias("n_unique_fail")))
-    per = rows[0]
-    for r in rows[1:]:
-        per = per.unionByName(r)
-    return per.crossJoin(F.broadcast(tot))
+        aggs.append(F.sum((~ok).cast("int")).cast("bigint")
+                    .alias(f"__fail_{r}"))
+        aggs.append(F.sum((~ok & all_others).cast("int")).cast("bigint")
+                    .alias(f"__uniq_{r}"))
+    one = base.agg(*aggs)
+    rule_structs = F.array(*[
+        F.struct(F.lit(r).alias("rule"),
+                 F.col(f"__fail_{r}").alias("n_fail"),
+                 F.col(f"__uniq_{r}").alias("n_unique_fail"))
+        for r in rules])
+    return (one.select(F.explode(rule_structs).alias("x"),
+                       "n_docs", "n_keep")
+            .select("x.rule", "x.n_fail", "x.n_unique_fail",
+                    "n_docs", "n_keep"))
 
 
 @register(
@@ -1832,37 +1839,64 @@ def dedup_keep_best_quality(spark, sf_dir):
          "hash-keyed — the funnel never pairs docs outside the shingle "
          "equi-join")
 def pipeline_dedup_funnel(spark, sf_dir):
+    # The survivor-ID sets of each stage are CHECKPOINTED narrow frames
+    # (doc_id only — never the text column), so a stage's grouping runs
+    # exactly once even though three downstream consumers reference it;
+    # the four stage rows then come from ONE labeled aggregate + a
+    # 1-row explode, not four aggregates each re-executing the lineage.
     from mapreduce_wsi_spark.operators.dedup import (
         connected_components, jaccard_pairs, normalize_text)
+    from mapreduce_wsi_spark.util import iter_checkpoint
     docs = tbl(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "n_chars", "source", "text",
+    base = docs.select("doc_id", "n_chars", "text",
                        _synth_url().alias("u"))
-    ex_g = (base.select("doc_id",
-                        F.md5(normalize_text(F.col("text"))).alias("h"))
-            .groupBy("h").agg(F.min("doc_id").alias("k1")))
-    s1 = (base.join(ex_g.select(F.col("k1").alias("doc_id")), "doc_id",
-                    "left_semi"))
-    url_g = (s1.select("doc_id", canonical_url(F.col("u")).alias("cu"))
-             .groupBy("cu").agg(F.min("doc_id").alias("k2")))
-    s2 = s1.join(url_g.select(F.col("k2").alias("doc_id")), "doc_id",
-                 "left_semi")
+    s1_ids = iter_checkpoint(
+        base.select("doc_id",
+                    F.md5(normalize_text(F.col("text"))).alias("h"))
+        .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"))
+    s1 = base.join(s1_ids, "doc_id", "left_semi")
+    s2_ids = iter_checkpoint(
+        s1.select("doc_id", canonical_url(F.col("u")).alias("cu"))
+        .groupBy("cu").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"))
+    s2 = s1.join(s2_ids, "doc_id", "left_semi")
     pairs = jaccard_pairs(s2, "text", "doc_id", n=3, min_jaccard=0.1)
-    comp = connected_components(pairs)
-    s3 = (s2.join(comp.withColumnRenamed("id", "doc_id"), "doc_id",
-                  "left")
-          .filter(F.col("comp").isNull()
-                  | (F.col("comp") == F.col("doc_id"))))
-
-    def stage(df, name):
-        return df.agg(F.lit(name).alias("stage"),
-                      F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                      F.sum("n_chars").cast("bigint")
-                      .alias("total_chars"))
-
-    return (stage(base, "raw")
-            .unionByName(stage(s1, "exact"))
-            .unionByName(stage(s2, "url_canonical"))
-            .unionByName(stage(s3, "near_dup")))
+    comp = connected_components(pairs)  # checkpoints internally
+    lab = (base.select("doc_id", "n_chars")
+           .join(s1_ids.withColumn("__s1", F.lit(1)), "doc_id", "left")
+           .join(s2_ids.withColumn("__s2", F.lit(1)), "doc_id", "left")
+           .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+           .select("n_chars",
+                   F.coalesce("__s1", F.lit(0)).alias("s1"),
+                   F.coalesce("__s2", F.lit(0)).alias("s2"),
+                   (F.coalesce("__s2", F.lit(0)) *
+                    (F.col("comp").isNull()
+                     | (F.col("comp") == F.col("doc_id"))).cast("int"))
+                   .alias("s3")))
+    one = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("n_chars").cast("bigint").alias("c0"),
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum(F.col("s1") * F.col("n_chars")).cast("bigint").alias("c1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum(F.col("s2") * F.col("n_chars")).cast("bigint").alias("c2"),
+        F.sum("s3").cast("bigint").alias("n3"),
+        F.sum(F.col("s3") * F.col("n_chars")).cast("bigint").alias("c3"))
+    stages = F.array(
+        F.struct(F.lit("raw").alias("stage"), F.col("n0").alias("n_docs"),
+                 F.col("c0").alias("total_chars")),
+        F.struct(F.lit("exact").alias("stage"),
+                 F.col("n1").alias("n_docs"),
+                 F.col("c1").alias("total_chars")),
+        F.struct(F.lit("url_canonical").alias("stage"),
+                 F.col("n2").alias("n_docs"),
+                 F.col("c2").alias("total_chars")),
+        F.struct(F.lit("near_dup").alias("stage"),
+                 F.col("n3").alias("n_docs"),
+                 F.col("c3").alias("total_chars")))
+    return (one.select(F.explode(stages).alias("x"))
+            .select("x.stage", "x.n_docs", "x.total_chars"))
 
 
 @register(
