@@ -178,6 +178,13 @@ HEADLINE = [
     "text_idf_rarity_score",
     "eval_bleu_ngram_precision",
     "pipeline_dedup_funnel",
+    # r10 session-2 tranche — the two rows with corpus-sized fan-out:
+    # the CDC chunk fold (map-only aggregate per doc + global
+    # first-occurrence groupBy over ~n_words/4 chunks) and the CCNet
+    # paragraph LM (full token explode -> vocab join -> (doc, para)
+    # agg). The other three are doc-level/panel-bounded/temp-file-IO.
+    "dedup_cdc_sentences",
+    "text_ccnet_paragraph_lm",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

@@ -416,3 +416,109 @@ def char_ngram_repetition(df: DataFrame, text_col: str, id_col: str,
                     F.round(F.coalesce("n_dup_chars", F.lit(0))
                             / F.col("n_chars"), 9)
                     .alias("dup_char_frac")))
+
+
+def cdc_chunk_dedup(df: DataFrame, text_col: str, id_col: str,
+                    boundary_pct: int = 25) -> DataFrame:
+    """Sentence-granular exact substring dedup via content-defined
+    chunking (the rsync/LBFS boundary trick applied to text): a word
+    ENDS a chunk iff its portable md5 bucket < ``boundary_pct``, so
+    chunk boundaries are a pure function of content — insert a word
+    into a doc and only the chunk containing it changes, unlike
+    fixed-width paragraphs where every downstream chunk shifts. That
+    stability is what makes chunk-level dedup meaningful across crawl
+    snapshots of slightly-edited pages (mean chunk length =
+    100/boundary_pct words).
+
+    Chunking is ONE map-only fold per document (SQL ``aggregate`` over
+    the word array — no explode-then-window, no shuffle until the
+    first-occurrence groupBy); first-occurrence keep is a min()
+    aggregate over the arithmetic (doc, chunk) int64 key, the
+    paragraph_dedup convention (exact for doc ids < 2^21, engine-
+    portable). Returns per doc: (id, n_chunks, n_kept, kept_frac)."""
+    fold = F.expr(
+        "aggregate(__w, "
+        "named_struct('cs', cast(array() as array<string>), "
+        "'cur', cast(array() as array<string>)), "
+        "(acc, w) -> CASE WHEN "
+        f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 100 "
+        f"< {boundary_pct} "
+        "THEN named_struct('cs', concat(acc.cs, array(concat_ws(' ', "
+        "concat(acc.cur, array(w))))), "
+        "'cur', cast(array() as array<string>)) "
+        "ELSE named_struct('cs', acc.cs, "
+        "'cur', concat(acc.cur, array(w))) END, "
+        "acc -> CASE WHEN size(acc.cur) > 0 THEN concat(acc.cs, "
+        "array(concat_ws(' ', acc.cur))) ELSE acc.cs END)")
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.split(F.col(text_col), " ").alias("__w"))
+                .select("id", F.posexplode(fold).alias("cid", "ctext"))
+                .select("id", "cid", F.md5("ctext").alias("h")))
+    keyed = exploded.withColumn(
+        "__k", F.col("id") * F.lit(4294967296) + F.col("cid"))
+    firsts = keyed.groupBy("h").agg(F.min("__k").alias("__first"))
+    return (keyed.join(firsts, "h")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum((F.col("__k") == F.col("__first")).cast("int"))
+                 .alias("n_kept"))
+            .select(F.col("id").alias(id_col),
+                    F.col("n_chunks").cast("int").alias("n_chunks"),
+                    F.col("n_kept").cast("int").alias("n_kept"),
+                    F.round(F.col("n_kept") / F.col("n_chunks"), 9)
+                    .alias("kept_frac")))
+
+
+def ccnet_paragraph_lm(corpus: DataFrame, ref: DataFrame, text_col: str,
+                       id_col: str, para_words: int = 8,
+                       cuts: tuple[float, float] = (3.39, 3.42)
+                       ) -> DataFrame:
+    """CCNet-style per-paragraph LM filtering (Wenzek et al. 2019,
+    arXiv:1911.00359): score each PARAGRAPH of every document with a
+    language model trained on a trusted reference partition, and bucket
+    paragraphs head/middle/tail by cross-entropy — the granularity
+    insight of CCNet is that quality filtering at paragraph level keeps
+    the good half of a mixed-quality page instead of dropping the doc.
+
+    The LM is an add-one-smoothed word unigram over the reference:
+    p(w) = (c_ref(w) + 1) / (N_ref + V_ref), OOV words get the uniform
+    1/(N_ref+V_ref) floor from the same formula at c=0. Per-word log
+    probs are cast to DECIMAL(28,9) BEFORE summation so the per-
+    paragraph cross-entropy is accumulation-order-independent and
+    engine-identical (the mix_perplexity_target convention). Shuffles:
+    one groupBy for the reference counts (partial-aggregated; vocab-
+    sized result reused across the corpus), one token join against
+    those counts (AQE broadcasts when vocab is small), one (doc, para)
+    groupBy. No windows, no collects — the N+V scalar rides a 1-row
+    broadcast. Returns per paragraph: (id, para, n_words, xent,
+    bucket)."""
+    rt = ref.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    cnt = rt.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
+    nv = (rt.agg(F.count(F.lit(1)).alias("__n"))
+          .crossJoin(cnt.agg(F.count(F.lit(1)).alias("__v")))
+          .select((F.col("__n") + F.col("__v")).alias("__nv")))
+    paras = F.expr(
+        f"transform(sequence(0, (size(__w) - 1) div {para_words}), "
+        f"j -> named_struct('para', j, 'pw', "
+        f"slice(__w, j * {para_words} + 1, {para_words})))")
+    tok = (corpus.select(F.col(id_col).alias("id"),
+                         F.split(F.col(text_col), " ").alias("__w"))
+           .select("id", F.explode(paras).alias("p"))
+           .select("id", F.col("p.para").alias("para"),
+                   F.explode("p.pw").alias("w")))
+    lp = (tok.join(cnt, "w", "left")
+          .crossJoin(F.broadcast(nv))
+          .select("id", "para",
+                  F.log((F.coalesce(F.col("__c"), F.lit(0)) + 1)
+                        .cast("double") / F.col("__nv"))
+                  .cast("decimal(28,9)").alias("lp")))
+    scored = (lp.groupBy("id", "para")
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   ((-F.sum("lp")).cast("double")
+                    / F.count(F.lit(1))).alias("xent")))
+    bucket = (F.when(F.col("xent") < cuts[0], "head")
+              .when(F.col("xent") < cuts[1], "middle")
+              .otherwise("tail"))
+    return scored.select(F.col("id").alias(id_col), "para",
+                         F.col("n_words").cast("int").alias("n_words"),
+                         "xent", bucket.alias("bucket"))

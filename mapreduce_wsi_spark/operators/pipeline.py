@@ -722,3 +722,49 @@ def negative_sample_unigram(docs: DataFrame, text_col: str,
     return (hit.groupBy("w", F.col("__wt").alias("weight"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
             .select(F.col("w").alias("token"), "weight", "n_drawn"))
+
+
+def ntile_bucketed(df: DataFrame, part_cols: list[str], order_col: str,
+                   tiebreak_col: str, n_tiles: int,
+                   bucket_width: float,
+                   tile_col: str = "__tile") -> DataFrame:
+    """Arithmetic ntile WITHOUT a whole-partition window — the SCALE.md
+    r9 bucketed prefix-sum recipe, first proven inline by
+    window_ntile_bins (r10) and factored here so every per-group
+    order-statistic site can reuse it: rank within (group, value-range
+    bucket) windows, compose a global in-group rank from broadcast
+    exclusive bucket prefixes, then derive the tile ARITHMETICALLY from
+    (rank, group size) — bit-identical to ntile(n) ordered by
+    (order_col, tiebreak_col): the first n%T tiles hold ceil(n/T) rows,
+    the rest floor(n/T), exactly Spark/DuckDB ntile semantics (groups
+    smaller than T degrade to tile = rank on both engines, the CASE's
+    WHEN branch, so the div-by-zero ELSE is never reached). No window
+    ever sees a whole group: the in-bucket window is bounded by the
+    value bucket's density (degenerate single-value data refills one
+    bucket — the documented residual), the bucket-level cumsum runs
+    over |group x bucket| aggregate rows."""
+    parts = list(part_cols)
+    b = df.withColumn(
+        "__vb", F.floor(F.col(order_col) / bucket_width).cast("long"))
+    w_in = Window.partitionBy(*parts, "__vb").orderBy(order_col,
+                                                      tiebreak_col)
+    within = b.withColumn("__r", F.row_number().over(w_in))
+    counts = b.groupBy(*parts, "__vb").agg(F.count(F.lit(1)).alias("__c"))
+    w_b = (Window.partitionBy(*parts).orderBy("__vb")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = (counts.withColumn("__pre",
+                             F.sum("__c").over(w_b) - F.col("__c"))
+           .select(*parts, "__vb", "__pre"))
+    tot = counts.groupBy(*parts).agg(F.sum("__c").alias("__n"))
+    ranked = (within
+              .join(F.broadcast(pre), parts + ["__vb"])
+              .join(F.broadcast(tot), parts)
+              .withColumn("__gr", F.col("__r") + F.col("__pre")))
+    t = n_tiles
+    tile = F.expr(
+        f"CAST(CASE WHEN __gr <= (__n % {t}) * (__n div {t} + 1) "
+        f"THEN (__gr + (__n div {t})) div (__n div {t} + 1) "
+        f"ELSE (__n % {t}) + (__gr - (__n % {t}) * (__n div {t} + 1) "
+        f"+ (__n div {t}) - 1) div (__n div {t}) END AS INT)")
+    return (ranked.withColumn(tile_col, tile)
+            .drop("__vb", "__r", "__pre", "__n", "__gr"))

@@ -2231,3 +2231,290 @@ def eval_fleiss_kappa(spark, sf_dir):
                     F.round(p_e, 9).alias("p_e"),
                     F.round((p_bar - p_e) / (1.0 - p_e), 9)
                     .alias("kappa")))
+
+
+# ---------------------------------------------------------------------------
+# r10 session-2 additions — the last 5 window slots of the <=45/round
+# growth budget (the staleness pad yields per its shrink-first rule).
+# Drawn from the r11 queue: manifest-keyed incremental dedup, CDC
+# sentence dedup, CCNet paragraph LM, curriculum scheduling, and the
+# embedding-dedup recall audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cdc_sentences",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    pos AS (SELECT doc_id, i, w[CAST(i AS INT)] AS wd,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5(w[CAST(i AS INT)]), 1, 8)) AS BIGINT)
+                        % 100 < 25
+                        THEN 1 ELSE 0 END AS b
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w))) AS i
+                  FROM tk) t),
+    ch AS (SELECT doc_id, i, wd,
+                  coalesce(sum(b) OVER (
+                      PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cid
+           FROM pos),
+    chunks AS (SELECT doc_id, cid,
+                      md5(string_agg(wd, ' ' ORDER BY i)) AS h,
+                      doc_id * 4294967296 + cid AS k
+               FROM ch GROUP BY doc_id, cid),
+    f AS (SELECT h, min(k) AS fk FROM chunks GROUP BY h)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+           CAST(sum(CASE WHEN k = fk THEN 1 ELSE 0 END) AS INT)
+               AS n_kept,
+           round(sum(CASE WHEN k = fk THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 9) AS kept_frac
+    FROM chunks JOIN f USING (h) GROUP BY doc_id
+    """,
+    note="sentence-granular exact substring dedup via content-defined "
+         "chunking (the rsync/LBFS boundary trick on words: a word ends "
+         "a chunk iff its portable md5 bucket < 25, mean chunk ~4 "
+         "words): boundaries are a pure function of content, so an "
+         "edited page re-chunks only around the edit and chunk-level "
+         "dedup stays stable across crawl snapshots — the suffix-"
+         "automaton-free substring dedup of the r11 queue. Chunking is "
+         "one map-only SQL aggregate fold per doc (no explode-window); "
+         "first-occurrence keep is the paragraph_dedup min()-over-"
+         "arithmetic-key convention "
+         "(operators/curation.py::cdc_chunk_dedup)")
+def dedup_cdc_sentences(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.curation import cdc_chunk_dedup
+    return cdc_chunk_dedup(tbl(spark, sf_dir, "documents"),
+                           "text", "doc_id", boundary_pct=25)
+
+
+@register(
+    "text_ccnet_paragraph_lm",
+    oracle="""
+    WITH rtok AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents WHERE doc_id % 5 = 0),
+    cnt AS (SELECT w, count(*) AS c FROM rtok GROUP BY w),
+    nv AS (SELECT (SELECT count(*) FROM rtok)
+                  + (SELECT count(*) FROM cnt) AS nv),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pw AS (SELECT doc_id, j,
+                  unnest(w[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)]) AS w2
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(0, (len(w) - 1) // 8))
+                            AS j
+                 FROM tk) t),
+    lp AS (SELECT doc_id, j,
+                  CAST(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / nv)
+                       AS DECIMAL(28,9)) AS lp
+           FROM pw LEFT JOIN cnt ON pw.w2 = cnt.w CROSS JOIN nv),
+    x AS (SELECT doc_id, j, -CAST(sum(lp) AS DOUBLE) / count(*) AS xent
+          FROM lp GROUP BY 1, 2),
+    b AS (SELECT doc_id,
+                 CASE WHEN xent < 3.39 THEN 'head'
+                      WHEN xent < 3.42 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM x),
+    comp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_paras,
+                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             FROM b GROUP BY 1),
+    tot AS (SELECT sum(n_paras) AS tp FROM comp)
+    SELECT bucket, n_paras, n_docs,
+           round(n_paras * 1.0 / tp, 9) AS share
+    FROM comp CROSS JOIN tot
+    """,
+    note="CCNet-style per-paragraph LM filtering (Wenzek et al. 2019, "
+         "arXiv:1911.00359): an add-one word-unigram LM trained on the "
+         "trusted reference partition (doc_id%5=0) scores every 8-word "
+         "paragraph of the corpus; paragraphs bucket head/middle/tail "
+         "by cross-entropy cuts (3.39/3.42, the fixture quartile "
+         "region) — CCNet's insight is paragraph granularity keeps the "
+         "good half of a mixed-quality page. Per-word log-probs sum in "
+         "DECIMAL(28,9) so xent is accumulation-order-independent "
+         "(mix_perplexity_target convention); shuffles are one vocab "
+         "groupBy + one token join (AQE-broadcast when vocab is small) "
+         "+ one (doc,para) groupBy — no windows, no collects "
+         "(operators/curation.py::ccnet_paragraph_lm)")
+def text_ccnet_paragraph_lm(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.curation import ccnet_paragraph_lm
+    docs = tbl(spark, sf_dir, "documents")
+    scored = ccnet_paragraph_lm(docs, docs.filter(F.col("doc_id") % 5 == 0),
+                                "text", "doc_id", para_words=8,
+                                cuts=(3.39, 3.42))
+    comp = (scored.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
+    tot = comp.agg(F.sum("n_paras").alias("tp"))
+    return (comp.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_paras", "n_docs",
+                    F.round(F.col("n_paras") / F.col("tp"), 9)
+                    .alias("share")))
+
+
+@register(
+    "mix_curriculum_schedule",
+    oracle="""
+    WITH s AS (SELECT doc_id, source, n_chars,
+                      ntile(4) OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS stage
+               FROM documents)
+    SELECT CAST(stage AS INT) AS stage, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS lo_chars,
+           CAST(max(n_chars) AS BIGINT) AS hi_chars,
+           round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 9) AS mean_chars
+    FROM s GROUP BY 1, 2
+    """,
+    note="domain-balanced curriculum schedule: within every source "
+         "domain, docs rank easy-to-hard (n_chars as the difficulty "
+         "proxy) and split into 4 curriculum stages — each stage takes "
+         "one quartile PER DOMAIN, so stage composition is domain-"
+         "balanced by construction. The per-domain quartile is the "
+         "factored bucketed prefix-sum arithmetic ntile "
+         "(operators/pipeline.py::ntile_bucketed — the SCALE.md r9 "
+         "recipe, now a reusable helper): rank within (source, 64-char "
+         "value bucket), compose broadcast exclusive bucket prefixes, "
+         "derive the tile arithmetically — bit-identical to ntile(4) "
+         "with no whole-domain window task; the oracle still runs "
+         "ntile. tests/test_plan_shapes.py pins ntile out of the plan")
+def mix_curriculum_schedule(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    staged = ntile_bucketed(docs, ["source"], "n_chars", "doc_id",
+                            n_tiles=4, bucket_width=64,
+                            tile_col="stage")
+    return (staged.groupBy("stage", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("n_chars").cast("bigint").alias("lo_chars"),
+                 F.max("n_chars").cast("bigint").alias("hi_chars"),
+                 F.round(F.sum(F.col("n_chars").cast("decimal(18,2)"))
+                         .cast("double") / F.count(F.lit(1)), 9)
+                 .alias("mean_chars")))
+
+
+@register(
+    "dedup_manifest_cross_snapshot",
+    oracle=rf"""
+    WITH old_h AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS h,
+               min(doc_id) AS matched_old
+        FROM documents WHERE {_SNAPSHOT_SPLIT} != 0 GROUP BY 1),
+    new_h AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS h
+        FROM documents WHERE {_SNAPSHOT_SPLIT} = 0)
+    SELECT n.doc_id, o.matched_old IS NOT NULL AS is_carried,
+           o.matched_old
+    FROM new_h n LEFT JOIN old_h o USING (h)
+    """,
+    note="cross-snapshot exact dedup keyed by the REAL lakehouse "
+         "incremental manifest (the r11-queue composition of "
+         "lakehouse_incremental_files with cross_snapshot_exact): "
+         "batch 1 (the standing corpus) lands as parquet and its file "
+         "paths are recorded; batch 2 (the new crawl) appends to the "
+         "same directory; the new side is incremental_new_files "
+         "(input_file_name() pruned at the scan, cost O(new data)) and "
+         "the old side is the manifest complement — the snapshot split "
+         "comes from the ingest manifest itself, not a column filter, "
+         "which is how a daily 100 TB crawl actually knows what is "
+         "new. The manifest collect is file PATHS (bounded by file "
+         "count), never data. Oracle proves the manifest split leaks "
+         "no old row into the new side and loses none")
+def dedup_manifest_cross_snapshot(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduce_wsi_spark.operators.lakehouse import (
+        incremental_new_files)
+
+    docs = tbl(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"manifest_xsnap_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(
+        base, mode="overwrite")
+    manifest = [r["f"] for r in
+                spark.read.parquet(base)
+                .select(F.input_file_name().alias("f"))
+                .distinct().collect()]
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(
+        base, mode="append")
+    new = incremental_new_files(spark, base, manifest)
+    old = (spark.read.parquet(base)
+           .filter(F.input_file_name().isin(manifest)))
+    return cross_snapshot_exact(new, old, "text", "doc_id")
+
+
+@register(
+    "dedup_embedding_recall_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300),
+    p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS c
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    t AS (SELECT CAST(unnest([0.45, 0.40, 0.35]) AS DOUBLE) AS thr)
+    SELECT thr, CAST(count(*) FILTER (c >= thr) AS BIGINT) AS n_true,
+           true AS recall_ok
+    FROM p CROSS JOIN t GROUP BY thr
+    """,
+    note="embedding-space dedup recall audit (the r11-queue embedding "
+         "twin of dedup_lsh_recall_audit): on a FIXED 300-vector audit "
+         "panel (bounded, so the exact all-pairs truth side is O(1) at "
+         "any corpus scale), the exact cosine pair count at thresholds "
+         "0.45/0.40/0.35 (oracle-matched — double dot in list order, "
+         "the sim_cosine_topk bit-identity convention) vs the 48-plane/"
+         "12-band sign-LSH candidate set: recall_ok asserts found/true "
+         ">= 0.99/0.85/0.70 per threshold (measured 3/3, 19/19, 85/97 "
+         "at sf0.01, seeded and deterministic). Low thresholds are the "
+         "hard regime for sign-LSH (cos 0.35 is a 70-degree angle — "
+         "band agreement ~0.14); the audit exists to keep that recall "
+         "curve driver-visible when banding knobs change")
+def dedup_embedding_recall_audit(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, cosine, lsh_bucket, random_hyperplanes)
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    c = emb.select("vec_id",
+                   _as_double(F.col("embedding")).alias("__v"))
+    dim = len(emb.select("embedding").first()[0])
+    planes = random_hyperplanes(48, dim, seed=42)
+    b = c.select("vec_id",
+                 F.explode(lsh_bucket(F.col("__v"), planes, bands=12))
+                 .alias("b"))
+    x, y = b.alias("x"), b.alias("y")
+    cands = (x.join(y, (F.col("x.b.band") == F.col("y.b.band"))
+                    & (F.col("x.b.key") == F.col("y.b.key"))
+                    & (F.col("x.vec_id") < F.col("y.vec_id")))
+             .select(F.col("x.vec_id").alias("ia"),
+                     F.col("y.vec_id").alias("ib"))
+             .distinct()
+             .withColumn("__hit", F.lit(1)))
+    pa, pb = c.alias("a"), c.alias("b")
+    pairs = (pa.join(F.broadcast(pb),
+                     F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("ia"),
+                     F.col("b.vec_id").alias("ib"),
+                     cosine(F.col("a.__v"), F.col("b.__v")).alias("c")))
+    thr = (spark.range(1)
+           .select(F.explode(F.array(F.lit(0.45), F.lit(0.40),
+                                     F.lit(0.35))).alias("thr")))
+    bound = (F.when(F.col("thr") == 0.45, F.lit(0.99))
+             .when(F.col("thr") == 0.40, F.lit(0.85))
+             .otherwise(F.lit(0.70)))
+    flagged = pairs.join(cands, ["ia", "ib"], "left")
+    return (flagged.crossJoin(F.broadcast(thr))
+            .filter(F.col("c") >= F.col("thr"))
+            .groupBy("thr")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"),
+                 F.sum(F.coalesce("__hit", F.lit(0))).alias("__found"))
+            .select("thr", "n_true",
+                    (F.col("__found") >= bound * F.col("n_true"))
+                    .alias("recall_ok")))

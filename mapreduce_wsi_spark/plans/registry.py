@@ -90,10 +90,12 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window slots): the r10 tranche adds exactly 40 web-corpus-curation
 # entries (plans/q_curation.py — URL canonical dedup, cross-snapshot
 # incremental dedup, contamination scoring, quota/PPS sampling,
-# Gopher/C4 gates, dedup audits, LLM-eval metrics), so this window =
-# 5 sentinels + all 40 new entries + the 5-slot staleness pad that the
-# r9 registry already queued for "the first round with free slots":
-# the round-2-vintage stamps. Every new entry is driver-stamped the
+# Gopher/C4 gates, dedup audits, LLM-eval metrics) and a session-2
+# tranche of 5 r11-queue entries (manifest-keyed incremental dedup,
+# CDC sentence dedup, CCNet paragraph LM, curriculum ntile, embedding
+# recall audit) — exactly the 45-entry budget, so this window =
+# 5 sentinels + all 45 new entries; the staleness pad shrank to zero
+# per its shrink-first rule. Every new entry is driver-stamped the
 # round it lands; the backlog can never re-form.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped), and
@@ -102,12 +104,14 @@ ROUND = 10  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # exists only when free slots remain after covering never-stamped
-# entries and SHRINKS FIRST. 40 fresh entries leave exactly 5 free
-# slots — the round-2-vintage candidates queued since r9.
-WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
-    "q10_returned_items", "q12_late_shipment",
-)
+# entries and SHRINKS FIRST — and this round it shrank to zero: the
+# session-2 tranche (5 more r11-queue entries, bringing r10 growth to
+# exactly the 45-entry budget) fills every non-sentinel slot with
+# never-stamped entries. The round-2-vintage staleness candidates
+# (above_avg_balance, distinct_rows, histogram_fixed_buckets,
+# q10_returned_items, q12_late_shipment) re-queue for the next round
+# with free slots.
+WINDOW_STALENESS_PAD: tuple[str, ...] = ()
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
@@ -143,6 +147,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_lang_mix_entropy", "text_token_len_hist",
     "pipeline_shard_size_audit", "text_hapax_ratio",
     "mix_domain_kl_divergence", "eval_fleiss_kappa",
+    # session-2 tranche (r11-queue pulls; registered in q_curation.py)
+    "dedup_cdc_sentences", "text_ccnet_paragraph_lm",
+    "mix_curriculum_schedule", "dedup_manifest_cross_snapshot",
+    "dedup_embedding_recall_audit",
 ) + WINDOW_STALENESS_PAD
 
 

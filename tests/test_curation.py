@@ -152,3 +152,107 @@ def test_incremental_minhash_never_pairs_old_with_old(spark):
                                       min_jaccard=0.5).collect()
     got = {(r["doc_new"], r["doc_old"]) for r in pairs}
     assert got == {(10, 1), (10, 2)}  # never (1,2), never 11-anything
+
+
+def test_cdc_chunk_boundaries_are_content_defined(spark):
+    """The CDC property that fixed-width paragraphs lack: inserting one
+    word into a doc re-chunks only around the edit, so the chunks AFTER
+    the insertion's enclosing chunk are byte-identical — verified by
+    chunking a doc and its one-word-insert edit and intersecting chunk
+    hashes. Also pins the boundary rule itself (portable md5 bucket of
+    the word < pct ends a chunk) against a hand-derived doc."""
+    import hashlib
+
+    from mapreduce_wsi_spark.operators.curation import cdc_chunk_dedup
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 100
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    text = " ".join(words)
+    edited = " ".join(words[:6] + ["zulu"] + words[6:])
+    df = spark.createDataFrame([(1, text), (2, edited)],
+                               "doc_id long, text string")
+    per_doc = {r["doc_id"]: r for r in
+               cdc_chunk_dedup(df, "text", "doc_id",
+                               boundary_pct=50).collect()}
+    # CDC stability: the edited doc shares every chunk except the one
+    # (or two, if zulu is itself a boundary) containing the edit, so
+    # n_kept on the edited doc is at most 2 (only the changed chunks
+    # are first occurrences beyond doc 1's)
+    assert per_doc[2]["n_kept"] <= 2
+    assert per_doc[2]["n_chunks"] >= per_doc[1]["n_chunks"]
+    # boundary-rule pin: doc 1's chunk count matches the hand-derivation
+    boundaries_inside = sum(1 for w in words[:-1] if bucket(w) < 50)
+    last_is_boundary = bucket(words[-1]) < 50
+    expected = boundaries_inside + (0 if last_is_boundary else 1)
+    if last_is_boundary:
+        expected += 1  # the closed final chunk still exists
+    assert per_doc[1]["n_chunks"] == expected
+
+
+def test_cdc_single_word_and_all_boundary_docs(spark):
+    """Degenerate shapes: a one-word doc yields exactly one chunk
+    whether or not the word is a boundary; a doc of all-boundary words
+    yields one chunk per word; identical docs dedup to one survivor
+    set (second doc keeps nothing)."""
+    from mapreduce_wsi_spark.operators.curation import cdc_chunk_dedup
+
+    df = spark.createDataFrame([(1, "solo"), (2, "solo")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           cdc_chunk_dedup(df, "text", "doc_id",
+                           boundary_pct=100).collect()}
+    assert got[1]["n_chunks"] == 1 and got[1]["n_kept"] == 1
+    assert got[2]["n_chunks"] == 1 and got[2]["n_kept"] == 0
+    many = spark.createDataFrame([(3, "a b c d e")],
+                                 "doc_id long, text string")
+    r3 = cdc_chunk_dedup(many, "text", "doc_id",
+                         boundary_pct=100).collect()[0]
+    assert r3["n_chunks"] == 5  # every word ends its own chunk
+
+
+def test_ccnet_lm_oov_floor_and_reference_ordering(spark):
+    """Hand-check the add-one unigram: reference = 'cat cat dog'
+    (N=3, V=2, so nv=5): p(cat)=3/5, p(dog)=2/5, p(OOV)=1/5. A
+    paragraph of reference words must score lower cross-entropy than
+    an all-OOV paragraph, and the OOV paragraph's xent must equal
+    -ln(1/5) exactly (every word hits the same smoothing floor)."""
+    import math
+
+    from mapreduce_wsi_spark.operators.curation import ccnet_paragraph_lm
+
+    ref = spark.createDataFrame([(0, "cat cat dog")],
+                                "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "cat dog cat dog"), (2, "xx yy zz ww")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            ccnet_paragraph_lm(corpus, ref, "text", "doc_id",
+                               para_words=4).collect()}
+    assert rows[1]["xent"] < rows[2]["xent"]
+    assert abs(rows[2]["xent"] - (-math.log(1 / 5))) < 1e-6
+    assert rows[1]["n_words"] == 4 and rows[1]["para"] == 0
+
+
+def test_ntile_bucketed_matches_ntile_exactly(spark):
+    """The factored helper must be BIT-identical to ntile(T) ordered by
+    (order, tiebreak) — including groups smaller than T (tile = rank)
+    and ties on the order column (tiebreak decides) — across a T that
+    divides the group evenly and one that doesn't."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
+
+    rows = [(g, i, float((i * 7) % 23)) for g in ("a", "b")
+            for i in range(17)] + [("tiny", 99, 1.0), ("tiny", 98, 1.0)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    for t in (4, 5):
+        got = ntile_bucketed(df, ["grp"], "v", "id", n_tiles=t,
+                             bucket_width=3.0, tile_col="tile")
+        w = W.partitionBy("grp").orderBy("v", "id")
+        want = df.withColumn("tile", F.ntile(t).over(w))
+        diff = (got.select("grp", "id", "tile")
+                .exceptAll(want.select("grp", "id", "tile")))
+        assert diff.count() == 0, f"T={t}: {diff.collect()}"

@@ -14,7 +14,7 @@ thousand.
 The curated ENTRIES list names exact-arithmetic paths
 (decimal/integer/hash/rank) chosen per round for per-test visibility;
 since r8 `test_full_catalog_invariant_under_input_splitting` sweeps
-EVERY remaining catalog entry in one bulk test, so the whole (381-entry as of r10)
+EVERY remaining catalog entry in one bulk test, so the whole (386-entry as of r10)
 surface is invariance-pinned. Float-summing entries keep their sums in
 decimal through the shuffle for exactly this reason (see FIXTURES.md
 §B / the share_of_total note).

@@ -709,3 +709,37 @@ def test_ntile_bins_is_bucketed_prefix_sum(spark, sf_oracle):
     assert any("__vb" in s for s in specs), (
         f"in-bucket rank window missing: {specs}")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_curriculum_schedule_uses_factored_bucketed_ntile(spark, sf_oracle):
+    """mix_curriculum_schedule rides the FACTORED bucketed-prefix-sum
+    ntile (operators/pipeline.py::ntile_bucketed — the window_ntile_bins
+    recipe promoted to a reusable helper): no ntile window and no rank
+    window keyed on the bare source column (20 sources over an unbounded
+    corpus is exactly the SNM bounded-keyset defect class); the only
+    row-level window is keyed by (source, __vb value bucket), and the
+    bucket prefixes/totals come back as broadcasts. The oracle still
+    runs ntile(4), so output is bit-identical; this pins plan shape."""
+    import re
+
+    plan = plan_of(build("mix_curriculum_schedule", spark, sf_oracle))
+    assert "ntile" not in plan, "ntile window returned"
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert any("__vb" in s for s in specs), (
+        f"in-bucket rank window missing: {specs}")
+    row_level = [s for s in specs if "row_number" in s or "__r" in s]
+    assert all("__vb" in s for s in row_level), (
+        f"row-level window not bucket-keyed: {row_level}")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cdc_chunking_is_map_only_fold_no_window(spark, sf_oracle):
+    """dedup_cdc_sentences chunks with ONE map-only SQL aggregate fold
+    per document — the plan must contain no Window at all (the naive
+    form is posexplode words -> per-doc running-sum window -> re-group,
+    three times the shuffled rows) and only hash-aggregate exchanges
+    (the first-occurrence groupBy and the per-doc rollup)."""
+    plan = plan_of(build("dedup_cdc_sentences", spark, sf_oracle))
+    assert "Window" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+        or "ShuffledHashJoin" in plan  # the join-back to firsts
