@@ -109,6 +109,10 @@ SHOWN = [
     "text_char_ngram_repetition",
     "sample_pps_systematic",
     "pipeline_dedup_funnel",
+    # r10 session-2: the CDC map-only fold (no Window anywhere) and the
+    # factored bucketed-prefix-sum ntile (no ntile, bucket-keyed rank)
+    "dedup_cdc_sentences",
+    "mix_curriculum_schedule",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.

@@ -72,6 +72,9 @@ PROBE_QUERIES = {
     "sim_cosine_topk",          # embeddings only
     "dedup_sorted_neighborhood",  # documents only (r9: slope re-measure
                                   # on the r8 _snm_pass_pairs rebuild)
+    # r10 session-2 heavy rows (documents only)
+    "dedup_cdc_sentences",        # map-only fold + first-occurrence join
+    "text_ccnet_paragraph_lm",    # token explode + vocab join + para agg
 }
 
 
