@@ -756,10 +756,15 @@ def ntile_bucketed(df: DataFrame, part_cols: list[str], order_col: str,
                              F.sum("__c").over(w_b) - F.col("__c"))
            .select(*parts, "__vb", "__pre"))
     tot = counts.groupBy(*parts).agg(F.sum("__c").alias("__n"))
-    ranked = (within
-              .join(F.broadcast(pre), parts + ["__vb"])
-              .join(F.broadcast(tot), parts)
-              .withColumn("__gr", F.col("__r") + F.col("__pre")))
+    ranked = within.join(F.broadcast(pre), parts + ["__vb"])
+    # empty part_cols = GLOBAL ntile (rfm_scores-class): the group
+    # total is a 1-row aggregate, joined by crossJoin since an empty
+    # equi-join key list is invalid
+    if parts:
+        ranked = ranked.join(F.broadcast(tot), parts)
+    else:
+        ranked = ranked.crossJoin(F.broadcast(tot))
+    ranked = ranked.withColumn("__gr", F.col("__r") + F.col("__pre"))
     t = n_tiles
     tile = F.expr(
         f"CAST(CASE WHEN __gr <= (__n % {t}) * (__n div {t} + 1) "

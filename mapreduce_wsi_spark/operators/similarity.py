@@ -40,22 +40,36 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                salt_buckets: int = 64) -> DataFrame:
     """Exact top-k neighbors per query vector by cosine similarity.
 
-    Plan: broadcast the (small) query set, one scan of the corpus, window
-    top-k per query. The corpus is never shuffled by content — only the
-    (n_queries × k)-sized ranked output moves.
-    """
+    Plan: broadcast the (small) query set, one scan of the corpus, then
+    the SALTED two-phase rank (r10 — the sampler trick from the r9
+    window audit, exact for top-k): phase 1 ranks within (query,
+    salt=xxhash64(id)%64) and keeps k per cell — the true top-k under
+    the (cos desc, id) total order is a subset of the per-cell unions —
+    phase 2 re-ranks the <= 64k survivors per query. The corpus is
+    never shuffled by content and no window partition holds more than
+    a salt cell; the pre-r10 form ranked each query's ENTIRE scored
+    corpus in one window task (the bounded-keyset ceiling: parallelism
+    = |queries| regardless of corpus size). Output identical — every
+    downstream oracle unchanged."""
     q = queries.select(F.col(id_col).alias(query_id_col),
                        _as_double(F.col(vec_col)).alias("__qv"))
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col(id_col) != F.col(query_id_col))
               .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
-                                                 F.col(id_col).asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
+    salted = scored.withColumn(
+        "__s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+    w1 = Window.partitionBy(query_id_col, "__s").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc())
+    survivors = (salted.withColumn("__r1", F.row_number().over(w1))
+                 .filter(F.col("__r1") <= k))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
+                                                  F.col(id_col).asc())
+    return (survivors.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= k)
             .select(query_id_col, id_col, "cos", "rn"))
 

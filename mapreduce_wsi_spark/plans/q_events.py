@@ -326,13 +326,18 @@ def ols_trend_per_type(spark, sf_dir):
     FROM cust
     """,
     note="RFM customer quartiles (recency vs 2002-01-01 anchor, "
-         "frequency, monetary in cents) via ntile over total orders "
-         "(metric, custkey) — deterministic ties. The three global "
-         "ntile windows run over POST-aggregation rows (|customers|); "
-         "at 100 TB swap them for the two-phase rank of "
-         "pipeline.global_ids_dense")
+         "frequency, monetary in cents) with deterministic (metric, "
+         "custkey) ties. r10: the three GLOBAL ntile windows (every "
+         "customer through one task) are replaced by the factored "
+         "bucketed prefix-sum ntile (operators/pipeline.py::"
+         "ntile_bucketed with empty part_cols = global): rank within "
+         "value-range buckets, broadcast exclusive bucket prefixes, "
+         "arithmetic quartile — bit-identical to ntile(4) (DESC "
+         "orders via negated columns, same custkey tie-break). The "
+         "oracle still runs the three ntile windows; the plan test "
+         "pins ntile out and bucket keys into every row-level window")
 def rfm_scores(spark, sf_dir):
-    from pyspark.sql import Window
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
 
     o = tbl(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -342,14 +347,17 @@ def rfm_scores(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .alias("monetary_cents"))
-    r_w = Window.orderBy("recency_days", "o_custkey")
-    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    m_w = Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
-    return cust.select(
+    s = (cust.withColumn("__negf", -F.col("frequency"))
+         .withColumn("__negm", -F.col("monetary_cents")))
+    s = ntile_bucketed(s, [], "recency_days", "o_custkey",
+                       n_tiles=4, bucket_width=64, tile_col="r_score")
+    s = ntile_bucketed(s, [], "__negf", "o_custkey",
+                       n_tiles=4, bucket_width=4, tile_col="f_score")
+    s = ntile_bucketed(s, [], "__negm", "o_custkey",
+                       n_tiles=4, bucket_width=65536, tile_col="m_score")
+    return s.select(
         "o_custkey", "recency_days", "frequency", "monetary_cents",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"))
+        "r_score", "f_score", "m_score")
 
 
 @register(

@@ -786,25 +786,31 @@ def skew_key_diagnostics(spark, sf_dir):
     note="exact weighted median (quantity-weighted price): smallest "
          "value whose running weight reaches half the group total. "
          "Integer cents + integer weights so the threshold predicate is "
-         "exact; the (value, orderkey, linenumber) tie-break makes the "
-         "running sum total-ordered, and threshold crossings inside a "
-         "run of equal values select that value regardless of intra-tie "
-         "order. One per-group window sort — the same fundamental cost "
-         "as any exact quantile (quantile_disc_exact)")
+         "exact. r10: rewritten from the row-level running window to "
+         "the per-VALUE cumsum (the r9 percentile-rewrite form): "
+         "groupBy (group, cents) sums weights first, the running sum "
+         "cumsums the per-value aggregate — value-domain bounded, "
+         "never a window over raw lineitem rows. Bit-identical because "
+         "a mid-run threshold crossing always selects that run's value "
+         "(the row where 2*running_w first reaches total_w has vc = "
+         "min v with 2*cum_w(<=v) >= total_w — the old min(CASE) pick); "
+         "the oracle still runs the row-level running form, so the "
+         "equivalence is driver-checked. Plan test pins the raw-row "
+         "tie-break column out of every window spec")
 def weighted_median_exact(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     b = li.select(
         F.col("l_returnflag").alias("g"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("vc"),
-        F.col("l_quantity").cast("bigint").alias("w"),
-        "l_orderkey", "l_linenumber")
+        F.col("l_quantity").cast("bigint").alias("w"))
+    per_v = b.groupBy("g", "vc").agg(F.sum("w").alias("wv"))
     wp = Window.partitionBy("g")
-    run_w = wp.orderBy("vc", "l_orderkey", "l_linenumber") \
+    run_w = wp.orderBy("vc") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored = b.withColumn("running_w", F.sum("w").over(run_w)) \
-        .withColumn("total_w", F.sum("w").over(wp))
+    scored = per_v.withColumn("cum_w", F.sum("wv").over(run_w)) \
+        .withColumn("total_w", F.sum("wv").over(wp))
     return (scored.groupBy(F.col("g").alias("l_returnflag"))
-            .agg(F.min(F.when(2 * F.col("running_w") >= F.col("total_w"),
+            .agg(F.min(F.when(2 * F.col("cum_w") >= F.col("total_w"),
                               F.col("vc"))).alias("weighted_median_cents"),
                  F.max("total_w").alias("total_weight")))
 

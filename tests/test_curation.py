@@ -256,3 +256,24 @@ def test_ntile_bucketed_matches_ntile_exactly(spark):
         diff = (got.select("grp", "id", "tile")
                 .exceptAll(want.select("grp", "id", "tile")))
         assert diff.count() == 0, f"T={t}: {diff.collect()}"
+
+
+def test_ntile_bucketed_global_and_desc_via_negation(spark):
+    """Empty part_cols = GLOBAL ntile (the rfm_scores form), and a
+    descending order is the ascending ntile of the negated column —
+    both must stay bit-identical to the window ntile."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 37)) for i in range(41)],
+        "id long, v double")
+    got = ntile_bucketed(df.withColumn("__neg", -F.col("v")), [],
+                         "__neg", "id", n_tiles=4, bucket_width=5.0,
+                         tile_col="tile")
+    want = df.withColumn(
+        "tile", F.ntile(4).over(W.orderBy(F.col("v").desc(), "id")))
+    diff = (got.select("id", "tile")
+            .exceptAll(want.select("id", "tile")))
+    assert diff.count() == 0, diff.collect()

@@ -724,11 +724,9 @@ def test_curriculum_schedule_uses_factored_bucketed_ntile(spark, sf_oracle):
 
     plan = plan_of(build("mix_curriculum_schedule", spark, sf_oracle))
     assert "ntile" not in plan, "ntile window returned"
-    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
-    assert any("__vb" in s for s in specs), (
-        f"in-bucket rank window missing: {specs}")
-    row_level = [s for s in specs if "row_number" in s or "__r" in s]
-    assert all("__vb" in s for s in row_level), (
+    row_level = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert row_level and all("__vb" in s for s in row_level), (
         f"row-level window not bucket-keyed: {row_level}")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
@@ -743,3 +741,54 @@ def test_cdc_chunking_is_map_only_fold_no_window(spark, sf_oracle):
     assert "Window" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
         or "ShuffledHashJoin" in plan  # the join-back to firsts
+
+
+def test_weighted_median_windows_over_per_value_aggregates(spark,
+                                                           sf_oracle):
+    """weighted_median_exact (r10): the running-weight cumsum must run
+    over the per-(group, cents) aggregate — value-domain bounded —
+    never over raw lineitem rows. The raw-row form is identifiable by
+    its tie-break: a window spec ordering on l_orderkey/l_linenumber
+    means the window's input is the row stream again."""
+    import re
+
+    plan = plan_of(build("weighted_median_exact", spark, sf_oracle))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "no window specs in plan"
+    offenders = [s for s in specs
+                 if "l_orderkey" in s or "l_linenumber" in s]
+    assert not offenders, (
+        f"raw-row running window returned: {offenders}")
+
+
+def test_rfm_scores_has_no_global_ntile_window(spark, sf_oracle):
+    """rfm_scores (r10): the three customer quartiles must come from
+    the bucketed prefix-sum ntile — no ntile window (a global ntile
+    funnels every customer through ONE task), and every row-level
+    window spec keyed by a __vb value bucket."""
+    import re
+
+    plan = plan_of(build("rfm_scores", spark, sf_oracle))
+    assert "ntile" not in plan, "global ntile window returned"
+    row_level = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert len(row_level) == 3 and all(
+        s.startswith("__vb") for s in row_level), (
+        f"row-level windows not bucket-keyed: {row_level}")
+
+
+def test_cosine_topk_uses_salted_two_phase_rank(spark, sf_oracle):
+    """sim_cosine_topk (r10): exact brute-force top-k must rank in two
+    phases — phase 1 within (query, salt) cells, phase 2 over the
+    <= salt_buckets*k survivors — never one window per query over the
+    whole scored corpus (parallelism = |queries| at any corpus size,
+    the bounded-keyset ceiling). The regression is a plan whose only
+    rank window is query-keyed."""
+    import re
+
+    plan = plan_of(build("sim_cosine_topk", spark, sf_oracle))
+    row_level = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert len(row_level) == 2, f"expected 2 rank phases: {row_level}"
+    assert any("__s" in s for s in row_level), (
+        f"phase-1 salted window missing: {row_level}")
