@@ -38,6 +38,34 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def salted_topk(scored: DataFrame, part_col: str, order_cols,
+                salt_col: str, k: int, rn_col: str = "rn",
+                salt_buckets: int = 64) -> DataFrame:
+    """Exact per-group top-k via SALTED two-phase rank (r10 — the r9
+    sampler trick applied to every per-query selection in the
+    similarity stack): phase 1 ranks within (group, xxhash64(salt_col)
+    % salt_buckets) and keeps k per cell — the true top-k under the
+    total order is a subset of the per-cell unions — phase 2 re-ranks
+    the <= salt_buckets*k survivors per group and assigns ``rn_col``.
+    A single per-group rank window holds the group's ENTIRE candidate
+    set in one task (parallelism = |groups| at any corpus size — the
+    bounded-keyset ceiling); here no partition exceeds a salt cell in
+    phase 1 or salt_buckets*k rows in phase 2. ``order_cols`` must be
+    a TOTAL order (tie-break on a unique id) or per-cell top-k is not
+    a superset of the global top-k. Output identical to the one-window
+    form — downstream oracles unchanged."""
+    w1 = Window.partitionBy(part_col, "__s").orderBy(*order_cols)
+    w2 = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (scored
+            .withColumn("__s", F.pmod(F.xxhash64(F.col(salt_col)),
+                                      F.lit(salt_buckets)))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn(rn_col, F.row_number().over(w2))
+            .filter(F.col(rn_col) <= k)
+            .drop("__s", "__r1"))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
@@ -45,32 +73,18 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """Exact top-k neighbors per query vector by cosine similarity.
 
     Plan: broadcast the (small) query set, one scan of the corpus, then
-    the SALTED two-phase rank (r10 — the sampler trick from the r9
-    window audit, exact for top-k): phase 1 ranks within (query,
-    salt=xxhash64(id)%64) and keeps k per cell — the true top-k under
-    the (cos desc, id) total order is a subset of the per-cell unions —
-    phase 2 re-ranks the <= 64k survivors per query. The corpus is
-    never shuffled by content and no window partition holds more than
-    a salt cell; the pre-r10 form ranked each query's ENTIRE scored
-    corpus in one window task (the bounded-keyset ceiling: parallelism
-    = |queries| regardless of corpus size). Output identical — every
-    downstream oracle unchanged."""
+    ``salted_topk`` — no window partition ever holds a query's whole
+    scored corpus (the pre-r10 form did: parallelism = |queries|
+    regardless of corpus size)."""
     q = queries.select(F.col(id_col).alias(query_id_col),
                        _as_double(F.col(vec_col)).alias("__qv"))
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col(id_col) != F.col(query_id_col))
               .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
-    salted = scored.withColumn(
-        "__s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
-    w1 = Window.partitionBy(query_id_col, "__s").orderBy(
-        F.col("cos").desc(), F.col(id_col).asc())
-    survivors = (salted.withColumn("__r1", F.row_number().over(w1))
-                 .filter(F.col("__r1") <= k))
-    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
-                                                  F.col(id_col).asc())
-    return (survivors.withColumn("rn", F.row_number().over(w2))
-            .filter(F.col("rn") <= k)
+    return (salted_topk(scored, query_id_col,
+                        [F.col("cos").desc(), F.col(id_col).asc()],
+                        id_col, k, salt_buckets=salt_buckets)
             .select(query_id_col, id_col, "cos", "rn"))
 
 
@@ -167,10 +181,11 @@ def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .join(F.broadcast(q.withColumnRenamed(query_id_col, "__qid2")),
                     F.col(query_id_col) == F.col("__qid2"))
               .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
-                                                 F.col(id_col).asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
+    # a hot LSH bucket makes the candidate set data-sized, so the final
+    # selection rides the salted two-phase rank like cosine_topk
+    return (salted_topk(scored, query_id_col,
+                        [F.col("cos").desc(), F.col(id_col).asc()],
+                        id_col, k)
             .select(query_id_col, id_col, "cos", "rn"))
 
 
@@ -297,10 +312,11 @@ def ivf_query(assigned: DataFrame, centroids: DataFrame,
     scored = (assigned.join(F.broadcast(probes), on="__cell")
               .filter(F.col(id_col) != F.col(query_id_col))
               .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(),
-                                                 F.col(id_col).asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
+    # probed cells are corpus/n_centroids-sized — data-sized per query,
+    # so the selection rides the salted two-phase rank
+    return (salted_topk(scored, query_id_col,
+                        [F.col("cos").desc(), F.col(id_col).asc()],
+                        id_col, k)
             .select(query_id_col, id_col, "cos", "rn"))
 
 
@@ -893,10 +909,11 @@ def pq_query(codes: DataFrame, books: list[list[list[float]]],
     scored = (codes.crossJoin(F.broadcast(q))
               .filter(F.col(id_col) != F.col(query_id_col))
               .select(query_id_col, id_col, adc.alias("__adc")))
-    w_s = Window.partitionBy(query_id_col).orderBy(
-        F.col("__adc").asc(), F.col(id_col).asc())
-    short = (scored.withColumn("__rn", F.row_number().over(w_s))
-             .filter(F.col("__rn") <= shortlist)
+    # the ADC shortlist selection scans the WHOLE code table per query —
+    # salted two-phase rank, same as the exact path
+    short = (salted_topk(scored, query_id_col,
+                         [F.col("__adc").asc(), F.col(id_col).asc()],
+                         id_col, shortlist, rn_col="__rn")
              .select(query_id_col, id_col))
 
     c = corpus.select(F.col(id_col),
@@ -937,10 +954,11 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3,
     scored = (c.crossJoin(F.broadcast(a))
               .filter(F.col(label_col) != F.col("__alab"))
               .withColumn("cos", cosine(F.col("__av"), F.col("__cv"))))
-    w = Window.partitionBy(anchor_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
+    # per-anchor candidate set = the whole filtered corpus — salted
+    # two-phase rank, same as cosine_topk
+    return (salted_topk(scored, anchor_id_col,
+                        [F.col("cos").desc(), F.col(id_col).asc()],
+                        id_col, k)
             .select(anchor_id_col, id_col, F.col(label_col), "cos",
                     "rn"))
 

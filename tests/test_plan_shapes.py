@@ -792,3 +792,38 @@ def test_cosine_topk_uses_salted_two_phase_rank(spark, sf_oracle):
     assert len(row_level) == 2, f"expected 2 rank phases: {row_level}"
     assert any("__s" in s for s in row_level), (
         f"phase-1 salted window missing: {row_level}")
+
+
+def test_similarity_stack_rank_windows_are_all_salted(spark, sf_oracle):
+    """Every per-query/anchor selection in the similarity stack (exact,
+    LSH-ANN, IVF serve, PQ ADC shortlist, hard negatives) rides
+    salted_topk: in each operator's plan, every row_number window that
+    partitions on the query/anchor key alone must not exist — phase-1
+    windows carry the __s salt, and the only unsalted rank windows are
+    phase-2 re-ranks over bounded survivors (identified by __r1 having
+    pruned before them, i.e. a salted window appears in the same plan).
+    Regression = a plan with rank windows but no salted one."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        ann_cosine_topk, build_ivf_index, build_pq_codebooks,
+        hard_negatives, ivf_query, pq_encode, pq_query)
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plans = {"ann": plan_of(ann_cosine_topk(emb, q, k=10))}
+    assigned, centroids = build_ivf_index(emb, n_centroids=8)
+    plans["ivf"] = plan_of(ivf_query(assigned, centroids, q, k=10,
+                                     n_probe=4))
+    books = build_pq_codebooks(emb, m_subspaces=4, n_codes=16)
+    codes = pq_encode(emb, books)
+    plans["pq"] = plan_of(pq_query(codes, books, emb, q, k=10))
+    plans["hardneg"] = plan_of(hard_negatives(emb, q, k=3))
+    for name, plan in plans.items():
+        row_level = re.findall(
+            r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+        assert row_level, f"{name}: no rank windows found"
+        assert any("__s" in s for s in row_level), (
+            f"{name}: no salted phase-1 rank window: {row_level}")
