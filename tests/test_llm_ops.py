@@ -3867,3 +3867,65 @@ def test_qoi_and_packbits_truncation_fuzz():
                                             dtype=np.uint8)), 20)
 
     run()
+
+
+def test_png_truncation_and_corruption_fuzz():
+    """r10 session-2: the one branchy decoder without a fuzz suite.
+    Random images across (depth, ctype, interlace) encode; then (a)
+    every sampled strict prefix must either return None or decode to
+    exactly the full image (a prefix can only succeed when the cut
+    falls past the complete IDAT zlib stream) — never raise; (b) a
+    single corrupted byte inside IDAT never raises (zlib/defilter
+    failures surface as None, a survivable wrong-pixel decode is
+    acceptable); (c) random soup after a valid signature never
+    raises."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_png, encode_png_ex)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        depth, ctype = data.draw(st.sampled_from(
+            [(1, 0), (2, 0), (4, 0), (8, 0), (4, 3), (8, 3), (8, 2)]))
+        interlace = data.draw(st.integers(0, 1))
+        h = data.draw(st.integers(1, 9))
+        w = data.draw(st.integers(1, 9))
+        mx = (1 << depth) - 1
+        if ctype == 2:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        else:
+            img = rng.integers(0, mx + 1, (h, w)).astype(np.uint8)
+        pal = (rng.integers(0, 256, (mx + 1, 3)).astype(np.uint8)
+               if ctype == 3 else None)
+        payload = encode_png_ex(img, depth, ctype, pal, interlace)
+        full = _parse_png(payload)
+        assert full is not None
+
+        t = data.draw(st.integers(1, len(payload) - 1))
+        pre = _parse_png(payload[:t])
+        if pre is not None:
+            assert (pre[0], pre[1]) == (full[0], full[1])
+            assert np.array_equal(pre[2], full[2]), (depth, ctype,
+                                                     interlace, t)
+
+        # corrupt one byte inside the IDAT payload region
+        idat = payload.find(b"IDAT")
+        if idat >= 0 and idat + 5 < len(payload) - 12:
+            c = data.draw(st.integers(idat + 4,
+                                      min(len(payload) - 13,
+                                          idat + 40)))
+            poisoned = (payload[:c]
+                        + bytes([payload[c] ^ 0xFF])
+                        + payload[c + 1:])
+            _parse_png(poisoned)  # any outcome but an exception
+
+        soup = payload[:8] + bytes(rng.integers(0, 256, 24,
+                                                dtype=np.uint8))
+        _parse_png(soup)  # any outcome but an exception
+
+    run()
