@@ -696,23 +696,44 @@ def sketch_kmv_overlap(spark, sf_dir):
     note="top-p (nucleus) selection per group: the smallest prefix of "
          "users (by spend desc, id tie-break) covering 90% of each "
          "event_type's value mass — the probability-mass truncation "
-         "pattern (vocab cuts, source mixing by mass) as ONE window "
-         "cumsum. Decided by the multiplied-through integer-cents "
-         "inequality (prev_cum * 10 < total * 9): zero floats, "
-         "bit-identical across engines; a row enters iff the mass "
-         "BEFORE it is still short of p")
+         "pattern (vocab cuts, source mixing by mass). Decided by the "
+         "multiplied-through integer-cents inequality (prev_cum * 10 "
+         "< total * 9): zero floats, bit-identical across engines; a "
+         "row enters iff the mass BEFORE it is still short of p. r10: "
+         "the running sum is the BUCKETED prefix-sum (the ntile "
+         "recipe's associative-statistic generalization, closing the "
+         "last residual total-order site): in-bucket running sums "
+         "keyed (event_type, spend-range bucket) compose with "
+         "broadcast exclusive bucket masses — run_c is the identical "
+         "integer, the oracle keeps the one-window form, and no "
+         "window ever holds a whole event_type's user list")
 def topp_mass_cutoff(spark, sf_dir):
     from pyspark.sql import Window
     ev = tbl(spark, sf_dir, "events")
     g = (ev.groupBy("event_type", "user_id")
          .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
               .cast("bigint").alias("amt_c")))
-    w = (Window.partitionBy("event_type")
-         .orderBy(F.col("amt_c").desc(), F.col("user_id").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wt = Window.partitionBy("event_type")
-    r = (g.withColumn("run_c", F.sum("amt_c").over(w))
-         .withColumn("tot_c", F.sum("amt_c").over(wt)))
+    # bucket by the ORDER key (spend desc => floor(-amt/4096) asc):
+    # equal amounts share a bucket, so (bucket asc, amt desc, user asc)
+    # is exactly the old (amt desc, user asc) total order
+    b = g.withColumn("__vb",
+                     F.floor(-F.col("amt_c") / 4096).cast("long"))
+    w_in = (Window.partitionBy("event_type", "__vb")
+            .orderBy(F.col("amt_c").desc(), F.col("user_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = b.withColumn("__rw", F.sum("amt_c").over(w_in))
+    bsum = (b.groupBy("event_type", "__vb")
+            .agg(F.sum("amt_c").alias("__bm")))
+    w_b = (Window.partitionBy("event_type").orderBy("__vb")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = (bsum.withColumn("__pre",
+                           F.sum("__bm").over(w_b) - F.col("__bm"))
+           .select("event_type", "__vb", "__pre"))
+    tot = (bsum.groupBy("event_type")
+           .agg(F.sum("__bm").alias("tot_c")))
+    r = (within.join(F.broadcast(pre), ["event_type", "__vb"])
+         .join(F.broadcast(tot), "event_type")
+         .withColumn("run_c", F.col("__rw") + F.col("__pre")))
     return (r.filter((F.col("run_c") - F.col("amt_c")) * 10
                      < F.col("tot_c") * 9)
             .select("event_type", "user_id", "amt_c",

@@ -827,3 +827,21 @@ def test_similarity_stack_rank_windows_are_all_salted(spark, sf_oracle):
         assert row_level, f"{name}: no rank windows found"
         assert any("__s" in s for s in row_level), (
             f"{name}: no salted phase-1 rank window: {row_level}")
+
+
+def test_topp_mass_running_sum_is_bucket_keyed(spark, sf_oracle):
+    """topp_mass_cutoff (r10): the per-user running mass must cumsum
+    within (event_type, spend-range bucket) windows composed with
+    broadcast bucket prefixes — never one sum window per event_type
+    over the whole user list (|event_types| tasks at any corpus size).
+    The regression marker: a window spec ordering on user_id whose
+    partition key lacks the __vb bucket."""
+    import re
+
+    plan = plan_of(build("topp_mass_cutoff", spark, sf_oracle))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    offenders = [s for s in specs
+                 if "user_id" in s and "__vb" not in s]
+    assert not offenders, (
+        f"whole-group running window returned: {offenders}")
+    assert any("__vb" in s for s in specs)
