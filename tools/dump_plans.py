@@ -113,6 +113,11 @@ SHOWN = [
     # factored bucketed-prefix-sum ntile (no ntile, bucket-keyed rank)
     "dedup_cdc_sentences",
     "mix_curriculum_schedule",
+    # r10 session-2 ceiling removals: per-value weighted median, global
+    # bucketed ntile (RFM), bucketed running mass (top-p)
+    "weighted_median_exact",
+    "rfm_scores",
+    "topp_mass_cutoff",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.
