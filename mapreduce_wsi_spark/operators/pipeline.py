@@ -220,15 +220,25 @@ def quantile_disc(df: DataFrame, group_col: str, value_col: str,
     """Exact discrete percentiles per group (PERCENTILE_DISC semantics:
     smallest actual value whose cume_dist >= p — no interpolation, so
     results are values that exist in the data and compare bitwise across
-    engines). One window sort per group + one aggregation; at scale the
-    sort is the per-group shuffle that any exact quantile fundamentally
-    requires (approxQuantile is the cheap alternative, already covered by
-    approx_quantiles)."""
-    cd = F.cume_dist().over(
-        Window.partitionBy(group_col).orderBy(value_col))
-    scored = df.select(group_col, F.col(value_col).alias("v"),
-                       cd.alias("cd"))
-    aggs = [F.count(F.lit(1)).alias("n")]
+    engines). r10: per-VALUE cumsum form, applied at the shared helper
+    so every consumer (quantile_disc_exact, winsorized trim bounds,
+    MAD medians, length_buckets boundaries) drops the raw-row
+    cume_dist window at once: groupBy (group, value) counts first —
+    partial-aggregated map-side — then cumsum the per-value aggregate,
+    whose row count is value-domain bounded at any corpus size.
+    cume_dist of a row equals cum(count)/n of its value with the SAME
+    integer operands and the same single double division, so the picks
+    are bit-identical and every cume_dist-based DuckDB oracle is
+    unchanged (the r9 percentile-rewrite equivalence, SCALE.md)."""
+    per_v = (df.groupBy(group_col, F.col(value_col).alias("v"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy(group_col).orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(group_col)
+    scored = (per_v.withColumn("__cum", F.sum("__c").over(w))
+              .withColumn("__n", F.sum("__c").over(wt))
+              .withColumn("cd", F.col("__cum") / F.col("__n")))
+    aggs = [F.sum("__c").alias("n")]
     for p in ps:
         tag = f"p{int(p * 100)}"
         aggs.append(F.min(F.when(F.col("cd") >= p, F.col("v"))).alias(tag))
@@ -245,9 +255,10 @@ def length_buckets(df: DataFrame, key_col: str, value_col: str,
     length distribution. Boundaries come from one ``quantile_disc``
     aggregate (values that exist in the data — bitwise comparable
     cross-engine) broadcast back over the corpus; bucket = 1 + number of
-    boundaries strictly below the value. The global exact quantile costs
-    one total sort — the exact-quantile floor; at 100 TB swap in
-    approxQuantile boundaries (the bucket JOIN shape is unchanged)."""
+    boundaries strictly below the value. Boundary extraction rides
+    quantile_disc's per-value cumsum (value-domain bounded, no raw-row
+    sort since r10); at 100 TB approxQuantile boundaries remain the
+    cheap swap (the bucket JOIN shape is unchanged)."""
     g = df.select(F.lit(1).alias("__g"), F.col(key_col),
                   F.col(value_col))
     q = quantile_disc(g, "__g", value_col, ps=ps).drop("n")

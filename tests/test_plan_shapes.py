@@ -845,3 +845,14 @@ def test_topp_mass_running_sum_is_bucket_keyed(spark, sf_oracle):
     assert not offenders, (
         f"whole-group running window returned: {offenders}")
     assert any("__vb" in s for s in specs)
+
+
+def test_quantile_disc_has_no_rowlevel_cume_dist(spark, sf_oracle):
+    """quantile_disc (the shared exact-percentile helper, r10): the
+    cume_dist window over raw rows is gone from every consumer at once
+    — the cumsum runs over the per-(group, value) aggregate. The
+    regression is cume_dist anywhere in these plans."""
+    for name in ("quantile_disc_exact", "winsorized_sum",
+                 "anomaly_zscore_rolling", "batch_length_buckets"):
+        plan = plan_of(build(name, spark, sf_oracle))
+        assert "cume_dist" not in plan, f"{name}: cume_dist returned"
