@@ -2463,7 +2463,7 @@ def dedup_manifest_cross_snapshot(spark, sf_dir):
           FROM e a JOIN e b ON a.vec_id < b.vec_id),
     t AS (SELECT CAST(unnest([0.45, 0.40, 0.35]) AS DOUBLE) AS thr)
     SELECT thr, CAST(count(*) FILTER (c >= thr) AS BIGINT) AS n_true,
-           true AS recall_ok
+           true AS recall_ok, true AS selectivity_ok
     FROM p CROSS JOIN t GROUP BY thr
     """,
     note="embedding-space dedup recall audit (the r11-queue embedding "
@@ -2477,7 +2477,12 @@ def dedup_manifest_cross_snapshot(spark, sf_dir):
          "at sf0.01, seeded and deterministic). Low thresholds are the "
          "hard regime for sign-LSH (cos 0.35 is a 70-degree angle — "
          "band agreement ~0.14); the audit exists to keep that recall "
-         "curve driver-visible when banding knobs change")
+         "curve driver-visible when banding knobs change. "
+         "selectivity_ok bounds the candidate side the same way the "
+         "text twin's precision_ok does: candidates <= 60% of panel "
+         "pairs (measured 24,150/44,850 = 0.539 — the honest statement "
+         "that 12 bands buy low-threshold recall by candidate volume; "
+         "integer-multiplied inequality, engine-portable)")
 def dedup_embedding_recall_audit(spark, sf_dir):
     from mapreduce_wsi_spark.operators.similarity import (
         _as_double, cosine, lsh_bucket, random_hyperplanes)
@@ -2510,11 +2515,16 @@ def dedup_embedding_recall_audit(spark, sf_dir):
              .when(F.col("thr") == 0.40, F.lit(0.85))
              .otherwise(F.lit(0.70)))
     flagged = pairs.join(cands, ["ia", "ib"], "left")
+    sel = (cands.agg(F.count(F.lit(1)).alias("__nc"))
+           .crossJoin(pairs.agg(F.count(F.lit(1)).alias("__np"))))
     return (flagged.crossJoin(F.broadcast(thr))
             .filter(F.col("c") >= F.col("thr"))
             .groupBy("thr")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"),
                  F.sum(F.coalesce("__hit", F.lit(0))).alias("__found"))
+            .crossJoin(F.broadcast(sel))
             .select("thr", "n_true",
                     (F.col("__found") >= bound * F.col("n_true"))
-                    .alias("recall_ok")))
+                    .alias("recall_ok"),
+                    (F.col("__nc") * 10 <= F.col("__np") * 6)
+                    .alias("selectivity_ok")))
