@@ -339,6 +339,31 @@ def _calibrate(spark) -> float:
     return round(samples[len(samples) // 2], 4)
 
 
+def _calibrate_scan(spark, sf_dir: str) -> float:
+    """Sustained-throughput probe (r10 session-2): median of 3 timed
+    runs of a fixed data-path job — scan lineitem, hash-aggregate a
+    sum of cents by a 32-way key — complementing ``calib_sec``, whose
+    32-task no-op captures only scheduler latency. The end-of-r10
+    bench runs showed untouched rows drifting 1.3x together while
+    calib_sec barely moved: CPU/IO throughput swings invisibly to a
+    no-op. drift adjudication divides a row by whichever calib matches
+    its regime (sub-second scheduler-bound rows -> calib_sec;
+    data-bound rows -> calib_scan_sec)."""
+    from pyspark.sql import functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    job = (li.groupBy((F.col("l_orderkey") % 32).alias("k"))
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("bigint")).alias("c")))
+    samples = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        job.write.mode("overwrite").format("noop").save()
+        if i:
+            samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[len(samples) // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -357,6 +382,7 @@ def main() -> None:
     # Warm-up: JVM + parquet footer reads, excluded from timings.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
     calib = _calibrate(spark)
+    calib_scan = _calibrate_scan(spark, sf_dir)
 
     overrides = _bench_overrides()
     timings: dict[str, float] = {}
@@ -396,6 +422,7 @@ def main() -> None:
             "sf": sf,
             "cpus": int(cpus),
             "calib_sec": calib,
+            "calib_scan_sec": calib_scan,
         }, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -420,6 +447,7 @@ def main() -> None:
         "queries": families,
         "sentinels": sentinels,
         "calib_sec": calib,
+        "calib_scan_sec": calib_scan,
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,

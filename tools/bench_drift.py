@@ -25,11 +25,13 @@ import argparse
 import json
 
 
-def load(path: str) -> tuple[dict[str, float], float]:
+def load(path: str) -> tuple[dict[str, float], float, float | None]:
     with open(path) as f:
         d = json.load(f)
     calib = float(d.get("calib_sec") or 0) or 1.0
-    return {k: float(v) for k, v in d["queries"].items()}, calib
+    scan = d.get("calib_scan_sec")
+    return ({k: float(v) for k, v in d["queries"].items()}, calib,
+            float(scan) if scan else None)
 
 
 def main() -> None:
@@ -41,13 +43,22 @@ def main() -> None:
     ap.add_argument("--md", action="store_true")
     args = ap.parse_args()
 
-    old_q, old_c = load(args.old)
-    new_q, new_c = load(args.new)
+    old_q, old_c, old_s = load(args.old)
+    new_q, new_c, new_s = load(args.new)
     shared = sorted(set(old_q) & set(new_q))
     rows = []
     for q in shared:
         t_old, t_new = old_q[q], new_q[q]
-        norm = (t_new / new_c) / (t_old / old_c) if t_old > 0 else None
+        # regime-matched normalization (r10 session-2): data-bound rows
+        # (>= 1 s) divide by the sustained-throughput calib_scan_sec
+        # when BOTH files carry it — the end-of-r10 runs showed
+        # throughput swinging 1.3x while the no-op calib barely moved;
+        # scheduler-bound sub-second rows keep the no-op calib.
+        if old_s and new_s and min(t_old, t_new) >= 1.0:
+            c_old, c_new = old_s, new_s
+        else:
+            c_old, c_new = old_c, new_c
+        norm = (t_new / c_new) / (t_old / c_old) if t_old > 0 else None
         rows.append({"query": q, "old": t_old, "new": t_new,
                      "raw_ratio": round(t_new / t_old, 3) if t_old else None,
                      "norm_ratio": round(norm, 3) if norm else None,
