@@ -2426,17 +2426,12 @@ def mix_curriculum_schedule(spark, sf_dir):
          "count), never data. Oracle proves the manifest split leaks "
          "no old row into the new side and loses none")
 def dedup_manifest_cross_snapshot(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
     from mapreduce_wsi_spark.operators.lakehouse import (
         incremental_new_files)
+    from mapreduce_wsi_spark.util import scratch_dir
 
     docs = tbl(spark, sf_dir, "documents")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"manifest_xsnap_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_dir("manifest_xsnap", sf_dir)
     docs.filter(F.col("doc_id") % 3 != 0).write.parquet(
         base, mode="overwrite")
     manifest = [r["f"] for r in
@@ -2517,11 +2512,17 @@ def dedup_embedding_recall_audit(spark, sf_dir):
     flagged = pairs.join(cands, ["ia", "ib"], "left")
     sel = (cands.agg(F.count(F.lit(1)).alias("__nc"))
            .crossJoin(pairs.agg(F.count(F.lit(1)).alias("__np"))))
+    # Aggregate the UNFILTERED pair x threshold cross join with
+    # conditional sums so a threshold with zero true pairs still emits
+    # its row (n_true=0), exactly like the oracle's FILTER aggregate —
+    # a pre-aggregation .filter(c >= thr) would drop that group.
+    above = F.col("c") >= F.col("thr")
     return (flagged.crossJoin(F.broadcast(thr))
-            .filter(F.col("c") >= F.col("thr"))
             .groupBy("thr")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"),
-                 F.sum(F.coalesce("__hit", F.lit(0))).alias("__found"))
+            .agg(F.sum(F.when(above, 1).otherwise(0))
+                 .cast("bigint").alias("n_true"),
+                 F.sum(F.when(above, F.coalesce("__hit", F.lit(0)))
+                       .otherwise(0)).alias("__found"))
             .crossJoin(F.broadcast(sel))
             .select("thr", "n_true",
                     (F.col("__found") >= bound * F.col("n_true"))

@@ -516,13 +516,11 @@ def eval_confusion_f1(spark, sf_dir):
          "land under the system temp dir, overwritten per run — the "
          "entry is idempotent")
 def source_orc_roundtrip(spark, sf_dir):
-    import os
-    import tempfile
+    from mapreduce_wsi_spark.util import scratch_dir
 
     docs = tbl(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"orc_roundtrip_{tag}")
+    path = scratch_dir("orc_roundtrip", sf_dir)
     docs.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("lang").agg(
@@ -1309,8 +1307,7 @@ def distinct_bitmap_rollup(spark, sf_dir):
          "by byte ranges like any text source; parsing is "
          "whole-stage-codegen substring, no Python")
 def source_fixed_width(spark, sf_dir):
-    import os
-    import tempfile
+    from mapreduce_wsi_spark.util import scratch_dir
 
     cust = tbl(spark, sf_dir, "customer")
     line = F.concat(
@@ -1319,8 +1316,7 @@ def source_fixed_width(spark, sf_dir):
         F.lpad(F.round(F.col("c_acctbal") * 100).cast("bigint")
                .cast("string"), 12, " "),
         F.rpad(F.col("c_mktsegment"), 12, " "))
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"fixed_width_{tag}")
+    path = scratch_dir("fixed_width", sf_dir)
     cust.select(line.alias("value")).write.mode("overwrite").text(path)
     back = spark.read.text(path)
     parsed = back.select(
@@ -1362,11 +1358,11 @@ def source_fixed_width(spark, sf_dir):
          "per-file metadata only; data pages are never rewritten")
 def source_schema_evolution(spark, sf_dir):
     import os
-    import tempfile
+
+    from mapreduce_wsi_spark.util import scratch_dir
 
     orders = tbl(spark, sf_dir, "orders")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
+    base = scratch_dir("schema_evo", sf_dir)
     old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice")
     new = orders.filter(F.col("o_orderkey") % 2 == 1).select(

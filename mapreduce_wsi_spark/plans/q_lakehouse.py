@@ -255,17 +255,12 @@ def incremental_join_view(spark, sf_dir):
          "the scan; cost is O(new data) "
          "(operators/lakehouse.py::incremental_new_files)")
 def lakehouse_incremental_files(spark, sf_dir):
-    import os
-    import tempfile
-
     from mapreduce_wsi_spark.operators.lakehouse import (
         incremental_new_files)
+    from mapreduce_wsi_spark.util import scratch_dir
 
     orders = tbl(spark, sf_dir, "orders")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"incr_files_{tag}")
-    import shutil
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_dir("incr_files", sf_dir)
     orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
         base, mode="overwrite")
     manifest = spark.read.parquet(base).select(
@@ -308,17 +303,12 @@ def lakehouse_incremental_files(spark, sf_dir):
          "the driver hash (operators/lakehouse.py::write_snapshot/"
          "read_snapshot)")
 def lakehouse_time_travel(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
     from mapreduce_wsi_spark.operators.lakehouse import (
         read_snapshot, write_snapshot)
+    from mapreduce_wsi_spark.util import scratch_dir
 
     orders = tbl(spark, sf_dir, "orders")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"time_travel_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_dir("time_travel", sf_dir)
     write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), base)
     write_snapshot(orders, base)
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")

@@ -52,6 +52,24 @@ def iter_checkpoint(df):
     return df.localCheckpoint(eager=True)
 
 
+def scratch_dir(kind: str, sf_dir: str) -> str:
+    """Fresh per-process scratch directory for catalog fixture builders
+    (JDBC/ORC/manifest/time-travel entries write a small derived table
+    before querying it). Keyed by (kind, sf basename, pid): two
+    concurrent sessions on the same fixture — e.g. the round driver and
+    bench.py — get DISJOINT dirs instead of racing one shared path, and
+    the rmtree below can only ever invalidate THIS process's previous
+    build (ADVICE r10). Bounded: one small dir per (kind, process),
+    reused across rebuilds within the process."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(),
+                        f"{kind}_{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
 def ensure_package_on_workers(spark) -> None:
     """Zip this package and addPyFile it, once per SparkContext."""
     sc = spark.sparkContext

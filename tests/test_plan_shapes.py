@@ -704,7 +704,7 @@ def test_ntile_bins_is_bucketed_prefix_sum(spark, sf_oracle):
     import re
 
     plan = plan_of(build("window_ntile_bins", spark, sf_oracle))
-    assert "ntile" not in plan, "ntile window returned"
+    assert not re.search(r"ntile\(", plan), "ntile window returned"
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert any("__vb" in s for s in specs), (
         f"in-bucket rank window missing: {specs}")
@@ -723,7 +723,7 @@ def test_curriculum_schedule_uses_factored_bucketed_ntile(spark, sf_oracle):
     import re
 
     plan = plan_of(build("mix_curriculum_schedule", spark, sf_oracle))
-    assert "ntile" not in plan, "ntile window returned"
+    assert not re.search(r"ntile\(", plan), "ntile window returned"
     row_level = re.findall(
         r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
     assert row_level and all("__vb" in s for s in row_level), (
@@ -769,7 +769,7 @@ def test_rfm_scores_has_no_global_ntile_window(spark, sf_oracle):
     import re
 
     plan = plan_of(build("rfm_scores", spark, sf_oracle))
-    assert "ntile" not in plan, "global ntile window returned"
+    assert not re.search(r"ntile\(", plan), "global ntile window returned"
     row_level = re.findall(
         r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
     assert len(row_level) == 3 and all(
@@ -856,3 +856,14 @@ def test_quantile_disc_has_no_rowlevel_cume_dist(spark, sf_oracle):
                  "anomaly_zscore_rolling", "batch_length_buckets"):
         plan = plan_of(build(name, spark, sf_oracle))
         assert "cume_dist" not in plan, f"{name}: cume_dist returned"
+
+
+def test_char_ngram_repetition_has_no_position_buffer(spark, sf_oracle):
+    """char_ngram_repetition (r11): duplicated (doc, gram) keys come
+    from a partial-aggregatable COUNT + left-semi join back to the gram
+    stream — never collect_list(pos), whose aggregation buffer holds
+    every occurrence of a gram (O(doc length) per buffer, and
+    ObjectHashAggregate instead of map-side-combining HashAggregate)."""
+    plan = plan_of(build("text_char_ngram_repetition", spark, sf_oracle))
+    assert "collect_list" not in plan, "position buffer returned"
+    assert "LeftSemi" in plan, "count-filter semi-join missing"

@@ -54,8 +54,21 @@ def main() -> None:
         # when BOTH files carry it — the end-of-r10 runs showed
         # throughput swinging 1.3x while the no-op calib barely moved;
         # scheduler-bound sub-second rows keep the no-op calib.
-        if old_s and new_s and min(t_old, t_new) >= 1.0:
-            c_old, c_new = old_s, new_s
+        # Regime is classified from the BASELINE time alone (ADVICE
+        # r10): min(t_old, t_new) made a row hovering around 1 s flip
+        # calibrations across runs, so its norm_ratio series was not
+        # comparable over time — t_old-only keeps every (old, new)
+        # comparison of a given baseline on one calibration.
+        # When either file predates calib_scan_sec, a data-bound row is
+        # compared RAW (calib 1.0) rather than by the no-op calib — a
+        # scheduler floor the row doesn't ride on (the r9->r10 regen
+        # showed the no-op calib moving 0.65x while multi-second rows
+        # held flat, which read as phantom 1.6x "regressions").
+        if t_old >= 1.0:
+            if old_s and new_s:
+                c_old, c_new = old_s, new_s
+            else:
+                c_old, c_new = 1.0, 1.0
         else:
             c_old, c_new = old_c, new_c
         norm = (t_new / c_new) / (t_old / c_old) if t_old > 0 else None
