@@ -428,6 +428,72 @@ def char_ngram_repetition(df: DataFrame, text_col: str, id_col: str,
                     .alias("dup_char_frac")))
 
 
+def cdc_fold_expr(boundary_pct: int = 25):
+    """The content-defined-chunking fold (factored r11 so the
+    cross-snapshot entries chunk both sides with literally the same
+    expression): SQL ``aggregate`` over the pre-split word array
+    ``__w`` — a word ENDS a chunk iff its portable md5 bucket <
+    ``boundary_pct``. One map-only fold per document, no shuffle."""
+    return F.expr(
+        "aggregate(__w, "
+        "named_struct('cs', cast(array() as array<string>), "
+        "'cur', cast(array() as array<string>)), "
+        "(acc, w) -> CASE WHEN "
+        f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 100 "
+        f"< {boundary_pct} "
+        "THEN named_struct('cs', concat(acc.cs, array(concat_ws(' ', "
+        "concat(acc.cur, array(w))))), "
+        "'cur', cast(array() as array<string>)) "
+        "ELSE named_struct('cs', acc.cs, "
+        "'cur', concat(acc.cur, array(w))) END, "
+        "acc -> CASE WHEN size(acc.cur) > 0 THEN concat(acc.cs, "
+        "array(concat_ws(' ', acc.cur))) ELSE acc.cs END)")
+
+
+def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
+               boundary_pct: int = 25) -> DataFrame:
+    """Per-document CDC chunk stream: (id, cid, h) — chunk ordinal and
+    md5 of the chunk text. The shared primitive under cdc_chunk_dedup
+    (within-corpus first-occurrence keep) and cdc_cross_snapshot
+    (carry detection between crawls)."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("__w"))
+            .select("id",
+                    F.posexplode(cdc_fold_expr(boundary_pct))
+                    .alias("cid", "ctext"))
+            .select("id", "cid", F.md5("ctext").alias("h")))
+
+
+def cdc_cross_snapshot(new_df: DataFrame, old_df: DataFrame,
+                       text_col: str, id_col: str,
+                       boundary_pct: int = 25) -> DataFrame:
+    """Chunk-level carry detection ACROSS crawl snapshots — the
+    operation cdc_chunk_dedup's boundary stability exists for: chunk
+    both snapshots with the same content-defined boundaries, then for
+    every NEW document count how many of its chunks already exist
+    anywhere in the OLD snapshot. Because boundaries are a pure
+    function of content, an edited page re-chunks only around the
+    edit, so carried_frac stays near 1 for lightly-edited recrawls
+    (and the storage/dedup system only pays for the changed chunks).
+
+    Scale: the old side collapses to DISTINCT chunk hashes before the
+    join (partial-aggregated), the join is hash-equi on h — no
+    pairwise anything. Returns (id, n_chunks, n_carried,
+    carried_frac) for the new snapshot."""
+    old_h = (cdc_chunks(old_df, text_col, id_col, boundary_pct)
+             .select("h").distinct().withColumn("__hit", F.lit(1)))
+    newc = cdc_chunks(new_df, text_col, id_col, boundary_pct)
+    return (newc.join(old_h, "h", "left")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.coalesce("__hit", F.lit(0))).alias("n_carried"))
+            .select(F.col("id").alias(id_col),
+                    F.col("n_chunks").cast("int").alias("n_chunks"),
+                    F.col("n_carried").cast("int").alias("n_carried"),
+                    F.round(F.col("n_carried") / F.col("n_chunks"), 9)
+                    .alias("carried_frac")))
+
+
 def cdc_chunk_dedup(df: DataFrame, text_col: str, id_col: str,
                     boundary_pct: int = 25) -> DataFrame:
     """Sentence-granular exact substring dedup via content-defined
@@ -446,25 +512,7 @@ def cdc_chunk_dedup(df: DataFrame, text_col: str, id_col: str,
     aggregate over the arithmetic (doc, chunk) int64 key, the
     paragraph_dedup convention (exact for doc ids < 2^21, engine-
     portable). Returns per doc: (id, n_chunks, n_kept, kept_frac)."""
-    fold = F.expr(
-        "aggregate(__w, "
-        "named_struct('cs', cast(array() as array<string>), "
-        "'cur', cast(array() as array<string>)), "
-        "(acc, w) -> CASE WHEN "
-        f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 100 "
-        f"< {boundary_pct} "
-        "THEN named_struct('cs', concat(acc.cs, array(concat_ws(' ', "
-        "concat(acc.cur, array(w))))), "
-        "'cur', cast(array() as array<string>)) "
-        "ELSE named_struct('cs', acc.cs, "
-        "'cur', concat(acc.cur, array(w))) END, "
-        "acc -> CASE WHEN size(acc.cur) > 0 THEN concat(acc.cs, "
-        "array(concat_ws(' ', acc.cur))) ELSE acc.cs END)")
-    exploded = (df.select(F.col(id_col).alias("id"),
-                          F.split(F.col(text_col), " ").alias("__w"))
-                .select("id", F.posexplode(fold).alias("cid", "ctext"))
-                .select("id", "cid", F.md5("ctext").alias("h")))
-    keyed = exploded.withColumn(
+    keyed = cdc_chunks(df, text_col, id_col, boundary_pct).withColumn(
         "__k", F.col("id") * F.lit(4294967296) + F.col("cid"))
     firsts = keyed.groupBy("h").agg(F.min("__k").alias("__first"))
     return (keyed.join(firsts, "h")
