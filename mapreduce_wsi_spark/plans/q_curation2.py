@@ -718,3 +718,547 @@ def quality_distill_margin_mining(spark, sf_dir):
             .select("doc_id", "teacher_keep",
                     F.round(F.col("score").cast("double"), 9)
                     .alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# D. Mixing / curriculum pacing under token budgets (r11 queue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_token_budget_pacing",
+    oracle="""
+    WITH s AS (SELECT doc_id, source, n_chars,
+                      ntile(4) OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS stage
+               FROM documents),
+    per AS (SELECT source, CAST(stage AS INT) AS stage,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS stage_tokens
+            FROM s GROUP BY 1, 2),
+    tot AS (SELECT source, sum(stage_tokens) AS src_tokens FROM per
+            GROUP BY 1)
+    SELECT p.source, p.stage, p.n_docs, p.stage_tokens,
+           CAST(sum(p.stage_tokens) OVER (
+               PARTITION BY p.source ORDER BY p.stage) AS BIGINT)
+               AS cum_tokens,
+           CAST(p.stage_tokens * 1000000 // t.src_tokens AS BIGINT)
+               AS share_ppm
+    FROM per p JOIN tot t USING (source)
+    """,
+    note="per-domain curriculum pacing under token budgets (r11 "
+         "queue: mix_curriculum_schedule x token accounting): within "
+         "each source, docs rank easy-to-hard into 4 stages via the "
+         "factored bucketed prefix-sum ntile (no whole-domain window), "
+         "then the table reports each stage's TOKEN mass, running "
+         "total, and share — the pacing reality check that a "
+         "length-ordered curriculum front-loads counts but back-loads "
+         "tokens (stage 4 carries the longest docs). The stage-level "
+         "cumsum runs over |source x 4| aggregate rows, never data")
+def mix_token_budget_pacing(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    staged = ntile_bucketed(docs, ["source"], "n_chars", "doc_id",
+                            n_tiles=4, bucket_width=64,
+                            tile_col="stage")
+    per = (staged.groupBy("source", "stage")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("stage_tokens")))
+    w_cum = (Window.partitionBy("source").orderBy("stage")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = per.groupBy("source").agg(
+        F.sum("stage_tokens").alias("src_tokens"))
+    return (per
+            .withColumn("cum_tokens",
+                        F.sum("stage_tokens").over(w_cum)
+                        .cast("bigint"))
+            .join(F.broadcast(tot), "source")
+            .select("source", "stage", "n_docs", "stage_tokens",
+                    "cum_tokens",
+                    F.expr("stage_tokens * 1000000 div src_tokens")
+                    .cast("bigint").alias("share_ppm")))
+
+
+@register(
+    "mix_dedup_aware_weights",
+    oracle=r"""
+    WITH h AS (SELECT doc_id, source, n_chars,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS h
+               FROM documents),
+    firsts AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h),
+    per AS (SELECT s.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN s.doc_id = f.keeper
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unique,
+                   CAST(sum(CASE WHEN s.doc_id = f.keeper
+                                 THEN s.n_chars ELSE 0 END) AS BIGINT)
+                       AS eff_tokens
+            FROM h s JOIN firsts f ON f.h = s.h
+            GROUP BY 1),
+    tot AS (SELECT sum(eff_tokens) AS te FROM per)
+    SELECT source, n_docs, n_unique, eff_tokens,
+           CAST(eff_tokens * 1000000 // te AS BIGINT) AS weight_ppm
+    FROM per CROSS JOIN tot
+    """,
+    note="dedup-aware mixture weights: a domain's sampling weight "
+         "should follow its UNIQUE token mass, not its raw size — a "
+         "crawl-heavy domain that is 40% duplicates would otherwise "
+         "be overweighted and the model would see its dups at twice "
+         "the intended rate. Exact first-occurrence dedup (hash "
+         "groupBy, min-keeper) feeds per-source effective tokens and "
+         "the renormalized ppm weight. Two partial-aggregated "
+         "shuffles; the corpus total rides a 1-row broadcast")
+def mix_dedup_aware_weights(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .alias("h"))
+    firsts = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    per = (h.join(firsts, "h")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum((F.col("doc_id") == F.col("keeper")).cast("int"))
+                .cast("bigint").alias("n_unique"),
+                F.sum(F.when(F.col("doc_id") == F.col("keeper"),
+                             F.col("n_chars")).otherwise(0))
+                .cast("bigint").alias("eff_tokens")))
+    tot = per.agg(F.sum("eff_tokens").alias("te"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_unique", "eff_tokens",
+                    F.expr("eff_tokens * 1000000 div te")
+                    .cast("bigint").alias("weight_ppm")))
+
+
+@register(
+    "mix_anneal_high_quality",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTE},
+    st AS (SELECT doc_id, source, n_chars,
+                  ntile(4) OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS stage
+           FROM documents),
+    ph AS (SELECT st.source,
+                  CASE WHEN st.stage = 4 AND fl.wc_ok AND fl.mwl_ok
+                            AND fl.symbol_ok AND fl.alpha_ok
+                            AND fl.stop_ok
+                       THEN 2 ELSE 1 END AS phase,
+                  st.n_chars
+           FROM st JOIN flags fl ON fl.doc_id = st.doc_id),
+    per AS (SELECT source, CAST(phase AS INT) AS phase,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS tokens
+            FROM ph GROUP BY 1, 2),
+    tot AS (SELECT source, sum(tokens) AS t FROM per GROUP BY 1)
+    SELECT p.source, p.phase, p.n_docs, p.tokens,
+           CAST(p.tokens * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t USING (source)
+    """,
+    note="two-phase anneal schedule (the end-of-training recipe: "
+         "finish on the highest-quality slice): phase 2 = docs that "
+         "are BOTH in their domain's top length quartile (the "
+         "bucketed-prefix-sum ntile, no whole-domain window) AND pass "
+         "the full Gopher gate; phase 1 = everything else. The table "
+         "reports each domain's anneal token share — the number that "
+         "decides whether the anneal phase needs upsampling. "
+         "Composes mix_curriculum_schedule x "
+         "text_gopher_quality_rules; aggregates only")
+def mix_anneal_high_quality(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    staged = ntile_bucketed(docs, ["source"], "n_chars", "doc_id",
+                            n_tiles=4, bucket_width=64,
+                            tile_col="stage")
+    keep = _gopher_flagged(spark, sf_dir).select(
+        "doc_id", F.col("keep"))
+    ph = (staged.join(keep, "doc_id")
+          .select("source", "n_chars",
+                  F.when((F.col("stage") == 4) & F.col("keep"), 2)
+                  .otherwise(1).cast("int").alias("phase")))
+    per = (ph.groupBy("source", "phase")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("tokens")))
+    tot = per.groupBy("source").agg(F.sum("tokens").alias("t"))
+    return (per.join(F.broadcast(tot), "source")
+            .select("source", "phase", "n_docs", "tokens",
+                    F.expr("tokens * 1000000 div t").cast("bigint")
+                    .alias("share_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# E. Web-corpus curation extensions
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_line_global_dedup",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    ln AS (SELECT doc_id, j,
+                  array_to_string(
+                      w[CAST(j*10+1 AS INT):CAST(j*10+10 AS INT)], ' ')
+                      AS line
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(0, (len(w)-1)//10)) AS j
+                 FROM tk) t),
+    df AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS df
+           FROM ln GROUP BY 1)
+    SELECT l.doc_id, CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS INT)
+               AS n_removed,
+           round(sum(CASE WHEN d.df >= 3 THEN 0
+                          ELSE length(l.line) END) * 1.0
+                 / sum(length(l.line)), 9) AS retained_char_frac
+    FROM ln l JOIN df d ON d.h = md5(l.line)
+    GROUP BY l.doc_id
+    """,
+    note="C4-style global line dedup (Raffel et al. 2020 removed any "
+         "line occurring >= 3 times across the corpus — boilerplate "
+         "nav/footer text): lines are fixed 10-word segments of the "
+         "single-line fixture docs (the udtf_chunk_text convention); "
+         "a line is removed EVERYWHERE when it appears in >= 3 "
+         "distinct docs; per doc the retained char fraction — the "
+         "actual byte survival rate of the gate. Global line df is "
+         "one partial-aggregated groupBy on the line hash; the "
+         "re-join is hash-equi. Distinct from dedup_paragraph_exact "
+         "(first-occurrence KEEP) — this is the frequency-threshold "
+         "REMOVE-ALL form")
+def text_line_global_dedup(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    lines = F.expr(
+        "transform(sequence(0, (size(__w) - 1) div 10), "
+        "j -> concat_ws(' ', slice(__w, j * 10 + 1, 10)))")
+    ln = (docs.select(F.col("doc_id"),
+                      F.split(F.col("text"), " ").alias("__w"))
+          .select("doc_id", F.explode(lines).alias("line"))
+          .select("doc_id", "line", F.md5("line").alias("h")))
+    df = ln.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df"))
+    rm = F.col("df") >= 3
+    return (ln.join(df, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_lines"),
+                 F.sum(rm.cast("int")).cast("int").alias("n_removed"),
+                 F.round(F.sum(F.when(rm, 0)
+                               .otherwise(F.length("line")))
+                         / F.sum(F.length("line")), 9)
+                 .alias("retained_char_frac")))
+
+
+@register(
+    "text_blocklist_categories",
+    oracle="""
+    WITH bl AS (SELECT * FROM (VALUES
+            ('slow', 'latency'), ('dup', 'duplication'),
+            ('big', 'hyperbole'), ('fast', 'hyperbole'))
+        b(word, category)),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+    hits AS (SELECT b.category, t.doc_id
+             FROM tok t JOIN bl b ON b.word = t.w)
+    SELECT category,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM hits GROUP BY 1
+    """,
+    note="category blocklist gate (the C4 badwords-filter shape, with "
+         "fixture-vocabulary stand-ins): a broadcast (word, category) "
+         "list joined against the token stream; per category, how "
+         "many docs and total occurrences the gate would touch — the "
+         "impact report a filter list change ships with. The "
+         "blocklist side broadcasts at any corpus size; the token "
+         "explode is the linear scan every text gate already pays")
+def text_blocklist_categories(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    bl = F.broadcast(spark.createDataFrame(
+        [("slow", "latency"), ("dup", "duplication"),
+         ("big", "hyperbole"), ("fast", "hyperbole")],
+        "word string, category string"))
+    tok = docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("w"))
+    return (tok.join(bl, tok.w == bl.word)
+            .groupBy("category")
+            .agg(F.countDistinct("doc_id").cast("bigint")
+                 .alias("n_docs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+
+
+@register(
+    "decontam_canary_scan",
+    oracle="""
+    WITH can AS (SELECT doc_id AS canary_src,
+                        array_to_string(
+                            string_split(text, ' ')[3:8], ' ') AS canary
+                 FROM documents WHERE doc_id % 97 = 0),
+    hits AS (SELECT c.canary_src, d.doc_id
+             FROM can c JOIN documents d
+               ON position(c.canary IN d.text) > 0)
+    SELECT canary_src,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM hits GROUP BY 1
+    """,
+    note="canary-string contamination scan: the registry of planted "
+         "canaries (here: a 6-word span from every 97th doc — in "
+         "production the GUID strings benchmark owners publish) is "
+         "swept across the corpus as a substring match; per canary, "
+         "how many documents carry it and the first sighting. The "
+         "canary side is a bounded broadcast; the scan is one "
+         "map-only pass with a nested-loop broadcast join (|canaries| "
+         "substring tests per doc — exactly how canary sweeps run at "
+         "corpus scale). Self-hits count: a canary that no longer "
+         "matches even its source doc signals a broken registry")
+def decontam_canary_scan(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    can = F.broadcast(
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("canary_src"),
+                F.concat_ws(" ", F.slice(F.split("text", " "), 3, 6))
+                .alias("canary")))
+    return (docs.join(can, F.instr(F.col("text"), F.col("canary")) > 0)
+            .groupBy("canary_src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("doc_id").cast("bigint").alias("first_doc")))
+
+
+@register(
+    "web_spam_host_burst",
+    oracle=r"""
+    WITH h AS (SELECT doc_id, source || '.example.com' AS host,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS h
+               FROM documents),
+    cnt AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
+    d AS (SELECT s.host, CASE WHEN c.c >= 2 THEN 1 ELSE 0 END AS is_dup
+          FROM h s JOIN cnt c ON c.h = s.h),
+    per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dup
+            FROM d GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS td, sum(n_dup) AS tdup FROM per)
+    SELECT host, n_docs, n_dup,
+           CAST(n_dup * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+           n_dup > 0 AND n_dup * td >= 3 * tdup * n_docs AS burst
+    FROM per CROSS JOIN tot
+    """,
+    note="spam/SEO-farm host detection: hosts whose duplicate rate is "
+         ">= 3x the corpus rate (content farms re-publish the same "
+         "page under many URLs; their hosts light up in exactly this "
+         "table). Dup membership is exact hash-count >= 2; the flag "
+         "is an integer-multiplied rate comparison (n_dup * total "
+         ">= 3 * total_dup * n_docs) — engine-portable, no float "
+         "division in the verdict. Two aggregates + a 1-row broadcast")
+def web_spam_host_burst(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    h = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .alias("h"))
+    cnt = h.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per = (h.join(cnt, "h")
+           .groupBy("host")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum((F.col("c") >= 2).cast("int")).cast("bigint")
+                .alias("n_dup")))
+    tot = per.agg(F.sum("n_docs").alias("td"),
+                  F.sum("n_dup").alias("tdup"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("host", "n_docs", "n_dup",
+                    F.expr("n_dup * 1000000 div n_docs").cast("bigint")
+                    .alias("dup_ppm"),
+                    ((F.col("n_dup") > 0)
+                     & (F.col("n_dup") * F.col("td")
+                        >= 3 * F.col("tdup") * F.col("n_docs")))
+                    .alias("burst")))
+
+
+@register(
+    "web_host_crawl_budget",
+    oracle="""
+    WITH r AS (SELECT source || '.example.com' AS host, doc_id, n_chars,
+                      row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS rn
+               FROM documents)
+    SELECT host, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           CAST(sum(CASE WHEN rn <= 5 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS selected_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM r GROUP BY host
+    """,
+    note="per-host crawl/recrawl budget: under a politeness budget of "
+         "5 fetches per host, keep each host's 5 highest-value pages "
+         "(n_chars as the value proxy) — the frontier-prioritization "
+         "table a recrawl scheduler executes. The per-host top-k runs "
+         "as SALTED two-phase rank (operators/similarity.salted_topk "
+         "— no host's full page list ever sits in one window task; "
+         "hosts are the classic skew key: one domain can be 1% of the "
+         "crawl). Oracle keeps the plain window form — the salted "
+         "rewrite must be output-identical")
+def web_host_crawl_budget(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import salted_topk
+    docs = tbl(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        "doc_id", "n_chars")
+    sel = (salted_topk(docs, "host",
+                       [F.col("n_chars").desc(), F.col("doc_id")],
+                       "doc_id", k=5)
+           .select("host", "doc_id")
+           .withColumn("__sel", F.lit(1)))
+    return (docs.join(sel, ["host", "doc_id"], "left")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                 F.sum(F.coalesce("__sel", F.lit(0))).cast("bigint")
+                 .alias("n_selected"),
+                 F.sum(F.when(F.col("__sel").isNotNull(),
+                              F.col("n_chars")).otherwise(0))
+                 .cast("bigint").alias("selected_chars"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+@register(
+    "split_group_host",
+    oracle="""
+    WITH d AS (SELECT doc_id, source || '.example.com' AS host
+               FROM documents),
+    sp AS (SELECT doc_id, host,
+                  CASE WHEN CAST(('0x' || substr(md5(host), 1, 8))
+                            AS BIGINT) % 10 < 8
+                       THEN 'train' ELSE 'val' END AS split
+           FROM d),
+    leak AS (SELECT CAST(count(*) AS BIGINT) AS n_leaked
+             FROM (SELECT host FROM sp GROUP BY host
+                   HAVING count(DISTINCT split) > 1) t),
+    tot AS (SELECT count(*) AS n FROM sp)
+    SELECT split, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 1000000 // max(tot.n) AS BIGINT)
+               AS docs_ppm,
+           max(leak.n_leaked) AS n_leaked_hosts
+    FROM sp CROSS JOIN leak CROSS JOIN tot
+    GROUP BY split
+    """,
+    note="host-grouped train/val split: membership is a pure function "
+         "of the HOST (portable md5 bucket, 80/20), so every page of "
+         "a domain lands on one side — the split that actually "
+         "prevents template/boilerplate leakage between train and "
+         "val (doc-hash splits leak near-identical sibling pages). "
+         "The audit emits per-split host/doc tallies plus the "
+         "cross-split host count, which must be zero by construction "
+         "and is computed, not asserted")
+def split_group_host(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    sp = docs.select(
+        "doc_id", host.alias("host"),
+        F.when(portable_bucket(host, 10) < 8, "train")
+        .otherwise("val").alias("split"))
+    leak = (sp.groupBy("host")
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked")))
+    tot = sp.agg(F.count(F.lit(1)).alias("n"))
+    return (sp.crossJoin(F.broadcast(leak)).crossJoin(F.broadcast(tot))
+            .groupBy("split")
+            .agg(F.countDistinct("host").cast("bigint")
+                 .alias("n_hosts"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.expr("count(1) * 1000000 div max(n)").cast("bigint")
+                 .alias("docs_ppm"),
+                 F.max("n_leaked").alias("n_leaked_hosts")))
+
+
+@register(
+    "provenance_license_rollup",
+    oracle="""
+    WITH lic AS (SELECT doc_id, source, n_chars,
+                        CASE CAST(('0x' || substr(md5(source), 1, 8))
+                                  AS BIGINT) % 4
+                             WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc0'
+                             WHEN 2 THEN 'mit' ELSE 'proprietary'
+                        END AS license
+                 FROM documents),
+    tot AS (SELECT sum(n_chars) AS tc FROM lic)
+    SELECT license, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) * 1000000 // max(tot.tc) AS BIGINT)
+               AS chars_ppm
+    FROM lic CROSS JOIN tot GROUP BY license
+    """,
+    note="license-provenance accounting (the data-governance rollup "
+         "every training-corpus release ships): license derives from "
+         "the source registry (fixture: portable md5 bucket of the "
+         "source — in production a broadcast source->license map), "
+         "and the table answers 'how many tokens are cc0 vs "
+         "proprietary' in ppm. One aggregate + 1-row broadcast total")
+def provenance_license_rollup(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    docs = tbl(spark, sf_dir, "documents")
+    lic = docs.select(
+        "doc_id", "source", "n_chars",
+        F.element_at(
+            F.array(F.lit("cc-by"), F.lit("cc0"), F.lit("mit"),
+                    F.lit("proprietary")),
+            portable_bucket(F.col("source"), 4) + 1).alias("license"))
+    tot = lic.agg(F.sum("n_chars").alias("tc"))
+    return (lic.crossJoin(F.broadcast(tot))
+            .groupBy("license")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("source").cast("bigint")
+                 .alias("n_sources"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.expr("sum(n_chars) * 1000000 div max(tc)")
+                 .cast("bigint").alias("chars_ppm")))
+
+
+@register(
+    "filter_length_pctile_lang",
+    oracle="""
+    WITH cd AS (SELECT lang, n_chars,
+                       cume_dist() OVER (PARTITION BY lang
+                                         ORDER BY n_chars) AS cd
+                FROM documents),
+    q AS (SELECT lang,
+                 min(CASE WHEN cd >= 0.05 THEN n_chars END) AS p5,
+                 min(CASE WHEN cd >= 0.95 THEN n_chars END) AS p95
+          FROM cd GROUP BY 1)
+    SELECT d.lang, CAST(q.p5 AS BIGINT) AS p5,
+           CAST(q.p95 AS BIGINT) AS p95,
+           CAST(sum(CASE WHEN d.n_chars < q.p5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN d.n_chars > q.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN d.n_chars >= q.p5
+                          AND d.n_chars <= q.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN q USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+    note="per-language length-percentile gates (length distributions "
+         "differ per language, so one global cut over- or under-"
+         "filters the tails): exact PERCENTILE_DISC P5/P95 per lang "
+         "via the shared per-value-cumsum helper (no raw-row window), "
+         "fence table broadcast back for the kept/dropped tallies. "
+         "The gate a multilingual pipeline runs instead of C4's "
+         "fixed word-count cut")
+def filter_length_pctile_lang(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import quantile_disc
+    docs = tbl(spark, sf_dir, "documents")
+    q = (quantile_disc(docs, "lang", "n_chars", ps=(0.05, 0.95))
+         .select("lang", "p5", "p95"))
+    return (docs.join(F.broadcast(q), "lang")
+            .groupBy("lang", F.col("p5").cast("bigint").alias("p5"),
+                     F.col("p95").cast("bigint").alias("p95"))
+            .agg(F.sum((F.col("n_chars") < F.col("p5")).cast("int"))
+                 .cast("bigint").alias("n_below"),
+                 F.sum((F.col("n_chars") > F.col("p95")).cast("int"))
+                 .cast("bigint").alias("n_above"),
+                 F.sum(((F.col("n_chars") >= F.col("p5"))
+                        & (F.col("n_chars") <= F.col("p95")))
+                       .cast("int")).cast("bigint").alias("n_kept")))
