@@ -185,6 +185,23 @@ HEADLINE = [
     # agg). The other three are doc-level/panel-bounded/temp-file-IO.
     "dedup_cdc_sentences",
     "text_ccnet_paragraph_lm",
+    # round-11 tranche — the rows with real data volume: CDC chunking
+    # across snapshots (fold both sides + distinct-hash join), the
+    # edited-page stability A/B (two chunkings x two schemes over the
+    # full corpus), C4 line dedup (line explode + global df groupBy),
+    # the full distillation path (token explode x2 + model join + doc
+    # agg), dedup-aware weights (hash groupBy + join-back), snapshot
+    # JSD (two token explodes + full-outer vocab join), the salted
+    # per-host crawl budget, and the per-thread alternation window
+    # over the events stream
+    "dedup_cdc_cross_snapshot",
+    "dedup_cdc_edit_stability",
+    "text_line_global_dedup",
+    "quality_distill_student_agreement",
+    "mix_dedup_aware_weights",
+    "text_js_divergence_snapshots",
+    "web_host_crawl_budget",
+    "sft_turn_alternation_audit",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

@@ -83,74 +83,73 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-9
-# stamped the ENTIRE 341-entry r9 catalog green (cumulative 341/341,
-# r9 50/50). With the backlog closed, growth RESUMED this round per the
-# COVERAGE.md policy (<=45 net-new per round, sized to the non-sentinel
-# window slots): the r10 tranche adds exactly 40 web-corpus-curation
-# entries (plans/q_curation.py — URL canonical dedup, cross-snapshot
-# incremental dedup, contamination scoring, quota/PPS sampling,
-# Gopher/C4 gates, dedup audits, LLM-eval metrics) and a session-2
-# tranche of 5 r11-queue entries (manifest-keyed incremental dedup,
-# CDC sentence dedup, CCNet paragraph LM, curriculum ntile, embedding
-# recall audit) — exactly the 45-entry budget, so this window =
-# 5 sentinels + all 45 new entries; the staleness pad shrank to zero
-# per its shrink-first rule. Every new entry is driver-stamped the
-# round it lands; the backlog can never re-form.
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-10
+# stamped the ENTIRE 386-entry r10 catalog green (cumulative 386/386,
+# r10 50/50). r11 continues the COVERAGE.md growth policy (<=45
+# net-new per round, minus the re-queued staleness slots): the r11
+# tranche adds exactly 40 entries (plans/q_curation2.py — the r11
+# queue head: manifest-keyed cross-snapshot NEAR-dup, CDC dedup across
+# snapshots + the edited-page stability demo, quality-classifier
+# distillation, token-budget curriculum pacing, embedding band-count
+# audits — plus preference-data QA, loader-permutation/compaction/
+# volume audits, and the star-valve recall contract), so this window =
+# 5 sentinels + 40 never-stamped + the 5-slot oldest-stamp pad.
 # tests/test_driver_window.py pins the order, asserts the rotation
-# hygiene (non-sentinel, non-pad entries must be never-stamped), and
-# checks family coverage over the CUMULATIVE stamped set.
-ROUND = 10  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+# hygiene (non-sentinel, non-pad entries must be never-stamped),
+# recomputes the pad MECHANICALLY (oldest latest-stamp first, name
+# tie-break — VERDICT r10 ask #5), and checks family coverage over the
+# CUMULATIVE stamped set.
+ROUND = 11  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
-# exists only when free slots remain after covering never-stamped
-# entries and SHRINKS FIRST — and this round it shrank to zero: the
-# session-2 tranche (5 more r11-queue entries, bringing r10 growth to
-# exactly the 45-entry budget) fills every non-sentinel slot with
-# never-stamped entries. The round-2-vintage staleness candidates
-# (above_avg_balance, distinct_rows, histogram_fixed_buckets,
-# q10_returned_items, q12_late_shipment) re-queue for the next round
-# with free slots.
-WINDOW_STALENESS_PAD: tuple[str, ...] = ()
+# fills the free slots left after every never-stamped entry is
+# windowed, picking the entries whose LATEST green stamp is oldest
+# (ties broken by name) — exactly the five round-2-vintage entries
+# that re-queued when the r10 session-2 tranche squeezed the pad to
+# zero. test_driver_window.py::test_pad_is_exactly_the_oldest_stamps
+# recomputes this from CORRECTNESS_r*.json, so the pad can never be
+# hand-picked.
+WINDOW_STALENESS_PAD: tuple[str, ...] = (
+    "above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
+    "q10_returned_items", "q12_late_shipment",
+)
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # r10 tranche (plans/q_curation.py), registration order:
-    # URL / web family
-    "url_host_rollup", "dedup_url_canonical", "web_robots_filter",
-    "url_tracking_params_audit",
-    # cross-snapshot incremental dedup
-    "dedup_cross_snapshot_exact", "dedup_cross_snapshot_bloom",
-    "dedup_incremental_minhash", "dedup_snapshot_delta_stats",
-    # contamination scoring
-    "decontam_token_fraction", "decontam_longest_run",
-    # mixing / sampling
-    "mix_perplexity_target", "sample_quota_largest_remainder",
-    "sample_pps_systematic",
-    # Gopher / C4 quality gates
-    "text_gopher_quality_rules", "quality_rejection_reasons",
-    "text_c4_heuristics", "text_char_ngram_repetition",
-    # dedup reports / audits
-    "dedup_cluster_size_hist", "dedup_lsh_recall_audit",
-    "text_boilerplate_prefix_clusters", "dedup_paragraph_exact",
-    # LLM-eval metrics
-    "eval_pass_at_k", "eval_bleu_ngram_precision",
-    "eval_pairwise_winrate",
-    # corpus profiling / composition
-    "text_ngram_novelty", "text_idf_rarity_score",
-    "text_vocab_coverage_topv", "dq_json_key_profile",
-    "text_hash_bucket_balance", "dq_pii_density",
-    "dedup_composition_drift", "dedup_keep_best_quality",
-    "pipeline_dedup_funnel", "dedup_minhash_error_audit",
-    "text_lang_mix_entropy", "text_token_len_hist",
-    "pipeline_shard_size_audit", "text_hapax_ratio",
-    "mix_domain_kl_divergence", "eval_fleiss_kappa",
-    # session-2 tranche (r11-queue pulls; registered in q_curation.py)
-    "dedup_cdc_sentences", "text_ccnet_paragraph_lm",
-    "mix_curriculum_schedule", "dedup_manifest_cross_snapshot",
-    "dedup_embedding_recall_audit",
+    # r11 tranche (plans/q_curation2.py), registration order:
+    # cross-snapshot near-dup / CDC follow-through
+    "dedup_manifest_minhash", "dedup_cdc_cross_snapshot",
+    "dedup_cdc_edit_stability", "dedup_snapshot_first_seen",
+    "dedup_minhash_band_tradeoff",
+    # embedding-dedup / representation audits
+    "dedup_embedding_band_sweep", "embedding_norm_outlier_gate",
+    # quality-classifier distillation
+    "quality_distill_labels", "quality_distill_token_logodds",
+    "quality_distill_student_agreement", "quality_distill_margin_mining",
+    # mixing / curriculum pacing
+    "mix_token_budget_pacing", "mix_dedup_aware_weights",
+    "mix_anneal_high_quality",
+    # web-corpus curation extensions
+    "text_line_global_dedup", "text_blocklist_categories",
+    "decontam_canary_scan", "web_spam_host_burst",
+    "web_host_crawl_budget", "split_group_host",
+    "provenance_license_rollup", "filter_length_pctile_lang",
+    # preference / SFT data QA
+    "eval_bradley_terry", "sft_turn_alternation_audit",
+    "sft_prompt_dedup", "eval_length_bias_audit",
+    # pipeline-ops audits
+    "eval_pref_cycle_rate", "shard_epoch_permutation",
+    "lakehouse_compaction_plan", "ingest_volume_anomaly",
+    "sample_importance_ess", "corpus_self_bleu_panel",
+    "text_js_divergence_snapshots",
+    # valve recall, quantization recall, semantic decontam, drift,
+    # langid margin, mojibake, Wilson CI
+    "dedup_star_valve_recall_audit", "embedding_quantization_recall",
+    "decontam_embedding_sim", "embedding_domain_centroid_drift",
+    "text_lang_confidence_margin", "dq_control_char_scan",
+    "eval_winrate_wilson",
 ) + WINDOW_STALENESS_PAD
 
 

@@ -124,6 +124,33 @@ def test_window_rotation_targets_never_stamped_entries():
         f"window wastes slots on already-stamped entries: {already_prior}")
 
 
+def test_pad_is_exactly_the_oldest_stamps():
+    """VERDICT r10 ask #5 — the pad rule is enforced mechanically, not
+    by prose: the pad must consist of exactly the N entries whose
+    LATEST green driver stamp is oldest (ties broken by name), where N
+    is the free-slot count (50 - sentinels - never-stamped additions).
+    Recomputed here from CORRECTNESS_r*.json, so a hand-picked or
+    stale pad fails the suite."""
+    n_pad = len(WINDOW_STALENESS_PAD)
+    if n_pad == 0:
+        return  # no free slots this round; nothing to enforce
+    latest: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        if _round_of(f) >= ROUND:
+            continue
+        rows = json.loads(f.read_text())
+        for n, r in rows.items():
+            if (r.get("rows_match") and r.get("schema_match")
+                    and r.get("hash_match", True) and not r.get("err")):
+                latest[n] = max(latest.get(n, 0), _round_of(f))
+    ranked = sorted((rnd, name) for name, rnd in latest.items()
+                    if name not in SENTINELS)
+    expected = tuple(name for _rnd, name in ranked[:n_pad])
+    assert tuple(sorted(WINDOW_STALENESS_PAD)) == tuple(
+        sorted(expected)), (
+        f"pad {WINDOW_STALENESS_PAD} != oldest-stamp set {expected}")
+
+
 def test_staleness_pad_entries_were_previously_stamped():
     """The pad exists to RE-check old stamps; a pad entry the driver
     never stamped would belong in the fresh tier instead."""

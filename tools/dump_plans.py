@@ -118,6 +118,15 @@ SHOWN = [
     "weighted_median_exact",
     "rfm_scores",
     "topp_mass_cutoff",
+    # r11: the count+semi-join char-repetition form (no collect_list),
+    # CDC across snapshots (distinct-hash equi-join, no pairwise), the
+    # salted per-host crawl budget, the distillation score path
+    # (token-keyed model join), and the token-budget pacing cumsum over
+    # stage-level aggregates
+    "dedup_cdc_cross_snapshot",
+    "web_host_crawl_budget",
+    "quality_distill_student_agreement",
+    "mix_token_budget_pacing",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.
