@@ -5,7 +5,7 @@ metadata; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched pandas stages over ``mapInPandas``. Nine formats decode
 FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6);
 BMP (uncompressed 24/32bpp with row padding, bottom-up scanlines,
-BGR(A) order, plus 8bpp palette and RLE8); PNG (all five color types,
+BGR(A) order, plus 8/4bpp palette and RLE8/RLE4); PNG (all five color types,
 bit depths 1/2/4/8/16 incl. sub-byte palette/gray packing, both
 non-interlaced and Adam7 interlaced — zlib inflate + per-row
 Sub/Up/Average/Paeth defilter per pass); JPEG — both baseline
@@ -20,7 +20,7 @@ stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
 real typed feature vectors (``decode_features(real_decode=True)``),
 and real nearest-neighbor pixel resize
 (``resize_images(real_decode=True)``). The residual stub boundary:
-arithmetic-coded/12-bit/lossless JPEG, RLE4 BMP, LZW/Deflate TIFF
+arithmetic-coded/12-bit/lossless JPEG, 1bpp/BI_BITFIELDS BMP, LZW/Deflate TIFF
 strips, and MP3-class perceptual audio codecs yield ok=false rows —
 never a failed stage — and the byte-level fake kernels remain the
 default for plumbing tests over arbitrary payloads.
@@ -314,6 +314,71 @@ def _bmp_rle8_indices(payload: bytes, pos: int, w: int,
     return None  # ran off the end without an end-of-bitmap escape
 
 
+def _bmp_rle4_indices(payload: bytes, pos: int, w: int,
+                      h: int) -> "np.ndarray | None":
+    """Decode a BI_RLE4 pixel stream into an (h, w) uint8 index image
+    (bottom-up row order, as stored) — the nibble-packed sibling of
+    _bmp_rle8_indices (r11; the header's smallest documented stub).
+    Encoded runs alternate the HIGH then LOW nibble of the value byte
+    for ``count`` pixels; absolute mode carries n literal nibbles
+    packed two per byte (high first), with the byte stream word-
+    aligned; EOL (0,0), delta (0,2,dx,dy) and EOB (0,1) escapes are
+    identical to RLE8. Strict bounds: a run crossing a row edge or a
+    stream without EOB returns None (poison-safe, never raises)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    n = len(payload)
+    while pos + 1 < n:
+        c, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if c:  # encoded run: c pixels of alternating hi/lo nibble
+            if y >= h or x + c > w:
+                return None
+            pix = np.empty(c, dtype=np.uint8)
+            pix[0::2] = v >> 4
+            pix[1::2] = v & 0x0F
+            out[y, x:x + c] = pix
+            x += c
+        elif v == 0:  # end of line
+            x = 0
+            y += 1
+            if y > h:
+                return None
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta: skip right/up (bottom-up storage)
+            if pos + 2 > n:
+                return None
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                return None
+        else:  # absolute: v literal nibbles, hi first, word-aligned
+            nbytes = (v + 1) // 2
+            if y >= h or x + v > w or pos + nbytes > n:
+                return None
+            raw = np.frombuffer(payload[pos:pos + nbytes],
+                                dtype=np.uint8)
+            nib = np.empty(nbytes * 2, dtype=np.uint8)
+            nib[0::2] = raw >> 4
+            nib[1::2] = raw & 0x0F
+            out[y, x:x + v] = nib[:v]
+            x += v
+            pos += nbytes + (nbytes & 1)
+    return None  # ran off the end without an end-of-bitmap escape
+
+
+def _unpack_nibble_rows(block: "np.ndarray", w: int) -> "np.ndarray":
+    """(h, stride) packed 4bpp rows -> (h, w) uint8 indices, high
+    nibble first within each byte."""
+    h = block.shape[0]
+    nib = np.empty((h, block.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = block >> 4
+    nib[:, 1::2] = block & 0x0F
+    return nib[:, :w]
+
+
 def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     """Parse a BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): returns
     (width, height, pixels) with pixels an (h, w, 3) uint8 ndarray in
@@ -322,10 +387,10 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     ``struct`` for headers, numpy views for the pixel block: BI_RGB
     24/32bpp (4-byte row padding, bottom-up and top-down scanline
     orders, BGR(A) channel order, alpha dropped), BI_RGB 8bpp palette,
-    and BI_RLE8 run-length compressed 8bpp (encoded runs, absolute
-    mode, EOL/delta/EOB escapes). BI_RLE4 and BI_BITFIELDS return
-    None — the remaining ``real_decode`` stub boundary for this format
-    family."""
+    BI_RGB 8bpp palette, BI_RLE8, and (r11) BI_RGB 4bpp palette +
+    BI_RLE4 run-length compressed 4bpp (nibble runs, absolute mode,
+    EOL/delta/EOB escapes). BI_BITFIELDS and 1bpp return None — the
+    remaining ``real_decode`` stub boundary for this format family."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -378,6 +443,36 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         if h < 0:  # RLE streams are bottom-up only per spec
             return None
         idx = _bmp_rle8_indices(payload, data_off, w, h)
+        if idx is None:
+            return None
+        return w, h, pal[idx[::-1]]
+    if bpp == 4 and compression in (0, 2):  # 4bpp palette / BI_RLE4
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_pal = clr_used or 16
+        pal_off = 14 + hdr_size
+        if n_pal > 16 or len(payload) < pal_off + 4 * n_pal:
+            return None
+        pal = (np.frombuffer(payload[pal_off:pal_off + 4 * n_pal],
+                             dtype=np.uint8)
+               .reshape(-1, 4)[:, 2::-1])  # BGRX -> RGB
+        if n_pal < 16:  # any nibble decodes (poison-safe), as black
+            pal = np.vstack([pal, np.zeros((16 - n_pal, 3), np.uint8)])
+        if compression == 0:
+            bottom_up = h > 0
+            h_abs = abs(h)
+            stride = ((w + 1) // 2 + 3) & ~3
+            end = data_off + stride * h_abs
+            if len(payload) < end:
+                return None
+            block = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+                     .reshape(h_abs, stride))
+            idx = _unpack_nibble_rows(block, w)
+            if bottom_up:
+                idx = idx[::-1]
+            return w, h_abs, pal[idx]
+        if h < 0:  # RLE streams are bottom-up only per spec
+            return None
+        idx = _bmp_rle4_indices(payload, data_off, w, h)
         if idx is None:
             return None
         return w, h, pal[idx[::-1]]
@@ -455,6 +550,100 @@ def encode_bmp_rle8(indices: "np.ndarray", palette,
             out += b"\x00\x00"
     out += b"\x00\x01"
     return _bmp8_wrap(w, h, palette, bytes(out), 1)
+
+
+def _bmp4_wrap(w: int, h: int, palette, data: bytes,
+               compression: int) -> bytes:
+    """Assemble a 4bpp BMP (full 16-entry BGRX palette) around an
+    already-encoded pixel stream — shared by the two r11 test
+    encoders (the _bmp8_wrap pattern at 4 bits)."""
+    import struct
+
+    pal = np.zeros((16, 4), dtype=np.uint8)
+    p = np.asarray(palette, dtype=np.uint8)
+    pal[:len(p), :3] = p[:16, ::-1]  # RGB -> BGR
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, compression,
+                       len(data), 0, 0, 0, 0)
+    body = info + pal.tobytes() + data
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(body), 0, 0,
+                           14 + len(info) + pal.nbytes)
+    return file_hdr + body
+
+
+def _pack_nibbles(row: "np.ndarray") -> bytes:
+    """uint8 index row (values < 16) -> packed 4bpp bytes, high nibble
+    first, odd tail padded with a zero nibble."""
+    r = np.asarray(row, dtype=np.uint8)
+    if len(r) & 1:
+        r = np.concatenate([r, np.zeros(1, np.uint8)])
+    return ((r[0::2] << 4) | r[1::2]).tobytes()
+
+
+def encode_bmp_pal4(indices: "np.ndarray", palette) -> bytes:
+    """Uncompressed 4bpp palette BMP from a TOP-DOWN (h, w) uint8 index
+    image (values < 16; stored bottom-up, packed rows padded to 4
+    bytes) — test twin for the 4bpp palette decode path."""
+    h, w = indices.shape
+    stride = ((w + 1) // 2 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        packed = _pack_nibbles(indices[y])
+        rows += packed + b"\x00" * (stride - len(packed))
+    return _bmp4_wrap(w, h, palette, bytes(rows), 0)
+
+
+def encode_bmp_rle4(indices: "np.ndarray", palette,
+                    absolute_mode: bool = False) -> bytes:
+    """BI_RLE4 BMP from a TOP-DOWN (h, w) uint8 index image (values
+    < 16) — the test twin for _bmp_rle4_indices. Greedy encoded runs
+    over ALTERNATING nibble pairs (a run byte carries two indices, so
+    a run of [a,b,a,b,...] encodes as one op); with ``absolute_mode``
+    non-repeating stretches of >= 3 pixels use the word-aligned
+    absolute op. EOL after every row, EOB at the end (deltas covered
+    by directed streams in the tests, as for RLE8)."""
+    h, w = indices.shape
+    stored = indices[::-1]
+    out = bytearray()
+    for y in range(h):
+        row = stored[y]
+        x = 0
+        while x < w:
+            # longest alternating-pair run starting at x
+            a = int(row[x])
+            b = int(row[x + 1]) if x + 1 < w else a
+            run = 1
+            while x + run < w and run < 255 and \
+                    int(row[x + run]) == (a if run % 2 == 0 else b):
+                run += 1
+            if absolute_mode and run < 3:
+                start = x
+                while x < w and x - start < 255:
+                    a2 = int(row[x])
+                    b2 = int(row[x + 1]) if x + 1 < w else a2
+                    r2 = 1
+                    while x + r2 < w and \
+                            int(row[x + r2]) == (a2 if r2 % 2 == 0
+                                                 else b2):
+                        r2 += 1
+                    if r2 >= 3:
+                        break
+                    x += 1
+                lit = row[start:x]
+                if len(lit) >= 3:
+                    packed = _pack_nibbles(lit)
+                    out += bytes([0, len(lit)]) + packed
+                    if len(packed) & 1:
+                        out += b"\x00"  # word alignment pad
+                else:
+                    for v in lit:
+                        out += bytes([1, int(v) << 4])
+            else:
+                out += bytes([run, (a << 4) | b])
+                x += run
+        if y < h - 1:
+            out += b"\x00\x00"
+    out += b"\x00\x01"
+    return _bmp4_wrap(w, h, palette, bytes(out), 2)
 
 
 def decode_bmp_stats(blobs: DataFrame) -> DataFrame:

@@ -491,6 +491,135 @@ def test_bmp_rle8_fuzz_ops_truncation_and_poison():
     run()
 
 
+def test_bmp_pal4_and_rle4_decode():
+    """4bpp palette BMPs — uncompressed and BI_RLE4 (nibble runs,
+    absolute mode, EOL/delta/EOB escapes) — decode for real (r11; the
+    header's last documented BMP stub); RLE streams violating row
+    bounds or missing EOB return None."""
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _bmp4_wrap, _parse_bmp, encode_bmp_pal4, encode_bmp_rle4)
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    for shape in [(1, 1), (2, 3), (5, 7), (3, 17), (4, 24)]:
+        for ncolors in (1, 2, 4, 16):
+            idx = rng.integers(0, ncolors, shape).astype(np.uint8)
+            exp = pal[idx]
+            for enc in (encode_bmp_pal4(idx, pal),
+                        encode_bmp_rle4(idx, pal),
+                        encode_bmp_rle4(idx, pal, absolute_mode=True)):
+                got = _parse_bmp(enc)
+                assert got is not None, (shape, ncolors)
+                assert (got[0], got[1]) == (shape[1], shape[0])
+                assert np.array_equal(got[2], exp), (shape, ncolors)
+
+    # directed: odd-length run exercises the alternating hi/lo nibble
+    # tail; delta skip; early EOB. Bottom row "5 3 5 . 7" via one
+    # 3-run of 0x53, a (1,0) delta, one pixel 0x70, then EOB
+    stream = bytes([3, 0x53, 0, 2, 1, 0, 1, 0x70, 0, 0, 1, 0x90,
+                    0, 1])
+    got = _parse_bmp(_bmp4_wrap(5, 3, pal, stream, 2))
+    assert got is not None
+    idx_exp = np.zeros((3, 5), dtype=np.uint8)
+    idx_exp[2] = [5, 3, 5, 0, 7]
+    idx_exp[1, 0] = 9
+    assert np.array_equal(got[2], pal[idx_exp])
+
+    # poison: run past the row edge / missing EOB / truncated absolute
+    for bad in (bytes([6, 0x51, 0, 1]), bytes([1, 0x50]),
+                bytes([0, 4, 0x12])):
+        assert _parse_bmp(_bmp4_wrap(4, 3, pal, bad, 2)) is None
+
+
+def test_bmp_rle4_fuzz_ops_truncation_and_poison():
+    """Hypothesis sweep over the BI_RLE4 walk (the RLE8 fuzz pattern
+    at nibble granularity): (1) encoder roundtrips, both modes;
+    (2) GENERATIVE op streams — alternating-nibble runs, word-aligned
+    absolute ops, EOL, delta — against an independent interpreter;
+    (3) strict prefixes reject; (4) byte soup never raises."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _bmp4_wrap, _parse_bmp, encode_bmp_rle4)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        h = data.draw(st.integers(1, 12))
+        w = data.draw(st.integers(1, 24))
+
+        # (1) roundtrip, run-mix controlled by palette cardinality
+        ncolors = data.draw(st.sampled_from([1, 2, 4, 16]))
+        idx = rng.integers(0, ncolors, (h, w)).astype(np.uint8)
+        absolute = data.draw(st.booleans())
+        enc = encode_bmp_rle4(idx, pal, absolute_mode=absolute)
+        got = _parse_bmp(enc)
+        assert got is not None and np.array_equal(got[2], pal[idx])
+
+        # (2) generative op stream + independent reference interpreter
+        ref = np.zeros((h, w), dtype=np.uint8)
+        stream = bytearray()
+        x, y = 0, 0
+        for _ in range(data.draw(st.integers(0, 30))):
+            if y >= h:
+                break
+            op = data.draw(st.sampled_from(
+                ["run", "abs", "eol", "delta"]))
+            room = w - x
+            if op == "run" and room:
+                c = data.draw(st.integers(1, min(room, 255)))
+                v = data.draw(st.integers(0, 255))
+                stream += bytes([c, v])
+                pix = np.empty(c, dtype=np.uint8)
+                pix[0::2] = v >> 4
+                pix[1::2] = v & 0x0F
+                ref[y, x:x + c] = pix
+                x += c
+            elif op == "abs" and room >= 3:
+                c = data.draw(st.integers(3, min(room, 255)))
+                lit = rng.integers(0, 16, c).astype(np.uint8)
+                even = (np.concatenate([lit, np.zeros(1, np.uint8)])
+                        if c & 1 else lit)
+                packed = ((even[0::2] << 4) | even[1::2]).tobytes()
+                stream += bytes([0, c]) + packed
+                if len(packed) & 1:
+                    stream += b"\x00"
+                ref[y, x:x + c] = lit
+                x += c
+            elif op == "eol":
+                stream += b"\x00\x00"
+                x, y = 0, y + 1
+            elif op == "delta":
+                dx = data.draw(st.integers(0, w - x))
+                dy = data.draw(st.integers(0, h - y))
+                stream += bytes([0, 2, dx, dy])
+                x, y = x + dx, y + dy
+        stream += b"\x00\x01"  # EOB
+        got = _parse_bmp(_bmp4_wrap(w, h, pal, bytes(stream), 2))
+        assert got is not None
+        assert np.array_equal(got[2], pal[ref[::-1]])
+
+        # (3) strict prefixes of the op stream starve the walk
+        cut = data.draw(st.integers(0, len(stream) - 1))
+        assert _parse_bmp(
+            _bmp4_wrap(w, h, pal, bytes(stream[:cut]), 2)) is None
+
+        # (4) byte soup: None or a valid image, never an exception
+        soup = bytes(rng.integers(0, 256,
+                                  data.draw(st.integers(0, 40)),
+                                  dtype=np.uint8))
+        r = _parse_bmp(_bmp4_wrap(w, h, pal, soup, 2))
+        assert r is None or r[2].shape == (h, w, 3)
+
+    run()
+
+
 def test_bmp_decode_stats_end_to_end(spark, sf_smoke):
     """decode_bmp_stats over a synthesized image: channel means are over
     pixel bytes only (padding excluded), malformed rows flagged not
