@@ -74,26 +74,30 @@ def main() -> None:
         # dropped (r8 had two; excluding current-window names would
         # have silently parked them)
         queued = [n for n in never][:45]
-        # spare slots refill the staleness pad: oldest-stamped entries
-        # (earliest round first) get re-verified against drift. Only
-        # entries GREEN in the scanned file qualify — a red row is not
-        # "stamped", and padding it would trip the never-stamped-pad
-        # warning next round instead of queueing it fresh (ADVICE r8)
-        pad: list[str] = []
-        taken = set(sentinels) | set(queued)
-        for _, path in files:
-            if len(pad) >= 45 - len(queued):
-                break
+        # spare slots refill the staleness pad: the entries whose
+        # LATEST green stamp is oldest (ties broken by name) get
+        # re-verified against drift — evidence age is recency of the
+        # last stamp, not of the first (r11: the earlier earliest-round
+        # walk would re-pick an entry re-stamped only last round).
+        # Only GREEN rows qualify — a red row is not "stamped", and
+        # padding it would trip the never-stamped-pad warning next
+        # round instead of queueing it fresh (ADVICE r8). This ranking
+        # is the same one tests/test_driver_window.py::
+        # test_pad_is_exactly_the_oldest_stamps enforces on the
+        # committed registry.
+        latest: dict[str, int] = {}
+        for rnd, path in files:
             with open(path) as fh:
                 rows = json.load(fh)
-            green = [n for n, r in rows.items()
-                     if r.get("rows_match") and r.get("schema_match")
-                     and r.get("hash_match", True) and not r.get("err")]
-            for n in green:
-                if (len(pad) < 45 - len(queued) and n in catalog
-                        and n not in taken):
-                    pad.append(n)
-                    taken.add(n)
+            for n, r in rows.items():
+                if (r.get("rows_match") and r.get("schema_match")
+                        and r.get("hash_match", True)
+                        and not r.get("err")):
+                    latest[n] = max(latest.get(n, 0), rnd)
+        taken = set(sentinels) | set(queued)
+        ranked = sorted((rnd, n) for n, rnd in latest.items()
+                        if n in catalog and n not in taken)
+        pad = [n for _rnd, n in ranked[:max(0, 45 - len(queued))]]
         print(f"\n# DRIVER_WINDOW for round {ROUND + 1}: 5 sentinels + "
               f"{len(queued)} queued + {len(pad)} staleness pad")
         print("WINDOW_STALENESS_PAD: tuple[str, ...] = (")
