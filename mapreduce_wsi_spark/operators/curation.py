@@ -386,14 +386,19 @@ def char_ngram_repetition(df: DataFrame, text_col: str, id_col: str,
     exploded-position distinct-union at a fraction of the shuffled
     rows (the x{n} coverage explode was the plan's top shuffle).
 
-    Duplicated (id, gram) keys are found by a partial-aggregatable
-    COUNT then recovered as positions via a left-semi join back to the
-    gram stream (VERDICT r10 ask #6): the earlier collect_list(pos)
-    form buffered every position of a gram in one aggregation buffer —
-    bounded by doc length, but O(doc) per buffer where count+semi-join
-    is O(1), and the count combines map-side where collect_list cannot.
-    Both sides key on (id, g), so the join reuses the aggregation's
-    partitioning. Returns (id, n_chars, dup_char_frac)."""
+    Duplicated (id, gram) keys are tagged by an in-stream WINDOW COUNT
+    over (id, gram) — ONE shuffle, no join, no position-array buffer
+    (VERDICT r10 ask #6, improved past its own suggestion): the
+    original collect_list(pos) form buffered every position of a gram
+    in one non-combining aggregation buffer and paid a groupBy+explode
+    roundtrip; the suggested count-filter + left-semi join re-scanned
+    the gram stream and measured 1.5x SLOWER than collect_list at
+    sf0.1 (6.75 vs 4.31 s warm); the window count rides the same
+    (id, gram) shuffle the positions need anyway and measured 3.55 s —
+    fastest of the three, with buffering bounded by one gram's
+    positions within one doc (<= doc length, spillable WindowExec).
+    Measured A/B in SCALE.md r11. Returns (id, n_chars,
+    dup_char_frac)."""
     grams = F.expr(
         f"CASE WHEN length(__t) >= {n} THEN "
         f"transform(sequence(1, length(__t) - {n - 1}), "
@@ -402,11 +407,9 @@ def char_ngram_repetition(df: DataFrame, text_col: str, id_col: str,
     g = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
          .select("id", F.explode(grams).alias("x"))
          .select("id", "x.pos", "x.g"))
-    dup_keys = (g.groupBy("id", "g")
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .filter(F.col("__c") >= 2)
-                .select("id", "g"))
-    dup_starts = (g.join(dup_keys, ["id", "g"], "left_semi")
+    w_gram = Window.partitionBy("id", "g")
+    dup_starts = (g.withColumn("__c", F.count(F.lit(1)).over(w_gram))
+                  .filter(F.col("__c") >= 2)
                   .select("id", "pos"))
     w_doc = Window.partitionBy("id").orderBy("pos")
     islands = (dup_starts

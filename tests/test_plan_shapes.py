@@ -859,11 +859,16 @@ def test_quantile_disc_has_no_rowlevel_cume_dist(spark, sf_oracle):
 
 
 def test_char_ngram_repetition_has_no_position_buffer(spark, sf_oracle):
-    """char_ngram_repetition (r11): duplicated (doc, gram) keys come
-    from a partial-aggregatable COUNT + left-semi join back to the gram
-    stream — never collect_list(pos), whose aggregation buffer holds
-    every occurrence of a gram (O(doc length) per buffer, and
-    ObjectHashAggregate instead of map-side-combining HashAggregate)."""
+    """char_ngram_repetition (r11): duplicated (doc, gram) starts are
+    tagged by an in-stream window COUNT over (id, gram) — one shuffle,
+    no join, no collect_list(pos) aggregation buffer and no
+    groupBy+explode roundtrip. The measured 3-way A/B (SCALE.md r11)
+    put this form fastest; the regression markers are collect_list
+    anywhere, or the (id, gram) count window disappearing."""
+    import re
+
     plan = plan_of(build("text_char_ngram_repetition", spark, sf_oracle))
     assert "collect_list" not in plan, "position buffer returned"
-    assert "LeftSemi" in plan, "count-filter semi-join missing"
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert any("id" in s and " g" in s for s in specs), (
+        f"(id, gram) count window missing: {specs}")
