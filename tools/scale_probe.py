@@ -75,6 +75,15 @@ PROBE_QUERIES = {
     # r10 session-2 heavy rows (documents only)
     "dedup_cdc_sentences",        # map-only fold + first-occurrence join
     "text_ccnet_paragraph_lm",    # token explode + vocab join + para agg
+    # r11 heavy rows (documents only)
+    "text_char_ngram_repetition",  # char explode + (id, gram) window
+    "dedup_cdc_cross_snapshot",    # fold both sides + distinct-hash join
+    "dedup_cdc_edit_stability",    # two chunkings x two schemes
+    "text_line_global_dedup",      # line explode + global df groupBy
+    "quality_distill_student_agreement",  # token explode x2 + model join
+    "text_js_divergence_snapshots",  # 2 token explodes + vocab join
+    "mix_dedup_aware_weights",     # hash groupBy + join-back
+    "web_host_crawl_budget",       # salted per-host top-k
 }
 
 
