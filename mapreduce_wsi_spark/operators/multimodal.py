@@ -12,7 +12,8 @@ Sub/Up/Average/Paeth defilter per pass); JPEG — both baseline
 sequential (SOF0) and progressive (SOF2: spectral selection +
 successive approximation, T.81 Annex G) — with Huffman entropy decode,
 dequant + IDCT, chroma upsampling, YCbCr->RGB; GIF (LZW, palette,
-interlaced); TIFF (IFD walk, strips, PackBits); TGA (RLE + raw);
+interlaced); TIFF (IFD walk, strips, PackBits, TIFF-LZW with early
+change, Deflate, Predictor 2); TGA (RLE + raw);
 QOI (run/index/diff ops); and WAV audio across PCM16, mu-law/A-law
 companding, and IMA-ADPCM block decode — powering real per-format
 stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
@@ -20,8 +21,9 @@ stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
 real typed feature vectors (``decode_features(real_decode=True)``),
 and real nearest-neighbor pixel resize
 (``resize_images(real_decode=True)``). The residual stub boundary:
-arithmetic-coded/12-bit/lossless JPEG, 1bpp/BI_BITFIELDS BMP, LZW/Deflate TIFF
-strips, and MP3-class perceptual audio codecs yield ok=false rows —
+arithmetic-coded/12-bit/lossless JPEG, 1bpp/BI_BITFIELDS BMP, tiled/
+planar/16-bit TIFF, and MP3-class perceptual audio codecs yield ok=false
+rows —
 never a failed stage — and the byte-level fake kernels remain the
 default for plumbing tests over arbitrary payloads.
 
@@ -3068,6 +3070,119 @@ def _packbits_encode(data: bytes) -> bytes:
 _TIFF_TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
 
 
+def _tiff_lzw_decode(seg: bytes, expected: int) -> bytes | None:
+    """TIFF-variant LZW (TIFF 6.0 §13, r11): MSB-first bit packing,
+    9->12-bit variable code width with the TIFF "early change" (the
+    width bumps one code EARLIER than vanilla LZW — when the table
+    reaches 2^width - 1, not 2^width), Clear=256 resets the table and
+    width, EOI=257 terminates. The first code after a Clear must be a
+    literal; a code beyond table-size+1, a missing EOI, or output
+    overrun returns None (poison-safe, never raises)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    bitbuf = nbits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    n = len(seg)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return None  # ran out without an EOI code
+            bitbuf = (bitbuf << 8) | seg[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:  # first code after Clear: literal only
+            if code > 255:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        # early change, phase-matched to the encoder: the decoder adds
+        # no entry for the first code after a Clear, so its table runs
+        # ONE behind the writer's next_code — the width must bump at
+        # 2^width - 2 (writer bumps at next_code == 2^width - 1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        if len(out) > expected:
+            return None
+    return bytes(out) if len(out) == expected else None
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (test/oracle twin for
+    _tiff_lzw_decode): greedy longest-match, Clear emitted up front
+    and whenever the code space fills (next code 4094 — the 12-bit
+    early-change ceiling), EOI at the end, MSB-first packing, width
+    bumps when the NEXT code to assign reaches 2^width - 1 (mirroring
+    the decoder's early change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitacc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitacc, nbits
+        bitacc = (bitacc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitacc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    codes: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in codes:
+            w += c
+            continue
+        emit(codes[w], width)
+        codes[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:  # table full: reset mid-stream
+            emit(CLEAR, width)
+            codes = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(codes[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((bitacc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_undo_predictor2(raw: bytes, w: int, h: int,
+                          spp: int) -> bytes:
+    """Undo TIFF Predictor 2 (horizontal differencing, §14): each
+    sample is stored as the delta to the previous sample of the SAME
+    channel in the row; reconstruction is a per-row per-channel
+    modulo-256 cumulative sum (one vectorized numpy pass)."""
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, spp)
+    return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
+
+
 def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     """REAL baseline-TIFF decode (TIFF 6.0 §3-4, Baseline Bilevel/
     Grayscale/RGB subset at 8 bits): either byte order ('II'
@@ -3117,12 +3232,14 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     bps = tags.get(258, (8,) * spp)
     offsets, counts = tags.get(273), tags.get(279)
     rps = tags.get(278, (h,))[0]
+    pred = tags.get(317, (1,))[0]
     if (not w or not h or offsets is None or counts is None
             or len(offsets) != len(counts) or not rps
             or spp not in (1, 3) or any(b != 8 for b in bps)
             or len(bps) != spp
             or (photo == 2) != (spp == 3) or photo not in (0, 1, 2)
-            or comp not in (1, 32773)):
+            or comp not in (1, 32773, 5, 8, 32946)
+            or pred not in (1, 2)):
         return None
     raw = bytearray()
     row = 0
@@ -3139,6 +3256,20 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
             if len(seg) < exp:
                 return None
             raw += seg[:exp]
+        elif comp == 5:  # TIFF LZW (r11)
+            dec = _tiff_lzw_decode(seg, exp)
+            if dec is None:
+                return None
+            raw += dec
+        elif comp in (8, 32946):  # Deflate / legacy Adobe deflate (r11)
+            import zlib
+            try:
+                dec = zlib.decompress(seg)
+            except zlib.error:
+                return None
+            if len(dec) != exp:
+                return None
+            raw += dec
         else:
             dec = _packbits_decode(seg, exp)
             if dec is None:
@@ -3146,6 +3277,8 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
             raw += dec
     if row < h or len(raw) != w * h * spp:
         return None
+    if pred == 2:  # horizontal differencing (LZW/Deflate's companion)
+        raw = _tiff_undo_predictor2(bytes(raw), w, h, spp)
     a = np.frombuffer(bytes(raw), dtype=np.uint8)
     if spp == 1:
         g = a.reshape(h, w)
@@ -3157,26 +3290,40 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
 
 def encode_tiff(img: "np.ndarray", endian: str = "<",
                 compression: int = 1,
-                rows_per_strip: int | None = None) -> bytes:
+                rows_per_strip: int | None = None,
+                predictor: int = 1) -> bytes:
     """Minimal baseline-TIFF writer for test/oracle payload synthesis:
-    either byte order, gray (h, w) or RGB (h, w, 3) uint8, uncompressed
-    or real PackBits, multi-strip via ``rows_per_strip``. Layout:
-    header, strip data, out-of-line value arrays, IFD last (tags
-    ascending as the spec requires) — so the parser's inline-vs-offset
-    resolution and strip reassembly both get exercised."""
+    either byte order, gray (h, w) or RGB (h, w, 3) uint8, compression
+    none / real PackBits / TIFF LZW / Deflate (r11), optional
+    Predictor 2 horizontal differencing, multi-strip via
+    ``rows_per_strip``. Layout: header, strip data, out-of-line value
+    arrays, IFD last (tags ascending as the spec requires) — so the
+    parser's inline-vs-offset resolution and strip reassembly both get
+    exercised."""
     import struct
+    import zlib
 
     assert endian in ("<", ">")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
+    if predictor == 2:  # per-row per-channel forward differencing
+        a = img.reshape(h, w, spp).astype(np.int16)
+        d = a.copy()
+        d[:, 1:] = a[:, 1:] - a[:, :-1]
+        img = (d % 256).astype(np.uint8).reshape(img.shape)
     rps = rows_per_strip or h
     strips = []
     for r0 in range(0, h, rps):
         raw = img[r0:r0 + rps].tobytes()
-        strips.append(_packbits_encode(raw)
-                      if compression == 32773 else raw)
+        if compression == 32773:
+            raw = _packbits_encode(raw)
+        elif compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression in (8, 32946):
+            raw = zlib.compress(raw)
+        strips.append(raw)
     pos = 8
     strip_offs = []
     for s in strips:
@@ -3189,6 +3336,9 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
         (273, 4, strip_offs), (277, 3, [spp]), (278, 4, [rps]),
         (279, 4, [len(s) for s in strips]),
     ]
+    if predictor != 1:
+        entries.append((317, 3, [predictor]))
+        entries.sort()
     extra = bytearray()
     ifd = bytearray(struct.pack(endian + "H", len(entries)))
     extra_base = pos

@@ -2879,6 +2879,63 @@ def test_avi_fuzz_container_walk():
     run()
 
 
+def test_tiff_lzw_deflate_predictor_roundtrip_and_fuzz():
+    """r11: TIFF-LZW (early change, Clear/EOI, KwKwK, mid-stream table
+    reset at 60 kB random payloads), Deflate strips, and Predictor 2
+    horizontal differencing — roundtrips across byte orders, strip
+    splits, gray/RGB; LZW prefix truncation always rejects; byte soup
+    never raises (the branchy-decoder fuzz standard)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_tiff, _tiff_lzw_decode, _tiff_lzw_encode, encode_tiff)
+
+    # directed: the early-change boundaries and the table-reset path
+    rng = np.random.default_rng(11)
+    for size in (0, 1, 300, 5000, 60000):
+        data = rng.integers(0, 256, size).astype(np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), size) == data
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        h = data.draw(st.integers(1, 12))
+        w = data.draw(st.integers(1, 16))
+        gray = data.draw(st.booleans())
+        shape = (h, w) if gray else (h, w, 3)
+        ncolors = data.draw(st.sampled_from([2, 8, 256]))
+        img = rng.integers(0, ncolors, shape).astype(np.uint8)
+        comp = data.draw(st.sampled_from([5, 8, 32946]))
+        pred = data.draw(st.sampled_from([1, 2]))
+        endian = data.draw(st.sampled_from(["<", ">"]))
+        rps = data.draw(st.integers(1, h))
+        enc = encode_tiff(img, endian, comp, rows_per_strip=rps,
+                          predictor=pred)
+        got = _parse_tiff(enc)
+        assert got is not None
+        exp = img if img.ndim == 3 else np.repeat(img[:, :, None], 3,
+                                                  axis=2)
+        assert np.array_equal(got[2], exp)
+
+        # LZW prefix truncation: the walk can only finish at EOI
+        raw = img.tobytes()
+        lz = _tiff_lzw_encode(raw)
+        cut = data.draw(st.integers(0, max(0, len(lz) - 1)))
+        assert _tiff_lzw_decode(lz[:cut], len(raw)) is None
+
+        # byte soup: None or exact-length output, never an exception
+        soup = bytes(rng.integers(0, 256,
+                                  data.draw(st.integers(0, 60)),
+                                  dtype=np.uint8))
+        r = _tiff_lzw_decode(soup, len(raw))
+        assert r is None or len(r) == len(raw)
+
+    run()
+
+
 def test_tiff_fuzz_ifd_walk_roundtrip_and_truncation():
     """Hypothesis sweep over the TIFF IFD walker: random dims x
     gray/RGB x byte order x compression (none/PackBits) x strip
