@@ -872,3 +872,30 @@ def test_char_ngram_repetition_has_no_position_buffer(spark, sf_oracle):
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert any("id" in s and " g" in s for s in specs), (
         f"(id, gram) count window missing: {specs}")
+
+
+def test_r11_per_group_selections_are_salted(spark, sf_oracle):
+    """web_host_crawl_budget (hosts are the classic crawl skew key) and
+    embedding_quantization_recall's two per-query top-10 selections
+    must carry the salted two-phase rank — a phase-1 window keyed by
+    (group, __s salt) pruning to <= salt_buckets * k before the
+    group-keyed re-rank. Regression = only group-keyed rank windows."""
+    import re
+
+    for name in ("web_host_crawl_budget", "embedding_quantization_recall"):
+        plan = plan_of(build(name, spark, sf_oracle))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        assert specs, f"{name}: no window specs in plan"
+        assert any("__s" in s for s in specs), (
+            f"{name}: phase-1 salted window missing: {specs}")
+
+
+def test_cdc_cross_snapshot_has_no_pairwise_join(spark, sf_oracle):
+    """dedup_cdc_cross_snapshot: the old snapshot collapses to DISTINCT
+    chunk hashes before one hash-equi join — the plan must contain no
+    cartesian/nested-loop pairing and the join side must be the
+    aggregated hash set (HashAggregate feeding the join), never
+    doc x doc."""
+    plan = plan_of(build("dedup_cdc_cross_snapshot", spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # the distinct-hash collapse
