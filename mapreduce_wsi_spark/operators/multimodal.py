@@ -5,7 +5,8 @@ metadata; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched pandas stages over ``mapInPandas``. Nine formats decode
 FOR REAL, pure stdlib+numpy with no media libraries: binary PPM (P6);
 BMP (uncompressed 24/32bpp with row padding, bottom-up scanlines,
-BGR(A) order, plus 8/4bpp palette and RLE8/RLE4); PNG (all five color types,
+BGR(A) order, plus 8/4/1bpp palette and RLE8/RLE4); PNG (all five color
+types,
 bit depths 1/2/4/8/16 incl. sub-byte palette/gray packing, both
 non-interlaced and Adam7 interlaced — zlib inflate + per-row
 Sub/Up/Average/Paeth defilter per pass); JPEG — both baseline
@@ -21,7 +22,7 @@ stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
 real typed feature vectors (``decode_features(real_decode=True)``),
 and real nearest-neighbor pixel resize
 (``resize_images(real_decode=True)``). The residual stub boundary:
-arithmetic-coded/12-bit/lossless JPEG, 1bpp/BI_BITFIELDS BMP, tiled/
+arithmetic-coded/12-bit/lossless JPEG, BI_BITFIELDS BMP, tiled/
 planar/16-bit TIFF, and MP3-class perceptual audio codecs yield ok=false
 rows —
 never a failed stage — and the byte-level fake kernels remain the
@@ -389,10 +390,11 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     ``struct`` for headers, numpy views for the pixel block: BI_RGB
     24/32bpp (4-byte row padding, bottom-up and top-down scanline
     orders, BGR(A) channel order, alpha dropped), BI_RGB 8bpp palette,
-    BI_RGB 8bpp palette, BI_RLE8, and (r11) BI_RGB 4bpp palette +
+    BI_RGB 8bpp palette, BI_RLE8, and (r11) BI_RGB 4bpp palette,
     BI_RLE4 run-length compressed 4bpp (nibble runs, absolute mode,
-    EOL/delta/EOB escapes). BI_BITFIELDS and 1bpp return None — the
-    remaining ``real_decode`` stub boundary for this format family."""
+    EOL/delta/EOB escapes) and 1bpp bilevel (MSB-first bit rows).
+    BI_BITFIELDS returns None — the remaining ``real_decode`` stub
+    boundary for this format family."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -448,6 +450,29 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         if idx is None:
             return None
         return w, h, pal[idx[::-1]]
+    if bpp == 1 and compression == 0:  # 1bpp bilevel palette (r11)
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_pal = clr_used or 2
+        pal_off = 14 + hdr_size
+        if n_pal > 2 or len(payload) < pal_off + 4 * n_pal:
+            return None
+        pal = (np.frombuffer(payload[pal_off:pal_off + 4 * n_pal],
+                             dtype=np.uint8)
+               .reshape(-1, 4)[:, 2::-1])  # BGRX -> RGB
+        if n_pal < 2:
+            pal = np.vstack([pal, np.zeros((2 - n_pal, 3), np.uint8)])
+        bottom_up = h > 0
+        h_abs = abs(h)
+        stride = ((w + 7) // 8 + 3) & ~3
+        end = data_off + stride * h_abs
+        if len(payload) < end:
+            return None
+        block = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+                 .reshape(h_abs, stride))
+        bits = np.unpackbits(block, axis=1)[:, :w]  # MSB-first per byte
+        if bottom_up:
+            bits = bits[::-1]
+        return w, h_abs, pal[bits]
     if bpp == 4 and compression in (0, 2):  # 4bpp palette / BI_RLE4
         (clr_used,) = struct.unpack_from("<I", payload, 46)
         n_pal = clr_used or 16
@@ -579,6 +604,30 @@ def _pack_nibbles(row: "np.ndarray") -> bytes:
     if len(r) & 1:
         r = np.concatenate([r, np.zeros(1, np.uint8)])
     return ((r[0::2] << 4) | r[1::2]).tobytes()
+
+
+def encode_bmp_pal1(indices: "np.ndarray", palette) -> bytes:
+    """Uncompressed 1bpp bilevel BMP from a TOP-DOWN (h, w) 0/1 index
+    image (stored bottom-up, MSB-first bit packing, rows padded to 4
+    bytes) — test twin for the r11 bilevel decode path."""
+    import struct
+
+    h, w = indices.shape
+    stride = ((w + 7) // 8 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        packed = np.packbits(
+            np.asarray(indices[y], dtype=np.uint8)).tobytes()
+        rows += packed + b"\x00" * (stride - len(packed))
+    pal = np.zeros((2, 4), dtype=np.uint8)
+    p = np.asarray(palette, dtype=np.uint8)
+    pal[:len(p), :3] = p[:2, ::-1]
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 1, 0,
+                       len(rows), 0, 0, 0, 0)
+    body = info + pal.tobytes() + bytes(rows)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(body), 0, 0,
+                           14 + len(info) + pal.nbytes)
+    return file_hdr + body
 
 
 def encode_bmp_pal4(indices: "np.ndarray", palette) -> bytes:

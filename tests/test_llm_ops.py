@@ -533,6 +533,34 @@ def test_bmp_pal4_and_rle4_decode():
         assert _parse_bmp(_bmp4_wrap(4, 3, pal, bad, 2)) is None
 
 
+def test_bmp_pal1_decode():
+    """1bpp bilevel BMPs (r11 — the last palette depth): MSB-first bit
+    rows, 4-byte stride padding, bottom-up storage; truncated pixel
+    blocks reject."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_bmp, encode_bmp_pal1)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        pal = rng.integers(0, 256, (2, 3)).astype(np.uint8)
+        h = data.draw(st.integers(1, 10))
+        w = data.draw(st.integers(1, 40))  # crosses byte boundaries
+        idx = rng.integers(0, 2, (h, w)).astype(np.uint8)
+        enc = encode_bmp_pal1(idx, pal)
+        got = _parse_bmp(enc)
+        assert got is not None and np.array_equal(got[2], pal[idx])
+        assert _parse_bmp(enc[:-1 - data.draw(st.integers(0, 4))]) \
+            is None
+
+    run()
+
+
 def test_bmp_rle4_fuzz_ops_truncation_and_poison():
     """Hypothesis sweep over the BI_RLE4 walk (the RLE8 fuzz pattern
     at nibble granularity): (1) encoder roundtrips, both modes;
