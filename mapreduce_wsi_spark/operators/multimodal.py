@@ -22,7 +22,7 @@ stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
 real typed feature vectors (``decode_features(real_decode=True)``),
 and real nearest-neighbor pixel resize
 (``resize_images(real_decode=True)``). The residual stub boundary:
-arithmetic-coded/12-bit/lossless JPEG, BI_BITFIELDS BMP, tiled/
+arithmetic-coded/12-bit/lossless JPEG, tiled/
 planar/16-bit TIFF, and MP3-class perceptual audio codecs yield ok=false
 rows —
 never a failed stage — and the byte-level fake kernels remain the
@@ -392,9 +392,10 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     orders, BGR(A) channel order, alpha dropped), BI_RGB 8bpp palette,
     BI_RGB 8bpp palette, BI_RLE8, and (r11) BI_RGB 4bpp palette,
     BI_RLE4 run-length compressed 4bpp (nibble runs, absolute mode,
-    EOL/delta/EOB escapes) and 1bpp bilevel (MSB-first bit rows).
-    BI_BITFIELDS returns None — the remaining ``real_decode`` stub
-    boundary for this format family."""
+    EOL/delta/EOB escapes), 1bpp bilevel (MSB-first bit rows) and
+    BI_BITFIELDS 16/32bpp with arbitrary contiguous channel masks
+    (565/555/8888) — the BMP interchange family complete; only exotic
+    layouts (non-contiguous masks, OS/2 core headers) return None."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -450,6 +451,48 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         if idx is None:
             return None
         return w, h, pal[idx[::-1]]
+    if bpp in (16, 32) and compression == 3:  # BI_BITFIELDS (r11)
+        # RGB channel masks sit at payload[54:66] for BOTH layouts in
+        # the wild: BITMAPINFOHEADER (masks follow the 40-byte header)
+        # and BITMAPV4/V5 (masks are header fields at the same file
+        # offset). Shift = mask's trailing zeros; width = popcount of
+        # the contiguous run; samples scale to 8 bits by exact integer
+        # val * 255 // (2^width - 1). Covers 565/555/8888 and any
+        # other contiguous-mask layout.
+        if len(payload) < 66:
+            return None
+        masks = struct.unpack_from("<III", payload, 54)
+        shifts, widths = [], []
+        for mask in masks:
+            if mask == 0 or mask >> bpp:
+                return None
+            shift = (mask & -mask).bit_length() - 1
+            width = (mask >> shift).bit_length()
+            if (mask >> shift) != (1 << width) - 1:
+                return None  # non-contiguous mask
+            shifts.append(shift)
+            widths.append(width)
+        bottom_up = h > 0
+        h_abs = abs(h)
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        end = data_off + stride * h_abs
+        if len(payload) < end:
+            return None
+        block = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+                 .reshape(h_abs, stride)[:, :w * nb])
+        pix = (block.reshape(h_abs, w, nb).astype(np.uint32)
+               << (np.arange(nb, dtype=np.uint32) * 8)).sum(
+                   axis=2, dtype=np.uint32)  # little-endian assemble
+        chans = []
+        for mask, shift, width in zip(masks, shifts, widths):
+            v = (pix & mask) >> shift
+            chans.append((v * 255 // ((1 << width) - 1))
+                         .astype(np.uint8))
+        rgb = np.stack(chans, axis=2)
+        if bottom_up:
+            rgb = rgb[::-1]
+        return w, h_abs, rgb
     if bpp == 1 and compression == 0:  # 1bpp bilevel palette (r11)
         (clr_used,) = struct.unpack_from("<I", payload, 46)
         n_pal = clr_used or 2
@@ -604,6 +647,40 @@ def _pack_nibbles(row: "np.ndarray") -> bytes:
     if len(r) & 1:
         r = np.concatenate([r, np.zeros(1, np.uint8)])
     return ((r[0::2] << 4) | r[1::2]).tobytes()
+
+
+def encode_bmp_bitfields(rgb: "np.ndarray",
+                         masks=(0xF800, 0x07E0, 0x001F),
+                         bpp: int = 16) -> bytes:
+    """BI_BITFIELDS BMP (16/32bpp masked) from a TOP-DOWN (h, w, 3)
+    uint8 image — test twin for the r11 masked decode path. Each
+    channel keeps its top ``width`` bits (ch >> (8 - width)), packed
+    under its mask, little-endian, stored bottom-up with 4-byte row
+    stride; the 3 DWORD masks follow the 40-byte info header."""
+    import struct
+
+    h, w = rgb.shape[:2]
+    nb = bpp // 8
+    pix = np.zeros((h, w), dtype=np.uint32)
+    for c, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        width = (mask >> shift).bit_length()
+        stored = (rgb[:, :, c].astype(np.uint32) >> (8 - width))
+        pix |= (stored << shift).astype(np.uint32)
+    stride = (w * nb + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = bytearray()
+        for x in range(w):
+            line += int(pix[y, x]).to_bytes(nb, "little")
+        rows += line + b"\x00" * (stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 3,
+                       len(rows), 0, 0, 0, 0)
+    mask_blk = struct.pack("<III", *masks)
+    body = info + mask_blk + bytes(rows)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(body), 0, 0,
+                           14 + len(info) + len(mask_blk))
+    return file_hdr + body
 
 
 def encode_bmp_pal1(indices: "np.ndarray", palette) -> bytes:

@@ -533,6 +533,55 @@ def test_bmp_pal4_and_rle4_decode():
         assert _parse_bmp(_bmp4_wrap(4, 3, pal, bad, 2)) is None
 
 
+def test_bmp_bitfields_decode():
+    """BI_BITFIELDS 16/32bpp (r11 — the BMP family's last stub):
+    arbitrary contiguous channel masks decode with exact integer
+    scaling; 8888 is lossless; non-contiguous masks and truncated
+    pixel blocks reject."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_bmp, encode_bmp_bitfields)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        masks, bpp = data.draw(st.sampled_from([
+            ((0xF800, 0x07E0, 0x001F), 16),           # 565
+            ((0x7C00, 0x03E0, 0x001F), 16),           # 555
+            ((0x00FF0000, 0x0000FF00, 0x000000FF), 32),  # 8888
+            ((0x000F, 0x00F0, 0x0F00), 16),           # BGR-ish 444
+        ]))
+        h = data.draw(st.integers(1, 8))
+        w = data.draw(st.integers(1, 12))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        enc = encode_bmp_bitfields(img, masks, bpp)
+        got = _parse_bmp(enc)
+        assert got is not None
+        exp = np.zeros_like(img)
+        for c, m in enumerate(masks):
+            sh = (m & -m).bit_length() - 1
+            wd = (m >> sh).bit_length()
+            stored = img[:, :, c].astype(np.uint32) >> (8 - wd)
+            exp[:, :, c] = (stored * 255 // ((1 << wd) - 1)) \
+                .astype(np.uint8)
+        assert np.array_equal(got[2], exp)
+        if bpp == 32 and masks[0] == 0x00FF0000:
+            assert np.array_equal(got[2], img)  # 8888 lossless
+        assert _parse_bmp(enc[:-1 - data.draw(st.integers(0, 3))]) \
+            is None
+
+    # non-contiguous mask rejects
+    bad = encode_bmp_bitfields(np.zeros((2, 2, 3), np.uint8),
+                               (0xF0F0, 0x07E0, 0x001F), 16)
+    assert _parse_bmp(bad) is None
+
+    run()
+
+
 def test_bmp_pal1_decode():
     """1bpp bilevel BMPs (r11 — the last palette depth): MSB-first bit
     rows, 4-byte stride padding, bottom-up storage; truncated pixel
