@@ -13,8 +13,9 @@ Sub/Up/Average/Paeth defilter per pass); JPEG — both baseline
 sequential (SOF0) and progressive (SOF2: spectral selection +
 successive approximation, T.81 Annex G) — with Huffman entropy decode,
 dequant + IDCT, chroma upsampling, YCbCr->RGB; GIF (LZW, palette,
-interlaced); TIFF (IFD walk, strips, PackBits, TIFF-LZW with early
-change, Deflate, Predictor 2); TGA (RLE + raw);
+interlaced); TIFF (IFD walk, strips AND §15 tiles — the whole-slide-
+image layout — PackBits, TIFF-LZW with early change, Deflate,
+Predictor 2); TGA (RLE + raw);
 QOI (run/index/diff ops); and WAV audio across PCM16, mu-law/A-law
 companding, and IMA-ADPCM block decode — powering real per-format
 stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
@@ -22,7 +23,7 @@ stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
 real typed feature vectors (``decode_features(real_decode=True)``),
 and real nearest-neighbor pixel resize
 (``resize_images(real_decode=True)``). The residual stub boundary:
-arithmetic-coded/12-bit/lossless JPEG, tiled/
+arithmetic-coded/12-bit/lossless JPEG,
 planar/16-bit TIFF, and MP3-class perceptual audio codecs yield ok=false
 rows —
 never a failed stage — and the byte-level fake kernels remain the
@@ -3293,6 +3294,12 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         w = c
     if w:
         emit(codes[w], width)
+        # the decoder adds a table entry for this final code too and
+        # applies its early-change check before reading EOI; at this
+        # point (no writer-side add) next_code equals the decoder's
+        # table size, so the mirror check uses the decoder's threshold
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
     emit(EOI, width)
     if nbits:
         out.append((bitacc << (8 - nbits)) & 0xFF)
@@ -3310,14 +3317,17 @@ def _tiff_undo_predictor2(raw: bytes, w: int, h: int,
 
 
 def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """REAL baseline-TIFF decode (TIFF 6.0 §3-4, Baseline Bilevel/
-    Grayscale/RGB subset at 8 bits): either byte order ('II'
-    little / 'MM' big), first IFD walk with inline-vs-offset value
-    resolution, strip assembly across RowsPerStrip boundaries,
-    Compression 1 (none) or 32773 (PackBits), PhotometricInterpretation
-    0/1 (gray, 0 = WhiteIsZero inverted) or 2 (RGB). Anything outside
-    — other depths, tiles, LZW/JPEG-in-TIFF, planar config 2 — returns
-    None (ok=false downstream)."""
+    """REAL baseline-TIFF decode (TIFF 6.0 §3-4 + §15 tiles, Baseline
+    Grayscale/RGB subset at 8 bits): either byte order ('II' little /
+    'MM' big), first IFD walk with inline-vs-offset value resolution,
+    STRIP assembly across RowsPerStrip boundaries or TILE assembly
+    (TileWidth/TileLength/TileOffsets/TileByteCounts — the layout
+    whole-slide images actually ship in; edge tiles padded to full
+    size per spec and cropped on placement), Compression 1 (none),
+    32773 (PackBits), 5 (TIFF-LZW), 8/32946 (Deflate), Predictor 2,
+    PhotometricInterpretation 0/1 (gray, 0 = WhiteIsZero inverted) or
+    2 (RGB). Anything outside — other depths, planar config 2,
+    JPEG-in-TIFF — returns None (ok=false downstream)."""
     import struct
 
     if payload[:4] == b"II*\x00":
@@ -3359,53 +3369,78 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     offsets, counts = tags.get(273), tags.get(279)
     rps = tags.get(278, (h,))[0]
     pred = tags.get(317, (1,))[0]
-    if (not w or not h or offsets is None or counts is None
-            or len(offsets) != len(counts) or not rps
+    tw = tags.get(322, (0,))[0]
+    th = tags.get(323, (0,))[0]
+    t_offs, t_cnts = tags.get(324), tags.get(325)
+    tiled = bool(tw and th and t_offs is not None
+                 and t_cnts is not None)
+    if (not w or not h
             or spp not in (1, 3) or any(b != 8 for b in bps)
             or len(bps) != spp
             or (photo == 2) != (spp == 3) or photo not in (0, 1, 2)
             or comp not in (1, 32773, 5, 8, 32946)
             or pred not in (1, 2)):
         return None
-    raw = bytearray()
-    row = 0
-    for so, sc in zip(offsets, counts):
-        nrows = min(rps, h - row)
-        if nrows <= 0:
-            return None
-        row += nrows
-        exp = nrows * w * spp
+
+    def seg_bytes(so: int, sc: int, exp: int) -> bytes | None:
         seg = payload[so:so + sc]
         if len(seg) < sc:
             return None
         if comp == 1:
-            if len(seg) < exp:
-                return None
-            raw += seg[:exp]
-        elif comp == 5:  # TIFF LZW (r11)
-            dec = _tiff_lzw_decode(seg, exp)
-            if dec is None:
-                return None
-            raw += dec
-        elif comp in (8, 32946):  # Deflate / legacy Adobe deflate (r11)
+            return bytes(seg[:exp]) if len(seg) >= exp else None
+        if comp == 5:  # TIFF LZW (r11)
+            return _tiff_lzw_decode(seg, exp)
+        if comp in (8, 32946):  # Deflate / legacy Adobe deflate (r11)
             import zlib
             try:
                 dec = zlib.decompress(seg)
             except zlib.error:
                 return None
-            if len(dec) != exp:
+            return dec if len(dec) == exp else None
+        return _packbits_decode(seg, exp)
+
+    if tiled:  # §15 — the whole-slide-image layout
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if (len(t_offs) != len(t_cnts)
+                or len(t_offs) != across * down):
+            return None
+        out = np.zeros((h, w, spp), dtype=np.uint8)
+        exp = th * tw * spp
+        for idx, (so, sc) in enumerate(zip(t_offs, t_cnts)):
+            dec = seg_bytes(so, sc, exp)
+            if dec is None:
                 return None
-            raw += dec
-        else:
-            dec = _packbits_decode(seg, exp)
+            if pred == 2:  # per-tile rows (tile_w-sample rows)
+                dec = _tiff_undo_predictor2(dec, tw, th, spp)
+            tile = np.frombuffer(dec, dtype=np.uint8).reshape(
+                th, tw, spp)
+            r0 = (idx // across) * th
+            c0 = (idx % across) * tw
+            nr = min(th, h - r0)
+            nc = min(tw, w - c0)
+            out[r0:r0 + nr, c0:c0 + nc] = tile[:nr, :nc]
+        a = out.reshape(-1)
+    else:
+        if (offsets is None or counts is None
+                or len(offsets) != len(counts) or not rps):
+            return None
+        raw = bytearray()
+        row = 0
+        for so, sc in zip(offsets, counts):
+            nrows = min(rps, h - row)
+            if nrows <= 0:
+                return None
+            row += nrows
+            dec = seg_bytes(so, sc, nrows * w * spp)
             if dec is None:
                 return None
             raw += dec
-    if row < h or len(raw) != w * h * spp:
-        return None
-    if pred == 2:  # horizontal differencing (LZW/Deflate's companion)
-        raw = _tiff_undo_predictor2(bytes(raw), w, h, spp)
-    a = np.frombuffer(bytes(raw), dtype=np.uint8)
+        if row < h or len(raw) != w * h * spp:
+            return None
+        if pred == 2:  # horizontal differencing
+            raw = _tiff_undo_predictor2(bytes(raw), w, h, spp)
+        a = np.frombuffer(bytes(raw), dtype=np.uint8)
     if spp == 1:
         g = a.reshape(h, w)
         if photo == 0:
@@ -3414,18 +3449,30 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     return w, h, a.reshape(h, w, 3)
 
 
+def _tiff_diff2(block: "np.ndarray") -> "np.ndarray":
+    """Forward Predictor-2 differencing of an (h, w, spp) uint8 block
+    (per row, per channel, mod 256) — writer-side twin of
+    _tiff_undo_predictor2."""
+    a = block.astype(np.int16)
+    d = a.copy()
+    d[:, 1:] = a[:, 1:] - a[:, :-1]
+    return (d % 256).astype(np.uint8)
+
+
 def encode_tiff(img: "np.ndarray", endian: str = "<",
                 compression: int = 1,
                 rows_per_strip: int | None = None,
-                predictor: int = 1) -> bytes:
+                predictor: int = 1,
+                tile: tuple[int, int] | None = None) -> bytes:
     """Minimal baseline-TIFF writer for test/oracle payload synthesis:
     either byte order, gray (h, w) or RGB (h, w, 3) uint8, compression
     none / real PackBits / TIFF LZW / Deflate (r11), optional
     Predictor 2 horizontal differencing, multi-strip via
-    ``rows_per_strip``. Layout: header, strip data, out-of-line value
-    arrays, IFD last (tags ascending as the spec requires) — so the
-    parser's inline-vs-offset resolution and strip reassembly both get
-    exercised."""
+    ``rows_per_strip`` OR tiled via ``tile=(tile_w, tile_h)`` (§15 —
+    edge tiles zero-padded to full size as the spec requires). Layout:
+    header, segment data, out-of-line value arrays, IFD last (tags
+    ascending as the spec requires) — so the parser's inline-vs-offset
+    resolution and strip/tile reassembly all get exercised."""
     import struct
     import zlib
 
@@ -3434,22 +3481,34 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
-    if predictor == 2:  # per-row per-channel forward differencing
-        a = img.reshape(h, w, spp).astype(np.int16)
-        d = a.copy()
-        d[:, 1:] = a[:, 1:] - a[:, :-1]
-        img = (d % 256).astype(np.uint8).reshape(img.shape)
-    rps = rows_per_strip or h
-    strips = []
-    for r0 in range(0, h, rps):
-        raw = img[r0:r0 + rps].tobytes()
+
+    def pack(raw: bytes) -> bytes:
         if compression == 32773:
-            raw = _packbits_encode(raw)
-        elif compression == 5:
-            raw = _tiff_lzw_encode(raw)
-        elif compression in (8, 32946):
-            raw = zlib.compress(raw)
-        strips.append(raw)
+            return _packbits_encode(raw)
+        if compression == 5:
+            return _tiff_lzw_encode(raw)
+        if compression in (8, 32946):
+            return zlib.compress(raw)
+        return raw
+
+    if tile is not None:
+        tw, th = tile
+        full = img.reshape(h, w, spp)
+        strips = []
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                block = np.zeros((th, tw, spp), dtype=np.uint8)
+                part = full[r0:r0 + th, c0:c0 + tw]
+                block[:part.shape[0], :part.shape[1]] = part
+                if predictor == 2:
+                    block = _tiff_diff2(block)
+                strips.append(pack(block.tobytes()))
+    else:
+        if predictor == 2:
+            img = _tiff_diff2(img.reshape(h, w, spp)).reshape(img.shape)
+        rps = rows_per_strip or h
+        strips = [pack(img[r0:r0 + rps].tobytes())
+                  for r0 in range(0, h, rps)]
     pos = 8
     strip_offs = []
     for s in strips:
@@ -3459,12 +3518,18 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
         (259, 3, [compression]), (262, 3, [1 if gray else 2]),
-        (273, 4, strip_offs), (277, 3, [spp]), (278, 4, [rps]),
-        (279, 4, [len(s) for s in strips]),
+        (277, 3, [spp]),
     ]
+    if tile is not None:
+        entries += [(322, 4, [tile[0]]), (323, 4, [tile[1]]),
+                    (324, 4, strip_offs),
+                    (325, 4, [len(s) for s in strips])]
+    else:
+        entries += [(273, 4, strip_offs), (278, 4, [rps]),
+                    (279, 4, [len(s) for s in strips])]
     if predictor != 1:
         entries.append((317, 3, [predictor]))
-        entries.sort()
+    entries.sort()
     extra = bytearray()
     ifd = bytearray(struct.pack(endian + "H", len(entries)))
     extra_base = pos

@@ -2956,6 +2956,64 @@ def test_avi_fuzz_container_walk():
     run()
 
 
+def test_tiff_tiled_roundtrip_and_fuzz():
+    """§15 tiled TIFF (r11 — the layout whole-slide images ship in):
+    tile grid assembly with zero-padded, cropped edge tiles, per-tile
+    Predictor 2, across compressions and byte orders; a wrong tile
+    count rejects; truncated tile data rejects."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_tiff, encode_tiff)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        h = data.draw(st.integers(1, 40))
+        w = data.draw(st.integers(1, 40))
+        gray = data.draw(st.booleans())
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3))             .astype(np.uint8)
+        comp = data.draw(st.sampled_from([1, 32773, 5, 8]))
+        pred = data.draw(st.sampled_from([1, 2]))
+        endian = data.draw(st.sampled_from(["<", ">"]))
+        tw = data.draw(st.integers(1, 24))
+        th = data.draw(st.integers(1, 24))
+        enc = encode_tiff(img, endian, comp, predictor=pred,
+                          tile=(tw, th))
+        got = _parse_tiff(enc)
+        assert got is not None
+        exp = img if img.ndim == 3 else np.repeat(img[:, :, None], 3,
+                                                  axis=2)
+        assert np.array_equal(got[2], exp)
+        # truncation: the IFD sits last, so cutting past the 4-byte
+        # next-IFD pointer (which the walk never dereferences) starves
+        # an IFD entry — must reject, never raise
+        cut = data.draw(st.integers(5, min(20, len(enc) - 1)))
+        assert _parse_tiff(enc[:-cut]) is None
+
+    run()
+
+    # directed: wrong tile count (grid says 4, file carries 1) rejects
+    img = np.zeros((20, 20, 3), np.uint8)
+    enc = encode_tiff(img, "<", 1, tile=(20, 20))
+    # patch ImageWidth so across*down becomes 4 while 1 tile present
+    bad = bytearray(enc)
+    # find the IFD and rewrite tag 256 (ImageWidth) to 40
+    (ifd_off,) = struct.unpack_from("<I", bad, 4)
+    (n,) = struct.unpack_from("<H", bad, ifd_off)
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", bad, off)
+        if tag == 256:
+            struct.pack_into("<I", bad, off + 8, 40)
+    assert _parse_tiff(bytes(bad)) is None
+
+
 def test_tiff_lzw_deflate_predictor_roundtrip_and_fuzz():
     """r11: TIFF-LZW (early change, Clear/EOI, KwKwK, mid-stream table
     reset at 60 kB random payloads), Deflate strips, and Predictor 2
@@ -2971,7 +3029,8 @@ def test_tiff_lzw_deflate_predictor_roundtrip_and_fuzz():
 
     # directed: the early-change boundaries and the table-reset path
     rng = np.random.default_rng(11)
-    for size in (0, 1, 300, 5000, 60000):
+    for size in (0, 1, 300, 764, 766, 767, 768, 770, 5000,
+                 60000):
         data = rng.integers(0, 256, size).astype(np.uint8).tobytes()
         assert _tiff_lzw_decode(_tiff_lzw_encode(data), size) == data
 
