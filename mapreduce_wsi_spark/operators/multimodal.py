@@ -3316,7 +3316,35 @@ def _tiff_undo_predictor2(raw: bytes, w: int, h: int,
     return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
 
 
-def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+def tiff_page_offsets(payload: bytes) -> list[int]:
+    """Walk the IFD chain (r11): offsets of every page's IFD — the
+    pyramid levels of a whole-slide image. Bounded walk (a cycle or a
+    truncated pointer ends it); empty list for non-TIFF payloads."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return []
+    if len(payload) < 8:
+        return []
+    (off,) = struct.unpack_from(bo + "I", payload, 4)
+    seen: list[int] = []
+    while off and off + 2 <= len(payload) and off not in seen \
+            and len(seen) < 64:
+        seen.append(off)
+        (n,) = struct.unpack_from(bo + "H", payload, off)
+        nxt_at = off + 2 + 12 * n
+        if nxt_at + 4 > len(payload):
+            break
+        (off,) = struct.unpack_from(bo + "I", payload, nxt_at)
+    return seen
+
+
+def _parse_tiff(payload: bytes,
+                page: int = 0) -> tuple[int, int, "np.ndarray"] | None:
     """REAL baseline-TIFF decode (TIFF 6.0 §3-4 + §15 tiles, Baseline
     Grayscale/RGB subset at 8 bits): either byte order ('II' little /
     'MM' big), first IFD walk with inline-vs-offset value resolution,
@@ -3338,7 +3366,13 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         return None
     if len(payload) < 8:
         return None
-    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if page == 0:
+        (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    else:  # pyramid level selection via the IFD chain (r11)
+        pages = tiff_page_offsets(payload)
+        if page >= len(pages):
+            return None
+        ifd_off = pages[page]
     if ifd_off + 2 > len(payload):
         return None
     (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
@@ -3554,6 +3588,124 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
     magic = b"II*\x00" if endian == "<" else b"MM\x00*"
     return (magic + struct.pack(endian + "I", ifd_off)
             + b"".join(strips) + bytes(extra) + bytes(ifd))
+
+
+def encode_tiff_pyramid(imgs, endian: str = "<",
+                        compression: int = 1,
+                        tile: tuple[int, int] | None = None,
+                        predictor: int = 1) -> bytes:
+    """Multi-page (pyramidal) TIFF writer — the whole-slide-image
+    shape: one IFD per resolution level, chained via the next-IFD
+    pointer, each level independently tiled/compressed. Test twin for
+    tiff_page_offsets + _parse_tiff(page=n). Layout: header, then per
+    page its segment data, then all out-of-line arrays, then all IFDs
+    chained at the end."""
+    import struct
+    import zlib
+
+    assert endian in ("<", ">")
+
+    def pack(raw: bytes) -> bytes:
+        if compression == 32773:
+            return _packbits_encode(raw)
+        if compression == 5:
+            return _tiff_lzw_encode(raw)
+        if compression in (8, 32946):
+            return zlib.compress(raw)
+        return raw
+
+    pages = []
+    for img in imgs:
+        img = np.asarray(img, dtype=np.uint8)
+        gray = img.ndim == 2
+        h, w = img.shape[:2]
+        spp = 1 if gray else 3
+        segs = []
+        if tile is not None:
+            tw, th = tile
+            full = img.reshape(h, w, spp)
+            for r0 in range(0, h, th):
+                for c0 in range(0, w, tw):
+                    block = np.zeros((th, tw, spp), dtype=np.uint8)
+                    part = full[r0:r0 + th, c0:c0 + tw]
+                    block[:part.shape[0], :part.shape[1]] = part
+                    if predictor == 2:
+                        block = _tiff_diff2(block)
+                    segs.append(pack(block.tobytes()))
+        else:
+            raw = (img if predictor != 2
+                   else _tiff_diff2(img.reshape(h, w, spp))
+                   .reshape(img.shape)).tobytes()
+            segs.append(pack(raw))
+        pages.append((w, h, spp, gray, segs))
+
+    # lay out: segments first (offsets known immediately)
+    pos = 8
+    seg_offs: list[list[int]] = []
+    for _w, _h, _spp, _gray, segs in pages:
+        offs = []
+        for sg in segs:
+            offs.append(pos)
+            pos += len(sg)
+        seg_offs.append(offs)
+
+    # build per-page entry lists (values final, offsets known)
+    def page_entries(i):
+        w, h, spp, gray, segs = pages[i]
+        e = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+             (259, 3, [compression]), (262, 3, [1 if gray else 2]),
+             (277, 3, [spp])]
+        if tile is not None:
+            e += [(322, 4, [tile[0]]), (323, 4, [tile[1]]),
+                  (324, 4, seg_offs[i]),
+                  (325, 4, [len(sg) for sg in segs])]
+        else:
+            e += [(273, 4, seg_offs[i]), (278, 4, [h]),
+                  (279, 4, [len(sg) for sg in segs])]
+        if predictor != 1:
+            e.append((317, 3, [predictor]))
+        e.sort()
+        return e
+
+    all_entries = [page_entries(i) for i in range(len(pages))]
+    # out-of-line arrays for every page, then the chained IFDs
+    extra = bytearray()
+    extra_base = pos
+    ext_offs: list[dict[int, int]] = []
+    for ents in all_entries:
+        eo = {}
+        for tag, typ, vals in ents:
+            ch, width = _TIFF_TYPE[typ]
+            if width * len(vals) > 4:
+                eo[tag] = extra_base + len(extra)
+                extra += struct.pack(endian + str(len(vals)) + ch,
+                                     *vals)
+        ext_offs.append(eo)
+    ifd_base = extra_base + len(extra)
+    ifd_offs = []
+    posi = ifd_base
+    for ents in all_entries:
+        ifd_offs.append(posi)
+        posi += 2 + 12 * len(ents) + 4
+    ifds = bytearray()
+    for i, ents in enumerate(all_entries):
+        ifds += struct.pack(endian + "H", len(ents))
+        for tag, typ, vals in ents:
+            ch, width = _TIFF_TYPE[typ]
+            ent = struct.pack(endian + "HHI", tag, typ, len(vals))
+            if width * len(vals) <= 4:
+                packed = struct.pack(endian + str(len(vals)) + ch,
+                                     *vals)
+                ent += packed + b"\x00" * (4 - len(packed))
+            else:
+                ent += struct.pack(endian + "I", ext_offs[i][tag])
+            ifds += ent
+        nxt = ifd_offs[i + 1] if i + 1 < len(all_entries) else 0
+        ifds += struct.pack(endian + "I", nxt)
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    body = b"".join(sg for *_x, segs in pages for sg in segs)
+    return (magic + struct.pack(endian + "I", ifd_offs[0])
+            + body + bytes(extra) + bytes(ifds))
 
 
 TIFF_STATS_SCHEMA = PPM_STATS_SCHEMA

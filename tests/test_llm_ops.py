@@ -2956,6 +2956,61 @@ def test_avi_fuzz_container_walk():
     run()
 
 
+def test_tiff_pyramid_pages_roundtrip():
+    """Multi-page pyramidal TIFF (r11 — THE whole-slide-image shape,
+    the reference's own domain): tiff_page_offsets walks the IFD
+    chain, _parse_tiff(page=n) decodes each resolution level, every
+    level independently tiled/compressed/predicted; cycles and
+    truncated chain pointers end the walk instead of looping."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _parse_tiff, encode_tiff_pyramid, tiff_page_offsets)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        w0 = data.draw(st.integers(8, 32))
+        h0 = data.draw(st.integers(8, 32))
+        n_levels = data.draw(st.integers(1, 4))
+        gray = data.draw(st.booleans())
+        levels = []
+        w, h = w0, h0
+        for _ in range(n_levels):
+            shape = (h, w) if gray else (h, w, 3)
+            levels.append(rng.integers(0, 256, shape).astype(np.uint8))
+            w, h = max(1, w // 2), max(1, h // 2)
+        comp = data.draw(st.sampled_from([1, 32773, 5, 8]))
+        pred = data.draw(st.sampled_from([1, 2]))
+        endian = data.draw(st.sampled_from(["<", ">"]))
+        tile = data.draw(st.sampled_from([None, (8, 8), (5, 7)]))
+        enc = encode_tiff_pyramid(levels, endian, comp, tile=tile,
+                                  predictor=pred)
+        assert len(tiff_page_offsets(enc)) == n_levels
+        for pg, img in enumerate(levels):
+            got = _parse_tiff(enc, page=pg)
+            assert got is not None, pg
+            exp = img if img.ndim == 3 else \
+                np.repeat(img[:, :, None], 3, axis=2)
+            assert np.array_equal(got[2], exp), pg
+        assert _parse_tiff(enc, page=n_levels) is None
+
+    run()
+
+    # directed: a self-looping IFD chain terminates the walk
+    img = np.zeros((4, 4, 3), np.uint8)
+    enc = bytearray(encode_tiff_pyramid([img], "<", 1))
+    (ifd0,) = struct.unpack_from("<I", enc, 4)
+    (n,) = struct.unpack_from("<H", enc, ifd0)
+    struct.pack_into("<I", enc, ifd0 + 2 + 12 * n, ifd0)  # next = self
+    assert tiff_page_offsets(bytes(enc)) == [ifd0]
+
+
 def test_tiff_tiled_roundtrip_and_fuzz():
     """§15 tiled TIFF (r11 — the layout whole-slide images ship in):
     tile grid assembly with zero-padded, cropped edge tiles, per-tile
