@@ -395,15 +395,44 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     BI_RLE4 run-length compressed 4bpp (nibble runs, absolute mode,
     EOL/delta/EOB escapes), 1bpp bilevel (MSB-first bit rows) and
     BI_BITFIELDS 16/32bpp with arbitrary contiguous channel masks
-    (565/555/8888) — the BMP interchange family complete; only exotic
-    layouts (non-contiguous masks, OS/2 core headers) return None."""
+    (565/555/8888), plus the OS/2 BITMAPCOREHEADER legacy layout
+    (12-byte header, 3-byte BGR palette triples, 24/8bpp) — the BMP
+    family complete; only non-contiguous masks return None."""
     import struct
 
-    if len(payload) < 54 or payload[:2] != b"BM":
+    if len(payload) < 26 or payload[:2] != b"BM":
         return None
     (data_off,) = struct.unpack_from("<I", payload, 10)
     (hdr_size,) = struct.unpack_from("<I", payload, 14)
-    if hdr_size < 40:  # BITMAPCOREHEADER etc. not supported
+    if hdr_size == 12:  # OS/2 BITMAPCOREHEADER (r11): legacy layout
+        w, h = struct.unpack_from("<HH", payload, 18)  # unsigned,
+        planes, bpp = struct.unpack_from("<HH", payload, 22)
+        # bottom-up only; palette entries are 3-byte BGR triples
+        if planes != 1 or not w or not h or data_off < 26:
+            return None
+        if bpp == 24:
+            stride = (w * 3 + 3) & ~3
+            end = data_off + stride * h
+            if len(payload) < end:
+                return None
+            scan = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+                    .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+            return w, h, scan[::-1, :, ::-1]  # flip rows, BGR -> RGB
+        if bpp == 8:
+            if len(payload) < 26 + 3 * 256:
+                return None
+            pal = (np.frombuffer(payload[26:26 + 3 * 256],
+                                 dtype=np.uint8)
+                   .reshape(256, 3)[:, ::-1])  # BGR -> RGB
+            stride = (w + 3) & ~3
+            end = data_off + stride * h
+            if len(payload) < end:
+                return None
+            idx = (np.frombuffer(payload[data_off:end], dtype=np.uint8)
+                   .reshape(h, stride)[:, :w])
+            return w, h, pal[idx[::-1]]
+        return None
+    if hdr_size < 40 or len(payload) < 54:  # other pre-v3: unsupported
         return None
     w, h = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)

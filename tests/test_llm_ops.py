@@ -533,6 +533,62 @@ def test_bmp_pal4_and_rle4_decode():
         assert _parse_bmp(_bmp4_wrap(4, 3, pal, bad, 2)) is None
 
 
+def test_bmp_os2_core_header_decode():
+    """OS/2 BITMAPCOREHEADER (r11 — the BMP family's final layout):
+    12-byte header, unsigned 16-bit dims, 3-byte BGR palette triples,
+    24bpp and 8bpp; tiny files below the v3-header minimum length
+    must still parse; truncated pixel blocks reject."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import _parse_bmp
+
+    def core24(img):
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):
+            line = img[y, :, ::-1].tobytes()
+            rows += line + b"\x00" * (stride - len(line))
+        info = struct.pack("<IHHHH", 12, w, h, 1, 24)
+        body = info + bytes(rows)
+        return struct.pack("<2sIHHI", b"BM", 14 + len(body), 0, 0,
+                           14 + len(info)) + body
+
+    def core8(idx, pal):
+        h, w = idx.shape
+        stride = (w + 3) & ~3
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):
+            rows += idx[y].tobytes() + b"\x00" * (stride - w)
+        info = struct.pack("<IHHHH", 12, w, h, 1, 8)
+        palblk = np.zeros((256, 3), np.uint8)
+        palblk[:len(pal)] = pal[:, ::-1]
+        body = info + palblk.tobytes() + bytes(rows)
+        return struct.pack("<2sIHHI", b"BM", 14 + len(body), 0, 0,
+                           14 + len(info) + palblk.nbytes) + body
+
+    rng = np.random.default_rng(17)
+    for shape in [(1, 1, 3), (3, 5, 3), (4, 9, 3), (2, 16, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        got = _parse_bmp(core24(img))
+        assert got is not None and np.array_equal(got[2], img), shape
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    for shape in [(2, 3), (5, 7), (1, 1)]:
+        idx = rng.integers(0, 256, shape).astype(np.uint8)
+        got = _parse_bmp(core8(idx, pal))
+        assert got is not None and np.array_equal(got[2], pal[idx])
+    assert _parse_bmp(
+        core24(rng.integers(0, 256, (3, 4, 3)).astype(np.uint8))[:-2]) \
+        is None
+    # 16bpp core / unknown bpp rejects
+    info = struct.pack("<IHHHH", 12, 2, 2, 1, 16)
+    body = info + b"\x00" * 16
+    enc = struct.pack("<2sIHHI", b"BM", 14 + len(body), 0, 0, 26) + body
+    assert _parse_bmp(enc) is None
+
+
 def test_bmp_bitfields_decode():
     """BI_BITFIELDS 16/32bpp (r11 — the BMP family's last stub):
     arbitrary contiguous channel masks decode with exact integer
