@@ -3740,11 +3740,14 @@ def encode_tiff_pyramid(imgs, endian: str = "<",
 TIFF_STATS_SCHEMA = PPM_STATS_SCHEMA
 
 
-def decode_tiff_stats(blobs: DataFrame) -> DataFrame:
+def decode_tiff_stats(blobs: DataFrame, page: int = 0) -> DataFrame:
     """Arrow-batched REAL decode of baseline TIFF payloads (both byte
-    orders, none/PackBits, gray/RGB): per-image width, height and
-    per-channel means; malformed / out-of-subset payloads yield
-    ok=false rows."""
+    orders, none/PackBits/LZW/Deflate, strips or §15 tiles, gray/RGB):
+    per-image width, height and per-channel means; malformed /
+    out-of-subset payloads yield ok=false rows. ``page`` selects a
+    pyramid level via the IFD chain (r12: the whole-slide-image read
+    path — page 0 is the base resolution, higher pages the reduced
+    levels encode_tiff_pyramid writes)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3752,7 +3755,8 @@ def decode_tiff_stats(blobs: DataFrame) -> DataFrame:
                     ("doc_id", "img_w", "img_h", "ok",
                      "mean_r", "mean_g", "mean_b")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                parsed = _parse_tiff(bytes(payload) if payload else b"")
+                parsed = _parse_tiff(bytes(payload) if payload else b"",
+                                     page=page)
                 rows["doc_id"].append(doc_id)
                 if parsed is None:
                     rows["img_w"].append(0)
