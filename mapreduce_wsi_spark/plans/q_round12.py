@@ -21,6 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mapreduce_wsi_spark.plans.q_curation2 import (
+    _DISTILL_SCORE_CTE,
+    _distill_parts,
+)
 from mapreduce_wsi_spark.plans.q_llm import _ASCII_DOCS_SQL, _ascii_docs
 from mapreduce_wsi_spark.plans.registry import register, tbl
 
@@ -217,3 +221,617 @@ def mm_tiff_pyramid_meta(spark, sf_dir):
     return blobs.mapInPandas(
         meta, "doc_id long, n_pages int, w0 int, h0 int, "
               "w1 int, h1 int")
+
+
+# ---------------------------------------------------------------------------
+# B. Three-way snapshot chains: NEAR-dup first-seen attribution (r12 queue)
+# ---------------------------------------------------------------------------
+
+# Exact word-3-gram Jaccard pair set at j >= 0.5 over the full corpus —
+# the shared truth under both chain entries. The fixture's pair
+# distribution is strictly bimodal (measured at sf0.01: 25 pairs at
+# j >= 0.8, everything else < 0.1), so the 16-band/4-row LSH path's
+# recall at the threshold is exactly 1 and the minhash pipelines
+# hash-match this exact set (the dedup_minhash_lsh convention).
+_J05_PAIRS_CTE = """
+    tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)]
+                  || ' ' || w[CAST(i+2 AS INT)] AS shingle
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM tk) t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+"""
+
+
+@register(
+    "dedup_chain_minhash_first_seen",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    matched AS (SELECT a AS doc_id, CAST(min(b % 3) AS INT) AS m
+                FROM edges WHERE a % 3 > b % 3 GROUP BY 1),
+    d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS snap
+          FROM documents)
+    SELECT d.snap, coalesce(m.m, d.snap) AS first_seen,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM d LEFT JOIN matched m ON m.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+    note="three-way snapshot chain, NEAR-dup first-seen attribution "
+         "(r12 queue: dedup_snapshot_first_seen beyond exact hashes): "
+         "crawls t0/t1/t2 = doc_id%3; t1 runs incremental MinHash/LSH "
+         "against t0, t2 against t0+t1 (operators/curation.py::"
+         "incremental_minhash_pairs — bands BETWEEN snapshot sets "
+         "only, exact-Jaccard verify at j>=0.5, never old x old), and "
+         "each doc's first_seen is the EARLIEST crawl holding a "
+         "near-dup of it (its own crawl when none). The (snap, "
+         "first_seen) tally is the 'how much of crawl N is retreads "
+         "of crawl M' capacity table, now at near-dup rather than "
+         "byte-identical granularity. Oracle recomputes the exact "
+         "j>=0.5 cross-pair attribution; the chain costs O(new + "
+         "candidates) per step and standing signatures are reusable "
+         "run-over-run")
+def dedup_chain_minhash_first_seen(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.curation import (
+        incremental_minhash_pairs)
+    docs = tbl(spark, sf_dir, "documents")
+    snap = (F.col("doc_id") % 3).cast("int")
+    s0 = docs.filter(F.col("doc_id") % 3 == 0)
+    s1 = docs.filter(F.col("doc_id") % 3 == 1)
+    s2 = docs.filter(F.col("doc_id") % 3 == 2)
+    p1 = incremental_minhash_pairs(s1, s0, "text", "doc_id",
+                                   n=3, min_jaccard=0.5)
+    p2 = incremental_minhash_pairs(s2, s0.unionByName(s1), "text",
+                                   "doc_id", n=3, min_jaccard=0.5)
+    matched = (p1.unionByName(p2)
+               .select("doc_new",
+                       (F.col("doc_old") % 3).cast("int").alias("os"))
+               .groupBy("doc_new").agg(F.min("os").alias("m")))
+    d = docs.select("doc_id", snap.alias("snap"))
+    return (d.join(matched, d.doc_id == matched.doc_new, "left")
+            .groupBy("snap",
+                     F.coalesce("m", "snap").alias("first_seen"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+@register(
+    "dedup_chain_cluster_first_seen",
+    oracle=f"""
+    WITH RECURSIVE {_J05_PAIRS_CTE},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.src = reach.id),
+    c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+    SELECT comp, CAST(min(id % 3) AS INT) AS first_seen,
+           CAST(count(DISTINCT id % 3) AS INT) AS n_snapshots,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY comp
+    """,
+    note="cluster-level lineage over the same three-crawl chain: "
+         "MinHash/LSH pairs at j>=0.5 (production valve defaults) -> "
+         "connected components (the stamped star/label operators) -> "
+         "per CLUSTER, which crawl introduced the content "
+         "(first_seen), how many crawls carry a member, and the "
+         "cluster size. This is the minhash-cluster form of "
+         "dedup_snapshot_first_seen's per-hash table — the artifact a "
+         "dedup-aware crawler keeps so a page edited across crawls "
+         "still attributes to its original discovery. Oracle: "
+         "recursive-CTE transitive closure over the exact j>=0.5 "
+         "pair set (the dedup_components convention) aggregated to "
+         "the same (comp, first_seen, n_snapshots, n_docs) rows")
+def dedup_chain_cluster_first_seen(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import (
+        connected_components, minhash_lsh_dedup_pairs)
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(docs, "text", "doc_id",
+                                    min_jaccard=0.5)
+    comp = connected_components(pairs)
+    return (comp.groupBy("comp")
+            .agg(F.min((F.col("id") % 3).cast("int"))
+                 .alias("first_seen"),
+                 F.countDistinct(F.col("id") % 3).cast("int")
+                 .alias("n_snapshots"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+@register(
+    "text_ngram_novelty_decay",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    g AS (SELECT DISTINCT CAST(doc_id % 3 AS INT) AS snap,
+                 md5(w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)]
+                     || ' ' || w[CAST(i+2 AS INT)] || ' '
+                     || w[CAST(i+3 AS INT)] || ' '
+                     || w[CAST(i+4 AS INT)]) AS h
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 4)) AS i
+                FROM tk) t),
+    intro AS (SELECT h, min(snap) AS fs FROM g GROUP BY 1)
+    SELECT g.snap, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN i.fs = g.snap THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN i.fs = g.snap THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novel_ppm
+    FROM g JOIN intro i ON i.h = g.h
+    GROUP BY 1
+    """,
+    note="crawl-novelty decay at n-gram granularity: per crawl "
+         "(doc_id%3 as t0/t1/t2), how many DISTINCT word-5-grams it "
+         "contains and what fraction is genuinely new vs carried from "
+         "earlier crawls — the gram-level complement of "
+         "dedup_snapshot_first_seen (a page can be 'new' while its "
+         "phrases are 90% retreads; this table sees through that). "
+         "The number every dedup-storage and crawl-scheduling plan "
+         "needs: if novel_ppm decays crawl-over-crawl, marginal crawl "
+         "budget buys less data. Shingle explode is linear; gram "
+         "introduction is one partial-aggregated min per hash; no "
+         "pairwise anything at any scale")
+def text_ngram_novelty_decay(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.dedup import word_shingles
+    docs = tbl(spark, sf_dir, "documents")
+    g = (word_shingles(docs, "text", "doc_id", n=5)
+         .select((F.col("id") % 3).cast("int").alias("snap"),
+                 F.md5("shingle").alias("h"))
+         .distinct())
+    intro = g.groupBy("h").agg(F.min("snap").alias("fs"))
+    novel = (F.col("fs") == F.col("snap")).cast("int")
+    return (g.join(intro, "h")
+            .groupBy("snap")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(novel).cast("bigint").alias("n_novel"),
+                 F.expr("sum(cast(fs = snap as int)) * 1000000 "
+                        "div count(1)").cast("bigint")
+                 .alias("novel_ppm")))
+
+
+@register(
+    "dedup_cdc_chunk_size_audit",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, i,
+               CASE WHEN CAST(('0x' || substr(
+                        md5(w[CAST(i AS INT)]), 1, 8)) AS BIGINT)
+                    % 100 < 25
+                    THEN 1 ELSE 0 END AS b
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents) s) t),
+    ch AS (SELECT doc_id, i,
+                  coalesce(sum(b) OVER (
+                      PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cid
+           FROM pos),
+    sz AS (SELECT doc_id, cid, count(*) AS cw FROM ch GROUP BY 1, 2),
+    tot AS (SELECT count(*) AS n FROM sz)
+    SELECT CAST(cw AS INT) AS chunk_words,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) * 1000000 // max(tot.n) AS BIGINT)
+               AS chunk_ppm
+    FROM sz CROSS JOIN tot GROUP BY 1
+    """,
+    note="CDC chunk-size distribution audit (r12 queue): the "
+         "histogram of words-per-chunk the 25%-boundary content-"
+         "defined chunker actually produces — the table that verifies "
+         "the chunker's geometric size profile (mean ~4 words, "
+         "heavier tail than fixed-width) and catches a boundary-rule "
+         "regression as a shifted histogram rather than a downstream "
+         "dedup-rate mystery. Spark side chunks via the same one-"
+         "expression map-only fold the dedup entries use "
+         "(operators/curation.py::cdc_fold_expr) and counts words "
+         "per chunk; the oracle re-derives chunking as a window "
+         "cumsum over boundary flags (the _cdc_chunks_sql spec). "
+         "Output is |distinct chunk sizes| rows at any corpus scale")
+def dedup_cdc_chunk_size_audit(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.curation import cdc_fold_expr
+    docs = tbl(spark, sf_dir, "documents")
+    sz = (docs.select(F.col("doc_id").alias("id"),
+                      F.split(F.col("text"), " ").alias("__w"))
+          .select("id", F.posexplode(cdc_fold_expr())
+                  .alias("cid", "ctext"))
+          .select(F.size(F.split("ctext", " ")).alias("chunk_words")))
+    tot = sz.agg(F.count(F.lit(1)).alias("n"))
+    return (sz.groupBy("chunk_words")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("chunk_words").cast("int")
+                    .alias("chunk_words"),
+                    "n_chunks",
+                    F.expr("n_chunks * 1000000 div n").cast("bigint")
+                    .alias("chunk_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# C. Distillation calibration (r12 queue)
+# ---------------------------------------------------------------------------
+
+def _distill_scored(spark, sf_dir):
+    """Per-doc distilled-student score + teacher verdict — the shared
+    Spark twin of q_curation2's _DISTILL_SCORE_CTE ``scored`` CTE
+    (DECIMAL(28,9) accumulation, LEFT-join zero for docs with no
+    selected feature)."""
+    dtok, lbl, model = _distill_parts(spark, sf_dir)
+    sc = (dtok.join(model.select("tok", "lo"), "tok")
+          .groupBy("doc_id").agg(F.sum("lo").alias("score")))
+    return (lbl.join(sc, "doc_id", "left")
+            .select("doc_id", F.col("keep").alias("teacher_keep"),
+                    F.coalesce("score",
+                               F.lit(0).cast("decimal(28,9)"))
+                    .alias("score")))
+
+
+@register(
+    "quality_distill_calibration",
+    oracle=f"""
+    WITH {_DISTILL_SCORE_CTE}
+    SELECT CAST(greatest(-3, least(3,
+               floor(CAST(score AS DOUBLE)))) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN teacher_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_teacher_keep,
+           CAST(sum(CASE WHEN teacher_keep THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS keep_ppm
+    FROM scored GROUP BY 1
+    """,
+    note="distillation CALIBRATION table (r12 queue: reliability of "
+         "the student score vs teacher margins): docs bucketed by "
+         "integer-floored student log-odds score (clamped to [-3, 3] "
+         "so the tails stay populated), per bucket the observed "
+         "teacher keep rate. A well-calibrated student shows keep_ppm "
+         "rising monotonically through the buckets and crossing 50% "
+         "near score 0 — a flat or folded profile means the score is "
+         "a ranking, not a probability, and any threshold other than "
+         "the trained one is unsafe. One aggregate over the scored "
+         "table; <= 7 output rows at any corpus size")
+def quality_distill_calibration(spark, sf_dir):
+    scored = _distill_scored(spark, sf_dir)
+    bucket = (F.greatest(F.lit(-3),
+                         F.least(F.lit(3),
+                                 F.floor(F.col("score").cast("double"))))
+              .cast("int"))
+    return (scored.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.col("teacher_keep").cast("int")).cast("bigint")
+                 .alias("n_teacher_keep"),
+                 F.expr("sum(cast(teacher_keep as int)) * 1000000 "
+                        "div count(1)").cast("bigint")
+                 .alias("keep_ppm")))
+
+
+@register(
+    "quality_distill_threshold_sweep",
+    oracle=f"""
+    WITH {_DISTILL_SCORE_CTE},
+    thr AS (SELECT CAST(unnest([-2, -1, 0, 1, 2]) AS INT) AS thr)
+    SELECT thr,
+           CAST(sum(CASE WHEN teacher_keep AND score > thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+           CAST(sum(CASE WHEN NOT teacher_keep AND score > thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+           CAST(sum(CASE WHEN teacher_keep AND score <= thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+           CAST(CASE WHEN sum(CASE WHEN score > thr THEN 1 ELSE 0 END)
+                          > 0
+                THEN sum(CASE WHEN teacher_keep AND score > thr
+                              THEN 1 ELSE 0 END) * 1000000
+                     // sum(CASE WHEN score > thr THEN 1 ELSE 0 END)
+                ELSE -1 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN sum(CASE WHEN teacher_keep THEN 1 ELSE 0 END)
+                          > 0
+                THEN sum(CASE WHEN teacher_keep AND score > thr
+                              THEN 1 ELSE 0 END) * 1000000
+                     // sum(CASE WHEN teacher_keep THEN 1 ELSE 0 END)
+                ELSE -1 END AS BIGINT) AS recall_ppm
+    FROM scored CROSS JOIN thr GROUP BY thr
+    """,
+    note="the student's OPERATING-POINT table: precision/recall "
+         "against the teacher at five score thresholds — the sweep "
+         "that picks the serving cutoff once calibration "
+         "(quality_distill_calibration) says the score is usable. "
+         "Raising the threshold trades recall for precision along "
+         "the measured curve instead of a guessed one. DECIMAL "
+         "scores make every comparison exact; integer-ppm output; "
+         "the scored table is computed once and cross-joined against "
+         "a 5-row literal — one aggregate, 5 output rows")
+def quality_distill_threshold_sweep(spark, sf_dir):
+    scored = _distill_scored(spark, sf_dir)
+    thr = spark.createDataFrame([(t,) for t in (-2, -1, 0, 1, 2)],
+                                "thr int")
+    pred = F.col("score") > F.col("thr")
+    tp = (F.col("teacher_keep") & pred).cast("int")
+    fp = (~F.col("teacher_keep") & pred).cast("int")
+    fn = (F.col("teacher_keep") & ~pred).cast("int")
+    agg = (scored.crossJoin(F.broadcast(thr))
+           .groupBy("thr")
+           .agg(F.sum(tp).cast("bigint").alias("n_tp"),
+                F.sum(fp).cast("bigint").alias("n_fp"),
+                F.sum(fn).cast("bigint").alias("n_fn")))
+    return agg.select(
+        "thr", "n_tp", "n_fp", "n_fn",
+        F.when(F.col("n_tp") + F.col("n_fp") > 0,
+               F.expr("n_tp * 1000000 div (n_tp + n_fp)"))
+        .otherwise(-1).cast("bigint").alias("precision_ppm"),
+        F.when(F.col("n_tp") + F.col("n_fn") > 0,
+               F.expr("n_tp * 1000000 div (n_tp + n_fn)"))
+        .otherwise(-1).cast("bigint").alias("recall_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# D. Per-host curriculum pacing + epoch budgeting (r12 queue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_host_curriculum_pacing",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars,
+                      source || '.example.com' AS host
+               FROM documents),
+    sp AS (SELECT doc_id, host, n_chars,
+                  CASE WHEN CAST(('0x' || substr(md5(host), 1, 8))
+                            AS BIGINT) % 10 < 8
+                       THEN 'train' ELSE 'val' END AS split,
+                  ntile(4) OVER (PARTITION BY host
+                                 ORDER BY n_chars, doc_id) AS stage
+           FROM d),
+    per AS (SELECT split, CAST(stage AS INT) AS stage,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS stage_tokens
+            FROM sp GROUP BY 1, 2),
+    tot AS (SELECT split, sum(stage_tokens) AS st FROM per GROUP BY 1)
+    SELECT p.split, p.stage, p.n_hosts, p.n_docs, p.stage_tokens,
+           CAST(p.stage_tokens * 1000000 // t.st AS BIGINT)
+               AS share_ppm
+    FROM per p JOIN tot t USING (split)
+    """,
+    note="per-HOST curriculum pacing composed with the host-grouped "
+         "split (r12 queue: split_group_host x "
+         "mix_token_budget_pacing): membership is a pure function of "
+         "the host (portable md5 bucket, 80/20 — no doc of a host "
+         "ever crosses the split), and within each HOST docs rank "
+         "easy-to-hard into 4 stages via the factored bucketed "
+         "prefix-sum ntile — finer pacing than per-source staging, "
+         "so one boilerplate-heavy host can't drag its whole domain's "
+         "schedule. The oracle keeps the raw ntile-over-host window "
+         "form, so the ntile_bucketed algebraic equivalence is "
+         "driver-checked on a NEW partition key. Output is "
+         "|split x 4| rows; the per-split total rides a broadcast")
+def mix_host_curriculum_pacing(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import (
+        ntile_bucketed, portable_bucket)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+    staged = ntile_bucketed(docs, ["host"], "n_chars", "doc_id",
+                            n_tiles=4, bucket_width=64,
+                            tile_col="stage")
+    sp = staged.withColumn(
+        "split", F.when(portable_bucket(F.col("host"), 10) < 8,
+                        "train").otherwise("val"))
+    per = (sp.groupBy("split", "stage")
+           .agg(F.countDistinct("host").cast("bigint").alias("n_hosts"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("stage_tokens")))
+    tot = per.groupBy("split").agg(F.sum("stage_tokens").alias("st"))
+    return (per.join(F.broadcast(tot), "split")
+            .select("split", "stage", "n_hosts", "n_docs",
+                    "stage_tokens",
+                    F.expr("stage_tokens * 1000000 div st")
+                    .cast("bigint").alias("share_ppm")))
+
+
+@register(
+    "mix_epoch_token_budget",
+    oracle=r"""
+    WITH h AS (SELECT doc_id, source, n_chars,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS h
+               FROM documents),
+    firsts AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h),
+    per AS (SELECT s.source,
+                   CAST(sum(CASE WHEN s.doc_id = f.keeper
+                                 THEN s.n_chars ELSE 0 END) AS BIGINT)
+                       AS eff_tokens
+            FROM h s JOIN firsts f ON f.h = s.h GROUP BY 1),
+    w AS (SELECT source, eff_tokens,
+                 CAST(1 + CAST(('0x' || substr(md5(source), 1, 8))
+                               AS BIGINT) % 4 AS INT) AS policy_w
+          FROM per),
+    tot AS (SELECT sum(eff_tokens) AS te, sum(policy_w) AS sw FROM w)
+    SELECT source, eff_tokens, policy_w,
+           CAST(2 * te * policy_w // sw AS BIGINT) AS target_tokens,
+           CAST(least(2 * te * policy_w // sw, 3 * eff_tokens)
+                AS BIGINT) AS alloc_tokens,
+           CAST(least(2 * te * policy_w // sw, 3 * eff_tokens)
+                * 1000 // eff_tokens AS BIGINT) AS epochs_x1000,
+           2 * te * policy_w // sw > 3 * eff_tokens AS capped
+    FROM w CROSS JOIN tot
+    """,
+    note="epoch-repeat budgeting under a mixture policy (r12 queue): "
+         "capacity per source = its dedup-unique token mass "
+         "(mix_dedup_aware_weights' exact first-occurrence dedup), "
+         "demand = a 2x-corpus token budget allocated by policy "
+         "weights (fixture: md5-bucket 1-4 standing in for the "
+         "human-chosen mixture config a production run carries), "
+         "repeat cap = 3 epochs. The table reports each source's "
+         "target vs capped allocation and the epoch multiplier "
+         "(x1000 fixed-point) — the sheet that says which domains "
+         "the budget wants MORE of than exists (capped=true: find "
+         "more data or accept more repeats) before any training job "
+         "is launched. Pure integer arithmetic end-to-end; the "
+         "corpus totals ride a 1-row broadcast")
+def mix_epoch_token_budget(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    docs = tbl(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .alias("h"))
+    firsts = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    per = (h.join(firsts, "h")
+           .groupBy("source")
+           .agg(F.sum(F.when(F.col("doc_id") == F.col("keeper"),
+                             F.col("n_chars")).otherwise(0))
+                .cast("bigint").alias("eff_tokens")))
+    w = per.withColumn(
+        "policy_w",
+        (F.lit(1) + portable_bucket(F.col("source"), 4)).cast("int"))
+    tot = w.agg(F.sum("eff_tokens").alias("te"),
+                F.sum("policy_w").alias("sw"))
+    target = F.expr("2 * te * policy_w div sw")
+    alloc = F.least(target, 3 * F.col("eff_tokens"))
+    return (w.crossJoin(F.broadcast(tot))
+            .select("source", "eff_tokens", "policy_w",
+                    target.cast("bigint").alias("target_tokens"),
+                    alloc.cast("bigint").alias("alloc_tokens"),
+                    F.expr("least(2 * te * policy_w div sw, "
+                           "3 * eff_tokens) * 1000 div eff_tokens")
+                    .cast("bigint").alias("epochs_x1000"),
+                    (target > 3 * F.col("eff_tokens")).alias("capped")))
+
+
+# ---------------------------------------------------------------------------
+# E. ANN serving audits: recall vs n_probe, cell balance (r12 queue)
+# ---------------------------------------------------------------------------
+
+_IVF_PANEL_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id < 300
+"""
+
+
+@register(
+    "sim_ann_ivf_nprobe_recall",
+    oracle=f"""
+    WITH c AS ({_IVF_PANEL_SQL}),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+    ex AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rn
+           FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id),
+    truth AS (SELECT count(*) AS n FROM ex WHERE rn <= 10),
+    cfg AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS n_probe)
+    SELECT n_probe, CAST(max(truth.n) AS BIGINT) AS n_exact,
+           true AS recall_ok, true AS monotone_ok
+    FROM cfg CROSS JOIN truth GROUP BY n_probe
+    """,
+    note="IVF serving recall at varied n_probe (r12 queue: the IVF "
+         "twin of dedup_embedding_band_sweep): the SAME prebuilt "
+         "16-centroid index (build_ivf_index, seed 42) served at "
+         "n_probe 1/2/4/8 against the exact-cosine top-10 truth on "
+         "the fixed 20x300 panel — the dial a serving tier actually "
+         "turns (recall rises, probed volume rises, no re-index). "
+         "Measured at sf0.01: 34%/44.5%/64.5%/84% — the operating "
+         "curve driver-visible in one table. Pinned bounds (integer-"
+         "multiplied): recall >= 15/25/40/60 percent, plus "
+         "monotonicity (more probes can NEVER lose a true top-10 "
+         "member when rescoring is exact — fewer than k items beat "
+         "it globally, so it survives any candidate superset; "
+         "computed, not asserted). n_exact is oracle-exact; the "
+         "serve path is the production one: broadcast centroid "
+         "probe, cell-equi join, salted two-phase rank")
+def sim_ann_ivf_nprobe_recall(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, build_ivf_index, cosine, ivf_query, salted_topk)
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    c = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qs = (c.filter(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    ex = (qs.crossJoin(F.broadcast(c))
+          .filter(F.col("vec_id") != F.col("qid"))
+          .select("qid", F.col("vec_id").alias("cid"),
+                  cosine(F.col("qv"), F.col("v")).alias("s")))
+    top_ex = (salted_topk(ex, "qid", [F.col("s").desc(), F.col("cid")],
+                          "cid", k=10)
+              .select("qid", "cid").withColumn("__t", F.lit(1)))
+    n_exact = top_ex.agg(F.count(F.lit(1)).alias("ne"))
+    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding",
+                                          n_centroids=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    rows = None
+    for n_probe, lo_pct in ((1, 15), (2, 25), (4, 40), (8, 60)):
+        got = (ivf_query(assigned, centroids, queries, k=10,
+                         n_probe=n_probe)
+               .select(F.col("query_id").alias("qid"),
+                       F.col("vec_id").alias("cid")))
+        row = (got.join(top_ex, ["qid", "cid"])
+               .agg(F.count(F.lit(1)).alias("__found"))
+               .crossJoin(F.broadcast(n_exact))
+               .select(F.lit(n_probe).cast("int").alias("n_probe"),
+                       F.col("ne").cast("bigint").alias("n_exact"),
+                       F.col("__found").alias("__found"),
+                       (F.col("__found") * 100
+                        >= F.lit(lo_pct) * F.col("ne"))
+                       .alias("recall_ok")))
+        rows = row if rows is None else rows.unionByName(row)
+    w = Window.orderBy("n_probe")  # 4-row aggregate frame — bounded
+    return (rows
+            .withColumn("__prev", F.lag("__found").over(w))
+            .select("n_probe", "n_exact", "recall_ok",
+                    F.coalesce(F.col("__found") >= F.col("__prev"),
+                               F.lit(True)).alias("monotone_ok")))
+
+
+@register(
+    "embedding_ivf_cell_balance",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+           true AS cells_ok, true AS balance_ok, true AS coverage_ok
+    FROM ({_IVF_PANEL_SQL}) p
+    """,
+    note="IVF index HEALTH audit — the check a serving tier runs "
+         "after every index build: every panel vector lands in "
+         "exactly one cell (coverage_ok: cell sizes sum back to the "
+         "corpus count — a dropped or duplicated row breaks it), the "
+         "coarse quantizer actually spread the data (cells_ok: >= 8 "
+         "of 16 centroids non-empty; k-means CAN park centroids on "
+         "nothing), and no hot cell dominates serve cost (balance_ok: "
+         "max cell <= 4x the mean, integer-multiplied as max * "
+         "n_cells <= 4 * n_assigned). Measured at sf0.01: 16/16 "
+         "cells, max 44 vs mean 18.75 (2.35x). A hot cell is exactly "
+         "the case where n_probe recall curves lie — the probe that "
+         "hits it rescans half the corpus. n_assigned is "
+         "oracle-exact; the audit aggregates the assignment column "
+         "the index already carries — no extra shuffle at any scale")
+def embedding_ivf_cell_balance(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import build_ivf_index
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    assigned, _centroids = build_ivf_index(emb, "vec_id", "embedding",
+                                           n_centroids=16, seed=42)
+    per = (assigned.groupBy("__cell")
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (per.agg(F.sum("c").cast("bigint").alias("n_assigned"),
+                    F.count(F.lit(1)).alias("__nc"),
+                    F.max("c").alias("__mx"))
+            .crossJoin(F.broadcast(
+                emb.agg(F.count(F.lit(1)).alias("__np"))))
+            .select("n_assigned",
+                    (F.col("__nc") >= 8).alias("cells_ok"),
+                    (F.col("__mx") * F.col("__nc")
+                     <= 4 * F.col("n_assigned")).alias("balance_ok"),
+                    (F.col("n_assigned") == F.col("__np"))
+                    .alias("coverage_ok")))

@@ -83,23 +83,26 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-10
-# stamped the ENTIRE 386-entry r10 catalog green (cumulative 386/386,
-# r10 50/50). r11 continues the COVERAGE.md growth policy (<=45
-# net-new per round, minus the re-queued staleness slots): the r11
-# tranche adds exactly 40 entries (plans/q_curation2.py — the r11
-# queue head: manifest-keyed cross-snapshot NEAR-dup, CDC dedup across
-# snapshots + the edited-page stability demo, quality-classifier
-# distillation, token-budget curriculum pacing, embedding band-count
-# audits — plus preference-data QA, loader-permutation/compaction/
-# volume audits, and the star-valve recall contract), so this window =
-# 5 sentinels + 40 never-stamped + the 5-slot oldest-stamp pad.
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-11
+# stamped the ENTIRE 426-entry r11 catalog green (cumulative 426/426,
+# r11 50/50). r12 continues the COVERAGE.md growth policy (<=45
+# net-new per round, minus the re-queued staleness slots): the r12
+# tranche adds exactly 13 entries (plans/q_round12.py — the declared
+# r12 queue, complete: the whole-slide-image TIFF surface stamped
+# [tiled/LZW/Deflate/predictor rotation, pyramid page reads, IFD-chain
+# inventory], three-way snapshot chains for NEAR-dup first-seen
+# attribution at doc and CLUSTER level, n-gram crawl-novelty decay,
+# CDC chunk-size audit, distillation calibration + threshold sweep,
+# per-host curriculum pacing, epoch-repeat budgeting, IVF n_probe
+# recall + cell balance), so this window = 5 sentinels + 13
+# never-stamped + the 32-slot oldest-stamp pad (the r2-vintage
+# staleness re-checks VERDICT r11 queued).
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped),
 # recomputes the pad MECHANICALLY (oldest latest-stamp first, name
 # tie-break — VERDICT r10 ask #5), and checks family coverage over the
 # CUMULATIVE stamped set.
-ROUND = 11  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+ROUND = 12  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # fills the free slots left after every never-stamped entry is
@@ -110,46 +113,38 @@ ROUND = 11  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 # recomputes this from CORRECTNESS_r*.json, so the pad can never be
 # hand-picked.
 WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "above_avg_balance", "distinct_rows", "histogram_fixed_buckets",
-    "q10_returned_items", "q12_late_shipment",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_pred", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "set_except", "set_except_all",
+    "set_intersect_all", "string_agg_sorted", "top_supplier_per_nation",
+    "agg_distinct_counts", "approx_distinct_hll", "argmax_per_group",
+    "array_higher_order", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "explode_words_ordinal",
+    "flagship_arrow_pandas", "global_ids_dense", "grouping_sets_agg",
+    "hierarchy_roots_depth", "interval_peak_concurrency",
+    "join_asof_last_error",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # r11 tranche (plans/q_curation2.py), registration order:
-    # cross-snapshot near-dup / CDC follow-through
-    "dedup_manifest_minhash", "dedup_cdc_cross_snapshot",
-    "dedup_cdc_edit_stability", "dedup_snapshot_first_seen",
-    "dedup_minhash_band_tradeoff",
-    # embedding-dedup / representation audits
-    "dedup_embedding_band_sweep", "embedding_norm_outlier_gate",
-    # quality-classifier distillation
-    "quality_distill_labels", "quality_distill_token_logodds",
-    "quality_distill_student_agreement", "quality_distill_margin_mining",
-    # mixing / curriculum pacing
-    "mix_token_budget_pacing", "mix_dedup_aware_weights",
-    "mix_anneal_high_quality",
-    # web-corpus curation extensions
-    "text_line_global_dedup", "text_blocklist_categories",
-    "decontam_canary_scan", "web_spam_host_burst",
-    "web_host_crawl_budget", "split_group_host",
-    "provenance_license_rollup", "filter_length_pctile_lang",
-    # preference / SFT data QA
-    "eval_bradley_terry", "sft_turn_alternation_audit",
-    "sft_prompt_dedup", "eval_length_bias_audit",
-    # pipeline-ops audits
-    "eval_pref_cycle_rate", "shard_epoch_permutation",
-    "lakehouse_compaction_plan", "ingest_volume_anomaly",
-    "sample_importance_ess", "corpus_self_bleu_panel",
-    "text_js_divergence_snapshots",
-    # valve recall, quantization recall, semantic decontam, drift,
-    # langid margin, mojibake, Wilson CI
-    "dedup_star_valve_recall_audit", "embedding_quantization_recall",
-    "decontam_embedding_sim", "embedding_domain_centroid_drift",
-    "text_lang_confidence_margin", "dq_control_char_scan",
-    "eval_winrate_wilson",
+    # r12 tranche (plans/q_round12.py), registration order:
+    # whole-slide-image TIFF surface (VERDICT r11 missing #2)
+    "mm_decode_tiff_tiled", "mm_decode_tiff_pyramid",
+    "mm_tiff_pyramid_meta",
+    # three-way snapshot chains / crawl novelty / CDC audit
+    "dedup_chain_minhash_first_seen", "dedup_chain_cluster_first_seen",
+    "text_ngram_novelty_decay", "dedup_cdc_chunk_size_audit",
+    # distillation calibration
+    "quality_distill_calibration", "quality_distill_threshold_sweep",
+    # per-host pacing / epoch budgeting
+    "mix_host_curriculum_pacing", "mix_epoch_token_budget",
+    # ANN serving audits
+    "sim_ann_ivf_nprobe_recall", "embedding_ivf_cell_balance",
 ) + WINDOW_STALENESS_PAD
 
 

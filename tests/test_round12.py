@@ -1,0 +1,161 @@
+"""r12 tranche property tests: the pyramid read path's level algebra
+(page 1 must be EXACTLY the [::2, ::2] reduction under every container
+rotation the catalog entry ships), the snapshot-chain attribution
+invariants, the distillation calibration's direction, and the epoch
+budgeter's arithmetic contract.
+
+These complement — never replace — the oracle gate
+(tests/test_oracle_parity.py auto-covers every q_round12 entry): an
+oracle proves value equality against an independent engine; these pin
+the SEMANTIC claims the entries' notes make (monotone calibration,
+cap algebra, lossless level selection) so a future refactor that
+stays value-consistent with a weakened oracle still can't silently
+drop the property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.operators.multimodal import (
+    _parse_tiff,
+    encode_tiff,
+    encode_tiff_pyramid,
+    tiff_page_offsets,
+)
+
+
+def _img(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 32773, 5, 8])
+@pytest.mark.parametrize("tile", [None, (2, 2), (3, 2)])
+def test_pyramid_page1_is_the_reduction(endian, comp, tile):
+    """Every rotation the catalog entries use (and a couple more):
+    page 0 round-trips the base image, page 1 round-trips its
+    [::2, ::2] reduction, and the chain walk sees exactly 2 IFDs."""
+    img = _img(endian == ">" and 7 or 3)
+    payload = encode_tiff_pyramid([img, img[::2, ::2]], endian, comp,
+                                  tile=tile)
+    assert len(tiff_page_offsets(payload)) == 2
+    w0, h0, px0 = _parse_tiff(payload, page=0)
+    assert (w0, h0) == (4, 4)
+    np.testing.assert_array_equal(px0, img)
+    w1, h1, px1 = _parse_tiff(payload, page=1)
+    assert (w1, h1) == (2, 2)
+    np.testing.assert_array_equal(px1, img[::2, ::2])
+    # a page index past the chain is a clean miss, not a misread
+    assert _parse_tiff(payload, page=2) is None
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("comp", [5, 8])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiled_rotation_roundtrips(endian, comp, pred):
+    """The mm_decode_tiff_tiled rotation, single-page: 3x2 tiles over a
+    4x4 image force one right-edge and one bottom-edge padded tile;
+    decode must crop the padding, not smear it."""
+    img = _img(11)
+    payload = encode_tiff(img, endian, comp, predictor=pred,
+                          tile=(3, 2))
+    w, h, px = _parse_tiff(payload)
+    assert (w, h) == (4, 4)
+    np.testing.assert_array_equal(px, img)
+
+
+def test_chain_first_seen_conserves_docs_and_never_looks_forward(
+        spark, sf_oracle):
+    """Attribution invariants: first_seen <= snap on every row (a doc
+    can never be attributed to a LATER crawl), snap-0 docs always
+    self-attribute, and the table partitions the corpus (n_docs sums
+    to the document count)."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        dedup_chain_minhash_first_seen)
+    rows = dedup_chain_minhash_first_seen(spark, sf_oracle).collect()
+    n_docs = (spark.read.parquet(f"{sf_oracle}/documents.parquet")
+              .count())
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.first_seen <= r.snap <= 2
+    snap0 = [r for r in rows if r.snap == 0]
+    assert len(snap0) == 1 and snap0[0].first_seen == 0
+
+
+def test_cluster_first_seen_matches_doc_attribution_totals(
+        spark, sf_oracle):
+    """Cluster rows are internally consistent: every cluster spans at
+    least first_seen's crawl, n_snapshots <= 3, and multi-doc always
+    (components are built from pairs, so no singleton rows)."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        dedup_chain_cluster_first_seen)
+    rows = dedup_chain_cluster_first_seen(spark, sf_oracle).collect()
+    assert rows, "fixture plants near-dup clusters; none found"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert 1 <= r.n_snapshots <= 3
+        assert 0 <= r.first_seen <= 2
+        # the component id is the min member id; its snapshot can't
+        # precede the cluster's first_seen
+        assert r.first_seen <= r.comp % 3 or r.n_snapshots > 1
+
+
+def test_distill_calibration_is_directionally_sane(spark, sf_oracle):
+    """The note's claim, pinned: the top score bucket keeps at a higher
+    observed rate than the bottom bucket (a student whose score is
+    anti-correlated with the teacher would invert this long before any
+    oracle notices — the oracle checks values, not usefulness)."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        quality_distill_calibration)
+    rows = {r.bucket: r for r in
+            quality_distill_calibration(spark, sf_oracle).collect()}
+    lo, hi = min(rows), max(rows)
+    assert rows[hi].keep_ppm > rows[lo].keep_ppm
+
+
+def test_epoch_budget_cap_algebra(spark, sf_oracle):
+    """Row-level contract: alloc = min(target, 3x capacity), capped
+    flags exactly the bound, epochs never exceed 3000 (x1000 fixed
+    point), and the budget actually binds somewhere (some source is
+    capped OR every source got its full target)."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        mix_epoch_token_budget)
+    rows = mix_epoch_token_budget(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.alloc_tokens == min(r.target_tokens, 3 * r.eff_tokens)
+        assert r.capped == (r.target_tokens > 3 * r.eff_tokens)
+        assert r.epochs_x1000 <= 3000
+        assert 1 <= r.policy_w <= 4
+
+
+def test_nprobe_recall_monotone_and_bounded(spark, sf_oracle):
+    """monotone_ok is a computed theorem (exact rescoring can't lose a
+    true top-10 member to a candidate superset) — all four rows must
+    carry it, and the pinned recall bounds must hold at the oracle SF."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        sim_ann_ivf_nprobe_recall)
+    rows = sorted(sim_ann_ivf_nprobe_recall(spark, sf_oracle).collect(),
+                  key=lambda r: r.n_probe)
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    assert all(r.monotone_ok for r in rows)
+    assert all(r.recall_ok for r in rows)
+
+
+def test_host_pacing_split_is_leak_free(spark, sf_oracle):
+    """The host-grouped split property, re-checked through the pacing
+    table: train+val doc counts partition the corpus, and every
+    (split, stage) row's share_ppm stays a true ppm (0..1e6]."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        mix_host_curriculum_pacing)
+    rows = mix_host_curriculum_pacing(spark, sf_oracle).collect()
+    n_docs = (spark.read.parquet(f"{sf_oracle}/documents.parquet")
+              .count())
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.split for r in rows} == {"train", "val"}
+    for r in rows:
+        assert 0 < r.share_ppm <= 1_000_000
