@@ -202,6 +202,20 @@ HEADLINE = [
     "text_js_divergence_snapshots",
     "web_host_crawl_budget",
     "sft_turn_alternation_audit",
+    # round-12 tranche — the rows with real data volume: the tiled/
+    # LZW/Deflate/predictor TIFF rotation and the pyramid page-1 read
+    # (per-doc encode + full decode, the two new codec paths), the
+    # two snapshot-chain legs (2x incremental MinHash; LSH pairs +
+    # iterative CC -> build-timed), the word-5-gram novelty explode,
+    # and the map-only CDC fold histogram. The distill-calibration,
+    # pacing and IVF-audit rows are aggregate-/panel-bounded re-
+    # compositions of already-benched stages and would double-count.
+    "mm_decode_tiff_tiled",
+    "mm_decode_tiff_pyramid",
+    "dedup_chain_minhash_first_seen",
+    "dedup_chain_cluster_first_seen",
+    "text_ngram_novelty_decay",
+    "dedup_cdc_chunk_size_audit",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -222,7 +236,10 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "dedup_sorted_neighborhood",
                    # r10: the funnel's near-dup stage runs connected
                    # components (iterative, checkpointed) at build
-                   "pipeline_dedup_funnel"}
+                   "pipeline_dedup_funnel",
+                   # r12: cluster first-seen runs connected components
+                   # (iterative, checkpointed) at build
+                   "dedup_chain_cluster_first_seen"}
 
 
 def _bench_overrides():

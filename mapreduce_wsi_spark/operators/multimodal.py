@@ -394,10 +394,12 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     BI_RGB 8bpp palette, BI_RLE8, and (r11) BI_RGB 4bpp palette,
     BI_RLE4 run-length compressed 4bpp (nibble runs, absolute mode,
     EOL/delta/EOB escapes), 1bpp bilevel (MSB-first bit rows) and
-    BI_BITFIELDS 16/32bpp with arbitrary contiguous channel masks
-    (565/555/8888), plus the OS/2 BITMAPCOREHEADER legacy layout
-    (12-byte header, 3-byte BGR palette triples, 24/8bpp) — the BMP
-    family complete; only non-contiguous masks return None."""
+    BI_BITFIELDS 16/32bpp with ARBITRARY channel masks — contiguous
+    (565/555/8888) via one shift, non-contiguous (r12) via a
+    vectorized PEXT-style bit compaction — plus the OS/2
+    BITMAPCOREHEADER legacy layout (12-byte header, 3-byte BGR
+    palette triples, 24/8bpp): the BMP family complete, zero mask
+    stubs remaining (a zero mask is malformed and returns None)."""
     import struct
 
     if len(payload) < 26 or payload[:2] != b"BM":
@@ -492,16 +494,9 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         if len(payload) < 66:
             return None
         masks = struct.unpack_from("<III", payload, 54)
-        shifts, widths = [], []
         for mask in masks:
             if mask == 0 or mask >> bpp:
                 return None
-            shift = (mask & -mask).bit_length() - 1
-            width = (mask >> shift).bit_length()
-            if (mask >> shift) != (1 << width) - 1:
-                return None  # non-contiguous mask
-            shifts.append(shift)
-            widths.append(width)
         bottom_up = h > 0
         h_abs = abs(h)
         nb = bpp // 8
@@ -515,8 +510,24 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
                << (np.arange(nb, dtype=np.uint32) * 8)).sum(
                    axis=2, dtype=np.uint32)  # little-endian assemble
         chans = []
-        for mask, shift, width in zip(masks, shifts, widths):
-            v = (pix & mask) >> shift
+        for mask in masks:
+            shift = (mask & -mask).bit_length() - 1
+            width = (mask >> shift).bit_length()
+            if (mask >> shift) == (1 << width) - 1:
+                v = (pix & mask) >> shift  # contiguous: one shift
+            else:
+                # non-contiguous mask (r12, the header's last BMP
+                # stub): compact the masked bits PEXT-style — bit i of
+                # the pixel lands at position rank(i) among the mask's
+                # set bits. <= bpp numpy passes, vectorized across all
+                # pixels; sample width = the mask's popcount.
+                v = np.zeros_like(pix)
+                width = 0
+                for i in range(bpp):
+                    if mask >> i & 1:
+                        v |= ((pix >> np.uint32(i)) & np.uint32(1)) \
+                            << np.uint32(width)
+                        width += 1
             chans.append((v * 255 // ((1 << width) - 1))
                          .astype(np.uint8))
         rgb = np.stack(chans, axis=2)
@@ -683,9 +694,12 @@ def encode_bmp_bitfields(rgb: "np.ndarray",
                          masks=(0xF800, 0x07E0, 0x001F),
                          bpp: int = 16) -> bytes:
     """BI_BITFIELDS BMP (16/32bpp masked) from a TOP-DOWN (h, w, 3)
-    uint8 image — test twin for the r11 masked decode path. Each
-    channel keeps its top ``width`` bits (ch >> (8 - width)), packed
-    under its mask, little-endian, stored bottom-up with 4-byte row
+    uint8 image — test twin for the masked decode path. Each channel
+    keeps its top ``popcount(mask)`` bits (ch >> (8 - width)) and
+    DEPOSITS them onto the mask's set bits PDEP-style (for contiguous
+    masks that reduces to one shift; for non-contiguous masks — r12 —
+    it is the exact writer-side inverse of the decoder's bit
+    compaction), little-endian, stored bottom-up with 4-byte row
     stride; the 3 DWORD masks follow the 40-byte info header."""
     import struct
 
@@ -693,10 +707,14 @@ def encode_bmp_bitfields(rgb: "np.ndarray",
     nb = bpp // 8
     pix = np.zeros((h, w), dtype=np.uint32)
     for c, mask in enumerate(masks):
-        shift = (mask & -mask).bit_length() - 1
-        width = (mask >> shift).bit_length()
+        width = bin(mask).count("1")
         stored = (rgb[:, :, c].astype(np.uint32) >> (8 - width))
-        pix |= (stored << shift).astype(np.uint32)
+        out_bit = 0
+        for i in range(bpp):
+            if mask >> i & 1:
+                pix |= (((stored >> np.uint32(out_bit)) & np.uint32(1))
+                        << np.uint32(i))
+                out_bit += 1
     stride = (w * nb + 3) & ~3
     rows = bytearray()
     for y in range(h - 1, -1, -1):

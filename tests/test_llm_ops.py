@@ -590,10 +590,12 @@ def test_bmp_os2_core_header_decode():
 
 
 def test_bmp_bitfields_decode():
-    """BI_BITFIELDS 16/32bpp (r11 — the BMP family's last stub):
-    arbitrary contiguous channel masks decode with exact integer
-    scaling; 8888 is lossless; non-contiguous masks and truncated
-    pixel blocks reject."""
+    """BI_BITFIELDS 16/32bpp: ARBITRARY channel masks decode with
+    exact integer scaling — contiguous (565/555/8888, one shift) and,
+    since r12, non-contiguous (PEXT-style bit compaction; the BMP
+    family's last stub closed). 8888 and the disjoint 8+8+8
+    non-contiguous layout are lossless; truncated pixel blocks and
+    zero masks reject."""
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -610,6 +612,9 @@ def test_bmp_bitfields_decode():
             ((0x7C00, 0x03E0, 0x001F), 16),           # 555
             ((0x00FF0000, 0x0000FF00, 0x000000FF), 32),  # 8888
             ((0x000F, 0x00F0, 0x0F00), 16),           # BGR-ish 444
+            # non-contiguous masks (r12): disjoint split nibbles
+            ((0xC0C0, 0x0C0C, 0x3030), 16),           # 4+4+4 split
+            ((0x0F0F0000, 0x00F0F000, 0x00000F0F), 32),  # 8+8+8 split
         ]))
         h = data.draw(st.integers(1, 8))
         w = data.draw(st.integers(1, 12))
@@ -619,20 +624,21 @@ def test_bmp_bitfields_decode():
         assert got is not None
         exp = np.zeros_like(img)
         for c, m in enumerate(masks):
-            sh = (m & -m).bit_length() - 1
-            wd = (m >> sh).bit_length()
+            wd = bin(m).count("1")  # popcount: width for ANY mask shape
             stored = img[:, :, c].astype(np.uint32) >> (8 - wd)
             exp[:, :, c] = (stored * 255 // ((1 << wd) - 1)) \
                 .astype(np.uint8)
         assert np.array_equal(got[2], exp)
-        if bpp == 32 and masks[0] == 0x00FF0000:
-            assert np.array_equal(got[2], img)  # 8888 lossless
+        if bpp == 32 and masks[0] in (0x00FF0000, 0x0F0F0000):
+            # 8 stored bits per channel round-trip losslessly whether
+            # the mask is contiguous (8888) or split (r12 PEXT path)
+            assert np.array_equal(got[2], img)
         assert _parse_bmp(enc[:-1 - data.draw(st.integers(0, 3))]) \
             is None
 
-    # non-contiguous mask rejects
+    # a zero mask is malformed and still rejects
     bad = encode_bmp_bitfields(np.zeros((2, 2, 3), np.uint8),
-                               (0xF0F0, 0x07E0, 0x001F), 16)
+                               (0x0000, 0x07E0, 0x001F), 16)
     assert _parse_bmp(bad) is None
 
     run()

@@ -84,6 +84,11 @@ PROBE_QUERIES = {
     "text_js_divergence_snapshots",  # 2 token explodes + vocab join
     "mix_dedup_aware_weights",     # hash groupBy + join-back
     "web_host_crawl_budget",       # salted per-host top-k
+    # r12 heavy rows (documents only)
+    "dedup_chain_minhash_first_seen",  # 2x incremental minhash legs
+    "dedup_chain_cluster_first_seen",  # minhash pairs + CC rounds
+    "text_ngram_novelty_decay",        # 5-gram explode + min-snap agg
+    "dedup_cdc_chunk_size_audit",      # map-only fold + histogram
 }
 
 
