@@ -731,6 +731,26 @@ def test_curriculum_schedule_uses_factored_bucketed_ntile(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_host_pacing_uses_factored_bucketed_ntile(spark, sf_oracle):
+    """mix_host_curriculum_pacing (r12): same law as the curriculum
+    pin, on the HOST partition key — no ntile window, no rank window
+    keyed on the bare host column (hosts are an unbounded keyset in
+    production; one hot host must never funnel through one task); the
+    only row-level window is (host, __vb value bucket)-keyed and the
+    bucket prefixes/per-split totals ride broadcasts. The oracle keeps
+    the raw ntile-over-host form, so the algebraic equivalence stays
+    driver-checked while this pins the plan."""
+    import re
+
+    plan = plan_of(build("mix_host_curriculum_pacing", spark, sf_oracle))
+    assert not re.search(r"ntile\(", plan), "ntile window returned"
+    row_level = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert row_level and all("__vb" in s for s in row_level), (
+        f"row-level window not bucket-keyed: {row_level}")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_cdc_chunking_is_map_only_fold_no_window(spark, sf_oracle):
     """dedup_cdc_sentences chunks with ONE map-only SQL aggregate fold
     per document — the plan must contain no Window at all (the naive

@@ -127,6 +127,12 @@ SHOWN = [
     "web_host_crawl_budget",
     "quality_distill_student_agreement",
     "mix_token_budget_pacing",
+    # r12 tranche: the chain attribution's two incremental-minhash legs
+    # + left join + tiny aggregate, the host-keyed bucketed ntile, and
+    # the gram-novelty min-introduction aggregate
+    "dedup_chain_minhash_first_seen",
+    "mix_host_curriculum_pacing",
+    "text_ngram_novelty_decay",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.
