@@ -272,10 +272,13 @@ _J05_PAIRS_CTE = """
     """,
     note="three-way snapshot chain, NEAR-dup first-seen attribution "
          "(r12 queue: dedup_snapshot_first_seen beyond exact hashes): "
-         "crawls t0/t1/t2 = doc_id%3; t1 runs incremental MinHash/LSH "
-         "against t0, t2 against t0+t1 (operators/curation.py::"
-         "incremental_minhash_pairs — bands BETWEEN snapshot sets "
-         "only, exact-Jaccard verify at j>=0.5, never old x old), and "
+         "crawls t0/t1/t2 = doc_id%3; MinHash signatures are built "
+         "ONCE over the chain and sliced per leg (the reusable-"
+         "standing-signature story made literal), t1 bands against "
+         "t0 and t2 against t0+t1 (operators/curation.py::"
+         "lsh_cross_candidates — bands BETWEEN snapshot sets only, "
+         "never old x old), one candidates-only exact-Jaccard verify "
+         "at j>=0.5 (integer-multiplied: 2*inter >= union), and "
          "each doc's first_seen is the EARLIEST crawl holding a "
          "near-dup of it (its own crawl when none). The (snap, "
          "first_seen) tally is the 'how much of crawl N is retreads "
@@ -285,22 +288,48 @@ _J05_PAIRS_CTE = """
          "candidates) per step and standing signatures are reusable "
          "run-over-run")
 def dedup_chain_minhash_first_seen(spark, sf_dir):
+    # Signatures and shingles are built ONCE over the whole chain and
+    # sliced per leg — the "standing signatures are reusable" claim
+    # made literal (the incremental_minhash_pairs convenience would
+    # rebuild snapshot-0's signatures for every later crawl). Both
+    # banding legs feed ONE candidates-only exact-Jaccard verify.
     from mapreduce_wsi_spark.operators.curation import (
-        incremental_minhash_pairs)
+        lsh_cross_candidates)
+    from mapreduce_wsi_spark.operators.dedup import (
+        minhash_signatures, word_shingles)
     docs = tbl(spark, sf_dir, "documents")
-    snap = (F.col("doc_id") % 3).cast("int")
-    s0 = docs.filter(F.col("doc_id") % 3 == 0)
-    s1 = docs.filter(F.col("doc_id") % 3 == 1)
-    s2 = docs.filter(F.col("doc_id") % 3 == 2)
-    p1 = incremental_minhash_pairs(s1, s0, "text", "doc_id",
-                                   n=3, min_jaccard=0.5)
-    p2 = incremental_minhash_pairs(s2, s0.unionByName(s1), "text",
-                                   "doc_id", n=3, min_jaccard=0.5)
-    matched = (p1.unionByName(p2)
-               .select("doc_new",
-                       (F.col("doc_old") % 3).cast("int").alias("os"))
+    snap_of = lambda c: (F.col(c) % 3).cast("int")  # noqa: E731
+    sig = minhash_signatures(docs, "text", "doc_id", n=3, k=64)
+    leg1 = lsh_cross_candidates(sig.filter(F.col("id") % 3 == 1),
+                                sig.filter(F.col("id") % 3 == 0),
+                                bands=16, rows_per_band=4,
+                                max_bucket=1000)
+    leg2 = lsh_cross_candidates(sig.filter(F.col("id") % 3 == 2),
+                                sig.filter(F.col("id") % 3 != 2),
+                                bands=16, rows_per_band=4,
+                                max_bucket=1000)
+    cands = leg1.unionByName(leg2)  # disjoint by doc_new's snapshot
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (cands
+             .join(sh.select(F.col("id").alias("doc_new"), "shingle"),
+                   "doc_new")
+             .join(sh.select(F.col("id").alias("doc_old"), "shingle"),
+                   ["doc_old", "shingle"])
+             .groupBy("doc_new", "doc_old")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    pairs = (inter
+             .join(sizes.select(F.col("id").alias("doc_new"),
+                                F.col("n_sh").alias("n_a")), "doc_new")
+             .join(sizes.select(F.col("id").alias("doc_old"),
+                                F.col("n_sh").alias("n_b")), "doc_old")
+             .filter(F.col("inter")
+                     * 2 >= (F.col("n_a") + F.col("n_b")
+                             - F.col("inter"))))  # j >= 0.5, integer
+    matched = (pairs
+               .select("doc_new", snap_of("doc_old").alias("os"))
                .groupBy("doc_new").agg(F.min("os").alias("m")))
-    d = docs.select("doc_id", snap.alias("snap"))
+    d = docs.select("doc_id", snap_of("doc_id").alias("snap"))
     return (d.join(matched, d.doc_id == matched.doc_new, "left")
             .groupBy("snap",
                      F.coalesce("m", "snap").alias("first_seen"))
