@@ -172,20 +172,25 @@ def mm_decode_tiff_pyramid(spark, sf_dir):
 @register(
     "mm_tiff_pyramid_meta",
     oracle=f"""
-    SELECT doc_id, CAST(2 AS INT) AS n_pages,
+    SELECT doc_id,
+           CAST(2 + doc_id % 2 AS INT) AS n_pages,
            CAST(4 AS INT) AS w0, CAST(4 AS INT) AS h0,
-           CAST(2 AS INT) AS w1, CAST(2 AS INT) AS h1
+           CAST(2 AS INT) AS w1, CAST(2 AS INT) AS h1,
+           CAST(doc_id % 2 AS INT) AS w2,
+           CAST(doc_id % 2 AS INT) AS h2
     FROM {_ASCII_DOCS_SQL} documents
     """,
     note="pyramid-level inventory — the catalog read a WSI tile server "
          "does once per slide: walk the IFD chain (tiff_page_offsets), "
          "report page count and per-level dimensions WITHOUT decoding "
          "pixel data (each level's IFD is parsed, its segments are "
-         "not). Runs over the same rotating 2-level payloads as "
-         "mm_decode_tiff_pyramid; the oracle pins the exact inventory "
-         "(2 pages, 4x4 over 2x2), so a chain-walk bug on any variant "
-         "— wrong next-IFD offset under either endian, a tile tag "
-         "misread — breaks a value, not an assertion")
+         "not). Pyramid DEPTH is data-dependent (odd doc_ids carry a "
+         "third 1x1 level; even stop at 2), so the oracle's n_pages/"
+         "w2/h2 are functions of the data — a chain walk that "
+         "over-reads (follows a stale next-IFD pointer) or under-reads "
+         "(drops the tail page) shifts values on half the corpus "
+         "rather than tripping an assertion. Same rotating byte-order/"
+         "codec/tiling variants as mm_decode_tiff_pyramid")
 def mm_tiff_pyramid_meta(spark, sf_dir):
     import pandas as pd
 
@@ -196,21 +201,24 @@ def mm_tiff_pyramid_meta(spark, sf_dir):
         endian = "<" if doc_id % 2 == 0 else ">"
         comp = 5 if (doc_id // 2) % 2 == 0 else 8
         tile = (2, 2) if (doc_id // 4) % 2 else None
-        return encode_tiff_pyramid([img, img[::2, ::2]], endian, comp,
-                                   tile=tile)
+        levels = [img, img[::2, ::2]]
+        if doc_id % 2:  # odd docs: full pyramid down to 1x1
+            levels.append(img[::4, ::4])
+        return encode_tiff_pyramid(levels, endian, comp, tile=tile)
 
     blobs = _tiff_blobs(_ascii_docs(spark, sf_dir), encode_one)
 
     def meta(batches):
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "n_pages",
-                                    "w0", "h0", "w1", "h1")}
+                                    "w0", "h0", "w1", "h1",
+                                    "w2", "h2")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(payload) if payload is not None else b""
                 pages = tiff_page_offsets(b)
                 rows["doc_id"].append(doc_id)
                 rows["n_pages"].append(len(pages))
-                for i in (0, 1):
+                for i in (0, 1, 2):
                     parsed = (_parse_tiff(b, page=i)
                               if i < len(pages) else None)
                     w, h = (parsed[0], parsed[1]) if parsed else (0, 0)
@@ -220,7 +228,7 @@ def mm_tiff_pyramid_meta(spark, sf_dir):
 
     return blobs.mapInPandas(
         meta, "doc_id long, n_pages int, w0 int, h0 int, "
-              "w1 int, h1 int")
+              "w1 int, h1 int, w2 int, h2 int")
 
 
 # ---------------------------------------------------------------------------
