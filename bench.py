@@ -212,6 +212,7 @@ HEADLINE = [
     # compositions of already-benched stages and would double-count.
     "mm_decode_tiff_tiled",
     "mm_decode_tiff_pyramid",
+    "mm_decode_tiff_jpeg",
     "dedup_chain_minhash_first_seen",
     "dedup_chain_cluster_first_seen",
     "text_ngram_novelty_decay",

@@ -3399,10 +3399,14 @@ def _parse_tiff(payload: bytes,
     (TileWidth/TileLength/TileOffsets/TileByteCounts — the layout
     whole-slide images actually ship in; edge tiles padded to full
     size per spec and cropped on placement), Compression 1 (none),
-    32773 (PackBits), 5 (TIFF-LZW), 8/32946 (Deflate), Predictor 2,
+    32773 (PackBits), 5 (TIFF-LZW), 8/32946 (Deflate), 7 (new-style
+    JPEG-in-TIFF per TIFF Technote 2, r12 — each tile/strip a
+    self-contained JFIF stream decoded through the repo's own T.81
+    decoder; this is the Aperio-SVS whole-slide layout), Predictor 2,
     PhotometricInterpretation 0/1 (gray, 0 = WhiteIsZero inverted) or
     2 (RGB). Anything outside — other depths, planar config 2,
-    JPEG-in-TIFF — returns None (ok=false downstream)."""
+    old-style Compression 6, shared JPEGTables (tag 347) — returns
+    None (ok=false downstream)."""
     import struct
 
     if payload[:4] == b"II*\x00":
@@ -3459,11 +3463,13 @@ def _parse_tiff(payload: bytes,
             or spp not in (1, 3) or any(b != 8 for b in bps)
             or len(bps) != spp
             or (photo == 2) != (spp == 3) or photo not in (0, 1, 2)
-            or comp not in (1, 32773, 5, 8, 32946)
-            or pred not in (1, 2)):
+            or comp not in (1, 32773, 5, 8, 32946, 7)
+            or pred not in (1, 2)
+            or (comp == 7 and pred != 1)):
         return None
 
-    def seg_bytes(so: int, sc: int, exp: int) -> bytes | None:
+    def seg_bytes(so: int, sc: int, exp: int,
+                  dims: tuple[int, int] | None = None) -> bytes | None:
         seg = payload[so:so + sc]
         if len(seg) < sc:
             return None
@@ -3478,6 +3484,20 @@ def _parse_tiff(payload: bytes,
             except zlib.error:
                 return None
             return dec if len(dec) == exp else None
+        if comp == 7:  # JPEG-in-TIFF (Technote 2; r12 — the SVS layout)
+            # each tile/strip is a self-contained JFIF stream; its
+            # decoded geometry must equal the segment's expected
+            # (rows, cols) exactly — a transposed or mis-sized stream
+            # is a malformed file, not a crop
+            dec = _parse_jpeg(bytes(seg))
+            if dec is None or dims is None:
+                return None
+            jw, jh, px = dec
+            if (jh, jw) != dims:
+                return None
+            raw = (np.ascontiguousarray(px[:, :, 0]).tobytes()
+                   if spp == 1 else px.tobytes())
+            return raw if len(raw) == exp else None
         return _packbits_decode(seg, exp)
 
     if tiled:  # §15 — the whole-slide-image layout
@@ -3489,7 +3509,7 @@ def _parse_tiff(payload: bytes,
         out = np.zeros((h, w, spp), dtype=np.uint8)
         exp = th * tw * spp
         for idx, (so, sc) in enumerate(zip(t_offs, t_cnts)):
-            dec = seg_bytes(so, sc, exp)
+            dec = seg_bytes(so, sc, exp, (th, tw))
             if dec is None:
                 return None
             if pred == 2:  # per-tile rows (tile_w-sample rows)
@@ -3513,7 +3533,7 @@ def _parse_tiff(payload: bytes,
             if nrows <= 0:
                 return None
             row += nrows
-            dec = seg_bytes(so, sc, nrows * w * spp)
+            dec = seg_bytes(so, sc, nrows * w * spp, (nrows, w))
             if dec is None:
                 return None
             raw += dec
@@ -3590,6 +3610,24 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
         rps = rows_per_strip or h
         strips = [pack(img[r0:r0 + rps].tobytes())
                   for r0 in range(0, h, rps)]
+    return _tiff_single_ifd(endian, w, h, spp, 1 if gray else 2,
+                            compression, strips,
+                            rows_per_strip=None if tile else rps,
+                            tile=tile, predictor=predictor)
+
+
+def _tiff_single_ifd(endian: str, w: int, h: int, spp: int,
+                     photometric: int, compression: int, strips,
+                     rows_per_strip: int | None = None,
+                     tile: tuple[int, int] | None = None,
+                     predictor: int = 1) -> bytes:
+    """Wrap pre-encoded segments (strips or tiles) in a one-IFD TIFF
+    container — factored from encode_tiff (r12) so codec writers that
+    produce STRUCTURED segments (JPEG-in-TIFF: each segment is a JFIF
+    stream, not a packed raster) share the header/offset/IFD layout.
+    Layout: header, segment data, out-of-line arrays, IFD last."""
+    import struct
+
     pos = 8
     strip_offs = []
     for s in strips:
@@ -3598,7 +3636,7 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
 
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
-        (259, 3, [compression]), (262, 3, [1 if gray else 2]),
+        (259, 3, [compression]), (262, 3, [photometric]),
         (277, 3, [spp]),
     ]
     if tile is not None:
@@ -3606,7 +3644,7 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
                     (324, 4, strip_offs),
                     (325, 4, [len(s) for s in strips])]
     else:
-        entries += [(273, 4, strip_offs), (278, 4, [rps]),
+        entries += [(273, 4, strip_offs), (278, 4, [rows_per_strip]),
                     (279, 4, [len(s) for s in strips])]
     if predictor != 1:
         entries.append((317, 3, [predictor]))
@@ -3635,6 +3673,35 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
     magic = b"II*\x00" if endian == "<" else b"MM\x00*"
     return (magic + struct.pack(endian + "I", ifd_off)
             + b"".join(strips) + bytes(extra) + bytes(ifd))
+
+
+def encode_tiff_jpeg(vals: "np.ndarray", endian: str = "<",
+                     tile: bool = False) -> bytes:
+    """JPEG-in-TIFF writer (Compression 7, TIFF Technote 2) — the
+    layout whole-slide images actually ship (Aperio SVS: JPEG-coded
+    tiles inside a pyramidal TIFF). ``vals`` is a (bh, bw) uint8 grid
+    of 8x8-block values; the image is (bh*8, bw*8) RGB where block
+    (r, c) is uniform at vals[r, c] — the encode_jpeg_dc losslessness
+    trick (a constant block is pure DC and survives quantize/IDCT
+    bit-exactly), so the lossy codec becomes oracle-checkable.
+    tile=True writes 16x16 TILES (one 2x2-block JFIF stream each);
+    else 8-row STRIPS (one block row per stream). Every segment is a
+    self-contained JFIF stream per Technote 2 (no shared JPEGTables
+    tag)."""
+    vals = np.asarray(vals, dtype=np.uint8)
+    bh, bw = vals.shape
+    w, h = bw * 8, bh * 8
+    if tile:
+        assert bh % 2 == 0 and bw % 2 == 0
+        segs = [encode_jpeg_dc(vals[r:r + 2, c:c + 2].reshape(-1),
+                               block_w=2, gray=False)
+                for r in range(0, bh, 2) for c in range(0, bw, 2)]
+        return _tiff_single_ifd(endian, w, h, 3, 2, 7, segs,
+                                tile=(16, 16))
+    segs = [encode_jpeg_dc(vals[r], block_w=bw, gray=False)
+            for r in range(bh)]
+    return _tiff_single_ifd(endian, w, h, 3, 2, 7, segs,
+                            rows_per_strip=8)
 
 
 def encode_tiff_pyramid(imgs, endian: str = "<",

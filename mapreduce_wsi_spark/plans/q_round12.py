@@ -872,3 +872,69 @@ def embedding_ivf_cell_balance(spark, sf_dir):
                      <= 4 * F.col("n_assigned")).alias("balance_ok"),
                     (F.col("n_assigned") == F.col("__np"))
                     .alias("coverage_ok")))
+
+
+@register(
+    "mm_decode_tiff_jpeg",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 16), 16, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(32 AS INT) AS img_w, CAST(32 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> unicode(px[j]))) / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> unicode(px[j]))) / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(1, 16),
+                 j -> unicode(px[j]))) / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="JPEG-in-TIFF decode (Compression 7, TIFF Technote 2 — the "
+         "Aperio-SVS whole-slide layout: JPEG-coded tiles inside a "
+         "TIFF container): 16 ASCII bytes become a 4x4 grid of "
+         "uniform 8x8 blocks (the mm_decode_jpeg losslessness trick), "
+         "containerized rotating byte order (doc_id%2) x 8-row JPEG "
+         "STRIPS vs 16x16 JPEG TILES ((doc_id//2)%2) — each segment a "
+         "self-contained JFIF stream run through the repo's own T.81 "
+         "decoder (marker walk, Huffman, dequant, IDCT) from inside "
+         "the TIFF strip/tile reassembly, with the decoded geometry "
+         "of every segment checked against the container's. The "
+         "DuckDB twin recomputes channel means from the 16 source "
+         "bytes (operators/multimodal.py::_parse_tiff comp-7 branch, "
+         "encode_tiff_jpeg)")
+def mm_decode_tiff_jpeg(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_tiff_stats, encode_tiff_jpeg)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 16), 16, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["raw"]):
+                vals = (np.frombuffer(bytes(b), dtype=np.uint8)
+                        .reshape(4, 4))
+                endian = "<" if doc_id % 2 == 0 else ">"
+                content.append(encode_tiff_jpeg(
+                    vals, endian, tile=bool((doc_id // 2) % 2)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/tiff"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    stats = decode_tiff_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))

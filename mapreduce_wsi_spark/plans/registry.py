@@ -87,15 +87,16 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stamped the ENTIRE 426-entry r11 catalog green (cumulative 426/426,
 # r11 50/50). r12 continues the COVERAGE.md growth policy (<=45
 # net-new per round, minus the re-queued staleness slots): the r12
-# tranche adds exactly 13 entries (plans/q_round12.py — the declared
+# tranche adds exactly 14 entries (plans/q_round12.py — the declared
 # r12 queue, complete: the whole-slide-image TIFF surface stamped
 # [tiled/LZW/Deflate/predictor rotation, pyramid page reads, IFD-chain
 # inventory], three-way snapshot chains for NEAR-dup first-seen
 # attribution at doc and CLUSTER level, n-gram crawl-novelty decay,
 # CDC chunk-size audit, distillation calibration + threshold sweep,
 # per-host curriculum pacing, epoch-repeat budgeting, IVF n_probe
-# recall + cell balance), so this window = 5 sentinels + 13
-# never-stamped + the 32-slot oldest-stamp pad (the r2-vintage
+# recall + cell balance, plus JPEG-in-TIFF Compression 7 — the
+# Aperio-SVS layout), so this window = 5 sentinels + 14
+# never-stamped + the 31-slot oldest-stamp pad (the r2-vintage
 # staleness re-checks VERDICT r11 queued).
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped),
@@ -125,7 +126,6 @@ WINDOW_STALENESS_PAD: tuple[str, ...] = (
     "dedup_ngram_jaccard", "explode_words_ordinal",
     "flagship_arrow_pandas", "global_ids_dense", "grouping_sets_agg",
     "hierarchy_roots_depth", "interval_peak_concurrency",
-    "join_asof_last_error",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -145,6 +145,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mix_host_curriculum_pacing", "mix_epoch_token_budget",
     # ANN serving audits
     "sim_ann_ivf_nprobe_recall", "embedding_ivf_cell_balance",
+    # JPEG-in-TIFF (Compression 7) — the Aperio-SVS layout, added
+    # after the tranche shipped; displaces the newest pad slot
+    "mm_decode_tiff_jpeg",
 ) + WINDOW_STALENESS_PAD
 
 

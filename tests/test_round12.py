@@ -159,3 +159,56 @@ def test_host_pacing_split_is_leak_free(spark, sf_oracle):
     assert {r.split for r in rows} == {"train", "val"}
     for r in rows:
         assert 0 < r.share_ppm <= 1_000_000
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("tile", [False, True])
+def test_jpeg_in_tiff_roundtrips_and_rejects(endian, tile):
+    """Compression 7 (Technote 2 — the SVS layout): uniform-block JPEG
+    segments round-trip bit-exactly through the TIFF strip/tile
+    reassembly; a truncated segment and a geometry-mismatched stream
+    reject as malformed (None), never as a wrong-valued decode."""
+    from mapreduce_wsi_spark.operators.multimodal import (
+        encode_tiff_jpeg)
+    rng = np.random.default_rng(5 if tile else 6)
+    vals = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    payload = encode_tiff_jpeg(vals, endian, tile=tile)
+    parsed = _parse_tiff(payload)
+    assert parsed is not None
+    w, h, px = parsed
+    assert (w, h) == (32, 32)
+    exp = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    for c in range(3):
+        np.testing.assert_array_equal(px[:, :, c], exp)
+    assert _parse_tiff(payload[:-8]) is None  # truncated last segment
+
+
+def test_jpeg_in_tiff_fuzz():
+    """Hypothesis sweep of the comp-7 branch: random block grids,
+    both endians, both layouts — every decode equals the block
+    expansion exactly (the uniform-block DC path is lossless by
+    construction, so any deviation is a container or entropy bug)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        encode_tiff_jpeg)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2 ** 31)))
+        bh = data.draw(st.sampled_from([2, 4, 6]))
+        bw = data.draw(st.sampled_from([2, 4]))
+        vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        endian = data.draw(st.sampled_from(["<", ">"]))
+        tile = data.draw(st.booleans())
+        payload = encode_tiff_jpeg(vals, endian, tile=tile)
+        parsed = _parse_tiff(payload)
+        assert parsed is not None
+        w, h, px = parsed
+        assert (w, h) == (bw * 8, bh * 8)
+        exp = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        np.testing.assert_array_equal(px[:, :, 0], exp)
+
+    run()
