@@ -213,6 +213,7 @@ HEADLINE = [
     "mm_decode_tiff_tiled",
     "mm_decode_tiff_pyramid",
     "mm_decode_tiff_jpeg",
+    "mm_decode_tiff_svs",
     "dedup_chain_minhash_first_seen",
     "dedup_chain_cluster_first_seen",
     "text_ngram_novelty_decay",

@@ -3751,33 +3751,52 @@ def encode_tiff_pyramid(imgs, endian: str = "<",
                    else _tiff_diff2(img.reshape(h, w, spp))
                    .reshape(img.shape)).tobytes()
             segs.append(pack(raw))
-        pages.append((w, h, spp, gray, segs))
+        pages.append(dict(w=w, h=h, spp=spp,
+                          photometric=1 if gray else 2,
+                          compression=compression, segs=segs,
+                          rows_per_strip=None if tile else h,
+                          tile=tile, predictor=predictor))
+
+    return _tiff_ifd_chain(endian, pages)
+
+
+def _tiff_ifd_chain(endian: str, pages: list[dict]) -> bytes:
+    """Assemble a chained-IFD (multi-page) TIFF from per-page dicts
+    (w, h, spp, photometric, compression, segs, rows_per_strip | tile,
+    predictor) — factored from encode_tiff_pyramid (r12) so the
+    JPEG-in-TIFF pyramid writer (the full Aperio-SVS shape) shares the
+    layout: header, per-page segment data, all out-of-line arrays,
+    then all IFDs chained at the end."""
+    import struct
 
     # lay out: segments first (offsets known immediately)
     pos = 8
     seg_offs: list[list[int]] = []
-    for _w, _h, _spp, _gray, segs in pages:
+    for pg in pages:
         offs = []
-        for sg in segs:
+        for sg in pg["segs"]:
             offs.append(pos)
             pos += len(sg)
         seg_offs.append(offs)
 
     # build per-page entry lists (values final, offsets known)
     def page_entries(i):
-        w, h, spp, gray, segs = pages[i]
-        e = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
-             (259, 3, [compression]), (262, 3, [1 if gray else 2]),
-             (277, 3, [spp])]
-        if tile is not None:
-            e += [(322, 4, [tile[0]]), (323, 4, [tile[1]]),
+        pg = pages[i]
+        e = [(256, 4, [pg["w"]]), (257, 4, [pg["h"]]),
+             (258, 3, [8] * pg["spp"]),
+             (259, 3, [pg["compression"]]),
+             (262, 3, [pg["photometric"]]),
+             (277, 3, [pg["spp"]])]
+        if pg["tile"] is not None:
+            e += [(322, 4, [pg["tile"][0]]), (323, 4, [pg["tile"][1]]),
                   (324, 4, seg_offs[i]),
-                  (325, 4, [len(sg) for sg in segs])]
+                  (325, 4, [len(sg) for sg in pg["segs"]])]
         else:
-            e += [(273, 4, seg_offs[i]), (278, 4, [h]),
-                  (279, 4, [len(sg) for sg in segs])]
-        if predictor != 1:
-            e.append((317, 3, [predictor]))
+            e += [(273, 4, seg_offs[i]),
+                  (278, 4, [pg["rows_per_strip"]]),
+                  (279, 4, [len(sg) for sg in pg["segs"]])]
+        if pg["predictor"] != 1:
+            e.append((317, 3, [pg["predictor"]]))
         e.sort()
         return e
 
@@ -3817,9 +3836,42 @@ def encode_tiff_pyramid(imgs, endian: str = "<",
         nxt = ifd_offs[i + 1] if i + 1 < len(all_entries) else 0
         ifds += struct.pack(endian + "I", nxt)
     magic = b"II*\x00" if endian == "<" else b"MM\x00*"
-    body = b"".join(sg for *_x, segs in pages for sg in segs)
+    body = b"".join(sg for pg in pages for sg in pg["segs"])
     return (magic + struct.pack(endian + "I", ifd_offs[0])
             + body + bytes(extra) + bytes(ifds))
+
+
+def encode_tiff_jpeg_pyramid(vals_levels, endian: str = "<",
+                             tile: bool = False) -> bytes:
+    """The FULL Aperio-SVS shape: a chained-IFD pyramid whose every
+    level is JPEG-coded (Compression 7) — vals_levels is a list of
+    (bh, bw) uint8 block-value grids, one per resolution level; each
+    level becomes a (bh*8, bw*8) RGB page of uniform 8x8 blocks
+    written as 8-row JPEG strips or (tile=True) 16x16 JPEG tiles,
+    every segment a self-contained JFIF stream. Decode twin:
+    _parse_tiff(page=n) reads any level's comp-7 tags and runs the
+    T.81 decoder per segment."""
+    pages = []
+    for vals in vals_levels:
+        vals = np.asarray(vals, dtype=np.uint8)
+        bh, bw = vals.shape
+        w, h = bw * 8, bh * 8
+        if tile and bh % 2 == 0 and bw % 2 == 0:
+            segs = [encode_jpeg_dc(vals[r:r + 2, c:c + 2].reshape(-1),
+                                   block_w=2, gray=False)
+                    for r in range(0, bh, 2) for c in range(0, bw, 2)]
+            pages.append(dict(w=w, h=h, spp=3, photometric=2,
+                              compression=7, segs=segs,
+                              rows_per_strip=None, tile=(16, 16),
+                              predictor=1))
+        else:
+            segs = [encode_jpeg_dc(vals[r], block_w=bw, gray=False)
+                    for r in range(bh)]
+            pages.append(dict(w=w, h=h, spp=3, photometric=2,
+                              compression=7, segs=segs,
+                              rows_per_strip=8, tile=None,
+                              predictor=1))
+    return _tiff_ifd_chain(endian, pages)
 
 
 TIFF_STATS_SCHEMA = PPM_STATS_SCHEMA

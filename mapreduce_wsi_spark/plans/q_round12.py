@@ -938,3 +938,71 @@ def mm_decode_tiff_jpeg(spark, sf_dir):
                         F.round("mean_r", 9).alias("mean_r"),
                         F.round("mean_g", 9).alias("mean_g"),
                         F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "mm_decode_tiff_svs",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 16), 16, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(16 AS INT) AS img_w, CAST(16 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform([1, 3, 9, 11],
+                 j -> unicode(px[j]))) / 4.0, 9) AS mean_r,
+           round(list_sum(list_transform([1, 3, 9, 11],
+                 j -> unicode(px[j]))) / 4.0, 9) AS mean_g,
+           round(list_sum(list_transform([1, 3, 9, 11],
+                 j -> unicode(px[j]))) / 4.0, 9) AS mean_b
+    FROM p
+    """,
+    note="the FULL Aperio-SVS shape, end to end: a chained-IFD "
+         "pyramid whose EVERY level is JPEG-coded (Compression 7) — "
+         "level 0 a 4x4 block grid (32x32), level 1 its [::2, ::2] "
+         "2x2 reduction (16x16), written as 8-row JPEG strips or "
+         "16x16 JPEG tiles ((doc_id//2)%2) under either byte order "
+         "(doc_id%2). The query reads PAGE 1: the IFD-chain walk "
+         "selects the reduced level, its comp-7 tags route every "
+         "segment through the repo's own T.81 decoder, and only "
+         "level-1 bytes are touched — exactly the zoomed-out read a "
+         "slide viewer issues against an SVS file. Oracle recomputes "
+         "the level-1 channel means from the four source bytes the "
+         "reduction keeps (grid positions 1/3/9/11) "
+         "(operators/multimodal.py::encode_tiff_jpeg_pyramid, "
+         "_parse_tiff)")
+def mm_decode_tiff_svs(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        BLOB_SCHEMA, decode_tiff_stats, encode_tiff_jpeg_pyramid)
+
+    docs = _ascii_docs(spark, sf_dir)
+    padded = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, 16), 16, "x"), "UTF-8")
+        .alias("raw"))
+
+    def encode(batches):
+        for pdf in batches:
+            content = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["raw"]):
+                vals = (np.frombuffer(bytes(b), dtype=np.uint8)
+                        .reshape(4, 4))
+                endian = "<" if doc_id % 2 == 0 else ">"
+                content.append(encode_tiff_jpeg_pyramid(
+                    [vals, vals[::2, ::2]], endian,
+                    tile=bool((doc_id // 2) % 2)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": content,
+                "mime": ["image/tiff"] * len(pdf),
+                "n_bytes": pd.Series([len(c) for c in content],
+                                     dtype="int32"),
+            })
+
+    blobs = padded.mapInPandas(encode, BLOB_SCHEMA)
+    stats = decode_tiff_stats(blobs, page=1)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))

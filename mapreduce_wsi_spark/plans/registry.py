@@ -87,7 +87,7 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stamped the ENTIRE 426-entry r11 catalog green (cumulative 426/426,
 # r11 50/50). r12 continues the COVERAGE.md growth policy (<=45
 # net-new per round, minus the re-queued staleness slots): the r12
-# tranche adds exactly 14 entries (plans/q_round12.py — the declared
+# tranche adds exactly 15 entries (plans/q_round12.py — the declared
 # r12 queue, complete: the whole-slide-image TIFF surface stamped
 # [tiled/LZW/Deflate/predictor rotation, pyramid page reads, IFD-chain
 # inventory], three-way snapshot chains for NEAR-dup first-seen
@@ -95,8 +95,9 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CDC chunk-size audit, distillation calibration + threshold sweep,
 # per-host curriculum pacing, epoch-repeat budgeting, IVF n_probe
 # recall + cell balance, plus JPEG-in-TIFF Compression 7 — the
-# Aperio-SVS layout), so this window = 5 sentinels + 14
-# never-stamped + the 31-slot oldest-stamp pad (the r2-vintage
+# Aperio-SVS layout, single-IFD and full JPEG-coded pyramid), so this
+# window = 5 sentinels + 15
+# never-stamped + the 30-slot oldest-stamp pad (the r2-vintage
 # staleness re-checks VERDICT r11 queued).
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped),
@@ -125,7 +126,7 @@ WINDOW_STALENESS_PAD: tuple[str, ...] = (
     "array_higher_order", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "explode_words_ordinal",
     "flagship_arrow_pandas", "global_ids_dense", "grouping_sets_agg",
-    "hierarchy_roots_depth", "interval_peak_concurrency",
+    "hierarchy_roots_depth",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -145,9 +146,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mix_host_curriculum_pacing", "mix_epoch_token_budget",
     # ANN serving audits
     "sim_ann_ivf_nprobe_recall", "embedding_ivf_cell_balance",
-    # JPEG-in-TIFF (Compression 7) — the Aperio-SVS layout, added
-    # after the tranche shipped; displaces the newest pad slot
-    "mm_decode_tiff_jpeg",
+    # JPEG-in-TIFF (Compression 7) and the full SVS shape (JPEG-coded
+    # chained-IFD pyramid) — added after the tranche shipped; each
+    # displaces the newest pad slot per the mechanical rule
+    "mm_decode_tiff_jpeg", "mm_decode_tiff_svs",
 ) + WINDOW_STALENESS_PAD
 
 

@@ -212,3 +212,28 @@ def test_jpeg_in_tiff_fuzz():
         np.testing.assert_array_equal(px[:, :, 0], exp)
 
     run()
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("tile", [False, True])
+def test_svs_pyramid_every_level_jpeg(endian, tile):
+    """The full SVS shape: both chained pages decode through the
+    comp-7 path, page 1 is exactly the [::2, ::2] block reduction,
+    and a page index past the chain is a clean miss."""
+    from mapreduce_wsi_spark.operators.multimodal import (
+        encode_tiff_jpeg_pyramid)
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    payload = encode_tiff_jpeg_pyramid([vals, vals[::2, ::2]],
+                                       endian, tile=tile)
+    assert len(tiff_page_offsets(payload)) == 2
+    w0, h0, px0 = _parse_tiff(payload, page=0)
+    assert (w0, h0) == (32, 32)
+    np.testing.assert_array_equal(
+        px0[:, :, 0], np.repeat(np.repeat(vals, 8, 0), 8, 1))
+    w1, h1, px1 = _parse_tiff(payload, page=1)
+    assert (w1, h1) == (16, 16)
+    np.testing.assert_array_equal(
+        px1[:, :, 2],
+        np.repeat(np.repeat(vals[::2, ::2], 8, 0), 8, 1))
+    assert _parse_tiff(payload, page=2) is None
