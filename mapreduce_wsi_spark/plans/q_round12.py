@@ -1006,3 +1006,245 @@ def mm_decode_tiff_svs(spark, sf_dir):
                         F.round("mean_r", 9).alias("mean_r"),
                         F.round("mean_g", 9).alias("mean_g"),
                         F.round("mean_b", 9).alias("mean_b"))
+
+
+# ---------------------------------------------------------------------------
+# F. r13 queue head, pre-built (registered now -> stamped next rotation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_ann_pq_m_recall",
+    oracle=f"""
+    WITH c AS ({_IVF_PANEL_SQL}),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+    ex AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rn
+           FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id),
+    truth AS (SELECT count(*) AS n FROM ex WHERE rn <= 10),
+    cfg AS (SELECT CAST(unnest([2, 4, 8, 16]) AS INT) AS m)
+    SELECT m, CAST(max(truth.n) AS BIGINT) AS n_exact,
+           true AS recall_ok
+    FROM cfg CROSS JOIN truth GROUP BY m
+    """,
+    note="PQ serving recall at varied subspace count (r13 queue head, "
+         "pre-built: the PQ twin of sim_ann_ivf_nprobe_recall): "
+         "codebooks trained at m = 2/4/8/16 subspaces x 16 codes over "
+         "the same deterministic sample, ADC shortlist-50 + exact "
+         "re-rank served against the exact-cosine top-10 truth on the "
+         "fixed 20x300 panel — the storage-vs-recall dial (64d floats "
+         "-> m bytes: 128x down at m=2, 16x at m=16). Measured at "
+         "sf0.01: 55.5/63/68.5/90% — finer subspaces quantize less "
+         "signal away. Pinned bounds (integer-multiplied): recall >= "
+         "30/40/45/65 percent. NO monotonicity claim: unlike IVF's "
+         "probe-superset theorem, PQ recall under a bounded re-rank "
+         "shortlist is not provably monotone in m. n_exact is "
+         "oracle-exact; codebooks ride as plan literals, encode is "
+         "map-only, every selection is the salted two-phase rank")
+def sim_ann_pq_m_recall(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, build_pq_codebooks, cosine, pq_encode, pq_query,
+        salted_topk)
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    c = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qs = (c.filter(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    ex = (qs.crossJoin(F.broadcast(c))
+          .filter(F.col("vec_id") != F.col("qid"))
+          .select("qid", F.col("vec_id").alias("cid"),
+                  cosine(F.col("qv"), F.col("v")).alias("s")))
+    top_ex = (salted_topk(ex, "qid", [F.col("s").desc(), F.col("cid")],
+                          "cid", k=10)
+              .select("qid", "cid"))
+    n_exact = top_ex.agg(F.count(F.lit(1)).alias("ne"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    rows = None
+    for m, lo_pct in ((2, 30), (4, 40), (8, 45), (16, 65)):
+        books = build_pq_codebooks(emb, m_subspaces=m, n_codes=16)
+        codes = pq_encode(emb, books)
+        got = (pq_query(codes, books, emb, queries, k=10)
+               .select(F.col("query_id").alias("qid"),
+                       F.col("vec_id").alias("cid")))
+        row = (got.join(top_ex, ["qid", "cid"])
+               .agg(F.count(F.lit(1)).alias("__found"))
+               .crossJoin(F.broadcast(n_exact))
+               .select(F.lit(m).cast("int").alias("m"),
+                       F.col("ne").cast("bigint").alias("n_exact"),
+                       (F.col("__found") * 100
+                        >= F.lit(lo_pct) * F.col("ne"))
+                       .alias("recall_ok")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+@register(
+    "quality_distill_feature_ablation",
+    oracle=f"""
+    WITH {_DISTILL_SCORE_CTE},
+    dtok2 AS (SELECT doc_id, tok FROM dtok
+              WHERE tok NOT LIKE 'LEN:%'),
+    dfs2 AS (SELECT d.tok,
+                    CAST(sum(CASE WHEN l.keep THEN 1 ELSE 0 END)
+                         AS BIGINT) AS df_keep,
+                    CAST(sum(CASE WHEN l.keep THEN 0 ELSE 1 END)
+                         AS BIGINT) AS df_rej
+             FROM dtok2 d JOIN lbl l ON l.doc_id = d.doc_id
+             GROUP BY d.tok),
+    ms2 AS (SELECT tok,
+                   CAST(ln((df_keep + 1.0) / (nk + 2.0))
+                        - ln((df_rej + 1.0) / (nr + 2.0))
+                        AS DECIMAL(28,9)) AS lo
+            FROM dfs2 CROSS JOIN cls
+            WHERE df_keep + df_rej >= 20
+              AND abs(CAST(ln((df_keep + 1.0) / (nk + 2.0))
+                           - ln((df_rej + 1.0) / (nr + 2.0))
+                           AS DECIMAL(28,9))) >= 0.5),
+    sc2 AS (SELECT d.doc_id, sum(m.lo) AS score
+            FROM dtok2 d JOIN ms2 m ON m.tok = d.tok
+            GROUP BY d.doc_id),
+    scored2 AS (SELECT l.doc_id, l.keep AS teacher_keep,
+                       coalesce(sc2.score, CAST(0 AS DECIMAL(28,9)))
+                           AS score
+                FROM lbl l LEFT JOIN sc2 ON sc2.doc_id = l.doc_id),
+    a AS (SELECT 'full' AS variant,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN teacher_keep = (score > 0)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          FROM scored
+          UNION ALL
+          SELECT 'no_length',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN teacher_keep = (score > 0)
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM scored2)
+    SELECT variant, n_docs, n_agree,
+           CAST(n_agree * 1000000 // n_docs AS BIGINT) AS agree_ppm
+    FROM a
+    """,
+    note="distillation FEATURE ABLATION (r13 queue head, pre-built): "
+         "teacher agreement of the full student vs a student trained "
+         "WITHOUT the discretized-length pseudo-token — the question "
+         "'how much of the score is just length?' answered as a "
+         "number. The ablated model is re-derived end to end (df "
+         "aggregation, add-one log-odds, evidence threshold) over the "
+         "filtered token stream, not score-adjusted post hoc — "
+         "removing a feature changes every other feature's selection "
+         "frequency, and a post-hoc subtraction would miss that. "
+         "Same DECIMAL accumulation; two vocab-bounded token joins; "
+         "2 output rows")
+def quality_distill_feature_ablation(spark, sf_dir):
+    dtok, lbl, model = _distill_parts(spark, sf_dir)
+    dtok2 = dtok.filter(~F.col("tok").startswith("LEN:"))
+    cls = lbl.agg(
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("nk"),
+        F.sum((~F.col("keep")).cast("int")).cast("bigint").alias("nr"))
+    dfs2 = (dtok2.join(lbl, "doc_id")
+            .groupBy("tok")
+            .agg(F.sum(F.col("keep").cast("int")).cast("bigint")
+                 .alias("df_keep"),
+                 F.sum((~F.col("keep")).cast("int")).cast("bigint")
+                 .alias("df_rej")))
+    model2 = (dfs2.crossJoin(F.broadcast(cls))
+              .filter(F.col("df_keep") + F.col("df_rej") >= 20)
+              .select("tok",
+                      (F.log((F.col("df_keep") + 1.0)
+                             / (F.col("nk") + 2.0))
+                       - F.log((F.col("df_rej") + 1.0)
+                               / (F.col("nr") + 2.0)))
+                      .cast("decimal(28,9)").alias("lo"))
+              .filter(F.abs(F.col("lo")) >= 0.5))
+
+    def agreement(toks, mdl, variant):
+        sc = (toks.join(mdl.select("tok", "lo"), "tok")
+              .groupBy("doc_id").agg(F.sum("lo").alias("score")))
+        scored = (lbl.join(sc, "doc_id", "left")
+                  .select(F.col("keep").alias("teacher_keep"),
+                          F.coalesce("score",
+                                     F.lit(0).cast("decimal(28,9)"))
+                          .alias("score")))
+        agree = (F.col("teacher_keep")
+                 == (F.col("score") > 0)).cast("int")
+        return (scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(agree).cast("bigint").alias("n_agree"))
+            .select(F.lit(variant).alias("variant"), "n_docs",
+                    "n_agree",
+                    F.expr("n_agree * 1000000 div n_docs")
+                    .cast("bigint").alias("agree_ppm")))
+
+    return (agreement(dtok, model, "full")
+            .unionByName(agreement(dtok2, model2, "no_length")))
+
+
+def _cdc_hist_sql(pct: int) -> str:
+    """One boundary_pct variant of the chunk-size CTE chain (the
+    _cdc_chunks_sql spec re-derived at a parameterized boundary rate);
+    emits ``sz{pct}`` with (doc_id, cid, cw)."""
+    return f"""
+    pos{pct} AS (
+        SELECT doc_id, i,
+               CASE WHEN CAST(('0x' || substr(
+                        md5(w[CAST(i AS INT)]), 1, 8)) AS BIGINT)
+                    % 100 < {pct}
+                    THEN 1 ELSE 0 END AS b
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents) s{pct}) t{pct}),
+    ch{pct} AS (SELECT doc_id, i,
+                       coalesce(sum(b) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cid
+                FROM pos{pct}),
+    sz{pct} AS (SELECT doc_id, cid, count(*) AS cw
+                FROM ch{pct} GROUP BY 1, 2)"""
+
+
+@register(
+    "dedup_cdc_boundary_sweep",
+    oracle=f"""
+    WITH {_cdc_hist_sql(10)},
+    {_cdc_hist_sql(25)},
+    {_cdc_hist_sql(50)},
+    u AS (SELECT 10 AS boundary_pct, cw FROM sz10
+          UNION ALL SELECT 25, cw FROM sz25
+          UNION ALL SELECT 50, cw FROM sz50)
+    SELECT CAST(boundary_pct AS INT) AS boundary_pct,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(cw) * 1000 // count(*) AS BIGINT)
+               AS mean_words_x1000,
+           CAST(max(cw) AS INT) AS max_words
+    FROM u GROUP BY 1
+    """,
+    note="CDC boundary-rate sweep (r13 queue head, pre-built): the "
+         "same corpus chunked at boundary_pct 10/25/50 — expected "
+         "mean chunk ~100/pct words (geometric), and the sweep shows "
+         "the dedup-granularity trade directly: coarser chunks (10%) "
+         "dedupe less but cost fewer hashes; finer (50%) the inverse. "
+         "The table a storage planner reads before fixing the "
+         "chunker's rate for a 100 TB corpus. Spark side is three "
+         "map-only cdc_fold_expr passes unioned (no shuffle until the "
+         "3-row aggregate); the oracle re-derives each rate as a "
+         "window cumsum (the _cdc_chunks_sql spec, parameterized)")
+def dedup_cdc_boundary_sweep(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.curation import cdc_fold_expr
+    docs = tbl(spark, sf_dir, "documents")
+    out = None
+    for pct in (10, 25, 50):
+        sz = (docs.select(F.col("doc_id").alias("id"),
+                          F.split(F.col("text"), " ").alias("__w"))
+              .select(F.posexplode(cdc_fold_expr(pct))
+                      .alias("cid", "ctext"))
+              .select(F.size(F.split("ctext", " ")).alias("cw")))
+        row = sz.agg(
+            F.lit(pct).cast("int").alias("boundary_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.expr("sum(cw) * 1000 div count(1)").cast("bigint")
+            .alias("mean_words_x1000"),
+            F.max("cw").cast("int").alias("max_words"))
+        out = row if out is None else out.unionByName(row)
+    return out
