@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mapreduce_wsi_spark.plans.q_curation import _GOPHER_FLAGS_CTE
 from mapreduce_wsi_spark.plans.q_curation2 import (
     _DISTILL_SCORE_CTE,
     _distill_parts,
@@ -1248,3 +1249,190 @@ def dedup_cdc_boundary_sweep(spark, sf_dir):
             F.max("cw").cast("int").alias("max_words"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "mix_host_anneal_phase",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_CTE},
+    st AS (SELECT doc_id, source || '.example.com' AS host, n_chars,
+                  ntile(4) OVER (PARTITION BY source || '.example.com'
+                                 ORDER BY n_chars, doc_id) AS stage
+           FROM documents),
+    ph AS (SELECT st.host,
+                  CASE WHEN st.stage = 4 AND fl.wc_ok AND fl.mwl_ok
+                            AND fl.symbol_ok AND fl.alpha_ok
+                            AND fl.stop_ok
+                       THEN 2 ELSE 1 END AS phase,
+                  st.n_chars
+           FROM st JOIN flags fl ON fl.doc_id = st.doc_id),
+    per AS (SELECT host, CAST(phase AS INT) AS phase,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS tokens
+            FROM ph GROUP BY 1, 2),
+    tot AS (SELECT host, sum(tokens) AS t FROM per GROUP BY 1)
+    SELECT p.host, p.phase, p.n_docs, p.tokens,
+           CAST(p.tokens * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t USING (host)
+    """,
+    note="per-HOST two-phase anneal schedule (r13 queue head, "
+         "pre-built: mix_anneal_high_quality recomposed on the host "
+         "key): phase 2 = docs in their HOST's top length quartile "
+         "(bucketed prefix-sum ntile, no bare-host window) that also "
+         "pass the full Gopher gate; the table reports each host's "
+         "anneal token share — host granularity matters because one "
+         "template-heavy host inside a domain can carry zero anneal-"
+         "quality tokens while its domain average looks fine. The "
+         "oracle keeps the raw ntile-over-host form (the algebraic "
+         "equivalence re-checked on this key); aggregates only, "
+         "per-host totals broadcast")
+def mix_host_anneal_phase(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
+    from mapreduce_wsi_spark.plans.q_curation import _gopher_flagged
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+    staged = ntile_bucketed(docs, ["host"], "n_chars", "doc_id",
+                            n_tiles=4, bucket_width=64,
+                            tile_col="stage")
+    keep = _gopher_flagged(spark, sf_dir).select("doc_id", "keep")
+    ph = (staged.join(keep, "doc_id")
+          .select("host", "n_chars",
+                  F.when((F.col("stage") == 4) & F.col("keep"), 2)
+                  .otherwise(1).cast("int").alias("phase")))
+    per = (ph.groupBy("host", "phase")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("tokens")))
+    tot = per.groupBy("host").agg(F.sum("tokens").alias("t"))
+    return (per.join(F.broadcast(tot), "host")
+            .select("host", "phase", "n_docs", "tokens",
+                    F.expr("tokens * 1000000 div t").cast("bigint")
+                    .alias("share_ppm")))
+
+
+@register(
+    "mix_epoch_budget_waterfall",
+    oracle=r"""
+    WITH h AS (SELECT doc_id, source, n_chars,
+                      md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                    'g')))) AS h
+               FROM documents),
+    firsts AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h),
+    base AS (SELECT s.source,
+                    CAST(sum(CASE WHEN s.doc_id = f.keeper
+                                  THEN s.n_chars ELSE 0 END) AS BIGINT)
+                        AS eff,
+                    CAST(1 + CAST(('0x' || substr(md5(s.source), 1, 8))
+                                  AS BIGINT) % 4 AS INT) AS w
+             FROM h s JOIN firsts f ON f.h = s.h GROUP BY s.source),
+    tot AS (SELECT sum(eff) AS te, sum(w) AS sw FROM base),
+    r0 AS (SELECT source, eff, w, 3 * eff AS cap,
+                  2 * te * w // sw AS tgt0,
+                  least(2 * te * w // sw, 3 * eff) AS a0,
+                  2 * te * w // sw > 3 * eff AS c0,
+                  2 * te AS budget
+           FROM base CROSS JOIN tot),
+    s1 AS (SELECT max(budget) - sum(a0) AS sur1,
+                  sum(CASE WHEN c0 THEN 0 ELSE w END) AS swu1
+           FROM r0),
+    r1 AS (SELECT r0.*, sur1, swu1,
+                  CASE WHEN c0 OR swu1 = 0 THEN 0
+                       ELSE sur1 * w // swu1 END AS add1
+           FROM r0 CROSS JOIN s1),
+    r1b AS (SELECT *, least(a0 + add1, cap) AS a1,
+                   NOT c0 AND a0 + add1 > cap AS c1
+            FROM r1),
+    s2 AS (SELECT max(budget) - sum(a1) AS sur2,
+                  sum(CASE WHEN c0 OR c1 THEN 0 ELSE w END) AS swu2
+           FROM r1b),
+    r2 AS (SELECT r1b.*, 
+                  CASE WHEN c0 OR c1 OR swu2 = 0 THEN 0
+                       ELSE sur2 * w // swu2 END AS add2
+           FROM r1b CROSS JOIN s2),
+    fin AS (SELECT source, eff, w,
+                   least(a1 + add2, cap) AS a2,
+                   CASE WHEN c0 THEN 0
+                        WHEN c1 THEN 1
+                        WHEN NOT c0 AND NOT c1 AND a1 + add2 > cap
+                            THEN 2
+                        ELSE -1 END AS capped_round
+            FROM r2)
+    SELECT source, eff AS eff_tokens, w AS policy_w,
+           CAST(a2 AS BIGINT) AS alloc_tokens,
+           CAST(a2 * 1000 // eff AS BIGINT) AS epochs_x1000,
+           CAST(capped_round AS INT) AS capped_round
+    FROM fin
+    """,
+    note="WATERFALL reallocation for the epoch budgeter (r13 queue "
+         "head, pre-built: mix_epoch_token_budget iterated): sources "
+         "capped at 3 epochs return their unused budget, which "
+         "redistributes to still-uncapped sources by policy weight — "
+         "two unrolled redistribution rounds (each round = one 1-row "
+         "aggregate broadcast + a map-only update over |sources| "
+         "rows; the fixpoint is reached when no new source caps, and "
+         "two rounds suffice for any weight profile where caps are "
+         "<=2 deep — deeper profiles leave residual surplus visible "
+         "as alloc < budget, never a wrong row). All arithmetic is "
+         "integer floor-division, so both engines produce the "
+         "identical waterfall; capped_round records WHEN each source "
+         "hit its ceiling (0/1/2, -1 = never)")
+def mix_epoch_budget_waterfall(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    docs = tbl(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .alias("h"))
+    firsts = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    base = (h.join(firsts, "h")
+            .groupBy("source")
+            .agg(F.sum(F.when(F.col("doc_id") == F.col("keeper"),
+                              F.col("n_chars")).otherwise(0))
+                 .cast("bigint").alias("eff"))
+            .withColumn("w", (F.lit(1)
+                              + portable_bucket(F.col("source"), 4))
+                        .cast("int")))
+    tot = base.agg(F.sum("eff").alias("te"), F.sum("w").alias("sw"))
+    r0 = (base.crossJoin(F.broadcast(tot))
+          .withColumn("cap", 3 * F.col("eff"))
+          .withColumn("budget", F.expr("2 * te"))
+          .withColumn("tgt0", F.expr("2 * te * w div sw"))
+          .withColumn("a0", F.least(F.col("tgt0"), F.col("cap")))
+          .withColumn("c0", F.col("tgt0") > F.col("cap")))
+    s1 = r0.agg(
+        (F.max("budget") - F.sum("a0")).alias("sur1"),
+        F.sum(F.when(F.col("c0"), 0).otherwise(F.col("w")))
+        .alias("swu1"))
+    r1 = (r0.crossJoin(F.broadcast(s1))
+          .withColumn("add1",
+                      F.when(F.col("c0") | (F.col("swu1") == 0), 0)
+                      .otherwise(F.expr("sur1 * w div swu1")))
+          .withColumn("a1", F.least(F.col("a0") + F.col("add1"),
+                                    F.col("cap")))
+          .withColumn("c1", ~F.col("c0")
+                      & (F.col("a0") + F.col("add1") > F.col("cap"))))
+    s2 = r1.agg(
+        (F.max("budget") - F.sum("a1")).alias("sur2"),
+        F.sum(F.when(F.col("c0") | F.col("c1"), 0)
+              .otherwise(F.col("w"))).alias("swu2"))
+    r2 = (r1.crossJoin(F.broadcast(s2))
+          .withColumn("add2",
+                      F.when(F.col("c0") | F.col("c1")
+                             | (F.col("swu2") == 0), 0)
+                      .otherwise(F.expr("sur2 * w div swu2")))
+          .withColumn("a2", F.least(F.col("a1") + F.col("add2"),
+                                    F.col("cap")))
+          .withColumn(
+              "capped_round",
+              F.when(F.col("c0"), 0)
+              .when(F.col("c1"), 1)
+              .when(~F.col("c0") & ~F.col("c1")
+                    & (F.col("a1") + F.col("add2") > F.col("cap")), 2)
+              .otherwise(-1).cast("int")))
+    return r2.select(
+        "source", F.col("eff").alias("eff_tokens"),
+        F.col("w").alias("policy_w"),
+        F.col("a2").cast("bigint").alias("alloc_tokens"),
+        F.expr("a2 * 1000 div eff").cast("bigint")
+        .alias("epochs_x1000"),
+        "capped_round")

@@ -237,3 +237,56 @@ def test_svs_pyramid_every_level_jpeg(endian, tile):
         px1[:, :, 2],
         np.repeat(np.repeat(vals[::2, ::2], 8, 0), 8, 1))
     assert _parse_tiff(payload, page=2) is None
+
+
+def test_waterfall_conserves_budget_and_caps(spark, sf_oracle):
+    """Waterfall contract: every allocation respects the 3-epoch cap,
+    total allocation never exceeds the 2x-corpus budget, the waterfall
+    allocates at least as much as the single-pass budgeter (that is
+    what the redistribution buys), and capped_round is consistent
+    (capped sources sit exactly at cap)."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        mix_epoch_budget_waterfall, mix_epoch_token_budget)
+    wf = {r.source: r for r in
+          mix_epoch_budget_waterfall(spark, sf_oracle).collect()}
+    single = {r.source: r for r in
+              mix_epoch_token_budget(spark, sf_oracle).collect()}
+    budget = 2 * sum(r.eff_tokens for r in wf.values())
+    assert sum(r.alloc_tokens for r in wf.values()) <= budget
+    for s, r in wf.items():
+        assert r.alloc_tokens <= 3 * r.eff_tokens
+        assert r.alloc_tokens >= single[s].alloc_tokens
+        if r.capped_round >= 0:
+            assert r.alloc_tokens == 3 * r.eff_tokens
+    assert (sum(r.alloc_tokens for r in wf.values())
+            >= sum(r.alloc_tokens for r in single.values()))
+
+
+def test_feature_ablation_full_at_least_matches_the_note(spark,
+                                                         sf_oracle):
+    """The ablation must report BOTH variants over the same doc count;
+    the full model (which can represent the teacher's word-count gate
+    via the length pseudo-token) should agree at least as often as the
+    ablated one on the fixture."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        quality_distill_feature_ablation)
+    rows = {r.variant: r for r in
+            quality_distill_feature_ablation(spark, sf_oracle)
+            .collect()}
+    assert set(rows) == {"full", "no_length"}
+    assert rows["full"].n_docs == rows["no_length"].n_docs
+    assert rows["full"].agree_ppm >= rows["no_length"].agree_ppm
+
+
+def test_cdc_boundary_sweep_mean_tracks_rate(spark, sf_oracle):
+    """Geometric expectation: mean chunk size decreases as the
+    boundary rate rises (100/pct words), within loose factor-2 bands."""
+    from mapreduce_wsi_spark.plans.q_round12 import (
+        dedup_cdc_boundary_sweep)
+    rows = {r.boundary_pct: r for r in
+            dedup_cdc_boundary_sweep(spark, sf_oracle).collect()}
+    assert (rows[10].mean_words_x1000 > rows[25].mean_words_x1000
+            > rows[50].mean_words_x1000)
+    for pct, r in rows.items():
+        exp = 100_000 // pct  # 1000/ (pct/100) words, x1000 fixed-point
+        assert exp // 2 <= r.mean_words_x1000 <= exp * 2
