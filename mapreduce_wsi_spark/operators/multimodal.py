@@ -497,6 +497,9 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
         for mask in masks:
             if mask == 0 or mask >> bpp:
                 return None
+        if (masks[0] & masks[1]) or (masks[0] & masks[2]) \
+                or (masks[1] & masks[2]):
+            return None  # overlapping channel masks: malformed header
         bottom_up = h > 0
         h_abs = abs(h)
         nb = bpp // 8
@@ -528,8 +531,9 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
                         v |= ((pix >> np.uint32(i)) & np.uint32(1)) \
                             << np.uint32(width)
                         width += 1
-            chans.append((v * 255 // ((1 << width) - 1))
-                         .astype(np.uint8))
+            # scale in uint64: v*255 wraps uint32 once popcount >= 25
+            chans.append((v.astype(np.uint64) * 255
+                          // ((1 << width) - 1)).astype(np.uint8))
         rgb = np.stack(chans, axis=2)
         if bottom_up:
             rgb = rgb[::-1]

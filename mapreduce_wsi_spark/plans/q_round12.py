@@ -700,7 +700,8 @@ def mix_host_curriculum_pacing(spark, sf_dir):
            CAST(least(2 * te * policy_w // sw, 3 * eff_tokens)
                 AS BIGINT) AS alloc_tokens,
            CAST(least(2 * te * policy_w // sw, 3 * eff_tokens)
-                * 1000 // eff_tokens AS BIGINT) AS epochs_x1000,
+                * 1000 // greatest(eff_tokens, 1) AS BIGINT)
+               AS epochs_x1000,
            2 * te * policy_w // sw > 3 * eff_tokens AS capped
     FROM w CROSS JOIN tot
     """,
@@ -742,7 +743,8 @@ def mix_epoch_token_budget(spark, sf_dir):
                     target.cast("bigint").alias("target_tokens"),
                     alloc.cast("bigint").alias("alloc_tokens"),
                     F.expr("least(2 * te * policy_w div sw, "
-                           "3 * eff_tokens) * 1000 div eff_tokens")
+                           "3 * eff_tokens) * 1000 "
+                           "div greatest(eff_tokens, 1L)")
                     .cast("bigint").alias("epochs_x1000"),
                     (target > 3 * F.col("eff_tokens")).alias("capped")))
 
@@ -1359,7 +1361,8 @@ def mix_host_anneal_phase(spark, sf_dir):
             FROM r2)
     SELECT source, eff AS eff_tokens, w AS policy_w,
            CAST(a2 AS BIGINT) AS alloc_tokens,
-           CAST(a2 * 1000 // eff AS BIGINT) AS epochs_x1000,
+           CAST(a2 * 1000 // greatest(eff, 1) AS BIGINT)
+               AS epochs_x1000,
            CAST(capped_round AS INT) AS capped_round
     FROM fin
     """,
@@ -1433,6 +1436,6 @@ def mix_epoch_budget_waterfall(spark, sf_dir):
         "source", F.col("eff").alias("eff_tokens"),
         F.col("w").alias("policy_w"),
         F.col("a2").cast("bigint").alias("alloc_tokens"),
-        F.expr("a2 * 1000 div eff").cast("bigint")
+        F.expr("a2 * 1000 div greatest(eff, 1L)").cast("bigint")
         .alias("epochs_x1000"),
         "capped_round")
