@@ -144,8 +144,11 @@ def mm_decode_tiff_tiled(spark, sf_dir):
          "(level 0 = the 4x4 base, level 1 = its [::2, ::2] 2x2 "
          "reduction) written by encode_tiff_pyramid as chained IFDs, "
          "rotating byte order (doc_id%2), LZW vs Deflate "
-         "((doc_id//2)%2) and single-strip vs 2x2-TILED levels "
-         "((doc_id//4)%2). The query reads PAGE 1 via the IFD-chain "
+         "((doc_id//2)%2), single-strip vs 2x2-TILED levels "
+         "((doc_id//4)%2) and Predictor 1 vs 2 ((doc_id//8)%2 — the "
+         "r13-queue residual: horizontal differencing exercised "
+         "through the chained-IFD page walk, not just single-page). "
+         "The query reads PAGE 1 via the IFD-chain "
          "walk (_parse_tiff(page=1) through decode_tiff_stats) — the "
          "read a WSI viewer issues for a zoomed-out level without "
          "touching base-resolution bytes. Oracle recomputes the "
@@ -159,8 +162,9 @@ def mm_decode_tiff_pyramid(spark, sf_dir):
         endian = "<" if doc_id % 2 == 0 else ">"
         comp = 5 if (doc_id // 2) % 2 == 0 else 8
         tile = (2, 2) if (doc_id // 4) % 2 else None
+        pred = 1 if (doc_id // 8) % 2 == 0 else 2
         return encode_tiff_pyramid([img, img[::2, ::2]], endian, comp,
-                                   tile=tile)
+                                   tile=tile, predictor=pred)
 
     blobs = _tiff_blobs(_ascii_docs(spark, sf_dir), encode_one)
     stats = decode_tiff_stats(blobs, page=1)

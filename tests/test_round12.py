@@ -35,13 +35,16 @@ def _img(seed: int) -> np.ndarray:
 @pytest.mark.parametrize("endian", ["<", ">"])
 @pytest.mark.parametrize("comp", [1, 32773, 5, 8])
 @pytest.mark.parametrize("tile", [None, (2, 2), (3, 2)])
-def test_pyramid_page1_is_the_reduction(endian, comp, tile):
+@pytest.mark.parametrize("pred", [1, 2])
+def test_pyramid_page1_is_the_reduction(endian, comp, tile, pred):
     """Every rotation the catalog entries use (and a couple more):
     page 0 round-trips the base image, page 1 round-trips its
-    [::2, ::2] reduction, and the chain walk sees exactly 2 IFDs."""
+    [::2, ::2] reduction, and the chain walk sees exactly 2 IFDs.
+    Predictor 2 (horizontal differencing) rotates through the
+    chained-IFD path too (r13-queue residual), not just single-page."""
     img = _img(endian == ">" and 7 or 3)
     payload = encode_tiff_pyramid([img, img[::2, ::2]], endian, comp,
-                                  tile=tile)
+                                  tile=tile, predictor=pred)
     assert len(tiff_page_offsets(payload)) == 2
     w0, h0, px0 = _parse_tiff(payload, page=0)
     assert (w0, h0) == (4, 4)
@@ -290,3 +293,91 @@ def test_cdc_boundary_sweep_mean_tracks_rate(spark, sf_oracle):
     for pct, r in rows.items():
         exp = 100_000 // pct  # 1000/ (pct/100) words, x1000 fixed-point
         assert exp // 2 <= r.mean_words_x1000 <= exp * 2
+
+
+def test_host_anneal_phase2_is_quartile4_gated(spark, sf_oracle):
+    """Anneal composition contract (VERDICT r12 wrong #1): phase 2 is
+    EXACTLY each host's top length quartile intersected with the full
+    Gopher gate — so per host, phase-2 tokens equal the recomputed
+    stage-4-and-keep token mass (and are <= the quartile-4 mass), a
+    host whose quartile 4 has zero gate-passers reports no phase-2 row,
+    and the two phases' share_ppm sum to 10^6 within floor-division
+    slack."""
+    from mapreduce_wsi_spark.operators.pipeline import ntile_bucketed
+    from mapreduce_wsi_spark.plans.q_curation import _gopher_flagged
+    from mapreduce_wsi_spark.plans.q_round12 import mix_host_anneal_phase
+
+    rows = mix_host_anneal_phase(spark, sf_oracle).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, {})[r.phase] = r
+
+    docs = (spark.read.parquet(f"{sf_oracle}/documents.parquet")
+            .select("doc_id", "n_chars",
+                    F.concat(F.col("source"), F.lit(".example.com"))
+                    .alias("host")))
+    staged = ntile_bucketed(docs, ["host"], "n_chars", "doc_id",
+                            n_tiles=4, bucket_width=64,
+                            tile_col="stage")
+    keep = _gopher_flagged(spark, sf_oracle).select("doc_id", "keep")
+    truth = (staged.join(keep, "doc_id")
+             .groupBy("host")
+             .agg(F.sum(F.when((F.col("stage") == 4) & F.col("keep"),
+                               F.col("n_chars")).otherwise(0))
+                  .alias("p2_tokens"),
+                  F.sum(F.when(F.col("stage") == 4, F.col("n_chars"))
+                        .otherwise(0)).alias("q4_tokens"))
+             .collect())
+    assert truth and by_host
+    for t in truth:
+        phases = by_host[t.host]
+        p2 = phases.get(2)
+        if t.p2_tokens == 0:
+            # zero gate-passers in quartile 4 => zero anneal share
+            assert p2 is None
+        else:
+            assert p2 is not None
+            assert p2.tokens == t.p2_tokens <= t.q4_tokens
+        ppm = sum(r.share_ppm for r in phases.values())
+        assert 1_000_000 - len(phases) <= ppm <= 1_000_000
+
+
+def test_chain_fixture_is_bimodal_at_the_threshold(sf_oracle):
+    """ADVICE r12 #3, pinned: the chain oracles recompute the EXACT
+    j>=0.5 pair set while the Spark side sees only LSH candidates —
+    their equality relies on the fixture's pair distribution being
+    bimodal (recall 1 at the 16x4-band operating point). Assert no
+    candidate pair's exact word-3-gram Jaccard lands in [0.4, 0.8), so
+    a regenerated fixture with near-threshold pairs fails HERE with a
+    diagnosis instead of flipping the oracle gate mysteriously."""
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_oracle}/documents.parquet')")
+    (n_gray,) = con.execute("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)]
+                      || ' ' || w[CAST(i+2 AS INT)] AS shingle
+               FROM (SELECT doc_id, w,
+                            unnest(generate_series(1, len(w) - 2)) AS i
+                     FROM tk) t),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS inter
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT CAST(inter AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - inter) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT count(*) FROM j WHERE jac >= 0.4 AND jac < 0.8
+    """).fetchone()
+    assert n_gray == 0, (
+        f"{n_gray} pair(s) in the [0.4, 0.8) gray zone: the chain "
+        "oracles' exact-vs-LSH equivalence no longer holds by "
+        "construction; regenerate the fixture or re-measure LSH recall")
