@@ -930,6 +930,89 @@ def pq_query(codes: DataFrame, books: list[list[list[float]]],
             .select(query_id_col, id_col, "cos", "rn"))
 
 
+def ivfpq_query(assigned: DataFrame, centroids: DataFrame,
+                codes: DataFrame, books: list[list[list[float]]],
+                corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id", n_probe: int = 4,
+                shortlist: int = 50) -> DataFrame:
+    """IVF-PQ composed serving — the actual faiss ``IVFx,PQy`` index
+    shape (Jegou, Douze & Schmid, TPAMI 2011: IVFADC): the coarse
+    quantizer routes each query to its ``n_probe`` nearest cells
+    (``build_ivf_index``'s broadcast centroid table), the PQ code
+    table is ADC-scored ONLY within the probed cells (M O(1) lookups
+    per code row against the query's precomputed M x K distance
+    table), the ``shortlist`` best codes per query fetch their true
+    vectors, and an exact-cosine re-rank emits top-k.
+
+    This composes the two independently-stamped halves (``ivf_query``
+    routing, ``pq_query`` ADC + re-rank) into the serving stack a
+    vector database actually runs: at 100 TB the scan cost per query
+    is (corpus/n_cells)*n_probe CODE rows (M bytes each — 32x less
+    I/O than raw vectors at the 64d/8sub default), raw vectors are
+    read back for shortlist*|queries| rows only, and the cell id on
+    the code table is the natural partition key, so a probe touches
+    n_probe partitions, not the corpus. ``codes`` must carry the
+    ``__cell`` column (join ``pq_encode``'s output with ``assigned``
+    ONCE at build time — the build-side shuffle amortized across
+    every query batch, like the index build itself).
+
+    Zero-Exchange serve path on the probe side: centroids and the
+    query batch broadcast; the only wide ops are the salted two-phase
+    shortlist rank and the k-row-per-query re-rank window."""
+    m_subspaces = len(books)
+    d_sub = len(books[0][0])
+
+    qtab = F.expr("array(" + ", ".join(
+        _pq_dists_sql("__qnv", m, d_sub, book)
+        for m, book in enumerate(books)) + ")")
+    q = (queries
+         .select(F.col(id_col).alias(query_id_col),
+                 _as_double(F.col(vec_col)).alias("__qv0"))
+         .withColumn("__qn", l2_norm(F.col("__qv0")))
+         .select(query_id_col, "__qv0",
+                 F.transform(F.col("__qv0"),
+                             lambda e: e / F.col("__qn")).alias("__qnv"))
+         .select(query_id_col, qtab.alias("__qtab"),
+                 F.col("__qv0").alias("__qv")))
+
+    # coarse routing: same broadcast probe as ivf_query, carrying the
+    # ADC table instead of the raw query vector
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qc").desc(), F.col("cell").asc())
+    probes = (q.crossJoin(F.broadcast(centroids))
+              .withColumn("__qc", cosine(F.col("__qv"),
+                                         F.col("centroid")))
+              .withColumn("__pr", F.row_number().over(w_probe))
+              .filter(F.col("__pr") <= n_probe)
+              .select(query_id_col, "__qtab",
+                      F.col("cell").alias("__cell")))
+
+    adc = sum((F.element_at(F.element_at("__qtab", m + 1),
+                            F.element_at("codes", m + 1) + 1)
+               for m in range(m_subspaces)), F.lit(0.0))
+    scored = (codes.join(F.broadcast(probes), on="__cell")
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(query_id_col, id_col, adc.alias("__adc")))
+    short = (salted_topk(scored, query_id_col,
+                         [F.col("__adc").asc(), F.col(id_col).asc()],
+                         id_col, shortlist, rn_col="__rn")
+             .select(query_id_col, id_col))
+
+    c = corpus.select(F.col(id_col),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    qn = queries.select(F.col(id_col).alias(query_id_col),
+                        _as_double(F.col(vec_col)).alias("__rqv"))
+    rer = (short.join(c, on=id_col)
+           .join(F.broadcast(qn), on=query_id_col)
+           .withColumn("cos", cosine(F.col("__rqv"), F.col("__cv"))))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc())
+    return (rer.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos", "rn"))
+
+
 def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label",

@@ -1,0 +1,284 @@
+"""Round-13 catalog tranche — the VERDICT r12 asks, implemented:
+real-BPE-token budgets (the stamped tokenizer composed with the epoch
+budgeter, so a mixing run budgets what a trainer actually consumes —
+learned-BPE tokens, not characters), and IVF-PQ composed serving (the
+faiss ``IVFx,PQy`` shape: coarse routing + ADC within probed cells +
+exact re-rank, recall measured on a (n_probe, m) grid against the
+exact panel).
+
+Reference parity note: none of these exist in the reference
+(acgessler/mapreduce-wsi) — its only analytics surface is
+user-supplied map/reduce code behind runMapReduce (MapReduceWSI.java:
+61-105). They are BASELINE.json north-star surface, built Spark-first
+with DuckDB oracle twins like every other family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_wsi_spark.plans.q_llm import _bpe_learn_apply_oracle
+from mapreduce_wsi_spark.plans.q_round12 import _IVF_PANEL_SQL
+from mapreduce_wsi_spark.plans.registry import register, tbl
+
+# ---------------------------------------------------------------------------
+# A. Real-token budgets: the learned tokenizer composed with the
+#    waterfall budgeter (VERDICT r12 ask #4)
+# ---------------------------------------------------------------------------
+
+# The cap-and-redistribute waterfall over a base(source, eff, w) CTE —
+# the EXACT arithmetic of mix_epoch_budget_waterfall (q_round12), kept
+# as a generator so the char- and token-capacity entries provably run
+# the same budget algebra and differ only in the capacity metric.
+_WATERFALL_TAIL_SQL = """
+    tot AS (SELECT sum(eff) AS te, sum(w) AS sw FROM base),
+    r0 AS (SELECT source, eff, w, 3 * eff AS cap,
+                  2 * te * w // sw AS tgt0,
+                  least(2 * te * w // sw, 3 * eff) AS a0,
+                  2 * te * w // sw > 3 * eff AS c0,
+                  2 * te AS budget
+           FROM base CROSS JOIN tot),
+    s1 AS (SELECT max(budget) - sum(a0) AS sur1,
+                  sum(CASE WHEN c0 THEN 0 ELSE w END) AS swu1
+           FROM r0),
+    r1 AS (SELECT r0.*, sur1, swu1,
+                  CASE WHEN c0 OR swu1 = 0 THEN 0
+                       ELSE sur1 * w // swu1 END AS add1
+           FROM r0 CROSS JOIN s1),
+    r1b AS (SELECT *, least(a0 + add1, cap) AS a1,
+                   NOT c0 AND a0 + add1 > cap AS c1
+            FROM r1),
+    s2 AS (SELECT max(budget) - sum(a1) AS sur2,
+                  sum(CASE WHEN c0 OR c1 THEN 0 ELSE w END) AS swu2
+           FROM r1b),
+    r2 AS (SELECT r1b.*,
+                  CASE WHEN c0 OR c1 OR swu2 = 0 THEN 0
+                       ELSE sur2 * w // swu2 END AS add2
+           FROM r1b CROSS JOIN s2),
+    fin AS (SELECT source, eff, w,
+                   least(a1 + add2, cap) AS a2,
+                   CASE WHEN c0 THEN 0
+                        WHEN c1 THEN 1
+                        WHEN NOT c0 AND NOT c1 AND a1 + add2 > cap
+                            THEN 2
+                        ELSE -1 END AS capped_round
+            FROM r2)
+    SELECT source, eff AS eff_tokens, w AS policy_w,
+           CAST(a2 AS BIGINT) AS alloc_tokens,
+           CAST(a2 * 1000 // greatest(eff, 1) AS BIGINT)
+               AS epochs_x1000,
+           CAST(capped_round AS INT) AS capped_round
+    FROM fin
+"""
+
+
+def _budget_waterfall(base):
+    """Spark twin of ``_WATERFALL_TAIL_SQL`` over a base frame with
+    columns (source, eff bigint, w int) — two unrolled
+    cap-and-redistribute rounds, integer floor-division throughout,
+    each round one 1-row aggregate broadcast + a map-only update."""
+    tot = base.agg(F.sum("eff").alias("te"), F.sum("w").alias("sw"))
+    r0 = (base.crossJoin(F.broadcast(tot))
+          .withColumn("cap", 3 * F.col("eff"))
+          .withColumn("budget", F.expr("2 * te"))
+          .withColumn("tgt0", F.expr("2 * te * w div sw"))
+          .withColumn("a0", F.least(F.col("tgt0"), F.col("cap")))
+          .withColumn("c0", F.col("tgt0") > F.col("cap")))
+    s1 = r0.agg(
+        (F.max("budget") - F.sum("a0")).alias("sur1"),
+        F.sum(F.when(F.col("c0"), 0).otherwise(F.col("w")))
+        .alias("swu1"))
+    r1 = (r0.crossJoin(F.broadcast(s1))
+          .withColumn("add1",
+                      F.when(F.col("c0") | (F.col("swu1") == 0), 0)
+                      .otherwise(F.expr("sur1 * w div swu1")))
+          .withColumn("a1", F.least(F.col("a0") + F.col("add1"),
+                                    F.col("cap")))
+          .withColumn("c1", ~F.col("c0")
+                      & (F.col("a0") + F.col("add1") > F.col("cap"))))
+    s2 = r1.agg(
+        (F.max("budget") - F.sum("a1")).alias("sur2"),
+        F.sum(F.when(F.col("c0") | F.col("c1"), 0)
+              .otherwise(F.col("w"))).alias("swu2"))
+    r2 = (r1.crossJoin(F.broadcast(s2))
+          .withColumn("add2",
+                      F.when(F.col("c0") | F.col("c1")
+                             | (F.col("swu2") == 0), 0)
+                      .otherwise(F.expr("sur2 * w div swu2")))
+          .withColumn("a2", F.least(F.col("a1") + F.col("add2"),
+                                    F.col("cap")))
+          .withColumn(
+              "capped_round",
+              F.when(F.col("c0"), 0)
+              .when(F.col("c1"), 1)
+              .when(~F.col("c0") & ~F.col("c1")
+                    & (F.col("a1") + F.col("add2") > F.col("cap")), 2)
+              .otherwise(-1).cast("int")))
+    return r2.select(
+        "source", F.col("eff").alias("eff_tokens"),
+        F.col("w").alias("policy_w"),
+        F.col("a2").cast("bigint").alias("alloc_tokens"),
+        F.expr("a2 * 1000 div greatest(eff, 1L)").cast("bigint")
+        .alias("epochs_x1000"),
+        "capped_round")
+
+
+@register(
+    "mix_bpe_token_budget",
+    oracle=rf"""
+    WITH ntok AS (SELECT doc_id, n_tokens
+                  FROM ({_bpe_learn_apply_oracle(6)}) bq),
+    h AS (SELECT doc_id, source,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                               'g')))) AS h
+          FROM documents),
+    firsts AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h),
+    base AS (SELECT s.source,
+                    CAST(sum(CASE WHEN s.doc_id = f.keeper
+                                  THEN nt.n_tokens ELSE 0 END)
+                         AS BIGINT) AS eff,
+                    CAST(1 + CAST(('0x' || substr(md5(s.source), 1, 8))
+                                  AS BIGINT) % 4 AS INT) AS w
+             FROM h s JOIN firsts f ON f.h = s.h
+             JOIN ntok nt ON nt.doc_id = s.doc_id
+             GROUP BY s.source),
+    {_WATERFALL_TAIL_SQL}
+    """,
+    note="REAL-token budgets (VERDICT r12 ask #4): the waterfall "
+         "budgeter re-run with per-source capacity = learned-BPE "
+         "token counts instead of the n_chars proxy — train 6 merges "
+         "on the corpus (text_bpe_learn_apply's exact trajectory), "
+         "tokenize every doc map-side with the learned table as plan "
+         "literals, and feed each source's dedup-unique TOKEN mass "
+         "(first-occurrence keepers, the mix_epoch_token_budget "
+         "convention) into the identical cap-and-redistribute "
+         "arithmetic (shared tail: the char and token entries differ "
+         "ONLY in the capacity metric — the 'what a 100 TB mixing run "
+         "actually budgets' claim made literal; the property test "
+         "pins that the two metrics disagree on at least one "
+         "source's waterfall outcome). Oracle replays the merge "
+         "chain (6 generated CTE rounds) + the budget algebra; "
+         "tokenize is map-only, the budget tail is aggregates + "
+         "1-row broadcasts")
+def mix_bpe_token_budget(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.pipeline import portable_bucket
+    from mapreduce_wsi_spark.operators.text import bpe_learn_and_apply
+    docs = tbl(spark, sf_dir, "documents")
+    ntok = (bpe_learn_and_apply(docs, "text", "doc_id", n_merges=6)
+            .select("doc_id", "n_tokens"))
+    h = docs.select(
+        "doc_id", "source",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .alias("h"))
+    firsts = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    base = (h.join(firsts, "h").join(ntok, "doc_id")
+            .groupBy("source")
+            .agg(F.sum(F.when(F.col("doc_id") == F.col("keeper"),
+                              F.col("n_tokens")).otherwise(0))
+                 .cast("bigint").alias("eff"))
+            .withColumn("w", (F.lit(1)
+                              + portable_bucket(F.col("source"), 4))
+                        .cast("int")))
+    return _budget_waterfall(base)
+
+
+# ---------------------------------------------------------------------------
+# B. IVF-PQ composed serving (VERDICT r12 ask #5)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_GRID = ((1, 4, 15), (2, 8, 25), (4, 8, 35), (8, 16, 55))
+
+
+@register(
+    "sim_ann_ivfpq_grid_recall",
+    oracle=f"""
+    WITH c AS ({_IVF_PANEL_SQL}),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+    ex AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rn
+           FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id),
+    truth AS (SELECT count(*) AS n FROM ex WHERE rn <= 10),
+    cfg AS (SELECT CAST(t.np AS INT) AS n_probe, CAST(t.m AS INT) AS m
+            FROM (VALUES {", ".join(f"({np}, {m})"
+                                    for np, m, _ in _IVFPQ_GRID)})
+                 t(np, m))
+    SELECT n_probe, m, CAST(max(truth.n) AS BIGINT) AS n_exact,
+           true AS recall_ok
+    FROM cfg CROSS JOIN truth GROUP BY n_probe, m
+    """,
+    note="IVF-PQ COMPOSED serving recall (VERDICT r12 ask #5) — the "
+         "actual faiss IVFx,PQy index the repo has both halves of: "
+         "one 16-cell IVF build routes each query to its n_probe "
+         "nearest cells, PQ codebooks (m subspaces x 16 codes, "
+         "sample-trained) ADC-score ONLY the probed cells' code "
+         "rows, shortlist-50 exact re-rank emits top-10 — measured "
+         "against the exact-cosine truth on the fixed 20x300 panel "
+         "at grid points (n_probe, m) = "
+         + "/".join(f"({np},{m})" for np, m, _ in _IVFPQ_GRID)
+         + ". Both error sources compose: routing misses (IVF) and "
+         "quantization misses (PQ), so each grid point's recall "
+         "sits at-or-under its sim_ann_ivf_nprobe_recall row — "
+         "measured at sf0.01: 34/44.5/61/79.5% (vs IVF-only "
+         "34/44.5/64.5/84%: at n_probe 1-2 the 50-code shortlist "
+         "covers the probed cells entirely and exact re-rank "
+         "recovers every routed hit; PQ loss only appears once the "
+         "candidate pool outgrows the shortlist). Pinned bounds "
+         "(integer-multiplied, ~2x margin under the measurement): "
+         "recall >= "
+         + "/".join(str(lo) for _, _, lo in _IVFPQ_GRID)
+         + " percent. n_exact is oracle-exact; serve phase: "
+         "broadcast centroids + broadcast query batch, cell-equi "
+         "join on the code table, salted two-phase shortlist rank — "
+         "zero Exchange on the probe side "
+         "(operators/similarity.py::ivfpq_query)")
+def sim_ann_ivfpq_grid_recall(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, build_ivf_index, build_pq_codebooks, cosine,
+        ivfpq_query, pq_encode, salted_topk)
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    c = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qs = (c.filter(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    ex = (qs.crossJoin(F.broadcast(c))
+          .filter(F.col("vec_id") != F.col("qid"))
+          .select("qid", F.col("vec_id").alias("cid"),
+                  cosine(F.col("qv"), F.col("v")).alias("s")))
+    top_ex = (salted_topk(ex, "qid", [F.col("s").desc(), F.col("cid")],
+                          "cid", k=10)
+              .select("qid", "cid"))
+    n_exact = top_ex.agg(F.count(F.lit(1)).alias("ne"))
+
+    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding",
+                                          n_centroids=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    codes_by_m: dict = {}
+    rows = None
+    for n_probe, m, lo_pct in _IVFPQ_GRID:
+        if m not in codes_by_m:
+            books = build_pq_codebooks(emb, m_subspaces=m, n_codes=16)
+            # build-side join: the code table carries its cell id once,
+            # amortized across every (n_probe, *) serve at this m
+            codes = (pq_encode(emb, books)
+                     .join(assigned.select("vec_id", "__cell"),
+                           "vec_id"))
+            codes_by_m[m] = (books, codes)
+        books, codes = codes_by_m[m]
+        got = (ivfpq_query(assigned, centroids, codes, books, emb,
+                           queries, k=10, n_probe=n_probe)
+               .select(F.col("query_id").alias("qid"),
+                       F.col("vec_id").alias("cid")))
+        row = (got.join(top_ex, ["qid", "cid"])
+               .agg(F.count(F.lit(1)).alias("__found"))
+               .crossJoin(F.broadcast(n_exact))
+               .select(F.lit(n_probe).cast("int").alias("n_probe"),
+                       F.lit(m).cast("int").alias("m"),
+                       F.col("ne").cast("bigint").alias("n_exact"),
+                       (F.col("__found") * 100
+                        >= F.lit(lo_pct) * F.col("ne"))
+                       .alias("recall_ok")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -171,6 +171,7 @@ def load_catalog() -> dict[str, CatalogEntry]:
     import mapreduce_wsi_spark.plans.q_curation  # noqa: F401
     import mapreduce_wsi_spark.plans.q_curation2  # noqa: F401
     import mapreduce_wsi_spark.plans.q_round12  # noqa: F401
+    import mapreduce_wsi_spark.plans.q_round13  # noqa: F401
     ordered = {name: CATALOG[name] for name in DRIVER_WINDOW}
     for name, e in CATALOG.items():
         if name not in ordered:

@@ -142,6 +142,29 @@ def test_ivf_query_path_is_broadcast_only(spark, sf_oracle):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_probe_side_is_broadcast_only(spark, sf_oracle):
+    """IVF-PQ composed serving (r13): same contract as ivf_query — the
+    centroid table and the ADC-table-carrying probe set broadcast; the
+    code table must never shuffle for a query batch. The one allowed
+    wide op on the serve path is the salted shortlist/re-rank pair."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_ivf_index, build_pq_codebooks, ivfpq_query, pq_encode)
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    assigned, centroids = build_ivf_index(emb, n_centroids=8)
+    books = build_pq_codebooks(emb, m_subspaces=4, n_codes=16)
+    codes = (pq_encode(emb, books)
+             .join(assigned.select("vec_id", "__cell"), "vec_id"))
+    df = ivfpq_query(assigned, centroids, codes, books, emb,
+                     emb.filter(F.col("vec_id") < 5), k=10, n_probe=4)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_minhash_signature_is_single_pass_agg(spark, sf_oracle):
     """MinHash signatures: the k hash-min columns must come from ONE
     hash-aggregate over the shingle table (k aggregate expressions), not
@@ -829,7 +852,7 @@ def test_similarity_stack_rank_windows_are_all_salted(spark, sf_oracle):
 
     from mapreduce_wsi_spark.operators.similarity import (
         ann_cosine_topk, build_ivf_index, build_pq_codebooks,
-        hard_negatives, ivf_query, pq_encode, pq_query)
+        hard_negatives, ivf_query, ivfpq_query, pq_encode, pq_query)
 
     emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
@@ -840,6 +863,10 @@ def test_similarity_stack_rank_windows_are_all_salted(spark, sf_oracle):
     books = build_pq_codebooks(emb, m_subspaces=4, n_codes=16)
     codes = pq_encode(emb, books)
     plans["pq"] = plan_of(pq_query(codes, books, emb, q, k=10))
+    plans["ivfpq"] = plan_of(ivfpq_query(
+        assigned, centroids,
+        codes.join(assigned.select("vec_id", "__cell"), "vec_id"),
+        books, emb, q, k=10, n_probe=4))
     plans["hardneg"] = plan_of(hard_negatives(emb, q, k=3))
     for name, plan in plans.items():
         row_level = re.findall(
