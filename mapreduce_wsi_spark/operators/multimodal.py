@@ -23,11 +23,12 @@ stats (``decode_ppm_stats`` / ``decode_bmp_stats`` /
 real typed feature vectors (``decode_features(real_decode=True)``),
 and real nearest-neighbor pixel resize
 (``resize_images(real_decode=True)``). The residual stub boundary:
-arithmetic-coded/12-bit/lossless JPEG,
-planar/16-bit TIFF, and MP3-class perceptual audio codecs yield ok=false
-rows —
+arithmetic-coded/12-bit/lossless JPEG, JPEG-compressed planar/16-bit
+TIFF, and MP3-class perceptual audio codecs yield ok=false rows —
 never a failed stage — and the byte-level fake kernels remain the
-default for plumbing tests over arbitrary payloads.
+default for plumbing tests over arbitrary payloads. (Uncompressed/
+LZW/Deflate/PackBits planar-configuration and 16-bit TIFF decode for
+real as of r13.)
 
 Scale notes: payload bytes never pass through a shuffle (featurize before
 aggregating); batch size is bounded by
@@ -3357,14 +3358,19 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _tiff_undo_predictor2(raw: bytes, w: int, h: int,
-                          spp: int) -> bytes:
+def _tiff_undo_predictor2(raw: bytes, w: int, h: int, spp: int,
+                          dtype="uint8") -> bytes:
     """Undo TIFF Predictor 2 (horizontal differencing, §14): each
     sample is stored as the delta to the previous sample of the SAME
     channel in the row; reconstruction is a per-row per-channel
-    modulo-256 cumulative sum (one vectorized numpy pass)."""
-    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, spp)
-    return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
+    modulo-2^bits cumulative sum (one vectorized numpy pass). For
+    16-bit samples pass the byte-order-qualified dtype ('<u2'/'>u2'):
+    differencing is defined on SAMPLE values, so the undo decodes in
+    file order, cumsums in sample space, and re-emits file-order
+    bytes."""
+    dt = np.dtype(dtype)
+    a = np.frombuffer(raw, dtype=dt).reshape(h, w, spp)
+    return np.cumsum(a, axis=1, dtype=dt).astype(dt).tobytes()
 
 
 def tiff_page_offsets(payload: bytes) -> list[int]:
@@ -3406,11 +3412,15 @@ def _parse_tiff(payload: bytes,
     32773 (PackBits), 5 (TIFF-LZW), 8/32946 (Deflate), 7 (new-style
     JPEG-in-TIFF per TIFF Technote 2, r12 — each tile/strip a
     self-contained JFIF stream decoded through the repo's own T.81
-    decoder; this is the Aperio-SVS whole-slide layout), Predictor 2,
-    PhotometricInterpretation 0/1 (gray, 0 = WhiteIsZero inverted) or
-    2 (RGB). Anything outside — other depths, planar config 2,
-    old-style Compression 6, shared JPEGTables (tag 347) — returns
-    None (ok=false downstream)."""
+    decoder; this is the Aperio-SVS whole-slide layout), Predictor 2
+    (sample-space), PhotometricInterpretation 0/1 (gray, 0 =
+    WhiteIsZero inverted) or 2 (RGB), BitsPerSample 8 or uniform 16
+    (r13 — samples read in the file byte order, returned native
+    uint16), PlanarConfiguration 1 (chunky) or 2 (r13 — plane-major
+    segment list per §12, each plane an independent 1-sample image).
+    Anything outside — other depths, old-style Compression 6, shared
+    JPEGTables (tag 347), JPEG x planar/16-bit — returns None
+    (ok=false downstream)."""
     import struct
 
     if payload[:4] == b"II*\x00":
@@ -3458,19 +3468,27 @@ def _parse_tiff(payload: bytes,
     offsets, counts = tags.get(273), tags.get(279)
     rps = tags.get(278, (h,))[0]
     pred = tags.get(317, (1,))[0]
+    planar = tags.get(284, (1,))[0]
     tw = tags.get(322, (0,))[0]
     th = tags.get(323, (0,))[0]
     t_offs, t_cnts = tags.get(324), tags.get(325)
     tiled = bool(tw and th and t_offs is not None
                  and t_cnts is not None)
+    bits = bps[0] if bps else 0
     if (not w or not h
-            or spp not in (1, 3) or any(b != 8 for b in bps)
-            or len(bps) != spp
+            or spp not in (1, 3) or len(bps) != spp
+            or bits not in (8, 16) or any(b != bits for b in bps)
             or (photo == 2) != (spp == 3) or photo not in (0, 1, 2)
             or comp not in (1, 32773, 5, 8, 32946, 7)
             or pred not in (1, 2)
-            or (comp == 7 and pred != 1)):
+            or planar not in (1, 2)
+            or (comp == 7 and (pred != 1 or bits != 8
+                               or planar == 2))):
         return None
+    if spp == 1:
+        planar = 1  # one component: the layouts coincide (§12)
+    bpsz = bits // 8
+    sdt = np.uint8 if bits == 8 else np.dtype(bo + "u2")
 
     def seg_bytes(so: int, sc: int, exp: int,
                   dims: tuple[int, int] | None = None) -> bytes | None:
@@ -3504,88 +3522,125 @@ def _parse_tiff(payload: bytes,
             return raw if len(raw) == exp else None
         return _packbits_decode(seg, exp)
 
+    # planar config 2 (§12, r13): the segment list is plane-major —
+    # each plane decodes as an independent 1-sample image, then the
+    # planes stack. seg_spp is the per-SEGMENT sample count.
+    n_planes = spp if planar == 2 else 1
+    seg_spp = 1 if planar == 2 else spp
+
     if tiled:  # §15 — the whole-slide-image layout
         across = (w + tw - 1) // tw
         down = (h + th - 1) // th
+        per_plane = across * down
         if (len(t_offs) != len(t_cnts)
-                or len(t_offs) != across * down):
+                or len(t_offs) != per_plane * n_planes):
             return None
-        out = np.zeros((h, w, spp), dtype=np.uint8)
-        exp = th * tw * spp
+        out = np.zeros((h, w, spp), dtype=sdt)
+        exp = th * tw * seg_spp * bpsz
         for idx, (so, sc) in enumerate(zip(t_offs, t_cnts)):
             dec = seg_bytes(so, sc, exp, (th, tw))
             if dec is None:
                 return None
             if pred == 2:  # per-tile rows (tile_w-sample rows)
-                dec = _tiff_undo_predictor2(dec, tw, th, spp)
-            tile = np.frombuffer(dec, dtype=np.uint8).reshape(
-                th, tw, spp)
-            r0 = (idx // across) * th
-            c0 = (idx % across) * tw
+                dec = _tiff_undo_predictor2(dec, tw, th, seg_spp, sdt)
+            tile = np.frombuffer(dec, dtype=sdt).reshape(
+                th, tw, seg_spp)
+            pl, tidx = divmod(idx, per_plane)
+            r0 = (tidx // across) * th
+            c0 = (tidx % across) * tw
             nr = min(th, h - r0)
             nc = min(tw, w - c0)
-            out[r0:r0 + nr, c0:c0 + nc] = tile[:nr, :nc]
+            if planar == 2:
+                out[r0:r0 + nr, c0:c0 + nc, pl] = tile[:nr, :nc, 0]
+            else:
+                out[r0:r0 + nr, c0:c0 + nc] = tile[:nr, :nc]
         a = out.reshape(-1)
     else:
         if (offsets is None or counts is None
                 or len(offsets) != len(counts) or not rps):
             return None
-        raw = bytearray()
-        row = 0
-        for so, sc in zip(offsets, counts):
-            nrows = min(rps, h - row)
-            if nrows <= 0:
-                return None
-            row += nrows
-            dec = seg_bytes(so, sc, nrows * w * spp, (nrows, w))
-            if dec is None:
-                return None
-            raw += dec
-        if row < h or len(raw) != w * h * spp:
+        per_plane = (h + rps - 1) // rps
+        if len(offsets) != per_plane * n_planes:
             return None
-        if pred == 2:  # horizontal differencing
-            raw = _tiff_undo_predictor2(bytes(raw), w, h, spp)
-        a = np.frombuffer(bytes(raw), dtype=np.uint8)
+        plane_arrays = []
+        for pl in range(n_planes):
+            raw = bytearray()
+            row = 0
+            for so, sc in zip(offsets[pl * per_plane:
+                                      (pl + 1) * per_plane],
+                              counts[pl * per_plane:
+                                     (pl + 1) * per_plane]):
+                nrows = min(rps, h - row)
+                if nrows <= 0:
+                    return None
+                row += nrows
+                dec = seg_bytes(so, sc, nrows * w * seg_spp * bpsz,
+                                (nrows, w))
+                if dec is None:
+                    return None
+                raw += dec
+            if row < h or len(raw) != w * h * seg_spp * bpsz:
+                return None
+            if pred == 2:  # horizontal differencing
+                raw = _tiff_undo_predictor2(bytes(raw), w, h,
+                                            seg_spp, sdt)
+            plane_arrays.append(
+                np.frombuffer(bytes(raw), dtype=sdt).reshape(
+                    h, w, seg_spp))
+        a = (np.concatenate(plane_arrays, axis=2) if planar == 2
+             else plane_arrays[0]).reshape(-1)
+    native = np.uint8 if bits == 8 else np.uint16
+    a = a.astype(native)  # drop the file byte order for callers
     if spp == 1:
         g = a.reshape(h, w)
         if photo == 0:
-            g = 255 - g
+            g = native((1 << bits) - 1) - g
         return w, h, np.repeat(g[:, :, None], 3, axis=2)
     return w, h, a.reshape(h, w, 3)
 
 
 def _tiff_diff2(block: "np.ndarray") -> "np.ndarray":
-    """Forward Predictor-2 differencing of an (h, w, spp) uint8 block
-    (per row, per channel, mod 256) — writer-side twin of
-    _tiff_undo_predictor2."""
-    a = block.astype(np.int16)
+    """Forward Predictor-2 differencing of an (h, w, spp) uint8 or
+    uint16 block (per row, per channel, mod 2^bits) — writer-side twin
+    of _tiff_undo_predictor2."""
+    out_dt = block.dtype
+    a = block.astype(np.int32)
     d = a.copy()
     d[:, 1:] = a[:, 1:] - a[:, :-1]
-    return (d % 256).astype(np.uint8)
+    return (d % (1 << (8 * out_dt.itemsize))).astype(out_dt)
 
 
 def encode_tiff(img: "np.ndarray", endian: str = "<",
                 compression: int = 1,
                 rows_per_strip: int | None = None,
                 predictor: int = 1,
-                tile: tuple[int, int] | None = None) -> bytes:
+                tile: tuple[int, int] | None = None,
+                planar: bool = False,
+                bits: int = 8) -> bytes:
     """Minimal baseline-TIFF writer for test/oracle payload synthesis:
-    either byte order, gray (h, w) or RGB (h, w, 3) uint8, compression
-    none / real PackBits / TIFF LZW / Deflate (r11), optional
-    Predictor 2 horizontal differencing, multi-strip via
-    ``rows_per_strip`` OR tiled via ``tile=(tile_w, tile_h)`` (§15 —
-    edge tiles zero-padded to full size as the spec requires). Layout:
-    header, segment data, out-of-line value arrays, IFD last (tags
-    ascending as the spec requires) — so the parser's inline-vs-offset
-    resolution and strip/tile reassembly all get exercised."""
-    import struct
+    either byte order, gray (h, w) or RGB (h, w, 3) uint8 (or uint16
+    when ``bits=16`` — samples packed in the FILE byte order, tag 258
+    = [16]*spp), compression none / real PackBits / TIFF LZW / Deflate
+    (r11), optional Predictor 2 horizontal differencing (sample-space
+    for 16-bit, per spec §14), multi-strip via ``rows_per_strip`` OR
+    tiled via ``tile=(tile_w, tile_h)`` (§15 — edge tiles zero-padded
+    to full size as the spec requires), chunky or PLANAR component
+    layout (``planar=True`` -> tag 284 = 2: segment list is
+    plane-major — all of component 0's strips/tiles, then component
+    1's, per spec §12; r13). Layout: header, segment data, out-of-line
+    value arrays, IFD last (tags ascending as the spec requires) — so
+    the parser's inline-vs-offset resolution and strip/tile reassembly
+    all get exercised."""
     import zlib
 
     assert endian in ("<", ">")
-    img = np.asarray(img, dtype=np.uint8)
+    assert bits in (8, 16)
+    dt = np.uint8 if bits == 8 else np.dtype(endian + "u2")
+    img = np.asarray(img).astype(dt)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
+    assert not (planar and gray), "planar layout needs spp == 3"
 
     def pack(raw: bytes) -> bytes:
         if compression == 32773:
@@ -3596,35 +3651,42 @@ def encode_tiff(img: "np.ndarray", endian: str = "<",
             return zlib.compress(raw)
         return raw
 
-    if tile is not None:
-        tw, th = tile
-        full = img.reshape(h, w, spp)
-        strips = []
-        for r0 in range(0, h, th):
-            for c0 in range(0, w, tw):
-                block = np.zeros((th, tw, spp), dtype=np.uint8)
-                part = full[r0:r0 + th, c0:c0 + tw]
-                block[:part.shape[0], :part.shape[1]] = part
-                if predictor == 2:
-                    block = _tiff_diff2(block)
-                strips.append(pack(block.tobytes()))
-    else:
-        if predictor == 2:
-            img = _tiff_diff2(img.reshape(h, w, spp)).reshape(img.shape)
-        rps = rows_per_strip or h
-        strips = [pack(img[r0:r0 + rps].tobytes())
-                  for r0 in range(0, h, rps)]
+    full = img.reshape(h, w, spp)
+    # planar: each plane is encoded as an independent 1-sample image;
+    # the segment list concatenates the planes' segments plane-major
+    planes = ([full[:, :, p:p + 1] for p in range(spp)] if planar
+              else [full])
+    strips = []
+    rps = rows_per_strip or h
+    for pl in planes:
+        pspp = pl.shape[2]
+        if tile is not None:
+            tw, th = tile
+            for r0 in range(0, h, th):
+                for c0 in range(0, w, tw):
+                    block = np.zeros((th, tw, pspp), dtype=dt)
+                    part = pl[r0:r0 + th, c0:c0 + tw]
+                    block[:part.shape[0], :part.shape[1]] = part
+                    if predictor == 2:
+                        block = _tiff_diff2(block)
+                    strips.append(pack(block.tobytes()))
+        else:
+            enc = _tiff_diff2(pl) if predictor == 2 else pl
+            strips += [pack(enc[r0:r0 + rps].tobytes())
+                       for r0 in range(0, h, rps)]
     return _tiff_single_ifd(endian, w, h, spp, 1 if gray else 2,
                             compression, strips,
                             rows_per_strip=None if tile else rps,
-                            tile=tile, predictor=predictor)
+                            tile=tile, predictor=predictor,
+                            planar=planar, bits=bits)
 
 
 def _tiff_single_ifd(endian: str, w: int, h: int, spp: int,
                      photometric: int, compression: int, strips,
                      rows_per_strip: int | None = None,
                      tile: tuple[int, int] | None = None,
-                     predictor: int = 1) -> bytes:
+                     predictor: int = 1, planar: bool = False,
+                     bits: int = 8) -> bytes:
     """Wrap pre-encoded segments (strips or tiles) in a one-IFD TIFF
     container — factored from encode_tiff (r12) so codec writers that
     produce STRUCTURED segments (JPEG-in-TIFF: each segment is a JFIF
@@ -3639,10 +3701,12 @@ def _tiff_single_ifd(endian: str, w: int, h: int, spp: int,
         pos += len(s)
 
     entries = [
-        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits] * spp),
         (259, 3, [compression]), (262, 3, [photometric]),
         (277, 3, [spp]),
     ]
+    if planar:
+        entries.append((284, 3, [2]))
     if tile is not None:
         entries += [(322, 4, [tile[0]]), (323, 4, [tile[1]]),
                     (324, 4, strip_offs),

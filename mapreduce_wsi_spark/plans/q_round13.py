@@ -17,8 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mapreduce_wsi_spark.plans.q_llm import _bpe_learn_apply_oracle
-from mapreduce_wsi_spark.plans.q_round12 import _IVF_PANEL_SQL
+from mapreduce_wsi_spark.plans.q_llm import (
+    _ASCII_DOCS_SQL,
+    _bpe_learn_apply_oracle,
+)
+from mapreduce_wsi_spark.plans.q_round12 import (
+    _IVF_PANEL_SQL,
+    _TIFF_4X4_MEANS_ORACLE,
+)
 from mapreduce_wsi_spark.plans.registry import register, tbl
 
 # ---------------------------------------------------------------------------
@@ -282,3 +288,105 @@ def sim_ann_ivfpq_grid_recall(spark, sf_dir):
                        .alias("recall_ok")))
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# C. Decoder notch: planar-configuration and 16-bit TIFF — the two
+#    smallest named stubs on the WSI format's own axis (VERDICT r12
+#    optional #8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_decode_tiff_planar",
+    oracle=_TIFF_4X4_MEANS_ORACLE,  # layout must not change values
+    note="PlanarConfiguration 2 TIFF decode (TIFF 6.0 s12 — tag "
+         "284 = 2: the segment list is PLANE-MAJOR, all of component "
+         "R's strips/tiles then G's then B's, each plane an "
+         "independent 1-sample image; scientific/medical TIFF "
+         "writers emit this layout): the same 4x4 RGB images as "
+         "mm_decode_tiff_tiled, re-containerized planar under a "
+         "16-way rotation — byte order (doc_id%2), LZW vs Deflate "
+         "((doc_id//2)%2), Predictor 1 vs 2 ((doc_id//4)%2, undone "
+         "per PLANE with spp=1), 2-row strips vs 3x2 tiles "
+         "((doc_id//8)%2, edge tiles padded per plane). The oracle "
+         "recomputes channel means from the source ASCII bytes, so a "
+         "plane-order swap, a per-plane predictor misapplied across "
+         "planes, or a segment-count miscount shifts a mean "
+         "(operators/multimodal.py::_parse_tiff planar branch, "
+         "encode_tiff(planar=True))")
+def mm_decode_tiff_planar(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.multimodal import (
+        decode_tiff_stats, encode_tiff)
+    from mapreduce_wsi_spark.plans.q_llm import _ascii_docs
+    from mapreduce_wsi_spark.plans.q_round12 import _tiff_blobs
+
+    def encode_one(doc_id, img):
+        endian = "<" if doc_id % 2 == 0 else ">"
+        comp = 5 if (doc_id // 2) % 2 == 0 else 8
+        pred = 1 if (doc_id // 4) % 2 == 0 else 2
+        if (doc_id // 8) % 2:
+            return encode_tiff(img, endian, comp, predictor=pred,
+                               tile=(3, 2), planar=True)
+        return encode_tiff(img, endian, comp, predictor=pred,
+                           rows_per_strip=2, planar=True)
+
+    blobs = _tiff_blobs(_ascii_docs(spark, sf_dir), encode_one)
+    stats = decode_tiff_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "mm_decode_tiff_16bit",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) * 257 / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) * 257 / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) * 257 / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="16-bit-per-sample TIFF decode (BitsPerSample [16,16,16] — "
+         "the depth whole-slide scanners and microscopy actually "
+         "capture at): each source ASCII byte v becomes the 16-bit "
+         "sample v*257 (= v<<8|v, the exact 8->16 bit replication "
+         "scaling), packed in the FILE byte order — so a decoder that "
+         "reads the wrong endian, or reads byte pairs as two 8-bit "
+         "samples, shifts every mean by orders of magnitude. Rotation: "
+         "byte order (doc_id%2) x LZW/Deflate ((doc_id//2)%2) x "
+         "Predictor 1/2 ((doc_id//4)%2, SAMPLE-space differencing mod "
+         "65536 per spec s14) x strips/tiles ((doc_id//8)%2). Oracle = "
+         "the 8-bit channel means scaled by 257 "
+         "(operators/multimodal.py::_parse_tiff 16-bit path)")
+def mm_decode_tiff_16bit(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        decode_tiff_stats, encode_tiff)
+    from mapreduce_wsi_spark.plans.q_llm import _ascii_docs
+    from mapreduce_wsi_spark.plans.q_round12 import _tiff_blobs
+
+    def encode_one(doc_id, img):
+        img16 = img.astype(np.uint16) * 257
+        endian = "<" if doc_id % 2 == 0 else ">"
+        comp = 5 if (doc_id // 2) % 2 == 0 else 8
+        pred = 1 if (doc_id // 4) % 2 == 0 else 2
+        if (doc_id // 8) % 2:
+            return encode_tiff(img16, endian, comp, predictor=pred,
+                               tile=(3, 2), bits=16)
+        return encode_tiff(img16, endian, comp, predictor=pred,
+                           rows_per_strip=2, bits=16)
+
+    blobs = _tiff_blobs(_ascii_docs(spark, sf_dir), encode_one)
+    stats = decode_tiff_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))

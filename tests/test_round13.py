@@ -106,3 +106,141 @@ def test_ivfpq_recall_never_beats_ivf_alone(spark, sf_oracle):
                    .join(top_ex, ["qid", "cid"]).count())
         assert pq_hits <= ivf_hits
         assert pq_hits > 0
+
+
+# ---------------------------------------------------------------------------
+# Planar-configuration and 16-bit TIFF (the r13 decoder notch)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+
+from mapreduce_wsi_spark.operators.multimodal import (
+    _parse_tiff,
+    encode_tiff,
+)
+
+
+def _img(seed: int, shape=(4, 4, 3), hi=256, dtype=np.uint8):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, hi, shape, dtype=dtype)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 32773, 5, 8])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("tile", [None, (3, 2)])
+def test_planar_roundtrips(endian, comp, pred, tile):
+    """Tag 284=2 (plane-major segments): every catalog rotation (and
+    PackBits/uncompressed beyond it) round-trips bit-exactly; the
+    predictor must undo per PLANE with spp=1, edge tiles pad per
+    plane."""
+    img = _img(21)
+    payload = encode_tiff(img, endian, comp, predictor=pred, tile=tile,
+                          planar=True,
+                          rows_per_strip=None if tile else 2)
+    parsed = _parse_tiff(payload)
+    assert parsed is not None
+    w, h, px = parsed
+    assert (w, h) == (4, 4)
+    np.testing.assert_array_equal(px, img)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 32773, 5, 8])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("tile", [None, (3, 2)])
+@pytest.mark.parametrize("gray", [False, True])
+def test_16bit_roundtrips(endian, comp, pred, tile, gray):
+    """BitsPerSample 16: samples pack in the FILE byte order and decode
+    to native uint16; Predictor 2 differences in SAMPLE space (mod
+    65536) — a byte-space undo corrupts roughly half of all images,
+    which the full-array equality catches."""
+    img = _img(22, (5, 7) if gray else (5, 7, 3), 65536, np.uint16)
+    payload = encode_tiff(img, endian, comp, predictor=pred, tile=tile,
+                          bits=16, rows_per_strip=None if tile else 2)
+    parsed = _parse_tiff(payload)
+    assert parsed is not None
+    w, h, px = parsed
+    assert (w, h) == (7, 5) and px.dtype == np.uint16
+    np.testing.assert_array_equal(px if not gray else px[:, :, 0], img)
+
+
+def test_16bit_whitesiszero_inverts_at_16_bits():
+    """photo=0 inversion must use the 16-bit max (65535 - v), not 255."""
+    from mapreduce_wsi_spark.operators.multimodal import _tiff_single_ifd
+    g = np.array([[1000, 0], [65535, 513]], dtype=np.uint16)
+    payload = _tiff_single_ifd(
+        "<", 2, 2, 1, 0, 1, [g.astype("<u2").tobytes()],
+        rows_per_strip=2, bits=16)
+    parsed = _parse_tiff(payload)
+    assert parsed is not None
+    np.testing.assert_array_equal(parsed[2][:, :, 0], 65535 - g)
+
+
+def test_planar_and_16bit_malformed_reject():
+    """Clean misses, never misreads: a planar file with a truncated
+    segment list, a 16-bit file with an odd byte count, JPEG x planar
+    and JPEG x 16-bit combinations, and non-uniform BitsPerSample all
+    return None."""
+    import struct
+
+    img = _img(23)
+    ok = encode_tiff(img, "<", 1, rows_per_strip=2, planar=True)
+    assert _parse_tiff(ok) is not None
+
+    # drop the last plane's segments: strip count 6 -> 4 (the parser
+    # must demand spp * strips_per_plane entries)
+    def patch_count(payload, tag, new_cnt):
+        (n,) = struct.unpack_from("<H", payload, struct.unpack_from(
+            "<I", payload, 4)[0])
+        ifd = struct.unpack_from("<I", payload, 4)[0]
+        out = bytearray(payload)
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            t, typ, cnt = struct.unpack_from("<HHI", payload, off)
+            if t == tag:
+                struct.pack_into("<I", out, off + 4, new_cnt)
+        return bytes(out)
+
+    assert _parse_tiff(patch_count(ok, 273, 4)) is None
+    assert _parse_tiff(patch_count(ok, 273, 7)) is None
+
+    img16 = _img(24, (4, 4, 3), 65536, np.uint16)
+    ok16 = encode_tiff(img16, "<", 1, rows_per_strip=4, bits=16)
+    assert _parse_tiff(ok16) is not None
+    # non-uniform bits [16, 8, 16] (patch one SHORT of tag 258's array)
+    bad = bytearray(ok16)
+    pos = bad.find(struct.pack("<3H", 16, 16, 16))
+    assert pos > 0
+    struct.pack_into("<H", bad, pos + 2, 8)
+    assert _parse_tiff(bytes(bad)) is None
+
+
+def test_planar_16bit_fuzz_never_raises():
+    """Byte-flip fuzz over the new container axes: any mutation either
+    decodes to SOME image or returns None — the parser never raises
+    (the established branchy-parser standard)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = [
+        encode_tiff(_img(31), "<", 5, predictor=2, planar=True,
+                    rows_per_strip=2),
+        encode_tiff(_img(32), ">", 8, tile=(3, 2), planar=True),
+        encode_tiff(_img(33, (4, 4, 3), 65536, np.uint16), "<", 5,
+                    bits=16, rows_per_strip=2),
+        encode_tiff(_img(34, (4, 4, 3), 65536, np.uint16), ">", 8,
+                    predictor=2, bits=16, tile=(3, 2)),
+    ]
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def run(data):
+        payload = bytearray(data.draw(st.sampled_from(base)))
+        for _ in range(data.draw(st.integers(1, 4))):
+            i = data.draw(st.integers(0, len(payload) - 1))
+            payload[i] = data.draw(st.integers(0, 255))
+        _parse_tiff(bytes(payload))  # must not raise
+
+    run()
