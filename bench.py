@@ -218,6 +218,20 @@ HEADLINE = [
     "dedup_chain_cluster_first_seen",
     "text_ngram_novelty_decay",
     "dedup_cdc_chunk_size_audit",
+    # round-13 tranche — the rows with real data volume: the two new
+    # TIFF container axes (plane-major reassembly; 16-bit sample
+    # decode), the corpus-wide tokenize + budget composition (BPE
+    # learn at build, like text_bpe_learn), and the 4-depth
+    # compression curve (3 learns + 4 tokenize passes, all at build/
+    # map). mix_token_vs_char_shift recomposes the same tokenize and
+    # would double-count; sim_ann_ivfpq_grid_recall is panel-bounded
+    # with an in-plan exact anchor, so the bench times its PRODUCTION
+    # serve phase via the override below (the sim_ann_ivf/pq split).
+    "mm_decode_tiff_planar",
+    "mm_decode_tiff_16bit",
+    "mix_bpe_token_budget",
+    "text_bpe_compression_curve",
+    "sim_ann_ivfpq_grid_recall",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -241,7 +255,12 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    "pipeline_dedup_funnel",
                    # r12: cluster first-seen runs connected components
                    # (iterative, checkpointed) at build
-                   "dedup_chain_cluster_first_seen"}
+                   "dedup_chain_cluster_first_seen",
+                   # r13: both run the BPE trainer's bounded argmax
+                   # rounds while the plan is built (text_bpe_learn's
+                   # reason)
+                   "mix_bpe_token_budget",
+                   "text_bpe_compression_curve"}
 
 
 def _bench_overrides():
@@ -319,9 +338,37 @@ def _bench_overrides():
         return pq_query(codes, books, emb,
                         emb.filter(F.col("vec_id") < 5), k=10)
 
+    # r13: the composed IVF-PQ index — the catalog entry is a
+    # panel-bounded recall audit carrying its exact-cosine truth
+    # in-plan; the bench times the PRODUCTION serve phase instead:
+    # ADC within probed cells + re-rank against a prebuilt index
+    # (coarse quantizer + cell-tagged code table both amortized
+    # build-side, the sim_ann_ivf/sim_ann_pq convention).
+    from mapreduce_wsi_spark.operators.similarity import ivfpq_query
+
+    ivfpq_cache: dict[str, tuple] = {}
+
+    def _ivfpq(spark, sf_dir):
+        if sf_dir not in ivfpq_cache:
+            emb, assigned, centroids = _index(spark, sf_dir)
+            books = build_pq_codebooks(emb)
+            codes = iter_checkpoint(
+                pq_encode(emb, books)
+                .join(assigned.select("vec_id", "__cell"), "vec_id"))
+            ivfpq_cache[sf_dir] = (emb, assigned, centroids, books,
+                                   codes)
+        return ivfpq_cache[sf_dir]
+
+    def ivfpq_serve(spark, sf_dir):
+        emb, assigned, centroids, books, codes = _ivfpq(spark, sf_dir)
+        return ivfpq_query(assigned, centroids, codes, books, emb,
+                           emb.filter(F.col("vec_id") < 5), k=10,
+                           n_probe=4)
+
     return {"sim_ann_ivf_build": ivf_build, "sim_ann_ivf": ivf_serve,
             "sketch_tdigest_quantiles": tdigest_only,
-            "sim_ann_pq_build": pq_build, "sim_ann_pq": pq_serve}
+            "sim_ann_pq_build": pq_build, "sim_ann_pq": pq_serve,
+            "sim_ann_ivfpq_grid_recall": ivfpq_serve}
 
 
 # stdout-line families: the driver's artifact capture keeps only the LAST

@@ -390,3 +390,138 @@ def mm_decode_tiff_16bit(spark, sf_dir):
                         F.round("mean_r", 9).alias("mean_r"),
                         F.round("mean_g", 9).alias("mean_g"),
                         F.round("mean_b", 9).alias("mean_b"))
+
+
+# ---------------------------------------------------------------------------
+# D. Tokenizer economics: the compression curve and the mixture shift —
+#    the two tables a team reads before committing a tokenizer
+# ---------------------------------------------------------------------------
+
+def _bpe_ntok_sql(k: int) -> str:
+    """Per-doc BPE token counts at merge depth ``k`` as a subquery:
+    depth 0 is one aggregate (every word char is a token before any
+    merge); k > 0 replays the learn+apply oracle chain."""
+    if k == 0:
+        return ("(SELECT doc_id, CAST(sum(len(w)) AS INT) AS n_tokens"
+                " FROM (SELECT doc_id, unnest(string_split(text, ' '))"
+                " AS w FROM documents) s WHERE w <> '' GROUP BY doc_id)")
+    return f"(SELECT doc_id, n_tokens FROM ({_bpe_learn_apply_oracle(k)}) q)"
+
+
+@register(
+    "text_bpe_compression_curve",
+    oracle=f"""
+    WITH u AS ({" UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS n_merges,"
+        f" CAST(sum(n_tokens) AS BIGINT) AS total_tokens"
+        f" FROM {_bpe_ntok_sql(k)} t{k}"
+        for k in (0, 2, 4, 6))}),
+    base AS (SELECT total_tokens AS t0 FROM u WHERE n_merges = 0)
+    SELECT n_merges, total_tokens,
+           CAST((t0 - total_tokens) * 1000000 // t0 AS BIGINT)
+               AS saved_ppm
+    FROM u CROSS JOIN base
+    """,
+    note="tokenizer COMPRESSION CURVE — corpus token mass at merge "
+         "depth 0/2/4/6 (the vocab-size-vs-sequence-length dial every "
+         "tokenizer-training run sweeps before pinning a vocab): "
+         "depth 0 is the raw character count over words, each deeper "
+         "point re-trains the BPE table on the corpus and re-tokenizes "
+         "map-side with the learned merges as plan literals "
+         "(text_bpe_learn_apply's exact trajectory per depth), "
+         "saved_ppm = sequence-length reduction vs raw chars. "
+         "Diminishing returns are the expected shape — each merge "
+         "saves at most its pair's corpus frequency. Oracle replays "
+         "all three merge chains (2+4+6 generated CTE rounds) plus "
+         "the depth-0 aggregate; Spark side: 12 bounded argmax jobs "
+         "at build, then 4 map-only tokenize passes -> 1-row "
+         "aggregates (operators/text.py::bpe_learn_and_apply)")
+def text_bpe_compression_curve(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bpe_learn_and_apply
+    docs = tbl(spark, sf_dir, "documents")
+    parts = []
+    for k in (0, 2, 4, 6):
+        nt = bpe_learn_and_apply(docs, "text", "doc_id", n_merges=k)
+        parts.append(nt.agg(
+            F.lit(k).cast("int").alias("n_merges"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    base = (u.filter(F.col("n_merges") == 0)
+            .select(F.col("total_tokens").alias("t0")))
+    return (u.crossJoin(F.broadcast(base))
+            .select("n_merges", "total_tokens",
+                    F.expr("(t0 - total_tokens) * 1000000 div t0")
+                    .cast("bigint").alias("saved_ppm")))
+
+
+@register(
+    "mix_token_vs_char_shift",
+    oracle=rf"""
+    WITH ntok AS (SELECT doc_id, n_tokens
+                  FROM ({_bpe_learn_apply_oracle(6)}) bq),
+    h AS (SELECT doc_id, source, n_chars,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                               'g')))) AS h
+          FROM documents),
+    firsts AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h),
+    per AS (SELECT s.source,
+                   CAST(sum(CASE WHEN s.doc_id = f.keeper
+                                 THEN s.n_chars ELSE 0 END) AS BIGINT)
+                       AS eff_chars,
+                   CAST(sum(CASE WHEN s.doc_id = f.keeper
+                                 THEN nt.n_tokens ELSE 0 END) AS BIGINT)
+                       AS eff_tokens
+            FROM h s JOIN firsts f ON f.h = s.h
+            JOIN ntok nt ON nt.doc_id = s.doc_id
+            GROUP BY s.source),
+    tot AS (SELECT sum(eff_chars) AS tc, sum(eff_tokens) AS tt FROM per)
+    SELECT source, eff_chars, eff_tokens,
+           CAST(eff_chars * 1000000 // tc AS BIGINT) AS char_share_ppm,
+           CAST(eff_tokens * 1000000 // tt AS BIGINT)
+               AS token_share_ppm,
+           CAST(eff_tokens * 1000000 // tt
+                - eff_chars * 1000000 // tc AS BIGINT) AS shift_ppm
+    FROM per CROSS JOIN tot
+    """,
+    note="MIXTURE SHIFT under the metric change — per source, its "
+         "share of the dedup-unique corpus in chars vs in learned-BPE "
+         "tokens, and the signed ppm shift: the one-table answer to "
+         "'which domains does a char-weighted mixture over- or under-"
+         "sample once the trainer counts tokens?' (sources whose text "
+         "compresses BETTER than average lose share — exactly the "
+         "bias mix_bpe_token_budget corrects; this entry makes the "
+         "delta itself a stamped value claim rather than a property-"
+         "test side effect). Same dedup-keeper convention as the "
+         "budget entries; one tokenize pass, two aggregates, a 1-row "
+         "broadcast")
+def mix_token_vs_char_shift(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import bpe_learn_and_apply
+    docs = tbl(spark, sf_dir, "documents")
+    ntok = (bpe_learn_and_apply(docs, "text", "doc_id", n_merges=6)
+            .select("doc_id", "n_tokens"))
+    h = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+        .alias("h"))
+    firsts = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    per = (h.join(firsts, "h").join(ntok, "doc_id")
+           .groupBy("source")
+           .agg(F.sum(F.when(F.col("doc_id") == F.col("keeper"),
+                             F.col("n_chars")).otherwise(0))
+                .cast("bigint").alias("eff_chars"),
+                F.sum(F.when(F.col("doc_id") == F.col("keeper"),
+                             F.col("n_tokens")).otherwise(0))
+                .cast("bigint").alias("eff_tokens")))
+    tot = per.agg(F.sum("eff_chars").alias("tc"),
+                  F.sum("eff_tokens").alias("tt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "eff_chars", "eff_tokens",
+                    F.expr("eff_chars * 1000000 div tc").cast("bigint")
+                    .alias("char_share_ppm"),
+                    F.expr("eff_tokens * 1000000 div tt").cast("bigint")
+                    .alias("token_share_ppm"),
+                    F.expr("eff_tokens * 1000000 div tt "
+                           "- eff_chars * 1000000 div tc")
+                    .cast("bigint").alias("shift_ppm")))

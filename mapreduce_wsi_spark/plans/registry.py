@@ -83,73 +83,61 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-11
-# stamped the ENTIRE 426-entry r11 catalog green (cumulative 426/426,
-# r11 50/50). r12 continues the COVERAGE.md growth policy (<=45
-# net-new per round, minus the re-queued staleness slots): the r12
-# tranche adds exactly 15 entries (plans/q_round12.py — the declared
-# r12 queue, complete: the whole-slide-image TIFF surface stamped
-# [tiled/LZW/Deflate/predictor rotation, pyramid page reads, IFD-chain
-# inventory], three-way snapshot chains for NEAR-dup first-seen
-# attribution at doc and CLUSTER level, n-gram crawl-novelty decay,
-# CDC chunk-size audit, distillation calibration + threshold sweep,
-# per-host curriculum pacing, epoch-repeat budgeting, IVF n_probe
-# recall + cell balance, plus JPEG-in-TIFF Compression 7 — the
-# Aperio-SVS layout, single-IFD and full JPEG-coded pyramid), so this
-# window = 5 sentinels + 15
-# never-stamped + the 30-slot oldest-stamp pad (the r2-vintage
-# staleness re-checks VERDICT r11 queued).
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-12
+# stamped the ENTIRE 441-entry r12 windowed catalog green (cumulative
+# 441/441, r12 50/50). r13 continues the COVERAGE.md growth policy
+# (<=45 net-new per round, minus the re-queued staleness slots): this
+# window = 5 sentinels + the 11 never-stamped entries (the 5 pre-built
+# r13-queue heads from late r12 [PQ m-sweep, distill ablation, CDC
+# boundary sweep, per-host anneal, budget waterfall] + the 6-entry r13
+# tranche [plans/q_round13.py — real-BPE-token waterfall budget,
+# IVF-PQ composed serving recall grid, planar-configuration and
+# 16-bit TIFF decode, the tokenizer compression curve, and the
+# token-vs-char mixture-shift table]) + the 34-slot oldest-stamp pad.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped),
 # recomputes the pad MECHANICALLY (oldest latest-stamp first, name
 # tie-break — VERDICT r10 ask #5), and checks family coverage over the
 # CUMULATIVE stamped set.
-ROUND = 12  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+ROUND = 13  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # fills the free slots left after every never-stamped entry is
 # windowed, picking the entries whose LATEST green stamp is oldest
-# (ties broken by name) — exactly the five round-2-vintage entries
-# that re-queued when the r10 session-2 tranche squeezed the pad to
-# zero. test_driver_window.py::test_pad_is_exactly_the_oldest_stamps
+# (ties broken by name) — for r13 that is the next 34 r2/r3-vintage
+# rows in the rotation, emitted verbatim by
+# tools/window_audit.py --emit-next.
+# test_driver_window.py::test_pad_is_exactly_the_oldest_stamps
 # recomputes this from CORRECTNESS_r*.json, so the pad can never be
 # hand-picked.
 WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_pred", "q21_waiting_supplier",
-    "q22_global_sales_opportunity", "q4_order_priority",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "set_except", "set_except_all",
-    "set_intersect_all", "string_agg_sorted", "top_supplier_per_nation",
-    "agg_distinct_counts", "approx_distinct_hll", "argmax_per_group",
-    "array_higher_order", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "explode_words_ordinal",
-    "flagship_arrow_pandas", "global_ids_dense", "grouping_sets_agg",
-    "hierarchy_roots_depth",
+    "interval_peak_concurrency", "join_asof_last_error",
+    "join_left_outer_counts", "join_semi", "json_typed_struct",
+    "map_funcs", "mm_blob_meta", "mm_decode_ppm", "null_semantics",
+    "pipeline_prepare_corpus", "pivot_qty", "q3_shipping_priority",
+    "q5_local_supplier_volume", "quantile_disc_exact",
+    "scalar_date_funcs", "scalar_string_funcs",
+    "sessionize_lag_cumsum", "set_union", "sim_ann_ivf",
+    "sim_cosine_topk", "sim_embedding_neardup",
+    "split_hash_deterministic", "stream_session_window",
+    "stream_tumbling_window", "text_quality", "text_token_stats",
+    "time_rollup_multigrain", "topk_global",
+    "udaf_pandas_integer_mean", "udtf_chunk_text", "unpivot_part",
+    "var_std_exact", "window_rank_lag", "anomaly_zscore_rolling",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # r12 tranche (plans/q_round12.py), registration order:
-    # whole-slide-image TIFF surface (VERDICT r11 missing #2)
-    "mm_decode_tiff_tiled", "mm_decode_tiff_pyramid",
-    "mm_tiff_pyramid_meta",
-    # three-way snapshot chains / crawl novelty / CDC audit
-    "dedup_chain_minhash_first_seen", "dedup_chain_cluster_first_seen",
-    "text_ngram_novelty_decay", "dedup_cdc_chunk_size_audit",
-    # distillation calibration
-    "quality_distill_calibration", "quality_distill_threshold_sweep",
-    # per-host pacing / epoch budgeting
-    "mix_host_curriculum_pacing", "mix_epoch_token_budget",
-    # ANN serving audits
-    "sim_ann_ivf_nprobe_recall", "embedding_ivf_cell_balance",
-    # JPEG-in-TIFF (Compression 7) and the full SVS shape (JPEG-coded
-    # chained-IFD pyramid) — added after the tranche shipped; each
-    # displaces the newest pad slot per the mechanical rule
-    "mm_decode_tiff_jpeg", "mm_decode_tiff_svs",
+    # the 5 r13-queue heads pre-built late in r12 (q_round12.py F):
+    "sim_ann_pq_m_recall", "quality_distill_feature_ablation",
+    "dedup_cdc_boundary_sweep", "mix_host_anneal_phase",
+    "mix_epoch_budget_waterfall",
+    # r13 tranche (plans/q_round13.py), registration order:
+    "mix_bpe_token_budget", "sim_ann_ivfpq_grid_recall",
+    "mm_decode_tiff_planar", "mm_decode_tiff_16bit",
+    "text_bpe_compression_curve", "mix_token_vs_char_shift",
 ) + WINDOW_STALENESS_PAD
 
 
