@@ -244,3 +244,35 @@ def test_planar_16bit_fuzz_never_raises():
         _parse_tiff(bytes(payload))  # must not raise
 
     run()
+
+
+def test_compression_curve_is_monotone(spark, sf_oracle):
+    """The note's claim pinned: deeper merge tables never lengthen the
+    corpus (each merge can only collapse adjacent pairs), so
+    total_tokens is non-increasing and saved_ppm non-decreasing in
+    n_merges, anchored at saved_ppm = 0 for depth 0."""
+    from mapreduce_wsi_spark.plans.q_round13 import (
+        text_bpe_compression_curve)
+    rows = sorted(text_bpe_compression_curve(spark, sf_oracle).collect(),
+                  key=lambda r: r.n_merges)
+    assert [r.n_merges for r in rows] == [0, 2, 4, 6]
+    assert rows[0].saved_ppm == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.total_tokens <= a.total_tokens
+        assert b.saved_ppm >= a.saved_ppm
+    assert rows[-1].saved_ppm > 0  # six merges must save something
+
+
+def test_mixture_shift_sums_and_sign(spark, sf_oracle):
+    """Share tables must be true ppm partitions (floor-division slack
+    only) and the shifts must cancel: sum(shift_ppm) is bounded by the
+    per-source floor losses of the two share columns."""
+    from mapreduce_wsi_spark.plans.q_round13 import mix_token_vs_char_shift
+    rows = mix_token_vs_char_shift(spark, sf_oracle).collect()
+    n = len(rows)
+    assert n > 1
+    for col in ("char_share_ppm", "token_share_ppm"):
+        tot = sum(getattr(r, col) for r in rows)
+        assert 1_000_000 - n <= tot <= 1_000_000
+    assert abs(sum(r.shift_ppm for r in rows)) <= n
+    assert any(r.shift_ppm != 0 for r in rows)

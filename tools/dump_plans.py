@@ -133,6 +133,12 @@ SHOWN = [
     "dedup_chain_minhash_first_seen",
     "mix_host_curriculum_pacing",
     "text_ngram_novelty_decay",
+    # r13 tranche: the BPE-token budget composition (learned merges as
+    # plan literals + keeper join + waterfall broadcasts) and the
+    # IVF-PQ composed serve (broadcast probes, cell-equi code join,
+    # salted shortlist + re-rank)
+    "mix_bpe_token_budget",
+    "sim_ann_ivfpq_grid_recall",
 ]
 
 # Longer-form commentary (beyond the catalog note) rendered above the plan.

@@ -89,6 +89,10 @@ PROBE_QUERIES = {
     "dedup_chain_cluster_first_seen",  # minhash pairs + CC rounds
     "text_ngram_novelty_decay",        # 5-gram explode + min-snap agg
     "dedup_cdc_chunk_size_audit",      # map-only fold + histogram
+    # r13 heavy rows (documents only)
+    "mix_bpe_token_budget",        # BPE learn + tokenize + budget tail
+    "text_bpe_compression_curve",  # 3 learns + 4 tokenize passes
+    "mix_token_vs_char_shift",     # 1 learn + tokenize + share table
 }
 
 
