@@ -232,6 +232,12 @@ HEADLINE = [
     "mix_bpe_token_budget",
     "text_bpe_compression_curve",
     "sim_ann_ivfpq_grid_recall",
+    # r13 late additions: the combined planar16 container kernel and
+    # the half-corpus-train/full-corpus-apply tokenizer pass.
+    # sim_ann_ivfpq_scan_fraction aggregates the index's own cell-size
+    # table (panel-bounded, no data-sized work) — excluded.
+    "mm_decode_tiff_planar16",
+    "text_bpe_transfer_curve",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label
@@ -256,11 +262,12 @@ BUILD_IN_TIMING = {"dedup_components", "dedup_components_star",
                    # r12: cluster first-seen runs connected components
                    # (iterative, checkpointed) at build
                    "dedup_chain_cluster_first_seen",
-                   # r13: both run the BPE trainer's bounded argmax
+                   # r13: these run the BPE trainer's bounded argmax
                    # rounds while the plan is built (text_bpe_learn's
                    # reason)
                    "mix_bpe_token_budget",
-                   "text_bpe_compression_curve"}
+                   "text_bpe_compression_curve",
+                   "text_bpe_transfer_curve"}
 
 
 def _bench_overrides():

@@ -724,6 +724,18 @@ def bpe_learn_and_apply(df: DataFrame, text_col: str, id_col: str,
     clean = F.replace(F.col(text_col), F.lit("\x1f"), F.lit(""))
     df = df.withColumn(text_col, clean)
     learned = _bpe_learn_merges(df, text_col, n_merges)
+    return bpe_apply_learned(df, text_col, id_col, learned)
+
+
+def bpe_apply_learned(df: DataFrame, text_col: str, id_col: str,
+                      learned) -> DataFrame:
+    """Apply a LEARNED merge table (``_bpe_learn_merges`` tuples) to
+    ``df`` — the apply half of ``bpe_learn_and_apply``, factored (r13)
+    so a table trained on one split can tokenize another (the
+    transfer/held-out measurement every production tokenizer gets).
+    ``df``'s text must already be U+001F-free (the caller strips it;
+    ``bpe_learn_and_apply`` does so before training for the same char
+    stream on both sides)."""
     sep = "\x1f"
 
     wlist = F.filter(words(F.col(text_col)), lambda w: w != "")

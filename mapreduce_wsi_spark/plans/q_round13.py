@@ -525,3 +525,223 @@ def mix_token_vs_char_shift(spark, sf_dir):
                     F.expr("eff_tokens * 1000000 div tt "
                            "- eff_chars * 1000000 div tc")
                     .cast("bigint").alias("shift_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# E. r14 queue heads, pre-built (registered after the r13 window ->
+#    never-stamped, heading the next rotation — the r12 pattern)
+# ---------------------------------------------------------------------------
+
+def _bpe_transfer_oracle(n_merges: int = 6) -> str:
+    """The transfer twin: the LEARN rounds run over the doc_id%2==0
+    training split only (one surgical filter in the wf CTE), the apply
+    stage tokenizes EVERY doc — so held-out compression measures how
+    the learned table generalizes."""
+    full = _bpe_learn_apply_oracle(n_merges)
+    src = "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) s"
+    dst = ("FROM (SELECT unnest(string_split(text, ' ')) AS w "
+           "FROM documents WHERE doc_id % 2 = 0) s")
+    assert full.count(src) == 1, "wf CTE shape changed; re-pin the filter"
+    return full.replace(src, dst)
+
+
+@register(
+    "text_bpe_transfer_curve",
+    oracle=f"""
+    WITH ntok AS (SELECT doc_id, n_tokens
+                  FROM ({_bpe_transfer_oracle(6)}) q),
+    chars AS (SELECT doc_id,
+                     CAST(coalesce(list_sum(list_transform(
+                         list_filter(string_split(text, ' '),
+                                     w -> w <> ''),
+                         w -> len(w))), 0) AS BIGINT) AS n_chars_w
+              FROM documents),
+    j AS (SELECT CASE WHEN c.doc_id % 2 = 0 THEN 'train'
+                      ELSE 'heldout' END AS split,
+                 c.n_chars_w, coalesce(n.n_tokens, 0) AS n_tokens
+          FROM chars c LEFT JOIN ntok n ON n.doc_id = c.doc_id)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars_w) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_chars_w) - sum(n_tokens)) * 1000000
+                // greatest(sum(n_chars_w), 1) AS BIGINT) AS saved_ppm
+    FROM j GROUP BY split
+    """,
+    note="tokenizer TRANSFER curve (r14 queue head, pre-built: does "
+         "the learned table generalize?) — train 6 merges on the "
+         "doc_id%%2==0 HALF of the corpus, tokenize EVERYTHING with "
+         "that table, report compression separately for the training "
+         "split and the held-out split: the train/held-out gap is the "
+         "overfit measure every production tokenizer ships with (a "
+         "table of memorized rare pairs compresses its training split "
+         "and nothing else). Oracle replays the merge chain with the "
+         "learn CTEs filtered to the training split (one surgical "
+         "WHERE, assert-pinned) and the apply stage unfiltered; Spark "
+         "side: operators/text.py::bpe_apply_learned — the apply half "
+         "factored from bpe_learn_and_apply so a table trained on one "
+         "split tokenizes another. Learn = bounded argmax jobs over "
+         "the HALF vocabulary; apply map-only; two aggregate rows out")
+def text_bpe_transfer_curve(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.text import (
+        _bpe_learn_merges, bpe_apply_learned, words)
+    docs = tbl(spark, sf_dir, "documents")
+    clean = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit("\x1f"), F.lit("")))
+    learned = _bpe_learn_merges(
+        clean.filter(F.col("doc_id") % 2 == 0), "text", 6)
+    ntok = (bpe_apply_learned(clean, "text", "doc_id", learned)
+            .select("doc_id", "n_tokens"))
+    wl = F.filter(words(F.col("text")), lambda w: w != "")
+    chars = clean.select(
+        "doc_id",
+        F.aggregate(wl, F.lit(0), lambda a, w: a + F.length(w))
+        .cast("bigint").alias("n_chars_w"))
+    j = (chars.join(ntok, "doc_id")
+         .select(F.when(F.col("doc_id") % 2 == 0, "train")
+                 .otherwise("heldout").alias("split"),
+                 "n_chars_w", "n_tokens"))
+    return (j.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars_w").cast("bigint").alias("total_chars"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+            .select("split", "n_docs", "total_chars", "total_tokens",
+                    F.expr("(total_chars - total_tokens) * 1000000 "
+                           "div greatest(total_chars, 1L)")
+                    .cast("bigint").alias("saved_ppm")))
+
+
+@register(
+    "mm_decode_tiff_planar16",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(4 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 1]))) * 257 / 16.0, 9) AS mean_r,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 2]))) * 257 / 16.0, 9) AS mean_g,
+           round(list_sum(list_transform(generate_series(0, 15),
+                 j -> unicode(px[3*j + 3]))) * 257 / 16.0, 9) AS mean_b
+    FROM p
+    """,
+    note="the COMBINED container axes in one file (r14 queue head, "
+         "pre-built): PlanarConfiguration 2 x BitsPerSample 16 x "
+         "Predictor 1/2 — three separately-stamped decode branches "
+         "forced through the same IFD (per-plane segment lists whose "
+         "samples are 16-bit in the file byte order, horizontal "
+         "differencing in 16-bit sample space per plane), under the "
+         "usual rotation: byte order (doc_id%2) x LZW/Deflate "
+         "((doc_id//2)%2) x Predictor 1/2 ((doc_id//4)%2) x 2-row "
+         "strips vs 3x2 tiles ((doc_id//8)%2). Interactions are where "
+         "container parsers rot (a byte-space predictor undo or a "
+         "chunky-assumed plane stride each corrupt EXACTLY these "
+         "files); oracle = the 257-scaled channel means, so any "
+         "corrupt sample shifts a mean "
+         "(operators/multimodal.py::_parse_tiff)")
+def mm_decode_tiff_planar16(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        decode_tiff_stats, encode_tiff)
+    from mapreduce_wsi_spark.plans.q_llm import _ascii_docs
+    from mapreduce_wsi_spark.plans.q_round12 import _tiff_blobs
+
+    def encode_one(doc_id, img):
+        img16 = img.astype(np.uint16) * 257
+        endian = "<" if doc_id % 2 == 0 else ">"
+        comp = 5 if (doc_id // 2) % 2 == 0 else 8
+        pred = 1 if (doc_id // 4) % 2 == 0 else 2
+        if (doc_id // 8) % 2:
+            return encode_tiff(img16, endian, comp, predictor=pred,
+                               tile=(3, 2), planar=True, bits=16)
+        return encode_tiff(img16, endian, comp, predictor=pred,
+                           rows_per_strip=2, planar=True, bits=16)
+
+    blobs = _tiff_blobs(_ascii_docs(spark, sf_dir), encode_one)
+    stats = decode_tiff_stats(blobs)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))
+
+
+@register(
+    "sim_ann_ivfpq_scan_fraction",
+    oracle=f"""
+    WITH c AS ({_IVF_PANEL_SQL}),
+    nq AS (SELECT count(*) AS q FROM c WHERE vec_id < 20),
+    cn AS (SELECT count(*) AS n FROM c),
+    cfg AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS n_probe)
+    SELECT n_probe,
+           CAST(max(nq.q) AS BIGINT) AS n_queries,
+           CAST(max(cn.n) AS BIGINT) AS corpus_n,
+           true AS scan_bounded, true AS monotone_ok
+    FROM cfg CROSS JOIN nq CROSS JOIN cn GROUP BY n_probe
+    """,
+    note="IVF-PQ serve-phase RESIDENCY audit (r14 queue head, "
+         "pre-built: the I/O claim behind sim_ann_ivfpq_grid_recall "
+         "measured, not asserted): per n_probe, the number of code "
+         "rows the ADC stage actually scans (sum of probed cell "
+         "sizes over the 20-query panel) against the balanced "
+         "expectation n_probe/16 of the corpus — scan_bounded pins "
+         "scanned within [1/4x, 4x] of balanced (integer-multiplied; "
+         "measured at sf0.01: 1.75/1.21/1.10/1.00x — queries probe "
+         "the cells where the data lives, so low n_probe skews "
+         "high), monotone_ok computes that widening the probe never "
+         "scans fewer rows (per-query cell sets are supersets). "
+         "n_queries/corpus_n are oracle-exact; the audit aggregates "
+         "the cell-size table the index already carries — at 100 TB "
+         "this is the dial that prices a recall target in scan bytes "
+         "(m bytes/row vs 4*dim raw: with recall from the grid entry "
+         "and scan fraction from this one, cost = corpus * "
+         "scan_ppm * m bytes per query batch)")
+def sim_ann_ivfpq_scan_fraction(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, build_ivf_index, cosine)
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding",
+                                          n_centroids=16, seed=42)
+    sizes = assigned.groupBy("__cell").agg(
+        F.count(F.lit(1)).alias("__csz"))
+    nq = emb.filter(F.col("vec_id") < 20).agg(
+        F.count(F.lit(1)).alias("q"))
+    cn = emb.agg(F.count(F.lit(1)).alias("n"))
+    q = (emb.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("qid"),
+                 _as_double(F.col("embedding")).alias("__qv")))
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("__qc").desc(), F.col("cell").asc())
+    ranked = (q.crossJoin(F.broadcast(centroids))
+              .withColumn("__qc", cosine(F.col("__qv"),
+                                         F.col("centroid")))
+              .withColumn("__pr", F.row_number().over(w_probe))
+              .filter(F.col("__pr") <= 8)
+              .join(F.broadcast(sizes),
+                    F.col("cell") == F.col("__cell"), "left")
+              .select("__pr", F.coalesce("__csz", F.lit(0))
+                      .alias("__csz")))
+    rows = None
+    for n_probe in (1, 2, 4, 8):
+        row = (ranked.filter(F.col("__pr") <= n_probe)
+               .agg(F.sum("__csz").alias("__scanned"))
+               .crossJoin(F.broadcast(nq))
+               .crossJoin(F.broadcast(cn))
+               .select(F.lit(n_probe).cast("int").alias("n_probe"),
+                       F.col("q").cast("bigint").alias("n_queries"),
+                       F.col("n").cast("bigint").alias("corpus_n"),
+                       ((F.col("__scanned") * 16 * 4
+                         >= F.lit(n_probe) * F.col("q") * F.col("n"))
+                        & (F.col("__scanned") * 16
+                           <= 4 * F.lit(n_probe) * F.col("q")
+                           * F.col("n"))).alias("scan_bounded"),
+                       F.col("__scanned").alias("__scanned")))
+        rows = row if rows is None else rows.unionByName(row)
+    w = Window.orderBy("n_probe")  # 4-row aggregate frame — bounded
+    return (rows
+            .withColumn("__prev", F.lag("__scanned").over(w))
+            .select("n_probe", "n_queries", "corpus_n", "scan_bounded",
+                    F.coalesce(F.col("__scanned") >= F.col("__prev"),
+                               F.lit(True)).alias("monotone_ok")))
