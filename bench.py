@@ -232,12 +232,16 @@ HEADLINE = [
     "mix_bpe_token_budget",
     "text_bpe_compression_curve",
     "sim_ann_ivfpq_grid_recall",
-    # r13 late additions: the combined planar16 container kernel and
-    # the half-corpus-train/full-corpus-apply tokenizer pass.
+    # r13 late additions: the combined planar16 container kernel, the
+    # half-corpus-train/full-corpus-apply tokenizer pass, and the
+    # 16-bit planar pyramid page-1 read.
     # sim_ann_ivfpq_scan_fraction aggregates the index's own cell-size
-    # table (panel-bounded, no data-sized work) — excluded.
+    # table and sim_ann_ivfpq_corpus_scale re-runs the already-benched
+    # serve at two panel sizes (panel-bounded, exact anchors in-plan)
+    # — both excluded.
     "mm_decode_tiff_planar16",
     "text_bpe_transfer_curve",
+    "mm_decode_tiff_pyramid16",
 ]
 
 # Entries whose work happens while the plan is BUILT (iterative label

@@ -3775,17 +3775,23 @@ def encode_tiff_jpeg(vals: "np.ndarray", endian: str = "<",
 def encode_tiff_pyramid(imgs, endian: str = "<",
                         compression: int = 1,
                         tile: tuple[int, int] | None = None,
-                        predictor: int = 1) -> bytes:
+                        predictor: int = 1,
+                        planar: bool = False,
+                        bits: int = 8) -> bytes:
     """Multi-page (pyramidal) TIFF writer — the whole-slide-image
     shape: one IFD per resolution level, chained via the next-IFD
     pointer, each level independently tiled/compressed. Test twin for
     tiff_page_offsets + _parse_tiff(page=n). Layout: header, then per
     page its segment data, then all out-of-line arrays, then all IFDs
-    chained at the end."""
-    import struct
+    chained at the end. r13: ``planar=True`` writes every level with
+    plane-major segment lists (tag 284 = 2), ``bits=16`` packs 16-bit
+    samples in the file byte order — the depth/layout combination
+    microscopy pyramids actually ship."""
     import zlib
 
     assert endian in ("<", ">")
+    assert bits in (8, 16)
+    dt = np.uint8 if bits == 8 else np.dtype(endian + "u2")
 
     def pack(raw: bytes) -> bytes:
         if compression == 32773:
@@ -3798,32 +3804,37 @@ def encode_tiff_pyramid(imgs, endian: str = "<",
 
     pages = []
     for img in imgs:
-        img = np.asarray(img, dtype=np.uint8)
+        img = np.asarray(img).astype(dt)
         gray = img.ndim == 2
         h, w = img.shape[:2]
         spp = 1 if gray else 3
+        assert not (planar and gray), "planar layout needs spp == 3"
+        full = img.reshape(h, w, spp)
+        planes = ([full[:, :, p:p + 1] for p in range(spp)] if planar
+                  else [full])
         segs = []
-        if tile is not None:
-            tw, th = tile
-            full = img.reshape(h, w, spp)
-            for r0 in range(0, h, th):
-                for c0 in range(0, w, tw):
-                    block = np.zeros((th, tw, spp), dtype=np.uint8)
-                    part = full[r0:r0 + th, c0:c0 + tw]
-                    block[:part.shape[0], :part.shape[1]] = part
-                    if predictor == 2:
-                        block = _tiff_diff2(block)
-                    segs.append(pack(block.tobytes()))
-        else:
-            raw = (img if predictor != 2
-                   else _tiff_diff2(img.reshape(h, w, spp))
-                   .reshape(img.shape)).tobytes()
-            segs.append(pack(raw))
+        for pl in planes:
+            pspp = pl.shape[2]
+            if tile is not None:
+                tw, th = tile
+                for r0 in range(0, h, th):
+                    for c0 in range(0, w, tw):
+                        block = np.zeros((th, tw, pspp), dtype=dt)
+                        part = pl[r0:r0 + th, c0:c0 + tw]
+                        block[:part.shape[0], :part.shape[1]] = part
+                        if predictor == 2:
+                            block = _tiff_diff2(block)
+                        segs.append(pack(block.tobytes()))
+            else:
+                raw = (pl if predictor != 2
+                       else _tiff_diff2(pl)).tobytes()
+                segs.append(pack(raw))
         pages.append(dict(w=w, h=h, spp=spp,
                           photometric=1 if gray else 2,
                           compression=compression, segs=segs,
                           rows_per_strip=None if tile else h,
-                          tile=tile, predictor=predictor))
+                          tile=tile, predictor=predictor,
+                          planar=planar, bits=bits))
 
     return _tiff_ifd_chain(endian, pages)
 
@@ -3851,10 +3862,12 @@ def _tiff_ifd_chain(endian: str, pages: list[dict]) -> bytes:
     def page_entries(i):
         pg = pages[i]
         e = [(256, 4, [pg["w"]]), (257, 4, [pg["h"]]),
-             (258, 3, [8] * pg["spp"]),
+             (258, 3, [pg.get("bits", 8)] * pg["spp"]),
              (259, 3, [pg["compression"]]),
              (262, 3, [pg["photometric"]]),
              (277, 3, [pg["spp"]])]
+        if pg.get("planar"):
+            e.append((284, 3, [2]))
         if pg["tile"] is not None:
             e += [(322, 4, [pg["tile"][0]]), (323, 4, [pg["tile"][1]]),
                   (324, 4, seg_offs[i]),

@@ -745,3 +745,143 @@ def sim_ann_ivfpq_scan_fraction(spark, sf_dir):
             .select("n_probe", "n_queries", "corpus_n", "scan_bounded",
                     F.coalesce(F.col("__scanned") >= F.col("__prev"),
                                F.lit(True)).alias("monotone_ok")))
+
+
+@register(
+    "mm_decode_tiff_pyramid16",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, 'x') AS px
+               FROM {_ASCII_DOCS_SQL} documents)
+    SELECT doc_id, CAST(2 AS INT) AS img_w, CAST(2 AS INT) AS img_h,
+           true AS ok,
+           round(list_sum(list_transform([0, 2, 8, 10],
+                 j -> unicode(px[3*j + 1]))) * 257 / 4.0, 9) AS mean_r,
+           round(list_sum(list_transform([0, 2, 8, 10],
+                 j -> unicode(px[3*j + 2]))) * 257 / 4.0, 9) AS mean_g,
+           round(list_sum(list_transform([0, 2, 8, 10],
+                 j -> unicode(px[3*j + 3]))) * 257 / 4.0, 9) AS mean_b
+    FROM p
+    """,
+    note="16-bit PLANAR pyramid read (r14 queue head, pre-built: the "
+         "depth/layout combination microscopy pyramids actually ship "
+         "— encode_tiff_pyramid gained planar/bits in r13): every "
+         "level of the chained-IFD pyramid carries plane-major "
+         "segment lists of 16-bit samples in the file byte order, "
+         "rotating byte order (doc_id%2) x LZW/Deflate ((doc_id//2)%2) "
+         "x single-strip-per-plane vs 2x2-tiled planes ((doc_id//4)%2) "
+         "x Predictor 1/2 in 16-bit sample space ((doc_id//8)%2). The "
+         "query reads PAGE 1 through the chain walk — the zoomed-out "
+         "WSI read now exercised at capture depth; oracle = the "
+         "257-scaled channel means of the four [::2, ::2] reduction "
+         "pixels (operators/multimodal.py::encode_tiff_pyramid, "
+         "_parse_tiff)")
+def mm_decode_tiff_pyramid16(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        decode_tiff_stats, encode_tiff_pyramid)
+    from mapreduce_wsi_spark.plans.q_llm import _ascii_docs
+    from mapreduce_wsi_spark.plans.q_round12 import _tiff_blobs
+
+    def encode_one(doc_id, img):
+        img16 = img.astype(np.uint16) * 257
+        endian = "<" if doc_id % 2 == 0 else ">"
+        comp = 5 if (doc_id // 2) % 2 == 0 else 8
+        tile = (2, 2) if (doc_id // 4) % 2 else None
+        pred = 1 if (doc_id // 8) % 2 == 0 else 2
+        return encode_tiff_pyramid([img16, img16[::2, ::2]], endian,
+                                   comp, tile=tile, predictor=pred,
+                                   planar=True, bits=16)
+
+    blobs = _tiff_blobs(_ascii_docs(spark, sf_dir), encode_one)
+    stats = decode_tiff_stats(blobs, page=1)
+    return stats.select("doc_id", "img_w", "img_h", "ok",
+                        F.round("mean_r", 9).alias("mean_r"),
+                        F.round("mean_g", 9).alias("mean_g"),
+                        F.round("mean_b", 9).alias("mean_b"))
+
+
+_IVFPQ_SCALES = ((300, 35), (500, 20))
+
+
+@register(
+    "sim_ann_ivfpq_corpus_scale",
+    oracle=f"""
+    WITH {" , ".join(
+        f'''c{n} AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id < {n}),
+        ex{n} AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rn
+           FROM (SELECT vec_id, v FROM c{n} WHERE vec_id < 20) q
+           CROSS JOIN c{n} c WHERE c.vec_id <> q.vec_id)'''
+        for n, _ in _IVFPQ_SCALES)}
+    {" UNION ALL ".join(
+        f'''SELECT CAST({n} AS INT) AS panel_n,
+               CAST(4 AS INT) AS n_probe, CAST(8 AS INT) AS m,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               true AS recall_ok
+        FROM ex{n} WHERE rn <= 10'''
+        for n, _ in _IVFPQ_SCALES)}
+    """,
+    note="IVF-PQ recall at a SECOND corpus scale (r14 queue head, "
+         "pre-built): the same (n_probe=4, m=8, shortlist=50) serving "
+         "point measured on the 300-vector panel AND the full "
+         "500-vector table with the cell count held at 16 — recall "
+         "measured 61% -> 42% at sf0.01 (bounds 35/20, ~2x margin) "
+         "because the candidate pool per query (n_probe x mean cell "
+         "size: ~75 -> ~125 rows) outgrows the fixed 50-code ADC "
+         "shortlist, so quantization loss compounds with routing "
+         "loss. This is the capacity-planning fact the residency "
+         "audit prices: at constant cells, recall decays as cells "
+         "fill — hold recall by scaling shortlist with cell size or "
+         "cells with corpus (the faiss nlist ~ sqrt(n) rule). Panel "
+         "truth is oracle-exact per scale; both measurements reuse "
+         "the stamped serve path end to end")
+def sim_ann_ivfpq_corpus_scale(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, build_ivf_index, build_pq_codebooks, cosine,
+        ivfpq_query, pq_encode, salted_topk)
+    rows = None
+    for panel_n, lo_pct in _IVFPQ_SCALES:
+        emb = (tbl(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") < panel_n))
+        c = emb.select("vec_id",
+                       _as_double(F.col("embedding")).alias("v"))
+        qs = (c.filter(F.col("vec_id") < 20)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("v").alias("qv")))
+        ex = (qs.crossJoin(F.broadcast(c))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", F.col("vec_id").alias("cid"),
+                      cosine(F.col("qv"), F.col("v")).alias("s")))
+        top_ex = (salted_topk(ex, "qid",
+                              [F.col("s").desc(), F.col("cid")],
+                              "cid", k=10)
+                  .select("qid", "cid"))
+        n_exact = top_ex.agg(F.count(F.lit(1)).alias("ne"))
+        assigned, centroids = build_ivf_index(
+            emb, "vec_id", "embedding", n_centroids=16, seed=42)
+        books = build_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+        codes = (pq_encode(emb, books)
+                 .join(assigned.select("vec_id", "__cell"), "vec_id"))
+        got = (ivfpq_query(assigned, centroids, codes, books, emb,
+                           emb.filter(F.col("vec_id") < 20), k=10,
+                           n_probe=4)
+               .select(F.col("query_id").alias("qid"),
+                       F.col("vec_id").alias("cid")))
+        row = (got.join(top_ex, ["qid", "cid"])
+               .agg(F.count(F.lit(1)).alias("__found"))
+               .crossJoin(F.broadcast(n_exact))
+               .select(F.lit(panel_n).cast("int").alias("panel_n"),
+                       F.lit(4).cast("int").alias("n_probe"),
+                       F.lit(8).cast("int").alias("m"),
+                       F.col("ne").cast("bigint").alias("n_exact"),
+                       (F.col("__found") * 100
+                        >= F.lit(lo_pct) * F.col("ne"))
+                       .alias("recall_ok")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

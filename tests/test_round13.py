@@ -311,3 +311,42 @@ def test_scan_fraction_flags_all_true(spark, sf_oracle):
     for r in rows:
         assert r.scan_bounded and r.monotone_ok
         assert r.n_queries == 20 and r.corpus_n == 300
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 5, 8])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("tile", [None, (2, 2)])
+@pytest.mark.parametrize("planar", [False, True])
+@pytest.mark.parametrize("bits", [8, 16])
+def test_pyramid_planar_and_16bit_roundtrip(endian, comp, pred, tile,
+                                            planar, bits):
+    """encode_tiff_pyramid's new axes (r13): every planar/bits
+    combination round-trips BOTH levels bit-exactly through the
+    chained-IFD walk, and the chain still reports exactly 2 pages."""
+    from mapreduce_wsi_spark.operators.multimodal import (
+        encode_tiff_pyramid, tiff_page_offsets)
+    img16 = _img(41, (4, 4, 3), 65536, np.uint16)
+    src = img16 if bits == 16 else (img16 >> 8).astype(np.uint8)
+    payload = encode_tiff_pyramid([src, src[::2, ::2]], endian, comp,
+                                  tile=tile, predictor=pred,
+                                  planar=planar, bits=bits)
+    assert len(tiff_page_offsets(payload)) == 2
+    for page, exp in ((0, src), (1, src[::2, ::2])):
+        parsed = _parse_tiff(payload, page=page)
+        assert parsed is not None
+        np.testing.assert_array_equal(parsed[2], exp)
+
+
+def test_ivfpq_corpus_scale_recall_decays(spark, sf_oracle):
+    """The second-scale entry's semantic claim: at fixed (cells,
+    n_probe, m, shortlist), the larger panel's hit count FRACTION does
+    not beat the smaller panel's (cells fill, the shortlist binds
+    harder) — and both stay within their pinned bounds."""
+    from mapreduce_wsi_spark.plans.q_round13 import (
+        sim_ann_ivfpq_corpus_scale)
+    rows = {r.panel_n: r for r in
+            sim_ann_ivfpq_corpus_scale(spark, sf_oracle).collect()}
+    assert set(rows) == {300, 500}
+    for r in rows.values():
+        assert r.recall_ok and r.n_exact == 200
