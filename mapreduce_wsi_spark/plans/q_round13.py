@@ -1,10 +1,19 @@
-"""Round-13 catalog tranche — the VERDICT r12 asks, implemented:
-real-BPE-token budgets (the stamped tokenizer composed with the epoch
-budgeter, so a mixing run budgets what a trainer actually consumes —
-learned-BPE tokens, not characters), and IVF-PQ composed serving (the
-faiss ``IVFx,PQy`` shape: coarse routing + ADC within probed cells +
-exact re-rank, recall measured on a (n_probe, m) grid against the
-exact panel).
+"""Round-13 catalog tranche — the VERDICT r12 asks, implemented, plus
+the r14-queue items pulled forward:
+
+- real-BPE-token budgets (the stamped tokenizer composed with the
+  waterfall budgeter, so a mixing run budgets what a trainer actually
+  consumes — learned-BPE tokens, not characters), with the tokenizer
+  compression curve (merge depth 0/2/4/6), the token-vs-char mixture
+  SHIFT table, and the train/held-out TRANSFER curve;
+- IVF-PQ composed serving (the faiss ``IVFx,PQy`` shape: coarse
+  routing + ADC within probed cells + exact re-rank) — recall on a
+  (n_probe, m) grid, the serve-phase residency audit (code rows
+  scanned vs balanced), and recall at a second corpus scale (the
+  fixed-shortlist decay rule measured);
+- the WSI decoder notch: PlanarConfiguration-2 and 16-bit TIFF decode
+  for real (single-IFD, the combined planar16 container, and the
+  16-bit planar chained-IFD pyramid read at page 1).
 
 Reference parity note: none of these exist in the reference
 (acgessler/mapreduce-wsi) — its only analytics surface is
