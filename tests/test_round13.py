@@ -350,3 +350,20 @@ def test_ivfpq_corpus_scale_recall_decays(spark, sf_oracle):
     assert set(rows) == {300, 500}
     for r in rows.values():
         assert r.recall_ok and r.n_exact == 200
+
+
+def test_adaptive_shortlist_decomposition(spark, sf_oracle):
+    """The entry's central claim re-derived: every flag computes true,
+    and the adaptive rows' recall strictly dominates their fixed-50
+    siblings at the same n_probe (the shortlist can only admit more
+    candidates into an exact re-rank)."""
+    from mapreduce_wsi_spark.plans.q_round13 import (
+        sim_ann_ivfpq_adaptive_shortlist)
+    rows = {(r.n_probe, r.shortlist): r for r in
+            sim_ann_ivfpq_adaptive_shortlist(spark, sf_oracle)
+            .collect()}
+    assert set(rows) == {(4, 50), (4, 125), (8, 50), (8, 125)}
+    for r in rows.values():
+        assert r.recall_ok and r.ceiling_ok
+        assert r.adaptive == (r.shortlist >= 125)
+        assert r.n_exact == 200
