@@ -429,8 +429,8 @@ def _bpe_ntok_sql(k: int) -> str:
         for k in (0, 2, 4, 6))}),
     base AS (SELECT total_tokens AS t0 FROM u WHERE n_merges = 0)
     SELECT n_merges, total_tokens,
-           CAST((t0 - total_tokens) * 1000000 // t0 AS BIGINT)
-               AS saved_ppm
+           CAST((t0 - total_tokens) * 1000000 // greatest(t0, 1)
+                AS BIGINT) AS saved_ppm
     FROM u CROSS JOIN base
     """,
     note="tokenizer COMPRESSION CURVE — corpus token mass at merge "
@@ -463,7 +463,8 @@ def text_bpe_compression_curve(spark, sf_dir):
             .select(F.col("total_tokens").alias("t0")))
     return (u.crossJoin(F.broadcast(base))
             .select("n_merges", "total_tokens",
-                    F.expr("(t0 - total_tokens) * 1000000 div t0")
+                    F.expr("(t0 - total_tokens) * 1000000 "
+                           "div greatest(t0, 1L)")
                     .cast("bigint").alias("saved_ppm")))
 
 
@@ -489,11 +490,13 @@ def text_bpe_compression_curve(spark, sf_dir):
             GROUP BY s.source),
     tot AS (SELECT sum(eff_chars) AS tc, sum(eff_tokens) AS tt FROM per)
     SELECT source, eff_chars, eff_tokens,
-           CAST(eff_chars * 1000000 // tc AS BIGINT) AS char_share_ppm,
-           CAST(eff_tokens * 1000000 // tt AS BIGINT)
+           CAST(eff_chars * 1000000 // greatest(tc, 1) AS BIGINT)
+               AS char_share_ppm,
+           CAST(eff_tokens * 1000000 // greatest(tt, 1) AS BIGINT)
                AS token_share_ppm,
-           CAST(eff_tokens * 1000000 // tt
-                - eff_chars * 1000000 // tc AS BIGINT) AS shift_ppm
+           CAST(eff_tokens * 1000000 // greatest(tt, 1)
+                - eff_chars * 1000000 // greatest(tc, 1) AS BIGINT)
+               AS shift_ppm
     FROM per CROSS JOIN tot
     """,
     note="MIXTURE SHIFT under the metric change — per source, its "
@@ -529,12 +532,12 @@ def mix_token_vs_char_shift(spark, sf_dir):
                   F.sum("eff_tokens").alias("tt"))
     return (per.crossJoin(F.broadcast(tot))
             .select("source", "eff_chars", "eff_tokens",
-                    F.expr("eff_chars * 1000000 div tc").cast("bigint")
-                    .alias("char_share_ppm"),
-                    F.expr("eff_tokens * 1000000 div tt").cast("bigint")
-                    .alias("token_share_ppm"),
-                    F.expr("eff_tokens * 1000000 div tt "
-                           "- eff_chars * 1000000 div tc")
+                    F.expr("eff_chars * 1000000 div greatest(tc, 1L)")
+                    .cast("bigint").alias("char_share_ppm"),
+                    F.expr("eff_tokens * 1000000 div greatest(tt, 1L)")
+                    .cast("bigint").alias("token_share_ppm"),
+                    F.expr("eff_tokens * 1000000 div greatest(tt, 1L) "
+                           "- eff_chars * 1000000 div greatest(tc, 1L)")
                     .cast("bigint").alias("shift_ppm")))
 
 
