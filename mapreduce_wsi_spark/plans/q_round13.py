@@ -999,3 +999,90 @@ def sim_ann_ivfpq_adaptive_shortlist(spark, sf_dir):
                        .alias("ceiling_ok")))
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+_NLIST_GRID = ((8, 2, 25), (16, 4, 22), (32, 8, 32))
+
+
+@register(
+    "sim_ann_ivf_nlist_scale",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 500),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+    ex AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rn
+           FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id),
+    truth AS (SELECT count(*) AS n FROM ex WHERE rn <= 10),
+    cfg AS (SELECT CAST(t.nc AS INT) AS n_cells,
+                   CAST(t.np AS INT) AS n_probe
+            FROM (VALUES {", ".join(f"({nc}, {np})"
+                                    for nc, np, _ in _NLIST_GRID)})
+                 t(nc, np))
+    SELECT n_cells, n_probe,
+           CAST(max(truth.n) AS BIGINT) AS n_exact,
+           true AS recall_ok, true AS cells_full
+    FROM cfg CROSS JOIN truth GROUP BY n_cells, n_probe
+    """,
+    note="nlist SCALING at constant scan fraction (r14 queue head, "
+         "pre-built — the other arm of the capacity rule): exact-"
+         "rescored IVF recall on the 500-vector panel at (n_cells, "
+         "n_probe) = (8,2)/(16,4)/(32,8), i.e. the SAME 1/4-corpus "
+         "scan budget partitioned ever finer. Measured at sf0.01: "
+         "50/45.5/64% — deliberately NO monotonicity claim (finer "
+         "quantizers usually win at constant scan, but the k-means "
+         "partition-quality term is not provably monotone in k, and "
+         "the measured dip at 16 cells shows it): the stamped fact is "
+         "that nlist moves recall by ~18 points at an IDENTICAL scan "
+         "budget, so the faiss nlist ~ sqrt(n) rule is a starting "
+         "point one VALIDATES with exactly this measurement, not a "
+         "theorem one trusts. recall_ok bounds 25/22/32 (~2x margin); "
+         "cells_full pins that every build spread the data (>= half "
+         "the cells non-empty, the cell_balance convention). Each "
+         "config is one index build + the stamped broadcast-probe "
+         "serve; panel-bounded by construction")
+def sim_ann_ivf_nlist_scale(spark, sf_dir):
+    from mapreduce_wsi_spark.operators.similarity import (
+        _as_double, build_ivf_index, cosine, ivf_query, salted_topk)
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    c = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qs = (c.filter(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    ex = (qs.crossJoin(F.broadcast(c))
+          .filter(F.col("vec_id") != F.col("qid"))
+          .select("qid", F.col("vec_id").alias("cid"),
+                  cosine(F.col("qv"), F.col("v")).alias("s")))
+    top_ex = (salted_topk(ex, "qid", [F.col("s").desc(), F.col("cid")],
+                          "cid", k=10)
+              .select("qid", "cid"))
+    n_exact = top_ex.agg(F.count(F.lit(1)).alias("ne"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    rows = None
+    for n_cells, n_probe, lo_pct in _NLIST_GRID:
+        assigned, centroids = build_ivf_index(
+            emb, "vec_id", "embedding", n_centroids=n_cells, seed=42)
+        occupied = (assigned.groupBy("__cell").agg(F.count(F.lit(1))
+                                                   .alias("__c"))
+                    .agg(F.count(F.lit(1)).alias("__nc")))
+        got = (ivf_query(assigned, centroids, queries, k=10,
+                         n_probe=n_probe)
+               .select(F.col("query_id").alias("qid"),
+                       F.col("vec_id").alias("cid")))
+        row = (got.join(top_ex, ["qid", "cid"])
+               .agg(F.count(F.lit(1)).alias("__found"))
+               .crossJoin(F.broadcast(n_exact))
+               .crossJoin(F.broadcast(occupied))
+               .select(F.lit(n_cells).cast("int").alias("n_cells"),
+                       F.lit(n_probe).cast("int").alias("n_probe"),
+                       F.col("ne").cast("bigint").alias("n_exact"),
+                       (F.col("__found") * 100
+                        >= F.lit(lo_pct) * F.col("ne"))
+                       .alias("recall_ok"),
+                       (2 * F.col("__nc") >= F.lit(n_cells))
+                       .alias("cells_full")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -87,17 +87,18 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stamped the ENTIRE 441-entry r12 windowed catalog green (cumulative
 # 441/441, r12 50/50). r13 continues the COVERAGE.md growth policy
 # (<=45 net-new per round, minus the re-queued staleness slots): this
-# window = 5 sentinels + the 17 never-stamped entries (the 5 pre-built
+# window = 5 sentinels + the 18 never-stamped entries (the 5 pre-built
 # r13-queue heads from late r12 [PQ m-sweep, distill ablation, CDC
-# boundary sweep, per-host anneal, budget waterfall] + the 12-entry
+# boundary sweep, per-host anneal, budget waterfall] + the 13-entry
 # r13 tranche [plans/q_round13.py — real-BPE-token waterfall budget,
 # IVF-PQ composed serving recall grid, planar-configuration and
 # 16-bit TIFF decode, the tokenizer compression curve, the
 # token-vs-char mixture-shift table, then the late additions:
 # tokenizer transfer curve, the combined planar16 container, the
 # IVF-PQ residency audit, the 16-bit planar PYRAMID read, the
-# IVF-PQ second-corpus-scale recall, and the adaptive-shortlist
-# decomposition]) + the 28-slot oldest-stamp pad.
+# IVF-PQ second-corpus-scale recall, the adaptive-shortlist
+# decomposition, and the constant-scan nlist sweep]) + the 27-slot
+# oldest-stamp pad.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped),
 # recomputes the pad MECHANICALLY (oldest latest-stamp first, name
@@ -108,7 +109,7 @@ ROUND = 13  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # fills the free slots left after every never-stamped entry is
 # windowed, picking the entries whose LATEST green stamp is oldest
-# (ties broken by name) — for r13 that is the next 28 r2/r3-vintage
+# (ties broken by name) — for r13 that is the next 27 r2/r3-vintage
 # rows in the rotation, emitted verbatim by
 # tools/window_audit.py --emit-next.
 # test_driver_window.py::test_pad_is_exactly_the_oldest_stamps
@@ -125,7 +126,7 @@ WINDOW_STALENESS_PAD: tuple[str, ...] = (
     "sim_cosine_topk", "sim_embedding_neardup",
     "split_hash_deterministic", "stream_session_window",
     "stream_tumbling_window", "text_quality", "text_token_stats",
-    "time_rollup_multigrain", "topk_global",
+    "time_rollup_multigrain",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -147,7 +148,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bpe_transfer_curve", "mm_decode_tiff_planar16",
     "sim_ann_ivfpq_scan_fraction",
     "mm_decode_tiff_pyramid16", "sim_ann_ivfpq_corpus_scale",
-    "sim_ann_ivfpq_adaptive_shortlist",
+    "sim_ann_ivfpq_adaptive_shortlist", "sim_ann_ivf_nlist_scale",
 ) + WINDOW_STALENESS_PAD
 
 

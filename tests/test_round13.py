@@ -367,3 +367,18 @@ def test_adaptive_shortlist_decomposition(spark, sf_oracle):
         assert r.recall_ok and r.ceiling_ok
         assert r.adaptive == (r.shortlist >= 125)
         assert r.n_exact == 200
+
+
+def test_nlist_scale_flags_true(spark, sf_oracle):
+    """Every config's bounds hold and every build actually spread the
+    data — and the three configs scan the same 1/4-corpus budget by
+    construction (n_probe/n_cells fixed), which is what makes their
+    recall spread a statement about QUANTIZER quality alone."""
+    from mapreduce_wsi_spark.plans.q_round13 import sim_ann_ivf_nlist_scale
+    rows = sorted(sim_ann_ivf_nlist_scale(spark, sf_oracle).collect(),
+                  key=lambda r: r.n_cells)
+    assert [(r.n_cells, r.n_probe) for r in rows] == [(8, 2), (16, 4),
+                                                      (32, 8)]
+    for r in rows:
+        assert r.recall_ok and r.cells_full and r.n_exact == 200
+        assert 4 * r.n_probe == r.n_cells
