@@ -382,3 +382,66 @@ def test_nlist_scale_flags_true(spark, sf_oracle):
     for r in rows:
         assert r.recall_ok and r.cells_full and r.n_exact == 200
         assert 4 * r.n_probe == r.n_cells
+
+
+def test_jpeg_in_tiff_rejects_planar_and_16bit():
+    """The comp-7 boundary, pinned (TIFF TN2 scopes the repo's
+    JPEG-in-TIFF support to 8-bit chunky — the SVS shape): take a
+    valid Compression-7 file and patch in PlanarConfiguration 2 or
+    BitsPerSample 16; both must reject as None, never decode with
+    silently misinterpreted samples."""
+    import struct
+
+    from mapreduce_wsi_spark.operators.multimodal import encode_tiff_jpeg
+
+    vals = _img(51, (2, 2), 256, np.uint8)
+    ok = encode_tiff_jpeg(vals, "<")
+    assert _parse_tiff(ok) is not None
+    (ifd,) = struct.unpack_from("<I", ok, 4)
+    (n,) = struct.unpack_from("<H", ok, ifd)
+
+    def with_tag(payload, tag, typ, val):
+        # rewrite an existing inline tag's value, or append the tag
+        out = bytearray(payload)
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            t = struct.unpack_from("<H", payload, off)[0]
+            if t == tag:
+                struct.pack_into("<HHI", out, off, tag, typ, 1)
+                struct.pack_into("<I", out, off + 8, val)
+                return bytes(out)
+        raise AssertionError(f"tag {tag} not inline in fixture")
+
+    # PlanarConfiguration: comp-7 files don't carry 284, so patch an
+    # existing SHORT tag is impossible — instead rewrite 277 (spp) to
+    # 1 won't do it; patch 258 (bits) for the 16-bit case and reuse
+    # tag 262 slot abuse is wrong. Build the planar case by patching
+    # the predictor-equivalent path: flip tag 259's neighbor is
+    # fragile, so assert via the parser's validation directly on a
+    # synthetic planar comp-7 header produced by _tiff_single_ifd.
+    from mapreduce_wsi_spark.operators.multimodal import _tiff_single_ifd
+    planar7 = _tiff_single_ifd("<", 16, 16, 3, 2, 7,
+                               [b"\x00" * 10], rows_per_strip=16,
+                               planar=True)
+    assert _parse_tiff(planar7) is None
+
+    # 16-bit x comp-7: patch the out-of-line [8,8,8] SHORT array to
+    # [16,16,16] so ONLY the comp-7 depth gate can fire (a count
+    # rewrite would trip the len(bps) != spp check instead). Resolve
+    # tag 258's value offset through the IFD — a byte-pattern find
+    # could land inside the JPEG stream.
+    arr_off = None
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        t, typ, cnt = struct.unpack_from("<HHI", ok, off)
+        if t == 258:
+            assert typ == 3 and cnt == 3
+            (arr_off,) = struct.unpack_from("<I", ok, off + 8)
+    assert arr_off is not None
+    assert struct.unpack_from("<3H", ok, arr_off) == (8, 8, 8)
+    bits16 = bytearray(ok)
+    struct.pack_into("<3H", bits16, arr_off, 16, 16, 16)
+    assert _parse_tiff(bytes(bits16)) is None
+
+    # the with_tag helper still exercises the malformed-count path
+    assert _parse_tiff(with_tag(ok, 258, 3, 16)) is None
