@@ -2686,10 +2686,16 @@ def audio_frame_stats(blobs: DataFrame, frame_len: int = 4) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
-    """Magic-byte dispatch over the five decodable image formats
-    (PPM, BMP, PNG, baseline JPEG, GIF): returns (w, h, pixels) with
-    pixels an (h, w, 3) uint8 RGB ndarray, or None outside the
-    real-decode boundary."""
+    """Magic-byte dispatch over the decodable image formats (PPM, BMP,
+    PNG, baseline JPEG, GIF, TIFF): returns (w, h, pixels) with pixels
+    an (h, w, 3) uint8 RGB ndarray, or None outside the real-decode
+    boundary. The uint8 contract is NORMALIZED here: a 16-bit TIFF
+    (the one decoder that yields uint16) is reduced to its high byte
+    (>> 8 — the exact inverse of the 8->16 v*257 bit-replication
+    scaling), so downstream uint8-assuming kernels (dhash luma,
+    area_downscale's uint8 cast, the 256-wide luma histogram bins)
+    never see out-of-range samples. Callers that want native 16-bit
+    samples use _parse_tiff / decode_tiff_stats directly."""
     if payload[:2] == b"P6":
         parsed = _parse_ppm(payload)
         if parsed is None:
@@ -2705,7 +2711,13 @@ def _decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
     if payload[:4] == b"GIF8":
         return _parse_gif(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        return _parse_tiff(payload)
+        parsed = _parse_tiff(payload)
+        if parsed is None:
+            return None
+        w, h, px = parsed
+        if px.dtype == np.uint16:
+            px = (px >> 8).astype(np.uint8)
+        return w, h, px
     return None
 
 

@@ -83,72 +83,80 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate scores the FIRST 50 catalog entries in
 # registration order, and the window ROTATES each round so cumulative
-# driver evidence grows instead of re-stamping the same 50. Rounds 1-12
-# stamped the ENTIRE 441-entry r12 windowed catalog green (cumulative
-# 441/441, r12 50/50). r13 continues the COVERAGE.md growth policy
-# (<=45 net-new per round, minus the re-queued staleness slots): this
-# window = 5 sentinels + the 18 never-stamped entries (the 5 pre-built
-# r13-queue heads from late r12 [PQ m-sweep, distill ablation, CDC
-# boundary sweep, per-host anneal, budget waterfall] + the 13-entry
-# r13 tranche [plans/q_round13.py — real-BPE-token waterfall budget,
-# IVF-PQ composed serving recall grid, planar-configuration and
-# 16-bit TIFF decode, the tokenizer compression curve, the
-# token-vs-char mixture-shift table, then the late additions:
-# tokenizer transfer curve, the combined planar16 container, the
-# IVF-PQ residency audit, the 16-bit planar PYRAMID read, the
-# IVF-PQ second-corpus-scale recall, the adaptive-shortlist
-# decomposition, and the constant-scan nlist sweep]) + the 27-slot
-# oldest-stamp pad.
+# driver evidence grows instead of re-stamping the same 50. Rounds 1-13
+# stamped the ENTIRE 459-entry r13 catalog green (cumulative 459/459,
+# r13 50/50) — the never-stamped queue is EMPTY as of r13. r14 is
+# therefore the first pad-dominated round (VERDICT r13 ask #1): the
+# window = 5 sentinels + this round's few net-new entries + the
+# oldest-stamp pad filling every remaining slot, because fixtures
+# regenerate between rounds and old stamps decay in value.
 # tests/test_driver_window.py pins the order, asserts the rotation
 # hygiene (non-sentinel, non-pad entries must be never-stamped),
 # recomputes the pad MECHANICALLY (oldest latest-stamp first, name
 # tie-break — VERDICT r10 ask #5), and checks family coverage over the
 # CUMULATIVE stamped set.
-ROUND = 13  # current build round; CORRECTNESS_r{<ROUND}.json are priors
+ROUND = 14  # current build round; CORRECTNESS_r{<ROUND}.json are priors
 
 # staleness re-checks: previously stamped (allowed to repeat). The pad
 # fills the free slots left after every never-stamped entry is
 # windowed, picking the entries whose LATEST green stamp is oldest
-# (ties broken by name) — for r13 that is the next 27 r2/r3-vintage
-# rows in the rotation, emitted verbatim by
-# tools/window_audit.py --emit-next.
+# (ties broken by name) — for r14 that is the r2/r3-vintage rows in
+# the rotation, emitted verbatim by tools/window_audit.py --emit-next.
 # test_driver_window.py::test_pad_is_exactly_the_oldest_stamps
 # recomputes this from CORRECTNESS_r*.json, so the pad can never be
 # hand-picked.
 WINDOW_STALENESS_PAD: tuple[str, ...] = (
-    "interval_peak_concurrency", "join_asof_last_error",
-    "join_left_outer_counts", "join_semi", "json_typed_struct",
-    "map_funcs", "mm_blob_meta", "mm_decode_ppm", "null_semantics",
-    "pipeline_prepare_corpus", "pivot_qty", "q3_shipping_priority",
-    "q5_local_supplier_volume", "quantile_disc_exact",
-    "scalar_date_funcs", "scalar_string_funcs",
-    "sessionize_lag_cumsum", "set_union", "sim_ann_ivf",
-    "sim_cosine_topk", "sim_embedding_neardup",
-    "split_hash_deterministic", "stream_session_window",
-    "stream_tumbling_window", "text_quality", "text_token_stats",
-    "time_rollup_multigrain",
+    "topk_global",
+    "udaf_pandas_integer_mean",
+    "udtf_chunk_text",
+    "unpivot_part",
+    "var_std_exact",
+    "window_rank_lag",
+    "anomaly_zscore_rolling",
+    "attribution_last_touch",
+    "cohort_retention_weekly",
+    "copurchase_pairs_topk",
+    "decontam_ngram_overlap",
+    "dedup_simhash",
+    "entity_resolution_pipeline",
+    "event_transition_matrix",
+    "graph_bfs_hops",
+    "join_fuzzy_levenshtein",
+    "join_range_intervals",
+    "join_salted_skew",
+    "layout_zorder_key",
+    "mm_decode_bmp",
+    "mm_decode_wav",
+    "mm_sample_frames",
+    "mode_per_group",
+    "pack_context_windows",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_excess_shipper",
+    "quality_repetition",
+    "rfm_scores",
+    "sample_k_per_group",
+    "sample_stratified_hash",
+    "scd2_intervals",
+    "session_path_trigrams",
+    "shuffle_shards",
+    "sim_ann_lsh",
+    "stateful_user_stats",
+    "stream_dedup_within_watermark",
+    "stream_sliding_window",
+    "table_diff_keyed",
+    "text_bm25_topk",
+    "text_fingerprint",
+    "text_inverted_index",
+    "text_langid",
+    "text_scrub_pii",
+    "text_tf_df",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
-    # the 5 r13-queue heads pre-built late in r12 (q_round12.py F):
-    "sim_ann_pq_m_recall", "quality_distill_feature_ablation",
-    "dedup_cdc_boundary_sweep", "mix_host_anneal_phase",
-    "mix_epoch_budget_waterfall",
-    # r13 tranche (plans/q_round13.py), registration order:
-    "mix_bpe_token_budget", "sim_ann_ivfpq_grid_recall",
-    "mm_decode_tiff_planar", "mm_decode_tiff_16bit",
-    "text_bpe_compression_curve", "mix_token_vs_char_shift",
-    # added after the tranche shipped (q_round13.py E — tokenizer
-    # transfer, the combined planar16 container, the IVF-PQ residency
-    # audit); each displaces the newest pad slot per the mechanical
-    # rule, the r12 jpeg/svs pattern
-    "text_bpe_transfer_curve", "mm_decode_tiff_planar16",
-    "sim_ann_ivfpq_scan_fraction",
-    "mm_decode_tiff_pyramid16", "sim_ann_ivfpq_corpus_scale",
-    "sim_ann_ivfpq_adaptive_shortlist", "sim_ann_ivf_nlist_scale",
 ) + WINDOW_STALENESS_PAD
 
 

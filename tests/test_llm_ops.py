@@ -2369,6 +2369,53 @@ def test_tiff_roundtrip_variants_and_boundaries():
     assert _decode_image(encode_tiff(rgb, ">")) is not None
 
 
+def test_decode_image_normalizes_16bit_tiff_to_uint8():
+    """ADVICE r13 (medium): _parse_tiff returns native uint16 for
+    16-bit TIFFs, but _decode_image's contract is uint8 RGB — its
+    consumers (dhash luma bit packing, area_downscale's uint8 cast,
+    the 256-wide histogram bins) silently corrupt on uint16 input.
+    _decode_image must reduce to the high byte (>> 8), the exact
+    inverse of the v*257 bit-replication scaling, so a 16-bit
+    encoding of an 8-bit image decodes IDENTICAL to the 8-bit one —
+    for chunky RGB, gray (incl. WhiteIsZero inversion in 16-bit
+    space), and the uint8 path is untouched."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_wsi_spark.operators.multimodal import (
+        _decode_image, _dhash_value, encode_tiff)
+
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    for endian in ("<", ">"):
+        for img in (rgb, gray):
+            img16 = img.astype(np.uint16) * 257
+            got8 = _decode_image(encode_tiff(img, endian))
+            got16 = _decode_image(encode_tiff(img16, endian, bits=16))
+            assert got8 is not None and got16 is not None
+            assert got16[2].dtype == np.uint8
+            assert np.array_equal(got16[2], got8[2]), endian
+            # the downstream kernels therefore agree bit-for-bit
+            assert _dhash_value(got16[2]) == _dhash_value(got8[2])
+
+    # WhiteIsZero inversion happens in 16-bit space BEFORE the >>8:
+    # (65535 - v*257) >> 8 == 255 - v exactly
+    t = bytearray(encode_tiff(gray.astype(np.uint16) * 257, "<",
+                              bits=16))
+    (ifd_off,) = struct.unpack_from("<I", t, 4)
+    (n,) = struct.unpack_from("<H", t, ifd_off)
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", t, off)
+        if tag == 262:
+            struct.pack_into("<H", t, off + 8, 0)
+    got = _decode_image(bytes(t))
+    assert got is not None and got[2].dtype == np.uint8
+    assert np.array_equal(got[2][:, :, 0], 255 - gray)
+
+
 def test_pca_power_matches_numpy_on_dominant_direction(spark):
     """On a corpus with a planted dominant direction, 6 power-iteration
     rounds recover numpy's top eigenvector (up to sign) and eigenvalue
