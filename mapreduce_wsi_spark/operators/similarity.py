@@ -952,14 +952,20 @@ def ivfpq_query(assigned: DataFrame, centroids: DataFrame,
     I/O than raw vectors at the 64d/8sub default), raw vectors are
     read back for shortlist*|queries| rows only, and the cell id on
     the code table is the natural partition key, so a probe touches
-    n_probe partitions, not the corpus. ``codes`` must carry the
-    ``__cell`` column (join ``pq_encode``'s output with ``assigned``
-    ONCE at build time — the build-side shuffle amortized across
-    every query batch, like the index build itself).
+    n_probe partitions, not the corpus. ``codes`` SHOULD carry the
+    ``__cell`` column pre-joined (join ``pq_encode``'s output with
+    ``assigned`` ONCE at build time — the build-side shuffle
+    amortized across every query batch, like the index build itself);
+    when it doesn't, ``assigned`` supplies it here (ADVICE r13: the
+    signature now matches the behavior — a codes table without
+    ``__cell`` no longer silently depends on caller discipline, at
+    the cost of re-running the build-side join per serve).
 
     Zero-Exchange serve path on the probe side: centroids and the
     query batch broadcast; the only wide ops are the salted two-phase
     shortlist rank and the k-row-per-query re-rank window."""
+    if "__cell" not in codes.columns:
+        codes = codes.join(assigned.select(id_col, "__cell"), on=id_col)
     m_subspaces = len(books)
     d_sub = len(books[0][0])
 

@@ -2598,19 +2598,24 @@ def embedding_label_coherence(spark, sf_dir):
     return label_coherence(tbl(spark, sf_dir, "embeddings"))
 
 
-def _bpe_learn_oracle(n_merges: int = 6) -> str:
+def _bpe_learn_oracle(n_merges: int = 6, learn_where: str = "") -> str:
     """Unrolled BPE-training twin: DuckDB has no iterative argmax, so
     each round is generated as three CTEs (tokenize reprs / count
     adjacent pairs / pick the winner) plus the literal replace that
     applies the merge. The word repr is chr(31)-bounded tokens
     (sep+tok+sep concatenated), so replace(sep a sep sep b sep ->
     sep ab sep) is EXACTLY the left-to-right non-overlapping merge the
-    Spark fold performs — both collapse [a,a,a,a] to [aa,aa]."""
+    Spark fold performs — both collapse [a,a,a,a] to [aa,aa].
+    ``learn_where`` optionally restricts the TRAINING corpus (the wf
+    vocabulary CTE) to a predicate over ``documents`` — the transfer
+    entries learn on a split, apply everywhere (ADVICE r13: this used
+    to be post-hoc string surgery in _bpe_transfer_oracle)."""
     sep = "chr(31)"
+    learn_filter = f" WHERE {learn_where}" if learn_where else ""
     ctes = [
-        """wf AS (
+        f"""wf AS (
       SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents{learn_filter}) s
       WHERE w <> '' GROUP BY 1)""",
         f"""r1 AS (
       SELECT {sep} || array_to_string(
@@ -2859,14 +2864,17 @@ def text_char_entropy(spark, sf_dir):
                         "text", "doc_id")
 
 
-def _bpe_learn_apply_oracle(n_merges: int = 6) -> str:
+def _bpe_learn_apply_oracle(n_merges: int = 6,
+                            learn_where: str = "") -> str:
     """Twin of the train+apply composition: the learn rounds are the
     same generated CTEs as _bpe_learn_oracle; the apply stage then
     replays each learned merge IN RANK ORDER over every document
     word's chr(31)-bounded repr via the literal-replace equivalence,
-    and aggregates the ordered segmentation string per doc."""
+    and aggregates the ordered segmentation string per doc.
+    ``learn_where`` restricts the LEARN side only (see
+    _bpe_learn_oracle); the apply stage always tokenizes every doc."""
     sep = "chr(31)"
-    learn = _bpe_learn_oracle(n_merges)
+    learn = _bpe_learn_oracle(n_merges, learn_where=learn_where)
     # reuse everything up to (and including) the last winner CTE
     prefix = learn[:learn.index("SELECT CAST(1 AS INT)")].rstrip()
     assert prefix.endswith("LIMIT 1)"), prefix[-40:]

@@ -548,15 +548,13 @@ def mix_token_vs_char_shift(spark, sf_dir):
 
 def _bpe_transfer_oracle(n_merges: int = 6) -> str:
     """The transfer twin: the LEARN rounds run over the doc_id%2==0
-    training split only (one surgical filter in the wf CTE), the apply
-    stage tokenizes EVERY doc — so held-out compression measures how
-    the learned table generalizes."""
-    full = _bpe_learn_apply_oracle(n_merges)
-    src = "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) s"
-    dst = ("FROM (SELECT unnest(string_split(text, ' ')) AS w "
-           "FROM documents WHERE doc_id % 2 = 0) s")
-    assert full.count(src) == 1, "wf CTE shape changed; re-pin the filter"
-    return full.replace(src, dst)
+    training split only (the learn_where parameter of the shared
+    generator — ADVICE r13 replaced the former post-hoc string
+    replace + import-time assert with this), the apply stage tokenizes
+    EVERY doc — so held-out compression measures how the learned table
+    generalizes."""
+    return _bpe_learn_apply_oracle(n_merges,
+                                   learn_where="doc_id % 2 = 0")
 
 
 @register(
