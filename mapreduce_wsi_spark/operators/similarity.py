@@ -293,12 +293,21 @@ def ivf_query(assigned: DataFrame, centroids: DataFrame,
               queries: DataFrame, k: int = 10,
               id_col: str = "vec_id", vec_col: str = "embedding",
               query_id_col: str = "query_id",
-              n_probe: int = 4) -> DataFrame:
+              n_probe: int = 4,
+              filter_expr: "Column | str | None" = None) -> DataFrame:
     """Serve approximate top-k from a prebuilt IVF index: score each query
     against the (tiny, broadcast) centroid table, probe the ``n_probe``
     nearest cells, equi-join on centroid id, exact cosine within the
     probed cells only. Versus LSH (ann_cosine_topk): data-adaptive cells,
-    recall tunable by n_probe without rebucketing or re-indexing."""
+    recall tunable by n_probe without rebucketing or re-indexing.
+
+    ``filter_expr`` (r14): optional metadata predicate over the
+    ``assigned`` rows — the "WHERE lang='en'" filtered-search shape.
+    Applied BEFORE the probe join, so at 100 TB the predicate reaches
+    the candidate-table scan (pushdown prunes files/row-groups) and
+    non-matching rows never enter the per-query candidate pool.
+    Columns it references must be ON ``assigned`` (join metadata at
+    build time, the __cell pattern)."""
     q = queries.select(F.col(id_col).alias(query_id_col),
                        _as_double(F.col(vec_col)).alias("__qv"))
     w_probe = Window.partitionBy(query_id_col).orderBy(
@@ -309,7 +318,8 @@ def ivf_query(assigned: DataFrame, centroids: DataFrame,
               .filter(F.col("rn") <= n_probe)
               .select(query_id_col, "__qv", F.col("cell").alias("__cell")))
 
-    scored = (assigned.join(F.broadcast(probes), on="__cell")
+    cand = assigned if filter_expr is None else assigned.filter(filter_expr)
+    scored = (cand.join(F.broadcast(probes), on="__cell")
               .filter(F.col(id_col) != F.col(query_id_col))
               .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"))))
     # probed cells are corpus/n_centroids-sized — data-sized per query,
@@ -318,6 +328,43 @@ def ivf_query(assigned: DataFrame, centroids: DataFrame,
                         [F.col("cos").desc(), F.col(id_col).asc()],
                         id_col, k)
             .select(query_id_col, id_col, "cos", "rn"))
+
+
+def ivf_assign(new_vecs: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign a NEW vector batch to an EXISTING coarse quantizer — the
+    incremental index-maintenance half of ``build_ivf_index`` (r14,
+    VERDICT r13 ask #3): no retrain, no touching the standing corpus.
+    Returns the same (id, __cv, __cell) shape as the build's
+    ``assigned``, so downstream serving composes identically.
+
+    Cell choice replicates the build's KMeans.transform exactly:
+    argmin squared-L2 between the L2-NORMALIZED vector and each
+    centroid (ties -> lowest cell). MAP-ONLY plan: the centroid table
+    is collected once (n_centroids rows — the documented bounded
+    collect of the IVF family) and inlined as plan literals, pq_encode
+    style, so assignment is one whole-stage-codegen projection — zero
+    shuffle, O(new batch) at any corpus size."""
+    rows = sorted((r["cell"], list(r["centroid"]))
+                  for r in centroids.collect())
+    dists = []
+    for _, cent in rows:
+        lits = ", ".join(f"{float(x)!r}D" for x in cent)
+        dists.append("aggregate(zip_with(__nv, array(" + lits + "), "
+                     "(x, y) -> (x - y) * (x - y)), "
+                     "0.0D, (a, v) -> a + v)")
+    cells = ", ".join(str(c) for c, _ in rows)
+    cell_expr = F.expr(
+        "element_at(array(" + cells + "), CAST(array_position(__d, "
+        "array_min(__d)) AS INT))")
+    return (new_vecs
+            .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+            .withColumn("__n", l2_norm(F.col("__cv")))
+            .withColumn("__nv", F.transform(
+                F.col("__cv"), lambda e: e / F.col("__n")))
+            .withColumn("__d", F.expr("array(" + ", ".join(dists) + ")"))
+            .select(id_col, "__cv", cell_expr.cast("int").alias("__cell")))
 
 
 def semantic_dedup(corpus: DataFrame, min_cos: float = 0.9,
@@ -837,6 +884,35 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
     return tmp.select(id_col, F.array(*codes).alias("codes"))
 
 
+def pq_reconstruction_error(corpus: DataFrame,
+                            codebooks: list[list[list[float]]],
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Per-vector PQ quantization error under a GIVEN codebook tensor:
+    sum over subspaces of the squared L2 distance between the
+    normalized slice and its nearest code centroid (= the error of the
+    code pq_encode would assign, since encode takes the argmin and
+    this takes the min). The codebook-drift yardstick for incremental
+    index maintenance (r14): encode a new batch with the STANDING
+    books vs books retrained on the union, and compare mean errors —
+    quantization drift priced without re-serving anything.
+
+    MAP-ONLY, same generated-SQL shape as pq_encode: books are plan
+    literals, the per-row cost is M array_min folds in codegen; one
+    projection, zero shuffle. Returns (id, __rerr double)."""
+    d_sub = len(codebooks[0][0])
+    out = (corpus
+           .select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+           .withColumn("__n", l2_norm(F.col("__v")))
+           .select(id_col,
+                   F.transform(F.col("__v"),
+                               lambda e: e / F.col("__n")).alias("__nv")))
+    err = " + ".join(
+        f"array_min({_pq_dists_sql('__nv', m, d_sub, book)})"
+        for m, book in enumerate(codebooks))
+    return out.select(id_col, F.expr(err).alias("__rerr"))
+
+
 def _pq_dists_sql(vec_sql: str, m: int, d_sub: int,
                   book: list[list[float]]) -> str:
     """SQL for the K squared-L2 distances of subspace ``m``'s slice of
@@ -935,7 +1011,8 @@ def ivfpq_query(assigned: DataFrame, centroids: DataFrame,
                 corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id", n_probe: int = 4,
-                shortlist: int = 50) -> DataFrame:
+                shortlist: int = 50,
+                filter_expr: "Column | str | None" = None) -> DataFrame:
     """IVF-PQ composed serving — the actual faiss ``IVFx,PQy`` index
     shape (Jegou, Douze & Schmid, TPAMI 2011: IVFADC): the coarse
     quantizer routes each query to its ``n_probe`` nearest cells
@@ -961,11 +1038,28 @@ def ivfpq_query(assigned: DataFrame, centroids: DataFrame,
     ``__cell`` no longer silently depends on caller discipline, at
     the cost of re-running the build-side join per serve).
 
+    ``filter_expr`` (r14, the filtered-ANN RAG shape — "top-k WHERE
+    lang='en'"): optional metadata predicate over the CODE-TABLE rows,
+    applied before the cell probe and therefore before any ADC work —
+    at 100 TB the predicate reaches the code-table scan (file/
+    row-group pruning), non-matching codes never enter the shortlist
+    race, and the re-rank fetches matching vectors only. Columns it
+    references must be ON ``codes`` (join metadata at build time,
+    exactly like ``__cell``). Interaction to plan for (measured by
+    `sim_ann_ivfpq_filtered`): filtering SHRINKS the per-cell
+    candidate pool by the predicate's selectivity, so a fixed
+    shortlist stops being the binding constraint — when the filtered
+    pool per query drops to <= shortlist, ADC truncation vanishes and
+    recall sits exactly on the filtered routing ceiling; recovering
+    recall then needs more probes/cells, not a longer shortlist.
+
     Zero-Exchange serve path on the probe side: centroids and the
     query batch broadcast; the only wide ops are the salted two-phase
     shortlist rank and the k-row-per-query re-rank window."""
     if "__cell" not in codes.columns:
         codes = codes.join(assigned.select(id_col, "__cell"), on=id_col)
+    if filter_expr is not None:
+        codes = codes.filter(filter_expr)
     m_subspaces = len(books)
     d_sub = len(books[0][0])
 

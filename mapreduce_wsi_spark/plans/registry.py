@@ -149,14 +149,16 @@ WINDOW_STALENESS_PAD: tuple[str, ...] = (
     "text_fingerprint",
     "text_inverted_index",
     "text_langid",
-    "text_scrub_pii",
-    "text_tf_df",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels (driver-stamped every round; regression canaries)
     "q1_pricing_summary", "flagship_integer_mean", "merge_upsert_cdc",
     "dedup_components", "funnel_steps",
+    # r14 tranche (plans/q_round14.py): filtered IVF-PQ serving and
+    # incremental index maintenance (VERDICT r13 asks #2 and #3);
+    # each displaced the newest pad slot per the mechanical rule
+    "sim_ann_ivfpq_filtered", "sim_ann_ivf_incremental",
 ) + WINDOW_STALENESS_PAD
 
 
@@ -179,6 +181,7 @@ def load_catalog() -> dict[str, CatalogEntry]:
     import mapreduce_wsi_spark.plans.q_curation2  # noqa: F401
     import mapreduce_wsi_spark.plans.q_round12  # noqa: F401
     import mapreduce_wsi_spark.plans.q_round13  # noqa: F401
+    import mapreduce_wsi_spark.plans.q_round14  # noqa: F401
     ordered = {name: CATALOG[name] for name in DRIVER_WINDOW}
     for name, e in CATALOG.items():
         if name not in ordered:

@@ -165,6 +165,62 @@ def test_ivfpq_probe_side_is_broadcast_only(spark, sf_oracle):
     assert "BatchEvalPython" not in plan
 
 
+def test_filtered_ivfpq_adds_no_exchange(spark, sf_oracle):
+    """filter_expr (r14): fusing a metadata predicate into the IVF-PQ
+    probe must stay a pure Filter on the code-table side — same
+    broadcast-only probe contract, IDENTICAL Exchange count as the
+    unfiltered serve (a predicate is never a reason to shuffle), no
+    cartesian product, no Python."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_ivf_index, build_pq_codebooks, ivfpq_query, pq_encode)
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    assigned, centroids = build_ivf_index(emb, n_centroids=8)
+    books = build_pq_codebooks(emb, m_subspaces=4, n_codes=16)
+    codes = (pq_encode(emb, books)
+             .join(assigned.select("vec_id", "__cell"), "vec_id")
+             .join(emb.select("vec_id", "label"), "vec_id"))
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def serve(pred):
+        return plan_of(ivfpq_query(assigned, centroids, codes, books,
+                                   emb, q, k=10, n_probe=4,
+                                   filter_expr=pred))
+
+    unfiltered = serve(None)
+    filtered = serve(F.col("label") == 0)
+    tree_u = unfiltered.split("\n\n", 1)[0]
+    tree_f = filtered.split("\n\n", 1)[0]
+    assert tree_f.count("Exchange") == tree_u.count("Exchange")
+    assert "CartesianProduct" not in filtered
+    assert "BatchEvalPython" not in filtered
+    assert "BroadcastHashJoin" in filtered
+
+
+def test_ivf_assign_is_map_only(spark, sf_oracle):
+    """ivf_assign (r14, incremental maintenance): routing a new batch
+    to the standing quantizer is ONE whole-stage-codegen projection —
+    centroids ride as plan literals, so the tree has no Exchange, no
+    join, no aggregate, no Python."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_ivf_index, ivf_assign)
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    _, centroids = build_ivf_index(emb, n_centroids=8)
+    plan = plan_of(ivf_assign(emb.filter(F.col("vec_id") % 2 == 1),
+                              centroids))
+    tree = plan.split("\n\n", 1)[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "HashAggregate" not in tree
+    assert "BatchEvalPython" not in plan
+    assert "* Project" in tree  # the projection is codegen'd
+
+
 def test_minhash_signature_is_single_pass_agg(spark, sf_oracle):
     """MinHash signatures: the k hash-min columns must come from ONE
     hash-aggregate over the shingle table (k aggregate expressions), not

@@ -37,6 +37,98 @@ def test_ivfpq_codes_without_cell_column_uses_assigned(spark, sf_oracle):
     assert len(rows(raw_codes)) == 50  # 10 queries x k=5
 
 
+def test_ivf_assign_matches_build_assignment(spark, sf_oracle):
+    """Incremental maintenance contract (r14): assigning vectors to an
+    EXISTING quantizer must reproduce the build's own cell choice —
+    ivf_assign over the very corpus build_ivf_index trained on returns
+    the identical (id, __cell) mapping (argmin squared-L2 on the
+    normalized vector, ties to the lowest cell — KMeans.transform's
+    rule), and the same __cv payload the serve path joins on."""
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_ivf_index, ivf_assign)
+
+    emb = (spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+           .filter(F.col("vec_id") < 300))
+    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding",
+                                          n_centroids=16, seed=42)
+    re_assigned = ivf_assign(emb, centroids)
+    a = {r.vec_id: r["__cell"] for r in assigned.collect()}
+    b = {r.vec_id: r["__cell"] for r in re_assigned.collect()}
+    assert a == b
+    # __cv is the raw double vector, same as the build's
+    row = re_assigned.filter(F.col("vec_id") == 0).collect()[0]
+    want = (emb.filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .collect()[0].v)
+    assert row["__cv"] == want
+
+
+def test_pq_reconstruction_error_matches_numpy(spark, sf_oracle):
+    """pq_reconstruction_error's map-only min-distance fold equals the
+    numpy recomputation (normalize, slice, min squared-L2 per
+    subspace, sum) for every vector in the panel."""
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_pq_codebooks, pq_reconstruction_error)
+
+    emb = (spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+           .filter(F.col("vec_id") < 100))
+    books = build_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+    got = {r.vec_id: r["__rerr"]
+           for r in pq_reconstruction_error(emb, books).collect()}
+    rows = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("v")).collect()
+    b = np.array(books)  # (M, K, d_sub)
+    m_sub, _, d_sub = b.shape
+    for r in rows:
+        v = np.array(r.v)
+        v = v / np.linalg.norm(v)
+        want = sum(
+            (((v[m * d_sub:(m + 1) * d_sub][None, :] - b[m]) ** 2)
+             .sum(axis=1)).min()
+            for m in range(m_sub))
+        assert abs(got[r.vec_id] - want) < 1e-9
+
+
+def test_filtered_ivfpq_matches_filtered_truth_when_not_starved(
+        spark, sf_oracle):
+    """filter_expr semantics: every returned id satisfies the
+    predicate, and when the filtered pool inside the probed cells is
+    <= shortlist, the ADC shortlist admits every candidate, so the
+    result equals the exact-rescored filtered-IVF ceiling row for row
+    (same routing, same predicate, both re-rank exactly)."""
+    from mapreduce_wsi_spark.operators.similarity import (
+        build_ivf_index, build_pq_codebooks, ivf_query, ivfpq_query,
+        pq_encode)
+
+    emb = (spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+           .filter(F.col("vec_id") < 500))
+    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding",
+                                          n_centroids=16, seed=42)
+    books = build_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+    codes = (pq_encode(emb, books)
+             .join(assigned.select("vec_id", "__cell"), "vec_id")
+             .join(emb.select("vec_id", "label"), "vec_id"))
+    asg = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pred = F.col("label") == 0  # ~10% selectivity -> pool << 50
+    labels = {r.vec_id: r.label for r in
+              emb.select("vec_id", "label").collect()}
+
+    pq = ivfpq_query(assigned, centroids, codes, books, emb, queries,
+                     k=5, n_probe=4, shortlist=50, filter_expr=pred)
+    pq_rows = sorted((r.query_id, r.vec_id, r.rn)
+                     for r in pq.collect())
+    assert pq_rows, "filtered serve returned nothing"
+    assert all(labels[cid] == 0 for _, cid, _ in pq_rows)
+
+    ivf = ivf_query(asg, centroids, queries, k=5, n_probe=4,
+                    filter_expr=pred)
+    ivf_rows = sorted((r.query_id, r.vec_id, r.rn)
+                      for r in ivf.collect())
+    assert pq_rows == ivf_rows  # starved shortlist = routing ceiling
+
+
 # ---------------------------------------------------------------------------
 # The comp-7 16-bit/planar SVS boundary, composed through the pyramid
 # walk (VERDICT r13 ask #5 / the last declared r14 queue item)
