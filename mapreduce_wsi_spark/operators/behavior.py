@@ -403,50 +403,52 @@ def holt_forecast(events: DataFrame, key_col: str, ts_col: str,
     (no trend is defined). Returns (key, n, level_cents, trend_cents,
     forecast_cents = l_n + b_n).
 
-    The recurrence is inherently sequential per key, so it runs as an
-    Arrow applyInPandas fold (keys parallelize; the per-key walk is a
-    C-speed loop over ints) — the same shape as stateful_user_stats,
-    and the same recurrence the streaming sibling would fold
-    incrementally. Truncating integer division (SQL // semantics —
-    toward zero, see tdiv below) keeps every state integer, so the
-    DuckDB WITH RECURSIVE twin replays the walk bit-for-bit — float
-    smoothing would diverge in the last ulp and never hash-match.
+    The recurrence is inherently sequential per key, so it runs as a
+    JVM-side ``aggregate`` fold over the (ts, order)-sorted per-key
+    sequence — keys parallelize, the walk is row-local. r14 rewrite
+    (guide §4.1): the previous Arrow applyInPandas fold moved every
+    event across the JVM/Python boundary and paid per-GROUP pandas
+    DataFrame construction (thousands of tiny groups at any scale);
+    the collect_list + fold form keeps the identical shuffle (one
+    exchange keyed by user) and eliminates the Python plan node
+    outright (FlatMapGroupsInPandas -> ObjectHashAggregate, pinned in
+    plans/r14). Spark's integer ``div`` truncates toward zero, exactly
+    the DuckDB ``//`` semantics the old Python tdiv re-implemented, so
+    every state stays the same integer — the DuckDB WITH RECURSIVE
+    twin replays the walk bit-for-bit (float smoothing would diverge
+    in the last ulp and never hash-match).
     """
-    import pandas as pd
-
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     base = events.select(F.col(key_col).alias("__k"),
                          F.col(ts_col).alias("__ts"),
                          F.col(order_col).alias("__o"),
                          cents.alias("__y"))
-
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["__ts", "__o"])
-        ys = [int(v) for v in pdf["__y"]]
-        if len(ys) < 2:
-            return pd.DataFrame({"__k": [], "n": [], "level_cents": [],
-                                 "trend_cents": [], "forecast_cents": []})
-        # truncating division (toward zero), NOT Python floor: the
-        # state can go negative and DuckDB's integer // truncates
-        # (-7 // 2 = -3 there, -4 in Python) — the twin's semantics
-        # are the spec
-        def tdiv(a: int) -> int:
-            return a // 10 if a >= 0 else -((-a) // 10)
-
-        level, trend = ys[0], ys[1] - ys[0]
-        for y in ys[1:]:
-            new_level = tdiv(2 * y + 8 * (level + trend))
-            trend = tdiv(3 * (new_level - level) + 7 * trend)
-            level = new_level
-        return pd.DataFrame({
-            "__k": [pdf["__k"].iloc[0]], "n": [len(ys)],
-            "level_cents": [level], "trend_cents": [trend],
-            "forecast_cents": [level + trend]})
-
-    out = base.groupBy("__k").applyInPandas(
-        fold, "__k long, n long, level_cents long, trend_cents long, "
-              "forecast_cents long")
-    return out.withColumnRenamed("__k", key_col)
+    # array_sort on struct(__ts, __o, __y) orders by (ts, order) — the
+    # order key is unique per event, so the trailing __y never decides
+    seq = (base.groupBy("__k")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("__ts", "__o", "__y"))).alias("__s"))
+           .filter(F.size("__s") >= 2))
+    fold = F.expr(
+        "aggregate(slice(__s, 3, size(__s) - 2), "
+        "named_struct("
+        "'l', (2 * __s[1].__y + 8 * (__s[0].__y "
+        "      + (__s[1].__y - __s[0].__y))) div 10, "
+        "'b', (3 * (((2 * __s[1].__y + 8 * (__s[0].__y "
+        "      + (__s[1].__y - __s[0].__y))) div 10) - __s[0].__y) "
+        "      + 7 * (__s[1].__y - __s[0].__y)) div 10), "
+        "(acc, s) -> named_struct("
+        "'l', (2 * s.__y + 8 * (acc.l + acc.b)) div 10, "
+        "'b', (3 * (((2 * s.__y + 8 * (acc.l + acc.b)) div 10) - acc.l) "
+        "      + 7 * acc.b) div 10))")
+    return (seq.select(F.col("__k").alias(key_col),
+                       F.size("__s").cast("long").alias("n"),
+                       fold.alias("__f"))
+            .select(key_col, "n",
+                    F.col("__f.l").alias("level_cents"),
+                    F.col("__f.b").alias("trend_cents"),
+                    (F.col("__f.l") + F.col("__f.b"))
+                    .alias("forecast_cents")))
 
 
 def markov_stationary(events: DataFrame, n_iter: int = 8) -> DataFrame:

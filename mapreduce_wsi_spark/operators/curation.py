@@ -386,71 +386,107 @@ def char_ngram_repetition(df: DataFrame, text_col: str, id_col: str,
     exploded-position distinct-union at a fraction of the shuffled
     rows (the x{n} coverage explode was the plan's top shuffle).
 
-    Duplicated (id, gram) keys are tagged by an in-stream WINDOW COUNT
-    over (id, gram) — ONE shuffle, no join, no position-array buffer
-    (VERDICT r10 ask #6, improved past its own suggestion): the
-    original collect_list(pos) form buffered every position of a gram
-    in one non-combining aggregation buffer and paid a groupBy+explode
-    roundtrip; the suggested count-filter + left-semi join re-scanned
-    the gram stream and measured 1.5x SLOWER than collect_list at
-    sf0.1 (6.75 vs 4.31 s warm); the window count rides the same
-    (id, gram) shuffle the positions need anyway and measured 3.55 s —
-    fastest of the three, with buffering bounded by one gram's
-    positions within one doc (<= doc length, spillable WindowExec).
-    Measured A/B in SCALE.md r11. Returns (id, n_chars,
-    dup_char_frac)."""
-    grams = F.expr(
+    r14 rewrite — fully ROW-LOCAL, zero exchanges: both the duplicated-
+    gram detection and the interval union are per-document facts, so
+    the whole statistic computes inside one projection over the scan.
+    The gram stream sorts (g, pos) per row (array_sort, O(L log L));
+    equal grams are then ADJACENT, so "occurs >= 2 times" is one
+    indexed transform comparing neighbors; the surviving starts re-sort
+    by position and a scalar-accumulator fold unions the [p, p+n-1]
+    intervals exactly as the old gaps-and-islands window did. The
+    previous best form (the r11 A/B winner) still shuffled ~1 row per
+    corpus CHARACTER through a (id, gram) window exchange plus an
+    (id)-keyed island window and a totals join — at 100 TB that was
+    the plan's only data-sized exchange, now gone (guide §2.4).
+    Per-row memory is O(doc length), the same bound the WindowExec
+    buffer already had. Returns (id, n_chars, dup_char_frac),
+    bit-identical (driver-checked vs the exploded-union oracle)."""
+    # the sorted gram array is LET-BOUND (single-element transform
+    # lambda) so the neighbor lookups gs[i-1]/gs[i+1] index a bound
+    # value — as a projection alias, Catalyst's collapse would inline
+    # the array_sort into the per-element lambda body and re-sort the
+    # doc once per gram (the cdc_chunk_arr lesson, same round)
+    g_arr = F.expr(
         f"CASE WHEN length(__t) >= {n} THEN "
-        f"transform(sequence(1, length(__t) - {n - 1}), "
-        f"i -> named_struct('pos', i, 'g', substring(__t, i, {n}))) "
+        f"array_sort(transform(sequence(1, length(__t) - {n - 1}), "
+        f"i -> named_struct('g', substring(__t, i, {n}), 'pos', i))) "
         f"ELSE array() END")
-    g = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-         .select("id", F.explode(grams).alias("x"))
-         .select("id", "x.pos", "x.g"))
-    w_gram = Window.partitionBy("id", "g")
-    dup_starts = (g.withColumn("__c", F.count(F.lit(1)).over(w_gram))
-                  .filter(F.col("__c") >= 2)
-                  .select("id", "pos"))
-    w_doc = Window.partitionBy("id").orderBy("pos")
-    islands = (dup_starts
-               .withColumn("__new", (F.col("pos")
-                                     - F.lag("pos", 1, -n - 1).over(w_doc)
-                                     > n).cast("int"))
-               .withColumn("__isl", F.sum("__new").over(w_doc))
-               .groupBy("id", "__isl")
-               .agg((F.max("pos") - F.min("pos") + n).alias("__cov"))
-               .groupBy("id")
-               .agg(F.sum("__cov").alias("n_dup_chars")))
-    totals = df.select(F.col(id_col).alias("id"),
-                       F.length(text_col).alias("n_chars"))
-    return (totals.join(islands, "id", "left")
-            .select(F.col("id").alias(id_col),
-                    F.col("n_chars").cast("int").alias("n_chars"),
-                    F.round(F.coalesce("n_dup_chars", F.lit(0))
-                            / F.col("n_chars"), 9)
+    dup_pos = F.expr(
+        "array_sort(transform(array(__gs), gs -> "
+        "filter(transform(gs, (s, i) -> "
+        "CASE WHEN (i > 0 AND gs[i - 1].g = s.g) "
+        "OR (i < size(gs) - 1 AND gs[i + 1].g = s.g) "
+        "THEN s.pos END), p -> p IS NOT NULL))[0])")
+    # interval union over sorted starts: same islands as the old
+    # lag()-window form (gap > n starts a new island; each island
+    # contributes last - first + n chars); scalar accumulator, no
+    # per-step array building
+    neg = -(n + 1)
+    cov = F.expr(
+        f"aggregate(__dp, "
+        f"named_struct('tot', 0, 'fst', {neg}, 'lst', {neg}), "
+        f"(acc, p) -> CASE WHEN p - acc.lst > {n} THEN named_struct("
+        f"'tot', acc.tot + CASE WHEN acc.lst >= 0 "
+        f"THEN acc.lst - acc.fst + {n} ELSE 0 END, 'fst', p, 'lst', p) "
+        f"ELSE named_struct('tot', acc.tot, 'fst', acc.fst, 'lst', p) "
+        f"END, "
+        f"acc -> acc.tot + CASE WHEN acc.lst >= 0 "
+        f"THEN acc.lst - acc.fst + {n} ELSE 0 END)")
+    return (df.select(F.col(id_col), F.col(text_col).alias("__t"))
+            .withColumn("__gs", g_arr)
+            .withColumn("__dp", dup_pos)
+            .select(F.col(id_col),
+                    F.length("__t").cast("int").alias("n_chars"),
+                    cov.alias("__nd"))
+            .select(F.col(id_col), "n_chars",
+                    F.round(F.col("__nd") / F.col("n_chars"), 9)
                     .alias("dup_char_frac")))
 
 
-def cdc_fold_expr(boundary_pct: int = 25):
-    """The content-defined-chunking fold (factored r11 so the
-    cross-snapshot entries chunk both sides with literally the same
-    expression): SQL ``aggregate`` over the pre-split word array
-    ``__w`` — a word ENDS a chunk iff its portable md5 bucket <
-    ``boundary_pct``. One map-only fold per document, no shuffle."""
-    return F.expr(
-        "aggregate(__w, "
-        "named_struct('cs', cast(array() as array<string>), "
-        "'cur', cast(array() as array<string>)), "
-        "(acc, w) -> CASE WHEN "
-        f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 100 "
-        f"< {boundary_pct} "
-        "THEN named_struct('cs', concat(acc.cs, array(concat_ws(' ', "
-        "concat(acc.cur, array(w))))), "
-        "'cur', cast(array() as array<string>)) "
-        "ELSE named_struct('cs', acc.cs, "
-        "'cur', concat(acc.cur, array(w))) END, "
-        "acc -> CASE WHEN size(acc.cur) > 0 THEN concat(acc.cs, "
-        "array(concat_ws(' ', acc.cur))) ELSE acc.cs END)")
+def cdc_chunk_arr(df: DataFrame, boundary_pct: int = 25) -> DataFrame:
+    """Content-defined chunking over the pre-split word array ``__w``
+    (factored r11 so the cross-snapshot entries chunk both sides with
+    literally the same expressions; staged r14): adds ``__chunks``, the
+    per-document array of chunk texts. A word ENDS a chunk iff its
+    portable md5 bucket < ``boundary_pct``. Map-only, no shuffle.
+
+    r14 shape — boundary positions + slices, replacing the r11
+    ``aggregate`` fold: the fold appended to its accumulator arrays
+    with ``concat`` (a full copy per word — O(words^2) allocation per
+    document in the interpreted HOF evaluator; a wash at fixture doc
+    lengths of ~50 words, the asymptotic point at real page sizes).
+    Now one indexed transform computes the boundary flags (the md5
+    runs ONCE per word, as before), a small CASE closes the trailing
+    chunk, and each chunk is a ``slice`` — O(words) total. Identical
+    chunks:
+    ends = flagged positions (+ the last word when unflagged), chunk i
+    = words (prev_end, end].
+
+    The multi-used intermediates (boundary positions, chunk ends) are
+    LET-BOUND via single-element ``transform(array(<e>), x -> ...)[0]``
+    lambdas, not projection aliases: Catalyst's projection collapse
+    inlines aliases into consumers — including into per-ELEMENT lambda
+    bodies, where ``ends[i - 1]`` re-evaluated the whole md5 transform
+    once per chunk per reference (observed: a 52-copy md5 plan and a
+    single task burning minutes interpreted). A lambda variable is
+    bound once per row by construction, immune to optimizer
+    inlining."""
+    flag = (f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) "
+            f"% 100 < {boundary_pct}")
+    bp = (f"filter(transform(ws, (w, i) -> "
+          f"CASE WHEN {flag} THEN i + 1 END), p -> p IS NOT NULL)")
+    be = (f"transform(array({bp}), bp -> "
+          f"CASE WHEN size(bp) > 0 AND element_at(bp, -1) = size(ws) "
+          f"THEN bp ELSE concat(bp, array(size(ws))) END)[0]")
+    ch = F.expr(
+        f"transform(array(__w), ws -> "
+        f"CASE WHEN size(ws) = 0 THEN array() ELSE "
+        f"transform(array({be}), be -> "
+        f"transform(be, (e, i) -> concat_ws(' ', slice(ws, "
+        f"CASE WHEN i = 0 THEN 1 ELSE be[i - 1] + 1 END, "
+        f"e - CASE WHEN i = 0 THEN 1 ELSE be[i - 1] + 1 END + 1))))[0] "
+        f"END)[0]")
+    return df.withColumn("__chunks", ch)
 
 
 def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
@@ -459,11 +495,11 @@ def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
     md5 of the chunk text. The shared primitive under cdc_chunk_dedup
     (within-corpus first-occurrence keep) and cdc_cross_snapshot
     (carry detection between crawls)."""
-    return (df.select(F.col(id_col).alias("id"),
-                      F.split(F.col(text_col), " ").alias("__w"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), " ").alias("__w"))
+    return (cdc_chunk_arr(base, boundary_pct)
             .select("id",
-                    F.posexplode(cdc_fold_expr(boundary_pct))
-                    .alias("cid", "ctext"))
+                    F.posexplode(F.col("__chunks")).alias("cid", "ctext"))
             .select("id", "cid", F.md5("ctext").alias("h")))
 
 

@@ -318,8 +318,9 @@ def _min_label_components(edges: DataFrame,
                    .groupBy(F.col("dst").alias("id"))
                    .agg(F.min("comp").alias("nbr_comp")))
         # eager checkpoint beats fusing materialization into the
-        # convergence sum (A/B at sf0.1: 1.2s vs 1.5s warm) — the eager
-        # path materializes with full partition parallelism
+        # convergence sum (re-confirmed by the r14 A/B: a non-eager
+        # localCheckpoint under AQE materializes its query stages at
+        # call time AND recomputes the final stage per action)
         new_cc = iter_checkpoint(
             cc.join(nbr_min, on="id", how="left")
             .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
@@ -337,7 +338,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star step (Kiveris et al., "Connected Components in MapReduce
     and Beyond"): for each node u, connect every strictly LARGER neighbor
     to min(N(u) ∪ {u}). Keeps the component connected while pointing big
-    nodes at small ones."""
+    nodes at small ones.
+
+    (A window-based min — one exchange instead of groupBy + join-back —
+    was A/B'd in r14 and REVERTED: the mins table is node-sized and
+    broadcasts, so the join form's second 'shuffle' is free at any scale
+    where nodes << edges, while the window pays a full sort of sym per
+    step; measured +1.6-1.9 s across the star-consuming bench rows.)"""
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))))
@@ -367,7 +374,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _fingerprint_edges(df: DataFrame) -> tuple:
     """Order-insensitive exact fingerprint of an edge set: count + two
     hash-sums (both column orders) in one scalar agg. decimal(38,0) so
-    1e12 edges of 64-bit hashes can't overflow the sum."""
+    1e12 edges of 64-bit hashes can't overflow the sum. One job over
+    the already-checkpointed edge set — the star loop's only per-round
+    probe (r14)."""
     return tuple(df.agg(
         F.count(F.lit(1)),
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
@@ -383,13 +392,14 @@ def _star_components(edges: DataFrame,
     ``(cc, rounds)`` with cc = (id, comp), comp the component minimum —
     at the fixpoint the edge set IS the star forest (v -> component min).
 
-    Fixpoint probe: every round pays one count-only scalar action; only
-    when the count matches the previous round's (a candidate fixpoint)
-    are both sets — each already checkpointed, so these are cached
-    scans — fingerprinted and compared exactly. On a real cluster each
-    scalar action is a scheduler round-trip, so the steady-state cost is
-    the lightest possible probe without ever trusting a count-only
-    heuristic for the break decision. Raises if ``max_rounds`` is
+    Fixpoint probe (r14 fusion): every round pays ONE scalar probe
+    action — the exact edge-set fingerprint (count + two hash-sums)
+    over the freshly checkpointed edge set. The break decision
+    compares full fingerprints round-over-round, the same exactness as
+    before (fingerprint equality subsumes the old count gate: the
+    count IS the fingerprint's first component) at fewer scheduler
+    round-trips (the old probe paid a count job every round PLUS two
+    fingerprint jobs on candidate fixpoints). Raises if ``max_rounds`` is
     exhausted before the fixpoint: O(log n) convergence (Kiveris et al.)
     makes 40 rounds ample for any real graph, so a non-converged exit
     would mean corrupt input or a logic bug — failing loudly beats
@@ -403,25 +413,26 @@ def _star_components(edges: DataFrame,
     cur = iter_checkpoint(
         edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
         .distinct())
-    prev_n = cur.count()
+    prev_fp = _fingerprint_edges(cur)
     rounds = 0
     converged = False
     for _ in range(max_rounds):
         nxt = iter_checkpoint(_small_star(_large_star(cur)))
         rounds += 1
-        n = nxt.count()
+        fp = _fingerprint_edges(nxt)
         # transform(cur) == cur means cur is the star-forest fixpoint;
-        # count equality gates the exact (fingerprint) confirmation
-        if n == prev_n and _fingerprint_edges(nxt) == _fingerprint_edges(cur):
+        # exact set equality via the full fingerprint
+        if fp == prev_fp:
             cur = nxt
             converged = True
             break
-        cur, prev_n = nxt, n
+        cur, prev_fp = nxt, fp
     if not converged:
         raise RuntimeError(
             f"_star_components did not reach a fixpoint in {max_rounds} "
-            f"rounds ({prev_n} edges remain changing) — input is likely "
-            "corrupt (star contraction converges in O(log n) rounds)")
+            f"rounds ({prev_fp[0]} edges remain changing) — input is "
+            "likely corrupt (star contraction converges in O(log n) "
+            "rounds)")
     comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
     # nodes that are their own component's minimum never appear as src in
     # the final star forest (nor do true singletons, which never had edges)

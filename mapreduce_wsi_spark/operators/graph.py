@@ -40,11 +40,16 @@ def resolve_roots(nodes: DataFrame, id_col: str = "id",
         F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
         F.when(F.col(parent_col).isNull(), 0).otherwise(1).alias("dist")))
     for _ in range(max_rounds):
-        # finished = anc is a root; only unfinished rows need the jump
-        cur = cur.join(F.broadcast(roots), cur["anc"] == roots["__r"],
-                       "left").select("id", "anc", "dist",
-                                      roots["__r"].isNotNull().alias("__done"))
-        if cur.filter(~F.col("__done")).isEmpty():
+        # finished = anc is a root; only unfinished rows need the jump.
+        # r14: the cut moved from the hop join to HERE, before the
+        # count probe — the hop step self-joins cur, so cutting first
+        # means the done-join computes once per round instead of twice,
+        # and the probe reads the materialized blocks
+        cur = iter_checkpoint(
+            cur.join(F.broadcast(roots), cur["anc"] == roots["__r"],
+                     "left").select("id", "anc", "dist",
+                                    roots["__r"].isNotNull().alias("__done")))
+        if cur.filter(~F.col("__done")).count() == 0:
             cur = cur.drop("__done")
             break
         hop = cur.select(F.col("id").alias("__jid"),
@@ -58,8 +63,7 @@ def resolve_roots(nodes: DataFrame, id_col: str = "id",
                        F.when(F.col("__done") | F.col("__janc").isNull(),
                               F.col("dist"))
                        .otherwise(F.col("dist") + F.col("__jdist"))
-                       .alias("dist"))
-               .transform(iter_checkpoint))
+                       .alias("dist")))
     return cur.select("id", F.col("anc").alias("root"),
                       F.col("dist").alias("depth"))
 
@@ -79,10 +83,12 @@ def bfs_hops(edges: DataFrame, source: int, src_col: str = "src",
     with the iteration count. The DuckDB oracle runs the honest
     WITH RECURSIVE UNION (dedup) twin."""
     spark = edges.sparkSession
-    visited = iter_checkpoint(
-        spark.range(1)
-        .select(F.lit(source).cast("bigint").alias("id"),
-                F.lit(0).alias("hops")))
+    # the 1-row seed needs no cut; visited accumulates as a FLAT union
+    # of per-round cut frontiers (each leaf materialized, so the union
+    # plan never deepens — no per-round visited checkpoint job, r14)
+    visited = spark.range(1).select(
+        F.lit(source).cast("bigint").alias("id"),
+        F.lit(0).alias("hops"))
     frontier = visited
     for r in range(1, max_rounds + 1):
         nxt = iter_checkpoint(
@@ -90,9 +96,9 @@ def bfs_hops(edges: DataFrame, source: int, src_col: str = "src",
             .select(F.col(dst_col).cast("bigint").alias("id")).distinct()
             .join(visited, "id", "left_anti")
             .select("id", F.lit(r).alias("hops")))
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = iter_checkpoint(visited.unionByName(nxt))
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
@@ -248,10 +254,20 @@ def hits_fixed(edges: DataFrame, n_iter: int = 2,
     cur = nodes.withColumn("hub", F.lit(HITS_SCALE).cast("long"))
 
     def normalize(df, col):
-        mx = df.agg(F.max(col).alias("__mx"))
-        return (df.crossJoin(F.broadcast(mx))
-                .select("id", F.expr(f"({col} * cast({HITS_SCALE} as "
-                                     f"bigint)) div __mx").alias(col)))
+        # r14: checkpoint the RAW scores, collect the 1-row max, and
+        # fold it back in as an exact BIGINT literal — replacing the
+        # crossJoin(broadcast(max)) pair, which re-ran the raw-score
+        # subtree inside the broadcast job each half-round and paid a
+        # broadcast exchange per normalization. Driver traffic is the
+        # same single row the broadcast exchange already collected
+        # (the jdbc-bounds action class).
+        df = iter_checkpoint(df)
+        mx = df.agg(F.max(col).alias("__mx")).first()[0]
+        if mx is None:  # empty graph: keep the old NULL-div semantics
+            mx = 0
+        return df.select("id", F.expr(
+            f"({col} * cast({HITS_SCALE} as bigint)) "
+            f"div cast({mx} as bigint)").alias(col))
 
     auth = None
     for _ in range(n_iter):
@@ -259,18 +275,18 @@ def hits_fixed(edges: DataFrame, n_iter: int = 2,
                         "src")
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.sum("hub").alias("auth")))
-        auth = iter_checkpoint(normalize(
+        auth = normalize(
             nodes.join(raw_a, "id", "left")
             .select("id", F.coalesce("auth", F.lit(0)).alias("auth")),
-            "auth"))
+            "auth")
         raw_h = (e.join(auth.select(F.col("id").alias("dst"), "auth"),
                         "dst")
                  .groupBy(F.col("src").alias("id"))
                  .agg(F.sum("auth").alias("hub")))
-        cur = iter_checkpoint(normalize(
+        cur = normalize(
             nodes.join(raw_h, "id", "left")
             .select("id", F.coalesce("hub", F.lit(0)).alias("hub")),
-            "hub"))
+            "hub")
     s = float(HITS_SCALE)
     return (nodes.join(auth, "id").join(cur, "id")
             .select("id", "auth", "hub",

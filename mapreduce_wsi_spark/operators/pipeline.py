@@ -464,21 +464,43 @@ def dsir_select(df: DataFrame, text_col: str, id_col: str,
                     lambda i: F.concat_ws(
                         " ", F.element_at(w, i), F.element_at(w, i + 1)))
     ).otherwise(F.array().cast("array<string>"))
+    # the explicit isnotnull(bk) is a no-op on values (bk is never
+    # null: md5-bucket of a non-null gram) but makes the subtree
+    # CANONICALLY IDENTICAL on both consumers — the scoring join pushes
+    # isnotnull(bk) into its side anyway, and without it here the model
+    # branch's copy would differ and Catalyst's ReuseExchange could
+    # never dedup them (r14; guide §2.4 — the plan now computes the
+    # (doc, bucket) aggregation ONCE per execution, with the model
+    # branch reading a ReusedExchange)
     doc_bk = (df.select(
         F.col(id_col),
         F.col(target_col).isin(*target_values).alias("tgt"),
         F.explode(F.concat(w, big)).alias("gram"))
         .withColumn("bk", portable_bucket(F.col("gram"), n_buckets))
+        .where(F.col("bk").isNotNull())
         .groupBy(id_col, "tgt", "bk")
         .agg(F.count(F.lit(1)).alias("n")))
     if materialize:
         from pyspark import StorageLevel
         doc_bk = doc_bk.persist(StorageLevel.MEMORY_AND_DISK)
-    cnt = doc_bk.groupBy("bk").agg(
+    # ONE aggregation produces the per-bucket counts AND the grand
+    # totals (rollup adds the grouping()=1 total row); the totals then
+    # ride a window over the <= n_buckets + 1 aggregated rows — the
+    # old shape computed tot as a THIRD scan of the gram-explode
+    # lineage (doc_bk -> cnt -> tot as its own broadcast subtree),
+    # i.e. the corpus-sized explode ran three times per execution (r14)
+    cnt = (doc_bk.rollup("bk").agg(
         F.sum("n").alias("c_r"),
-        F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)).alias("c_t"))
-    tot = cnt.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
-    dlt = (cnt.crossJoin(F.broadcast(tot)).select(
+        F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)).alias("c_t"),
+        F.grouping("bk").alias("__g")))
+    wall = Window.partitionBy()  # n_buckets + 1 rows — bounded
+    dlt = (cnt
+           .withColumn("t_r", F.max(F.when(F.col("__g") == 1,
+                                           F.col("c_r"))).over(wall))
+           .withColumn("t_t", F.max(F.when(F.col("__g") == 1,
+                                           F.col("c_t"))).over(wall))
+           .filter(F.col("__g") == 0)
+           .select(
         "bk",
         (F.log((F.col("c_t") + 1).cast("double")
                / (F.col("t_t") + n_buckets)).cast("decimal(28,9)")

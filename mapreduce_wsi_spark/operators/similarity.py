@@ -667,33 +667,42 @@ def pca_power_component(df: DataFrame, vec_col: str = "embedding",
         .select(F.col("j").alias("i"), F.col("i").alias("j"), "cov"))
     mat = mat.localCheckpoint()  # one corpus pass, reused every round
 
-    v = spark.createDataFrame(
-        [(i, round(1.0 / math.sqrt(dim), 9)) for i in range(dim)],
-        "i int, x double")
+    # r14: the dim-row iterate rides the driver as LITERALS (the
+    # kmeans_lloyd convention — a bounded k*dim collect per round)
+    # instead of a per-round localCheckpoint + broadcast-join pair.
+    # Every arithmetic step is the SAME Spark expression as before
+    # (IEEE product of doubles -> decimal(28,9) cast -> order-free
+    # sum; norm and 9dp re-round identical), so the trajectory is
+    # bit-identical; only where vx comes from changed (element_at of
+    # a literal array vs a broadcast join). Per round: ONE collect
+    # action instead of a checkpoint job + broadcast jobs — the old
+    # loop was ~44 scheduler round-trips for 6 rounds over a 64-row
+    # iterate and a 4096-row matrix.
+    def vlit(vals: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    v_vals = [round(1.0 / math.sqrt(dim), 9)] * dim
     for _ in range(n_iter):
-        w = (mat.join(F.broadcast(v.select(F.col("i").alias("j"),
-                                           F.col("x").alias("vx"))), "j")
-             .groupBy("i")
-             .agg(F.sum((F.col("cov") * F.col("vx"))
+        vx = F.element_at(vlit(v_vals), F.col("j") + 1)
+        w = (mat.groupBy("i")
+             .agg(F.sum((F.col("cov") * vx)
                         .cast("decimal(28,9)")).alias("w")))
         nrm = w.agg(F.sqrt(
             F.sum((F.col("w").cast("double") * F.col("w").cast("double"))
                   .cast("decimal(28,9)")).cast("double")).alias("nrm"))
-        v = (w.crossJoin(F.broadcast(nrm))
-             .select("i", F.round(F.col("w").cast("double")
-                                  / F.col("nrm"), 9).alias("x")))
-        # materialize the dim-row iterate: w feeds BOTH the norm subtree
-        # and the next round, so without a cut each round doubles the
-        # plan (2^n_iter blowup — measured 8.8s vs ~1s at sf0.1)
-        v = v.localCheckpoint()
-    lam = (mat
-           .join(F.broadcast(v.select(F.col("i"),
-                                      F.col("x").alias("xi"))), "i")
-           .join(F.broadcast(v.select(F.col("i").alias("j"),
-                                      F.col("x").alias("xj"))), "j")
-           .agg(F.sum((F.col("cov") * F.col("xi") * F.col("xj"))
-                      .cast("decimal(28,9)"))
-                .cast("double").alias("eigenvalue")))
+        rows = (w.crossJoin(F.broadcast(nrm))
+                .select("i", F.round(F.col("w").cast("double")
+                                     / F.col("nrm"), 9).alias("x"))
+                .collect())  # dim rows — bounded
+        by_i = {int(r["i"]): r["x"] for r in rows}
+        v_vals = [by_i[i] for i in range(dim)]
+    xi = F.element_at(vlit(v_vals), F.col("i") + 1)
+    xj = F.element_at(vlit(v_vals), F.col("j") + 1)
+    lam = (mat.agg(F.sum((F.col("cov") * xi * xj)
+                         .cast("decimal(28,9)"))
+                   .cast("double").alias("eigenvalue")))
+    v = spark.createDataFrame(
+        [(i, v_vals[i]) for i in range(dim)], "i int, x double")
     return (v.crossJoin(F.broadcast(lam))
             .select(F.col("i").alias("dim_idx"),
                     F.col("x").alias("component"), "eigenvalue"))
@@ -1150,26 +1159,41 @@ def _kmeans_assign(vecs: DataFrame,
                    centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Map-side Lloyd assignment against LITERAL centroids: for each
     corpus row, argmin over the k embedded (cell, vector) literals by
-    (distance, cell) — expressed as ``least()`` over DECIMAL-distance
+    (distance, cell) — argmin via ``array_min`` over DECIMAL-distance
     structs, whose lexicographic struct ordering IS the deterministic
     tie-break. Zero joins, zero windows, zero exchanges: the corpus
     never moves. Split out of kmeans_lloyd so the plan test can pin
-    exchange-freeness on the in-loop shape directly."""
+    exchange-freeness on the in-loop shape directly.
+
+    r14 form: the centroids embed as ONE literal array<struct<c, v>>
+    and the k distance folds become a single transform lambda —
+    replacing k separate zip_with/aggregate Column trees under an
+    F.least(). Identical math (same decimal casts, same (d, c) struct
+    ordering; array_min == least element-wise), but the expression
+    tree shrinks ~k-fold and builds as one SQL string: the old form
+    spent ~0.8 s PER ROUND in py4j Column construction + analysis +
+    codegen of the k x dim literal tree — rebuilt every round because
+    the literals change — which was most of the fit's wall time
+    (executing a round measured 0.06-0.5 s; guide §1.1). Double
+    literals print via repr(), which round-trips bit-exactly."""
     d_t = "decimal(28,18)"
 
-    def dist(cv, c_lit):
-        # re-cast each merge: Spark widens DECIMAL on add, which
-        # breaks aggregate()'s fixed accumulator type; scale 18 with
-        # precision 28 has headroom for any 64-term sum here
-        return F.aggregate(
-            F.zip_with(cv, c_lit,
-                       lambda a, b: ((a - b) * (a - b)).cast(d_t)),
-            F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))
+    def dlit(x: float) -> str:
+        return f"cast({repr(float(x))} as double)"
 
-    cands = [F.struct(dist(F.col("__cv"), F.lit(c)).alias("d"),
-                      F.lit(int(cell)).cast("long").alias("c"))
-             for cell, c in centroids]
-    best = cands[0] if len(cands) == 1 else F.least(*cands)
+    cents = ", ".join(
+        f"named_struct('c', cast({int(cell)} as bigint), "
+        f"'v', array({', '.join(dlit(x) for x in c)}))"
+        for cell, c in centroids)
+    # re-cast each merge: Spark widens DECIMAL on add, which breaks
+    # aggregate()'s fixed accumulator type; scale 18 with precision 28
+    # has headroom for any 64-term sum here
+    best = F.expr(
+        f"array_min(transform(array({cents}), ct -> named_struct("
+        f"'d', aggregate(zip_with(__cv, ct.v, "
+        f"(a, b) -> cast((a - b) * (a - b) as {d_t})), "
+        f"cast(0 as {d_t}), (acc, x) -> cast(acc + x as {d_t})), "
+        f"'c', ct.c)))")
     return (vecs.withColumn("__b", best)
             .select("__id", "__cv", F.col("__b.c").alias("cell"),
                     F.col("__b.d").alias("__d")))
@@ -1225,22 +1249,40 @@ def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
     centroids: dict[int, list[float]] = {
         int(r["cell"]): list(r["__c"]) for r in init}
 
-    asg = None
-    for _ in range(n_rounds):
+    # Mean update: the posexplode + (cell, dim) partial agg (A/B'd r14
+    # against dim-wide per-component sum columns in one groupBy(cell)
+    # aggregate: 64 decimal buffers ran 2.4x SLOWER than the exploded
+    # single-buffer form at sf0.1 — wide decimal aggregate rows lose to
+    # codegen'd narrow rows). The FINAL round's aggregate additionally
+    # carries n_assigned and the cell inertia sum (conditional on
+    # __i = 0, so each doc contributes once), which removes the
+    # separate corpus-sized stats pass the returned plan used to pay
+    # (guide §1.2: one fewer full pass; 4 -> 3 corpus scans per fit).
+    stat_rows: list[tuple[int, int, float]] = []
+    for rnd in range(n_rounds):
+        last = rnd == n_rounds - 1
         asg = _kmeans_assign(vecs, sorted(centroids.items()))
-        upd = (asg.select("cell", F.posexplode("__cv")
+        aggs = [F.sum(F.col("__x").cast("decimal(38,20)")).alias("__s"),
+                F.count(F.lit(1)).alias("__n")]
+        if last:
+            aggs.append(F.round(
+                F.sum(F.when(F.col("__i") == 0, F.col("__d")))
+                .cast("double"), 9).alias("__inertia"))
+        upd = (asg.select("cell", "__d", F.posexplode("__cv")
                           .alias("__i", "__x"))
                .groupBy("cell", "__i")
-               .agg(F.sum(F.col("__x").cast("decimal(38,20)"))
-                    .alias("__s"),
-                    F.count(F.lit(1)).alias("__n"))
-               .select("cell", "__i",
+               .agg(*aggs)
+               .select("cell", "__i", "__n",
+                       *([F.col("__inertia")] if last else []),
                        F.round(F.col("__s").cast("double")
                                / F.col("__n"), 9).alias("__x")))
         by_cell: dict[int, dict[int, float]] = {}
         for r in upd.collect():  # <= k*dim rows — bounded
             by_cell.setdefault(int(r["cell"]), {})[int(r["__i"])] = \
                 r["__x"]
+            if last and int(r["__i"]) == 0:
+                stat_rows.append((int(r["cell"]), int(r["__n"]),
+                                  float(r["__inertia"])))
         for cell, comps in by_cell.items():
             centroids[cell] = [comps[i] for i in sorted(comps)]
 
@@ -1248,14 +1290,14 @@ def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
     spark = emb.sparkSession
     cent = spark.createDataFrame(
         [(cell, c) for cell, c in sorted(centroids.items())],
-        f"cell long, __c array<double>")
+        "cell long, __c array<double>")
     l1 = F.aggregate(
         F.transform(F.col("__c"), lambda x: F.abs(x).cast(d_t)),
         F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))
-    stats = (asg.groupBy("cell")
-             .agg(F.count(F.lit(1)).alias("n_assigned"),
-                  F.round(F.sum("__d").cast("double"), 9)
-                  .alias("inertia")))
+    stats = spark.createDataFrame(
+        stat_rows or [(None, None, None)],
+        "cell long, n_assigned long, inertia double").filter(
+            F.col("cell").isNotNull())
     return (cent.join(F.broadcast(stats), "cell", "left")
             .select(F.col("cell").cast("long").alias("cell"),
                     F.coalesce("n_assigned", F.lit(0)).cast("long")

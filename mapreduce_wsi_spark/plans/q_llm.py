@@ -3986,6 +3986,8 @@ def pipeline_prepare_er(spark, sf_dir):
         keep_best_in_components, normalize_text,
         sorted_neighborhood_pairs)
 
+    from mapreduce_wsi_spark.util import iter_checkpoint
+
     docs = tbl(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", "source", "n_chars",
@@ -3996,9 +3998,14 @@ def pipeline_prepare_er(spark, sf_dir):
         [F.substring(F.col("nt"), 1, 16),
          F.substring(F.reverse(F.col("nt")), 1, 16)],
         window=4, block_col="lang")
-    t = base.select(
+    # checkpoint the tokenized frame ONCE (r14): it feeds BOTH sides of
+    # the Fellegi-Sunter flags join, and uncut each side re-ran the
+    # corpus-wide normalize regex + split + array_distinct lineage —
+    # two full tokenize passes per execution for one table's worth of
+    # data (guide §1.2: don't compute things twice)
+    t = iter_checkpoint(base.select(
         "doc_id", "source", "lb",
-        F.array_distinct(F.split(F.col("nt"), " ")).alias("tk"))
+        F.array_distinct(F.split(F.col("nt"), " ")).alias("tk")))
     ta = t.select(F.col("doc_id").alias("doc_a"),
                   F.col("source").alias("src_a"),
                   F.col("lb").alias("lb_a"), F.col("tk").alias("tk_a"))

@@ -479,16 +479,17 @@ def text_ngram_novelty_decay(spark, sf_dir):
          "regression as a shifted histogram rather than a downstream "
          "dedup-rate mystery. Spark side chunks via the same one-"
          "expression map-only fold the dedup entries use "
-         "(operators/curation.py::cdc_fold_expr) and counts words "
+         "(operators/curation.py::cdc_chunk_arr) and counts words "
          "per chunk; the oracle re-derives chunking as a window "
          "cumsum over boundary flags (the _cdc_chunks_sql spec). "
          "Output is |distinct chunk sizes| rows at any corpus scale")
 def dedup_cdc_chunk_size_audit(spark, sf_dir):
-    from mapreduce_wsi_spark.operators.curation import cdc_fold_expr
+    from mapreduce_wsi_spark.operators.curation import cdc_chunk_arr
     docs = tbl(spark, sf_dir, "documents")
-    sz = (docs.select(F.col("doc_id").alias("id"),
-                      F.split(F.col("text"), " ").alias("__w"))
-          .select("id", F.posexplode(cdc_fold_expr())
+    sz = (cdc_chunk_arr(docs.select(F.col("doc_id").alias("id"),
+                                    F.split(F.col("text"), " ")
+                                    .alias("__w")))
+          .select("id", F.posexplode(F.col("__chunks"))
                   .alias("cid", "ctext"))
           .select(F.size(F.split("ctext", " ")).alias("chunk_words")))
     tot = sz.agg(F.count(F.lit(1)).alias("n"))
@@ -1234,17 +1235,18 @@ def _cdc_hist_sql(pct: int) -> str:
          "dedupe less but cost fewer hashes; finer (50%) the inverse. "
          "The table a storage planner reads before fixing the "
          "chunker's rate for a 100 TB corpus. Spark side is three "
-         "map-only cdc_fold_expr passes unioned (no shuffle until the "
+         "map-only cdc_chunk_arr passes unioned (no shuffle until the "
          "3-row aggregate); the oracle re-derives each rate as a "
          "window cumsum (the _cdc_chunks_sql spec, parameterized)")
 def dedup_cdc_boundary_sweep(spark, sf_dir):
-    from mapreduce_wsi_spark.operators.curation import cdc_fold_expr
+    from mapreduce_wsi_spark.operators.curation import cdc_chunk_arr
     docs = tbl(spark, sf_dir, "documents")
     out = None
     for pct in (10, 25, 50):
-        sz = (docs.select(F.col("doc_id").alias("id"),
-                          F.split(F.col("text"), " ").alias("__w"))
-              .select(F.posexplode(cdc_fold_expr(pct))
+        sz = (cdc_chunk_arr(docs.select(F.col("doc_id").alias("id"),
+                                        F.split(F.col("text"), " ")
+                                        .alias("__w")), pct)
+              .select(F.posexplode(F.col("__chunks"))
                       .alias("cid", "ctext"))
               .select(F.size(F.split("ctext", " ")).alias("cw")))
         row = sz.agg(

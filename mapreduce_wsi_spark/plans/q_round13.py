@@ -448,11 +448,24 @@ def _bpe_ntok_sql(k: int) -> str:
          "at build, then 4 map-only tokenize passes -> 1-row "
          "aggregates (operators/text.py::bpe_learn_and_apply)")
 def text_bpe_compression_curve(spark, sf_dir):
-    from mapreduce_wsi_spark.operators.text import bpe_learn_and_apply
+    # r14: train ONCE at the deepest point and slice prefixes — BPE
+    # merge learning is a deterministic sequence, so learn(k) is
+    # exactly learned_6[:k] (same corpus, same fold, same argmax
+    # tie-break); the old per-depth retrain paid 2+4+6 = 12 bounded
+    # argmax jobs where the shared trajectory needs 6 (guide §1.2:
+    # don't recompute a prefix three times). Tokenization per depth is
+    # unchanged: the same U+001F strip on both sides, the same
+    # bpe_apply_learned plan literals — bit-identical to the per-depth
+    # bpe_learn_and_apply the oracle replays.
+    from mapreduce_wsi_spark.operators.text import (
+        _bpe_learn_merges, bpe_apply_learned)
     docs = tbl(spark, sf_dir, "documents")
+    clean = F.replace(F.col("text"), F.lit("\x1f"), F.lit(""))
+    docs_c = docs.withColumn("text", clean)
+    learned = _bpe_learn_merges(docs_c, "text", 6)
     parts = []
     for k in (0, 2, 4, 6):
-        nt = bpe_learn_and_apply(docs, "text", "doc_id", n_merges=k)
+        nt = bpe_apply_learned(docs_c, "text", "doc_id", learned[:k])
         parts.append(nt.agg(
             F.lit(k).cast("int").alias("n_merges"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens")))

@@ -37,6 +37,16 @@ def iter_checkpoint(df):
       store) path and survives executor loss. The per-round write is the
       price of fault tolerance on long jobs at 100 TB.
 
+    Eager is deliberate (re-established by r14 A/B): a non-eager
+    ``localCheckpoint`` under AQE is a false economy — building the
+    checkpoint RDD forces AdaptiveSparkPlanExec to materialize its
+    query stages right there (a job at call time), and the final stage
+    is then recomputed by EVERY downstream action instead of read from
+    blocks (measured: lazy cost one extra job and ~2x the action time
+    on the probe loops). A non-eager reliable ``checkpoint()`` is worse
+    still: the RDD checkpoint contract recomputes the whole plan in a
+    second job to write the files.
+
     Identical results either way (pytest-pinned); only the storage of the
     cut changes.
     """

@@ -961,20 +961,17 @@ def test_quantile_disc_has_no_rowlevel_cume_dist(spark, sf_oracle):
         assert "cume_dist" not in plan, f"{name}: cume_dist returned"
 
 
-def test_char_ngram_repetition_has_no_position_buffer(spark, sf_oracle):
-    """char_ngram_repetition (r11): duplicated (doc, gram) starts are
-    tagged by an in-stream window COUNT over (id, gram) — one shuffle,
-    no join, no collect_list(pos) aggregation buffer and no
-    groupBy+explode roundtrip. The measured 3-way A/B (SCALE.md r11)
-    put this form fastest; the regression markers are collect_list
-    anywhere, or the (id, gram) count window disappearing."""
-    import re
-
+def test_char_ngram_repetition_is_row_local(spark, sf_oracle):
+    """char_ngram_repetition (r14 rewrite, superseding the r11 window
+    form): duplicated-gram detection AND the interval union are
+    per-document facts, so the whole statistic is one projection over
+    the scan — ZERO exchanges, no window, no join, no explode. The
+    regression markers are any Exchange / Window / Generate node, or a
+    collect_list buffer, reappearing in the plan."""
     plan = plan_of(build("text_char_ngram_repetition", spark, sf_oracle))
     assert "collect_list" not in plan, "position buffer returned"
-    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
-    assert any("id" in s and " g" in s for s in specs), (
-        f"(id, gram) count window missing: {specs}")
+    for node in ("Exchange", "Window", "Generate", "Join"):
+        assert node not in plan, f"{node} returned — row-local form lost"
 
 
 def test_r11_per_group_selections_are_salted(spark, sf_oracle):
