@@ -721,19 +721,28 @@ def mmr_diversify(corpus: DataFrame, query_id: int, k: int = 6,
     Two-phase plan, matching how MMR deploys at scale: (1) the
     DISTRIBUTED phase — relevance = cosine to the query over the whole
     corpus, TakeOrderedAndProject down to a ``pool``-sized candidate
-    frame, then the pool x pool similarity matrix (both
-    localCheckpointed: pool^2 bounded rows, computed once); (2) the
-    greedy loop — k rounds, each one bounded Spark job over the pool
-    frame ending in a 1-row collect (the bpe_learn/BFS-seed
-    precedent: the collected row IS the selection). The corpus is
-    touched exactly once; rounds never rescan it.
+    frame (one corpus job), then the pool x pool similarity matrix
+    computed IN SPARK over the collected pool re-embedded as a literal
+    frame (one bounded job — no second corpus scan); (2) the greedy
+    loop — pure driver-side Python over the pool relevances and the
+    pool^2 9dp similarity matrix, both already bounded constants.
+    r14: the loop used to run k Spark jobs of a TakeOrdered collect
+    over pool-sized checkpointed frames (plus two checkpoint jobs) —
+    ~10 scheduler round-trips for arithmetic over <= 256 doubles; now
+    the whole operator is 2 bounded jobs after the corpus pass.
 
-    Determinism: rel and sim round to 9dp before any comparison, ties
-    break on id — both engines see identical doubles (dot products
-    accumulate in the same sequential order as DuckDB's
-    list_dot_product). Returns (step, id, mmr_score): selection order
-    with the maximized objective at each step (step 1 has no
-    diversity term: max over an empty selected set is 0)."""
+    Determinism: rel and sim round to 9dp IN SPARK before collection
+    (dot products accumulate in the same sequential order as DuckDB's
+    list_dot_product); the driver-side greedy reproduces Spark's
+    `round(lam * rel - (1-lam) * ms, 9)` bit-for-bit — the products
+    and subtraction are the same IEEE double ops, and the 9dp round
+    replays Spark's Round semantics exactly (BigDecimal.valueOf ==
+    shortest-repr decimal == Python repr; HALF_UP quantize at 1e-9) —
+    ties break on id as before. Returns (step, id, mmr_score):
+    selection order with the maximized objective at each step (step 1
+    has no diversity term: max over an empty selected set is 0)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col))
                       .alias("__v"))
     q = (c.filter(F.col(id_col) == query_id)
@@ -743,45 +752,50 @@ def mmr_diversify(corpus: DataFrame, query_id: int, k: int = 6,
            .select(F.col(id_col),
                    F.round(cosine(F.col("__v"), F.col("__qv")), 9)
                    .alias("__rel"), "__v"))
-    pool_df = (rel.orderBy(F.col("__rel").desc(), F.col(id_col))
-               .limit(pool).localCheckpoint())
-    a = pool_df.select(F.col(id_col).alias("__ia"),
-                       F.col("__v").alias("__va"))
-    b = pool_df.select(F.col(id_col).alias("__ib"),
-                       F.col("__v").alias("__vb"))
-    sims = (a.crossJoin(b).filter(F.col("__ia") != F.col("__ib"))
-            .select("__ia", "__ib",
-                    F.round(cosine(F.col("__va"), F.col("__vb")), 9)
-                    .alias("__sim")).localCheckpoint())
-
-    cand = pool_df.select(id_col, "__rel")
-    picked: list[tuple[int, int, float]] = []
-    for step in range(1, k + 1):
-        chosen = [p[1] for p in picked]
-        remaining = cand.filter(~F.col(id_col).isin(chosen)) \
-            if chosen else cand
-        if chosen:
-            ms = (sims.filter(F.col("__ib").isin(chosen))
-                  .groupBy("__ia").agg(F.max("__sim").alias("__ms")))
-            scored = (remaining
-                      .join(ms, remaining[id_col] == ms["__ia"], "left")
-                      .select(F.col(id_col),
-                              F.round(F.lit(lam) * F.col("__rel")
-                                      - F.lit(1 - lam)
-                                      * F.coalesce("__ms", F.lit(0.0)),
-                                      9).alias("__score")))
-        else:
-            scored = remaining.select(
-                F.col(id_col),
-                F.round(F.lit(lam) * F.col("__rel"), 9)
-                .alias("__score"))
-        win = (scored.orderBy(F.col("__score").desc(), F.col(id_col))
-               .limit(1).collect())  # 1 row/round: the selection itself
-        if not win:
-            break
-        picked.append((step, win[0][id_col], float(win[0]["__score"])))
-
+    pool_rows = (rel.orderBy(F.col("__rel").desc(), F.col(id_col))
+                 .limit(pool).collect())  # pool rows — bounded
     spark = corpus.sparkSession
+    pool_lit = spark.createDataFrame(
+        [(int(r[id_col]), float(r["__rel"]), list(r["__v"]))
+         for r in pool_rows],
+        f"{id_col} long, __rel double, __v array<double>")
+    a = pool_lit.select(F.col(id_col).alias("__ia"),
+                        F.col("__v").alias("__va"))
+    b = pool_lit.select(F.col(id_col).alias("__ib"),
+                        F.col("__v").alias("__vb"))
+    sim_rows = (a.crossJoin(b).filter(F.col("__ia") != F.col("__ib"))
+                .select("__ia", "__ib",
+                        F.round(cosine(F.col("__va"), F.col("__vb")), 9)
+                        .alias("__sim"))
+                .collect())  # pool^2 rows — bounded
+    sim = {(int(r["__ia"]), int(r["__ib"])): float(r["__sim"])
+           for r in sim_rows}
+    rels = {int(r[id_col]): float(r["__rel"]) for r in pool_rows}
+
+    def rnd9(x: float) -> float:
+        # Spark Round(double, 9): BigDecimal.valueOf (Double.toString,
+        # the shortest round-trip decimal — identical to Python repr)
+        # .setScale(9, HALF_UP).doubleValue()
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"),
+                                               rounding=ROUND_HALF_UP))
+
+    one_minus = 1 - lam  # the same double F.lit(1 - lam) embedded
+    picked: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for step in range(1, k + 1):
+        best = None
+        for i in sorted(rels):
+            if i in chosen:
+                continue
+            ms = max((sim[(i, j)] for j in chosen), default=0.0)
+            score = rnd9(lam * rels[i] - one_minus * ms)
+            if best is None or score > best[0]:
+                best = (score, i)
+        if best is None:
+            break
+        picked.append((step, best[1], best[0]))
+        chosen.append(best[1])
+
     return spark.createDataFrame(
         picked, f"step int, {id_col} long, mmr_score double")
 
