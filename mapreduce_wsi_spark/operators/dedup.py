@@ -714,8 +714,9 @@ def _snm_pass_pairs(base: DataFrame, blk: list[str],
     for p in sorted(counts):
         offsets.append((p, acc))
         acc += counts[p]
-    off = base.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "__sn_pid int, __sn_off long")
+    from mapreduce_wsi_spark.util import literal_df
+    off = literal_df(base.sparkSession,
+                     offsets or [(0, 0)], "__sn_pid int, __sn_off long")
 
     edge = (en.filter((F.col("__sn_rank") <= window - 1)
                       | (F.col("__sn_rank")

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_wsi_spark.util import literal_df
+
 
 def group_auc(df: DataFrame, group_col: str, score_col: str,
               label_col: str) -> DataFrame:
@@ -699,7 +701,7 @@ def gini_coefficient(df: DataFrame, value_col: str, key_col: str,
     for s in range(n_buckets):
         offsets.append((s, acc))
         acc += counts.get(s, 0)
-    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+    off = literal_df(df.sparkSession, offsets, "__b int, __off long")
 
     rank = F.row_number().over(
         Window.partitionBy("__b").orderBy("__v", "__k"))
@@ -761,8 +763,8 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
         sa, sb = sums.get(s, (0, 0))
         acc_a += int(sa)
         acc_b += int(sb)
-    off = df.sparkSession.createDataFrame(
-        offsets, "__b int, __offa long, __offb long")
+    off = literal_df(df.sparkSession, offsets,
+                     "__b int, __offa long, __offb long")
 
     w = (Window.partitionBy("__b").orderBy("__v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -894,8 +896,8 @@ def pareto_concentration(df: DataFrame, key_col: str, value_col: str,
         n, sv = sums.get(s, (0, 0))
         acc_n += int(n)
         acc_s += sv
-    off = df.sparkSession.createDataFrame(
-        offsets, "__b int, __offn long, __offs long")
+    off = literal_df(df.sparkSession, offsets,
+                     "__b int, __offn long, __offs long")
     total_n, total_s = acc_n, acc_s
 
     w = (Window.partitionBy("__b")
@@ -966,7 +968,7 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     for s in range(n_buckets):
         offsets.append((s, acc))
         acc += counts.get(s, 0)
-    off = df.sparkSession.createDataFrame(offsets, "__b int, __off long")
+    off = literal_df(df.sparkSession, offsets, "__b int, __off long")
     wp = Window.partitionBy("__b").orderBy("__v", "__g", "__id")
     pool = (bk.join(F.broadcast(off), "__b")
             .select((F.col("__off") + F.row_number().over(wp))

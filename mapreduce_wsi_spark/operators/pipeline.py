@@ -50,10 +50,11 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
     falls under its stratum's percentage. The rates table is a broadcast
     join (dozens of strata vs billions of rows), keeping the op map-side;
     ``sampleBy`` would give a random, non-reproducible subset instead."""
+    from mapreduce_wsi_spark.util import literal_df
     spark = df.sparkSession
-    rates = spark.createDataFrame(
-        [(k, int(v)) for k, v in rates_pct.items()],
-        f"{stratum_col} string, pct int")
+    rates = literal_df(spark,
+                       [(k, int(v)) for k, v in rates_pct.items()],
+                       f"{stratum_col} string, pct int")
     b = portable_bucket(F.col(key_col))
     return (df.join(F.broadcast(rates), on=stratum_col, how="left")
             .withColumn("pct", F.coalesce("pct", F.lit(default_pct)))
@@ -346,8 +347,9 @@ def assign_global_ids(df: DataFrame, key_col: str,
     for s in range(n_shards):
         offsets.append((s, acc))
         acc += counts.get(s, 0)
+    from mapreduce_wsi_spark.util import literal_df
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets, "shard int, __off long")
+    off = literal_df(spark, offsets, "shard int, __off long")
 
     rank = F.row_number().over(
         Window.partitionBy("shard").orderBy("__h", key_col))
@@ -364,10 +366,11 @@ def mix_sources(df: DataFrame, key_col: str, stratum_col: str,
     ``epoch`` index so downstream shuffling can interleave copies apart.
     Implementation is a generated ``explode(sequence(1, n))`` — narrow,
     no join, no data movement beyond the output rows themselves."""
+    from mapreduce_wsi_spark.util import literal_df
     spark = df.sparkSession
-    rates = spark.createDataFrame(
-        [(k, int(v)) for k, v in epochs.items()],
-        f"{stratum_col} string, __n_epochs int")
+    rates = literal_df(spark,
+                       [(k, int(v)) for k, v in epochs.items()],
+                       f"{stratum_col} string, __n_epochs int")
     return (df.join(F.broadcast(rates), on=stratum_col, how="left")
             .withColumn("__n_epochs",
                         F.coalesce("__n_epochs", F.lit(default_epochs)))

@@ -281,8 +281,12 @@ def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
     model = km.fit(c.select("__feat"))
     assigned = model.transform(c).select(id_col, "__cv", "__cell")
 
-    # Centroid table: n_centroids rows — broadcast-joined, never shuffled.
-    centroids = corpus.sparkSession.createDataFrame(
+    # Centroid table: n_centroids rows — broadcast-joined, never
+    # shuffled. literal_df (r14): a createDataFrame here re-ran Python
+    # workers on EVERY broadcast build of every probe that joins it.
+    from mapreduce_wsi_spark.util import literal_df
+    centroids = literal_df(
+        corpus.sparkSession,
         [(i, [float(x) for x in ctr]) for i, ctr in
          enumerate(model.clusterCenters())],
         "cell int, centroid array<double>")
@@ -701,8 +705,9 @@ def pca_power_component(df: DataFrame, vec_col: str = "embedding",
     lam = (mat.agg(F.sum((F.col("cov") * xi * xj)
                          .cast("decimal(28,9)"))
                    .cast("double").alias("eigenvalue")))
-    v = spark.createDataFrame(
-        [(i, v_vals[i]) for i in range(dim)], "i int, x double")
+    from mapreduce_wsi_spark.util import literal_df
+    v = literal_df(spark, [(i, v_vals[i]) for i in range(dim)],
+                   "i int, x double")
     return (v.crossJoin(F.broadcast(lam))
             .select(F.col("i").alias("dim_idx"),
                     F.col("x").alias("component"), "eigenvalue"))
@@ -755,7 +760,12 @@ def mmr_diversify(corpus: DataFrame, query_id: int, k: int = 6,
     pool_rows = (rel.orderBy(F.col("__rel").desc(), F.col(id_col))
                  .limit(pool).collect())  # pool rows — bounded
     spark = corpus.sparkSession
-    pool_lit = spark.createDataFrame(
+    # literal_df, not createDataFrame (r14): the parallelized-pickle
+    # frame re-ran Python workers per evaluation (~4 s per action for
+    # 16 rows) and its crossJoin scheduled executor-count^2 tasks
+    from mapreduce_wsi_spark.util import literal_df
+    pool_lit = literal_df(
+        spark,
         [(int(r[id_col]), float(r["__rel"]), list(r["__v"]))
          for r in pool_rows],
         f"{id_col} long, __rel double, __v array<double>")
@@ -796,8 +806,9 @@ def mmr_diversify(corpus: DataFrame, query_id: int, k: int = 6,
         picked.append((step, best[1], best[0]))
         chosen.append(best[1])
 
-    return spark.createDataFrame(
-        picked, f"step int, {id_col} long, mmr_score double")
+    from mapreduce_wsi_spark.util import literal_df
+    return literal_df(spark, picked,
+                      f"step int, {id_col} long, mmr_score double")
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
@@ -1300,18 +1311,18 @@ def kmeans_lloyd(emb: DataFrame, id_col: str = "vec_id",
         for cell, comps in by_cell.items():
             centroids[cell] = [comps[i] for i in sorted(comps)]
 
+    from mapreduce_wsi_spark.util import literal_df
+
     d_t = "decimal(28,18)"
     spark = emb.sparkSession
-    cent = spark.createDataFrame(
-        [(cell, c) for cell, c in sorted(centroids.items())],
+    cent = literal_df(
+        spark, [(cell, c) for cell, c in sorted(centroids.items())],
         "cell long, __c array<double>")
     l1 = F.aggregate(
         F.transform(F.col("__c"), lambda x: F.abs(x).cast(d_t)),
         F.lit(0).cast(d_t), lambda acc, x: (acc + x).cast(d_t))
-    stats = spark.createDataFrame(
-        stat_rows or [(None, None, None)],
-        "cell long, n_assigned long, inertia double").filter(
-            F.col("cell").isNotNull())
+    stats = literal_df(
+        spark, stat_rows, "cell long, n_assigned long, inertia double")
     return (cent.join(F.broadcast(stats), "cell", "left")
             .select(F.col("cell").cast("long").alias("cell"),
                     F.coalesce("n_assigned", F.lit(0)).cast("long")

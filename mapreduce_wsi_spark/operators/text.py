@@ -631,10 +631,13 @@ def bpe_learn(df: DataFrame, text_col: str, n_merges: int = 6
     ``n_merges`` winner rows ever reach the driver — the same 1-row
     action budget as the JDBC bounds query (sources/jdbc.py:96).
     """
+    from mapreduce_wsi_spark.util import literal_df
+
     spark = df.sparkSession
     learned = _bpe_learn_merges(df, text_col, n_merges)
-    return spark.createDataFrame(
-        learned, "rank int, left string, right string, pair_count bigint")
+    return literal_df(
+        spark, learned,
+        "rank int, left string, right string, pair_count bigint")
 
 
 def _bpe_merge_fold(toks: Column, a: str, b: str) -> Column:

@@ -339,8 +339,9 @@ def dedup_minhash_band_tradeoff(spark, sf_dir):
     from mapreduce_wsi_spark.operators.dedup import jaccard_pairs
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = jaccard_pairs(docs, "text", "doc_id", n=3, min_jaccard=0.0)
-    cfg = F.broadcast(spark.createDataFrame(
-        [(32, 4), (16, 8), (8, 16)], "bands int, rows_pb int"))
+    from mapreduce_wsi_spark.util import literal_df
+    cfg = F.broadcast(literal_df(
+        spark, [(32, 4), (16, 8), (8, 16)], "bands int, rows_pb int"))
     prob = 1 - F.pow(1 - F.pow(F.col("jaccard"), F.col("rows_pb")),
                      F.col("bands"))
     is_true = F.col("jaccard") >= 0.5
@@ -994,7 +995,9 @@ def text_line_global_dedup(spark, sf_dir):
          "explode is the linear scan every text gate already pays")
 def text_blocklist_categories(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
-    bl = F.broadcast(spark.createDataFrame(
+    from mapreduce_wsi_spark.util import literal_df
+    bl = F.broadcast(literal_df(
+        spark,
         [("slow", "latency"), ("dup", "duplication"),
          ("big", "hyperbole"), ("fast", "hyperbole")],
         "word string, category string"))

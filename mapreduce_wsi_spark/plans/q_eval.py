@@ -169,8 +169,9 @@ _EVAL_QUERIES = ("scan", "window", "customer")
          "on both engines")
 def eval_retrieval_metrics(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame([(q,) for q in _EVAL_QUERIES],
-                                "query string")
+    from mapreduce_wsi_spark.util import literal_df
+    qdf = literal_df(spark, [(q,) for q in _EVAL_QUERIES],
+                     "query string")
     head = F.substring("text", 1, 200)
     qlen = F.length("query")
 

@@ -274,8 +274,9 @@ def null_semantics(spark, sf_dir):
     base = o.select("o_orderkey",
                     F.nullif("o_orderstatus", F.lit("P")).alias("st"),
                     "o_totalprice")
-    dim = spark.createDataFrame(
-        [("O", "open"), ("F", "final"), (None, "unknown")],
+    from mapreduce_wsi_spark.util import literal_df
+    dim = literal_df(
+        spark, [("O", "open"), ("F", "final"), (None, "unknown")],
         "st string, label string")
     j = base.join(F.broadcast(dim),
                   base["st"].eqNullSafe(dim["st"]), "inner")

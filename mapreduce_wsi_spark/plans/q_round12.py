@@ -597,8 +597,9 @@ def quality_distill_calibration(spark, sf_dir):
          "a 5-row literal — one aggregate, 5 output rows")
 def quality_distill_threshold_sweep(spark, sf_dir):
     scored = _distill_scored(spark, sf_dir)
-    thr = spark.createDataFrame([(t,) for t in (-2, -1, 0, 1, 2)],
-                                "thr int")
+    from mapreduce_wsi_spark.util import literal_df
+    thr = literal_df(spark, [(t,) for t in (-2, -1, 0, 1, 2)],
+                     "thr int")
     pred = F.col("score") > F.col("thr")
     tp = (F.col("teacher_keep") & pred).cast("int")
     fp = (~F.col("teacher_keep") & pred).cast("int")

@@ -62,6 +62,72 @@ def iter_checkpoint(df):
     return df.localCheckpoint(eager=True)
 
 
+def _split_schema(schema: str) -> list[tuple[str, str]]:
+    """Parse 'name type, name type' with nested generics
+    (array<double>, map<string,int>) into (name, type) pairs."""
+    fields, depth, cur = [], 0, ""
+    for ch in schema:
+        if ch == "," and depth == 0:
+            fields.append(cur.strip())
+            cur = ""
+            continue
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        cur += ch
+    if cur.strip():
+        fields.append(cur.strip())
+    out = []
+    for f in fields:
+        name, t = f.split(None, 1)
+        out.append((name, t))
+    return out
+
+
+def literal_df(spark, rows, schema: str):
+    """Small bounded DataFrame from Python rows as a PURE-EXPRESSION
+    plan: explode of a literal struct array, each field cast to its
+    declared type.
+
+    Why not ``spark.createDataFrame(rows, schema)``: that path
+    parallelizes PICKLED Python objects into an RDD, so EVERY
+    evaluation of the frame — each action, each broadcast build, each
+    bench rerun — round-trips through Python workers (r14 measurement:
+    1.6-4.0 s per action for a 16-row frame vs 0.1 s as literals, and
+    a 16x16 crossJoin of such a frame scheduled over executor-count
+    partitions per side). Literal plans evaluate JVM-side in
+    microseconds and broadcast for free. Use for the bounded driver-side
+    tables this engine embeds (centroids, learned merges, offsets,
+    collected iterates) — never for real data.
+
+    ``rows`` cells may be scalars or lists (lists become typed array
+    literals); values must round-trip via F.lit (int/float/str/bool/
+    None/datetime). Empty ``rows`` falls back to an empty
+    createDataFrame (a LocalRelation — no Python RDD either)."""
+    from pyspark.sql import functions as F
+
+    fields = _split_schema(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def cell(v, t):
+        if isinstance(v, (list, tuple)):
+            c = F.array(*[F.lit(x) for x in v]) if len(v) else F.array()
+        else:
+            c = F.lit(v)
+        return c.cast(t)
+
+    structs = [
+        F.struct(*[cell(v, t).alias(name)
+                   for (name, t), v in zip(fields, row)])
+        for row in rows]
+    return (spark.range(1)
+            .select(F.explode(F.array(*structs)).alias("__lit"))
+            .select(*[F.col(f"__lit.{name}").alias(name)
+                      for name, _t in fields]))
+
+
 def scratch_dir(kind: str, sf_dir: str) -> str:
     """Fresh per-process scratch directory for catalog fixture builders
     (JDBC/ORC/manifest/time-travel entries write a small derived table
