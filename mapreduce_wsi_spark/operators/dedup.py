@@ -304,15 +304,21 @@ def _min_label_components(edges: DataFrame,
     expected tiny (dup clusters)."""
     from mapreduce_wsi_spark.util import iter_checkpoint
 
+    from mapreduce_wsi_spark.util import iter_checkpoint_probe
+
     cc = (edges.select(F.col("src").alias("id")).distinct()
           .withColumn("comp", F.col("id")))
     # Convergence check: labels only ever DECREASE under min-propagation,
     # so the label sum is strictly monotone until fixpoint — comparing two
     # scalar sums replaces the per-round join + isEmpty scan (one fewer
     # shuffle per round). decimal(38,0) so 1e9 nodes x 1e12-sized ids
-    # can't overflow the bigint sum at full scale.
-    prev_sum = cc.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    # can't overflow the bigint sum at full scale. r14: the sum rides the
+    # checkpoint job itself (iter_checkpoint_probe), so each round is ONE
+    # action, and the pre-loop baseline sum is gone outright — round 1 of
+    # a nonempty symmetric edge set always lowers some label (every edge
+    # (a,b), a != b has a larger endpoint that adopts the smaller id), so
+    # a sentinel stands in for the never-matchable initial sum.
+    prev_sum: object = object()
     for _ in range(max_iter):
         nbr_min = (cc.join(edges, cc["id"] == edges["src"])
                    .groupBy(F.col("dst").alias("id"))
@@ -321,13 +327,12 @@ def _min_label_components(edges: DataFrame,
         # convergence sum (re-confirmed by the r14 A/B: a non-eager
         # localCheckpoint under AQE materializes its query stages at
         # call time AND recomputes the final stage per action)
-        new_cc = iter_checkpoint(
+        cc, probe = iter_checkpoint_probe(
             cc.join(nbr_min, on="id", how="left")
             .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
-                    .alias("comp")))
-        cur_sum = new_cc.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
-        cc = new_cc
+                    .alias("comp")),
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("__s"))
+        cur_sum = probe["__s"]
         if cur_sum == prev_sum:
             return cc, True
         prev_sum = cur_sum
@@ -371,17 +376,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.unionByName(own).distinct()
 
 
-def _fingerprint_edges(df: DataFrame) -> tuple:
+def _fingerprint_exprs() -> list:
     """Order-insensitive exact fingerprint of an edge set: count + two
-    hash-sums (both column orders) in one scalar agg. decimal(38,0) so
-    1e12 edges of 64-bit hashes can't overflow the sum. One job over
-    the already-checkpointed edge set — the star loop's only per-round
-    probe (r14)."""
-    return tuple(df.agg(
-        F.count(F.lit(1)),
-        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
-        F.sum(F.xxhash64("dst", "src").cast("decimal(38,0)"))
-    ).first())
+    hash-sums (both column orders) as aggregate expressions. decimal(38,0)
+    so 1e12 edges of 64-bit hashes can't overflow the sum. r14: evaluated
+    via ``iter_checkpoint_probe`` DURING each round's checkpoint job —
+    the star loop pays zero probe actions beyond the materialization
+    itself."""
+    return [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("__h1"),
+        F.sum(F.xxhash64("dst", "src").cast("decimal(38,0)")).alias("__h2"),
+    ]
 
 
 def _star_components(edges: DataFrame,
@@ -392,9 +398,10 @@ def _star_components(edges: DataFrame,
     ``(cc, rounds)`` with cc = (id, comp), comp the component minimum —
     at the fixpoint the edge set IS the star forest (v -> component min).
 
-    Fixpoint probe (r14 fusion): every round pays ONE scalar probe
-    action — the exact edge-set fingerprint (count + two hash-sums)
-    over the freshly checkpointed edge set. The break decision
+    Fixpoint probe (r14 fusion, tightened): every round pays ZERO probe
+    actions — the exact edge-set fingerprint (count + two hash-sums)
+    rides the round's checkpoint materialization job via
+    ``iter_checkpoint_probe`` (CollectMetrics). The break decision
     compares full fingerprints round-over-round, the same exactness as
     before (fingerprint equality subsumes the old count gate: the
     count IS the fingerprint's first component) at fewer scheduler
@@ -405,21 +412,22 @@ def _star_components(edges: DataFrame,
     would mean corrupt input or a logic bug — failing loudly beats
     returning conflicting (id, comp) labels.
     """
-    from mapreduce_wsi_spark.util import iter_checkpoint
+    from mapreduce_wsi_spark.util import iter_checkpoint_probe
 
     nodes = (edges.select(F.col("src").alias("id"))
              .unionByName(edges.select(F.col("dst").alias("id")))
              .distinct())
-    cur = iter_checkpoint(
+    cur, probe = iter_checkpoint_probe(
         edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-        .distinct())
-    prev_fp = _fingerprint_edges(cur)
+        .distinct(), *_fingerprint_exprs())
+    prev_fp = (probe["__n"], probe["__h1"], probe["__h2"])
     rounds = 0
     converged = False
     for _ in range(max_rounds):
-        nxt = iter_checkpoint(_small_star(_large_star(cur)))
+        nxt, probe = iter_checkpoint_probe(
+            _small_star(_large_star(cur)), *_fingerprint_exprs())
         rounds += 1
-        fp = _fingerprint_edges(nxt)
+        fp = (probe["__n"], probe["__h1"], probe["__h2"])
         # transform(cur) == cur means cur is the star-forest fixpoint;
         # exact set equality via the full fingerprint
         if fp == prev_fp:
@@ -793,18 +801,29 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
     proj = iter_checkpoint(df.select(
         F.col(id_col).alias("__sn_id"), *[F.col(c) for c in blk],
         *[key.alias(f"__sn_k{i}") for i, key in enumerate(sort_exprs)]))
-    outs = []
-    for i in range(len(sort_exprs)):
-        base = proj.select("__sn_id", *blk,
-                           F.col(f"__sn_k{i}").alias("__sn_k"))
-        pairs = _snm_pass_pairs(base, blk, window)
-        outs.append(pairs.select(
-            F.least("__sn_id", "__sn_nb").alias("doc_a"),
-            F.greatest("__sn_id", "__sn_nb").alias("doc_b")))
-    out = outs[0]
-    for p in outs[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    # ALL passes through ONE range exchange (r14): each row explodes to
+    # (pass, key) and the pass index rides as the LEADING block column,
+    # so pass ranges are contiguous under the (pass, block, key, id)
+    # total order and the frame-local leads + boundary stitch of
+    # _snm_pass_pairs never pair across passes (same eqNullSafe block
+    # filter that already guards block edges). Identical pair set to
+    # per-pass invocations — the union is just vertical layout — at ONE
+    # sampling job + ONE shuffle + ONE checkpoint + ONE offsets collect
+    # for the whole family instead of one of each per pass; total bytes
+    # exchanged are unchanged (passes x corpus either way).
+    base = proj.select(
+        "__sn_id", *blk,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("p"),
+                     F.col(f"__sn_k{i}").alias("k"))
+            for i in range(len(sort_exprs))])).alias("__sn_pk"))
+    base = base.select("__sn_id",
+                       F.col("__sn_pk.p").alias("__sn_pass"), *blk,
+                       F.col("__sn_pk.k").alias("__sn_k"))
+    pairs = _snm_pass_pairs(base, ["__sn_pass"] + blk, window)
+    return pairs.select(
+        F.least("__sn_id", "__sn_nb").alias("doc_a"),
+        F.greatest("__sn_id", "__sn_nb").alias("doc_b")).distinct()
 
 
 def fellegi_sunter_score(pairs: DataFrame,

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_wsi_spark.util import iter_checkpoint
+from mapreduce_wsi_spark.util import iter_checkpoint, iter_checkpoint_probe
 
 
 def resolve_roots(nodes: DataFrame, id_col: str = "id",
@@ -43,13 +43,15 @@ def resolve_roots(nodes: DataFrame, id_col: str = "id",
         # finished = anc is a root; only unfinished rows need the jump.
         # r14: the cut moved from the hop join to HERE, before the
         # count probe — the hop step self-joins cur, so cutting first
-        # means the done-join computes once per round instead of twice,
-        # and the probe reads the materialized blocks
-        cur = iter_checkpoint(
+        # means the done-join computes once per round instead of twice;
+        # the pending-count probe rides the checkpoint job itself
+        # (iter_checkpoint_probe), so each round is ONE action
+        cur, probe = iter_checkpoint_probe(
             cur.join(F.broadcast(roots), cur["anc"] == roots["__r"],
                      "left").select("id", "anc", "dist",
-                                    roots["__r"].isNotNull().alias("__done")))
-        if cur.filter(~F.col("__done")).count() == 0:
+                                    roots["__r"].isNotNull().alias("__done")),
+            F.count_if(~F.col("__done")).alias("__pending"))
+        if probe["__pending"] == 0:
             cur = cur.drop("__done")
             break
         hop = cur.select(F.col("id").alias("__jid"),
@@ -91,12 +93,15 @@ def bfs_hops(edges: DataFrame, source: int, src_col: str = "src",
         F.lit(0).alias("hops"))
     frontier = visited
     for r in range(1, max_rounds + 1):
-        nxt = iter_checkpoint(
+        # emptiness probe rides the frontier checkpoint job (r14):
+        # one action per round
+        nxt, probe = iter_checkpoint_probe(
             frontier.join(edges, frontier["id"] == edges[src_col])
             .select(F.col(dst_col).cast("bigint").alias("id")).distinct()
             .join(visited, "id", "left_anti")
-            .select("id", F.lit(r).alias("hops")))
-        if nxt.count() == 0:
+            .select("id", F.lit(r).alias("hops")),
+            F.count(F.lit(1)).alias("__n"))
+        if probe["__n"] == 0:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -141,16 +146,20 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = 3,
     # 7.7 s -> ~2 s at sf0.1 for 3 rounds)
     e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
                                      F.col(dst_col).alias("dst")))
-    deg = iter_checkpoint(
+    # n rides the deg checkpoint job as an observed count (r14): the
+    # exact BIGINT folds back in as a plan literal — replacing the
+    # crossJoin(broadcast(n1)) pair, which paid a broadcast exchange +
+    # build job re-running the deg subtree (the hits_fixed normalize
+    # treatment; driver traffic is the same single scalar the broadcast
+    # exchange already collected)
+    deg, probe = iter_checkpoint_probe(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        .select(F.col("src").alias("id"), "deg"))
-    # n as a 1-row broadcast, not a driver collect: the rule needs it in
-    # every row, but it never has to leave the cluster
-    n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
-    base = (deg.crossJoin(F.broadcast(n1))
-            .select("id", "deg",
-                    F.expr(f"(cast({PAGERANK_SCALE} as bigint) div __n)")
-                    .alias("__u0")))
+        .select(F.col("src").alias("id"), "deg"),
+        F.count(F.lit(1)).alias("__n"))
+    base = deg.select("id", "deg",
+                      F.expr(f"(cast({PAGERANK_SCALE} as bigint) "
+                             f"div cast({probe['__n']} as bigint))")
+                      .alias("__u0"))
     cur = iter_checkpoint(base.select("id", "deg",
                                       F.col("__u0"),
                                       F.col("__u0").alias("pr")))
@@ -260,9 +269,11 @@ def hits_fixed(edges: DataFrame, n_iter: int = 2,
         # subtree inside the broadcast job each half-round and paid a
         # broadcast exchange per normalization. Driver traffic is the
         # same single row the broadcast exchange already collected
-        # (the jdbc-bounds action class).
-        df = iter_checkpoint(df)
-        mx = df.agg(F.max(col).alias("__mx")).first()[0]
+        # (the jdbc-bounds action class). Tightened further: the max
+        # rides the checkpoint job itself (iter_checkpoint_probe), so
+        # each half-round normalization is ONE action.
+        df, probe = iter_checkpoint_probe(df, F.max(col).alias("__mx"))
+        mx = probe["__mx"]
         if mx is None:  # empty graph: keep the old NULL-div semantics
             mx = 0
         return df.select("id", F.expr(
@@ -319,10 +330,12 @@ def kcore_nodes(edges: DataFrame, k: int,
     for _ in range(max_rounds):
         und = (e.select(F.col("lo").alias("id"))
                .unionByName(e.select(F.col("hi").alias("id"))))
-        keep = iter_checkpoint(
+        # survivor-count probe rides the checkpoint job (r14)
+        keep, probe = iter_checkpoint_probe(
             und.groupBy("id").agg(F.count(F.lit(1)).alias("__d"))
-            .filter(F.col("__d") >= k).select("id"))
-        n = keep.count()
+            .filter(F.col("__d") >= k).select("id"),
+            F.count(F.lit(1)).alias("__n"))
+        n = probe["__n"]
         if prev is not None and n == prev:
             return keep
         prev = n
@@ -402,17 +415,23 @@ def personalized_pagerank_fixed(edges: DataFrame, seed_pred,
     """
     e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
                                      F.col(dst_col).alias("dst")))
-    deg = iter_checkpoint(
+    # n_seeds rides the deg checkpoint job as an observed sum and folds
+    # back in as an exact BIGINT literal (r14, the pagerank_fixed n
+    # treatment) — no crossJoin(broadcast) pair per fit
+    deg, probe = iter_checkpoint_probe(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        .select(F.col("src").alias("id"), "deg"))
+        .select(F.col("src").alias("id"), "deg"),
+        F.sum(seed_pred(F.col("id")).cast("int")).alias("__ns"))
+    ns_sql = ("cast(null as bigint)" if probe["__ns"] is None
+              else f"cast({probe['__ns']} as bigint)")
     seeded = deg.withColumn("__is_seed",
                             seed_pred(F.col("id")).cast("int"))
-    ns = seeded.agg(F.sum("__is_seed").alias("__ns"))
-    base = (seeded.crossJoin(F.broadcast(ns))
-            .select("id", "deg",
-                    F.expr(f"CASE WHEN __is_seed = 1 THEN "
-                           f"cast({PAGERANK_SCALE} as bigint) div __ns "
-                           f"ELSE cast(0 as bigint) END").alias("__s0")))
+    base = seeded.select("id", "deg",
+                         F.expr(f"CASE WHEN __is_seed = 1 THEN "
+                                f"cast({PAGERANK_SCALE} as bigint) "
+                                f"div {ns_sql} "
+                                f"ELSE cast(0 as bigint) END")
+                         .alias("__s0"))
     cur = iter_checkpoint(base.withColumn("pr", F.col("__s0")))
     for _ in range(n_iter):
         contrib = cur.select(F.col("id").alias("src"),

@@ -4025,7 +4025,13 @@ def pipeline_prepare_er(spark, sf_dir):
     matches = (fellegi_sunter_score(flags, _FS_MU)
                .filter(F.col("cls") == "match")
                .select("doc_a", "doc_b"))
-    comp = connected_components(matches)
+    # star-direct (r14): ER match graphs are chain-shaped (A~B~C link
+    # chains), exactly the long-diameter topology the star contraction
+    # exists for — auto's 6 min-label warm-up rounds never converge here
+    # and only shave one star round (measured: auto 77 jobs / 9.5 s vs
+    # star-direct 57 jobs / 7.3 s interleaved medians, identical labels
+    # — components are algorithm-independent)
+    comp = connected_components(matches, algorithm="star")
     out = keep_best_in_components(
         base.select("doc_id", "n_chars"), comp, "doc_id",
         [F.col("n_chars").desc(), F.col("doc_id").asc()])

@@ -62,6 +62,31 @@ def iter_checkpoint(df):
     return df.localCheckpoint(eager=True)
 
 
+def iter_checkpoint_probe(df, *exprs):
+    """``iter_checkpoint`` + scalar probe in ONE action (r14): the
+    iterative loops' convergence probes (label sums, edge-set
+    fingerprints, frontier counts, max scores) ride the checkpoint
+    materialization job via ``Dataset.observe`` (CollectMetrics)
+    instead of paying a second scheduler round-trip per round — on a
+    real cluster every saved action is a saved driver barrier.
+
+    Returns ``(checkpointed_df, metrics)`` where metrics is the
+    observed one-row aggregate as a dict. Exactness: CollectMetrics
+    evaluates the same Catalyst aggregate expressions over the same
+    materialized rows as a separate ``df.agg(...)`` would, so the probe
+    values are bit-identical (measured: identical sums/fingerprints on
+    every oracle replay); empty input yields count=0 / sum=max=None,
+    the same as ``.agg()``. The checkpointed frame's downstream plan is
+    a plain Scan ExistingRDD — the CollectMetrics node does not survive
+    the lineage cut. Both checkpoint modes fire the metrics (verified:
+    eager localCheckpoint and reliable checkpoint each run the
+    materialization through the observed plan)."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    out = iter_checkpoint(df.observe(obs, *exprs))
+    return out, obs.get
+
+
 def _split_schema(schema: str) -> list[tuple[str, str]]:
     """Parse 'name type, name type' with nested generics
     (array<double>, map<string,int>) into (name, type) pairs."""
