@@ -216,10 +216,13 @@ def label_propagation_communities(edges: DataFrame, n_rounds: int = 2,
     """
     e = iter_checkpoint(edges.select(F.col(src_col).alias("src"),
                                      F.col(dst_col).alias("dst")))
-    nodes = iter_checkpoint(
+    # the node universe is only ever consumed as the initial labeling,
+    # so it folds into the lab checkpoint — one materialization action
+    # instead of two (r14)
+    lab = iter_checkpoint(
         e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id"))).distinct())
-    lab = iter_checkpoint(nodes.select("id", F.col("id").alias("lbl")))
+        .union(e.select(F.col("dst").alias("id"))).distinct()
+        .select("id", F.col("id").alias("lbl")))
     from pyspark.sql import Window
     for _ in range(n_rounds):
         nb = (e.join(lab.withColumnRenamed("id", "src"), "src")
