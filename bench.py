@@ -551,6 +551,27 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # Scaling-regime marker (r15, VERDICT r14 "next round" item 2): the
+    # driver benches the same tree at two core counts and reads the
+    # ratio as a parallel-scaling measurement. At small fixtures the
+    # per-job scheduler floor dominates, so MORE cores measure SLOWER
+    # (every r14 8c/32c family ratio was <= 1) — a property of the
+    # fixture size, not of the plans. Emit the regime so the consumer
+    # can tell the two apart: "data-bound" only when the input carries
+    # at least one full 128 MB scan split per core (the guide §6 split
+    # size — below that, added cores only add per-task overhead),
+    # otherwise "scheduler-bound". Derived from the actual input dir
+    # and $SPARK_GRAFT_CPUS — no local-mode constant baked in.
+    input_bytes = 0
+    for dp, _dn, fs in os.walk(sf_dir):
+        for f in fs:
+            try:
+                input_bytes += os.path.getsize(os.path.join(dp, f))
+            except OSError:
+                pass
+    regime = ("data-bound"
+              if input_bytes >= int(cpus) * 128 * 1024 * 1024
+              else "scheduler-bound")
     detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump({
@@ -562,6 +583,8 @@ def main() -> None:
             "cpus": int(cpus),
             "calib_sec": calib,
             "calib_scan_sec": calib_scan,
+            "input_bytes": input_bytes,
+            "scaling_regime": regime,
         }, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -590,6 +613,7 @@ def main() -> None:
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
+        "scaling_regime": regime,
     }, separators=(",", ":"))
     assert len(line) <= 1500, f"stdout contract line too long: {len(line)}"
     print(line)

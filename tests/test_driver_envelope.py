@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from mapreduce_wsi_spark.plans.parity import compare, duckdb_connection
 
+pytestmark = pytest.mark.driver_gate
+
 
 @pytest.fixture(scope="module")
 def duck(sf_oracle):

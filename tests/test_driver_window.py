@@ -19,8 +19,12 @@ import json
 import re
 from pathlib import Path
 
+import pytest
+
 from mapreduce_wsi_spark.plans.registry import (
     DRIVER_WINDOW, ROUND, WINDOW_STALENESS_PAD, load_catalog)
+
+pytestmark = pytest.mark.driver_gate
 
 CATALOG = load_catalog()
 

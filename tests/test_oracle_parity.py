@@ -10,6 +10,13 @@ import pytest
 from mapreduce_wsi_spark.plans.parity import compare, duckdb_connection
 from mapreduce_wsi_spark.plans.registry import load_catalog
 
+# r15: the whole module is the driver_gate subset (VERDICT r14 item 7)
+# — `pytest -m driver_gate` runs the full oracle replay + the driver
+# contract tests and finishes inside the driver's capture window,
+# where the ~1700-test full suite gets truncated (tests_ok stuck
+# false on a clean-but-unfinished run).
+pytestmark = pytest.mark.driver_gate
+
 CATALOG = load_catalog()
 WITH_ORACLE = sorted(n for n, e in CATALOG.items() if e.oracle)
 ROWS_ONLY = sorted(n for n, e in CATALOG.items() if not e.oracle)
