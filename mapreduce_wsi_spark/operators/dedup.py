@@ -590,13 +590,20 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     pruned). Output identical to ``jaccard_pairs`` at the same
     threshold: (doc_a, doc_b, jaccard).
 
-    ``materialize=True`` persists the tokenized per-doc frame before
-    its triple consumption (prefix explode + both verify sides) — the
-    100 TB recipe: lineage re-execution scales with corpus size, the
-    cache does not. Off by default because at fixture scale an eager
-    materialization was measured a wash (the write costs what the
-    re-reads save); results are identical either way.
+    The tokenized per-doc frame is MATERIALIZED once
+    (``iter_checkpoint``) before its triple consumption (prefix explode
+    + both verify sides) — r15: without it the full ``docs`` lineage
+    (shingle tokenize + df-dictionary build, TWO corpus scans) re-ran
+    once per consumer, 8 parquet scans per execution in the committed
+    plan; with it the corpus is scanned twice total (tokenize + df)
+    and every consumer reads doc-sized materialized blocks. The 100 TB
+    recipe: lineage re-execution scales with corpus size, the
+    materialized frame with doc count. The bench rebuilds it inside
+    the timed region (BUILD_IN_TIMING). ``materialize=True``
+    additionally persists the frame (kept for API/test compat);
+    results are identical either way.
     """
+    from mapreduce_wsi_spark.util import iter_checkpoint
     sh = word_shingles(df, text_col, id_col, n)
     if order == "df":
         # rarest-first WITHOUT a global sort: rank = df in the high bits,
@@ -633,6 +640,11 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     if materialize:
         from pyspark import StorageLevel
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE tokenize+rank lineage per execution: materialize the per-doc
+    # (id, __toks, __n, __p) frame; the prefix explode and both verify
+    # sides read the materialized blocks instead of each re-running
+    # the two corpus scans (guide §1.2/§5; see docstring)
+    docs = iter_checkpoint(docs)
     pref = docs.select("id", "__n", F.explode(
         F.slice("__toks", 1, F.col("__p"))).alias("__rank"))
     a, b = pref.alias("a"), pref.alias("b")
