@@ -320,32 +320,41 @@ def kcore_nodes(edges: DataFrame, k: int,
     edge set and drops EVERY node below k at once (the fixpoint is the
     same as sequential peeling — the k-core is unique). Work per round
     is one degree aggregation + two semi-join filters over the current
-    edges, O(E_t); the surviving set only shrinks, so a stable node
-    count is the fixpoint. localCheckpoint per round truncates lineage
-    (the BFS/pagerank discipline); the per-round count() is the only
-    driver-side value. Raises on non-convergence within max_rounds —
-    never returns a half-peeled set.
+    edges, O(E_t). r15: ONE checkpoint action per round instead of two
+    — the keep set stays lazy inside the round's edge-filter plan (its
+    degree-agg subtree appears on both join sides, canonically
+    identical, so ReuseExchange dedups it) and the convergence probe
+    (edge count) rides the edge checkpoint. The edge set only shrinks,
+    and it shrinks iff some node was peeled, so a stable edge count is
+    exactly the old stable-node-count fixpoint: at that point every
+    endpoint of the surviving edge set has degree >= k, and the
+    returned node set (the same groupBy/filter construction over the
+    stable edges, now lazy) is identical to the old materialized keep.
+    Raises on non-convergence within max_rounds — never returns a
+    half-peeled set.
 
     edges: (lo, hi) undirected, lo < hi, deduplicated.
     """
-    e = iter_checkpoint(edges.select("lo", "hi"))
-    prev = None
+    def survivors(ed: DataFrame) -> DataFrame:
+        und = (ed.select(F.col("lo").alias("id"))
+               .unionByName(ed.select(F.col("hi").alias("id"))))
+        return (und.groupBy("id").agg(F.count(F.lit(1)).alias("__d"))
+                .filter(F.col("__d") >= k).select("id"))
+
+    e, probe = iter_checkpoint_probe(edges.select("lo", "hi"),
+                                     F.count(F.lit(1)).alias("__n"))
+    prev = probe["__n"]
     for _ in range(max_rounds):
-        und = (e.select(F.col("lo").alias("id"))
-               .unionByName(e.select(F.col("hi").alias("id"))))
-        # survivor-count probe rides the checkpoint job (r14)
-        keep, probe = iter_checkpoint_probe(
-            und.groupBy("id").agg(F.count(F.lit(1)).alias("__d"))
-            .filter(F.col("__d") >= k).select("id"),
-            F.count(F.lit(1)).alias("__n"))
-        n = probe["__n"]
-        if prev is not None and n == prev:
-            return keep
-        prev = n
-        e = iter_checkpoint(
+        keep = survivors(e)
+        e, probe = iter_checkpoint_probe(
             e.join(keep.select(F.col("id").alias("lo")), "lo")
             .join(keep.select(F.col("id").alias("hi")), "hi")
-            .select("lo", "hi"))
+            .select("lo", "hi"),
+            F.count(F.lit(1)).alias("__n"))
+        n = probe["__n"]
+        if n == prev:
+            return survivors(e)
+        prev = n
     raise RuntimeError(
         f"k-core peel did not converge in {max_rounds} rounds")
 
