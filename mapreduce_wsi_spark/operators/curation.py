@@ -471,6 +471,18 @@ def cdc_chunk_arr(df: DataFrame, boundary_pct: int = 25) -> DataFrame:
     single task burning minutes interpreted). A lambda variable is
     bound once per row by construction, immune to optimizer
     inlining."""
+    return df.withColumn("__chunks",
+                         F.expr(_cdc_chunk_expr("__w", boundary_pct)))
+
+
+def _cdc_chunk_expr(ref: str, boundary_pct: int = 25) -> str:
+    """The cdc_chunk_arr chunk expression as a SQL string over an
+    arbitrary input reference ``ref`` (a column name or an enclosing
+    lambda variable) — factored r15 so row-local consumers (the
+    edit-stability entry chunks an original AND an edited word array
+    in ONE projection) can embed it under their own let-binders
+    instead of layering withColumn projections whose aliases Catalyst
+    may inline into lambda bodies (see cdc_chunk_arr's docstring)."""
     flag = (f"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) "
             f"% 100 < {boundary_pct}")
     bp = (f"filter(transform(ws, (w, i) -> "
@@ -478,15 +490,14 @@ def cdc_chunk_arr(df: DataFrame, boundary_pct: int = 25) -> DataFrame:
     be = (f"transform(array({bp}), bp -> "
           f"CASE WHEN size(bp) > 0 AND element_at(bp, -1) = size(ws) "
           f"THEN bp ELSE concat(bp, array(size(ws))) END)[0]")
-    ch = F.expr(
-        f"transform(array(__w), ws -> "
+    return (
+        f"transform(array({ref}), ws -> "
         f"CASE WHEN size(ws) = 0 THEN array() ELSE "
         f"transform(array({be}), be -> "
         f"transform(be, (e, i) -> concat_ws(' ', slice(ws, "
         f"CASE WHEN i = 0 THEN 1 ELSE be[i - 1] + 1 END, "
         f"e - CASE WHEN i = 0 THEN 1 ELSE be[i - 1] + 1 END + 1))))[0] "
         f"END)[0]")
-    return df.withColumn("__chunks", ch)
 
 
 def cdc_chunks(df: DataFrame, text_col: str, id_col: str,

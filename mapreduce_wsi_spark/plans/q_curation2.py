@@ -24,7 +24,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_wsi_spark.operators.curation import (
-    cdc_chunks,
     cdc_cross_snapshot,
     incremental_minhash_pairs,
 )
@@ -202,44 +201,57 @@ _ORIG_SRC = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
          "aggregate gap. All joins are (doc, hash) equi-joins; the "
          "edit synthesis is one map-only array splice on both engines")
 def dedup_cdc_edit_stability(spark, sf_dir):
+    # r15 row-local form (guide §2.4, the char_ngram_repetition
+    # treatment): every comparison here is a doc against ITSELF — the
+    # edited page's chunks are matched back to the SAME doc's original
+    # chunks under both chunkings — so the whole query is a pure
+    # function of one text cell. The r11 shape exploded four chunk
+    # streams and paid 2 distincts + 2 (id, h) joins + 2 groupBys + a
+    # final join (14 Exchange-class ops); this shape is scan ->
+    # project: the corpus never leaves its scan task. Chunk-carry
+    # membership via array_contains against the original's chunk-hash
+    # array == the old LEFT JOIN against its DISTINCT (id, h) set (the
+    # join's per-edited-chunk hit predicate is hash membership; the
+    # distinct only removed join-side duplicates, which membership
+    # never sees). Every intermediate rides a let-binder
+    # (transform(array(e), v -> ...)[0]) per the cdc_chunk_arr
+    # lambda-inlining discipline; the oracle SQL is unchanged.
+    from mapreduce_wsi_spark.operators.curation import _cdc_chunk_expr
+
     docs = tbl(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    edited_w = F.expr(
-        "concat(slice(__w, 1, size(__w) div 2), array('zEDITz'), "
-        "slice(__w, size(__w) div 2 + 1, "
-        "size(__w) - size(__w) div 2))")
-    orig = docs.select("doc_id", "text")
-    edited = (docs.select("doc_id", w.alias("__w"))
-              .select("doc_id",
-                      F.concat_ws(" ", edited_w).alias("text")))
+    # edited word array spliced directly (the r11 form round-tripped
+    # through concat_ws + re-split — identity on split output, since
+    # split words never contain the separator)
+    spl = ("concat(slice(wo, 1, size(wo) div 2), array('zEDITz'), "
+           "slice(wo, size(wo) div 2 + 1, size(wo) - size(wo) div 2))")
 
-    def fixed_chunks(df):
-        groups = F.expr(
-            "transform(sequence(0, (size(__w) - 1) div 4), "
-            "j -> md5(concat_ws(' ', slice(__w, j * 4 + 1, 4))))")
-        return (df.select(F.col("doc_id").alias("id"),
-                          F.split(F.col("text"), " ").alias("__w"))
-                .select("id", F.explode(groups).alias("h")))
+    def cdc_h(ref: str) -> str:
+        return f"transform({_cdc_chunk_expr(ref)}, c -> md5(c))"
 
-    o_cdc = (cdc_chunks(orig, "text", "doc_id")
-             .select("id", "h").distinct().withColumn("__hit", F.lit(1)))
-    e_cdc = cdc_chunks(edited, "text", "doc_id")
-    cdc = (e_cdc.join(o_cdc, ["id", "h"], "left")
-           .groupBy("id")
-           .agg(F.count(F.lit(1)).alias("nc"),
-                F.sum(F.coalesce("__hit", F.lit(0))).alias("kc")))
-    o_fx = (fixed_chunks(orig)
-            .distinct().withColumn("__hit", F.lit(1)))
-    e_fx = fixed_chunks(edited)
-    fx = (e_fx.join(o_fx, ["id", "h"], "left")
-          .groupBy("id")
-          .agg(F.count(F.lit(1)).alias("nf"),
-               F.sum(F.coalesce("__hit", F.lit(0))).alias("kf")))
-    return (cdc.join(fx, "id")
-            .select(F.col("id").alias("doc_id"),
-                    F.round(F.col("kc") / F.col("nc"), 9)
+    def fx_h(ref: str) -> str:
+        return (f"transform(sequence(0, (size({ref}) - 1) div 4), "
+                f"j -> md5(concat_ws(' ', slice({ref}, j * 4 + 1, 4))))")
+
+    st = F.expr(
+        f"transform(array(__w), wo -> "
+        f"transform(array({spl}), we -> "
+        f"transform(array({cdc_h('wo')}), oh -> "
+        f"transform(array({cdc_h('we')}), eh -> "
+        f"transform(array({fx_h('wo')}), ofx -> "
+        f"transform(array({fx_h('we')}), efx -> "
+        f"named_struct("
+        f"'nc', size(eh), "
+        f"'kc', size(filter(eh, h -> array_contains(oh, h))), "
+        f"'nf', size(efx), "
+        f"'kf', size(filter(efx, h -> array_contains(ofx, h))))"
+        f")[0])[0])[0])[0])[0])[0]")
+    return (docs.select("doc_id", w.alias("__w"))
+            .select("doc_id", st.alias("__s"))
+            .select("doc_id",
+                    F.round(F.col("__s.kc") / F.col("__s.nc"), 9)
                     .alias("cdc_frac"),
-                    F.round(F.col("kf") / F.col("nf"), 9)
+                    F.round(F.col("__s.kf") / F.col("__s.nf"), 9)
                     .alias("fixed_frac")))
 
 
