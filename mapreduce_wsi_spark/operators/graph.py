@@ -283,26 +283,35 @@ def hits_fixed(edges: DataFrame, n_iter: int = 2,
             f"({col} * cast({HITS_SCALE} as bigint)) "
             f"div cast({mx} as bigint)").alias(col))
 
+    # r15: the per-half-round zero-fill join against the node universe
+    # is gone — scores are carried for SCORED nodes only (auth rows =
+    # the dst-node set, hub rows = the src-node set, both constant
+    # across rounds), and the universe is re-attached ONCE at the end.
+    # Exactness: all scores are >= 0, so zero-filled rows can never
+    # change a max (the scored set is nonempty whenever the edge set
+    # is), and an absent row contributes exactly what a 0-valued row
+    # contributed to the in/out sums — every edge endpoint is in the
+    # scored set by construction, so no edge loses its contribution.
+    # Saves one node-sized join + exchange pair per half-round (guide
+    # §2.4); identical (id, auth, hub, *_norm) rows, pytest-pinned.
     auth = None
     for _ in range(n_iter):
         raw_a = (e.join(cur.select(F.col("id").alias("src"), "hub"),
                         "src")
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.sum("hub").alias("auth")))
-        auth = normalize(
-            nodes.join(raw_a, "id", "left")
-            .select("id", F.coalesce("auth", F.lit(0)).alias("auth")),
-            "auth")
+        auth = normalize(raw_a, "auth")
         raw_h = (e.join(auth.select(F.col("id").alias("dst"), "auth"),
                         "dst")
                  .groupBy(F.col("src").alias("id"))
                  .agg(F.sum("auth").alias("hub")))
-        cur = normalize(
-            nodes.join(raw_h, "id", "left")
-            .select("id", F.coalesce("hub", F.lit(0)).alias("hub")),
-            "hub")
+        cur = normalize(raw_h, "hub")
     s = float(HITS_SCALE)
-    return (nodes.join(auth, "id").join(cur, "id")
+    zero = F.lit(0).cast("long")
+    return (nodes.join(auth, "id", "left").join(cur, "id", "left")
+            .select("id",
+                    F.coalesce("auth", zero).alias("auth"),
+                    F.coalesce("hub", zero).alias("hub"))
             .select("id", "auth", "hub",
                     (F.col("auth").cast("double") / s).alias("auth_norm"),
                     (F.col("hub").cast("double") / s).alias("hub_norm")))
