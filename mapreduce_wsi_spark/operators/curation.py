@@ -386,61 +386,101 @@ def char_ngram_repetition(df: DataFrame, text_col: str, id_col: str,
     exploded-position distinct-union at a fraction of the shuffled
     rows (the x{n} coverage explode was the plan's top shuffle).
 
-    r14 rewrite — fully ROW-LOCAL, zero exchanges: both the duplicated-
-    gram detection and the interval union are per-document facts, so
-    the whole statistic computes inside one projection over the scan.
-    The gram stream sorts (g, pos) per row (array_sort, O(L log L));
-    equal grams are then ADJACENT, so "occurs >= 2 times" is one
-    indexed transform comparing neighbors; the surviving starts re-sort
-    by position and a scalar-accumulator fold unions the [p, p+n-1]
-    intervals exactly as the old gaps-and-islands window did. The
-    previous best form (the r11 A/B winner) still shuffled ~1 row per
-    corpus CHARACTER through a (id, gram) window exchange plus an
-    (id)-keyed island window and a totals join — at 100 TB that was
-    the plan's only data-sized exchange, now gone (guide §2.4).
-    Per-row memory is O(doc length), the same bound the WindowExec
-    buffer already had. Returns (id, n_chars, dup_char_frac),
-    bit-identical (driver-checked vs the exploded-union oracle)."""
-    # the sorted gram array is LET-BOUND (single-element transform
-    # lambda) so the neighbor lookups gs[i-1]/gs[i+1] index a bound
-    # value — as a projection alias, Catalyst's collapse would inline
-    # the array_sort into the per-element lambda body and re-sort the
-    # doc once per gram (the cdc_chunk_arr lesson, same round)
-    g_arr = F.expr(
-        f"CASE WHEN length(__t) >= {n} THEN "
-        f"array_sort(transform(sequence(1, length(__t) - {n - 1}), "
-        f"i -> named_struct('g', substring(__t, i, {n}), 'pos', i))) "
-        f"ELSE array() END")
-    dup_pos = F.expr(
-        "array_sort(transform(array(__gs), gs -> "
-        "filter(transform(gs, (s, i) -> "
-        "CASE WHEN (i > 0 AND gs[i - 1].g = s.g) "
-        "OR (i < size(gs) - 1 AND gs[i + 1].g = s.g) "
-        "THEN s.pos END), p -> p IS NOT NULL))[0])")
-    # interval union over sorted starts: same islands as the old
-    # lag()-window form (gap > n starts a new island; each island
-    # contributes last - first + n chars); scalar accumulator, no
-    # per-step array building
-    neg = -(n + 1)
-    cov = F.expr(
-        f"aggregate(__dp, "
-        f"named_struct('tot', 0, 'fst', {neg}, 'lst', {neg}), "
-        f"(acc, p) -> CASE WHEN p - acc.lst > {n} THEN named_struct("
-        f"'tot', acc.tot + CASE WHEN acc.lst >= 0 "
-        f"THEN acc.lst - acc.fst + {n} ELSE 0 END, 'fst', p, 'lst', p) "
-        f"ELSE named_struct('tot', acc.tot, 'fst', acc.fst, 'lst', p) "
-        f"END, "
-        f"acc -> acc.tot + CASE WHEN acc.lst >= 0 "
-        f"THEN acc.lst - acc.fst + {n} ELSE 0 END)")
-    return (df.select(F.col(id_col), F.col(text_col).alias("__t"))
-            .withColumn("__gs", g_arr)
-            .withColumn("__dp", dup_pos)
-            .select(F.col(id_col),
-                    F.length("__t").cast("int").alias("n_chars"),
-                    cov.alias("__nd"))
-            .select(F.col(id_col), "n_chars",
-                    F.round(F.col("__nd") / F.col("n_chars"), 9)
-                    .alias("dup_char_frac")))
+    r14 rewrite made this fully ROW-LOCAL (zero exchanges — both the
+    duplicated-gram detection and the interval union are per-document
+    facts, so the previous (id, gram)-window + island-window + join
+    shape's corpus-sized exchanges are gone; guide §2.4). r15 moves the
+    per-task work from interpreted Catalyst HOFs (array_sort of
+    (g, pos) structs with a lambda comparator + per-element neighbor
+    transforms — measured ~2.3 us per corpus CHARACTER) into one
+    batched numpy kernel over mapInPandas (guide §4.2, the mm_*
+    pattern): each Arrow batch concatenates its texts into a single
+    UTF-32 codepoint array, finds duplicated (doc, n-gram) windows
+    EXACTLY via np.unique over (doc_idx, window) rows (structured void
+    view — no hashing, no collisions; Python len/UTF-32 == Spark
+    length()/substring() codepoint semantics), and unions the
+    [p, p+n-1] intervals vectorized (union = n + sum(min(gap, n)) over
+    each doc's ascending duplicate starts — the same islands the
+    Catalyst fold walked). Only (id, text) cross the Python boundary
+    (projected first, §4.1), integer outputs only; the one IEEE
+    division + round stays in Catalyst, so results are bit-identical
+    (driver-checked vs the exploded-union oracle). Plan: scan ->
+    MapInPandas -> project; still zero exchanges."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+        for pdf in batches:
+            m = len(pdf)
+            texts = pdf[text_col]
+            n_chars = np.empty(m, dtype=object)
+            nd = np.zeros(m, dtype=np.int64)
+            lens = np.zeros(m, dtype=np.int64)
+            parts = []
+            for i in range(m):
+                s = texts.iat[i]
+                if not isinstance(s, str):  # NULL text (None/NaN)
+                    continue
+                L = len(s)
+                n_chars[i] = L
+                lens[i] = L
+                parts.append(s)
+            codes = np.frombuffer(
+                "".join(parts).encode("utf-32-le"), dtype=np.uint32)
+            if codes.size >= n:
+                doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+                gpos = np.arange(codes.size - n + 1)
+                # a window is a real n-gram iff it lies inside one doc
+                valid = doc_of[gpos] == doc_of[gpos + n - 1]
+                vpos = gpos[valid]
+                vdoc = doc_of[vpos]
+                nw = codes.size - n + 1
+                if n <= 8 and int(codes.max()) < 256:
+                    # Latin-1 fast path: n codepoints < 2^8 pack
+                    # BIJECTIVELY into one uint64 (exact, no hashing)
+                    a = codes.astype(np.uint64)
+                    key = np.zeros(nw, dtype=np.uint64)
+                    for j in range(n):
+                        key = (key << np.uint64(8)) | a[j:nw + j]
+                    k = key[valid]
+                    order = np.lexsort((k, vdoc))
+                    ks, ds = k[order], vdoc[order]
+                    eq = (ks[1:] == ks[:-1]) & (ds[1:] == ds[:-1])
+                else:
+                    # general unicode path: lexsort the raw codepoint
+                    # columns (still exact, ~n x slower sort)
+                    vw = sliding_window_view(codes, n)[valid]
+                    order = np.lexsort(
+                        tuple(vw[:, j] for j in range(n - 1, -1, -1))
+                        + (vdoc,))
+                    sw, ds = vw[order], vdoc[order]
+                    eq = ((sw[1:] == sw[:-1]).all(axis=1)
+                          & (ds[1:] == ds[:-1]))
+                # a window is duplicated iff it equals a sort-neighbor
+                # within the same doc
+                dmask = np.r_[False, eq] | np.r_[eq, False]
+                mask = np.zeros(vpos.size, dtype=bool)
+                mask[order[dmask]] = True
+                dpos, ddoc = vpos[mask], vdoc[mask]
+                if dpos.size:
+                    starts = np.nonzero(
+                        np.r_[True, ddoc[1:] != ddoc[:-1]])[0]
+                    within = np.r_[0, np.minimum(np.diff(dpos), n)]
+                    within[starts] = 0
+                    cross = np.zeros(dpos.size, dtype=np.int64)
+                    cross[starts] = n
+                    nd[ddoc[starts]] = np.add.reduceat(
+                        within + cross, starts)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "n_chars": n_chars, "__nd": nd})
+
+    kern = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        stats, f"{id_col} {id_t}, n_chars int, __nd long")
+    return kern.select(F.col(id_col), "n_chars",
+                       F.round(F.col("__nd") / F.col("n_chars"), 9)
+                       .alias("dup_char_frac"))
 
 
 def cdc_chunk_arr(df: DataFrame, boundary_pct: int = 25) -> DataFrame:

@@ -305,3 +305,65 @@ def test_cdc_fold_survives_long_documents(spark):
                           boundary_pct=25).collect()[0]
     assert row["n_chunks"] == expected
     assert row["n_kept"] <= row["n_chunks"]
+
+
+def test_char_ngram_repetition_kernel_matches_reference(spark):
+    """r15: char_ngram_repetition moved from interpreted Catalyst HOFs
+    to a batched numpy kernel (uint64-packed Latin-1 fast path +
+    general-unicode lexsort path). Pin both paths against a
+    brute-force Python reference of the original definition: union
+    length of [p, p+n) over starts whose n-gram occurs >= 2x in the
+    doc — including NULL text, docs shorter than n, heavy
+    overlap, cross-batch independence, and non-Latin codepoints
+    (which force the general path for their batch)."""
+    from mapreduce_wsi_spark.operators.curation import (
+        char_ngram_repetition,
+    )
+
+    def ref(s, n=8):
+        if s is None:
+            return None, 0
+        grams = {}
+        for i in range(len(s) - n + 1):
+            grams.setdefault(s[i:i + n], []).append(i)
+        starts = sorted(p for ps in grams.values() if len(ps) >= 2
+                        for p in ps)
+        tot, fst, lst = 0, None, None
+        for p in starts:
+            if lst is None or p - lst > n:
+                if lst is not None:
+                    tot += lst - fst + n
+                fst = lst = p
+            else:
+                lst = p
+        if lst is not None:
+            tot += lst - fst + n
+        return len(s), tot
+
+    docs = [
+        (1, "abcdefghij" * 30),              # heavy overlap, merged runs
+        (2, "xyz"),                          # shorter than n
+        (4, None),                           # NULL text
+        (5, "The quick brown fox jumps over the lazy dog again and "
+            "again The quick brown fox"),
+        (6, "日本語テキストの重複日本語テキストの重複と少し違う部分"),  # non-Latin
+        (7, "mixed ascii と unicode mixed ascii と unicode tail"),
+        (8, "a" * 7 + "b" + "a" * 7),        # near-miss windows
+        (9, "0123456789abcdef0123456789abcdef0123456789abcdef"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           char_ngram_repetition(df, "text", "doc_id").collect()}
+    assert len(got) == len(docs)
+    for doc_id, s in docs:
+        n_chars, nd = ref(s)
+        r = got[doc_id]
+        assert r["n_chars"] == n_chars, (doc_id, r)
+        if n_chars:
+            import decimal
+            want = float(decimal.Decimal(repr(nd / n_chars)).quantize(
+                decimal.Decimal("1e-9"),
+                rounding=decimal.ROUND_HALF_UP))
+            assert r["dup_char_frac"] == want, (doc_id, nd, r)
+        else:
+            assert r["dup_char_frac"] is None, (doc_id, r)
