@@ -468,25 +468,51 @@ def dsir_select(df: DataFrame, text_col: str, id_col: str,
     moves out of the measurement. ``materialize=True`` additionally
     persists the frame (kept for API/test compat); results are
     identical either way (pinned by test)."""
-    w = F.split(F.col(text_col), " ")
-    big = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(w, i), F.element_at(w, i + 1)))
-    ).otherwise(F.array().cast("array<string>"))
-    # the explicit isnotnull(bk) is a no-op on values (bk is never
-    # null: md5-bucket of a non-null gram); it matches the isnotnull
-    # the scoring join would push into its side anyway, keeping the
-    # checkpointed frame valid for both consumers
-    doc_bk = (df.select(
-        F.col(id_col),
-        F.col(target_col).isin(*target_values).alias("tgt"),
-        F.explode(F.concat(w, big)).alias("gram"))
-        .withColumn("bk", portable_bucket(F.col("gram"), n_buckets))
-        .where(F.col("bk").isNotNull())
-        .groupBy(id_col, "tgt", "bk")
-        .agg(F.count(F.lit(1)).alias("n")))
+    # r15 kernel (guide §4.2): the gram explode + md5 bucketing +
+    # (id, tgt, bk) partial count computed in ONE mapInPandas pass —
+    # the Catalyst form (interpreted bigram-transform lambda, explode,
+    # per-gram md5/conv/substring chain, hash agg) measured ~7.6 us
+    # per gram; hashlib.md5 replicates portable_bucket bit-exactly
+    # (int(md5hex[:8], 16) % n_buckets over the UTF-8 bytes) and a
+    # per-doc Counter IS the (id, tgt, bk) group count (tgt is
+    # constant per doc). Only (id, tgt, text) cross the boundary;
+    # the skeleton comes back pre-aggregated (docs x <=n_buckets
+    # rows), so the kernel output is exactly the frame the old
+    # groupBy produced — results bit-identical (oracle + test pinned).
+    id_t = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col),
+                     F.col(target_col).isin(*target_values).alias("tgt"),
+                     F.col(text_col).alias("__txt"))
+
+    def doc_buckets(batches):
+        import hashlib
+
+        from collections import Counter
+
+        import pandas as pd
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, tgts, bks, ns = [], [], [], []
+            for did, tgt, s in zip(pdf[id_col], pdf["tgt"],
+                                   pdf["__txt"]):
+                if not isinstance(s, str):  # NULL text: no gram rows
+                    continue
+                w = s.split(" ")
+                grams = w + [w[i] + " " + w[i + 1]
+                             for i in range(len(w) - 1)]
+                c = Counter(
+                    int(md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+                    for g in grams)
+                for bk, cnt in c.items():
+                    ids.append(did)
+                    tgts.append(tgt)
+                    bks.append(bk)
+                    ns.append(cnt)
+            yield pd.DataFrame({id_col: ids, "tgt": tgts,
+                                "bk": bks, "n": ns})
+
+    doc_bk = base.mapInPandas(
+        doc_buckets, f"{id_col} {id_t}, tgt boolean, bk int, n long")
     if materialize:
         from pyspark import StorageLevel
         doc_bk = doc_bk.persist(StorageLevel.MEMORY_AND_DISK)
